@@ -1,0 +1,80 @@
+package graft.orchestration
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config.{ExecutionConfig, PipelineConfig}
+import graft.exec.PartitionExecutor
+import graft.model.BronzeSchema
+
+/** One batch through the API stage: mapPartitions → append to sink.
+  * Ref: src/orchestration/batch_handler.py:21-47. Unlike the reference's
+  * RDD hop (`rdd.mapPartitions` + `createDataFrame(rdd, schema)`), the
+  * Dataset-level `mapPartitions` with an explicit Row encoder keeps the
+  * bronze schema end-to-end and stays inside the same physical plan.
+  */
+final class BatchHandler(cfg: PipelineConfig, rpcUrl: Option[String], sinkIdentifier: String,
+    format: String) {
+  def process(batchDf: DataFrame): Unit = {
+    val fn = PartitionExecutor.makeFn(cfg, rpcUrl)
+    val bronze = batchDf.mapPartitions(fn)(Encoders.row(BronzeSchema.schema))
+    // Sink mode is handled at table-create time (overwrite = CREATE OR
+    // REPLACE); per-batch writes are always appends (batch_handler.py:47).
+    bronze.write.format(format.toLowerCase).mode("append").insertInto(sinkIdentifier)
+  }
+}
+
+/** Driver-side idempotent batch loop. Ref: src/orchestration/batch_processor.py.
+  *
+  * Per attempt (1..maxAttempts): remaining = source ⟕anti sink on request_id
+  * (completed rows live in the sink — the sink IS the checkpoint); empty →
+  * done; assign `batch_id = pmod(hash(request_id), numBatches)` (pmod fixes
+  * quirk Q8's negative ids); repartition to spread the slow HTTP stage
+  * (docstring batch_processor.py:10-17: prevents AQE from collapsing the
+  * small batch into too few partitions); enumerate batch ids; filter + hand
+  * each batch to the handler. Failures are logged and re-raised only on the
+  * final attempt (batch_processor.py:87-96).
+  *
+  * Scale notes (100 TB): the anti-join shuffles source+sink on request_id —
+  * Catalyst/AQE picks broadcast when the remaining side shrinks below the
+  * threshold, and only `request_id` is projected from the sink before the
+  * join, so the shuffle carries one column, not 15. Batch sizing bounds the
+  * rows in flight per Spark job (memory guardrail, docs/architecture.md:28-35).
+  */
+final class BatchProcessor(
+    spark: SparkSession,
+    source: DataFrame,
+    sinkIdentifier: String,
+    exec: ExecutionConfig) {
+
+  def remaining(): DataFrame =
+    source.join(
+      spark.table(sinkIdentifier).select("request_id"),
+      Seq("request_id"), "left_anti")
+
+  def process(handler: DataFrame => Unit): Unit = {
+    var attempt = 1
+    var done = false
+    while (attempt <= exec.maxAttempts && !done) {
+      val rem = remaining()
+      val total = rem.count()
+      if (total == 0L) done = true
+      else {
+        val numBatches = math.max(1L, (total + exec.batchSize - 1) / exec.batchSize)
+        val batched = rem
+          .withColumn("batch_id", pmod(hash(col("request_id")), lit(numBatches)))
+          .repartition(exec.numPartitions)
+        val batchIds = batched.select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+        batchIds.foreach { id =>
+          try handler(batched.filter(col("batch_id") === id).drop("batch_id"))
+          catch {
+            case e: Exception if attempt < exec.maxAttempts =>
+              System.err.println(s"[BatchProcessor] batch $id failed on attempt $attempt: ${e.getMessage}")
+            case e: Exception => throw e
+          }
+        }
+        attempt += 1
+      }
+    }
+  }
+}

@@ -1,0 +1,95 @@
+package graft.orchestration
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.auth.AuthStrategy
+import graft.config._
+import graft.exec.WorkerResources
+
+/** End-to-end pipeline lifecycle: parse → validate → plan → execute.
+  * Ref: src/orchestration/orchestrator.py:33-261 (SURVEY.md §3.1).
+  */
+object PipelineOrchestrator {
+
+  /** Primary API (ref: orchestrator.py:246-261): run a pipeline from config,
+    * with either a config-declared source table or a caller-supplied
+    * DataFrame + id column (XOR-validated, orchestrator.py:140-155).
+    */
+  def runPipeline(
+      spark: SparkSession,
+      config: PipelineConfig,
+      sourceDf: Option[DataFrame] = None,
+      sourceId: Option[String] = None): Unit = {
+    // XOR source validation
+    (config.tables.source, sourceDf) match {
+      case (Some(_), Some(_)) =>
+        throw ConfigValidationException(Seq("Provide either tables.source or source_df, not both"))
+      case (None, None) =>
+        throw ConfigValidationException(Seq("One of tables.source or source_df is required"))
+      case (None, Some(_)) if sourceId.isEmpty =>
+        throw ConfigValidationException(Seq("source_id is required with source_df"))
+      case _ => ()
+    }
+
+    // Resolve + validate the source (orchestrator.py:164-174,201-207)
+    val (rawSource, idColumn) = config.tables.source match {
+      case Some(src) =>
+        val df = spark.table(src.identifier)
+        val (ok, errs, warns) = src.validateColumns(df.columns.toSeq)
+        warns.foreach(w => System.err.println(s"[Pipeline] WARN $w"))
+        if (!ok) throw ConfigValidationException(errs)
+        (df, src.idColumn)
+      case None => (sourceDf.get, sourceId.get)
+    }
+
+    // Column-mapping transforms (quirk Q3 — declared-but-dead in the
+    // reference; real here): upper/lower/strip the mapped source columns.
+    val transformed = config.tables.columnMappings
+      .filter(m => m.transform.isDefined && m.endpointParam.isDefined)
+      .foldLeft(rawSource) { (df, m) =>
+        val c = col(m.sourceColumn)
+        df.withColumn(m.sourceColumn, m.transform.get match {
+          case "upper" => upper(c)
+          case "lower" => lower(c)
+          case "strip" => trim(c)
+        })
+      }
+
+    // Rename id column to the downstream contract (orchestrator.py:211-212);
+    // id values ride as strings in the request layer.
+    val source = transformed.withColumnRenamed(idColumn, "request_id")
+      .withColumn("request_id", col("request_id").cast("string"))
+
+    // Sink DDL (orchestrator.py:209)
+    val tables = new TableManager(spark)
+    tables.createTable(config.tables.sink)
+
+    // Auth runtime (OAuth2 only): driver token refresher + RPC server
+    // (orchestrator.py:176-190). Driver host from the Spark conf so
+    // executors can reach it across the cluster.
+    implicit val ec: scala.concurrent.ExecutionContext = WorkerResources.executionContext
+    val driverHost = spark.conf.getOption("spark.driver.host").getOrElse("127.0.0.1")
+    val (rpcUrl, stopRuntime) = AuthStrategy.startRuntime(config.auth, driverHost)
+    try {
+      val handler = new BatchHandler(config, rpcUrl, config.tables.sink.identifier, tables.format)
+      val processor = new BatchProcessor(spark, source, config.tables.sink.identifier, config.execution)
+      processor.process(handler.process)
+    } finally stopRuntime()
+  }
+
+  /** Convenience: load config from a YAML/JSON file and run. */
+  def runPipelineFromFile(
+      spark: SparkSession,
+      configPath: String,
+      sourceDf: Option[DataFrame] = None,
+      sourceId: Option[String] = None): Unit =
+    runPipeline(spark, ConfigLoader.fromFile(configPath), sourceDf, sourceId)
+
+  /** Synthetic demo source: n unique sha256 tracking ids across p partitions.
+    * Ref: dags/scripts/run_demo_pipeline.py:60-66.
+    */
+  def createSourceDataFrame(spark: SparkSession, numRecords: Int, numPartitions: Int): DataFrame =
+    spark.range(numRecords).repartition(numPartitions)
+      .select(sha2(expr("uuid()"), 256).as("tracking_id"))
+}

@@ -1,0 +1,85 @@
+package graft.orchestration
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{StructField, StructType}
+
+import graft.config.SinkTableConfig
+import graft.model.BronzeSchema
+
+/** Catalog DDL lifecycle for the bronze sink.
+  * Ref: src/core/table_manager.py:9-195.
+  *
+  * Format: the reference writes Delta; this environment has no Delta jars, so
+  * the manager probes for `io.delta.sql.DeltaSparkSessionExtension` and falls
+  * back to `USING PARQUET` managed tables — append/overwrite/anti-join
+  * idempotency semantics are format-agnostic (SURVEY.md §7.2/§7.4).
+  */
+final class TableManager(spark: SparkSession) {
+
+  val format: String =
+    if (TableManager.deltaAvailable(spark)) "DELTA" else "PARQUET"
+
+  private def fieldDdl(f: StructField): String = {
+    val notNull = if (f.nullable) "" else " NOT NULL"
+    val comment =
+      if (f.metadata.contains("comment"))
+        s" COMMENT '${f.metadata.getString("comment").replace("'", "''")}'"
+      else ""
+    s"`${f.name}` ${f.dataType.sql}$notNull$comment"
+  }
+
+  def createDatabase(namespace: String): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `$namespace`")
+
+  /** CREATE TABLE IF NOT EXISTS (append) or CREATE OR REPLACE TABLE
+    * (overwrite), with PARTITIONED BY / LOCATION / TBLPROPERTIES clauses.
+    * Ref: table_manager.py:61-114.
+    */
+  def createTable(cfg: SinkTableConfig, schema: StructType = BronzeSchema.schema): Unit = {
+    createDatabase(cfg.namespace)
+    val create =
+      if (cfg.mode == "overwrite") "CREATE OR REPLACE TABLE" else "CREATE TABLE IF NOT EXISTS"
+    val cols = schema.fields.map(fieldDdl).mkString(",\n  ")
+    val partitioned =
+      if (cfg.partitionBy.nonEmpty) cfg.partitionBy.mkString("\nPARTITIONED BY (", ", ", ")") else ""
+    val location = cfg.location.map(l => s"\nLOCATION '$l'").getOrElse("")
+    val props =
+      if (cfg.tableProperties.nonEmpty)
+        cfg.tableProperties.map { case (k, v) => s"'$k'='$v'" }.mkString("\nTBLPROPERTIES (", ", ", ")")
+      else ""
+    spark.sql(s"$create `${cfg.namespace}`.`${cfg.name}` (\n  $cols\n)\nUSING $format$partitioned$location$props")
+  }
+
+  /** Existing-table compatibility check: missing column = error, extra =
+    * warning, type mismatch = error, nullable declared NOT NULL = error.
+    * Ref: table_manager.py:141-195.
+    */
+  def validateSchema(identifier: String, expected: StructType): (Boolean, Seq[String], Seq[String]) = {
+    val actual = spark.table(identifier).schema
+    val actualByName = actual.fields.map(f => f.name -> f).toMap
+    val errs = Seq.newBuilder[String]
+    expected.fields.foreach { f =>
+      actualByName.get(f.name) match {
+        case None => errs += s"Missing column '${f.name}' in $identifier"
+        case Some(a) =>
+          if (a.dataType != f.dataType)
+            errs += s"Type mismatch for '${f.name}': expected ${f.dataType.sql}, found ${a.dataType.sql}"
+          if (!a.nullable && f.nullable)
+            errs += s"Column '${f.name}' is NOT NULL in $identifier but nullable in the contract"
+      }
+    }
+    val expectedNames = expected.fields.map(_.name).toSet
+    val warns = actual.fields.map(_.name).filterNot(expectedNames.contains)
+      .map(c => s"Extra column '$c' in $identifier").toSeq
+    val e = errs.result()
+    (e.isEmpty, e, warns)
+  }
+}
+
+object TableManager {
+  def deltaAvailable(spark: SparkSession): Boolean =
+    try {
+      Class.forName("io.delta.sql.DeltaSparkSessionExtension")
+      spark.conf.getOption("spark.sql.extensions").exists(_.contains("DeltaSparkSessionExtension"))
+    } catch { case _: ClassNotFoundException => false }
+}

@@ -1,0 +1,142 @@
+package graft.transport
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.net.URLEncoder
+import java.nio.charset.StandardCharsets
+import java.security.cert.X509Certificate
+import java.time.Duration
+import java.util.concurrent.{CompletableFuture, Executors}
+import javax.net.ssl.{SSLContext, TrustManager, X509TrustManager}
+import scala.concurrent.{Future, Promise}
+import scala.jdk.CollectionConverters._
+
+import graft.config.TransportConfig
+import graft.model.{TransportRequest, TransportResponse}
+
+/** Transport abstraction. Contract (ref: docs/transport.md:87-101 and
+  * src/request_execution/transport/base.py:14-38): `send` NEVER throws —
+  * network-level failures come back as `TransportResponse(error = Some(..))`.
+  */
+trait TransportEngine {
+  def send(req: TransportRequest): Future[TransportResponse]
+  def warmup(): Unit
+  /** connection_warmup diagnostics read by TransportDiagnosticMiddleware
+    * (ref: src/request_execution/middleware/injectors.py:172-199).
+    */
+  def diagnostics: Map[String, Any]
+  def transportType: String
+}
+
+/** JVM-native async transport on `java.net.http.HttpClient` — the Scala
+  * analog of the reference's AiohttpEngine
+  * (ref: src/request_execution/transport/engine.py:16-148): process-scoped
+  * client with built-in connection pooling + keep-alive, optional
+  * trust-all / custom-CA TLS, a warmup GET priming DNS+TCP+TLS, and a
+  * never-throw send.
+  *
+  * Pool-limit mapping: aiohttp's TCPConnector(limit=N) caps sockets; the JDK
+  * client pools per-route automatically and total in-flight concurrency is
+  * bounded upstream by the partition executor's semaphore
+  * (SURVEY.md §2.C), so `tcp_connection.limit` bounds the async executor's
+  * thread pool here instead of a socket count.
+  */
+final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends TransportEngine {
+  val transportType: String = cfg.transportType
+
+  // Small daemon pool: HttpClient I/O is NIO-selector based; this pool only
+  // runs response-completion callbacks.
+  private val callbackPool = Executors.newFixedThreadPool(
+    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4)),
+    r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
+
+  private val client: HttpClient = {
+    val b = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis((cfg.baseTimeoutSeconds * 1000).toLong))
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .executor(callbackPool)
+    if (!cfg.tcpConnection.tls.verify) b.sslContext(JdkHttpEngine.trustAllContext)
+    b.build()
+  }
+
+  @volatile private var warmedUp = false
+  @volatile private var warmupError: Option[String] = None
+
+  /** One GET against base_url at engine init primes DNS/TCP/TLS so the first
+    * real request doesn't pay connection setup (ref: engine.py:95-121).
+    * Any status code counts as warmed-up — only transport errors don't.
+    */
+  def warmup(): Unit = {
+    try {
+      val req = HttpRequest.newBuilder(URI.create(baseUrl))
+        .timeout(Duration.ofMillis((cfg.warmupTimeoutSeconds * 1000).toLong))
+        .GET().build()
+      client.send(req, HttpResponse.BodyHandlers.discarding())
+      warmedUp = true
+    } catch {
+      case e: Exception =>
+        warmedUp = false
+        warmupError = Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+    }
+  }
+
+  def diagnostics: Map[String, Any] = Map(
+    "warmed_up" -> warmedUp,
+    "warmup_error" -> warmupError.orNull,
+    "warmup_timeout" -> cfg.warmupTimeoutSeconds)
+
+  private def encodeQuery(params: Map[String, String]): String =
+    params.iterator.map { case (k, v) =>
+      URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" + URLEncoder.encode(v, StandardCharsets.UTF_8)
+    }.mkString("&")
+
+  def send(req: TransportRequest): Future[TransportResponse] = {
+    val p = Promise[TransportResponse]()
+    try {
+      val uri =
+        if (req.params.isEmpty) URI.create(req.url)
+        else URI.create(req.url + (if (req.url.contains("?")) "&" else "?") + encodeQuery(req.params))
+      val b = HttpRequest.newBuilder(uri)
+        .timeout(Duration.ofMillis((req.timeoutSeconds * 1000).toLong))
+      req.headers.foreach { case (k, v) => b.header(k, v) }
+      val publisher = req.body
+        .map(s => HttpRequest.BodyPublishers.ofString(s, StandardCharsets.UTF_8))
+        .getOrElse(HttpRequest.BodyPublishers.noBody())
+      b.method(req.method, publisher)
+      val cf: CompletableFuture[HttpResponse[Array[Byte]]] =
+        client.sendAsync(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+      cf.whenComplete { (resp, err) =>
+        if (err != null) {
+          val cause = Option(err.getCause).getOrElse(err)
+          p.success(TransportResponse(None,
+            error = Some(s"${cause.getClass.getSimpleName}: ${Option(cause.getMessage).getOrElse("")}")))
+        } else {
+          val headers = resp.headers().map().asScala.map { case (k, vs) =>
+            k -> vs.asScala.mkString(",")
+          }.toMap
+          p.success(TransportResponse(Some(resp.statusCode()), headers, resp.body()))
+        }
+      }
+    } catch {
+      // even request-construction errors must not escape (never-throw contract)
+      case e: Exception =>
+        p.success(TransportResponse(None,
+          error = Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
+    }
+    p.future
+  }
+}
+
+object JdkHttpEngine {
+  /** Trust-all context for `tls.verify: false` (ref: engine.py:51-60). */
+  lazy val trustAllContext: SSLContext = {
+    val tm: TrustManager = new X509TrustManager {
+      def checkClientTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
+      def checkServerTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
+      def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+    }
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, Array(tm), new java.security.SecureRandom())
+    ctx
+  }
+}
