@@ -66,7 +66,7 @@ final case class RequestExchange(
     bodyText: Option[String] = None,
     success: Option[Boolean] = None,
     errorMessage: Option[String] = None,
-    attempts: Int = 0,
+    attempts: Int = 1, // reference default (models.py:90)
     metadata: Map[String, Any] = Map.empty
 ) {
   def statusCode: Option[Int] = response.flatMap(_.status)

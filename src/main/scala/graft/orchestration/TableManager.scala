@@ -37,8 +37,15 @@ final class TableManager(spark: SparkSession) {
     */
   def createTable(cfg: SinkTableConfig, schema: StructType = BronzeSchema.schema): Unit = {
     createDatabase(cfg.namespace)
+    // CREATE OR REPLACE TABLE needs a v2 catalog (Delta); the parquet
+    // fallback emulates overwrite with DROP + CREATE (SURVEY.md §7.4).
     val create =
-      if (cfg.mode == "overwrite") "CREATE OR REPLACE TABLE" else "CREATE TABLE IF NOT EXISTS"
+      if (cfg.mode == "overwrite" && format == "DELTA") "CREATE OR REPLACE TABLE"
+      else {
+        if (cfg.mode == "overwrite")
+          spark.sql(s"DROP TABLE IF EXISTS `${cfg.namespace}`.`${cfg.name}`")
+        "CREATE TABLE IF NOT EXISTS"
+      }
     val cols = schema.fields.map(fieldDdl).mkString(",\n  ")
     val partitioned =
       if (cfg.partitionBy.nonEmpty) cfg.partitionBy.mkString("\nPARTITIONED BY (", ", ", ")") else ""

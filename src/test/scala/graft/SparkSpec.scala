@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for the suite (one JVM-wide session — Spark
+  * sessions are expensive; tests share it like the reference shares its
+  * FakeSparkSession fixture, except ours is real local-mode Spark).
+  */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft-warehouse").toString
+    SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", warehouse)
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkTestSession.spark
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  def sfDir: String = "/root/testdata/sf0.001"
+}
