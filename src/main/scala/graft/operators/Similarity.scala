@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (SURVEY.md §7.5). Pure built-in expressions (zip_with / aggregate — all
+  * codegen'd); no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product: aggregate(zip_with(a,b,*), 0.0, +).
+    * Left-to-right IEEE order — the DuckDB oracle reproduces it bit-exact
+    * with list_reduce(list_prepend(0.0, products), +).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: every query against the whole corpus.
+    * The exact baseline — O(|Q|·|C|) comparisons. Correct at any scale when
+    * |Q| is small (the broadcast side); the corpus side streams.
+    * Returns (query_id, rank, neighbor_id, cosine).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Sign-bit LSH bucket over the first `bits` dimensions: bit j set when
+    * vec[j] > 0. A deterministic random-hyperplane sketch that needs no
+    * stored hyperplanes — the scale path for bucketed ANN and the blocking
+    * key for embedding near-dup. (With `bits`=8: 256 buckets; corpus-side
+    * shuffle is on the bucket id.)
+    */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(vec, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Bucketed ANN: queries only compare against corpus vectors in the same
+    * sign-LSH bucket. Recall < 1.0 by construction; the candidate set per
+    * query is |corpus| / 2^bits in expectation instead of |corpus|.
+    * Returns (query_id, rank, neighbor_id, cosine).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("bucket", signBucket(col("qv"), bits))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("bucket", signBucket(col("cv"), bits))
+    val scored = broadcast(q).join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+}

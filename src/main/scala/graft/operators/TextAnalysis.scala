@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Text-analysis operators for training-data curation (SURVEY.md §7.5):
+  * language id, quality scoring, token counting, fingerprinting. All
+  * integer/string outputs from built-in expressions so the DuckDB oracles
+  * compare exactly (no float drift).
+  */
+object TextAnalysis {
+
+  /** Stopword marker lists per language (tiny, deterministic — the n-gram
+    * heuristic: count hits of high-frequency function words).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " a ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " ist "),
+    "fr" -> Seq(" le ", " et ", " la ", " les ", " est "),
+    "es" -> Seq(" el ", " y ", " la ", " los ", " es "),
+    "zh" -> Seq(" de5 ", " shi4 ", " le5 ", " zai4 ", " he2 "))
+
+  /** Per-language marker-hit counts + argmax prediction (deterministic
+    * tie-break: list order). Output: (id, <lang>_hits..., predicted_lang).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col(textCol)), lit(" "))
+    val withScores = langMarkers.foldLeft(
+        df.select(col(idCol), padded.as("_t"))) { case (d, (lang, markers)) =>
+      d.withColumn(s"${lang}_hits", markers.map(m => occurrences(col("_t"), m)).reduce(_ + _))
+    }
+    // argmax with first-wins tie-break, as a fold over the language list
+    val predicted = langMarkers.map(_._1).foldRight(lit("und"): Column) { (lang, acc) =>
+      val isMax = langMarkers.map(_._1).filter(_ != lang)
+        .map(o => col(s"${lang}_hits") >= col(s"${o}_hits"))
+        .reduce(_ && _)
+      when(col(s"${lang}_hits") > 0 && isMax, lit(lang)).otherwise(acc)
+    }
+    withScores.withColumn("predicted_lang", predicted).drop("_t")
+  }
+
+  /** Quality metrics, all exact integers:
+    * chars, words, avg word length ×100 (integer div), digit count,
+    * punctuation count, uppercase count, distinct-word count.
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).as("chars"),
+      size(tokens(t)).as("words"),
+      expr(s"div(100 * length(replace($textCol, ' ', '')), " +
+        s"greatest(size(split(lower($textCol), '\\\\s+')), 1))").as("avg_word_len_x100"),
+      (length(t) - length(regexp_replace(t, "[0-9]", ""))).as("digits"),
+      (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).as("punct"),
+      (length(t) - length(regexp_replace(t, "[A-Z]", ""))).as("uppercase"),
+      size(array_distinct(tokens(t))).as("distinct_words"))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish lexer regex
+    * (letter runs | digit runs | single non-alnum), plus chars-per-token
+    * ×100 — the usual tokens≈chars/4 estimator, exact integer math.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(tokens(t)).as("ws_tokens"),
+      regexp_count(t, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_ish_tokens"),
+      expr(s"div(100 * length($textCol), " +
+        s"greatest(regexp_count($textCol, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]'), 1))")
+        .as("chars_per_token_x100"))
+  }
+
+  /** Document fingerprints:
+    *  - `fingerprint`: md5 of the normalized text (lower, collapsed spaces);
+    *  - `rolling_hash`: word-level polynomial rolling hash
+    *    acc := (acc*31 + hash56(word) mod P) mod P — a sequential fold,
+    *    reproduced exactly by the oracle's list_reduce.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    df.select(
+      col(idCol),
+      md5(norm).as("fingerprint"),
+      aggregate(
+        transform(tokens(col(textCol)), w => hash56(w) % lit(P)),
+        lit(0L),
+        (acc, h) => (acc * 31 + h) % lit(P)).as("rolling_hash"))
+  }
+}

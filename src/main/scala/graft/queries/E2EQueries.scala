@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.config._
+import graft.orchestration.PipelineOrchestrator
+import graft.queries.QueryDef.tbl
+import graft.testkit.MockApiServer
+
+/** End-to-end pipeline runs as oracle-checked queries: each query boots an
+  * in-JVM mock API (deterministic bodies — a pure function of the request
+  * params), runs the FULL pipeline (config → auth → batching → anti-join →
+  * mapPartitions HTTP → bronze append), then returns the deterministic
+  * bronze projection. The DuckDB oracle reconstructs the expected bronze
+  * rows from the source table alone — so middleware, auth, retry, transport
+  * and write semantics are all under the hash check.
+  */
+object E2EQueries {
+
+  /** Strip the dynamic host:port, keep the path. */
+  private def urlPath = regexp_replace(col("url"), "^http://[^/]+", "")
+
+  private def runPipeline(
+      s: SparkSession, d: String, sink: String, path: String,
+      authFor: MockApiServer => AuthConfig, middleware: Seq[MiddlewareConfig],
+      keyMod: Int): DataFrame = {
+    val server = new MockApiServer().start()
+    try {
+      val source = tbl(s, d, "orders")
+        .filter(col("o_orderkey") % keyMod === 0)
+        .select("o_orderkey", "o_custkey")
+      val cfg = PipelineConfig(
+        endpoint = EndpointConfig("verify", server.baseUrl, path),
+        transport = TransportConfig(baseTimeoutSeconds = 30, warmupTimeoutSeconds = 5),
+        auth = authFor(server),
+        middleware = middleware,
+        tables = TablesConfig(None,
+          SinkTableConfig(sink, "graft_verify", mode = "overwrite"),
+          Seq(ColumnMapping("request_id", Some("id")), ColumnMapping("o_custkey", Some("customer")))),
+        execution = ExecutionConfig(
+          numPartitions = s.sparkContext.defaultParallelism,
+          batchSize = 100000L, maxAttempts = 2,
+          maxConcurrentRequests = 64))
+      PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
+      s.table(s"graft_verify.$sink")
+    } finally server.stop()
+  }
+
+  private val stdProjection = Seq(
+    col("request_id"), urlPath.as("url_path"), col("method"),
+    col("status_code"), col("success"), col("attempts"),
+    col("body_text"), col("row_hash"), col("request_params"), col("request_headers"))
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Full noauth pipeline (SURVEY.md §7.3 minimum slice) over every 5th
+    // order: logging+timing+json middleware, param injection, bronze write.
+    QueryDef("e01_pipeline_noauth",
+      (s, d) => runPipeline(s, d, "e01_noauth", "/api/data", _ => NoAuth,
+        Seq(LoggingConfig, TimingConfig, JsonBodyConfig), keyMod = 5)
+        .select(stdProjection: _*).orderBy("request_id"),
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, '/api/data' AS url_path,
+             |  'GET' AS method, 200 AS status_code, true AS success, 1 AS attempts,
+             |  '{"id":"'||o_orderkey||'","customer":"'||o_custkey||'","status":"ok"}' AS body_text,
+             |  sha256('{"id":"'||o_orderkey||'","customer":"'||o_custkey||'","status":"ok"}') AS row_hash,
+             |  '{"id":"'||o_orderkey||'","customer":"'||o_custkey||'"}' AS request_params,
+             |  '{}' AS request_headers
+             |FROM orders WHERE o_orderkey % 5 = 0 ORDER BY request_id""".stripMargin)),
+
+    // Idempotency: run the same pipeline twice with an append sink; the
+    // anti-join checkpoint must yield zero re-runs and zero duplicates
+    // (batch_processor.py:36-40,64-72).
+    QueryDef("e02_pipeline_idempotent", (s, d) => {
+      val server = new MockApiServer().start()
+      try {
+        val source = tbl(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+          .select("o_orderkey", "o_custkey")
+        val cfg = PipelineConfig(
+          endpoint = EndpointConfig("verify", server.baseUrl, "/api/data"),
+          auth = NoAuth, middleware = Seq(JsonBodyConfig),
+          tables = TablesConfig(None,
+            SinkTableConfig("e02_idem", "graft_verify", mode = "overwrite"), Nil),
+          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2, 64))
+        PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
+        // second run: same sink, append semantics via anti-join checkpoint
+        val cfg2 = cfg.copy(tables = cfg.tables.copy(
+          sink = cfg.tables.sink.copy(mode = "append")))
+        PipelineOrchestrator.runPipeline(s, cfg2, Some(source), Some("o_orderkey"))
+        s.table("graft_verify.e02_idem")
+          .agg(count(lit(1)).as("total_rows"),
+            countDistinct(col("request_id")).as("distinct_ids"))
+      } finally server.stop()
+    },
+      Some("""SELECT count(*) AS total_rows, count(DISTINCT o_orderkey) AS distinct_ids
+             |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin)),
+
+    // Retry middleware against a deterministically flaky endpoint: first
+    // call per id → 503, second → 200. Bronze must show attempts = 2.
+    QueryDef("e03_pipeline_retry",
+      (s, d) => runPipeline(s, d, "e03_retry", "/api/flaky", _ => NoAuth,
+        Seq(RetryConfig(maxAttempts = 5, baseDelaySeconds = 0.005, maxDelaySeconds = 0.02),
+          JsonBodyConfig), keyMod = 30)
+        .select(col("request_id"), col("status_code"), col("success"),
+          col("attempts"), col("body_text"))
+        .orderBy("request_id"),
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, 200 AS status_code,
+             |  true AS success, 2 AS attempts,
+             |  '{"id":"'||o_orderkey||'","served_attempt":2,"status":"ok"}' AS body_text
+             |FROM orders WHERE o_orderkey % 30 = 0 ORDER BY request_id""".stripMargin)),
+
+    // Basic auth: the echo endpoint reflects the Authorization header the
+    // worker actually sent ("u1:p1" → base64 dTE6cDE=).
+    QueryDef("e04_pipeline_basic_auth",
+      (s, d) => runPipeline(s, d, "e04_basic", "/api/echo_auth",
+        _ => BasicAuth("u1", "p1"), Seq(JsonBodyConfig), keyMod = 50)
+        .select(col("request_id"), col("status_code"), col("success"),
+          col("body_text"), col("request_headers"))
+        .orderBy("request_id"),
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, 200 AS status_code, true AS success,
+             |  '{"id":"'||o_orderkey||'","auth":"Basic dTE6cDE="}' AS body_text,
+             |  '{"Authorization":"Basic dTE6cDE="}' AS request_headers
+             |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY request_id""".stripMargin)),
+
+    // OAuth2 client credentials, end to end: driver token refresher + RPC
+    // server, workers fetch via RPC, bearer header reaches the API.
+    QueryDef("e05_pipeline_oauth2",
+      (s, d) => runPipeline(s, d, "e05_oauth2", "/api/echo_auth",
+        srv => OAuth2ClientCredentialsAuth(s"${srv.baseUrl}/token", "cid", "csecret"),
+        Seq(JsonBodyConfig), keyMod = 50)
+        .select(col("request_id"), col("status_code"), col("success"), col("body_text"))
+        .orderBy("request_id"),
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, 200 AS status_code, true AS success,
+             |  '{"id":"'||o_orderkey||'","auth":"Bearer mock-token-client_credentials"}' AS body_text
+             |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY request_id""".stripMargin)),
+
+    // Failure rows: always-500 endpoint, retry exhaustion → success=false
+    // with the canonical error message; rows still land in bronze.
+    QueryDef("e06_pipeline_failure",
+      (s, d) => runPipeline(s, d, "e06_fail", "/api/fail", _ => NoAuth,
+        Seq(RetryConfig(maxAttempts = 2, baseDelaySeconds = 0.005, maxDelaySeconds = 0.02),
+          JsonBodyConfig), keyMod = 100)
+        .select(col("request_id"), col("status_code"), col("success"),
+          col("attempts"), col("error_message"), col("body_text"))
+        .orderBy("request_id"),
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, 500 AS status_code, false AS success,
+             |  2 AS attempts,
+             |  'Retry attempts exhausted (HTTP 500) after 2 attempts' AS error_message,
+             |  '{"error":"boom"}' AS body_text
+             |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY request_id""".stripMargin))
+  )
+}

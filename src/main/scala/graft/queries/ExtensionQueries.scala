@@ -1,0 +1,324 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.queries.QueryDef.tbl
+import graft.streaming.StreamOps
+
+/** The training-data-pipeline extension operators (SURVEY.md §7.5 /
+  * BASELINE.json north star) as oracle-checked queries over `documents`,
+  * `embeddings`, and `events`. Every oracle reproduces the Spark
+  * computation exactly (shared portable primitives — see
+  * graft.functions.Portable), so these are full hash checks, not smoke
+  * tests.
+  */
+object ExtensionQueries {
+
+  private val P = Portable.P
+
+  /** DuckDB twin of Portable.hash56. */
+  private def dkHash56(expr: String) = s"('0x'||substr(md5($expr),1,14))::BIGINT"
+
+  /** DuckDB word-k-shingle CTEs over documents. */
+  private def dkShingles(k: Int) =
+    s"""toks AS (
+       |  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT doc, unnest(list_transform(range(1, greatest(len(toks)-${k - 1},1)+1),
+       |    i -> array_to_string(list_slice(toks, i, i+${k - 1}), ' '))) AS shingle
+       |  FROM toks),
+       |hs AS (SELECT doc, ${dkHash56("shingle")} AS h FROM sh)""".stripMargin
+
+  // ---- dedup ----
+
+  private val minHashOracle: String = {
+    val numHashes = 16; val bands = 4; val r = numHashes / bands
+    val minhashExprs = (0 until numHashes).map(i =>
+      s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
+      .mkString(",\n    ")
+    val bandRows = (0 until bands).map { b =>
+      val parts = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
+      s"  SELECT doc, $b AS band, concat_ws('_', $parts) AS sig FROM sig"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ${dkShingles(3)},
+       |sig AS (SELECT doc,
+       |    $minhashExprs
+       |  FROM hs GROUP BY doc),
+       |bucket AS (
+       |$bandRows),
+       |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+       |  FROM bucket l JOIN bucket r ON l.band = r.band AND l.sig = r.sig AND l.doc < r.doc),
+       |sizes AS (SELECT doc, count(*) AS sz FROM hs GROUP BY doc),
+       |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM cand c
+       |  JOIN hs fa ON c.doc_a = fa.doc
+       |  JOIN hs fb ON c.doc_b = fb.doc AND fa.h = fb.h
+       |  GROUP BY 1, 2),
+       |res AS (SELECT com.doc_a, com.doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jac
+       |  FROM com JOIN sizes sa ON com.doc_a = sa.doc JOIN sizes sb ON com.doc_b = sb.doc)
+       |SELECT doc_a, doc_b, common, size_a, size_b, floor(jac*1000000)::BIGINT AS jaccard_x1m
+       |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simHashOracle: String = {
+    val bits = Dedup.SimHashBits; val chunks = 4; val chunkBits = bits / chunks
+    s"""WITH tok AS (
+       |  SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |  FROM documents),
+       |th AS (SELECT doc, ${dkHash56("tok")} AS h FROM tok),
+       |bits AS (SELECT doc, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM th CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) GROUP BY doc, j),
+       |sig AS (SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       |  FROM bits GROUP BY doc),
+       |chunked AS (SELECT doc, simhash, c, (simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1} AS v
+       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $chunks)) AS c)),
+       |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b,
+       |    l.simhash AS sa, r.simhash AS sb
+       |  FROM chunked l JOIN chunked r ON l.c = r.c AND l.v = r.v AND l.doc < r.doc)
+       |SELECT doc_a, doc_b, hamming FROM (
+       |  SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand)
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val ngramOracle: String = {
+    val n = 12
+    s"""WITH g0 AS (
+       |  SELECT doc_id AS doc, lower(text) AS t FROM documents),
+       |grams AS (
+       |  SELECT DISTINCT doc, unnest(list_transform(range(1, greatest(length(t)-${n - 1},1)+1),
+       |    i -> substr(t, i, $n))) AS gram
+       |  FROM g0),
+       |feat AS (SELECT doc, ${dkHash56("gram")} AS feature FROM grams),
+       |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+       |  FROM feat l JOIN feat r ON l.feature = r.feature AND l.doc < r.doc),
+       |sizes AS (SELECT doc, count(*) AS sz FROM feat GROUP BY doc),
+       |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM cand c
+       |  JOIN feat fa ON c.doc_a = fa.doc
+       |  JOIN feat fb ON c.doc_b = fb.doc AND fa.feature = fb.feature
+       |  GROUP BY 1, 2),
+       |res AS (SELECT com.doc_a, com.doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jac
+       |  FROM com JOIN sizes sa ON com.doc_a = sa.doc JOIN sizes sb ON com.doc_b = sb.doc)
+       |SELECT doc_a, doc_b, common, size_a, size_b, floor(jac*1000000)::BIGINT AS jaccard_x1m
+       |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** DuckDB twin of Similarity.cosine: sequential folds with a 0.0 seed. */
+  private def dkCosine(a: String, b: String) = {
+    def dot(x: String, y: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])), (p,q) -> p+q)"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  // ---- text ----
+
+  private val langIdOracle: String = {
+    val hitCols = TextAnalysis.langMarkers.map { case (lang, markers) =>
+      val terms = markers.map(m =>
+        s"(length(_t) - length(replace(_t, '$m', ''))) // ${m.length}").mkString(" + ")
+      s"($terms) AS ${lang}_hits"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val cases = langs.map { lang =>
+      val geq = langs.filter(_ != lang).map(o => s"${lang}_hits >= ${o}_hits").mkString(" AND ")
+      s"WHEN ${lang}_hits > 0 AND $geq THEN '$lang'"
+    }.mkString("\n    ")
+    s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS _t FROM documents),
+       |scored AS (SELECT doc_id,
+       |    $hitCols
+       |  FROM t)
+       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       |  CASE $cases ELSE 'und' END AS predicted_lang
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- the query list ----
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy, one shuffle on the digest.
+    QueryDef("x01_dedup_exact",
+      (s, d) => Dedup.exact(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("content_hash"),
+      Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+             |  count(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin)),
+
+    // Normalized-fingerprint dedup (case/whitespace-insensitive).
+    QueryDef("x02_dedup_fingerprint",
+      (s, d) => Dedup.fingerprint(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("fingerprint"),
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             |  min(doc_id) AS keeper_id, count(*) AS dup_count
+             |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // MinHash + LSH banding near-dup pairs (word 3-shingles, 16 hashes,
+    // 4 bands, Jaccard ≥ 0.5) with exact verification.
+    QueryDef("x03_dedup_minhash_lsh",
+      (s, d) => Dedup.minHashLsh(tbl(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"), col("size_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+        .orderBy("doc_a", "doc_b"),
+      Some(minHashOracle)),
+
+    // SimHash near-dup pairs (48-bit signature, Hamming ≤ 3, pigeonhole
+    // chunk blocking).
+    QueryDef("x04_dedup_simhash",
+      (s, d) => Dedup.simHash(tbl(s, d, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b"),
+      Some(simHashOracle)),
+
+    // Exact character-12-gram Jaccard dedup via inverted-index join.
+    QueryDef("x05_dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccard(tbl(s, d, "documents"), "doc_id", "text",
+        n = 12, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"), col("size_b"),
+          floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+        .orderBy("doc_a", "doc_b"),
+      Some(ngramOracle)),
+
+    // Embedding-cosine near-dup within label blocks (threshold 0.3 — the
+    // synthetic vectors are near-orthogonal, so this keeps the result small
+    // but non-trivial).
+    QueryDef("x06_dedup_embedding",
+      (s, d) => Dedup.embeddingCosine(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.3)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+             |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             |    ${dkCosine("l.vec", "r.vec")} AS cosine
+             |  FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id)
+             |SELECT id_a, id_b, floor(cosine*1000000)::BIGINT AS cosine_x1m
+             |FROM p WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    // Brute-force cosine top-5 for the first 10 vectors (exact ANN
+    // baseline).
+    QueryDef("x07_ann_bruteforce",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+             |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // Sign-bit LSH-bucketed ANN (8 hyperplane bits → 256 buckets): the
+    // scale path — candidates shrink ~256×, recall < 1 by construction.
+    QueryDef("x08_ann_lsh",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, bits = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |b AS (SELECT vec_id, vec,
+             |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END) +
+             |    (CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END) +
+             |    (CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END)
+             |      AS bucket
+             |  FROM v),
+             |q AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM b WHERE vec_id < 10),
+             |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Language id (stopword-marker n-gram heuristic).
+    QueryDef("x09_text_langid",
+      (s, d) => TextAnalysis.languageId(tbl(s, d, "documents"), "doc_id", "text")
+        .select("doc_id", "en_hits", "de_hits", "fr_hits", "es_hits", "zh_hits",
+          "predicted_lang")
+        .orderBy("doc_id"),
+      Some(langIdOracle)),
+
+    // Quality metrics (exact integers).
+    QueryDef("x10_text_quality",
+      (s, d) => TextAnalysis.qualityScore(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, length(text) AS chars,
+             |  len(string_split_regex(lower(text), '\s+')) AS words,
+             |  (100 * length(replace(text, ' ', ''))) //
+             |    greatest(len(string_split_regex(lower(text), '\s+')), 1) AS avg_word_len_x100,
+             |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             |  length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+             |  length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppercase,
+             |  len(list_distinct(string_split_regex(lower(text), '\s+'))) AS distinct_words
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace + BPE-ish lexer regex.
+    QueryDef("x11_text_tokencount",
+      (s, d) => TextAnalysis.tokenCounts(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split_regex(lower(text), '\s+')) AS ws_tokens,
+             |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_ish_tokens,
+             |  (100 * length(text)) //
+             |    greatest(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')), 1)
+             |    AS chars_per_token_x100
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprinting: normalized md5 + word-level rolling hash.
+    QueryDef("x12_text_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+             |  md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+             |  list_reduce(list_prepend(0::BIGINT,
+             |    list_transform(string_split_regex(lower(text), '\\s+'),
+             |      w -> ${dkHash56("w")} % $P)),
+             |    (acc, h) -> (acc * 31 + h) % $P) AS rolling_hash
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Multimodal plumbing: binary media column → typed metadata via a
+    // typed mapPartitions decode stage (decode stubbed, plumbing real).
+    QueryDef("x13_multimodal_meta",
+      (s, d) => Multimodal.extractMeta(s,
+        Multimodal.mediaFromDocuments(s, tbl(s, d, "documents")))
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, octet_length(encode(text)) AS byte_length,
+             |  md5(text) AS content_md5, 'fake/raw' AS format,
+             |  octet_length(encode(text)) % 640 + 1 AS width,
+             |  octet_length(encode(text)) % 480 + 1 AS height,
+             |  3 AS channels
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Structured Streaming windowed aggregation (event time + watermark),
+    // checked against the batch-equivalent SQL.
+    QueryDef("x14_stream_window_agg",
+      (s, d) => StreamOps.windowedEventAgg(s, s"$d/events.parquet",
+        queryName = s"stream_agg_${System.nanoTime()}")
+        .orderBy("event_type", "window_start"),
+      Some("""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+             |  count(*) AS events,
+             |  sum((floor(value * 100 + 0.5))::BIGINT) AS sum_cents
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin))
+  )
+}

@@ -1,4 +1,4 @@
-package graft
+package graft.testkit
 
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress

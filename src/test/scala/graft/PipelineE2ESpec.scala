@@ -5,6 +5,7 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.matchers.should.Matchers
 
 import graft.config._
+import graft.testkit.MockApiServer
 import graft.orchestration.PipelineOrchestrator
 
 /** End-to-end pipeline tests against real local-mode Spark + an in-JVM mock
