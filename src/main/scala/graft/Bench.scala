@@ -29,6 +29,8 @@ object Bench {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed session warm-up (executor threads, codegen, parquet footers)
+    spark.range(1000).selectExpr("sum(id)").collect()
     val qs = SparkEntry.queries
     val results = headline.filter(qs.contains).map { name =>
       val t0 = System.nanoTime()

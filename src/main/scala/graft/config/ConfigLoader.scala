@@ -57,7 +57,8 @@ object ConfigLoader {
         method = str(n, "method").getOrElse("GET").toUpperCase,
         headers = strMap(n, "headers"),
         params = strMap(n, "params"),
-        requestTemplate = str(n, "request_template"),
+        requestTemplate = Option(n.get("request_template")).filterNot(_.isNull).map(t =>
+          if (t.isTextual) t.asText() else t.toString), // dict templates → canonical JSON
         vendor = str(n, "vendor"))
     }
 

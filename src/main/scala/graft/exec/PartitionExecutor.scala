@@ -27,9 +27,16 @@ object WorkerResources {
 
   def engine(cfg: TransportConfig, baseUrl: String): TransportEngine =
     engines.computeIfAbsent((cfg, baseUrl), { _ =>
-      val e = new JdkHttpEngine(cfg, baseUrl)
-      e.warmup()
-      e
+      cfg.transportType match {
+        case "jdk-http" | "aiohttp" => // aiohttp configs map onto the JDK engine
+          val e = new JdkHttpEngine(cfg, baseUrl)
+          e.warmup()
+          e
+        case other =>
+          // registered-but-unimplemented engines stay explicit extension
+          // points, like the reference's HttpxEngine stub (engine.py:151-154)
+          throw new UnsupportedOperationException(s"transport type '$other' is not implemented")
+      }
     })
 
   /** Shared continuation pool for request futures (I/O is NIO-driven inside
@@ -108,12 +115,25 @@ object PartitionExecutor {
       // Terminal: context -> wire -> response mapped onto the exchange.
       // success = no transport error && status < 500 (ref: executor.py:45-67;
       // quirk Q11 layer semantics — json_body middleware may upgrade later).
+      // request_template (quirk Q13: declared in the reference's endpoint
+      // config as a "JSON request body template" but never wired through
+      // factories.py:62-78 — implemented for real here): {{column}}
+      // placeholders substitute row values, sent as a JSON body.
+      val templatePattern = raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
+      def renderTemplate(template: String, row: Map[String, String]): String =
+        templatePattern.replaceAllIn(template, m =>
+          scala.util.matching.Regex.quoteReplacement(row.getOrElse(m.group(1), "")))
       val terminal: Middleware.Next = { ex =>
+        val body = ex.context.requestTemplate.map(renderTemplate(_, ex.row))
         val req = TransportRequest(
           url = ex.context.url,
           method = ex.context.method,
-          headers = ex.context.headers,
+          headers = ex.context.headers ++
+            (if (body.isDefined && !ex.context.headers.contains("Content-Type"))
+               Map("Content-Type" -> "application/json")
+             else Map.empty),
           params = ex.context.params,
+          body = body,
           timeoutSeconds = cfg.transport.baseTimeoutSeconds)
         engine.send(req).map { resp =>
           ex.copy(
@@ -126,7 +146,9 @@ object PartitionExecutor {
       val pipeline = Middleware.chain(chain0, terminal)
 
       val rateLimiter = cfg.execution.maxRequestsPerSecond.map(new RateLimiter(_))
-      val neededCols = paramMapping.values.toSet
+      val neededCols = paramMapping.values.toSet ++
+        cfg.endpoint.requestTemplate.toSeq.flatMap(t =>
+          templatePattern.findAllMatchIn(t).map(_.group(1)))
       val baseContext = RequestContext(
         url = cfg.endpoint.resolvedUrl,
         method = cfg.endpoint.method,

@@ -134,6 +134,35 @@ object E2EQueries {
              |  '{"id":"'||o_orderkey||'","auth":"Bearer mock-token-client_credentials"}' AS body_text
              |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY request_id""".stripMargin)),
 
+    // POST with a request_template JSON body (quirk Q13, implemented):
+    // {{column}} placeholders substitute row values; the echo endpoint
+    // returns exactly what arrived on the wire.
+    QueryDef("e07_pipeline_post_template", (s, d) => {
+      val server = new MockApiServer().start()
+      try {
+        val source = tbl(s, d, "orders").filter(col("o_orderkey") % 50 === 0)
+          .select("o_orderkey", "o_custkey")
+        val cfg = PipelineConfig(
+          endpoint = EndpointConfig("verify", server.baseUrl, "/api/echo_body",
+            method = "POST",
+            requestTemplate = Some("""{"order":"{{request_id}}","customer":"{{o_custkey}}"}""")),
+          auth = NoAuth, middleware = Seq(JsonBodyConfig),
+          tables = TablesConfig(None,
+            SinkTableConfig("e07_post", "graft_verify", mode = "overwrite"), Nil),
+          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2, 64))
+        PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
+        s.table("graft_verify.e07_post")
+          .select(col("request_id"), col("method"), col("status_code"),
+            col("success"), col("body_text"))
+          .orderBy("request_id")
+      } finally server.stop()
+    },
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, 'POST' AS method,
+             |  200 AS status_code, true AS success,
+             |  '{"content_type":"application/json","received":{"order":"'||o_orderkey||
+             |    '","customer":"'||o_custkey||'"}}' AS body_text
+             |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY request_id""".stripMargin)),
+
     // Failure rows: always-500 endpoint, retry exhaustion → success=false
     // with the canonical error message; rows still land in bronze.
     QueryDef("e06_pipeline_failure",

@@ -91,6 +91,12 @@ final class MockApiServer {
       else respond(x, 200, s"""{"id":"$id","served_attempt":$n,"status":"ok"}""")
     })
 
+    server.createContext("/api/echo_body", tracked { x =>
+      val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val ct = Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+      respond(x, 200, s"""{"content_type":"$ct","received":$body}""")
+    })
+
     server.createContext("/api/fail", tracked(x => respond(x, 500, """{"error":"boom"}""")))
     server.createContext("/api/notfound", tracked(x => respond(x, 404, """{"error":"nope"}""")))
     server.createContext("/api/badjson", tracked(x => respond(x, 200, "this is not json", "text/plain")))

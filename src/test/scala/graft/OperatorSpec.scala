@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Behavioral tests for the training-data extension operators on planted
+  * inputs (small, exact expectations — the sf-level hash checks live in the
+  * Verify/oracle gate).
+  */
+class OperatorSpec extends SparkSpec with Matchers {
+  import org.apache.spark.sql.DataFrame
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val out = Dedup.exact(docs(
+      1L -> "the quick brown fox", 2L -> "the quick brown fox",
+      3L -> "something else"), "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    out.map(r => (r.getLong(1), r.getLong(2))).toSeq shouldBe Seq((1L, 2L), (3L, 1L))
+  }
+
+  test("fingerprint dedup ignores case/whitespace differences") {
+    val out = Dedup.fingerprint(docs(
+      1L -> "The  Quick\tBrown Fox", 2L -> "the quick brown fox",
+      3L -> "different"), "doc_id", "text")
+    out.filter(col("dup_count") === 2).select("keeper_id").first().getLong(0) shouldBe 1L
+  }
+
+  test("minhash LSH finds a planted near-duplicate and skips unrelated docs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val base2 = "ichi ni san shi go roku nana hachi kyu ju " +
+      "juichi juni jusan jushi jugo juroku junana juhachi juku niju"
+    val nearDup = base.replace("sigma", "sigma2")
+    val unrelated = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    // 8 bands × 2 rows: P(miss) = (1-j²)^8 ≈ 2e-5 at j≈0.85, and the hash
+    // family is deterministic, so this either always passes or never does.
+    val out = Dedup.minHashLsh(docs(1L -> (base + " " + base2), 2L -> (nearDup + " " + base2),
+      3L -> unrelated),
+      "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    val jac = out.head.getAs[Double]("jaccard")
+    jac should be > 0.5
+    jac should be < 1.0
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within bound") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val out = Dedup.simHash(docs(1L -> base, 2L -> base, 3L -> (base + " extra")),
+      "doc_id", "text", maxHamming = 5).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    pairs.collectFirst { case (1L, 2L, h) => h } shouldBe Some(0)
+  }
+
+  test("ngram jaccard verifies exact similarity on candidates") {
+    val out = Dedup.ngramJaccard(docs(
+      1L -> "abcdefghijklmnopqrstuvwxyz0123456789",
+      2L -> "abcdefghijklmnopqrstuvwxyz0123456789",
+      3L -> "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzzz"),
+      "doc_id", "text", n = 12, threshold = 0.9).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    out.head.getAs[Double]("jaccard") shouldBe 1.0
+  }
+
+  test("embedding cosine: parallel vectors hit 1.0, orthogonal excluded") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(2.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1) // other block: never compared
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingCosine(vecs, "vec_id", "embedding", "label", 0.9).collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    out.head.getAs[Double]("cosine") shouldBe 1.0 +- 1e-12
+  }
+
+  test("brute-force ANN ranks by cosine, excludes self, respects k") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2).orderBy("rank").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(1L, 2L) // nearest first
+  }
+
+  test("LSH ANN only searches the query's sign bucket") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Array(0.9f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)), // same bucket
+      (2L, Array(-1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)) // different bucket
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 5, bits = 8).collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(1L)
+  }
+
+  test("language id counts marker words with deterministic argmax") {
+    val out = TextAnalysis.languageId(docs(
+      1L -> "the cat and the dog is a pet",
+      2L -> "der hund und die katze ist das tier"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out(0).getAs[String]("predicted_lang") shouldBe "en"
+    out(1).getAs[String]("predicted_lang") shouldBe "de"
+  }
+
+  test("quality metrics are exact integers") {
+    val out = TextAnalysis.qualityScore(docs(1L -> "Hello World 42!"), "doc_id", "text").first()
+    out.getAs[Int]("chars") shouldBe 15
+    out.getAs[Int]("words") shouldBe 3
+    out.getAs[Int]("digits") shouldBe 2
+    out.getAs[Int]("uppercase") shouldBe 2
+    out.getAs[Int]("punct") shouldBe 1
+  }
+
+  test("token counts: whitespace vs BPE-ish lexer") {
+    val out = TextAnalysis.tokenCounts(docs(1L -> "hello world42 a-b"), "doc_id", "text").first()
+    out.getAs[Int]("ws_tokens") shouldBe 3
+    // hello | world | 42 | a | - | b
+    out.getAs[Int]("bpe_ish_tokens") shouldBe 6
+  }
+
+  test("fingerprint rolling hash is order-sensitive") {
+    val a = TextAnalysis.fingerprint(docs(1L -> "alpha beta"), "doc_id", "text")
+      .first().getAs[Long]("rolling_hash")
+    val b = TextAnalysis.fingerprint(docs(1L -> "beta alpha"), "doc_id", "text")
+      .first().getAs[Long]("rolling_hash")
+    a should not be b
+  }
+
+  test("multimodal extractMeta carries binary through typed mapPartitions") {
+    import spark.implicits._
+    val documents = Seq((7L, "hello")).toDF("doc_id", "text")
+    val out = Multimodal.extractMeta(spark,
+      Multimodal.mediaFromDocuments(spark, documents)).first()
+    out.getAs[Long]("media_id") shouldBe 7L
+    out.getAs[Int]("byte_length") shouldBe 5
+    out.getAs[String]("content_md5") shouldBe "5d41402abc4b2a76b9719d911017c592"
+    out.getAs[Int]("width") shouldBe 6 // 5 % 640 + 1
+    out.getAs[Int]("channels") shouldBe 3
+  }
+}

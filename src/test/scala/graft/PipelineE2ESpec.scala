@@ -179,6 +179,20 @@ class PipelineE2ESpec extends SparkSpec with Matchers with BeforeAndAfterAll {
     elapsed should be >= 0.6 // 40 req @ 50 rps ≈ 0.8 s minimum
   }
 
+  test("POST request_template substitutes row values into the JSON body (quirk Q13 implemented)") {
+    val cfg = baseConfig("/api/echo_body", "e2e_post").copy(
+      endpoint = EndpointConfig("test", server.baseUrl, "/api/echo_body", method = "POST",
+        requestTemplate = Some("""{"order":"{{request_id}}","cust":"{{o_custkey}}"}""")))
+    PipelineOrchestrator.runPipeline(spark, cfg, Some(ordersSource(10)), Some("o_orderkey"))
+    val rows = spark.table("demo.e2e_post").select("request_id", "body_text").collect()
+    val custkeys = ordersSource(10).collect()
+      .map(r => r.getLong(0).toString -> r.getLong(1).toString).toMap
+    rows.foreach { r =>
+      r.getString(1) shouldBe
+        s"""{"content_type":"application/json","received":{"order":"${r.getString(0)}","cust":"${custkeys(r.getString(0))}"}}"""
+    }
+  }
+
   test("source XOR validation (orchestrator.py:140-155)") {
     val cfg = baseConfig("/api/data", "e2e_xor")
     a[ConfigValidationException] should be thrownBy
