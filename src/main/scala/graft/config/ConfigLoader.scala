@@ -33,8 +33,10 @@ object ConfigLoader {
         env(m.group(1)).getOrElse(
           throw ConfigValidationException(Seq(s"Unresolved config variable: env.${m.group(1)}")))))
 
-  def fromYamlString(text: String): PipelineConfig = decode(yamlMapper.readTree(preprocess(text)))
-  def fromJsonString(text: String): PipelineConfig = decode(jsonMapper.readTree(preprocess(text)))
+  def fromYamlString(text: String, env: String => Option[String] = sys.env.get): PipelineConfig =
+    decode(yamlMapper.readTree(preprocess(text, env)))
+  def fromJsonString(text: String, env: String => Option[String] = sys.env.get): PipelineConfig =
+    decode(jsonMapper.readTree(preprocess(text, env)))
 
   def fromFile(path: String): PipelineConfig = {
     val text = Files.readString(Paths.get(path))

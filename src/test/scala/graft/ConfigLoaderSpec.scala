@@ -117,6 +117,32 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     warns.exists(_.contains("zzz")) shouldBe true
   }
 
+  test("every example config in configs/examples parses and validates") {
+    val dir = new java.io.File("configs/examples")
+    val files = dir.listFiles().filter(_.getName.endsWith(".yml"))
+    files should not be empty
+    files.foreach { f =>
+      val text = java.nio.file.Files.readString(f.toPath)
+      // any {{env.X}} placeholder resolves to a dummy for validation
+      val cfg = ConfigLoader.fromYamlString(text, _ => Some("dummy"))
+      withClue(f.getName) { cfg.endpoint.name should not be empty }
+    }
+  }
+
+  test("request_template accepts dict form and renders canonical JSON") {
+    val cfg = ConfigLoader.fromYamlString(
+      """endpoint:
+        |  name: t
+        |  base_url: http://x
+        |  method: POST
+        |  request_template:
+        |    order: "{{request_id}}"
+        |tables:
+        |  sink: {name: s, namespace: db}
+        |""".stripMargin)
+    cfg.endpoint.requestTemplate shouldBe Some("""{"order":"{{request_id}}"}""")
+  }
+
   test("sink partition_by must be bronze columns (data_contract.py:273-288)") {
     SinkTableConfig("t", "db", partitionBy = Seq("status_code")).validate shouldBe empty
     SinkTableConfig("t", "db", partitionBy = Seq("nope")).validate should not be empty

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.matchers.should.Matchers
+
+import graft.queries.QueryDef
+
+/** Physical-plan assertions — the 100 TB guardrails. A query that passes
+  * correctness but reads all columns, skips pushdown, or shuffles a
+  * broadcastable dimension would regress at scale without failing any
+  * value-level test; these specs pin the plan shape.
+  */
+class PlanSpec extends SparkSpec with Matchers {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("p01 scan prunes to exactly the projected columns (ReadSchema)") {
+    val plan = planOf(q("p01_table_scan"))
+    plan should include("ReadSchema")
+    // only the three projected columns reach the parquet reader
+    plan should include("o_orderkey")
+    (plan should not).include("o_totalprice")
+    (plan should not).include("o_orderdate")
+  }
+
+  test("p09 batch filter is pushed down to the parquet scan") {
+    val plan = planOf(q("p09_batch_filter"))
+    // pmod(o_orderkey, 6) = 0 itself can't push, but the scan must not
+    // materialize other columns
+    (plan should not).include("o_custkey")
+    plan should include("Filter")
+  }
+
+  /** Count physical nodes via their formatted-mode detail headers
+    * ("(3) Exchange") — tree lines would double-count.
+    */
+  private def nodeCount(plan: String, node: String): Int =
+    raw"\(\d+\) $node".r.findAllIn(plan).length
+
+  test("b02 star join broadcasts both dimension tables — no shuffle join") {
+    val plan = planOf(q("b02_join_star"))
+    nodeCount(plan, "BroadcastHashJoin") shouldBe 2
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("ShuffledHashJoin")
+  }
+
+  test("b01 aggregation is two-phase (map-side partial before the shuffle)") {
+    val plan = planOf(q("b01_agg_lineitem"))
+    plan should include("HashAggregate")
+    plan.toLowerCase should include("partial")
+  }
+
+  test("b03 window top-k applies group-limit pushdown before the full sort") {
+    val plan = planOf(q("b03_window_topk"))
+    plan should include("WindowGroupLimit")
+  }
+
+  test("p05 anti join stays an equi-join (hashable), not a nested loop") {
+    val plan = planOf(q("p05_anti_join"))
+    plan should include("LeftAnti")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("x01 exact dedup is a single hash aggregate over one shuffle") {
+    val plan = planOf(q("x01_dedup_exact"))
+    plan should include("HashAggregate")
+    // one Exchange for the groupBy, one for the final orderBy — no more
+    nodeCount(plan, "Exchange") should be <= 2
+  }
+
+  test("x07 brute-force ANN broadcasts the query side") {
+    val plan = planOf(q("x07_ann_bruteforce"))
+    plan should include("Broadcast")
+  }
+
+  test("whole-stage codegen covers the text operators (no UDF black boxes)") {
+    val df = q("x10_text_quality")
+    df.collect() // AQE reveals codegen stages only in the executed final plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("*(") // WholeStageCodegen stage markers
+    (plan should not).include("BatchEvalPython")
+  }
+}
