@@ -21,18 +21,25 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Fused native cosine (graft.functions.CosineSimilarity — one codegen'd
+    * loop instead of three interpreted folds). Bit-identical to `cosine`;
+    * requires spark.sql.extensions=graft.functions.GraftExtensions.
+    */
+  def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
+
   /** Brute-force cosine top-k: every query against the whole corpus.
     * The exact baseline — O(|Q|·|C|) comparisons. Correct at any scale when
     * |Q| is small (the broadcast side); the corpus side streams.
     * Returns (query_id, rank, neighbor_id, cosine).
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).cast("array<double>").as("cv"))
     val scored = broadcast(q).crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("query_id"), col("neighbor_id"), scorer(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")

@@ -64,7 +64,13 @@ final class BatchProcessor(
         val batched = rem
           .withColumn("batch_id", pmod(hash(col("request_id")), lit(numBatches)))
           .repartition(exec.numPartitions)
-        val batchIds = batched.select("batch_id").distinct().collect().map(_.getLong(0)).sorted
+        // The reference enumerates ids with distinct().collect()
+        // (batch_processor.py:79-81) — a full extra scan of the remaining
+        // set per attempt. pmod already bounds ids to [0, numBatches), so
+        // iterate the range directly; a hash-empty batch is a no-op write.
+        // At 100 TB that saves one whole source+sink anti-join recompute
+        // per attempt.
+        val batchIds = 0L until numBatches
         batchIds.foreach { id =>
           try handler(batched.filter(col("batch_id") === id).drop("batch_id"))
           catch {

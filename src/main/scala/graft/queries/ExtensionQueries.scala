@@ -221,6 +221,30 @@ object ExtensionQueries {
              |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
              |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Same search through the fused native Catalyst expression
+    // (graft.functions.CosineSimilarity, whole-stage codegen) — identical
+    // bits, one array pass instead of three; same oracle as x07.
+    QueryDef("x07b_ann_native_expr",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, scorer = Similarity.cosineNative)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+             |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+             |ranked AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
+             |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
     // Sign-bit LSH-bucketed ANN (8 hyperplane bits → 256 buckets): the
     // scale path — candidates shrink ~256×, recall < 1 by construction.
     QueryDef("x08_ann_lsh",
@@ -319,6 +343,35 @@ object ExtensionQueries {
       Some("""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
              |  count(*) AS events,
              |  sum((floor(value * 100 + 0.5))::BIGINT) AS sum_cents
-             |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin)),
+
+    // Gap-based sessionization (session_window, 4 h gap) — the oracle
+    // rebuilds sessions with the classic gaps-and-islands SQL.
+    QueryDef("x15_sessionize",
+      (s, d) => StreamOps.sessionize(s, QueryDef.events(s, d), gap = "4 hours")
+        .orderBy("user_id", "session_start"),
+      Some("""WITH o AS (
+             |  SELECT user_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |           OR ts - lag(ts) OVER w >= INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_s
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+             |s AS (
+             |  SELECT user_id, ts, value,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+             |  count(*) AS events, sum((floor(value * 100 + 0.5))::BIGINT) AS sum_cents
+             |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+    // Custom streaming state (mapGroupsWithState): running per-user counts,
+    // update-mode memory sink; totals equal the batch aggregation.
+    QueryDef("x16_stateful_counts",
+      (s, d) => StreamOps.statefulUserCounts(s, s"$d/events.parquet",
+        queryName = s"stateful_${System.nanoTime()}")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) AS events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Structured Streaming extension (SURVEY.md §7.5): the reference is
   * batch-only; this adds the streaming ingestion path — file stream →
@@ -57,5 +57,61 @@ object StreamOps {
       .select(col("event_type"),
         date_format(col("w.start"), "yyyy-MM-dd").as("window_start"),
         col("events"), col("sum_cents"))
+  }
+
+  /** Gap-based sessionization via the native session_window operator: a
+    * session extends while consecutive events arrive within `gap`; the
+    * window start is the session's first event time. One shuffle on the
+    * grouping key; state size at stream scale is bounded by the watermark.
+    * (Batch form here — same operator runs under readStream+watermark; the
+    * micro-batch variants are exercised by windowedEventAgg/statefulUserCounts.)
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gap: String = "4 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("events"), col("sum_cents"))
+
+  /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
+    * a running per-user event counter (the canonical "custom state machine"
+    * shape — anything not expressible as a windowed agg goes here). Update
+    * output mode; the memory sink's latest update per user is the running
+    * total. State is one Long per user — O(users) executor state,
+    * checkpointable, watermark-evictable with a timeout at scale.
+    */
+  def statefulUserCounts(spark: SparkSession, eventsPath: String,
+      queryName: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val src = java.nio.file.Paths.get(eventsPath)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) eventsPath
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-state")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+        dir.toString
+      }
+    val users = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col("user_id")).as[Long]
+    val counted = users.groupByKey(identity)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Long], state: GroupState[Long]) =>
+          val total = state.getOption.getOrElse(0L) + batch.size
+          state.update(total)
+          (user, total)
+      }
+      .toDF("user_id", "events")
+    val q = counted.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the latest (= max, counts are monotonic) update per user is the total
+    spark.table(queryName).groupBy("user_id")
+      .agg(max(col("events")).as("events"))
   }
 }

@@ -139,6 +139,35 @@ class OperatorSpec extends SparkSpec with Matchers {
     a should not be b
   }
 
+  test("native CosineSimilarity expression is bit-identical to the declarative fold") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = emb.as("l").crossJoin(emb.as("r"))
+      .filter(col("l.vec_id") < col("r.vec_id"))
+      .select(
+        Similarity.cosine(col("l.v"), col("r.v")).as("declarative"),
+        Similarity.cosineNative(col("l.v"), col("r.v")).as("native"))
+    both.filter(col("declarative") =!= col("native")).count() shouldBe 0
+  }
+
+  test("sessionize groups events within the gap and splits across it") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 1.0),
+      (1L, "2024-01-01 10:30:00", 2.0), // same session (gap 1h)
+      (1L, "2024-01-01 13:00:00", 3.0), // > 1h after previous -> new session
+      (2L, "2024-01-01 09:00:00", 4.0)
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    val out = graft.streaming.StreamOps.sessionize(spark, events, gap = "1 hour")
+      .orderBy("user_id", "session_start").collect()
+    out.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq shouldBe Seq(
+      (1L, "2024-01-01 10:00:00", 2L),
+      (1L, "2024-01-01 13:00:00", 1L),
+      (2L, "2024-01-01 09:00:00", 1L))
+  }
+
   test("multimodal extractMeta carries binary through typed mapPartitions") {
     import spark.implicits._
     val documents = Seq((7L, "hello")).toDF("doc_id", "text")

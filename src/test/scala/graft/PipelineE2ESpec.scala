@@ -132,6 +132,30 @@ class PipelineE2ESpec extends SparkSpec with Matchers with BeforeAndAfterAll {
     bronze.unpersist()
   }
 
+  test("oauth2 password grant: RPC-served token from the password flow (strategy.py:145-212)") {
+    val cfg = baseConfig("/api/echo_auth", "e2e_oauth2_pw",
+      auth = OAuth2PasswordAuth(s"${server.baseUrl}/token", "cid", "csecret", "user", "pass"))
+    PipelineOrchestrator.runPipeline(spark, cfg, Some(ordersSource(10)), Some("o_orderkey"))
+    val bodies = spark.table("demo.e2e_oauth2_pw").select("body_text").collect().map(_.getString(0))
+    all(bodies) should include(""""auth":"Bearer mock-token-password"""")
+  }
+
+  test("catalog schema validation flags drift (table_manager.py:141-195)") {
+    import org.apache.spark.sql.types._
+    val tables = new graft.orchestration.TableManager(spark)
+    tables.createTable(SinkTableConfig("schema_probe", "demo", mode = "overwrite"))
+    val (ok, errs, _) = tables.validateSchema("demo.schema_probe", graft.model.BronzeSchema.schema)
+    withClue(errs.mkString("; ")) { ok shouldBe true }
+    val drifted = StructType(graft.model.BronzeSchema.schema.fields.toSeq.map {
+      case f if f.name == "status_code" => f.copy(dataType = StringType) // type drift
+      case f => f
+    } :+ StructField("brand_new", StringType)) // column the table lacks
+    val (ok2, errs2, _) = tables.validateSchema("demo.schema_probe", drifted)
+    ok2 shouldBe false
+    errs2.exists(_.contains("brand_new")) shouldBe true
+    errs2.exists(_.contains("Type mismatch for 'status_code'")) shouldBe true
+  }
+
   test("param injection from mapped source column (injectors.py:70-87)") {
     val cfg = baseConfig("/api/data", "e2e_params",
       mappings = Seq(ColumnMapping("request_id", Some("id")), ColumnMapping("o_custkey", Some("customer"))))
