@@ -365,6 +365,23 @@ object ExtensionQueries {
              |  count(*) AS events, sum((floor(value * 100 + 0.5))::BIGINT) AS sum_cents
              |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
+    // Silver-layer JSON flattening (SURVEY.md §7.5): from_json over a raw
+    // JSON payload column → typed columns + aggregation, the bronze→silver
+    // step for API response bodies.
+    QueryDef("x17_json_flatten",
+      (s, d) => QueryDef.events(s, d)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*) AS events,
+             |  sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+             |  min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+             |  max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
     // Custom streaming state (mapGroupsWithState): running per-user counts,
     // update-mode memory sink; totals equal the batch aggregation.
     QueryDef("x16_stateful_counts",
