@@ -24,19 +24,37 @@ object ConfigLoader {
   }
   private val jsonMapper = new ObjectMapper()
 
-  private val substPattern = raw"\{\{\s*env\.([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
+  private val envPattern = raw"\{\{\s*env\.([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
+  private val secretPattern = raw"\{\{\s*secret\.([A-Za-z0-9_-]+):([A-Za-z0-9_-]+)\s*\}\}".r
 
-  /** `{{env.NAME}}` → value, resolved driver-side before validation. */
-  def preprocess(text: String, env: String => Option[String] = sys.env.get): String =
-    substPattern.replaceAllIn(text, m =>
+  /** `{{env.NAME}}` → environment value; `{{secret.SCOPE:KEY}}` (the
+    * reference's Databricks-secret syntax, preprocessor.py:36-64) → the
+    * pluggable `secrets` resolver, defaulting to env `SCOPE_KEY`. Both
+    * resolve driver-side before validation so workers never see a secret
+    * store (docs/configuration.md:182).
+    */
+  def preprocess(text: String, env: String => Option[String] = sys.env.get,
+      secrets: (String, String) => Option[String] = (s, k) => sys.env.get(s"${s}_$k")): String = {
+    val withSecrets = secretPattern.replaceAllIn(text, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        secrets(m.group(1), m.group(2)).getOrElse(
+          throw ConfigValidationException(
+            Seq(s"Unresolved config secret: ${m.group(1)}:${m.group(2)}")))))
+    envPattern.replaceAllIn(withSecrets, m =>
       scala.util.matching.Regex.quoteReplacement(
         env(m.group(1)).getOrElse(
           throw ConfigValidationException(Seq(s"Unresolved config variable: env.${m.group(1)}")))))
+  }
 
-  def fromYamlString(text: String, env: String => Option[String] = sys.env.get): PipelineConfig =
-    decode(yamlMapper.readTree(preprocess(text, env)))
-  def fromJsonString(text: String, env: String => Option[String] = sys.env.get): PipelineConfig =
-    decode(jsonMapper.readTree(preprocess(text, env)))
+  private def defaultSecrets: (String, String) => Option[String] =
+    (s, k) => sys.env.get(s"${s}_$k")
+
+  def fromYamlString(text: String, env: String => Option[String] = sys.env.get,
+      secrets: (String, String) => Option[String] = defaultSecrets): PipelineConfig =
+    decode(yamlMapper.readTree(preprocess(text, env, secrets)))
+  def fromJsonString(text: String, env: String => Option[String] = sys.env.get,
+      secrets: (String, String) => Option[String] = defaultSecrets): PipelineConfig =
+    decode(jsonMapper.readTree(preprocess(text, env, secrets)))
 
   def fromFile(path: String): PipelineConfig = {
     val text = Files.readString(Paths.get(path))

@@ -55,7 +55,9 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
       .connectTimeout(Duration.ofMillis((cfg.baseTimeoutSeconds * 1000).toLong))
       .followRedirects(HttpClient.Redirect.NORMAL)
       .executor(callbackPool)
-    if (!cfg.tcpConnection.tls.verify) b.sslContext(JdkHttpEngine.trustAllContext)
+    val tls = cfg.tcpConnection.tls
+    if (!tls.verify) b.sslContext(JdkHttpEngine.trustAllContext)
+    else tls.caBundle.foreach(p => b.sslContext(JdkHttpEngine.contextFromCaBundle(p)))
     b.build()
   }
 
@@ -128,6 +130,29 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
 }
 
 object JdkHttpEngine {
+  /** Custom CA trust: load X.509 certificate(s) from a PEM bundle into a
+    * dedicated truststore (ref: engine.py:61-67 `ssl.create_default_context
+    * (cafile=...)`). Client-cert mTLS (`client_cert`/`client_key`) would
+    * need a KeyManager from PKCS#12/PKCS#8 material — left as a documented
+    * extension point (SURVEY.md §7.4).
+    */
+  def contextFromCaBundle(pemPath: String): SSLContext = {
+    val cf = java.security.cert.CertificateFactory.getInstance("X.509")
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pemPath))
+    val certs = try cf.generateCertificates(in) finally in.close()
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    val it = certs.iterator()
+    var i = 0
+    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
+    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
+      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, tmf.getTrustManagers, new java.security.SecureRandom())
+    ctx
+  }
+
   /** Trust-all context for `tls.verify: false` (ref: engine.py:51-60). */
   lazy val trustAllContext: SSLContext = {
     val tm: TrustManager = new X509TrustManager {

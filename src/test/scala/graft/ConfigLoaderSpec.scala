@@ -66,6 +66,13 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     cfg.endpoint.vendor shouldBe Some("acme")
   }
 
+  test("secret substitution resolves {{secret.SCOPE:KEY}} via the pluggable resolver") {
+    ConfigLoader.preprocess("""{"pw": "{{secret.prod:db_pass}}"}""",
+      secrets = (s, k) => Some(s"$s/$k")) shouldBe """{"pw": "prod/db_pass"}"""
+    a[ConfigValidationException] should be thrownBy
+      ConfigLoader.preprocess("""{"pw": "{{secret.prod:nope}}"}""", secrets = (_, _) => None)
+  }
+
   test("unresolved env var fails validation") {
     a[ConfigValidationException] should be thrownBy
       ConfigLoader.preprocess("""{"x": "{{env.MISSING_XYZ}}"}""", _ => None)
@@ -123,8 +130,8 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     files should not be empty
     files.foreach { f =>
       val text = java.nio.file.Files.readString(f.toPath)
-      // any {{env.X}} placeholder resolves to a dummy for validation
-      val cfg = ConfigLoader.fromYamlString(text, _ => Some("dummy"))
+      // any {{env.X}} / {{secret.S:K}} placeholder resolves to a dummy
+      val cfg = ConfigLoader.fromYamlString(text, _ => Some("dummy"), (_, _) => Some("dummy"))
       withClue(f.getName) { cfg.endpoint.name should not be empty }
     }
   }
