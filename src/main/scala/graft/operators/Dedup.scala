@@ -14,8 +14,9 @@ import graft.functions.Portable._
   * explode → shuffle-on-key → aggregate patterns whose width is bounded by
   * (docs × features), never docs²: candidate pairs come from inverted-index
   * self-joins on LSH buckets / shared grams, so the quadratic blowup is
-  * limited to rows sharing a bucket. Skewed buckets (stop-shingles) can be
-  * capped via `maxBucketSize`.
+  * limited to rows sharing a bucket. (Skew guard at extreme scale: cap
+  * oversized buckets with a count-filter on the bucket key before the
+  * self-join — a one-line addition at the `buckets`/`grams` stage.)
   */
 object Dedup {
 

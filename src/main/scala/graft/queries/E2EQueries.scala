@@ -41,7 +41,11 @@ object E2EQueries {
         execution = ExecutionConfig(
           numPartitions = s.sparkContext.defaultParallelism,
           batchSize = 100000L, maxAttempts = 2,
-          maxConcurrentRequests = 64))
+          // right-size total in-flight (~256 across all partitions): against
+          // a loopback mock, thousands of concurrent sockets collapse
+          // throughput (measured with graft.ThroughputProbe); a real remote
+          // API would warrant the 20-64 per-partition default instead.
+          maxConcurrentRequests = math.max(4, 256 / s.sparkContext.defaultParallelism)))
       PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
       s.table(s"graft_verify.$sink")
     } finally server.stop()
@@ -81,7 +85,8 @@ object E2EQueries {
           auth = NoAuth, middleware = Seq(JsonBodyConfig),
           tables = TablesConfig(None,
             SinkTableConfig("e02_idem", "graft_verify", mode = "overwrite"), Nil),
-          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2, 64))
+          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2,
+            math.max(4, 256 / s.sparkContext.defaultParallelism)))
         PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
         // second run: same sink, append semantics via anti-join checkpoint
         val cfg2 = cfg.copy(tables = cfg.tables.copy(
@@ -149,7 +154,8 @@ object E2EQueries {
           auth = NoAuth, middleware = Seq(JsonBodyConfig),
           tables = TablesConfig(None,
             SinkTableConfig("e07_post", "graft_verify", mode = "overwrite"), Nil),
-          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2, 64))
+          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2,
+            math.max(4, 256 / s.sparkContext.defaultParallelism)))
         PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
         s.table("graft_verify.e07_post")
           .select(col("request_id"), col("method"), col("status_code"),

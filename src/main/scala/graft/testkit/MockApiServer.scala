@@ -67,7 +67,7 @@ final class MockApiServer {
 
   def start(): MockApiServer = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
-    server.setExecutor(Executors.newFixedThreadPool(64, r => {
+    server.setExecutor(Executors.newFixedThreadPool(256, r => {
       val t = new Thread(r, "mock-api"); t.setDaemon(true); t
     }))
 

@@ -47,7 +47,7 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
   // Small daemon pool: HttpClient I/O is NIO-selector based; this pool only
   // runs response-completion callbacks.
   private val callbackPool = Executors.newFixedThreadPool(
-    math.max(2, math.min(8, Runtime.getRuntime.availableProcessors() / 4)),
+    math.max(4, math.min(16, Runtime.getRuntime.availableProcessors() / 2)),
     r => { val t = new Thread(r, "graft-http"); t.setDaemon(true); t })
 
   private val client: HttpClient = {
