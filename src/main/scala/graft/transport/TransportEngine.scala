@@ -92,7 +92,29 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
       URLEncoder.encode(k, StandardCharsets.UTF_8) + "=" + URLEncoder.encode(v, StandardCharsets.UTF_8)
     }.mkString("&")
 
+  /** Stale pooled-connection race signatures: the server closed a
+    * keep-alive connection as we reused it — the request never produced a
+    * response. The JDK client transparently retries these only for
+    * bodyless idempotent requests; we extend the same courtesy to POSTs
+    * (at-least-once transport semantics — the row-level anti-join
+    * checkpoint is the exactly-once layer above).
+    */
+  private val staleConnPattern =
+    "(?i)(header parser received no bytes|connection reset|goaway|EOFException)".r.unanchored
+
   def send(req: TransportRequest): Future[TransportResponse] = {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(callbackPool)
+    def loop(attempt: Int): Future[TransportResponse] =
+      sendOnce(req).flatMap {
+        case r if attempt < 2 && r.error.exists(staleConnPattern.matches(_)) =>
+          loop(attempt + 1)
+        case r => Future.successful(r)
+      }
+    loop(0)
+  }
+
+  private def sendOnce(req: TransportRequest): Future[TransportResponse] = {
     val p = Promise[TransportResponse]()
     try {
       val uri =
