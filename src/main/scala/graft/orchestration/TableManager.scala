@@ -42,8 +42,14 @@ final class TableManager(spark: SparkSession) {
     val create =
       if (cfg.mode == "overwrite" && format == "DELTA") "CREATE OR REPLACE TABLE"
       else {
-        if (cfg.mode == "overwrite")
+        if (cfg.mode == "overwrite") {
           spark.sql(s"DROP TABLE IF EXISTS `${cfg.namespace}`.`${cfg.name}`")
+          // A fresh in-memory catalog doesn't know about a previous
+          // process's managed table, so DROP won't clear its directory —
+          // remove the leftover location or CREATE fails with
+          // LOCATION_ALREADY_EXISTS.
+          deleteLeftoverLocation(cfg)
+        }
         "CREATE TABLE IF NOT EXISTS"
       }
     val cols = schema.fields.map(fieldDdl).mkString(",\n  ")
@@ -55,6 +61,22 @@ final class TableManager(spark: SparkSession) {
         cfg.tableProperties.map { case (k, v) => s"'$k'='$v'" }.mkString("\nTBLPROPERTIES (", ", ", ")")
       else ""
     spark.sql(s"$create `${cfg.namespace}`.`${cfg.name}` (\n  $cols\n)\nUSING $format$partitioned$location$props")
+  }
+
+  private def deleteLeftoverLocation(cfg: SinkTableConfig): Unit = {
+    val path = cfg.location.getOrElse {
+      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      s"$warehouse/${cfg.namespace}.db/${cfg.name}"
+    }
+    val dir = new java.io.File(path)
+    if (dir.exists() && !spark.catalog.tableExists(cfg.namespace, cfg.name)) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(dir)
+    }
   }
 
   /** Existing-table compatibility check: missing column = error, extra =

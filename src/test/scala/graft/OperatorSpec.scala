@@ -168,6 +168,15 @@ class OperatorSpec extends SparkSpec with Matchers {
       (2L, "2024-01-01 09:00:00", 1L))
   }
 
+  test("testkit dataFrameEqual is order-insensitive (tests/assertions.py:6-13)") {
+    import spark.implicits._
+    val a = Seq((1, "x"), (2, "y")).toDF("id", "v")
+    val b = Seq((2, "y"), (1, "x")).toDF("id", "v")
+    graft.testkit.TestAssertions.dataFrameEqual(a, b) shouldBe true
+    graft.testkit.TestAssertions.dataFrameEqual(a,
+      Seq((1, "x"), (2, "z")).toDF("id", "v")) shouldBe false
+  }
+
   test("multimodal extractMeta carries binary through typed mapPartitions") {
     import spark.implicits._
     val documents = Seq((7L, "hello")).toDF("doc_id", "text")
