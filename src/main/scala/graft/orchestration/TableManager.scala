@@ -37,6 +37,17 @@ final class TableManager(spark: SparkSession) {
     */
   def createTable(cfg: SinkTableConfig, schema: StructType = BronzeSchema.schema): Unit = {
     createDatabase(cfg.namespace)
+    // Append mode across JVMs without a persistent metastore: the fresh
+    // in-memory catalog doesn't know the previous run's managed table, but
+    // its data directory exists. Re-attach it with an explicit LOCATION so
+    // append + anti-join idempotency survive process restarts. (With a Hive
+    // metastore or Delta the catalog itself persists and this is a no-op.)
+    val adoptLocation =
+      if (cfg.mode == "append" && format != "DELTA" && cfg.location.isEmpty &&
+          !spark.catalog.tableExists(cfg.namespace, cfg.name) &&
+          new java.io.File(defaultLocation(cfg)).exists())
+        Some(defaultLocation(cfg))
+      else None
     // CREATE OR REPLACE TABLE needs a v2 catalog (Delta); the parquet
     // fallback emulates overwrite with DROP + CREATE (SURVEY.md §7.4).
     val create =
@@ -55,7 +66,7 @@ final class TableManager(spark: SparkSession) {
     val cols = schema.fields.map(fieldDdl).mkString(",\n  ")
     val partitioned =
       if (cfg.partitionBy.nonEmpty) cfg.partitionBy.mkString("\nPARTITIONED BY (", ", ", ")") else ""
-    val location = cfg.location.map(l => s"\nLOCATION '$l'").getOrElse("")
+    val location = cfg.location.orElse(adoptLocation).map(l => s"\nLOCATION '$l'").getOrElse("")
     val props =
       if (cfg.tableProperties.nonEmpty)
         cfg.tableProperties.map { case (k, v) => s"'$k'='$v'" }.mkString("\nTBLPROPERTIES (", ", ", ")")
@@ -63,12 +74,13 @@ final class TableManager(spark: SparkSession) {
     spark.sql(s"$create `${cfg.namespace}`.`${cfg.name}` (\n  $cols\n)\nUSING $format$partitioned$location$props")
   }
 
+  private def defaultLocation(cfg: SinkTableConfig): String = {
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    s"$warehouse/${cfg.namespace}.db/${cfg.name}"
+  }
+
   private def deleteLeftoverLocation(cfg: SinkTableConfig): Unit = {
-    val path = cfg.location.getOrElse {
-      val warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      s"$warehouse/${cfg.namespace}.db/${cfg.name}"
-    }
+    val path = cfg.location.getOrElse(defaultLocation(cfg))
     val dir = new java.io.File(path)
     if (dir.exists() && !spark.catalog.tableExists(cfg.namespace, cfg.name)) {
       def rm(f: java.io.File): Unit = {

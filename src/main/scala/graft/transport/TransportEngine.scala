@@ -132,8 +132,12 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
       cf.whenComplete { (resp, err) =>
         if (err != null) {
           val cause = Option(err.getCause).getOrElse(err)
+          // JDK network exceptions often carry a null message — fall back
+          // to the target so bronze error rows stay diagnosable.
+          val detail = Option(cause.getMessage).filter(_.nonEmpty)
+            .getOrElse(s"connecting to $uri")
           p.success(TransportResponse(None,
-            error = Some(s"${cause.getClass.getSimpleName}: ${Option(cause.getMessage).getOrElse("")}")))
+            error = Some(s"${cause.getClass.getSimpleName}: $detail")))
         } else {
           val headers = resp.headers().map().asScala.map { case (k, vs) =>
             k -> vs.asScala.mkString(",")
