@@ -90,11 +90,20 @@ final class RpcBootstrapper(provider: TokenProvider, refreshMargin: Long, driver
   private val refresher = new DriverTokenManager(manager)
   private val server = new TokenRpcServer(manager, driverHost)
 
-  /** Returns the rpc_url workers should poll. */
+  /** Returns the rpc_url workers should poll. If readiness or server bind
+    * fails, the refresh loop is stopped before rethrowing — otherwise the
+    * caller never receives the stop handle and the 1s-interval refresher
+    * would poll the identity provider for the rest of the JVM's life. */
   def start(): String = {
     refresher.start()
-    refresher.awaitReady()
-    server.start()
+    try {
+      refresher.awaitReady()
+      server.start()
+    } catch {
+      case e: Throwable =>
+        refresher.stop()
+        throw e
+    }
     server.boundUrl
   }
 

@@ -96,7 +96,8 @@ object ConfigLoader {
           mode = str(s, "mode").getOrElse("append"),
           partitionBy = arr(s, "partition_by").map(_.asText()),
           location = str(s, "location"),
-          tableProperties = strMap(s, "table_properties"))
+          tableProperties = strMap(s, "table_properties"),
+          redactHeaders = arr(s, "redact_headers").map(_.asText()))
       }
       val source = Option(n.get("source")).filterNot(_.isNull).map { s =>
         SourceTableConfig(
@@ -152,7 +153,8 @@ object ConfigLoader {
       baseTimeoutSeconds = dbl(n, "base_timeout").getOrElse(30.0),
       warmupTimeoutSeconds = dbl(n, "warmup_timeout").getOrElse(10.0),
       tcpConnection = tcp,
-      diagnostics = bool(n, "diagnostics").getOrElse(true))
+      diagnostics = bool(n, "diagnostics").getOrElse(true),
+      retryNonIdempotent = bool(n, "retry_non_idempotent").getOrElse(false))
   }
 
   private def decodeAuth(n: JsonNode, err: String => Unit): AuthConfig =

@@ -57,7 +57,14 @@ final case class TransportConfig(
     baseTimeoutSeconds: Double = 30.0,
     warmupTimeoutSeconds: Double = 10.0,
     tcpConnection: TcpConnectionConfig = TcpConnectionConfig(),
-    diagnostics: Boolean = true
+    diagnostics: Boolean = true,
+    /** Transparent transport-level retry of stale keep-alive connection
+      * failures for requests WITH bodies (POST/PUT). The JDK client and the
+      * reference only auto-retry idempotent bodyless requests — a reset can
+      * arrive after the server executed the request, so enabling this gives
+      * at-least-once delivery of non-idempotent calls. Safe when the remote
+      * API is idempotent per request (data fetch keyed by request_id). */
+    retryNonIdempotent: Boolean = false
 )
 
 /** Discriminated auth union. Ref: src/config/models/auth.py:74-82. */
@@ -180,7 +187,12 @@ final case class SinkTableConfig(
     mode: String = "append", // append | overwrite
     partitionBy: Seq[String] = Seq.empty,
     location: Option[String] = None,
-    tableProperties: Map[String, String] = Map.empty
+    tableProperties: Map[String, String] = Map.empty,
+    /** Header names (case-insensitive) to mask in the bronze
+      * `request_headers` column, e.g. `Seq("Authorization")`. Deliberate
+      * divergence from the reference (models.py build_row persists
+      * credentials verbatim); default empty = reference parity. */
+    redactHeaders: Seq[String] = Seq.empty
 ) {
   def identifier: String = s"$namespace.$name"
   def validate: Seq[String] = {

@@ -146,6 +146,7 @@ object PartitionExecutor {
       val pipeline = Middleware.chain(chain0, terminal)
 
       val rateLimiter = cfg.execution.maxRequestsPerSecond.map(new RateLimiter(_))
+      val redactHeaderSet = cfg.tables.sink.redactHeaders.toSet
       val neededCols = paramMapping.values.toSet ++
         cfg.endpoint.requestTemplate.toSeq.flatMap(t =>
           templatePattern.findAllMatchIn(t).map(_.group(1)))
@@ -165,7 +166,7 @@ object PartitionExecutor {
           c -> String.valueOf(row.getAs[Any](c))
         }.toMap
         pipeline(RequestExchange(context = baseContext, row = rowMap))
-          .map(ex => BronzeSchema.buildRow(requestId, ex))
+          .map(ex => BronzeSchema.buildRow(requestId, ex, redactHeaderSet))
       }
 
       val concurrency = cfg.execution.maxConcurrentRequests

@@ -43,13 +43,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val (dot, na, nb, i, n) = (ctx.freshName("dot"), ctx.freshName("na"),
         ctx.freshName("nb"), ctx.freshName("i"), ctx.freshName("n"))
+      val (x, y) = (ctx.freshName("x"), ctx.freshName("y"))
       s"""
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = $a.getDouble($i);
-         |  double y = $b.getDouble($i);
-         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |  double $x = $a.getDouble($i);
+         |  double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin

@@ -63,17 +63,29 @@ object BronzeSchema {
 
   /** Build one bronze Row from a finished exchange.
     * Ref: RequestExchange.build_row, src/request_execution/models.py:96-122.
+    *
+    * `redactHeaders` (case-insensitive names, from sink.redact_headers)
+    * masks credential-bearing request headers before they are persisted —
+    * opt-in divergence from the reference, which stores Authorization
+    * values verbatim in the sink table.
     */
-  def buildRow(requestId: String, ex: RequestExchange): Row = {
+  def buildRow(requestId: String, ex: RequestExchange,
+      redactHeaders: Set[String] = Set.empty): Row = {
     val req = ex.request
     val resp = ex.response
     val bodyBytes = resp.map(_.body).getOrElse(Array.emptyByteArray)
+    val redactLower = redactHeaders.map(_.toLowerCase)
+    def mask(h: Map[String, String]): Map[String, String] =
+      if (redactLower.isEmpty) h
+      else h.map { case (k, v) =>
+        k -> (if (redactLower.contains(k.toLowerCase)) "***redacted***" else v)
+      }
     Row(
       requestId,
       if (bodyBytes.nonEmpty) sha256Hex(bodyBytes) else null,
       req.map(_.url).getOrElse(ex.context.url),
       req.map(_.method).getOrElse(ex.context.method),
-      req.map(r => Json.write(r.headers)).orNull,
+      req.map(r => Json.write(mask(r.headers))).orNull,
       req.map(r => Json.write(r.params)).orNull,
       if (ex.context.metadata.nonEmpty) Json.write(ex.context.metadata) else null,
       ex.statusCode.map(Int.box).orNull,

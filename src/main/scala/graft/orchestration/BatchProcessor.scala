@@ -41,6 +41,24 @@ final class BatchHandler(cfg: PipelineConfig, rpcUrl: Option[String], sinkIdenti
   * join, so the shuffle carries one column, not 15. Batch sizing bounds the
   * rows in flight per Spark job (memory guardrail, docs/architecture.md:28-35).
   */
+object BatchProcessor {
+  import org.apache.spark.sql.Column
+
+  /** Default batch assignment: murmur3 `hash()` — same function family the
+    * reference's PySpark `hash()` uses (batch_processor.py:65-70), pmod for
+    * quirk Q8's negative ids. */
+  def batchId(requestId: Column, numBatches: Long): Column =
+    pmod(hash(requestId), lit(numBatches))
+
+  /** Portable batch assignment: first 56 bits of md5, reproducible outside
+    * the JVM (DuckDB twin: `('0x'||substr(md5(s),1,14))::BIGINT % n`). Same
+    * operator semantics, engine-checkable assignment — used by the p07
+    * oracle and available for cross-engine reconciliation jobs. */
+  def portableBatchId(requestId: Column, numBatches: Long): Column =
+    pmod(conv(substring(md5(requestId.cast("string")), 1, 14), 16, 10).cast("long"),
+      lit(numBatches))
+}
+
 final class BatchProcessor(
     spark: SparkSession,
     source: DataFrame,
@@ -62,7 +80,7 @@ final class BatchProcessor(
       else {
         val numBatches = math.max(1L, (total + exec.batchSize - 1) / exec.batchSize)
         val batched = rem
-          .withColumn("batch_id", pmod(hash(col("request_id")), lit(numBatches)))
+          .withColumn("batch_id", BatchProcessor.batchId(col("request_id"), numBatches))
           .repartition(exec.numPartitions)
         // The reference enumerates ids with distinct().collect()
         // (batch_processor.py:79-81) — a full extra scan of the remaining

@@ -80,15 +80,37 @@ final class TableManager(spark: SparkSession) {
   }
 
   private def deleteLeftoverLocation(cfg: SinkTableConfig): Unit = {
-    val path = cfg.location.getOrElse(defaultLocation(cfg))
-    val dir = new java.io.File(path)
-    if (dir.exists() && !spark.catalog.tableExists(cfg.namespace, cfg.name)) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete()
-      }
-      rm(dir)
+    if (spark.catalog.tableExists(cfg.namespace, cfg.name)) return
+    val dir = new java.io.File(cfg.location.getOrElse(defaultLocation(cfg)))
+    if (!dir.exists()) return
+    // The default managed path is ours to reclaim. A user-supplied LOCATION
+    // is not: it may hold unrelated pre-existing data, and the reference
+    // (Delta CREATE OR REPLACE, table_manager.py:83-89) never deletes the
+    // directory. Only proceed if every file in it is a recognizable
+    // parquet-sink artifact from a previous run of this engine.
+    if (cfg.location.isDefined && !looksLikeSinkDir(dir))
+      throw new IllegalStateException(
+        s"overwrite: refusing to delete leftover location '${dir.getPath}' — " +
+          "it contains files that are not parquet sink artifacts. Move the " +
+          "directory aside or point sink.location elsewhere.")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
     }
+    rm(dir)
+  }
+
+  /** True iff every regular file under `dir` is a Spark parquet-sink
+    * artifact (part files, _SUCCESS markers, checksums, commit metadata). */
+  private def looksLikeSinkDir(dir: java.io.File): Boolean = {
+    val artifact = (n: String) =>
+      n.endsWith(".parquet") || n.endsWith(".crc") || n == "_SUCCESS" ||
+        n.startsWith("_started_") || n.startsWith("_committed_") ||
+        n == "_spark_metadata" || n == "_delta_log"
+    def ok(f: java.io.File): Boolean =
+      if (f.isDirectory) artifact(f.getName) || Option(f.listFiles()).forall(_.forall(ok))
+      else artifact(f.getName)
+    Option(dir.listFiles()).forall(_.forall(ok))
   }
 
   /** Existing-table compatibility check: missing column = error, extra =

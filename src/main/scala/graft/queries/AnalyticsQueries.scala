@@ -30,10 +30,12 @@ object AnalyticsQueries {
           sum(cents(col("l_extendedprice"))).as("sum_price_cents"),
           sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price_cents"))
         .orderBy("l_returnflag", "l_linestatus"),
+      // sum(BIGINT) is HUGEINT in DuckDB — cast back so the dtype-sensitive
+      // hash gate sees int64 on both sides (r1: hash_match=false, values equal).
       Some("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-             |  sum((floor(l_quantity*100 + 0.5))::BIGINT) AS sum_qty_cents,
-             |  sum((floor(l_extendedprice*100 + 0.5))::BIGINT) AS sum_price_cents,
-             |  sum((floor(l_extendedprice*(1 - l_discount)*100 + 0.5))::BIGINT) AS sum_disc_price_cents
+             |  sum((floor(l_quantity*100 + 0.5))::BIGINT)::BIGINT AS sum_qty_cents,
+             |  sum((floor(l_extendedprice*100 + 0.5))::BIGINT)::BIGINT AS sum_price_cents,
+             |  sum((floor(l_extendedprice*(1 - l_discount)*100 + 0.5))::BIGINT)::BIGINT AS sum_disc_price_cents
              |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin)),
 
     // Star join: fact orders ⋈ customer ⋈ nation with the dimension sides
@@ -46,7 +48,7 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("orders"), sum(cents(col("o_totalprice"))).as("revenue_cents"))
         .orderBy("n_name"),
       Some("""SELECT n_name, count(*) AS orders,
-             |  sum((floor(o_totalprice*100 + 0.5))::BIGINT) AS revenue_cents
+             |  sum((floor(o_totalprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
              |FROM orders
              |JOIN customer ON o_custkey = c_custkey
              |JOIN nation ON c_nationkey = n_nationkey
@@ -82,7 +84,7 @@ object AnalyticsQueries {
           sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS events, count(DISTINCT user_id) AS users,
-             |  sum((floor(value*100 + 0.5))::BIGINT) AS sum_cents
+             |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

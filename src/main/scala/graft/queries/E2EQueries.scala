@@ -32,7 +32,11 @@ object E2EQueries {
         .select("o_orderkey", "o_custkey")
       val cfg = PipelineConfig(
         endpoint = EndpointConfig("verify", server.baseUrl, path),
-        transport = TransportConfig(baseTimeoutSeconds = 30, warmupTimeoutSeconds = 5),
+        // retryNonIdempotent: the mock API is idempotent per request_id, so
+        // transparent stale-connection retry of POSTs is safe and keeps the
+        // keep-alive race from surfacing as sporadic e2e transport errors.
+        transport = TransportConfig(baseTimeoutSeconds = 30, warmupTimeoutSeconds = 5,
+          retryNonIdempotent = true),
         auth = authFor(server),
         middleware = middleware,
         tables = TablesConfig(None,
@@ -151,6 +155,9 @@ object E2EQueries {
           endpoint = EndpointConfig("verify", server.baseUrl, "/api/echo_body",
             method = "POST",
             requestTemplate = Some("""{"order":"{{request_id}}","customer":"{{o_custkey}}"}""")),
+          // mock echo API is idempotent — allow transparent stale-connection
+          // retry of these POSTs (see runPipeline's transport note)
+          transport = TransportConfig(retryNonIdempotent = true),
           auth = NoAuth, middleware = Seq(JsonBodyConfig),
           tables = TablesConfig(None,
             SinkTableConfig("e07_post", "graft_verify", mode = "overwrite"), Nil),

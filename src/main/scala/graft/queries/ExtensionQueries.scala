@@ -342,7 +342,7 @@ object ExtensionQueries {
         .orderBy("event_type", "window_start"),
       Some("""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
              |  count(*) AS events,
-             |  sum((floor(value * 100 + 0.5))::BIGINT) AS sum_cents
+             |  sum((floor(value * 100 + 0.5))::BIGINT)::BIGINT AS sum_cents
              |FROM events GROUP BY 1, 2 ORDER BY event_type, window_start""".stripMargin)),
 
     // Gap-based sessionization (session_window, 4 h gap) — the oracle
@@ -362,7 +362,7 @@ object ExtensionQueries {
              |      ROWS UNBOUNDED PRECEDING) AS sid
              |  FROM o)
              |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-             |  count(*) AS events, sum((floor(value * 100 + 0.5))::BIGINT) AS sum_cents
+             |  count(*) AS events, sum((floor(value * 100 + 0.5))::BIGINT)::BIGINT AS sum_cents
              |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
     // Silver-layer JSON flattening (SURVEY.md §7.5): from_json over a raw
@@ -377,7 +377,7 @@ object ExtensionQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS events,
-             |  sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+             |  sum(CAST(json_extract(props, '$.k') AS INTEGER))::BIGINT AS sum_k,
              |  min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
              |  max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),

@@ -81,13 +81,19 @@ object ParityQueries {
     // Engine-internal hash batching (batch_processor.py:42-54):
     // pmod(murmur3) has no DuckDB twin → rows-only check. Asserts the
     // partition-of-unity property (counts per batch sum to the total).
+    // Batch assignment through the real operator in its portable-hash mode
+    // (md5-56bit ↔ DuckDB twin) so the gate checks the exact assignment;
+    // the default murmur3 mode (reference parity) is covered by unit tests.
     QueryDef("p07_batch_assignment_hash",
       (s, d) => tbl(s, d, "orders")
         .select(col("o_orderkey").cast("string").as("request_id"))
-        .withColumn("batch_id", pmod(hash(col("request_id")), lit(6)))
+        .withColumn("batch_id",
+          graft.orchestration.BatchProcessor.portableBatchId(col("request_id"), 6))
         .groupBy("batch_id").agg(count(lit(1)).as("rows"))
         .orderBy("batch_id"),
-      None),
+      Some("""SELECT ('0x'||substr(md5(o_orderkey::VARCHAR),1,14))::BIGINT % 6 AS batch_id,
+             |  count(*) AS rows
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Portable batching twin (modulo on the key) — oracle-checked shape of
     // the same operator: assignment, per-batch stats, pmod sign fix (Q8).

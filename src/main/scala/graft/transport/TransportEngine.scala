@@ -93,21 +93,26 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
     }.mkString("&")
 
   /** Stale pooled-connection race signatures: the server closed a
-    * keep-alive connection as we reused it — the request never produced a
-    * response. The JDK client transparently retries these only for
-    * bodyless idempotent requests; we extend the same courtesy to POSTs
-    * (at-least-once transport semantics — the row-level anti-join
-    * checkpoint is the exactly-once layer above).
+    * keep-alive connection as we reused it. For idempotent bodyless methods
+    * the retry is always safe (same courtesy the JDK client extends to GET).
+    * For requests with bodies a reset can arrive AFTER the server executed
+    * the request, so transparent retry is gated on
+    * `transport.retry_non_idempotent` (default off) — the row-level
+    * anti-join checkpoint dedups sink rows, not remote side effects.
     */
   private val staleConnPattern =
     "(?i)(header parser received no bytes|connection reset|goaway|EOFException)".r.unanchored
 
+  private val idempotentMethods = Set("GET", "HEAD", "OPTIONS", "DELETE", "PUT")
+
   def send(req: TransportRequest): Future[TransportResponse] = {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(callbackPool)
+    val retryable =
+      idempotentMethods.contains(req.method.toUpperCase) || cfg.retryNonIdempotent
     def loop(attempt: Int): Future[TransportResponse] =
       sendOnce(req).flatMap {
-        case r if attempt < 2 && r.error.exists(staleConnPattern.matches(_)) =>
+        case r if retryable && attempt < 2 && r.error.exists(staleConnPattern.matches(_)) =>
           loop(attempt + 1)
         case r => Future.successful(r)
       }

@@ -35,6 +35,17 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     cfg.execution.maxConcurrentRequests shouldBe 8
   }
 
+  test("transport.retry_non_idempotent and sink.redact_headers decode (default off)") {
+    val cfg0 = ConfigLoader.fromJsonString(minimalJson)
+    cfg0.transport.retryNonIdempotent shouldBe false
+    cfg0.tables.sink.redactHeaders shouldBe empty
+    val cfg = ConfigLoader.fromJsonString(minimalJson
+      .replace(""""auth"""", """"transport": {"retry_non_idempotent": true}, "auth"""")
+      .replace(""""mode": "append"""", """"mode": "append", "redact_headers": ["Authorization"]"""))
+    cfg.transport.retryNonIdempotent shouldBe true
+    cfg.tables.sink.redactHeaders shouldBe Seq("Authorization")
+  }
+
   test("YAML config decodes identically (loader.py:25-59)") {
     val yaml =
       """endpoint:

@@ -24,7 +24,10 @@ class PipelineE2ESpec extends SparkSpec with Matchers with BeforeAndAfterAll {
         numPartitions = 4, batchSize = 100, maxAttempts = 3, maxConcurrentRequests = 8)) =
     PipelineConfig(
       endpoint = EndpointConfig("test", server.baseUrl, path, vendor = Some("test_vendor")),
-      transport = TransportConfig(baseTimeoutSeconds = 10, warmupTimeoutSeconds = 5),
+      // mock API is idempotent per request — keep POST-with-body tests
+      // immune to the keep-alive reuse race
+      transport = TransportConfig(baseTimeoutSeconds = 10, warmupTimeoutSeconds = 5,
+        retryNonIdempotent = true),
       auth = auth,
       middleware = middleware,
       tables = TablesConfig(None, SinkTableConfig(sink, "demo", mode = "overwrite"), mappings),
