@@ -39,30 +39,44 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct word-k-shingles per document: (id, shingle). The explode is
-    * bounded by text length; `distinct` happens map-side via the
-    * (id, shingle) aggregate key.
+  /** Word-k-shingles per document: (doc, shingle), WITH duplicates — the
+    * downstream `collect_set` aggregate dedups map-side, so a separate
+    * distinct would only add a shuffle. The explode is bounded by text
+    * length.
     */
   def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
       .select(col("doc"), explode(
         expr(s"transform(sequence(1, greatest(size(toks) - ${k - 1}, 1)), " +
           s"i -> array_join(slice(toks, i, $k), ' '))")).as("shingle"))
-      .distinct()
+
+  /** Distinct 56-bit feature-hash set per doc, as one array column:
+    * explode → groupBy(doc).collect_set — a SINGLE shuffle with map-side
+    * partial aggregation (collect_set dedups), replacing the
+    * distinct-then-regroup two-shuffle shape. The array is bounded by
+    * document length, never corpus size.
+    */
+  private def featureSets(exploded: DataFrame): DataFrame =
+    exploded.groupBy("doc").agg(collect_set(col("h")).as("features"))
 
   /** MinHash + LSH banding near-dup detection.
     *
-    * Pipeline: word-k-shingles → 56-bit shingle hash → `numHashes` minhash
-    * signature per doc (one aggregate, `numHashes` min() columns) → split
-    * into `bands` bands → inverted-index self-join on (band, band signature)
-    * → exact Jaccard verification on the candidates only.
+    * Pipeline: word-k-shingles → 56-bit shingle hash → per-doc distinct
+    * feature array (ONE collect_set shuffle) → `numHashes` minhash values
+    * computed per-row from the array (`array_min(transform(...))`, no extra
+    * shuffle) → band buckets → inverted-index self-join on (band, band
+    * signature) → exact Jaccard on the candidates via `array_intersect` of
+    * the two feature arrays.
     *
     * Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
     * jaccard ≥ `threshold`.
     *
     * Scale: the only joins are equi-joins on band keys and doc ids — all
     * shuffle-partitionable; candidate verification touches only pairs that
-    * collide in ≥1 band (expected O(docs × near-dup rate)), never all pairs.
+    * collide in ≥1 band (expected O(docs × near-dup rate)), never all
+    * pairs. The feature-set aggregate feeds both the bucket path and the
+    * verify path with an identical exchange, so Spark's ReusedExchange
+    * computes it once.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
@@ -71,12 +85,13 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val sh = shingles(df, idCol, textCol, shingleSize)
-      .select(col("doc"), hash56(col("shingle")).as("h"))
+    val feats = featureSets(
+      shingles(df, idCol, textCol, shingleSize)
+        .select(col("doc"), hash56(col("shingle")).as("h")))
 
     val minhashCols = (0 until numHashes).map(i =>
-      min(uhash(col("h"), coeffA(i), coeffB(i))).as(s"m$i"))
-    val sigs = sh.groupBy("doc").agg(minhashCols.head, minhashCols.tail: _*)
+      array_min(transform(col("features"), h => uhash(h, coeffA(i), coeffB(i)))).as(s"m$i"))
+    val sigs = feats.select((col("doc") +: minhashCols): _*)
 
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
@@ -91,7 +106,7 @@ object Dedup {
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
 
-    verifyJaccard(candidates, sh.select(col("doc"), col("h").as("feature")), threshold)
+    verifyJaccardArrays(candidates, feats, threshold)
   }
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
@@ -102,42 +117,38 @@ object Dedup {
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 8, threshold: Double = 0.5): DataFrame = {
-    val grams = df
+    val feats = featureSets(df
       .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
       .select(col("doc"), explode(
         expr(s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
           s"i -> substring(t, i, $n))")).as("gram"))
-      .distinct()
-      .select(col("doc"), hash56(col("gram")).as("feature"))
+      .select(col("doc"), hash56(col("gram")).as("h")))
+    val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
     val candidates = grams.as("l").join(grams.as("r"),
         col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-    verifyJaccard(candidates, grams, threshold)
+    verifyJaccardArrays(candidates, feats, threshold)
   }
 
-  /** Exact Jaccard for candidate pairs over a (doc, feature) set table:
-    * |A∩B| via a join on feature, sizes via a per-doc count — integers all
+  /** Exact Jaccard for candidate pairs against a per-doc feature-array
+    * table: |A∩B| = `size(array_intersect)` after two equi-joins on doc id
+    * — no feature-level join explosion, no extra aggregate. Integers all
     * the way, so the oracle comparison is exact.
     */
-  private def verifyJaccard(candidates: DataFrame, features: DataFrame,
-      threshold: Double): DataFrame = {
-    val sizes = features.groupBy("doc").agg(count(lit(1)).as("sz"))
-    val common = candidates
-      .join(features.as("fa"), col("doc_a") === col("fa.doc"))
-      .join(features.as("fb"), col("doc_b") === col("fb.doc") &&
-        col("fa.feature") === col("fb.feature"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc"))
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+  private def verifyJaccardArrays(candidates: DataFrame, feats: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(feats.as("fa"), col("doc_a") === col("fa.doc"))
+      .join(feats.as("fb"), col("doc_b") === col("fb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa.features"), col("fb.features"))).cast("long").as("common"),
+        size(col("fa.features")).cast("long").as("size_a"),
+        size(col("fb.features")).cast("long").as("size_b"))
       .withColumn("jaccard",
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** SimHash near-dup detection with banded Hamming search.
     *

@@ -45,11 +45,11 @@ object E2EQueries {
         execution = ExecutionConfig(
           numPartitions = s.sparkContext.defaultParallelism,
           batchSize = 100000L, maxAttempts = 2,
-          // right-size total in-flight (~256 across all partitions): against
-          // a loopback mock, thousands of concurrent sockets collapse
-          // throughput (measured with graft.ThroughputProbe); a real remote
-          // API would warrant the 20-64 per-partition default instead.
-          maxConcurrentRequests = math.max(4, 256 / s.sparkContext.defaultParallelism)))
+          // right-size total in-flight (~1024 across all partitions): the
+          // loopback mock peaks at 32×32 = 1024 concurrent (7.1k rps,
+          // graft.ThroughputProbe); 2048 collapses to 3.8k rps. A real
+          // remote API would warrant the 20-64 per-partition default.
+          maxConcurrentRequests = math.max(8, 1024 / s.sparkContext.defaultParallelism)))
       PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
       s.table(s"graft_verify.$sink")
     } finally server.stop()
@@ -90,7 +90,7 @@ object E2EQueries {
           tables = TablesConfig(None,
             SinkTableConfig("e02_idem", "graft_verify", mode = "overwrite"), Nil),
           execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2,
-            math.max(4, 256 / s.sparkContext.defaultParallelism)))
+            math.max(8, 1024 / s.sparkContext.defaultParallelism)))
         PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
         // second run: same sink, append semantics via anti-join checkpoint
         val cfg2 = cfg.copy(tables = cfg.tables.copy(
@@ -162,7 +162,7 @@ object E2EQueries {
           tables = TablesConfig(None,
             SinkTableConfig("e07_post", "graft_verify", mode = "overwrite"), Nil),
           execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2,
-            math.max(4, 256 / s.sparkContext.defaultParallelism)))
+            math.max(8, 1024 / s.sparkContext.defaultParallelism)))
         PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
         s.table("graft_verify.e07_post")
           .select(col("request_id"), col("method"), col("status_code"),
