@@ -76,4 +76,63 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells
+    * around a small centroid codebook; a query probes only its `nprobe`
+    * nearest cells, shrinking candidates to ~|corpus|·nprobe/nlist.
+    *
+    * The codebook here is the deterministic "sample" quantizer — the first
+    * `nlist` corpus vectors by id. Production IVF trains k-means offline
+    * and broadcasts the trained codebook; the dataflow below (broadcast
+    * codebook → max_by cell assignment → cell-key equi-join) is identical
+    * either way, and the deterministic pick keeps the operator
+    * oracle-checkable.
+    *
+    * Scale (100 TB): the codebook broadcast is tiny (nlist × dim doubles);
+    * cell assignment is one map-side broadcast join + a max_by partial
+    * aggregate (no corpus shuffle of vectors beyond the final cell-key
+    * join); the candidate join shuffles on cell id, so cells are the unit
+    * of parallelism — size nlist ≈ √|corpus| to balance cell width vs
+    * probe fan-out.
+    *
+    * Returns (query_id, rank, neighbor_id, cosine).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 2): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val codebook = c.orderBy("neighbor_id").limit(nlist)
+      .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
+
+    // Cell assignment: argmax-cosine centroid per corpus vector (ties →
+    // smaller cid). max_by over (cosine, -cid) needs no window shuffle —
+    // it partial-aggregates map-side after the broadcast join.
+    val assigned = c.crossJoin(broadcast(codebook))
+      .select(col("neighbor_id"), col("cv"), col("cid"),
+        cosine(col("cv"), col("centroid")).as("cc"))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cell"),
+        first(col("cv")).as("cv"))
+
+    // Queries probe their nprobe nearest cells.
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qc").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("qv"), col("cid"),
+        cosine(col("qv"), col("centroid")).as("qc"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
 }

@@ -275,6 +275,46 @@ object ExtensionQueries {
              |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF ANN (8 cells, 2 probes): centroid codebook → max_by cell
+    // assignment → probe-cell equi-join. The other scale path beside LSH;
+    // the oracle rebuilds the same cells and probes in SQL.
+    QueryDef("x08b_ann_ivf",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |cb AS (SELECT vec_id AS cid, vec AS centroid FROM v ORDER BY vec_id LIMIT 8),
+             |asg AS (SELECT vec_id, vec, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+             |  FROM (SELECT v.vec_id, v.vec, cb.cid,
+             |      ${dkCosine("v.vec", "cb.centroid")} AS cc
+             |    FROM v CROSS JOIN cb)),
+             |cells AS (SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell
+             |  FROM asg WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+             |probes AS (SELECT query_id, qv, cid AS cell FROM (
+             |    SELECT query_id, qv, cid,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, cid) AS pr
+             |    FROM (SELECT q.query_id, q.qv, cb.cid,
+             |        ${dkCosine("q.qv", "cb.centroid")} AS qc
+             |      FROM q CROSS JOIN cb))
+             |  WHERE pr <= 2),
+             |scored AS (SELECT query_id, c.neighbor_id,
+             |    ${dkCosine("p.qv", "c.cv")} AS cosine
+             |  FROM probes p JOIN cells c USING (cell)
+             |  WHERE p.query_id <> c.neighbor_id),
+             |ranked AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
     // Language id (stopword-marker n-gram heuristic).
     QueryDef("x09_text_langid",
       (s, d) => TextAnalysis.languageId(tbl(s, d, "documents"), "doc_id", "text")

@@ -66,7 +66,9 @@ final class MockApiServer {
   }
 
   def start(): MockApiServer = {
-    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // backlog 4096: e2e pipelines drive ~1024 concurrent connections; the
+    // platform-default backlog can refuse bursts during pool churn.
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 4096)
     server.setExecutor(Executors.newFixedThreadPool(256, r => {
       val t = new Thread(r, "mock-api"); t.setDaemon(true); t
     }))

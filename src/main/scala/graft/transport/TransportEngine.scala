@@ -103,6 +103,10 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
   private val staleConnPattern =
     "(?i)(header parser received no bytes|connection reset|goaway|EOFException)".r.unanchored
 
+  /** A refused connection never reached the server, so retrying is safe for
+    * ANY method — no request was executed. */
+  private val neverSentPattern = "(?i)connection refused".r.unanchored
+
   private val idempotentMethods = Set("GET", "HEAD", "OPTIONS", "DELETE", "PUT")
 
   def send(req: TransportRequest): Future[TransportResponse] = {
@@ -112,7 +116,9 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
       idempotentMethods.contains(req.method.toUpperCase) || cfg.retryNonIdempotent
     def loop(attempt: Int): Future[TransportResponse] =
       sendOnce(req).flatMap {
-        case r if retryable && attempt < 2 && r.error.exists(staleConnPattern.matches(_)) =>
+        case r if attempt < 2 && r.error.exists(e =>
+            neverSentPattern.matches(e) ||
+              (retryable && staleConnPattern.matches(e))) =>
           loop(attempt + 1)
         case r => Future.successful(r)
       }

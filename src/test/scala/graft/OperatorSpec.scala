@@ -106,6 +106,34 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.map(_.getLong(2)).toSeq shouldBe Seq(1L)
   }
 
+  test("IVF ANN probes only the nearest cells") {
+    import spark.implicits._
+    // Centroids (nlist=2) are vectors 0 and 1: cell 0 ≈ x-axis, cell 1 ≈
+    // y-axis. With nprobe=1 the x-axis query must only see x-cell members.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.95f, 0.05f)), // lands in cell 0
+      (3L, Array(0.05f, 0.95f)), // lands in cell 1
+      (4L, Array(0.9f, 0.1f))    // lands in cell 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 5, nlist = 2, nprobe = 1)
+      .orderBy("rank").collect()
+    out.map(_.getLong(2)).toSeq shouldBe Seq(2L, 4L) // cell-0 members only, ranked
+  }
+
+  test("IVF ANN with nprobe = nlist recovers the brute-force result") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2, nlist = 2, nprobe = 2)
+      .orderBy("rank").collect()
+    ivf.map(_.getLong(2)).toSeq shouldBe Seq(1L, 2L)
+  }
+
   test("language id counts marker words with deterministic argmax") {
     val out = TextAnalysis.languageId(docs(
       1L -> "the cat and the dog is a pet",
