@@ -66,4 +66,90 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("content"))
       .as[MediaRecord]
   }
+
+  /** One sampled frame: every `stride`-th fixed-size chunk of the stream.
+    * `frame_sum` is the unsigned-byte sum — a cheap content checksum the
+    * oracle recomputes.
+    */
+  final case class Frame(media_id: Long, frame_idx: Int, frame_len: Int, frame_sum: Long)
+
+  /** Frame sampling for "video" blobs: treat the byte stream as consecutive
+    * `frameSize`-byte frames and emit every `stride`-th one. A row-exploding
+    * mapPartitions stage (1 record in → ~len/(frameSize·stride) rows out) —
+    * the shape a real ffmpeg frame-grab stage has. Partition-local, no
+    * shuffle; memory is bounded by one record at a time because the output
+    * iterator is lazy.
+    */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaRecord],
+      frameSize: Int, stride: Int): DataFrame = {
+    import spark.implicits._
+    require(frameSize > 0 && stride > 0)
+    media.mapPartitions { it =>
+      it.flatMap { rec =>
+        val n = rec.content.length
+        val numFrames = (n + frameSize - 1) / frameSize
+        (0 until numFrames by stride).iterator.map { f =>
+          val start = f * frameSize
+          val end = math.min(start + frameSize, n)
+          var s = 0L; var i = start
+          while (i < end) { s += rec.content(i) & 0xff; i += 1 }
+          Frame(rec.media_id, f, end - start, s)
+        }
+      }
+    }(Encoders.product[Frame]).toDF()
+  }
+
+  /** Resized record: stub nearest-neighbor "resample" of the 1-D byte
+    * stream to exactly `target` bytes (out[i] = in[floor(i·len/target)]) —
+    * the real thing would be a codec resize; the Spark shape (binary in,
+    * binary out, 1:1) is identical. `out_sum` checksums the bytes.
+    */
+  final case class Resized(media_id: Long, out_len: Int, out_sum: Long, content: Array[Byte])
+
+  def resizeStub(spark: SparkSession, media: Dataset[MediaRecord],
+      target: Int): DataFrame = {
+    import spark.implicits._
+    require(target > 0)
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val n = rec.content.length
+        if (n == 0) Resized(rec.media_id, 0, 0L, Array.emptyByteArray)
+        else {
+          val out = new Array[Byte](target)
+          var s = 0L; var i = 0
+          while (i < target) {
+            val b = rec.content((i.toLong * n / target).toInt)
+            out(i) = b; s += b & 0xff; i += 1
+          }
+          Resized(rec.media_id, target, s, out)
+        }
+      }
+    }(Encoders.product[Resized]).toDF()
+  }
+
+  /** Byte-histogram features: the stub feature-extraction stage. `counts`
+    * is the per-bucket byte histogram (bucket = byte >> shift), `features`
+    * the L1-normalized double vector — the same fixed-length-vector shape a
+    * real embedding extractor emits.
+    */
+  final case class MediaFeatures(media_id: Long, counts: Array[Long], features: Array[Double])
+
+  def byteHistogramFeatures(spark: SparkSession, media: Dataset[MediaRecord],
+      buckets: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(buckets > 0 && 256 % buckets == 0)
+    val shift = Integer.numberOfTrailingZeros(256 / buckets)
+    media.mapPartitions { it =>
+      it.map { rec =>
+        val counts = new Array[Long](buckets)
+        var i = 0
+        while (i < rec.content.length) {
+          counts((rec.content(i) & 0xff) >> shift) += 1
+          i += 1
+        }
+        val total = math.max(1L, rec.content.length.toLong)
+        MediaFeatures(rec.media_id, counts, counts.map(_.toDouble / total))
+      }
+    }(Encoders.product[MediaFeatures]).toDF()
+  }
 }

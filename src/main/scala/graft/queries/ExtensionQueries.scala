@@ -374,6 +374,60 @@ object ExtensionQueries {
              |  3 AS channels
              |FROM documents ORDER BY media_id""".stripMargin)),
 
+    // Frame sampling (row-exploding mapPartitions stage): 64-byte frames,
+    // every 2nd one, with an unsigned-byte-sum checksum per frame. The
+    // oracle re-slices the ASCII text with ord(substr(..)).
+    QueryDef("x13b_multimodal_frames",
+      (s, d) => Multimodal.sampleFrames(s,
+        Multimodal.mediaFromDocuments(s, tbl(s, d, "documents")),
+        frameSize = 64, stride = 2)
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH f AS (
+             |  SELECT doc_id, text,
+             |    unnest(range(0, ((length(text) + 63) // 64))) AS frame_idx
+             |  FROM documents),
+             |s AS (SELECT doc_id, frame_idx,
+             |    least(64, length(text) - frame_idx * 64) AS frame_len,
+             |    list_reduce(list_prepend(0, list_transform(
+             |      range(1, least(64, length(text) - frame_idx * 64) + 1),
+             |      i -> ord(substr(text, frame_idx * 64 + i, 1)))), (a, b) -> a + b) AS frame_sum
+             |  FROM f WHERE frame_idx % 2 = 0)
+             |SELECT doc_id AS media_id, frame_idx::INT AS frame_idx,
+             |  frame_len::INT AS frame_len, frame_sum::BIGINT AS frame_sum
+             |FROM s ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // Stub 1-D resize (nearest-neighbor byte resample to 128 bytes): 1:1
+    // binary-in/binary-out mapPartitions stage; checksum oracle-checked.
+    QueryDef("x13c_multimodal_resize",
+      (s, d) => Multimodal.resizeStub(s,
+        Multimodal.mediaFromDocuments(s, tbl(s, d, "documents")), target = 128)
+        .select("media_id", "out_len", "out_sum")
+        .orderBy("media_id"),
+      Some("""SELECT doc_id AS media_id, 128 AS out_len,
+             |  list_reduce(list_prepend(0, list_transform(range(0, 128),
+             |    i -> ord(substr(text, ((i * length(text)) // 128) + 1, 1)))),
+             |    (a, b) -> a + b)::BIGINT AS out_sum
+             |FROM documents WHERE length(text) > 0 ORDER BY media_id""".stripMargin)),
+
+    // Stub feature extraction (byte histogram, 8 buckets) exploded to rows
+    // so every bucket count is under the exact oracle check.
+    QueryDef("x13d_multimodal_features",
+      (s, d) => Multimodal.byteHistogramFeatures(s,
+        Multimodal.mediaFromDocuments(s, tbl(s, d, "documents")), buckets = 8)
+        .select(col("media_id"), posexplode(col("counts")).as(Seq("bucket", "cnt")))
+        .orderBy("media_id", "bucket"),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    unnest(list_transform(range(1, length(text) + 1),
+             |      i -> ord(substr(text, i, 1)) // 32)) AS bucket
+             |  FROM documents),
+             |c AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+             |g AS (SELECT doc_id, unnest(range(0, 8)) AS bucket FROM documents)
+             |SELECT g.doc_id AS media_id, g.bucket::INT AS bucket,
+             |  coalesce(c.cnt, 0)::BIGINT AS cnt
+             |FROM g LEFT JOIN c ON g.doc_id = c.doc_id AND g.bucket = c.bucket
+             |ORDER BY media_id, bucket""".stripMargin)),
+
     // Structured Streaming windowed aggregation (event time + watermark),
     // checked against the batch-equivalent SQL.
     QueryDef("x14_stream_window_agg",

@@ -216,4 +216,35 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.getAs[Int]("width") shouldBe 6 // 5 % 640 + 1
     out.getAs[Int]("channels") shouldBe 3
   }
+
+  test("frame sampling emits every stride-th frame with exact lengths and sums") {
+    import spark.implicits._
+    // 10 bytes, frameSize 4 → frames [0,4), [4,8), [8,10); stride 2 → 0 and 2
+    val documents = Seq((1L, "abcdefghij")).toDF("doc_id", "text")
+    val out = Multimodal.sampleFrames(spark,
+      Multimodal.mediaFromDocuments(spark, documents), frameSize = 4, stride = 2)
+      .orderBy("frame_idx").collect()
+    out.map(r => (r.getInt(1), r.getInt(2), r.getLong(3))).toSeq shouldBe Seq(
+      (0, 4, "abcd".map(_.toLong).sum), (2, 2, "ij".map(_.toLong).sum))
+  }
+
+  test("resize stub resamples to exactly target bytes, nearest-neighbor") {
+    import spark.implicits._
+    val documents = Seq((1L, "ab")).toDF("doc_id", "text")
+    val out = Multimodal.resizeStub(spark,
+      Multimodal.mediaFromDocuments(spark, documents), target = 4).first()
+    out.getAs[Int]("out_len") shouldBe 4
+    // out[i] = in[i*2/4] → a,a,b,b
+    out.getAs[Array[Byte]]("content").toSeq shouldBe "aabb".getBytes.toSeq
+    out.getAs[Long]("out_sum") shouldBe "aabb".map(_.toLong).sum
+  }
+
+  test("byte histogram features count buckets and normalize to 1") {
+    import spark.implicits._
+    val documents = Seq((1L, "aA!")).toDF("doc_id", "text") // buckets 3, 2, 1
+    val out = Multimodal.byteHistogramFeatures(spark,
+      Multimodal.mediaFromDocuments(spark, documents), buckets = 8).first()
+    out.getAs[Seq[Long]]("counts") shouldBe Seq(0L, 1L, 1L, 1L, 0L, 0L, 0L, 0L)
+    out.getAs[Seq[Double]]("features").sum shouldBe 1.0 +- 1e-12
+  }
 }
