@@ -55,9 +55,7 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
       .connectTimeout(Duration.ofMillis((cfg.baseTimeoutSeconds * 1000).toLong))
       .followRedirects(HttpClient.Redirect.NORMAL)
       .executor(callbackPool)
-    val tls = cfg.tcpConnection.tls
-    if (!tls.verify) b.sslContext(JdkHttpEngine.trustAllContext)
-    else tls.caBundle.foreach(p => b.sslContext(JdkHttpEngine.contextFromCaBundle(p)))
+    JdkHttpEngine.sslContextFor(cfg.tcpConnection.tls).foreach(b.sslContext)
     b.build()
   }
 
@@ -167,28 +165,98 @@ final class JdkHttpEngine(cfg: TransportConfig, baseUrl: String) extends Transpo
 }
 
 object JdkHttpEngine {
-  /** Custom CA trust: load X.509 certificate(s) from a PEM bundle into a
-    * dedicated truststore (ref: engine.py:61-67 `ssl.create_default_context
-    * (cafile=...)`). Client-cert mTLS (`client_cert`/`client_key`) would
-    * need a KeyManager from PKCS#12/PKCS#8 material — left as a documented
-    * extension point (SURVEY.md §7.4).
+  import javax.net.ssl.{KeyManager, KeyManagerFactory, TrustManagerFactory}
+
+  /** Full TLS wiring from config (ref: engine.py:51-67): custom CA trust
+    * (`ca_bundle`), trust-all (`verify: false`), and client-cert mTLS
+    * (`client_cert` + `client_key`, PEM with a PKCS#8 key — the format
+    * `openssl genpkey`/`req` emit). Returns None when the JDK defaults
+    * suffice (verify on, no CA bundle, no client cert).
     */
+  def sslContextFor(tls: graft.config.TlsConfig): Option[SSLContext] = {
+    val kms: Option[Array[KeyManager]] =
+      (tls.clientCert, tls.clientKey) match {
+        case (Some(c), Some(k)) => Some(keyManagersFromPem(c, k))
+        case (None, None) => None
+        case _ => throw new IllegalArgumentException(
+          "tls.client_cert and tls.client_key must be set together")
+      }
+    val tms: Option[Array[javax.net.ssl.TrustManager]] =
+      if (!tls.verify) Some(trustAllManagers)
+      else tls.caBundle.map(trustManagersFromCaBundle)
+    if (kms.isEmpty && tms.isEmpty) None
+    else {
+      val ctx = SSLContext.getInstance("TLS")
+      ctx.init(kms.orNull, tms.orNull, new java.security.SecureRandom())
+      Some(ctx)
+    }
+  }
+
   def contextFromCaBundle(pemPath: String): SSLContext = {
+    val ctx = SSLContext.getInstance("TLS")
+    ctx.init(null, trustManagersFromCaBundle(pemPath), new java.security.SecureRandom())
+    ctx
+  }
+
+  /** X.509 certificate(s) from a PEM file/bundle. */
+  def certificatesFromPem(pemPath: String): Seq[X509Certificate] = {
     val cf = java.security.cert.CertificateFactory.getInstance("X.509")
     val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(pemPath))
     val certs = try cf.generateCertificates(in) finally in.close()
+    import scala.jdk.CollectionConverters._
+    certs.asScala.map(_.asInstanceOf[X509Certificate]).toSeq
+  }
+
+  /** PKCS#8 private key from PEM ("BEGIN PRIVATE KEY"); tries RSA then EC.
+    * PKCS#1 ("BEGIN RSA PRIVATE KEY") is not a JDK-native encoding —
+    * convert with `openssl pkcs8 -topk8 -nocrypt`.
+    */
+  def privateKeyFromPem(pemPath: String): java.security.PrivateKey = {
+    val pem = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pemPath)), java.nio.charset.StandardCharsets.US_ASCII)
+    if (pem.contains("BEGIN RSA PRIVATE KEY") || pem.contains("BEGIN EC PRIVATE KEY"))
+      throw new IllegalArgumentException(
+        s"$pemPath is PKCS#1/SEC1; convert to PKCS#8 with 'openssl pkcs8 -topk8 -nocrypt'")
+    val b64 = pem.replaceAll("-----BEGIN [A-Z ]+-----", "")
+      .replaceAll("-----END [A-Z ]+-----", "").replaceAll("\\s", "")
+    val der = java.util.Base64.getDecoder.decode(b64)
+    val spec = new java.security.spec.PKCS8EncodedKeySpec(der)
+    Seq("RSA", "EC").view.flatMap { alg =>
+      try Some(java.security.KeyFactory.getInstance(alg).generatePrivate(spec))
+      catch { case _: java.security.spec.InvalidKeySpecException => None }
+    }.headOption.getOrElse(throw new IllegalArgumentException(
+      s"$pemPath: PKCS#8 key is neither RSA nor EC"))
+  }
+
+  /** KeyManagers presenting the client certificate chain during the TLS
+    * handshake (mTLS). */
+  def keyManagersFromPem(certPath: String, keyPath: String): Array[KeyManager] = {
+    val chain = certificatesFromPem(certPath)
+    val key = privateKeyFromPem(keyPath)
     val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
     ks.load(null, null)
-    val it = certs.iterator()
-    var i = 0
-    while (it.hasNext) { ks.setCertificateEntry(s"ca$i", it.next()); i += 1 }
-    val tmf = javax.net.ssl.TrustManagerFactory.getInstance(
-      javax.net.ssl.TrustManagerFactory.getDefaultAlgorithm)
-    tmf.init(ks)
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, tmf.getTrustManagers, new java.security.SecureRandom())
-    ctx
+    ks.setKeyEntry("client", key, Array.emptyCharArray, chain.toArray[java.security.cert.Certificate])
+    val kmf = KeyManagerFactory.getInstance(KeyManagerFactory.getDefaultAlgorithm)
+    kmf.init(ks, Array.emptyCharArray)
+    kmf.getKeyManagers
   }
+
+  private def trustManagersFromCaBundle(pemPath: String): Array[javax.net.ssl.TrustManager] = {
+    val ks = java.security.KeyStore.getInstance(java.security.KeyStore.getDefaultType)
+    ks.load(null, null)
+    certificatesFromPem(pemPath).zipWithIndex.foreach { case (c, i) =>
+      ks.setCertificateEntry(s"ca$i", c)
+    }
+    val tmf = TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm)
+    tmf.init(ks)
+    tmf.getTrustManagers
+  }
+
+  private def trustAllManagers: Array[TrustManager] = Array(new X509TrustManager {
+    def checkClientTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
+    def checkServerTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
+    def getAcceptedIssuers: Array[X509Certificate] = Array.empty
+  })
 
   /** Trust-all context for `tls.verify: false` (ref: engine.py:51-60). */
   lazy val trustAllContext: SSLContext = {
