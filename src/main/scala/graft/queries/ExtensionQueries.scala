@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -483,6 +483,23 @@ object ExtensionQueries {
         queryName = s"stateful_${System.nanoTime()}")
         .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS events
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Salted skew join (8-way salt on l_suppkey): result must be IDENTICAL
+    // to the plain join — the oracle is the unsalted SQL.
+    QueryDef("x18_salted_join",
+      (s, d) => Skew.saltedJoin(
+        tbl(s, d, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice"),
+        tbl(s, d, "supplier").select("s_suppkey", "s_name"),
+        factKey = "l_suppkey", dimKey = "s_suppkey",
+        saltSource = col("l_orderkey"), salt = 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("items"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+        .orderBy("s_name"),
+      Some("""SELECT s_name, count(*) AS items,
+             |  sum((floor(l_extendedprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY 1 ORDER BY s_name""".stripMargin))
   )
 }

@@ -78,6 +78,24 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("Broadcast")
   }
 
+  test("x08b IVF broadcasts the codebook — corpus vectors never shuffle for assignment") {
+    val plan = planOf(q("x08b_ann_ivf"))
+    plan should include("BroadcastHashJoin")
+    // cell assignment is max_by partial-agg after the broadcast, no window
+    plan should include("max_by")
+  }
+
+  test("x18 salted join shards the hot key over (key, salt) when broadcast is off") {
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(q("x18_salted_join"))
+      // join keys must include the salt so the shuffle spreads the hot key
+      plan should include("__salt")
+      (plan should not).include("BroadcastHashJoin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("whole-stage codegen covers the text operators (no UDF black boxes)") {
     val df = q("x10_text_quality")
     df.collect() // AQE reveals codegen stages only in the executed final plan
