@@ -96,6 +96,17 @@ class PlanSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("x03 minhash computes the corpus feature aggregate ONCE (AQE exchange reuse)") {
+    // The static plan shows the explode+collect_set subtree four times
+    // (bucket self-join l/r + verify fa/fb); at runtime AQE must collapse
+    // them to one computed exchange + three ReusedExchange nodes — at
+    // 100 TB the difference is one corpus read vs four.
+    val df = q("x03_dedup_minhash_lsh")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(plan).length should be >= 3
+  }
+
   test("whole-stage codegen covers the text operators (no UDF black boxes)") {
     val df = q("x10_text_quality")
     df.collect() // AQE reveals codegen stages only in the executed final plan
