@@ -79,7 +79,8 @@ object ConfigLoader {
         params = strMap(n, "params"),
         requestTemplate = Option(n.get("request_template")).filterNot(_.isNull).map(t =>
           if (t.isTextual) t.asText() else t.toString), // dict templates → canonical JSON
-        vendor = str(n, "vendor"))
+        vendor = str(n, "vendor"),
+        responseSchema = str(n, "response_schema"))
     }
 
     val transport = Option(root.get("transport")).map(decodeTransport).getOrElse(TransportConfig())

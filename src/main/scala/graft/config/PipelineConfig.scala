@@ -22,7 +22,13 @@ final case class EndpointConfig(
     headers: Map[String, String] = Map.empty,
     params: Map[String, String] = Map.empty,
     requestTemplate: Option[String] = None,
-    vendor: Option[String] = None
+    vendor: Option[String] = None,
+    /** DDL schema of the JSON response body, e.g.
+      * `"id STRING, customer STRING, status STRING"`. Declared-but-unused
+      * in the reference (endpoint.py:15, quirk register); implemented for
+      * real here: `SilverLayer.fromBronze` projects bronze `body_text`
+      * through it into typed silver columns. */
+    responseSchema: Option[String] = None
 ) {
   def resolvedUrl: String =
     if (urlPath.isEmpty) baseUrl
@@ -34,6 +40,12 @@ final case class EndpointConfig(
     if (!baseUrl.matches("^https?://.*")) errs += s"endpoint.base_url must be http(s)://, got '$baseUrl'"
     val methods = Set("GET", "POST", "PUT", "PATCH", "DELETE")
     if (!methods.contains(method)) errs += s"endpoint.method must be one of $methods, got '$method'"
+    responseSchema.foreach { ddl =>
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch { case e: Exception =>
+        errs += s"endpoint.response_schema is not valid DDL: ${e.getMessage}"
+      }
+    }
     errs.result()
   }
 }

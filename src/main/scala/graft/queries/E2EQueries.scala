@@ -176,6 +176,22 @@ object E2EQueries {
              |    '","customer":"'||o_custkey||'"}}' AS body_text
              |FROM orders WHERE o_orderkey % 50 = 0 ORDER BY request_id""".stripMargin)),
 
+    // Silver layer: bronze body_text projected through the endpoint's
+    // response_schema (declared-but-dead in the reference, implemented for
+    // real) into typed columns; oracle rebuilds them from the source.
+    QueryDef("e08_silver_layer",
+      (s, d) => {
+        val bronze = runPipeline(s, d, "e08_silver", "/api/data", _ => NoAuth,
+          Seq(JsonBodyConfig), keyMod = 40)
+        graft.orchestration.SilverLayer
+          .fromBronze(bronze, "id STRING, customer STRING, status STRING")
+          .orderBy("request_id")
+      },
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, true AS success,
+             |  200 AS status_code, o_orderkey::VARCHAR AS id,
+             |  o_custkey::VARCHAR AS customer, 'ok' AS status
+             |FROM orders WHERE o_orderkey % 40 = 0 ORDER BY request_id""".stripMargin)),
+
     // Failure rows: always-500 endpoint, retry exhaustion → success=false
     // with the canonical error message; rows still land in bronze.
     QueryDef("e06_pipeline_failure",

@@ -46,6 +46,17 @@ class ConfigLoaderSpec extends AnyFunSuite with Matchers {
     cfg.tables.sink.redactHeaders shouldBe Seq("Authorization")
   }
 
+  test("endpoint.response_schema decodes and invalid DDL is a validation error") {
+    val cfg = ConfigLoader.fromJsonString(minimalJson.replace(
+      """"vendor": "test_vendor"""",
+      """"vendor": "test_vendor", "response_schema": "id STRING, n INT""""))
+    cfg.endpoint.responseSchema shouldBe Some("id STRING, n INT")
+    a[ConfigValidationException] should be thrownBy ConfigLoader.fromJsonString(
+      minimalJson.replace(
+        """"vendor": "test_vendor"""",
+        """"vendor": "test_vendor", "response_schema": "id NOTATYPE((""""))
+  }
+
   test("YAML config decodes identically (loader.py:25-59)") {
     val yaml =
       """endpoint:

@@ -68,6 +68,21 @@ class Round2FixSpec extends SparkSpec {
     assert(df.filter(col("batch_id") < 0 || col("batch_id") >= 6).isEmpty)
   }
 
+  test("silver layer types good rows and NULLs unparseable ones, keeping request_id") {
+    import spark.implicits._
+    val bronze = Seq(
+      ("1", true, 200, """{"id":"1","customer":"7","status":"ok"}"""),
+      ("2", false, 500, "not json at all")
+    ).toDF("request_id", "success", "status_code", "body_text")
+    val silver = graft.orchestration.SilverLayer
+      .fromBronze(bronze, "id STRING, customer STRING, status STRING")
+      .orderBy("request_id").collect()
+    assert(silver(0).getString(3) == "1")
+    assert(silver(0).getString(4) == "7")
+    assert(silver(1).getString(0) == "2")
+    assert(silver(1).isNullAt(3))
+  }
+
   test("murmur3 batchId covers [0, n) after pmod (quirk Q8)") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toString).toDF("request_id")
