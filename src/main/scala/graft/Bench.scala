@@ -13,8 +13,8 @@ object Bench {
   private val headline = Seq(
     "b01_agg_lineitem", "b02_join_star", "b03_window_topk", "b04_events_by_type",
     "p05_anti_join", "x01_dedup_exact", "x03_dedup_minhash_lsh", "x04_dedup_simhash",
-    "x07_ann_bruteforce", "x07b_ann_native_expr", "x14_stream_window_agg",
-    "x15_sessionize", "e01_pipeline_noauth")
+    "x07_ann_bruteforce", "x07b_ann_native_expr", "x08b_ann_ivf", "x14_stream_window_agg",
+    "x15_sessionize", "x18_salted_join", "e01_pipeline_noauth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -9,8 +9,16 @@ import org.apache.spark.sql.SparkSession
   */
 object PerfProbe {
   def main(args: Array[String]): Unit = {
-    val n = args.find(_.startsWith("-n")).map(_.drop(2).toInt).getOrElse(3)
+    val n = args.find(_.startsWith("-n"))
+      .flatMap(_.drop(2).toIntOption)
+      .getOrElse(3)
     val names = args.filterNot(_.startsWith("-"))
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown queries: ${unknown.mkString(", ")} " +
+        s"(usage: PerfProbe <query>... [-n3]; -n must be attached, e.g. -n5)")
+      sys.exit(1)
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")

@@ -20,14 +20,25 @@ object Interceptors {
     *  - on exhaustion: success=false,
     *    error "Retry attempts exhausted (HTTP s) after n attempts",
     *    metadata.retry_attempts = n;
-    *  - non-retryable status (including transport errors, whose status is
-    *    null — matching the reference, where the never-throw engine turns
-    *    connection errors into error responses that are NOT retried):
-    *    return downstream result unchanged;
+    *  - retryable transport errors (connection/timeout — the analog of the
+    *    reference's __is_retryable_exception set, interceptors.py:37-49:
+    *    ClientConnectionError/ClientPayloadError/ServerTimeoutError/
+    *    TimeoutError; our never-throw engine surfaces them as
+    *    error-responses with status null): retried like a retryable status;
+    *    on exhaustion success=false with "Retry attempts exhausted: ...".
+    *    Without this, one transient reset would land a success=false bronze
+    *    row that the anti-join checkpoint then treats as done forever;
+    *  - other transport errors (DNS, TLS, malformed URL): return downstream
+    *    result unchanged (non-retryable, matching the reference);
     *  - downstream exceptions: non-retryable → success=false with
     *    "Non-retryable exception: ..." (the JVM engine never throws, so this
     *    is defensive parity with the reference's except-branch).
     */
+  private val retryableTransportError =
+    ("(?i)(ConnectException|HttpConnectTimeoutException|HttpTimeoutException|" +
+      "connection reset|connection refused|timed out|header parser received no bytes|" +
+      "EOFException|goaway)").r.unanchored
+
   def retry(cfg: RetryConfig)(implicit ec: ExecutionContext): Middleware = { (ex0, next) =>
     def attemptLoop(ex: RequestExchange, attempt: Int): Future[RequestExchange] = {
       val started = ex.copy(attempts = attempt).withLog(
@@ -35,8 +46,12 @@ object Interceptors {
           s"${ex.context.method} ${ex.context.url}")
       next(started).transformWith {
         case scala.util.Success(res) =>
-          res.statusCode match {
-            case Some(status) if cfg.retryStatusCodes.contains(status) =>
+          val transportError =
+            if (res.statusCode.isEmpty)
+              res.response.flatMap(_.error).filter(retryableTransportError.matches(_))
+            else None
+          (res.statusCode, transportError) match {
+            case (Some(status), _) if cfg.retryStatusCodes.contains(status) =>
               val logged = res.withLog(
                 s"[RetryMiddleware] Got retryable HTTP $status on attempt $attempt")
               if (attempt < cfg.maxAttempts)
@@ -47,6 +62,17 @@ object Interceptors {
                   success = Some(false),
                   errorMessage = Some(
                     s"Retry attempts exhausted (HTTP $status) after $attempt attempts"))
+                  .withMeta("retry_attempts", attempt))
+            case (None, Some(err)) =>
+              val logged = res.withLog(
+                s"[RetryMiddleware] Retryable exception on attempt $attempt: $err")
+              if (attempt < cfg.maxAttempts)
+                delay(backoffDelay(attempt, cfg.baseDelaySeconds, cfg.maxDelaySeconds))
+                  .flatMap(_ => attemptLoop(logged, attempt + 1))
+              else
+                Future.successful(logged.copy(
+                  success = Some(false),
+                  errorMessage = Some(s"Retry attempts exhausted: $err"))
                   .withMeta("retry_attempts", attempt))
             case _ => Future.successful(res)
           }

@@ -49,10 +49,11 @@ object Multimodal {
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       it.map { rec =>
+        val content = if (rec.content == null) Array.emptyByteArray else rec.content
         md.reset()
-        val digest = md.digest(rec.content).map(b => f"${b & 0xff}%02x").mkString
-        val (fmt, w, h, c) = StubDecoder.decode(rec.content)
-        MediaMeta(rec.media_id, rec.content.length, digest, fmt, w, h, c)
+        val digest = md.digest(content).map(b => f"${b & 0xff}%02x").mkString
+        val (fmt, w, h, c) = StubDecoder.decode(content)
+        MediaMeta(rec.media_id, content.length, digest, fmt, w, h, c)
       }
     }(Encoders.product[MediaMeta]).toDF()
   }
@@ -86,13 +87,14 @@ object Multimodal {
     require(frameSize > 0 && stride > 0)
     media.mapPartitions { it =>
       it.flatMap { rec =>
-        val n = rec.content.length
+        val content = if (rec.content == null) Array.emptyByteArray else rec.content
+        val n = content.length
         val numFrames = (n + frameSize - 1) / frameSize
         (0 until numFrames by stride).iterator.map { f =>
           val start = f * frameSize
           val end = math.min(start + frameSize, n)
           var s = 0L; var i = start
-          while (i < end) { s += rec.content(i) & 0xff; i += 1 }
+          while (i < end) { s += content(i) & 0xff; i += 1 }
           Frame(rec.media_id, f, end - start, s)
         }
       }
@@ -102,7 +104,9 @@ object Multimodal {
   /** Resized record: stub nearest-neighbor "resample" of the 1-D byte
     * stream to exactly `target` bytes (out[i] = in[floor(i·len/target)]) —
     * the real thing would be a codec resize; the Spark shape (binary in,
-    * binary out, 1:1) is identical. `out_sum` checksums the bytes.
+    * binary out, 1:1 for non-empty media) is identical. `out_sum` checksums
+    * the bytes. Empty/NULL media emit NO row (nothing to resample) —
+    * consistent with the x13c oracle's `length(text) > 0` filter.
     */
   final case class Resized(media_id: Long, out_len: Int, out_sum: Long, content: Array[Byte])
 
@@ -111,17 +115,18 @@ object Multimodal {
     import spark.implicits._
     require(target > 0)
     media.mapPartitions { it =>
-      it.map { rec =>
-        val n = rec.content.length
-        if (n == 0) Resized(rec.media_id, 0, 0L, Array.emptyByteArray)
+      it.flatMap { rec =>
+        val content = if (rec.content == null) Array.emptyByteArray else rec.content
+        val n = content.length
+        if (n == 0) Iterator.empty
         else {
           val out = new Array[Byte](target)
           var s = 0L; var i = 0
           while (i < target) {
-            val b = rec.content((i.toLong * n / target).toInt)
+            val b = content((i.toLong * n / target).toInt)
             out(i) = b; s += b & 0xff; i += 1
           }
-          Resized(rec.media_id, target, s, out)
+          Iterator.single(Resized(rec.media_id, target, s, out))
         }
       }
     }(Encoders.product[Resized]).toDF()
@@ -141,13 +146,14 @@ object Multimodal {
     val shift = Integer.numberOfTrailingZeros(256 / buckets)
     media.mapPartitions { it =>
       it.map { rec =>
+        val content = if (rec.content == null) Array.emptyByteArray else rec.content
         val counts = new Array[Long](buckets)
         var i = 0
-        while (i < rec.content.length) {
-          counts((rec.content(i) & 0xff) >> shift) += 1
+        while (i < content.length) {
+          counts((content(i) & 0xff) >> shift) += 1
           i += 1
         }
-        val total = math.max(1L, rec.content.length.toLong)
+        val total = math.max(1L, content.length.toLong)
         MediaFeatures(rec.media_id, counts, counts.map(_.toDouble / total))
       }
     }(Encoders.product[MediaFeatures]).toDF()

@@ -43,23 +43,7 @@ object PipelineOrchestrator {
       case None => (sourceDf.get, sourceId.get)
     }
 
-    // Column-mapping transforms (quirk Q3 — declared-but-dead in the
-    // reference; real here): upper/lower/strip the mapped source columns.
-    val transformed = config.tables.columnMappings
-      .filter(m => m.transform.isDefined && m.endpointParam.isDefined)
-      .foldLeft(rawSource) { (df, m) =>
-        val c = col(m.sourceColumn)
-        df.withColumn(m.sourceColumn, m.transform.get match {
-          case "upper" => upper(c)
-          case "lower" => lower(c)
-          case "strip" => trim(c)
-        })
-      }
-
-    // Rename id column to the downstream contract (orchestrator.py:211-212);
-    // id values ride as strings in the request layer.
-    val source = transformed.withColumnRenamed(idColumn, "request_id")
-      .withColumn("request_id", col("request_id").cast("string"))
+    val source = prepareSource(config, rawSource, idColumn)
 
     // Sink DDL (orchestrator.py:209)
     val tables = new TableManager(spark)
@@ -76,6 +60,29 @@ object PipelineOrchestrator {
       val processor = new BatchProcessor(spark, source, config.tables.sink.identifier, config.execution)
       processor.process(handler.process)
     } finally stopRuntime()
+  }
+
+  /** Shared source preparation (batch AND streaming paths):
+    * column-mapping transforms (quirk Q3 — declared-but-dead in the
+    * reference; real here: upper/lower/strip the mapped source columns),
+    * then rename the id column to the downstream contract
+    * (orchestrator.py:211-212); id values ride as strings in the request
+    * layer.
+    */
+  def prepareSource(config: PipelineConfig, rawSource: DataFrame,
+      idColumn: String): DataFrame = {
+    val transformed = config.tables.columnMappings
+      .filter(m => m.transform.isDefined && m.endpointParam.isDefined)
+      .foldLeft(rawSource) { (df, m) =>
+        val c = col(m.sourceColumn)
+        df.withColumn(m.sourceColumn, m.transform.get match {
+          case "upper" => upper(c)
+          case "lower" => lower(c)
+          case "strip" => trim(c)
+        })
+      }
+    transformed.withColumnRenamed(idColumn, "request_id")
+      .withColumn("request_id", col("request_id").cast("string"))
   }
 
   /** Convenience: load config from a YAML/JSON file and run. */

@@ -22,9 +22,16 @@ import graft.config.PipelineConfig
   */
 object SilverLayer {
 
+  private val passthrough = Seq("request_id", "success", "status_code")
+
   /** Flatten a bronze table using an explicit DDL schema. */
   def fromBronze(bronze: DataFrame, responseSchemaDdl: String): DataFrame = {
     val schema = StructType.fromDDL(responseSchemaDdl)
+    val collisions = schema.fieldNames.filter(passthrough.contains)
+    require(collisions.isEmpty,
+      s"response_schema fields ${collisions.mkString(", ")} collide with the " +
+        s"silver passthrough columns (${passthrough.mkString(", ")}); rename " +
+        "them in the schema (the parsed value is still available under the new name)")
     bronze
       .withColumn("__parsed", from_json(col("body_text"), schema))
       .select(

@@ -1,13 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.auth.AuthStrategy
 import graft.config.PipelineConfig
 import graft.exec.WorkerResources
-import graft.orchestration.{BatchHandler, TableManager}
+import graft.orchestration.{BatchHandler, BatchProcessor, PipelineOrchestrator, TableManager}
 
 /** Streaming ingestion path (SURVEY.md §7.5): the reference is batch-only;
   * this runs the SAME request pipeline (middleware → transport → bronze
@@ -59,23 +58,22 @@ object StreamingPipeline {
     val (rpcUrl, stopRuntime) = AuthStrategy.startRuntime(config.auth, driverHost)
     val handler = new BatchHandler(config, rpcUrl, sink, tables.format)
 
-    val source = stream
-      .withColumnRenamed(sourceId, "request_id")
-      .withColumn("request_id", col("request_id").cast("string"))
+    val source = PipelineOrchestrator.prepareSource(config, stream, sourceId)
 
     val writer = source.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // foreachBatch runs in a CLONED SparkSession whose table-relation
-        // cache is independent of the outer session's. Refresh before the
-        // anti-join (the clone may have inherited a stale pre-insert file
-        // listing) and refresh the outer session after the append so
+        // cache is independent of the outer session's. Refresh before
+        // processing (the clone may have inherited a stale pre-insert file
+        // listing) and refresh the outer session after the appends so
         // callers and the next query run see the new files.
         val s = batch.sparkSession
         s.catalog.refreshTable(sink)
-        val remaining = batch.join(
-          s.table(sink).select("request_id"), Seq("request_id"), "left_anti")
-        handler.process(remaining)
+        // Identical semantics to the batch path per micro-batch: the SAME
+        // BatchProcessor does the sink anti-join, batch_size splitting,
+        // repartition(num_partitions) widening, and the driver retry loop.
+        new BatchProcessor(s, batch, sink, config.execution).process(handler.process)
         spark.catalog.refreshTable(sink)
       }
       .trigger(trigger)

@@ -192,12 +192,6 @@ object JdkHttpEngine {
     }
   }
 
-  def contextFromCaBundle(pemPath: String): SSLContext = {
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, trustManagersFromCaBundle(pemPath), new java.security.SecureRandom())
-    ctx
-  }
-
   /** X.509 certificate(s) from a PEM file/bundle. */
   def certificatesFromPem(pemPath: String): Seq[X509Certificate] = {
     val cf = java.security.cert.CertificateFactory.getInstance("X.509")
@@ -257,16 +251,4 @@ object JdkHttpEngine {
     def checkServerTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
     def getAcceptedIssuers: Array[X509Certificate] = Array.empty
   })
-
-  /** Trust-all context for `tls.verify: false` (ref: engine.py:51-60). */
-  lazy val trustAllContext: SSLContext = {
-    val tm: TrustManager = new X509TrustManager {
-      def checkClientTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
-      def checkServerTrusted(chain: Array[X509Certificate], authType: String): Unit = ()
-      def getAcceptedIssuers: Array[X509Certificate] = Array.empty
-    }
-    val ctx = SSLContext.getInstance("TLS")
-    ctx.init(null, Array(tm), new java.security.SecureRandom())
-    ctx
-  }
 }

@@ -131,6 +131,49 @@ class MiddlewareSpec extends AnyFunSuite with Matchers {
     out.metadata("retry_attempts") shouldBe 3
   }
 
+  test("retry retries retryable transport errors then succeeds (interceptors.py:37-49)") {
+    var calls = 0
+    val next: Middleware.Next = ex => {
+      calls += 1
+      if (calls < 3) Future.successful(ex.copy(
+        response = Some(TransportResponse(None,
+          error = Some("ConnectException: connection refused to host"))),
+        success = Some(false),
+        errorMessage = Some("ConnectException: connection refused to host")))
+      else okNext(200)(ex)
+    }
+    val cfg = RetryConfig(maxAttempts = 5, baseDelaySeconds = 0.01, maxDelaySeconds = 0.05)
+    val out = run(Interceptors.retry(cfg).apply(RequestExchange(ctx), next))
+    calls shouldBe 3
+    out.success shouldBe Some(true)
+  }
+
+  test("retry exhausts on persistent transport errors with the exhausted message") {
+    val next: Middleware.Next = ex => Future.successful(ex.copy(
+      response = Some(TransportResponse(None,
+        error = Some("HttpTimeoutException: request timed out"))),
+      success = Some(false)))
+    val cfg = RetryConfig(maxAttempts = 3, baseDelaySeconds = 0.01, maxDelaySeconds = 0.02)
+    val out = run(Interceptors.retry(cfg).apply(RequestExchange(ctx), next))
+    out.success shouldBe Some(false)
+    out.errorMessage.get should include("Retry attempts exhausted: HttpTimeoutException")
+    out.metadata("retry_attempts") shouldBe 3
+  }
+
+  test("retry does NOT retry non-retryable transport errors (DNS, TLS)") {
+    var calls = 0
+    val next: Middleware.Next = ex => {
+      calls += 1
+      Future.successful(ex.copy(
+        response = Some(TransportResponse(None,
+          error = Some("SSLHandshakeException: PKIX path building failed"))),
+        success = Some(false)))
+    }
+    val out = run(Interceptors.retry(RetryConfig(maxAttempts = 5)).apply(RequestExchange(ctx), next))
+    calls shouldBe 1
+    out.success shouldBe Some(false)
+  }
+
   test("retry does not retry non-retryable status (404)") {
     var calls = 0
     val next: Middleware.Next = ex => { calls += 1; okNext(404)(ex) }

@@ -7,6 +7,7 @@ Prints the first differing row per failing query so the root cause
 """
 import json, sys, glob, os
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -45,7 +46,9 @@ def main(sf_dir, out_dir):
         # dtype-class check: DuckDB HUGEINT/DECIMAL aggregates come back as
         # float64 while Spark writes int64 — "5.0" vs "5" breaks the driver's
         # value hash even when numerically equal (round-1 lesson).
-        import pandas as pd
+        # (Deliberately a second oracle execution: deriving value tuples
+        # from the pandas frame would change their Python types — Timestamp
+        # vs datetime, NaN vs None — and corrupt the exactness comparison.)
         gdf = pd.read_parquet(pq)
         wdf = con.execute(sql).df()
         kind = lambda df, c: df[c].dtype.kind  # i/u/f/O/b/M
