@@ -150,6 +150,45 @@ object Dedup {
           (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
 
+  /** Near-dup cluster canonicalization: from a pair table (doc_a, doc_b)
+    * produced by any of the pairwise detectors above, assign every doc the
+    * MINIMUM id of its connected component — the survivor each cluster
+    * keeps. Iterative min-label propagation (the standard Spark
+    * connected-components shape): each round every node adopts the
+    * smallest label among itself and its neighbors; converges in
+    * O(component diameter) rounds. `localCheckpoint` truncates lineage per
+    * round so plans stay flat at scale; near-dup components are tiny in
+    * practice (diameter ≤ 3-4), so 2-4 shuffle rounds end-to-end.
+    *
+    * Returns (doc, canonical_id, is_keeper).
+    */
+  def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).as("doc"), col(idCol).as("canonical"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val viaEdges = edges.join(labels, edges("src") === labels("doc"))
+        .select(edges("dst").as("doc"), col("canonical"))
+      val next = labels.union(viaEdges)
+        .groupBy("doc").agg(min("canonical").as("canonical"))
+        .localCheckpoint()
+      converged = next.as("n")
+        .join(labels.as("o"), "doc")
+        .filter(col("n.canonical") =!= col("o.canonical"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc"), col("canonical").as("canonical_id"),
+      (col("doc") === col("canonical")).as("is_keeper"))
+  }
+
   /** SimHash near-dup detection with banded Hamming search.
     *
     * 48-bit simhash per doc (48 keeps the signature positive in a BIGINT):

@@ -34,7 +34,10 @@ object ExtensionQueries {
 
   // ---- dedup ----
 
-  private val minHashOracle: String = {
+  /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend
+    * WITH or WITH RECURSIVE); ends with `res(doc_a, doc_b, common, size_a,
+    * size_b, jac)`. */
+  private val minHashPairsBody: String = {
     val numHashes = 16; val bands = 4; val r = numHashes / bands
     val minhashExprs = (0 until numHashes).map(i =>
       s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
@@ -43,7 +46,7 @@ object ExtensionQueries {
       val parts = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
       s"  SELECT doc, $b AS band, concat_ws('_', $parts) AS sig FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH ${dkShingles(3)},
+    s"""${dkShingles(3)},
        |sig AS (SELECT doc,
        |    $minhashExprs
        |  FROM hs GROUP BY doc),
@@ -58,10 +61,27 @@ object ExtensionQueries {
        |  GROUP BY 1, 2),
        |res AS (SELECT com.doc_a, com.doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
        |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jac
-       |  FROM com JOIN sizes sa ON com.doc_a = sa.doc JOIN sizes sb ON com.doc_b = sb.doc)
+       |  FROM com JOIN sizes sa ON com.doc_a = sa.doc JOIN sizes sb ON com.doc_b = sb.doc)""".stripMargin
+  }
+
+  private val minHashOracle: String =
+    s"""WITH $minHashPairsBody
        |SELECT doc_a, doc_b, common, size_a, size_b, floor(jac*1000000)::BIGINT AS jaccard_x1m
        |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
-  }
+
+  /** Canonicalization oracle: the same pair table, closed transitively with
+    * a recursive CTE; canonical id = min reachable doc id. */
+  private val canonicalizeOracle: String =
+    s"""WITH RECURSIVE $minHashPairsBody,
+       |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc, doc FROM toks
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc, min(b) AS canonical_id, (min(b) = a) AS is_keeper
+       |FROM reach GROUP BY a ORDER BY doc""".stripMargin
 
   private val simHashOracle: String = {
     val bits = Dedup.SimHashBits; val chunks = 4; val chunkBits = bits / chunks
@@ -484,6 +504,19 @@ object ExtensionQueries {
         .orderBy("user_id"),
       Some("""SELECT user_id, count(*) AS events
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Near-dup canonicalization: minhash pairs → connected components via
+    // min-label propagation; each doc maps to its cluster's minimum id.
+    // The oracle closes the same pair table with a recursive CTE.
+    QueryDef("x19_dedup_canonicalize",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        Dedup.canonicalize(docs, "doc_id", pairs).orderBy("doc")
+      },
+      Some(canonicalizeOracle)),
 
     // Salted skew join (8-way salt on l_suppkey): result must be IDENTICAL
     // to the plain join — the oracle is the unsalted SQL.

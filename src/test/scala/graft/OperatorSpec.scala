@@ -106,6 +106,19 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.map(_.getLong(2)).toSeq shouldBe Seq(1L)
   }
 
+  test("canonicalize assigns min id per connected component, even via chains") {
+    import spark.implicits._
+    // components: {1,2,3} (chain 1-2, 2-3), {5,6}, isolated {4}
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.canonicalize(ids, "doc_id", pairs)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 5L, true), (6L, 5L, false))
+  }
+
   test("IVF ANN probes only the nearest cells") {
     import spark.implicits._
     // Centroids (nlist=2) are vectors 0 and 1: cell 0 ≈ x-axis, cell 1 ≈
