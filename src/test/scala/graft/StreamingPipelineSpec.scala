@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.matchers.should.Matchers
 
 import graft.config._
@@ -63,5 +65,47 @@ class StreamingPipelineSpec extends SparkSpec with Matchers {
       // every row actually went through the HTTP stage
       after.filter("success = true AND status_code = 200").count() shouldBe 60
     } finally server.stop()
+  }
+
+  test("watermark state survives restart and drops late rows (append mode)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft-wm-src").resolve("in").toString
+    val ckpt = Files.createTempDirectory("graft-wm-ckpt").toString
+
+    def ts(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $m:00")
+    def write(rows: Seq[(String, java.sql.Timestamp)]): Unit =
+      rows.toDF("user", "ts").coalesce(1).write.mode("append").parquet(src)
+
+    // file sink: supports checkpoint recovery (memory sink does not)
+    val outDir = Files.createTempDirectory("graft-wm-out").resolve("agg").toString
+    def run(): Unit = {
+      val st = spark.readStream.schema("user STRING, ts TIMESTAMP").parquet(src)
+      val agg = st.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "10 minutes"), col("user"))
+        .agg(count(lit(1)).as("events"))
+        .select(date_format(col("window.start"), "HH:mm").as("wstart"),
+          col("user"), col("events"))
+      val q = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .option("path", outDir)
+        .trigger(Trigger.AvailableNow()).format("parquet").start()
+      q.awaitTermination()
+    }
+
+    // Run 1: three events in W1 [00:00, 00:10) plus one at 01:00 that
+    // advances the watermark to 00:50 at batch end (checkpointed).
+    write(Seq(("u", ts("00:01")), ("u", ts("00:02")), ("u", ts("00:03")),
+      ("u", ts("01:00"))))
+    run()
+
+    // Run 2 (restart from the same checkpoint): a LATE W1 event at 00:04 —
+    // behind the persisted 00:50 watermark — must be dropped; W1 finalizes
+    // and emits with the original 3 events only.
+    write(Seq(("u", ts("00:04")), ("u", ts("01:05"))))
+    run()
+
+    val emitted = spark.read.parquet(outDir)
+      .select("wstart", "events").as[(String, Long)].collect().toMap
+    emitted("00:00") shouldBe 3L // late 00:04 row dropped by the watermark
   }
 }
