@@ -59,6 +59,27 @@ object TextAnalysis {
       size(array_distinct(tokens(t))).as("distinct_words"))
   }
 
+  /** Composite quality gate — the canonical training-data keep/drop
+    * decision: length bounds, minimum word count, digit/punctuation ratio
+    * caps. All thresholds integer-percent so the decision is exact in any
+    * engine. Returns the metrics plus ratio columns and the `keep` flag;
+    * callers filter on `keep` (kept separate so drop REASONS stay
+    * inspectable — the thing a curation pipeline audits).
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 50, maxChars: Int = 100000, minWords: Int = 5,
+      maxDigitRatioPct: Int = 30, maxPunctRatioPct: Int = 20): DataFrame =
+    qualityScore(df, idCol, textCol)
+      .withColumn("digit_ratio_pct",
+        expr("div(100 * digits, greatest(chars, 1))"))
+      .withColumn("punct_ratio_pct",
+        expr("div(100 * punct, greatest(chars, 1))"))
+      .withColumn("keep",
+        col("chars") >= minChars && col("chars") <= maxChars &&
+          col("words") >= minWords &&
+          col("digit_ratio_pct") <= maxDigitRatioPct &&
+          col("punct_ratio_pct") <= maxPunctRatioPct)
+
   /** Token counts: whitespace tokens and a BPE-ish lexer regex
     * (letter runs | digit runs | single non-alnum), plus chars-per-token
     * ×100 — the usual tokens≈chars/4 estimator, exact integer math.

@@ -357,6 +357,27 @@ object ExtensionQueries {
              |  len(list_distinct(string_split_regex(lower(text), '\s+'))) AS distinct_words
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Composite quality gate (keep/drop + inspectable reasons) — the
+    // training-data curation filter, exact integer thresholds.
+    QueryDef("x10b_text_quality_filter",
+      (s, d) => TextAnalysis.qualityFilter(tbl(s, d, "documents"), "doc_id", "text",
+        minChars = 60, maxChars = 100000, minWords = 8,
+        maxDigitRatioPct = 10, maxPunctRatioPct = 5)
+        .select("doc_id", "chars", "words", "digit_ratio_pct", "punct_ratio_pct", "keep")
+        .orderBy("doc_id"),
+      Some("""WITH m AS (SELECT doc_id, length(text) AS chars,
+             |    len(string_split_regex(lower(text), '\s+')) AS words,
+             |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+             |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct
+             |  FROM documents)
+             |SELECT doc_id, chars, words,
+             |  (100 * digits) // greatest(chars, 1) AS digit_ratio_pct,
+             |  (100 * punct) // greatest(chars, 1) AS punct_ratio_pct,
+             |  (chars >= 60 AND chars <= 100000 AND words >= 8
+             |    AND (100 * digits) // greatest(chars, 1) <= 10
+             |    AND (100 * punct) // greatest(chars, 1) <= 5) AS keep
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     // Token counting: whitespace + BPE-ish lexer regex.
     QueryDef("x11_text_tokencount",
       (s, d) => TextAnalysis.tokenCounts(tbl(s, d, "documents"), "doc_id", "text")
