@@ -241,9 +241,27 @@ object Dedup {
     * IEEE arithmetic, reproducible in the DuckDB oracle.
     */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
-      blockCol: String, threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(vecCol).cast("array<double>").as("vec"))
+      blockCol: String, threshold: Double): DataFrame =
+    embeddingCosineBlocked(
+      df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        col(vecCol).cast("array<double>").as("vec")),
+      threshold)
+
+  /** Scale path for embedding near-dup: block on the sign-LSH bucket of
+    * the vector itself (Similarity.signBucket) instead of a label column —
+    * no metadata needed, candidate pairs shrink ~2^bits×, recall < 1 by
+    * construction (near-dup vectors agree on most sign bits).
+    */
+  def embeddingCosineLsh(df: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 8, threshold: Double = 0.9): DataFrame = {
+    val vec = col(vecCol).cast("array<double>")
+    embeddingCosineBlocked(
+      df.select(col(idCol).as("id"),
+        Similarity.signBucket(vec, bits).as("blk"), vec.as("vec")),
+      threshold)
+  }
+
+  private def embeddingCosineBlocked(v: DataFrame, threshold: Double): DataFrame = {
     val paired = v.as("l").join(v.as("r"),
       col("l.blk") === col("r.blk") && col("l.id") < col("r.id"))
     paired.select(

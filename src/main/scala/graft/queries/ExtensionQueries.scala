@@ -218,6 +218,29 @@ object ExtensionQueries {
              |SELECT id_a, id_b, floor(cosine*1000000)::BIGINT AS cosine_x1m
              |FROM p WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Embedding near-dup with sign-LSH blocking (the metadata-free scale
+    // path for x06): pairs compared only within the same 8-bit sign bucket.
+    QueryDef("x06b_dedup_embedding_lsh",
+      (s, d) => Dedup.embeddingCosineLsh(tbl(s, d, "embeddings"), "vec_id", "embedding",
+        bits = 8, threshold = 0.3)
+        .select(col("id_a"), col("id_b"),
+          floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |b AS (SELECT vec_id, vec,
+             |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END) +
+             |    (CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END) +
+             |    (CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END)
+             |      AS blk
+             |  FROM v),
+             |p AS (SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+             |    ${dkCosine("l.vec", "r.vec")} AS cosine
+             |  FROM b l JOIN b r ON l.blk = r.blk AND l.vec_id < r.vec_id)
+             |SELECT id_a, id_b, floor(cosine*1000000)::BIGINT AS cosine_x1m
+             |FROM p WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
     // Brute-force cosine top-5 for the first 10 vectors (exact ANN
     // baseline).
     QueryDef("x07_ann_bruteforce",
