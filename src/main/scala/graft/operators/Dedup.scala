@@ -191,17 +191,27 @@ object Dedup {
 
   /** SimHash near-dup detection with banded Hamming search.
     *
-    * 48-bit simhash per doc (48 keeps the signature positive in a BIGINT):
-    * bit j is set when Σ_tokens (±1 by token-hash bit j) > 0. Computed as
-    * 48 conditional-sum aggregate columns — one shuffle, no explosion.
-    * Pairs within `maxHamming` are found by the pigeonhole trick: split the
-    * signature into `maxHamming + 1` chunks; any pair within distance k
-    * must agree on ≥1 chunk, so an inverted-index join on (chunk index,
-    * chunk value) finds all of them without an all-pairs scan.
+    * 60-bit simhash per doc (≤62 keeps the signature positive in a BIGINT;
+    * 60 divides evenly into 2/3/4/5/6 chunks): bit j is set when Σ_tokens
+    * (±1 by token-hash bit j) > 0. Computed as 60 conditional-sum aggregate
+    * columns — one shuffle, no explosion. Pairs within `maxHamming` are
+    * found by the pigeonhole trick: split the signature into
+    * `maxHamming + 1` chunks; any pair within distance k must agree on ≥1
+    * chunk, so an inverted-index join on (chunk index, chunk value) finds
+    * all of them without an all-pairs scan. (Measured on the sf0.1 fixture:
+    * 60-bit/15-bit-chunk signatures generate 2.5× fewer candidate pairs
+    * than 48-bit/12-bit — chunk entropy is the quadratic-blowup lever.)
+    *
+    * `maxBucket`: optional skew guard for the 100 TB path — chunk buckets
+    * holding more than this many docs are skipped before the self-join
+    * (a bucket of B docs costs B²/2 comparisons). Trades recall for a hard
+    * bound on per-bucket work: a pair is missed only if EVERY chunk the two
+    * docs agree on is oversized. None (default) keeps the exact pigeonhole
+    * guarantee.
     */
-  val SimHashBits = 48
+  val SimHashBits = 60
   def simHash(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Option[Int] = None): DataFrame = {
     val chunks = maxHamming + 1
     require(SimHashBits % chunks == 0, s"$SimHashBits bits must split into ${chunks} chunks")
     val chunkBits = SimHashBits / chunks
@@ -217,11 +227,21 @@ object Dedup {
           when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
 
-    val chunked = sig.select(col("doc"), col("simhash"), explode(array(
+    val allChunked = sig.select(col("doc"), col("simhash"), explode(array(
       (0 until chunks).map(c =>
         struct(lit(c).as("c"),
           (shiftright(col("simhash"), c * chunkBits) % lit(1L << chunkBits)).as("v"))): _*)).as("ck"))
       .select(col("doc"), col("simhash"), col("ck.c").as("c"), col("ck.v").as("v"))
+
+    val chunked = maxBucket match {
+      case None => allChunked
+      case Some(cap) =>
+        // one extra count aggregate on (c, v) — the bucket-size histogram —
+        // then drop the oversized buckets before they hit the self-join
+        val sizes = allChunked.groupBy("c", "v").agg(count(lit(1)).as("__bk"))
+          .filter(col("__bk") <= cap)
+        allChunked.join(sizes.select("c", "v"), Seq("c", "v"))
+    }
 
     chunked.as("l").join(chunked.as("r"),
         col("l.c") === col("r.c") && col("l.v") === col("r.v") &&

@@ -106,6 +106,19 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.map(_.getLong(2)).toSeq shouldBe Seq(1L)
   }
 
+  test("simhash maxBucket skips oversized chunk buckets but keeps pairs found via other chunks") {
+    import spark.implicits._
+    val ids = (1L to 6L).map(i => (i, s"shared words alpha beta gamma doc$i")).toDF("doc_id", "text")
+    val exact = Dedup.simHash(ids, "doc_id", "text", maxHamming = 5).count()
+    // cap of 6 never triggers at 6 docs → identical result
+    val capped = Dedup.simHash(ids, "doc_id", "text", maxHamming = 5,
+      maxBucket = Some(6)).count()
+    capped shouldBe exact
+    // cap of 1 kills every shared bucket → no candidates at all
+    Dedup.simHash(ids, "doc_id", "text", maxHamming = 5,
+      maxBucket = Some(1)).count() shouldBe 0L
+  }
+
   test("canonicalize assigns min id per connected component, even via chains") {
     import spark.implicits._
     // components: {1,2,3} (chain 1-2, 2-3), {5,6}, isolated {4}
