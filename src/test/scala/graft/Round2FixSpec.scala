@@ -83,6 +83,19 @@ class Round2FixSpec extends SparkSpec {
     assert(silver(1).isNullAt(3))
   }
 
+  test("CLI source reader infers format from the extension") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-fmt")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    df.write.option("header", "true").csv(s"$dir/s.csv"); df.write.json(s"$dir/s.json")
+    df.write.orc(s"$dir/s.orc"); df.write.parquet(s"$dir/s.parquet")
+    for (ext <- Seq("csv", "json", "orc", "parquet")) {
+      val back = RunPipelineCli.readSource(spark, s"$dir/s.$ext")
+      assert(back.count() == 2, ext)
+      assert(back.columns.toSet == Set("id", "v"), ext)
+    }
+  }
+
   test("murmur3 batchId covers [0, n) after pmod (quirk Q8)") {
     import spark.implicits._
     val df = (1 to 1000).map(_.toString).toDF("request_id")
