@@ -40,6 +40,58 @@ class PropertySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("property: portable batch assignment lands every id in exactly one batch 0..n-1") {
+    import org.apache.spark.sql.functions._
+    samples(Gen.zip(Gen.chooseNum(1, 16), Gen.chooseNum(10, 100)), 6).foreach {
+      case (n, rows) =>
+        val df = spark.range(rows).select(col("id").cast("string").as("request_id"))
+          .withColumn("batch_id",
+            graft.orchestration.BatchProcessor.portableBatchId(col("request_id"), n))
+        val stats = df.agg(
+          min("batch_id").as("mn"), max("batch_id").as("mx"), count(lit(1)).as("cnt")).first()
+        stats.getAs[Long]("mn") should be >= 0L
+        stats.getAs[Long]("mx") should be < n.toLong
+        stats.getAs[Long]("cnt") shouldBe rows.toLong
+    }
+  }
+
+  test("property: frame sampling at stride 1 covers every byte exactly once") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    samples(Gen.zip(Gen.alphaNumStr.suchThat(_.nonEmpty), Gen.chooseNum(1, 16)), 20)
+      .foreach { case (text, frameSize) =>
+        val media = Seq((1L, text)).toDF("doc_id", "text")
+        val frames = Multimodal.sampleFrames(spark,
+          Multimodal.mediaFromDocuments(spark, media), frameSize, stride = 1)
+        val (lenSum, byteSum) = frames
+          .agg(org.apache.spark.sql.functions.sum("frame_len"),
+            org.apache.spark.sql.functions.sum("frame_sum"))
+          .as[(Long, Long)].first()
+        lenSum shouldBe text.getBytes("UTF-8").length.toLong
+        byteSum shouldBe text.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum
+      }
+  }
+
+  test("property: canonicalize is idempotent and never increases ids") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(6,
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))).map(_.filter(p => p._1 != p._2))
+    samples(edgeGen, 6).foreach { edges =>
+      val ids = (1L to 12L).toDF("doc_id")
+      val pairs = (if (edges.isEmpty) Seq((1L, 1L)).filter(_ => false) else edges)
+        .toDF("doc_a", "doc_b")
+      val out = graft.operators.Dedup.canonicalize(ids, "doc_id", pairs)
+      out.count() shouldBe 12L
+      out.filter($"canonical_id" > $"doc").count() shouldBe 0L
+      // every canonical id is itself a keeper (representatives are fixed points)
+      val canonSet = out.select($"canonical_id").distinct()
+        .as[Long].collect().toSet
+      val keeperSet = out.filter($"is_keeper").select($"doc")
+        .as[Long].collect().toSet
+      canonSet shouldBe keeperSet
+    }
+  }
+
   test("property: env preprocessing substitutes every defined {{env.X}} and leaves no markers") {
     val ident = Gen.identifier.suchThat(s => s.nonEmpty && s.head.isLetter)
     samples(Gen.zip(ident, Gen.alphaNumStr), 200).foreach { case (name, value) =>
