@@ -85,6 +85,144 @@ object AnalyticsQueries {
         .orderBy("event_type"),
       Some("""SELECT event_type, count(*) AS events, count(DISTINCT user_id) AS users,
              |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Hierarchical rollup (nation → market segment → grand total): one
+    // Expand + single aggregation shuffle; subtotal grouping-key NULLs are
+    // coalesced to 'ALL' so the sort is engine-portable (Spark sorts NULLs
+    // first, DuckDB last).
+    // Via the spark.sql surface: Spark 4.1's DetectAmbiguousSelfJoin
+    // misfires on Column-based references above a rollup's Expand (the
+    // grouping attrs appear twice with one plan id), so this query runs as
+    // SQL where every reference resolves by name.
+    QueryDef("b05_rollup_revenue",
+      (s, d) => {
+        tbl(s, d, "orders").createOrReplaceTempView("b05_orders")
+        tbl(s, d, "customer").createOrReplaceTempView("b05_customer")
+        tbl(s, d, "nation").createOrReplaceTempView("b05_nation")
+        s.sql("""SELECT /*+ BROADCAST(b05_customer), BROADCAST(b05_nation) */
+                |  coalesce(n_name, 'ALL') AS nation, coalesce(c_mktsegment, 'ALL') AS segment,
+                |  count(*) AS orders,
+                |  sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+                |FROM b05_orders JOIN b05_customer ON o_custkey = c_custkey
+                |JOIN b05_nation ON c_nationkey = n_nationkey
+                |GROUP BY ROLLUP(n_name, c_mktsegment)
+                |ORDER BY nation, segment""".stripMargin)
+      },
+      Some("""SELECT coalesce(n_name, 'ALL') AS nation, coalesce(c_mktsegment, 'ALL') AS segment,
+             |  count(*) AS orders, sum((floor(o_totalprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY ROLLUP(n_name, c_mktsegment) ORDER BY nation, segment""".stripMargin)),
+
+    // Set operations: customer cohorts by order year — INTERSECT (active
+    // both years) and EXCEPT (churned / new). Distinct-set semantics on
+    // both engines; each op is one hash-partitioned shuffle on the key.
+    QueryDef("b06_setops_cohorts",
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        def active(y: Int) =
+          o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
+        val y96 = active(1996)
+        val y97 = active(1997)
+        y96.intersect(y97).select(lit("both").as("cohort"), col("o_custkey"))
+          .unionByName(y96.except(y97).select(lit("only_1996").as("cohort"), col("o_custkey")))
+          .unionByName(y97.except(y96).select(lit("only_1997").as("cohort"), col("o_custkey")))
+          .orderBy("cohort", "o_custkey")
+      },
+      Some("""WITH y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+             |y97 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+             |SELECT 'both' AS cohort, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+             |UNION ALL SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+             |UNION ALL SELECT 'only_1997', o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+             |ORDER BY cohort, o_custkey""".stripMargin)),
+
+    // Semi join (EXISTS): parts with at least one bulk line item. left_semi
+    // keeps the probe side unduplicated — no fan-out, one shuffle (or
+    // broadcast of the filtered build side under AQE).
+    QueryDef("b07_semijoin_exists",
+      (s, d) => tbl(s, d, "part")
+        .join(tbl(s, d, "lineitem").filter(col("l_quantity") >= 45),
+          col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand").agg(count(lit(1)).as("parts"))
+        .orderBy("p_brand"),
+      Some("""SELECT p_brand, count(*)::BIGINT AS parts
+             |FROM part WHERE EXISTS (SELECT 1 FROM lineitem
+             |  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Scalar-function sampler: date parts, string ops, conditionals, and
+    // integer arithmetic — the cross-engine-portable core of the scalar
+    // library, all inside one whole-stage-codegen projection.
+    QueryDef("b08_scalar_functions",
+      (s, d) => tbl(s, d, "orders").filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          substring(col("o_orderpriority"), 1, 1).as("prio1"),
+          upper(col("o_orderstatus")).as("status_u"),
+          length(col("o_orderpriority")).as("prio_len"),
+          concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("tag"),
+          expr("coalesce(nullif(o_orderstatus, 'O'), 'OPEN')").as("status_coal"),
+          when(col("o_totalprice") >= 200000, "high")
+            .when(col("o_totalprice") >= 50000, "mid")
+            .otherwise("low").as("bucket"),
+          abs(col("o_custkey") - 1000).as("absdiff"),
+          ((col("o_orderkey") * 31 + 7) % 1000).as("mixmod"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+             |  day(o_orderdate)::INT AS dom, substr(o_orderpriority, 1, 1) AS prio1,
+             |  upper(o_orderstatus) AS status_u, length(o_orderpriority)::INT AS prio_len,
+             |  concat(o_orderstatus, '-', o_orderpriority) AS tag,
+             |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_coal,
+             |  CASE WHEN o_totalprice >= 200000 THEN 'high'
+             |       WHEN o_totalprice >= 50000 THEN 'mid' ELSE 'low' END AS bucket,
+             |  abs(o_custkey - 1000) AS absdiff, (o_orderkey * 31 + 7) % 1000 AS mixmod
+             |FROM orders WHERE o_orderkey % 97 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // TPC-H Q3 shape (shipping priority): selective dimension filter →
+    // two joins → group → global top-10 with full tie-break, so LIMIT is
+    // deterministic. TakeOrderedAndProject keeps the top-k merge on the
+    // driver O(k), not a full sort.
+    QueryDef("b09_tpch_q3_topk",
+      (s, d) => tbl(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(tbl(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1997-03-15").cast("timestamp"))
+        .join(tbl(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > lit("1997-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_cents"))
+        .select(col("l_orderkey"), col("revenue_cents"), col("o_orderdate"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10),
+      Some("""SELECT l_orderkey,
+             |  sum((floor(l_extendedprice*(1-l_discount)*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents,
+             |  o_orderdate
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-03-15'
+             |  AND l_shipdate > TIMESTAMP '1997-03-15'
+             |GROUP BY l_orderkey, o_orderdate
+             |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)),
+
+    // Exact linear-interpolation quantiles (p25/p50/p75) over integer
+    // cents: both engines interpolate lower + frac*(higher-lower) with
+    // frac ∈ {0, .25, .5, .75} — exact in binary doubles for integer
+    // inputs, so the result hash-matches. (The approximate scale path is
+    // percentile_approx/t-digest — same plan shape, no cross-engine twin.)
+    QueryDef("b10_quantiles",
+      (s, d) => QueryDef.events(s, d)
+        .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy("event_type")
+        .agg(expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.75)").as("p75"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  quantile_cont((floor(value*100 + 0.5))::BIGINT, 0.25) AS p25,
+             |  quantile_cont((floor(value*100 + 0.5))::BIGINT, 0.5) AS p50,
+             |  quantile_cont((floor(value*100 + 0.5))::BIGINT, 0.75) AS p75
              |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 }

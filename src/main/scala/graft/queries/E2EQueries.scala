@@ -205,6 +205,32 @@ object E2EQueries {
              |  2 AS attempts,
              |  'Retry attempts exhausted (HTTP 500) after 2 attempts' AS error_message,
              |  '{"error":"boom"}' AS body_text
-             |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY request_id""".stripMargin))
+             |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY request_id""".stripMargin)),
+
+    // DataSource V2 read path: the same ingestion capability as
+    // spark.read.format("graft-http") — id-range partitions, bounded
+    // per-partition concurrency, pruned bronze columns. localCheckpoint
+    // materializes eagerly so the mock server can stop before the driver
+    // consumes the result.
+    QueryDef("e09_dsv2_http",
+      (s, d) => {
+        val server = new MockApiServer().start()
+        try {
+          s.read.format("graft-http")
+            .option("url", s"${server.baseUrl}/api/data")
+            .option("id_start", 1).option("id_end", 2001)
+            .option("num_partitions", s.sparkContext.defaultParallelism)
+            .option("concurrency", 16)
+            .load()
+            .select(col("request_id"), urlPath.as("url_path"), col("method"),
+              col("status_code"), col("success"), col("attempts"), col("body_text"))
+            .orderBy("request_id")
+            .localCheckpoint(true)
+        } finally server.stop()
+      },
+      Some("""SELECT i::VARCHAR AS request_id, '/api/data' AS url_path, 'GET' AS method,
+             |  200 AS status_code, true AS success, 1 AS attempts,
+             |  '{"id":"'||i||'","customer":"","status":"ok"}' AS body_text
+             |FROM range(1, 2001) t(i) ORDER BY request_id""".stripMargin))
   )
 }

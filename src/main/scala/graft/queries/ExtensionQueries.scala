@@ -577,6 +577,18 @@ object ExtensionQueries {
       Some("""SELECT s_name, count(*) AS items,
              |  sum((floor(l_extendedprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-             |GROUP BY 1 ORDER BY s_name""".stripMargin))
+             |GROUP BY 1 ORDER BY s_name""".stripMargin)),
+
+    // Streaming deduplication: dropDuplicatesWithinWatermark over the event
+    // stream, projected to the dedup key — the streaming twin of x01.
+    // State is bounded by the watermark horizon; the oracle is batch
+    // DISTINCT over the same keys.
+    QueryDef("x20_stream_dedup",
+      (s, d) => StreamOps.streamingDedup(s, s"$d/events.parquet",
+        keyCols = Seq("user_id", "event_type"),
+        queryName = s"stream_dedup_${System.nanoTime()}")
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT DISTINCT user_id, event_type FROM events
+             |ORDER BY user_id, event_type""".stripMargin))
   )
 }

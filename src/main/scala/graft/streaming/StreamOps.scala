@@ -75,6 +75,44 @@ object StreamOps {
         date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
         col("events"), col("sum_cents"))
 
+  /** Streaming deduplication: dropDuplicates on a key within a watermark —
+    * the streaming twin of the batch exact-dedup operator. State holds one
+    * entry per distinct key seen inside the watermark horizon; keys older
+    * than the watermark are evicted, which is what makes the operator safe
+    * on an unbounded stream (without the watermark, state grows forever).
+    * Output is append-mode (each key emitted exactly once), projected to
+    * the key columns so the result is deterministic regardless of which
+    * physical row survived.
+    */
+  def streamingDedup(spark: SparkSession, eventsPath: String,
+      keyCols: Seq[String], queryName: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val src = java.nio.file.Paths.get(eventsPath)
+    val streamDir =
+      if (java.nio.file.Files.isDirectory(src)) eventsPath
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+        java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+        dir.toString
+      }
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    val stream =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val deduped = stream
+      .withWatermark("ts", "30 days")
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(keyCols.map(col): _*)
+    val q = deduped.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter (the canonical "custom state machine"
     * shape — anything not expressible as a windowed agg goes here). Update

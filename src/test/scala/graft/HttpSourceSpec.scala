@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.matchers.should.Matchers
+
+import graft.testkit.MockApiServer
+
+/** DataSource V2 `graft-http` source: short-name registration, id-range
+  * partitioning, bronze rows, and reader-side column pruning.
+  */
+class HttpSourceSpec extends SparkSpec with Matchers {
+
+  test("format(graft-http) reads one bronze row per id in [start, end)") {
+    val server = new MockApiServer().start()
+    try {
+      val df = spark.read.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/data")
+        .option("id_start", 5).option("id_end", 55)
+        .option("num_partitions", 4)
+        .option("concurrency", 8)
+        .load()
+      val rows = df.select("request_id", "status_code", "success", "body_text").collect()
+      rows.length shouldBe 50
+      rows.map(_.getString(0)).toSet shouldBe (5 until 55).map(_.toString).toSet
+      all(rows.map(_.getInt(1))) shouldBe 200
+      all(rows.map(_.getBoolean(2))) shouldBe true
+      rows.find(_.getString(0) == "7").get.getString(3) shouldBe
+        """{"id":"7","customer":"","status":"ok"}"""
+    } finally server.stop()
+  }
+
+  test("column pruning reaches the scan (ReadSchema carries only selected columns)") {
+    val server = new MockApiServer().start()
+    try {
+      val df = spark.read.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/data")
+        .option("id_start", 0).option("id_end", 10)
+        .load()
+        .select("status_code")
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      plan should include("graft-http")
+      plan should include("status_code")
+      (plan should not).include("body_text")
+      df.collect().length shouldBe 10
+    } finally server.stop()
+  }
+
+  test("empty range plans at least one partition and returns zero rows") {
+    val server = new MockApiServer().start()
+    try {
+      val df = spark.read.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/data")
+        .option("id_start", 9).option("id_end", 9)
+        .load()
+      df.count() shouldBe 0L
+    } finally server.stop()
+  }
+
+  test("retry_attempts option wires the retry interceptor (flaky endpoint recovers)") {
+    val server = new MockApiServer().start()
+    try {
+      val rows = spark.read.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/flaky")
+        .option("id_start", 1).option("id_end", 6)
+        .option("retry_attempts", 3)
+        .load()
+        .select("request_id", "status_code", "attempts").collect()
+      rows.length shouldBe 5
+      all(rows.map(_.getInt(1))) shouldBe 200
+      all(rows.map(_.getInt(2))) shouldBe 2
+    } finally server.stop()
+  }
+}
