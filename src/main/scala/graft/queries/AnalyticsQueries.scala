@@ -223,6 +223,30 @@ object AnalyticsQueries {
              |  quantile_cont((floor(value*100 + 0.5))::BIGINT, 0.25) AS p25,
              |  quantile_cont((floor(value*100 + 0.5))::BIGINT, 0.5) AS p50,
              |  quantile_cont((floor(value*100 + 0.5))::BIGINT, 0.75) AS p75
-             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Running window frames: per-customer cumulative revenue + previous
+    // order (lag) — one shuffle on the partition key, frames evaluated in
+    // a single pass over each sorted partition.
+    QueryDef("b11_window_running",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        tbl(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            cents(col("o_totalprice")).as("price_cents"))
+          .withColumn("running_cents",
+            sum("price_cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("prev_orderkey", lag("o_orderkey", 1).over(w))
+          .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             |  (floor(o_totalprice*100 + 0.5))::BIGINT AS price_cents,
+             |  (sum((floor(o_totalprice*100 + 0.5))::BIGINT) OVER w)::BIGINT AS running_cents,
+             |  lag(o_orderkey, 1) OVER w AS prev_orderkey
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
   )
 }

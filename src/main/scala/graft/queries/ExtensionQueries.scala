@@ -589,6 +589,28 @@ object ExtensionQueries {
         queryName = s"stream_dedup_${System.nanoTime()}")
         .orderBy("user_id", "event_type"),
       Some("""SELECT DISTINCT user_id, event_type FROM events
-             |ORDER BY user_id, event_type""".stripMargin))
+             |ORDER BY user_id, event_type""".stripMargin)),
+
+    // Custom typed Aggregator: bounded-memory top-k per group (k-capped
+    // merge state + map-side partial agg — the 100 TB path where a window
+    // row_number would sort entire groups). Oracle = the window formulation.
+    QueryDef("x22_topk_aggregator",
+      (s, d) => {
+        val topk = graft.functions.TopKAggregator.topK(5)
+        QueryDef.events(s, d)
+          .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+          .groupBy("event_type")
+          .agg(topk(col("event_id"), col("v")).as("top"))
+          .select(col("event_type"), posexplode(col("top")))
+          .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+            col("col._1").as("event_id"), col("col._2").as("value_cents"))
+          .orderBy("event_type", "rank")
+      },
+      Some("""SELECT event_type, rank, event_id, value_cents FROM (
+             |  SELECT event_type, event_id, (floor(value*100 + 0.5))::BIGINT AS value_cents,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY (floor(value*100 + 0.5))::BIGINT DESC, event_id)::INT AS rank
+             |  FROM events)
+             |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin))
   )
 }
