@@ -20,7 +20,12 @@ final class BatchHandler(cfg: PipelineConfig, rpcUrl: Option[String], sinkIdenti
     val bronze = batchDf.mapPartitions(fn)(Encoders.row(BronzeSchema.schema))
     // Sink mode is handled at table-create time (overwrite = CREATE OR
     // REPLACE); per-batch writes are always appends (batch_handler.py:47).
-    bronze.write.format(format.toLowerCase).mode("append").insertInto(sinkIdentifier)
+    // insertInto matches by POSITION, and a partitioned table's catalog
+    // schema moves partition columns last — align to the table's own
+    // column order so PARTITIONED BY sinks don't mis-bind columns.
+    val tableOrder = batchDf.sparkSession.table(sinkIdentifier).schema.fieldNames
+    bronze.select(tableOrder.map(col(_)).toSeq: _*)
+      .write.format(format.toLowerCase).mode("append").insertInto(sinkIdentifier)
   }
 }
 

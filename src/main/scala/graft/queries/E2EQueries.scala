@@ -231,6 +231,46 @@ object E2EQueries {
       Some("""SELECT i::VARCHAR AS request_id, '/api/data' AS url_path, 'GET' AS method,
              |  200 AS status_code, true AS success, 1 AS attempts,
              |  '{"id":"'||i||'","customer":"","status":"ok"}' AS body_text
-             |FROM range(1, 2001) t(i) ORDER BY request_id""".stripMargin))
+             |FROM range(1, 2001) t(i) ORDER BY request_id""".stripMargin)),
+
+    // Partitioned bronze sink: PARTITIONED BY (status_code) DDL + two
+    // appends with different outcomes (200 vs 404) land in separate
+    // partition directories; also pins the Q11 success layering — transport
+    // sets success = status<500, json_body only UPGRADES (<400), so a 404
+    // stays success=true exactly like the reference (executor.py:58-62,
+    // interceptors.py:157-158).
+    QueryDef("e10_partitioned_sink", (s, d) => {
+      val server = new MockApiServer().start()
+      try {
+        def cfgFor(path: String, mode: String) = PipelineConfig(
+          endpoint = EndpointConfig("verify", server.baseUrl, path),
+          auth = NoAuth, middleware = Seq(JsonBodyConfig),
+          tables = TablesConfig(None,
+            SinkTableConfig("e10_part", "graft_verify", mode = mode,
+              partitionBy = Seq("status_code")),
+            Seq(ColumnMapping("request_id", Some("id")))),
+          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2,
+            math.max(8, 512 / s.sparkContext.defaultParallelism)))
+        val orders = tbl(s, d, "orders").select("o_orderkey", "o_custkey")
+        PipelineOrchestrator.runPipeline(s,
+          cfgFor("/api/data", "overwrite"),
+          Some(orders.filter(col("o_orderkey") % 20 === 0)), Some("o_orderkey"))
+        PipelineOrchestrator.runPipeline(s,
+          cfgFor("/api/notfound", "append"),
+          Some(orders.filter(col("o_orderkey") % 20 === 10)), Some("o_orderkey"))
+        s.table("graft_verify.e10_part")
+          .select(col("request_id"), urlPath.as("url_path"),
+            col("status_code"), col("success"), col("body_text"))
+          .orderBy("request_id")
+      } finally server.stop()
+    },
+      Some("""SELECT o_orderkey::VARCHAR AS request_id, '/api/data' AS url_path,
+             |  200 AS status_code, true AS success,
+             |  '{"id":"'||o_orderkey||'","customer":"","status":"ok"}' AS body_text
+             |FROM orders WHERE o_orderkey % 20 = 0
+             |UNION ALL
+             |SELECT o_orderkey::VARCHAR, '/api/notfound', 404, true, '{"error":"nope"}'
+             |FROM orders WHERE o_orderkey % 20 = 10
+             |ORDER BY request_id""".stripMargin))
   )
 }
