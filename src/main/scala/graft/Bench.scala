@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val headline = Seq(
     "b01_agg_lineitem", "b02_join_star", "b03_window_topk", "b04_events_by_type",
-    "b05_rollup_revenue", "b09_tpch_q3_topk", "b11_window_running",
+    // (b11_window_running is excluded: bench's count() action lets
+    // Catalyst prune the unreferenced window, so its number would measure
+    // a plain count, not the window.)
+    "b05_rollup_revenue", "b09_tpch_q3_topk",
     "p05_anti_join", "x01_dedup_exact", "x03_dedup_minhash_lsh", "x04_dedup_simhash",
     "x07_ann_bruteforce", "x07b_ann_native_expr", "x08b_ann_ivf", "x14_stream_window_agg",
     "x15_sessionize", "x18_salted_join", "x20_stream_dedup", "x22_topk_aggregator",
