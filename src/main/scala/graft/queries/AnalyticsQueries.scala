@@ -247,6 +247,73 @@ object AnalyticsQueries {
              |FROM orders
              |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin))
+             |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin)),
+
+    // Pivot (weekday × event_type matrix): explicit value list so the
+    // output schema is static — at scale an inferred pivot would scan the
+    // column twice (distinct + pivot). Spark weekday() (0=Monday) twins
+    // with DuckDB isodow()-1; conditional-aggregation oracle, no PIVOT
+    // dialect dependence.
+    QueryDef("b12_pivot_weekday",
+      (s, d) => QueryDef.events(s, d)
+        .withColumn("wd", weekday(col("ts")))
+        .withColumn("v", floor(col("value") * 100 + 0.5).cast("long"))
+        .groupBy("event_type")
+        .pivot("wd", Seq(0, 1, 2, 3, 4, 5, 6))
+        .agg(sum("v"))
+        .select(col("event_type") +: (0 to 6).map(i => col(i.toString).as(s"wd$i")): _*)
+        .orderBy("event_type"),
+      Some(("""SELECT event_type, """ +
+        (0 to 6).map(i =>
+          s"sum(CASE WHEN isodow(ts)-1 = $i THEN (floor(value*100 + 0.5))::BIGINT END)::BIGINT AS wd$i")
+          .mkString(", ") +
+        """ FROM events GROUP BY 1 ORDER BY event_type"""))),
+
+    // The approximate scale path (rows-only check: HLL/t-digest sketches
+    // have no cross-engine twin): approx_count_distinct keeps O(log n)
+    // state per group vs count(DISTINCT)'s full shuffle of distinct pairs;
+    // approx_percentile replaces b10's exact sort at unbounded cardinality.
+    QueryDef("x23_approx_sketch",
+      (s, d) => QueryDef.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("pcts"))
+        .select(col("event_type"), col("approx_users"),
+          col("pcts")(0).as("p50_approx"), col("pcts")(1).as("p99_approx"))
+        .orderBy("event_type"),
+      None),
+
+    // Source-format breadth: the engine's readers beyond parquet. Each
+    // round-trips the orders projection through a temp dir in the target
+    // format with an EXPLICIT schema (no inference pass over the data) and
+    // must reproduce the parquet-derived oracle bit for bit — doubles
+    // survive because both writers emit shortest-round-trip decimal text
+    // (CSV/JSON) or binary (ORC).
+    QueryDef("p13_csv_source", (s, d) => roundTrip(s, d, "csv"),
+      Some(roundTripOracle)),
+    QueryDef("p14_json_source", (s, d) => roundTrip(s, d, "json"),
+      Some(roundTripOracle)),
+    QueryDef("p15_orc_source", (s, d) => roundTrip(s, d, "orc"),
+      Some(roundTripOracle))
   )
+
+  /** Write orders to a temp dir as `format`, read back with the explicit
+    * schema, project to oracle-comparable integers.
+    */
+  private def roundTrip(s: org.apache.spark.sql.SparkSession, d: String,
+      format: String): org.apache.spark.sql.DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory(s"graft-$format").toString
+    val o = tbl(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    o.write.mode("overwrite").option("header", "true").format(format).save(tmp)
+    s.read.option("header", "true").schema(o.schema).format(format).load(tmp)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+      .orderBy("o_orderkey")
+  }
+
+  private def roundTripOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  (floor(o_totalprice*100 + 0.5))::BIGINT AS price_cents
+      |FROM orders ORDER BY o_orderkey""".stripMargin
 }
