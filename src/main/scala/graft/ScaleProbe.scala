@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
+  * replications of the documents corpus and reports the growth exponent —
+  * the empirical answer to "would this plan hold at 1000× the data?".
+  * A well-partitioned operator should scale ~O(n) in corpus size (ratio8
+  * ≈ 8, exponent ≈ 1); anything super-linear means candidate-pair blowup.
+  *
+  * Replicas get shifted doc ids AND every token prefixed with the replica
+  * id (disjoint shingle/token namespaces), so near-dup clusters can NOT
+  * merge across replicas — the workload (docs, pairs, cluster structure)
+  * grows linearly by construction and the measured exponent isolates the
+  * ENGINE's scaling. (A weaker per-replica suffix marker is not enough:
+  * 15 of 16 min-hashes survive a one-shingle change, replicas of the same
+  * doc collide in LSH bands, and the corpus genuinely develops m-member
+  * clusters — m²/2 candidate pairs per base doc, quadratic in m.)
+  *
+  * Usage: `runMain graft.ScaleProbe [maxMultiplier]` (default 8; must be a
+  * power of two). Reads SPARK_GRAFT_SF_DIR (default sf0.1).
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val maxMult = args.headOption.map(_.toInt).getOrElse(8)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.host", "127.0.0.1")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val baseCount = docs.count()
+    val multipliers = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxMult).toSeq
+
+    // stage replicated corpora once (timed section excludes the writes)
+    val stageRoot = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
+    val staged: Map[Int, String] = multipliers.map { m =>
+      val dir = s"$stageRoot/x$m"
+      val replicas = (0 until m).map { r =>
+        docs.select(
+          (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"r${r}_$$1").as("text"))
+      }.reduce(_ union _)
+      replicas.write.mode("overwrite").parquet(dir)
+      m -> dir
+    }.toMap
+
+    val ops: Seq[(String, DataFrame => Long)] = Seq(
+      "dedup_exact" -> (df => Dedup.exact(df, "doc_id", "text").count()),
+      "dedup_minhash_lsh" -> (df =>
+        Dedup.minHashLsh(df, "doc_id", "text", shingleSize = 3, numHashes = 16,
+          bands = 4, threshold = 0.5).count()),
+      "dedup_simhash" -> (df =>
+        Dedup.simHash(df, "doc_id", "text", maxHamming = 3).count()),
+      "text_quality" -> (df =>
+        TextAnalysis.qualityScore(df, "doc_id", "text").count()))
+
+    val results = ops.map { case (name, run) =>
+      val times = multipliers.map { m =>
+        val df = spark.read.parquet(staged(m))
+        run(df) // warm-up: codegen+JIT for this input
+        val t0 = System.nanoTime()
+        run(df)
+        m -> (System.nanoTime() - t0) / 1e9
+      }
+      name -> times
+    }
+
+    val opsJson = results.map { case (name, times) =>
+      val t1 = times.head._2
+      val tMax = times.last._2
+      val mMax = times.last._1
+      // growth exponent: t ∝ n^e  =>  e = log(tMax/t1) / log(mMax)
+      val exponent =
+        if (mMax > 1 && t1 > 0) math.log(tMax / t1) / math.log(mMax.toDouble) else 0.0
+      val series = times.map { case (m, t) => f""""x$m":$t%.3f""" }.mkString(",")
+      f""""$name":{$series,"exponent":$exponent%.2f}"""
+    }.mkString(",")
+    println(
+      s"""{"metric":"scale_linearity","base_docs":$baseCount,""" +
+        s""""multipliers":[${multipliers.mkString(",")}],"ops":{$opsJson}}""")
+    spark.stop()
+  }
+}
