@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -125,7 +126,7 @@ private final class HttpTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft-http(${options.get("url")})"
   override def schema(): StructType = BronzeSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(caseInsensitiveOptions)
 }
@@ -148,10 +149,21 @@ private final class HttpScan(cfg: PipelineConfig, idStart: Long, idEnd: Long,
     s"graft-http ${cfg.endpoint.resolvedUrl} ids=[$idStart,$idEnd) partitions=$numPartitions"
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    HttpScan.rangePartitions(idStart, idEnd, numPartitions)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new HttpReaderFactory(cfg, required)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new HttpMicroBatchStream(cfg, idStart, idEnd, numPartitions, required)
+}
+
+private object HttpScan {
+  /** Contiguous [lo, hi) slices, remainder spread over the first slices. */
+  def rangePartitions(idStart: Long, idEnd: Long, numPartitions: Int): Array[InputPartition] = {
     val total = idEnd - idStart
     val n = math.max(1, math.min(numPartitions.toLong, total).toInt)
-    // contiguous slices, remainder spread over the first (total % n) slices
     val base = total / n
     val rem = total % n
     val bounds = (0 to n).scanLeft(idStart) { (acc, i) =>
@@ -159,6 +171,32 @@ private final class HttpScan(cfg: PipelineConfig, idStart: Long, idEnd: Long,
     }.take(n + 1).toArray
     (0 until n).map(i => HttpInputPartition(bounds(i), bounds(i + 1)): InputPartition).toArray
   }
+}
+
+private final case class HttpOffset(id: Long) extends Offset {
+  override def json(): String = id.toString
+}
+
+/** Streaming read path: the id space IS the offset axis. Each micro-batch
+  * covers [committed, latest) ids; offsets are checkpointed by the engine,
+  * so every id is fetched exactly once across restarts — the streaming
+  * twin of the batch anti-join idempotency checkpoint, with the sink table
+  * replaced by the offset log. A live API would poll its cursor endpoint
+  * in `latestOffset`; this source's horizon is the configured `id_end`,
+  * so a terminated trigger (AvailableNow/Once) drains the range and stops
+  * while a continuous trigger idles at the horizon awaiting a larger cap.
+  */
+private final class HttpMicroBatchStream(cfg: PipelineConfig, idStart: Long, idEnd: Long,
+    numPartitions: Int, required: StructType) extends MicroBatchStream {
+  override def initialOffset(): Offset = HttpOffset(idStart)
+  override def latestOffset(): Offset = HttpOffset(idEnd)
+  override def deserializeOffset(json: String): Offset = HttpOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    HttpScan.rangePartitions(
+      start.asInstanceOf[HttpOffset].id, end.asInstanceOf[HttpOffset].id, numPartitions)
 
   override def createReaderFactory(): PartitionReaderFactory =
     new HttpReaderFactory(cfg, required)

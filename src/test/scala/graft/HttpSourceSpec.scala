@@ -56,6 +56,50 @@ class HttpSourceSpec extends SparkSpec with Matchers {
     } finally server.stop()
   }
 
+  test("dead endpoint yields bronze error rows, not task failures") {
+    // never-throw transport contract carries into the DSv2 reader: a
+    // connection-refused target produces success=false rows with the error
+    // recorded, so one bad endpoint can't kill a 1000-task job
+    val rows = spark.read.format("graft-http")
+      .option("url", "http://127.0.0.1:1/api/nothing")
+      .option("id_start", 0).option("id_end", 5)
+      .option("timeout_seconds", 2)
+      .load()
+      .select("request_id", "status_code", "success", "error_message").collect()
+    rows.length shouldBe 5
+    all(rows.map(_.isNullAt(1))) shouldBe true
+    all(rows.map(_.getBoolean(2))) shouldBe false
+    all(rows.map(_.getString(3))) should include("ConnectException")
+  }
+
+  test("streaming read: offsets checkpoint, restart fetches nothing twice") {
+    val server = new MockApiServer().start()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-http-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-http-out").toString
+    def runStream(): Long = {
+      val q = spark.readStream.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/data")
+        .option("id_start", 100).option("id_end", 150)
+        .option("num_partitions", 4)
+        .load()
+        .select("request_id", "status_code", "success")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    try {
+      runStream() shouldBe 50L
+      val served = server.totalRequests.get()
+      // same checkpoint → offset log says [100,150) is done → zero re-fetch
+      runStream() shouldBe 50L
+      server.totalRequests.get() shouldBe served
+    } finally server.stop()
+  }
+
   test("retry_attempts option wires the retry interceptor (flaky endpoint recovers)") {
     val server = new MockApiServer().start()
     try {
