@@ -111,4 +111,15 @@ object TextAnalysis {
         lit(0L),
         (acc, h) => (acc * 31 + h) % lit(P)).as("rolling_hash"))
   }
+
+  /** Text cleaning for training-data curation: strip markup-like tags,
+    * collapse whitespace runs, trim — the normalization pass that runs
+    * before dedup/quality so near-identical scraped pages hash together.
+    * Pure codegen'd regexp/string expressions, one projection, no shuffle.
+    */
+  def clean(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col(textCol), "<[^>]*>", " "), "\\s+", " "))
+    df.select(col(idCol), cleaned.as("cleaned"), length(cleaned).as("cleaned_len"))
+  }
 }

@@ -294,7 +294,53 @@ object AnalyticsQueries {
     QueryDef("p14_json_source", (s, d) => roundTrip(s, d, "json"),
       Some(roundTripOracle)),
     QueryDef("p15_orc_source", (s, d) => roundTrip(s, d, "orc"),
-      Some(roundTripOracle))
+      Some(roundTripOracle)),
+
+    // Full outer join between two yearly aggregates, zero-filled — the
+    // left/right/full outer family with post-join coalesce null handling.
+    QueryDef("b13_outer_join",
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        def yearly(y: Int, out: String) =
+          o.filter(year(col("o_orderdate")) === y)
+            .groupBy(col("o_custkey").as(s"k$y"))
+            .agg(count(lit(1)).as(out))
+        yearly(1996, "n96").join(yearly(1997, "n97"),
+            col("k1996") === col("k1997"), "full_outer")
+          .select(coalesce(col("k1996"), col("k1997")).as("custkey"),
+            coalesce(col("n96"), lit(0L)).as("n96"),
+            coalesce(col("n97"), lit(0L)).as("n97"))
+          .orderBy("custkey")
+      },
+      Some("""WITH o96 AS (SELECT o_custkey, count(*) AS n96 FROM orders
+             |    WHERE year(o_orderdate) = 1996 GROUP BY 1),
+             |o97 AS (SELECT o_custkey, count(*) AS n97 FROM orders
+             |    WHERE year(o_orderdate) = 1997 GROUP BY 1)
+             |SELECT coalesce(o96.o_custkey, o97.o_custkey) AS custkey,
+             |  coalesce(n96, 0)::BIGINT AS n96, coalesce(n97, 0)::BIGINT AS n97
+             |FROM o96 FULL OUTER JOIN o97 ON o96.o_custkey = o97.o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
+    // NULL semantics: nullif introduces NULLs, <=> (null-safe equality,
+    // IS NOT DISTINCT FROM) observes them, count(col) skips them. The
+    // empty-partition window is fine here (149 rows); at scale a global
+    // non-null count is a separate agg joined back, not a window.
+    QueryDef("b14_null_semantics",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        tbl(s, d, "orders").filter(col("o_orderkey") % 101 === 0)
+          .select(col("o_orderkey"),
+            nullif(col("o_orderstatus"), lit("O")).as("status_n"))
+          .withColumn("is_null_safe_null",
+            col("status_n") <=> lit(null).cast("string"))
+          .withColumn("non_null_total",
+            count("status_n").over(Window.partitionBy()))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_n,
+             |  (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_null_safe_null,
+             |  count(nullif(o_orderstatus, 'O')) OVER () AS non_null_total
+             |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

@@ -611,6 +611,16 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY event_type
              |      ORDER BY (floor(value*100 + 0.5))::BIGINT DESC, event_id)::INT AS rank
              |  FROM events)
-             |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin)),
+
+    // Text cleaning (curation normalization pass): tag strip + whitespace
+    // collapse + trim, byte-exact against the oracle's regex twins.
+    QueryDef("x24_text_clean",
+      (s, d) => TextAnalysis.clean(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
+             |  length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))::INT AS cleaned_len
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }
