@@ -340,7 +340,49 @@ object AnalyticsQueries {
       Some("""SELECT o_orderkey, nullif(o_orderstatus, 'O') AS status_n,
              |  (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_null_safe_null,
              |  count(nullif(o_orderstatus, 'O')) OVER () AS non_null_total
-             |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // CUBE (all 2^2 grouping sets in one Expand + single aggregation
+    // shuffle). Via spark.sql for the same DetectAmbiguousSelfJoin reason
+    // as b05.
+    QueryDef("b15_cube_status_priority",
+      (s, d) => {
+        tbl(s, d, "orders").createOrReplaceTempView("b15_orders")
+        s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                |  coalesce(o_orderpriority, 'ALL') AS priority,
+                |  count(*) AS orders,
+                |  sum(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+                |FROM b15_orders
+                |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+                |ORDER BY status, priority""".stripMargin)
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  count(*) AS orders,
+             |  sum((floor(o_totalprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // Bucketed co-located join: both sides written bucketed on the join
+    // key (8 buckets) — Spark's scan reports the hash partitioning, so the
+    // join runs shuffle-free (ScaleSpec pins the no-Exchange plan; this
+    // query pins the RESULT equals the plain join's).
+    QueryDef("p16_bucketed_join",
+      (s, d) => {
+        tbl(s, d, "orders").select("o_orderkey", "o_custkey").write
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("overwrite").saveAsTable("p16_orders_bucketed")
+        tbl(s, d, "customer").select("c_custkey", "c_mktsegment").write
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .mode("overwrite").saveAsTable("p16_customer_bucketed")
+        s.table("p16_orders_bucketed")
+          .join(s.table("p16_customer_bucketed"), col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment").agg(count(lit(1)).as("orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*)::BIGINT AS orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -138,12 +138,15 @@ private final class HttpScanBuilder(options: CaseInsensitiveStringMap)
     required = requiredSchema
   override def build(): Scan = {
     val (cfg, idStart, idEnd, numPartitions, _) = HttpOptions.parse(options)
-    new HttpScan(cfg, idStart, idEnd, numPartitions, required)
+    val idsPerTrigger = Option(options.get("ids_per_trigger")).map(_.toLong)
+      .getOrElse(Long.MaxValue)
+    new HttpScan(cfg, idStart, idEnd, numPartitions, required, idsPerTrigger)
   }
 }
 
 private final class HttpScan(cfg: PipelineConfig, idStart: Long, idEnd: Long,
-    numPartitions: Int, required: StructType) extends Scan with Batch {
+    numPartitions: Int, required: StructType,
+    idsPerTrigger: Long = Long.MaxValue) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-http ${cfg.endpoint.resolvedUrl} ids=[$idStart,$idEnd) partitions=$numPartitions"
@@ -156,7 +159,7 @@ private final class HttpScan(cfg: PipelineConfig, idStart: Long, idEnd: Long,
     new HttpReaderFactory(cfg, required)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new HttpMicroBatchStream(cfg, idStart, idEnd, numPartitions, required)
+    new HttpMicroBatchStream(cfg, idStart, idEnd, numPartitions, required, idsPerTrigger)
 }
 
 private object HttpScan {
@@ -187,12 +190,29 @@ private final case class HttpOffset(id: Long) extends Offset {
   * while a continuous trigger idles at the horizon awaiting a larger cap.
   */
 private final class HttpMicroBatchStream(cfg: PipelineConfig, idStart: Long, idEnd: Long,
-    numPartitions: Int, required: StructType) extends MicroBatchStream {
+    numPartitions: Int, required: StructType, idsPerTrigger: Long)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   override def initialOffset(): Offset = HttpOffset(idStart)
   override def latestOffset(): Offset = HttpOffset(idEnd)
   override def deserializeOffset(json: String): Offset = HttpOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
+
+  // Admission control: `ids_per_trigger` caps each micro-batch — the
+  // streaming analog of batch_size, bounding per-trigger API load and sink
+  // commit size. AvailableNow then drains the range in capped chunks.
+  override def getDefaultReadLimit: ReadLimit =
+    if (idsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(idsPerTrigger)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[HttpOffset].id
+    limit match {
+      case r: ReadMaxRows => HttpOffset(math.min(s + r.maxRows(), idEnd))
+      case _ => HttpOffset(idEnd)
+    }
+  }
+  override def reportLatestOffset(): Offset = HttpOffset(idEnd)
+  override def prepareForTriggerAvailableNow(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     HttpScan.rangePartitions(

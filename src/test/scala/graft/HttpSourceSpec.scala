@@ -100,6 +100,32 @@ class HttpSourceSpec extends SparkSpec with Matchers {
     } finally server.stop()
   }
 
+  test("ids_per_trigger caps each micro-batch (admission control)") {
+    val server = new MockApiServer().start()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-http-ckpt2").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-http-out2").toString
+    try {
+      val q = spark.readStream.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/data")
+        .option("id_start", 0).option("id_end", 50)
+        .option("ids_per_trigger", 20)
+        .option("num_partitions", 2)
+        .load()
+        .select("request_id", "status_code")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count() shouldBe 50L
+      // 50 ids at 20/trigger → ceil(50/20) = 3 committed micro-batches
+      val batches = new java.io.File(s"$ckpt/commits").listFiles()
+        .count(f => f.getName.forall(_.isDigit))
+      batches shouldBe 3
+    } finally server.stop()
+  }
+
   test("retry_attempts option wires the retry interceptor (flaky endpoint recovers)") {
     val server = new MockApiServer().start()
     try {
