@@ -7,7 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, Write, WriteBuilder}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -122,13 +123,37 @@ private[sources] object HttpOptions {
 }
 
 private final class HttpTable(options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-http(${options.get("url")})"
   override def schema(): StructType = BronzeSchema.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new HttpScanBuilder(caseInsensitiveOptions)
+
+  /** Reverse-ETL write path: rows out as JSON request bodies (HttpWriter).
+    * ACCEPT_ANY_SCHEMA: the outgoing body is keyed by whatever columns the
+    * incoming DataFrame has — there is no fixed sink schema to cast to.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val o = info.options()
+    val url = Option(o.get("url")).getOrElse(
+      throw new IllegalArgumentException("graft-http write: option 'url' is required"))
+    new WriteBuilder {
+      override def build(): Write = new HttpWrite(
+        url,
+        Option(o.get("method")).getOrElse("POST").toUpperCase,
+        o.asCaseSensitiveMap().asScala.collect {
+          case (k, v) if k.toLowerCase.startsWith("header.") =>
+            k.drop("header.".length) -> v
+        }.toMap,
+        o.getInt("concurrency", 20),
+        o.getDouble("timeout_seconds", 30.0),
+        o.getBoolean("fail_on_errors", true),
+        info.schema())
+    }
+  }
 }
 
 private final class HttpScanBuilder(options: CaseInsensitiveStringMap)

@@ -126,6 +126,40 @@ class HttpSourceSpec extends SparkSpec with Matchers {
     } finally server.stop()
   }
 
+  test("write path POSTs one JSON body per row (reverse ETL)") {
+    val server = new MockApiServer().start()
+    try {
+      spark.range(100).selectExpr("id", "concat('user_', id) AS name")
+        .coalesce(4)
+        .write.format("graft-http").mode("append")
+        .option("url", s"${server.baseUrl}/api/echo_body")
+        .option("concurrency", 8)
+        .save()
+      // 100 row POSTs + 1 connection-warmup GET from the fresh engine
+      server.totalRequests.get() shouldBe 101
+    } finally server.stop()
+  }
+
+  test("write to a dead endpoint fails the job at commit (fail_on_errors default)") {
+    val e = intercept[Exception] {
+      spark.range(3).coalesce(1)
+        .write.format("graft-http").mode("append")
+        .option("url", "http://127.0.0.1:1/api/void")
+        .option("timeout_seconds", 2)
+        .save()
+    }
+    e.toString + Option(e.getCause).mkString should include("requests failed")
+  }
+
+  test("fail_on_errors=false records failures without failing the job") {
+    spark.range(3).coalesce(1)
+      .write.format("graft-http").mode("append")
+      .option("url", "http://127.0.0.1:1/api/void")
+      .option("timeout_seconds", 2)
+      .option("fail_on_errors", "false")
+      .save()
+  }
+
   test("retry_attempts option wires the retry interceptor (flaky endpoint recovers)") {
     val server = new MockApiServer().start()
     try {
