@@ -82,6 +82,16 @@ final class RateLimiter(ratePerSecond: Double) {
   */
 object PartitionExecutor {
 
+  /** `{{column}}` placeholder grammar shared by the orchestration terminal
+    * and the DSv2 write path. Missing columns render as empty strings
+    * (matching the ParamInjector's absent-value behavior).
+    */
+  val templatePattern: scala.util.matching.Regex =
+    raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
+  def renderTemplate(template: String, row: Map[String, String]): String =
+    templatePattern.replaceAllIn(template, m =>
+      scala.util.matching.Regex.quoteReplacement(row.getOrElse(m.group(1), "")))
+
   /** Build the serializable partition function. Captures only config case
     * classes + the rpc_url string (serialization discipline, ref:
     * strategy.py:179).
@@ -119,10 +129,7 @@ object PartitionExecutor {
       // config as a "JSON request body template" but never wired through
       // factories.py:62-78 — implemented for real here): {{column}}
       // placeholders substitute row values, sent as a JSON body.
-      val templatePattern = raw"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}".r
-      def renderTemplate(template: String, row: Map[String, String]): String =
-        templatePattern.replaceAllIn(template, m =>
-          scala.util.matching.Regex.quoteReplacement(row.getOrElse(m.group(1), "")))
+      import PartitionExecutor.{renderTemplate, templatePattern}
       val terminal: Middleware.Next = { ex =>
         val body = ex.context.requestTemplate.map(renderTemplate(_, ex.row))
         val req = TransportRequest(

@@ -151,7 +151,8 @@ private final class HttpTable(options: CaseInsensitiveStringMap)
         o.getInt("concurrency", 20),
         o.getDouble("timeout_seconds", 30.0),
         o.getBoolean("fail_on_errors", true),
-        info.schema())
+        info.schema(),
+        Option(o.get("request_template")))
     }
   }
 }

@@ -32,14 +32,15 @@ import graft.util.Json
   */
 final class HttpWrite(url: String, method: String, headers: Map[String, String],
     concurrency: Int, timeoutSeconds: Double, failOnErrors: Boolean,
-    schema: StructType) extends Write with BatchWrite with Serializable with Logging {
+    schema: StructType, requestTemplate: Option[String] = None)
+    extends Write with BatchWrite with Serializable with Logging {
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"graft-http write $method $url"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new HttpWriterFactory(url, method, headers, concurrency, timeoutSeconds,
-      failOnErrors, schema)
+      failOnErrors, schema, requestTemplate)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val (sent, failed) = messages.foldLeft((0L, 0L)) {
@@ -56,15 +57,17 @@ private final case class HttpWriteCommit(sent: Long, failed: Long)
 
 private final class HttpWriterFactory(url: String, method: String,
     headers: Map[String, String], concurrency: Int, timeoutSeconds: Double,
-    failOnErrors: Boolean, schema: StructType) extends DataWriterFactory {
+    failOnErrors: Boolean, schema: StructType, requestTemplate: Option[String])
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new HttpDataWriter(url, method, headers, concurrency, timeoutSeconds,
-      failOnErrors, schema)
+      failOnErrors, schema, requestTemplate)
 }
 
 private final class HttpDataWriter(url: String, method: String,
     headers: Map[String, String], concurrency: Int, timeoutSeconds: Double,
-    failOnErrors: Boolean, schema: StructType) extends DataWriter[InternalRow] {
+    failOnErrors: Boolean, schema: StructType, requestTemplate: Option[String])
+    extends DataWriter[InternalRow] {
 
   private implicit val ec: ExecutionContext = WorkerResources.executionContext
   private val engine = WorkerResources.engine(
@@ -79,14 +82,21 @@ private final class HttpDataWriter(url: String, method: String,
     // bounded window: block on the oldest in-flight request once full
     if (pending.size >= concurrency) Await.result(pending.dequeue(), Duration.Inf)
     val row = toScala(record.copy()).asInstanceOf[Row]
-    val body = Json.write(fieldNames.zipWithIndex.map { case (n, i) =>
+    val values: Map[String, Any] = fieldNames.zipWithIndex.map { case (n, i) =>
       n -> (row.get(i) match {
         case null => null
         case v: java.sql.Timestamp => v.toString
         case v: java.sql.Date => v.toString
         case v => v
       })
-    }.toMap)
+    }.toMap
+    // request_template: {{column}} substitution (same grammar as the
+    // orchestration path, quirk Q13); default = whole row as a JSON object
+    val body = requestTemplate match {
+      case Some(t) => graft.exec.PartitionExecutor.renderTemplate(
+        t, values.map { case (k, v) => k -> String.valueOf(v) })
+      case None => Json.write(values)
+    }
     val fut = engine.send(TransportRequest(url, method,
         headers ++ Map("Content-Type" -> "application/json"),
         Map.empty, Some(body), timeoutSeconds))

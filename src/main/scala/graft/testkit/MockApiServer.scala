@@ -32,6 +32,8 @@ final class MockApiServer {
   private val inFlight = new AtomicInteger(0)
   val maxInFlight = new AtomicInteger(0)
   val totalRequests = new AtomicInteger(0)
+  /** Bodies received by /api/echo_body, in arrival order (write-path assertions). */
+  val receivedBodies = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val flakyCounts = new ConcurrentHashMap[String, AtomicInteger]()
 
   private var server: HttpServer = _
@@ -95,6 +97,7 @@ final class MockApiServer {
 
     server.createContext("/api/echo_body", tracked { x =>
       val body = new String(x.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      receivedBodies.add(body)
       val ct = Option(x.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
       respond(x, 200, s"""{"content_type":"$ct","received":$body}""")
     })

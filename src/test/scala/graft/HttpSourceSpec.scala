@@ -140,6 +140,21 @@ class HttpSourceSpec extends SparkSpec with Matchers {
     } finally server.stop()
   }
 
+  test("write path renders request_template bodies ({{column}} substitution)") {
+    val server = new MockApiServer().start()
+    try {
+      spark.range(3).selectExpr("id", "concat('n', id) AS name")
+        .coalesce(1)
+        .write.format("graft-http").mode("append")
+        .option("url", s"${server.baseUrl}/api/echo_body")
+        .option("request_template", """{"key":"{{id}}","label":"{{name}}","missing":"{{nope}}"}""")
+        .save()
+      val bodies = server.receivedBodies.toArray(Array.empty[String]).sorted
+      bodies should contain("""{"key":"0","label":"n0","missing":""}""")
+      bodies should contain("""{"key":"2","label":"n2","missing":""}""")
+    } finally server.stop()
+  }
+
   test("write to a dead endpoint fails the job at commit (fail_on_errors default)") {
     val e = intercept[Exception] {
       spark.range(3).coalesce(1)
