@@ -382,7 +382,24 @@ object AnalyticsQueries {
       },
       Some("""SELECT c_mktsegment, count(*)::BIGINT AS orders
              |FROM orders JOIN customer ON o_custkey = c_custkey
-             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin))
+             |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
+
+    // Bag-semantics set op: EXCEPT ALL keeps multiplicity (a customer with
+    // 3 orders in 1996 and 1 in 1997 survives twice), grouped to counts so
+    // the output is deterministic.
+    QueryDef("b16_except_all",
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        def yr(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+        yr(1996).exceptAll(yr(1997))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             |  EXCEPT ALL
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+             |GROUP BY 1 ORDER BY o_custkey""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

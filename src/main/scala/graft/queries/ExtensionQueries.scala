@@ -621,6 +621,33 @@ object ExtensionQueries {
       Some("""SELECT doc_id,
              |  trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS cleaned,
              |  length(trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')))::INT AS cleaned_len
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Key-based upsert (the MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT
+    // subset): updates win on key collision, unmatched base rows survive.
+    // One anti-join shuffle; updates broadcast under AQE when small.
+    QueryDef("x25_upsert_by_key",
+      (s, d) => {
+        val base = tbl(s, d, "orders").select(col("o_orderkey"),
+          col("o_orderstatus"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+        val updates = tbl(s, d, "orders").filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            floor(col("o_totalprice") * 200 + 0.5).cast("long").as("price_cents"))
+        graft.operators.Merge.upsertByKey(base, updates, "o_orderkey")
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH updates AS (
+             |  SELECT o_orderkey, 'U' AS o_orderstatus,
+             |    (floor(o_totalprice*200 + 0.5))::BIGINT AS price_cents
+             |  FROM orders WHERE o_orderkey % 7 = 0),
+             |base AS (
+             |  SELECT o_orderkey, o_orderstatus,
+             |    (floor(o_totalprice*100 + 0.5))::BIGINT AS price_cents
+             |  FROM orders)
+             |SELECT * FROM updates
+             |UNION ALL
+             |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }
