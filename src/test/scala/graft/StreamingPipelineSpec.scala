@@ -108,4 +108,38 @@ class StreamingPipelineSpec extends SparkSpec with Matchers {
       .select("wstart", "events").as[(String, Long)].collect().toMap
     emitted("00:00") shouldBe 3L // late 00:04 row dropped by the watermark
   }
+
+  test("silver layer runs over a streaming bronze source (typed from_json projection)") {
+    val server = new MockApiServer().start()
+    val bronzeDir = Files.createTempDirectory("stream-silver-bronze").toString
+    val outDir = Files.createTempDirectory("stream-silver-out").toString
+    val ckpt = Files.createTempDirectory("stream-silver-ckpt").toString
+    try {
+      // stage a real bronze dir through the batch DSv2 read path
+      spark.read.format("graft-http")
+        .option("url", s"${server.baseUrl}/api/data")
+        .option("id_start", 1).option("id_end", 41)
+        .load()
+        .write.mode("overwrite").parquet(bronzeDir)
+
+      // silver is a plain DataFrame transform, so the SAME code runs on a
+      // readStream bronze source — from_json stays codegen'd, no shuffle
+      val bronzeStream = spark.readStream
+        .schema(graft.model.BronzeSchema.schema).parquet(bronzeDir)
+      val q = graft.orchestration.SilverLayer
+        .fromBronze(bronzeStream, "id STRING, customer STRING, status STRING")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+
+      val silver = spark.read.parquet(outDir)
+      silver.count() shouldBe 40L
+      silver.columns.toSet shouldBe
+        Set("request_id", "success", "status_code", "id", "customer", "status")
+      val r7 = silver.filter(col("request_id") === "7").head()
+      r7.getAs[String]("id") shouldBe "7"
+      r7.getAs[String]("status") shouldBe "ok"
+    } finally server.stop()
+  }
 }
