@@ -399,7 +399,25 @@ object AnalyticsQueries {
              |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
              |  EXCEPT ALL
              |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
-             |GROUP BY 1 ORDER BY o_custkey""".stripMargin))
+             |GROUP BY 1 ORDER BY o_custkey""".stripMargin)),
+
+    // Collection aggregation: collect_list is order-nondeterministic by
+    // contract, so the portable form is sort_array(collect_list(...)) —
+    // rendered to CSV to avoid cross-engine array-representation drift in
+    // the comparison (DuckDB's ordered string_agg is the twin).
+    QueryDef("b17_collect_sorted",
+      (s, d) => tbl(s, d, "customer")
+        .join(broadcast(tbl(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("c_custkey") % 11 === 0)
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("customers"),
+          concat_ws(",", sort_array(collect_list(col("c_custkey")))).as("custkey_csv"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, count(*) AS customers,
+             |  string_agg(c_custkey::VARCHAR, ',' ORDER BY c_custkey) AS custkey_csv
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |WHERE c_custkey % 11 = 0
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit
