@@ -114,4 +114,27 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("*(") // WholeStageCodegen stage markers
     (plan should not).include("BatchEvalPython")
   }
+
+  test("b09 global top-10 plans TakeOrderedAndProject, not a full sort") {
+    val plan = planOf(q("b09_tpch_q3_topk"))
+    plan should include("TakeOrderedAndProject")
+    // the limit must not degenerate into a global Sort of all groups
+    (plan should not).include("(\\d+\\) Sort\\b")
+  }
+
+  test("x22 top-k Aggregator runs with map-side partial aggregation") {
+    // the k-capped buffer merges before the shuffle: groups*k entries
+    // cross the wire, not all rows — the reason to prefer it over a window
+    val plan = planOf(q("x22_topk_aggregator"))
+    plan.toLowerCase should include("partial")
+    plan should include("topkaggregator")
+  }
+
+  test("b05 rollup expands grouping sets in ONE aggregation pass") {
+    val plan = planOf(q("b05_rollup_revenue"))
+    plan should include("Expand")
+    // one partial + one final aggregate over a single shuffle — no
+    // per-grouping-set re-aggregation
+    nodeCount(plan, "Exchange") should be <= 2
+  }
 }
