@@ -43,18 +43,19 @@ object ScaleProbe {
     val baseCount = docs.count()
     val multipliers = Iterator.iterate(1)(_ * 2).takeWhile(_ <= maxMult).toSeq
 
-    // stage replicated corpora once (timed section excludes the writes)
+    // Stage each replica ONCE (timed section excludes the writes); a
+    // multiplier-m corpus is the union of the first m replica dirs, so the
+    // staging footprint is maxMult × base, not sum(multipliers) × base.
     val stageRoot = java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString
-    val staged: Map[Int, String] = multipliers.map { m =>
-      val dir = s"$stageRoot/x$m"
-      val replicas = (0 until m).map { r =>
-        docs.select(
+    val replicaDirs: IndexedSeq[String] = (0 until maxMult).map { r =>
+      val dir = s"$stageRoot/r$r"
+      docs.select(
           (col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
           regexp_replace(col("text"), "(\\S+)", s"r${r}_$$1").as("text"))
-      }.reduce(_ union _)
-      replicas.write.mode("overwrite").parquet(dir)
-      m -> dir
-    }.toMap
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def corpus(m: Int): DataFrame = spark.read.parquet(replicaDirs.take(m): _*)
 
     val ops: Seq[(String, DataFrame => Long)] = Seq(
       "dedup_exact" -> (df => Dedup.exact(df, "doc_id", "text").count()),
@@ -68,7 +69,7 @@ object ScaleProbe {
 
     val results = ops.map { case (name, run) =>
       val times = multipliers.map { m =>
-        val df = spark.read.parquet(staged(m))
+        val df = corpus(m)
         run(df) // warm-up: codegen+JIT for this input
         val t0 = System.nanoTime()
         run(df)
@@ -90,6 +91,11 @@ object ScaleProbe {
     println(
       s"""{"metric":"scale_linearity","base_docs":$baseCount,""" +
         s""""multipliers":[${multipliers.mkString(",")}],"ops":{$opsJson}}""")
+    // best-effort staging cleanup (multi-GB at high multipliers)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(stageRoot))
     spark.stop()
   }
 }

@@ -14,9 +14,24 @@ import org.apache.spark.sql.DataFrame
   * semantics of the produced ROWS are identical.
   */
 object Merge {
-  def upsertByKey(base: DataFrame, updates: DataFrame, key: String): DataFrame = {
+  /** `validateUniqueKeys` (default true) mirrors Delta MERGE's "multiple
+    * source rows matched" error: duplicate update keys would silently emit
+    * both rows, breaking the one-row-per-key invariant. The check is one
+    * extra aggregation job over `updates` (the small side); disable it
+    * only when uniqueness is guaranteed upstream.
+    */
+  def upsertByKey(base: DataFrame, updates: DataFrame, key: String,
+      validateUniqueKeys: Boolean = true): DataFrame = {
     require(base.columns.sameElements(updates.columns),
       s"upsert requires identical schemas, got ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    if (validateUniqueKeys) {
+      import org.apache.spark.sql.functions.{col, count, lit}
+      val dups = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      require(dups.isEmpty,
+        s"upsert: updates contain multiple rows for key ${dups.headOption.map(_.get(0)).orNull} " +
+          "(and possibly others); dedup updates first or pass validateUniqueKeys = false")
+    }
     updates.unionByName(base.join(updates.select(key), Seq(key), "left_anti"))
   }
 }

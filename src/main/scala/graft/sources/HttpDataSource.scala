@@ -166,6 +166,9 @@ private final class HttpScanBuilder(options: CaseInsensitiveStringMap)
     val (cfg, idStart, idEnd, numPartitions, _) = HttpOptions.parse(options)
     val idsPerTrigger = Option(options.get("ids_per_trigger")).map(_.toLong)
       .getOrElse(Long.MaxValue)
+    require(idsPerTrigger > 0,
+      s"graft-http: ids_per_trigger must be > 0, got $idsPerTrigger — a " +
+        "non-positive cap would keep the stream's offset from ever advancing")
     new HttpScan(cfg, idStart, idEnd, numPartitions, required, idsPerTrigger)
   }
 }

@@ -34,6 +34,7 @@ final class HttpWrite(url: String, method: String, headers: Map[String, String],
     concurrency: Int, timeoutSeconds: Double, failOnErrors: Boolean,
     schema: StructType, requestTemplate: Option[String] = None)
     extends Write with BatchWrite with Serializable with Logging {
+  require(concurrency > 0, s"graft-http write: concurrency must be > 0, got $concurrency")
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"graft-http write $method $url"

@@ -12,6 +12,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
   */
 object StreamOps {
 
+  /** FileStreamSource requires a directory; stage a symlink to a single
+    * input file in a temp dir (read-only testdata stays untouched).
+    */
+  private def stageStreamDir(eventsPath: String, prefix: String): String = {
+    val src = java.nio.file.Paths.get(eventsPath)
+    if (java.nio.file.Files.isDirectory(src)) eventsPath
+    else {
+      val dir = java.nio.file.Files.createTempDirectory(prefix)
+      java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
+      dir.toString
+    }
+  }
+
+  /** TIMESTAMP(NANOS) parquet arrives as LongType under the nanosAsLong
+    * legacy conf — convert `ts` to a real event-time column (`div` keeps
+    * the arithmetic exact; ns epoch values overflow double precision).
+    */
+  private def normalizeTs(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+
   /** Event-time tumbling-window aggregation over the events table, run as a
     * real streaming query (AvailableNow trigger — processes the backlog,
     * then stops; the 100 TB path is the same query with a continuous
@@ -25,23 +47,8 @@ object StreamOps {
   def windowedEventAgg(spark: SparkSession, eventsPath: String,
       queryName: String = "graft_stream_agg"): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    // FileStreamSource requires a directory; stage a symlink to the input
-    // file in a temp dir (read-only testdata stays untouched).
-    val src = java.nio.file.Paths.get(eventsPath)
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) eventsPath
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
-        dir.toString
-      }
-    val raw = spark.readStream.schema(schema).parquet(streamDir)
-    // TIMESTAMP(NANOS) parquet arrives as LongType under the nanosAsLong
-    // legacy conf — convert to a real event-time column for the watermark.
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val streamDir = stageStreamDir(eventsPath, "graft-stream")
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
     val agg = stream
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -87,19 +94,8 @@ object StreamOps {
   def streamingDedup(spark: SparkSession, eventsPath: String,
       keyCols: Seq[String], queryName: String): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
-    val src = java.nio.file.Paths.get(eventsPath)
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) eventsPath
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
-        dir.toString
-      }
-    val raw = spark.readStream.schema(schema).parquet(streamDir)
-    val stream =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-dedup")
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
     val deduped = stream
       .withWatermark("ts", "30 days")
       .dropDuplicatesWithinWatermark(keyCols)
@@ -124,14 +120,7 @@ object StreamOps {
       queryName: String): DataFrame = {
     import spark.implicits._
     val schema = spark.read.parquet(eventsPath).schema
-    val src = java.nio.file.Paths.get(eventsPath)
-    val streamDir =
-      if (java.nio.file.Files.isDirectory(src)) eventsPath
-      else {
-        val dir = java.nio.file.Files.createTempDirectory("graft-stream-state")
-        java.nio.file.Files.createSymbolicLink(dir.resolve(src.getFileName), src)
-        dir.toString
-      }
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-state")
     val users = spark.readStream.schema(schema).parquet(streamDir)
       .select(col("user_id")).as[Long]
     val counted = users.groupByKey(identity)

@@ -273,4 +273,23 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.getAs[Seq[Long]]("counts") shouldBe Seq(0L, 1L, 1L, 1L, 0L, 0L, 0L, 0L)
     out.getAs[Seq[Double]]("features").sum shouldBe 1.0 +- 1e-12
   }
+
+  test("upsert replaces matched keys, keeps unmatched, rejects duplicate update keys") {
+    import spark.implicits._
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (4L, "D")).toDF("k", "v")
+    val merged = graft.operators.Merge.upsertByKey(base, updates, "k")
+      .orderBy("k").as[(Long, String)].collect()
+    merged shouldBe Array((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"))
+
+    // Delta MERGE's "multiple source rows matched" contract
+    val dupUpdates = Seq((2L, "B"), (2L, "B2")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Merge.upsertByKey(base, dupUpdates, "k")
+    }
+    e.getMessage should include("multiple rows for key")
+    // opt-out keeps bag semantics for callers who guarantee uniqueness upstream
+    graft.operators.Merge.upsertByKey(base, dupUpdates, "k",
+      validateUniqueKeys = false).count() shouldBe 4L
+  }
 }

@@ -116,10 +116,10 @@ class PlanSpec extends SparkSpec with Matchers {
   }
 
   test("b09 global top-10 plans TakeOrderedAndProject, not a full sort") {
+    // if the limit ever degenerates into Sort + GlobalLimit, the
+    // TakeOrderedAndProject node disappears and this fails
     val plan = planOf(q("b09_tpch_q3_topk"))
     plan should include("TakeOrderedAndProject")
-    // the limit must not degenerate into a global Sort of all groups
-    (plan should not).include("(\\d+\\) Sort\\b")
   }
 
   test("x22 top-k Aggregator runs with map-side partial aggregation") {
