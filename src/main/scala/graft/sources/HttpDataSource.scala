@@ -129,15 +129,27 @@ private final class HttpTable(options: CaseInsensitiveStringMap)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.ACCEPT_ANY_SCHEMA)
+
+  /** For `spark.read/.readStream.load()` the options arrive per-scan; for a
+    * catalog table (`CREATE TABLE ... USING graft-http OPTIONS (...)`) they
+    * were stored as table properties and the per-scan map is empty — merge
+    * both, with per-scan keys winning.
+    */
+  private def merged(scanOptions: CaseInsensitiveStringMap): CaseInsensitiveStringMap = {
+    val m = new util.HashMap[String, String](options.asCaseSensitiveMap())
+    m.putAll(scanOptions.asCaseSensitiveMap())
+    new CaseInsensitiveStringMap(m)
+  }
+
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
-    new HttpScanBuilder(caseInsensitiveOptions)
+    new HttpScanBuilder(merged(caseInsensitiveOptions))
 
   /** Reverse-ETL write path: rows out as JSON request bodies (HttpWriter).
     * ACCEPT_ANY_SCHEMA: the outgoing body is keyed by whatever columns the
     * incoming DataFrame has — there is no fixed sink schema to cast to.
     */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val o = info.options()
+    val o = merged(info.options())
     val url = Option(o.get("url")).getOrElse(
       throw new IllegalArgumentException("graft-http write: option 'url' is required"))
     new WriteBuilder {

@@ -175,6 +175,26 @@ class HttpSourceSpec extends SparkSpec with Matchers {
       .save()
   }
 
+  test("SQL DDL access: CREATE TABLE ... USING graft-http, then plain SELECT") {
+    val server = new MockApiServer().start()
+    try {
+      spark.sql("DROP TABLE IF EXISTS api_items")
+      spark.sql(
+        s"""CREATE TABLE api_items USING `graft-http` OPTIONS (
+           |  url '${server.baseUrl}/api/data',
+           |  id_start '1', id_end '21', num_partitions '2')""".stripMargin)
+      val rows = spark.sql(
+        "SELECT request_id, status_code FROM api_items ORDER BY CAST(request_id AS BIGINT)")
+        .collect()
+      rows.length shouldBe 20
+      rows.head.getString(0) shouldBe "1"
+      all(rows.map(_.getInt(1))) shouldBe 200
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS api_items")
+      server.stop()
+    }
+  }
+
   test("retry_attempts option wires the retry interceptor (flaky endpoint recovers)") {
     val server = new MockApiServer().start()
     try {
