@@ -203,18 +203,29 @@ private final class HttpScan(cfg: PipelineConfig, idStart: Long, idEnd: Long,
     new HttpMicroBatchStream(cfg, idStart, idEnd, numPartitions, required, idsPerTrigger)
 }
 
-private object HttpScan {
+/** Id-range slicing shared by the batch and micro-batch planners (public
+  * for property tests: partition-of-unity over [start, end)).
+  */
+object HttpRanges {
+  final case class IdRange(lo: Long, hi: Long)
+
   /** Contiguous [lo, hi) slices, remainder spread over the first slices. */
-  def rangePartitions(idStart: Long, idEnd: Long, numPartitions: Int): Array[InputPartition] = {
+  def slices(idStart: Long, idEnd: Long, numPartitions: Int): IndexedSeq[IdRange] = {
     val total = idEnd - idStart
     val n = math.max(1, math.min(numPartitions.toLong, total).toInt)
     val base = total / n
     val rem = total % n
     val bounds = (0 to n).scanLeft(idStart) { (acc, i) =>
       acc + base + (if (i < rem) 1 else 0)
-    }.take(n + 1).toArray
-    (0 until n).map(i => HttpInputPartition(bounds(i), bounds(i + 1)): InputPartition).toArray
+    }.take(n + 1).toIndexedSeq
+    (0 until n).map(i => IdRange(bounds(i), bounds(i + 1)))
   }
+}
+
+private object HttpScan {
+  def rangePartitions(idStart: Long, idEnd: Long, numPartitions: Int): Array[InputPartition] =
+    HttpRanges.slices(idStart, idEnd, numPartitions)
+      .map(r => HttpInputPartition(r.lo, r.hi): InputPartition).toArray
 }
 
 private final case class HttpOffset(id: Long) extends Offset {

@@ -100,4 +100,57 @@ class PropertySpec extends SparkSpec with Matchers {
       out shouldBe s"""{"k": "$value"}"""
     }
   }
+
+  test("property: TopKAggregator merge is associative, commutative, and order-insensitive") {
+    val agg = new graft.functions.TopKAggregator(5)
+    def fold(xs: Seq[(Long, Long)]) = xs.foldLeft(agg.zero)(agg.reduce)
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0L, 20L), Gen.chooseNum(-100L, 100L)))
+    samples(gen, 40).foreach { xs =>
+      val (a, b) = xs.splitAt(xs.length / 2)
+      val merged = agg.merge(fold(a), fold(b))
+      // order-insensitive: any split/merge equals the straight fold
+      merged shouldBe fold(xs)
+      // commutative
+      agg.merge(fold(b), fold(a)) shouldBe merged
+      // k-capped, sorted by (value desc, id asc)
+      merged.size should be <= 5
+      merged shouldBe merged.sortBy { case (id, v) => (-v, id) }
+      // the top entry matches the naive maximum under the same ordering
+      if (xs.nonEmpty)
+        merged.head shouldBe xs.minBy { case (id, v) => (-v, id) }
+    }
+  }
+
+  test("property: upsert result has exactly one row per key, updates win") {
+    import spark.implicits._
+    val gen = Gen.zip(
+      Gen.listOfN(25, Gen.chooseNum(0L, 15L)).map(_.distinct),
+      Gen.listOfN(10, Gen.chooseNum(0L, 20L)).map(_.distinct))
+    samples(gen, 6).foreach { case (baseKeys, updKeys) =>
+      val base = baseKeys.map(k => (k, s"b$k")).toDF("k", "v")
+      val upd = updKeys.map(k => (k, s"u$k")).toDF("k", "v")
+      val out = graft.operators.Merge.upsertByKey(base, upd, "k")
+        .as[(Long, String)].collect().toMap
+      out.keySet shouldBe (baseKeys.toSet ++ updKeys.toSet)
+      updKeys.foreach(k => out(k) shouldBe s"u$k")
+      (baseKeys.toSet -- updKeys.toSet).foreach(k => out(k) shouldBe s"b$k")
+    }
+  }
+
+  test("property: http id-range partitioning is a partition of unity over [start, end)") {
+    val gen = Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 500L), Gen.chooseNum(1, 40))
+    samples(gen, 50).foreach { case (start, span, parts) =>
+      val end = start + span
+      val ranges = graft.sources.HttpRanges.slices(start, end, parts)
+      // contiguous, non-overlapping, covering
+      ranges.head.lo shouldBe start
+      ranges.last.hi shouldBe end
+      ranges.sliding(2).foreach {
+        case Seq(a, b) => a.hi shouldBe b.lo
+        case _ => ()
+      }
+      ranges.map(r => r.hi - r.lo).sum shouldBe span
+      all(ranges.map(r => r.hi - r.lo)) should be >= 0L
+    }
+  }
 }
