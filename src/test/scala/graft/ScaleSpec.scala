@@ -72,4 +72,35 @@ class ScaleSpec extends SparkSpec with Matchers {
     spark.sql("DROP TABLE IF EXISTS demo.orders_bkt")
     spark.sql("DROP TABLE IF EXISTS demo.cust_bkt")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the executed plan)") {
+    import org.apache.spark.sql.functions._
+    // hot key 0 carries ~100k rows vs ~10 for every other key; thresholds
+    // lowered so the 100 TB skew shape reproduces at test scale
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val fact = spark.range(100000)
+        .select(when(col("id") % 10 =!= 0, 0L).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("attr"))
+      val joined = fact.join(dim, "k")
+      // execute THIS df's own queryExecution (count()/write plan separate
+      // queries) so the adaptive plan finalizes with runtime statistics
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      plan should include("SortMergeJoin")
+      plan should include("skew=true")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
