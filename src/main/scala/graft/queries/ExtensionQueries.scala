@@ -83,25 +83,32 @@ object ExtensionQueries {
        |SELECT a AS doc, min(b) AS canonical_id, (min(b) = a) AS is_keeper
        |FROM reach GROUP BY a ORDER BY doc""".stripMargin
 
-  private val simHashOracle: String = {
+  /** SimHash pair CTEs (s-prefixed names so they compose with
+    * minHashPairsBody in one WITH clause); exposes `shres` =
+    * (doc_a, doc_b, hamming) for all chunk-colliding pairs.
+    */
+  private val simHashPairsBody: String = {
     val bits = Dedup.SimHashBits; val chunks = 4; val chunkBits = bits / chunks
-    s"""WITH tok AS (
+    s"""stok AS (
        |  SELECT doc_id AS doc, unnest(string_split_regex(lower(text), '\\s+')) AS tok
        |  FROM documents),
-       |th AS (SELECT doc, ${dkHash56("tok")} AS h FROM tok),
-       |bits AS (SELECT doc, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
-       |  FROM th CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) GROUP BY doc, j),
-       |sig AS (SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-       |  FROM bits GROUP BY doc),
-       |chunked AS (SELECT doc, simhash, c, (simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1} AS v
-       |  FROM sig CROSS JOIN (SELECT unnest(range(0, $chunks)) AS c)),
-       |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b,
+       |sth AS (SELECT doc, ${dkHash56("tok")} AS h FROM stok),
+       |sbits AS (SELECT doc, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |  FROM sth CROSS JOIN (SELECT unnest(range(0, $bits)) AS j) GROUP BY doc, j),
+       |ssig AS (SELECT doc, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+       |  FROM sbits GROUP BY doc),
+       |schunked AS (SELECT doc, simhash, c, (simhash >> (c * $chunkBits)) & ${(1L << chunkBits) - 1} AS v
+       |  FROM ssig CROSS JOIN (SELECT unnest(range(0, $chunks)) AS c)),
+       |scand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b,
        |    l.simhash AS sa, r.simhash AS sb
-       |  FROM chunked l JOIN chunked r ON l.c = r.c AND l.v = r.v AND l.doc < r.doc)
-       |SELECT doc_a, doc_b, hamming FROM (
-       |  SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM cand)
-       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+       |  FROM schunked l JOIN schunked r ON l.c = r.c AND l.v = r.v AND l.doc < r.doc),
+       |shres AS (SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming FROM scand)""".stripMargin
   }
+
+  private val simHashOracle: String =
+    s"""WITH $simHashPairsBody
+       |SELECT doc_a, doc_b, hamming FROM shres
+       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
 
   private val ngramOracle: String = {
     val n = 12
@@ -648,6 +655,34 @@ object ExtensionQueries {
              |SELECT * FROM updates
              |UNION ALL
              |SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Detector-agreement analytics (dedup-tuning evaluation): how do the
+    // MinHash-LSH and SimHash candidate sets overlap? Full outer join of
+    // the two pair tables → (both, minhash_only, simhash_only) counts.
+    QueryDef("x26_detector_agreement",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val mh = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select(col("doc_a").as("m_a"), col("doc_b").as("m_b"))
+        val sh = Dedup.simHash(docs, "doc_id", "text", maxHamming = 3)
+          .select(col("doc_a").as("s_a"), col("doc_b").as("s_b"))
+        mh.join(sh, col("m_a") === col("s_a") && col("m_b") === col("s_b"), "full_outer")
+          .agg(
+            sum(when(col("m_a").isNotNull && col("s_a").isNotNull, 1L).otherwise(0L)).as("both_pairs"),
+            sum(when(col("m_a").isNotNull && col("s_a").isNull, 1L).otherwise(0L)).as("minhash_only"),
+            sum(when(col("m_a").isNull && col("s_a").isNotNull, 1L).otherwise(0L)).as("simhash_only"))
+      },
+      Some(s"""WITH $minHashPairsBody,
+             |$simHashPairsBody,
+             |mhpairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |shpairs AS (SELECT doc_a, doc_b FROM shres WHERE hamming <= 3)
+             |SELECT
+             |  sum(CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS both_pairs,
+             |  sum(CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS minhash_only,
+             |  sum(CASE WHEN m.doc_a IS NULL AND s.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS simhash_only
+             |FROM mhpairs m FULL OUTER JOIN shpairs s
+             |  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b""".stripMargin))
   )
 }
