@@ -417,7 +417,25 @@ object AnalyticsQueries {
              |  string_agg(c_custkey::VARCHAR, ',' ORDER BY c_custkey) AS custkey_csv
              |FROM customer JOIN nation ON c_nationkey = n_nationkey
              |WHERE c_custkey % 11 = 0
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Array-function library (split/size/element_at/sort/join/contains) —
+    // arrays rendered to scalars so the comparison is representation-free.
+    QueryDef("b18_array_functions",
+      (s, d) => tbl(s, d, "orders").filter(col("o_orderkey") % 211 === 0)
+        .withColumn("parts", split(col("o_orderpriority"), "-"))
+        .select(col("o_orderkey"),
+          size(col("parts")).as("nparts"),
+          element_at(col("parts"), 1).as("part1"),
+          array_join(sort_array(col("parts")), "|").as("sorted_joined"),
+          array_contains(col("parts"), "URGENT").as("has_urgent"))
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  len(string_split(o_orderpriority, '-'))::INT AS nparts,
+             |  string_split(o_orderpriority, '-')[1] AS part1,
+             |  array_to_string(list_sort(string_split(o_orderpriority, '-')), '|') AS sorted_joined,
+             |  list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS has_urgent
+             |FROM orders WHERE o_orderkey % 211 = 0 ORDER BY o_orderkey""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit
