@@ -112,6 +112,20 @@ object TextAnalysis {
         (acc, h) => (acc * 31 + h) % lit(P)).as("rolling_hash"))
   }
 
+  /** Deterministic hash sampling: keep a row iff
+    * hash56(id) mod `outOf` < `keep` — the seedless, engine-portable way to
+    * subsample a corpus. Unlike rand()-based sampling it is stable across
+    * reruns, executors, partitionings, and engines (the md5-derived hash
+    * has an exact DuckDB twin), so a 1% dev slice of a 100 TB corpus is
+    * THE SAME 1% every time — reproducible experiments, joinable slices.
+    * Pure filter: pushes to the scan, no shuffle.
+    */
+  def deterministicSample(df: DataFrame, idCol: String,
+      keep: Int, outOf: Int = 100): DataFrame = {
+    require(keep >= 0 && keep <= outOf, s"keep must be in [0, $outOf]")
+    df.filter(hash56(col(idCol).cast("string")) % outOf < keep)
+  }
+
   /** Text cleaning for training-data curation: strip markup-like tags,
     * collapse whitespace runs, trim — the normalization pass that runs
     * before dedup/quality so near-identical scraped pages hash together.

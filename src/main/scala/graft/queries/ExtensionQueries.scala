@@ -683,6 +683,18 @@ object ExtensionQueries {
              |  sum(CASE WHEN m.doc_a IS NOT NULL AND s.doc_a IS NULL THEN 1 ELSE 0 END)::BIGINT AS minhash_only,
              |  sum(CASE WHEN m.doc_a IS NULL AND s.doc_a IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS simhash_only
              |FROM mhpairs m FULL OUTER JOIN shpairs s
-             |  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b""".stripMargin))
+             |  ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b""".stripMargin)),
+
+    // Deterministic hash sampling: the seedless 20%-slice that is the SAME
+    // 20% on every rerun, partitioning, and engine — reproducible dev
+    // slices of a 100 TB corpus. Pure pushed-down filter, no shuffle.
+    QueryDef("x27_deterministic_sample",
+      (s, d) => TextAnalysis.deterministicSample(
+        tbl(s, d, "documents"), "doc_id", keep = 20, outOf = 100)
+        .select("doc_id")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM documents
+             |WHERE ${dkHash56("doc_id::VARCHAR")} % 100 < 20
+             |ORDER BY doc_id""".stripMargin))
   )
 }
