@@ -2,6 +2,7 @@ package graft.orchestration
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.config.{ExecutionConfig, PipelineConfig}
 import graft.exec.PartitionExecutor
@@ -79,31 +80,40 @@ final class BatchProcessor(
     var attempt = 1
     var done = false
     while (attempt <= exec.maxAttempts && !done) {
-      val rem = remaining()
-      val total = rem.count()
-      if (total == 0L) done = true
-      else {
-        val numBatches = math.max(1L, (total + exec.batchSize - 1) / exec.batchSize)
-        val batched = rem
-          .withColumn("batch_id", BatchProcessor.batchId(col("request_id"), numBatches))
-          .repartition(exec.numPartitions)
-        // The reference enumerates ids with distinct().collect()
-        // (batch_processor.py:79-81) — a full extra scan of the remaining
-        // set per attempt. pmod already bounds ids to [0, numBatches), so
-        // iterate the range directly; a hash-empty batch is a no-op write.
-        // At 100 TB that saves one whole source+sink anti-join recompute
-        // per attempt.
-        val batchIds = 0L until numBatches
-        batchIds.foreach { id =>
-          try handler(batched.filter(col("batch_id") === id).drop("batch_id"))
-          catch {
-            case e: Exception if attempt < exec.maxAttempts =>
-              System.err.println(s"[BatchProcessor] batch $id failed on attempt $attempt: ${e.getMessage}")
-            case e: Exception => throw e
-          }
+      // Stage the per-attempt remaining set. Without this, every batch's
+      // action re-executes the full source∖sink anti-join and repartition
+      // shuffle — numBatches × full rescans per attempt (the reference has
+      // the same flaw, batch_processor.py:56-57,76-81; at 100 TB it's a
+      // scale-killer). DISK_ONLY: the remaining set can be near-source-sized
+      // on attempt 1 and must not evict executor heap.
+      val rem = remaining().persist(StorageLevel.DISK_ONLY)
+      try {
+        val total = rem.count() // materializes the cache: the ONE anti-join per attempt
+        if (total == 0L) done = true
+        else {
+          val numBatches = math.max(1L, (total + exec.batchSize - 1) / exec.batchSize)
+          val batched = rem
+            .withColumn("batch_id", BatchProcessor.batchId(col("request_id"), numBatches))
+            .repartition(exec.numPartitions)
+            .persist(StorageLevel.DISK_ONLY)
+          try {
+            // The reference enumerates ids with distinct().collect()
+            // (batch_processor.py:79-81) — a full extra scan of the remaining
+            // set per attempt. pmod already bounds ids to [0, numBatches), so
+            // iterate the range directly; a hash-empty batch is a no-op write.
+            val batchIds = 0L until numBatches
+            batchIds.foreach { id =>
+              try handler(batched.filter(col("batch_id") === id).drop("batch_id"))
+              catch {
+                case e: Exception if attempt < exec.maxAttempts =>
+                  System.err.println(s"[BatchProcessor] batch $id failed on attempt $attempt: ${e.getMessage}")
+                case e: Exception => throw e
+              }
+            }
+          } finally batched.unpersist(blocking = false)
+          attempt += 1
         }
-        attempt += 1
-      }
+      } finally rem.unpersist(blocking = false)
     }
   }
 }
