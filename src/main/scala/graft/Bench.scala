@@ -32,6 +32,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // Partition sizing for THIS SF (the knob the 100 TB deploy retunes):
+      // sf0.1 files are sub-MB, but the text/dedup operators do heavy
+      // per-row CPU (tokenize + md5 per token), so Spark's bytes-based
+      // split sizing leaves whole pipelines on ONE task. 128 KB splits /
+      // 64 KB coalesce floor spread those stages across the 32 threads; at
+      // production scale with 100 MB+ files the defaults (128 MB / 1 MB)
+      // are the right sizing and these two lines are what you'd change.
+      .config("spark.sql.files.maxPartitionBytes", "131072")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()

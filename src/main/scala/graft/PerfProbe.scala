@@ -27,6 +27,9 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // Same SF-matched partition sizing as Bench (see comment there).
+      .config("spark.sql.files.maxPartitionBytes", "131072")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "65536")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .config("spark.driver.host", "127.0.0.1")

@@ -269,19 +269,34 @@ object AnalyticsQueries {
           .mkString(", ") +
         """ FROM events GROUP BY 1 ORDER BY event_type"""))),
 
-    // The approximate scale path (rows-only check: HLL/t-digest sketches
-    // have no cross-engine twin): approx_count_distinct keeps O(log n)
+    // The approximate scale path: approx_count_distinct keeps O(log n)
     // state per group vs count(DISTINCT)'s full shuffle of distinct pairs;
     // approx_percentile replaces b10's exact sort at unbounded cardinality.
+    // The sketches themselves have no cross-engine twin, so the query is
+    // SELF-CHECKING: it computes the exact aggregates alongside and emits
+    // booleans proving each sketch landed within its published error bound
+    // (HLL rsd=0.05 → 3σ=15%; percentile accuracy=1000 → rank error 1e-3,
+    // asserted against a ±0.05/±0.02-rank exact bracket). The oracle
+    // strict-checks the exact counts and expects every bound to hold.
     QueryDef("x23_approx_sketch",
       (s, d) => QueryDef.events(s, d)
         .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("pcts"))
-        .select(col("event_type"), col("approx_users"),
-          col("pcts")(0).as("p50_approx"), col("pcts")(1).as("p99_approx"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("approx_users"),
+          countDistinct(col("user_id")).as("exact_users"),
+          expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("apcts"),
+          expr("percentile(value, array(0.45, 0.55, 0.97, 0.9999))").as("epcts"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_users") - col("exact_users"))
+            <= col("exact_users") * 0.15).as("users_ok"),
+          (col("apcts")(0) >= col("epcts")(0) &&
+            col("apcts")(0) <= col("epcts")(1)).as("p50_ok"),
+          (col("apcts")(1) >= col("epcts")(2) &&
+            col("apcts")(1) <= col("epcts")(3)).as("p99_ok"))
         .orderBy("event_type"),
-      None),
+      Some("""SELECT event_type, count(DISTINCT user_id)::BIGINT AS exact_users,
+             |  TRUE AS users_ok, TRUE AS p50_ok, TRUE AS p99_ok
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
 
     // Source-format breadth: the engine's readers beyond parquet. Each
     // round-trips the orders projection through a temp dir in the target
