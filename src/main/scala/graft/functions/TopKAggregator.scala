@@ -52,10 +52,52 @@ final class TopKAggregator(k: Int)
     ExpressionEncoder[List[(Long, Long)]]()
 }
 
+/** Double-valued sibling of [[TopKAggregator]] for score columns (cosine,
+  * jaccard): same bounded k-entry state, same (value desc, id asc)
+  * determinism. NaN scores sort last (both comparisons false → treated as
+  * smallest), vs largest-first under a window sort — don't feed NaN if the
+  * two paths must agree; the ANN operators never produce NaN for non-zero
+  * vectors.
+  */
+final class TopKDoubleAggregator(k: Int)
+    extends Aggregator[(Long, Double), List[(Long, Double)], List[(Long, Double)]] {
+  require(k > 0, "k must be positive")
+
+  private def lt(a: (Long, Double), b: (Long, Double)): Boolean =
+    a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+
+  override def zero: List[(Long, Double)] = Nil
+
+  override def reduce(buf: List[(Long, Double)], in: (Long, Double)): List[(Long, Double)] =
+    insert(buf, in)
+
+  override def merge(a: List[(Long, Double)], b: List[(Long, Double)]): List[(Long, Double)] =
+    b.foldLeft(a)(insert)
+
+  private def insert(buf: List[(Long, Double)], e: (Long, Double)): List[(Long, Double)] = {
+    if (buf.lengthCompare(k) >= 0 && !lt(e, buf.last)) buf
+    else {
+      val (before, after) = buf.span(lt(_, e))
+      (before ::: e :: after).take(k)
+    }
+  }
+
+  override def finish(reduction: List[(Long, Double)]): List[(Long, Double)] = reduction
+
+  override def bufferEncoder: Encoder[List[(Long, Double)]] =
+    ExpressionEncoder[List[(Long, Double)]]()
+  override def outputEncoder: Encoder[List[(Long, Double)]] =
+    ExpressionEncoder[List[(Long, Double)]]()
+}
+
 object TopKAggregator {
   /** Untyped-DataFrame handle: `topK(5)(col("id"), col("value"))` →
     * `array<struct<_1 id, _2 value>>` sorted by value desc.
     */
   def topK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new TopKAggregator(k), Encoders.product[(Long, Long)])
+
+  /** Double-score variant: `topKDouble(5)(col("id"), col("cosine"))`. */
+  def topKDouble(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new TopKDoubleAggregator(k), Encoders.product[(Long, Double)])
 }

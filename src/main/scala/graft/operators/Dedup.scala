@@ -170,18 +170,28 @@ object Dedup {
       .localCheckpoint()
     var labels = docs.select(col(idCol).as("doc"), col(idCol).as("canonical"))
       .localCheckpoint()
+    val idType = labels.schema("canonical").dataType
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
+      // One action per round: the label aggregation carries each doc's OLD
+      // label alongside (labels leg only — max() ignores the neighbor leg's
+      // nulls; labels is unique per doc), and an Observation metric counts
+      // changed labels DURING the checkpoint job. The old shape ran a
+      // second join+isEmpty action per round just to test convergence —
+      // 2× the jobs, and a full extra scan of both label sets.
       val viaEdges = edges.join(labels, edges("src") === labels("doc"))
-        .select(edges("dst").as("doc"), col("canonical"))
-      val next = labels.union(viaEdges)
-        .groupBy("doc").agg(min("canonical").as("canonical"))
+        .select(edges("dst").as("doc"), col("canonical"),
+          lit(null).cast(idType).as("old"))
+      val obs = org.apache.spark.sql.Observation(s"canonicalize_round_$iter")
+      val next = labels.select(col("doc"), col("canonical"), col("canonical").as("old"))
+        .union(viaEdges)
+        .groupBy("doc").agg(min("canonical").as("canonical"), max("old").as("old"))
+        .observe(obs, sum(when(col("canonical") =!= col("old"), 1L).otherwise(0L))
+          .as("changed"))
+        .drop("old")
         .localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), "doc")
-        .filter(col("n.canonical") =!= col("o.canonical"))
-        .isEmpty
+      converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       labels = next
       iter += 1
     }

@@ -1,6 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
 /** Key-based upsert (the WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
   * subset of Delta's MERGE) as a pure batch transformation:
@@ -16,22 +18,29 @@ import org.apache.spark.sql.DataFrame
 object Merge {
   /** `validateUniqueKeys` (default true) mirrors Delta MERGE's "multiple
     * source rows matched" error: duplicate update keys would silently emit
-    * both rows, breaking the one-row-per-key invariant. The check is one
-    * extra aggregation job over `updates` (the small side); disable it
-    * only when uniqueness is guaranteed upstream.
+    * both rows, breaking the one-row-per-key invariant. The check is LAZY —
+    * a per-key window count over `updates` (the small side) feeding a
+    * `raise_error` woven into the key projection — so it adds no extra
+    * driver-side job; the error surfaces when the merged result is first
+    * computed. Disable it to also skip the window shuffle when uniqueness
+    * is guaranteed upstream.
     */
   def upsertByKey(base: DataFrame, updates: DataFrame, key: String,
       validateUniqueKeys: Boolean = true): DataFrame = {
     require(base.columns.sameElements(updates.columns),
       s"upsert requires identical schemas, got ${base.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
-    if (validateUniqueKeys) {
-      import org.apache.spark.sql.functions.{col, count, lit}
-      val dups = updates.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-        .filter(col("__n") > 1).limit(1).collect()
-      require(dups.isEmpty,
-        s"upsert: updates contain multiple rows for key ${dups.headOption.map(_.get(0)).orNull} " +
-          "(and possibly others); dedup updates first or pass validateUniqueKeys = false")
-    }
-    updates.unionByName(base.join(updates.select(key), Seq(key), "left_anti"))
+    val upd =
+      if (!validateUniqueKeys) updates
+      else {
+        val guardedKey = when(
+          count(lit(1)).over(Window.partitionBy(key)) > 1,
+          expr("raise_error(concat('upsert: updates contain multiple rows for key ', " +
+            s"coalesce(cast(`$key` as string), 'NULL'), " +
+            "'; dedup updates first or pass validateUniqueKeys = false'))"))
+          .otherwise(col(key)).as(key)
+        updates.select(updates.columns.toSeq
+          .map(c => if (c == key) guardedKey else col(c)): _*)
+      }
+    upd.unionByName(base.join(upd.select(key), Seq(key), "left_anti"))
   }
 }

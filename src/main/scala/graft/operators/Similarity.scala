@@ -60,21 +60,44 @@ object Similarity {
     * sign-LSH bucket. Recall < 1.0 by construction; the candidate set per
     * query is |corpus| / 2^bits in expectation instead of |corpus|.
     * Returns (query_id, rank, neighbor_id, cosine).
+    *
+    * `broadcastQueries` (default true) fits the common shape — a small
+    * query set probing a huge corpus. When the query side is itself too
+    * big to broadcast (batch scoring, corpus-vs-corpus), pass false: the
+    * bucket join becomes a plain shuffle equi-join (AQE still broadcasts
+    * if the side turns out small), and the per-query top-k runs through
+    * the bounded-state TopKDoubleAggregator instead of a row_number
+    * window — a window sorts EVERY candidate of a query inside one
+    * partition, while the aggregator's state never exceeds k entries and
+    * partial-aggregates map-side. Requires a BIGINT id column (the
+    * aggregator's key type); the broadcast path takes any id type.
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame,
-      idCol: String, vecCol: String, k: Int, bits: Int = 8): DataFrame = {
+      idCol: String, vecCol: String, k: Int, bits: Int = 8,
+      broadcastQueries: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
       .withColumn("bucket", signBucket(col("qv"), bits))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
       .withColumn("bucket", signBucket(col("cv"), bits))
-    val scored = broadcast(q).join(c, Seq("bucket"))
+    val qSide = if (broadcastQueries) broadcast(q) else q
+    val scored = qSide.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    if (broadcastQueries) {
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    } else {
+      scored
+        .groupBy("query_id")
+        .agg(graft.functions.TopKAggregator.topKDouble(k)(
+          col("neighbor_id"), col("cosine")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._1").as("neighbor_id"), col("col._2").as("cosine"))
+    }
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nlist` cells

@@ -140,6 +140,28 @@ object ExtensionQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** Shared by x08 (broadcast path) and x08c (shuffle/aggregator path):
+    * the two plans must produce identical rows, so they share one oracle. */
+  private lazy val lshAnnOracle: String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+       |    FROM embeddings),
+       |b AS (SELECT vec_id, vec,
+       |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END) +
+       |    (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END) +
+       |    (CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END) +
+       |    (CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END)
+       |      AS bucket
+       |  FROM v),
+       |q AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM b WHERE vec_id < 10),
+       |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
+       |    ${dkCosine("qv", "c.vec")} AS cosine
+       |  FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
+       |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   // ---- text ----
 
   private val langIdOracle: String = {
@@ -306,24 +328,22 @@ object ExtensionQueries {
             floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
           .orderBy("query_id", "rank")
       },
-      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
-             |    FROM embeddings),
-             |b AS (SELECT vec_id, vec,
-             |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END) +
-             |    (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END) +
-             |    (CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END) +
-             |    (CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END)
-             |      AS bucket
-             |  FROM v),
-             |q AS (SELECT vec_id AS query_id, vec AS qv, bucket FROM b WHERE vec_id < 10),
-             |scored AS (SELECT query_id, c.vec_id AS neighbor_id,
-             |    ${dkCosine("qv", "c.vec")} AS cosine
-             |  FROM q JOIN b c USING (bucket) WHERE query_id <> c.vec_id),
-             |ranked AS (SELECT query_id, neighbor_id, cosine,
-             |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-             |  FROM scored)
-             |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
-             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+      Some(lshAnnOracle)),
+
+    // Same ANN semantics through the LARGE-query-side plan: shuffle bucket
+    // join (no forced broadcast) + bounded-state TopKDoubleAggregator
+    // instead of the row_number window. Same oracle as x08 — the two
+    // execution strategies must agree row for row.
+    QueryDef("x08c_ann_lsh_shuffle",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, bits = 8, broadcastQueries = false)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(lshAnnOracle)),
 
     // IVF ANN (8 cells, 2 probes): centroid codebook → max_by cell
     // assignment → probe-cell equi-join. The other scale path beside LSH;

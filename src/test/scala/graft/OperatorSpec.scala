@@ -282,10 +282,12 @@ class OperatorSpec extends SparkSpec with Matchers {
       .orderBy("k").as[(Long, String)].collect()
     merged shouldBe Array((1L, "a"), (2L, "B"), (3L, "c"), (4L, "D"))
 
-    // Delta MERGE's "multiple source rows matched" contract
+    // Delta MERGE's "multiple source rows matched" contract. The guard is
+    // lazy (folded into the main job via raise_error) — it fires on the
+    // first action, not at call time, and adds no extra driver-side job.
     val dupUpdates = Seq((2L, "B"), (2L, "B2")).toDF("k", "v")
-    val e = intercept[IllegalArgumentException] {
-      graft.operators.Merge.upsertByKey(base, dupUpdates, "k")
+    val e = intercept[Exception] {
+      graft.operators.Merge.upsertByKey(base, dupUpdates, "k").count()
     }
     e.getMessage should include("multiple rows for key")
     // opt-out keeps bag semantics for callers who guarantee uniqueness upstream

@@ -130,6 +130,23 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("topkaggregator")
   }
 
+  test("x08c large-query-side ANN: no forced broadcast of queries, no window sort") {
+    // when the query set is too big to broadcast, the operator must not
+    // pin it to a BroadcastExchange (the explicit hint is what we're
+    // guarding against — AQE may still *choose* broadcast for a side that
+    // proves small at runtime, which is fine), and the per-query top-k
+    // must run through the bounded-state aggregator, not a window that
+    // sorts every candidate row of a query in one partition
+    val df = SparkEntry.queries("x08c_ann_lsh_shuffle")(spark, sfDir)
+    val plan = planOf(df)
+    (plan should not).include("Window")
+    plan.toLowerCase should include("topkdoubleaggregator")
+    plan.toLowerCase should include("partial")
+    // the explicit broadcast() hint would survive into the optimized plan
+    val optimized = df.queryExecution.optimizedPlan.toString
+    (optimized should not).include("ResolvedHint")
+  }
+
   test("b05 rollup expands grouping sets in ONE aggregation pass") {
     val plan = planOf(q("b05_rollup_revenue"))
     plan should include("Expand")
