@@ -416,6 +416,22 @@ object AnalyticsQueries {
              |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
              |GROUP BY 1 ORDER BY o_custkey""".stripMargin)),
 
+    // INTERSECT ALL — the other bag-semantics set op (min of the two
+    // multiplicities per value), same grouped-to-counts determinism as b16.
+    QueryDef("b19_intersect_all",
+      (s, d) => {
+        val o = tbl(s, d, "orders")
+        def yr(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey")
+        yr(1996).intersectAll(yr(1997))
+          .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, count(*) AS n FROM (
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+             |  INTERSECT ALL
+             |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+             |GROUP BY 1 ORDER BY o_custkey""".stripMargin)),
+
     // Collection aggregation: collect_list is order-nondeterministic by
     // contract, so the portable form is sort_array(collect_list(...)) —
     // rendered to CSV to avoid cross-engine array-representation drift in

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Multimodal, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -715,6 +715,79 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id FROM documents
              |WHERE ${dkHash56("doc_id::VARCHAR")} % 100 < 20
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Backward as-of join (AsOfJoin.backward — union+window, ONE
+    // shuffle+sort, no join): each purchase picks up the latest
+    // at-or-before view value per user. The oracle mirrors the same
+    // union trick in SQL (portable, no ASOF dialect dependence).
+    QueryDef("x28_asof_join",
+      (s, d) => {
+        val ev = QueryDef.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+        AsOfJoin.backward(purchases, views, "user_id", "ts", Seq("view_value"))
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("event_id"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+            floor(col("asof_view_value") * 100 + 0.5).cast("long").as("view_cents"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+             |  WHERE event_type = 'view' GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, ts, event_id, NULL::TIMESTAMP AS r_ts,
+             |    NULL::DOUBLE AS r_v, 1 AS il FROM p
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, ts, view_value, 0 FROM v),
+             |w AS (SELECT user_id, ts, event_id, il,
+             |    last_value(r_ts IGNORE NULLS) OVER win AS view_ts,
+             |    last_value(r_v IGNORE NULLS) OVER win AS view_value
+             |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, il
+             |    ROWS UNBOUNDED PRECEDING))
+             |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+             |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             |  (floor(view_value * 100 + 0.5))::BIGINT AS view_cents
+             |FROM w WHERE il = 1 ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // Bucketized point-in-interval range join (RangeJoin.pointInInterval):
+    // lineitem ship-days against 91-day order windows, then a per-interval
+    // rollup. The oracle uses the direct inequality join — the bucketed
+    // plan must reproduce it exactly.
+    QueryDef("x29_range_join",
+      (s, d) => {
+        val points = tbl(s, d, "lineitem")
+          .filter(col("l_orderkey") % 89 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("ship_day"))
+        val intervals = tbl(s, d, "orders")
+          .filter(col("o_orderkey") % 97 === 0)
+          .select(col("o_orderkey"),
+            datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+              .cast("long").as("start_day"))
+          .withColumn("end_day", col("start_day") + 90)
+        RangeJoin.pointInInterval(points, intervals,
+            "ship_day", "start_day", "end_day", bucketWidth = 64)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("pts"), min("ship_day").as("first_day"),
+            max("ship_day").as("last_day"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH p AS (SELECT l_orderkey, l_linenumber,
+             |    date_diff('day', DATE '1970-01-01', l_shipdate::DATE)::BIGINT AS ship_day
+             |  FROM lineitem WHERE l_orderkey % 89 = 0),
+             |i AS (SELECT o_orderkey,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS start_day
+             |  FROM orders WHERE o_orderkey % 97 = 0)
+             |SELECT o_orderkey, count(*)::BIGINT AS pts, min(ship_day)::BIGINT AS first_day,
+             |  max(ship_day)::BIGINT AS last_day
+             |FROM i JOIN p ON ship_day BETWEEN start_day AND start_day + 90
+             |GROUP BY 1 ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -294,4 +294,33 @@ class OperatorSpec extends SparkSpec with Matchers {
     graft.operators.Merge.upsertByKey(base, dupUpdates, "k",
       validateUniqueKeys = false).count() shouldBe 4L
   }
+
+  test("as-of join: latest at-or-before right row per key, inclusive, left rows kept") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 10L, "d"))
+      .toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (2L, 11L, 9.0))
+      .toDF("k", "ts", "v")
+    val out = graft.operators.AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+      .select("tag", "asof_ts", "asof_v").as[(String, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    out("a") shouldBe ((Some(10L), Some(1.0)))   // equal ts is inclusive
+    out("b") shouldBe ((Some(15L), Some(2.0)))   // latest of the two priors wins
+    out("c") shouldBe ((None, None))             // nothing at or before → kept with nulls
+    out("d") shouldBe ((None, None))             // right row is AFTER the left ts
+  }
+
+  test("range join: bucket-spanning intervals match exactly once, BETWEEN is inclusive") {
+    import spark.implicits._
+    val points = Seq((1L, 0L), (2L, 64L), (3L, 100L), (4L, 199L), (5L, 200L))
+      .toDF("pid", "x")
+    val intervals = Seq((10L, 0L, 199L), (20L, 64L, 64L), (30L, 150L, 100L))
+      .toDF("iid", "s", "e") // 10 spans 4 buckets; 20 is a point; 30 is degenerate
+    val out = graft.operators.RangeJoin.pointInInterval(
+        points, intervals, "x", "s", "e", bucketWidth = 64)
+      .select("iid", "pid").as[(Long, Long)].collect().sorted
+    // interval 10 matches points 1-4 exactly once each despite overlapping
+    // 4 buckets; 20 matches only the boundary point; 30 (e < s) matches none
+    out shouldBe Array((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (20L, 2L))
+  }
 }
