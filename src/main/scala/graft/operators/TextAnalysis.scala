@@ -136,4 +136,38 @@ object TextAnalysis {
       regexp_replace(col(textCol), "<[^>]*>", " "), "\\s+", " "))
     df.select(col(idCol), cleaned.as("cleaned"), length(cleaned).as("cleaned_len"))
   }
+
+  /** Sliding-window document chunking — the context-length prep step of an
+    * LLM training pipeline: each doc becomes ceil-many overlapping chunks
+    * of `window` tokens advancing by `stride` (< window ⇒ overlap of
+    * window − stride tokens). Chunk identity is (doc id, chunk_idx) —
+    * deterministic, so chunk tables from different runs join.
+    *
+    * Plan shape: tokenize once, generate chunk indices per row
+    * (`sequence` + `transform`, bounded by doc length), explode — pure
+    * per-row expansion, NO shuffle; output rows ≈ docs × n/stride. At
+    * 100 TB this is a map-only stage that chains straight into the dedup/
+    * quality operators downstream.
+    *
+    * Chunk count: 1 if n ≤ window, else 1 + ⌈(n−window)/stride⌉ — the
+    * final chunk may be shorter than `window` but is never empty, and no
+    * chunk starts past the text.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"chunk: need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .withColumn("__nc",
+        when(col("__n") <= window, lit(1))
+          .otherwise(lit(1) + ceil((col("__n") - window).cast("double") / stride).cast("int")))
+      .select(col(idCol), col("__toks"),
+        explode(sequence(lit(0), col("__nc") - 1)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)), " ")
+          .as("chunk_text"),
+        size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
+          .cast("long").as("chunk_tokens"))
+  }
 }

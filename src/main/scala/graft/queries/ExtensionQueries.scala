@@ -788,6 +788,43 @@ object ExtensionQueries {
              |SELECT o_orderkey, count(*)::BIGINT AS pts, min(ship_day)::BIGINT AS first_day,
              |  max(ship_day)::BIGINT AS last_day
              |FROM i JOIN p ON ship_day BETWEEN start_day AND start_day + 90
-             |GROUP BY 1 ORDER BY o_orderkey""".stripMargin))
+             |GROUP BY 1 ORDER BY o_orderkey""".stripMargin)),
+
+    // Sliding-window chunking (TextAnalysis.chunk — map-only, no shuffle):
+    // 40-token windows advancing by 30 (10-token overlap). The oracle
+    // regenerates every chunk with DuckDB list slicing — text, index, and
+    // token count all hash-checked.
+    QueryDef("x30_doc_chunking",
+      (s, d) => TextAnalysis.chunk(tbl(s, d, "documents"), "doc_id", "text",
+          window = 40, stride = 30)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("chunk_tokens"))
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+             |  FROM documents),
+             |n AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) <= 40 THEN 1
+             |         ELSE 1 + CAST(ceil((len(toks) - 40)::DOUBLE / 30) AS INT) END AS nc
+             |  FROM t),
+             |c AS (SELECT doc_id, toks, unnest(range(0, nc)) AS chunk_idx FROM n)
+             |SELECT doc_id, chunk_idx,
+             |  array_to_string(toks[chunk_idx*30+1 : chunk_idx*30+40], ' ') AS chunk_text,
+             |  len(toks[chunk_idx*30+1 : chunk_idx*30+40])::BIGINT AS chunk_tokens
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Corpus token-frequency head (the Zipf table): explode → count →
+    // global top-50 via orderBy+limit, which plans TakeOrderedAndProject
+    // (per-partition top-k, k-sized merge on the driver — never a full
+    // global sort).
+    QueryDef("x31_token_frequency",
+      (s, d) => tbl(s, d, "documents")
+        .select(explode(Portable.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50),
+      Some("""SELECT t AS token, count(*)::BIGINT AS n
+             |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+             |      FROM documents)
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin))
   )
 }
