@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{name:sec,...}}.
+  * prints ONE JSON line {"metric":...,"queries":{name:sec,...},
+  * "iter_sec":{name:[t1,t2,t3],...}} — min-of-3 per query, with the raw
+  * iteration times exposed so measurement noise is visible in the artifact.
   * Headliners cover every engine layer: scan/agg (b01), broadcast star join
   * (b02), window top-k (b03), stream-table agg (b04), exact + MinHash-LSH +
   * SimHash dedup (x01/x03/x04), brute-force ANN (x07), streaming window
@@ -19,6 +21,7 @@ object Bench {
     "p05_anti_join", "x01_dedup_exact", "x03_dedup_minhash_lsh", "x04_dedup_simhash",
     "x07_ann_bruteforce", "x07b_ann_native_expr", "x08b_ann_ivf", "x14_stream_window_agg",
     "x15_sessionize", "x18_salted_join", "x20_stream_dedup", "x22_topk_aggregator",
+    "x28_asof_join", "x29_range_join", "x30_doc_chunking", "x32_curation_pipeline",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   def main(args: Array[String]): Unit = {
@@ -56,33 +59,37 @@ object Bench {
     // (first-run, warm-up-free) seconds are reported alongside. Stateful
     // side effects are safe to repeat: e2e sinks are overwrite-mode and
     // streaming queries use fresh temp checkpoints per call.
-    // Timed value = min of two post-warm-up iterations: loopback HTTP and
-    // GC noise dominate single-run variance (measured 6-13 s spread on the
-    // e2e query at identical configs); min-of-N is the stable estimator of
-    // the machine's actual capability.
+    // Timed value = min of THREE post-warm-up iterations for EVERY query —
+    // not just e*. Round 4 proved why: a machine-level contention spike
+    // landed on one x04 iteration and min-of-2 recorded 5.72 s where an
+    // immediate rerun measured 0.98 s; the official artifact hid a real
+    // 2× speedup. min-of-3 absorbs a single-spike round, and the raw
+    // per-iteration times are emitted in the JSON ("iter_sec") so any
+    // remaining spread is visible IN the artifact instead of requiring a
+    // forensic rerun to detect.
+    val iters = 3
     val results = headline.filter(qs.contains).map { name =>
       val c0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       val cold = (System.nanoTime() - c0) / 1e9
-      // e2e pipeline queries run a live loopback HTTP stage whose GC/JIT
-      // contention gives a measured 2-4× run-to-run spread — min-of-3
-      // there; pure-SQL queries are stable at min-of-2.
-      val iters = if (name.startsWith("e")) 3 else 2
-      val timed = (1 to iters).map { _ =>
+      val runs = (1 to iters).map { _ =>
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).count() } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      (name, timed, cold)
+      }
+      (name, runs.min, cold, runs)
     }
-    val qJson = results.map { case (k, v, _) => "\"" + k + f"""":${v}%.3f""" }
+    val qJson = results.map { case (k, v, _, _) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
-    val wJson = results.map { case (k, _, c) => "\"" + k + f"""":${c}%.3f""" }
+    val wJson = results.map { case (k, _, c, _) => "\"" + k + f"""":${c}%.3f""" }
       .mkString("{", ",", "}")
+    val iJson = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"cold_first_run_sec":$wJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"cold_first_run_sec":$wJson,"iter_sec":$iJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
