@@ -755,6 +755,47 @@ object ExtensionQueries {
              |  (floor(view_value * 100 + 0.5))::BIGINT AS view_cents
              |FROM w WHERE il = 1 ORDER BY user_id, ts, event_id""".stripMargin)),
 
+    // Forward as-of join (AsOfJoin.forward — same union+window plan with
+    // the time axis reversed): each purchase picks up the EARLIEST
+    // at-or-after view value per user (the "next quote" direction pandas
+    // merge_asof and DuckDB ASOF both offer). The views side is
+    // pre-aggregated on (user_id, ts) one line above, so this entry also
+    // exercises the validateUnique=false single-shuffle plan.
+    QueryDef("x28b_asof_join_forward",
+      (s, d) => {
+        val ev = QueryDef.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+        AsOfJoin.forward(purchases, views, "user_id", "ts", Seq("view_value"),
+            validateUnique = false)
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("event_id"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+            floor(col("asof_view_value") * 100 + 0.5).cast("long").as("view_cents"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+             |  WHERE event_type = 'view' GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, ts, event_id, NULL::TIMESTAMP AS r_ts,
+             |    NULL::DOUBLE AS r_v, 1 AS il FROM p
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, ts, view_value, 0 FROM v),
+             |w AS (SELECT user_id, ts, event_id, il,
+             |    last_value(r_ts IGNORE NULLS) OVER win AS view_ts,
+             |    last_value(r_v IGNORE NULLS) OVER win AS view_value
+             |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, il
+             |    ROWS UNBOUNDED PRECEDING))
+             |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+             |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+             |  (floor(view_value * 100 + 0.5))::BIGINT AS view_cents
+             |FROM w WHERE il = 1 ORDER BY user_id, ts, event_id""".stripMargin)),
+
     // Bucketized point-in-interval range join (RangeJoin.pointInInterval):
     // lineitem ship-days against 91-day order windows, then a per-interval
     // rollup. The oracle uses the direct inequality join — the bucketed
@@ -789,6 +830,40 @@ object ExtensionQueries {
              |  max(ship_day)::BIGINT AS last_day
              |FROM i JOIN p ON ship_day BETWEEN start_day AND start_day + 90
              |GROUP BY 1 ORDER BY o_orderkey""".stripMargin)),
+
+    // Interval × interval overlap join (RangeJoin.intervalOverlap): 91-day
+    // order windows of one order slice against 45-day windows of another,
+    // each overlapping pair emitted exactly once from its canonical
+    // first-shared bucket. The oracle uses the direct inequality join —
+    // the bucketized plan must reproduce it exactly.
+    QueryDef("x29b_interval_overlap",
+      (s, d) => {
+        def windows(modulus: Int, span: Int, prefix: String) =
+          tbl(s, d, "orders")
+            .filter(col("o_orderkey") % modulus === 0)
+            .select(col("o_orderkey").as(s"${prefix}_key"),
+              datediff(col("o_orderdate").cast("date"), lit("1970-01-01").cast("date"))
+                .cast("long").as(s"${prefix}_start"))
+            .withColumn(s"${prefix}_end", col(s"${prefix}_start") + span)
+        RangeJoin.intervalOverlap(
+            windows(97, 90, "a"), windows(89, 44, "b"),
+            "a_start", "a_end", "b_start", "b_end", bucketWidth = 64)
+          .select(col("a_key"), col("b_key"),
+            (least(col("a_end"), col("b_end")) -
+              greatest(col("a_start"), col("b_start")) + 1).as("overlap_days"))
+          .orderBy("a_key", "b_key")
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS a_key,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS a_start
+             |  FROM orders WHERE o_orderkey % 97 = 0),
+             |b AS (SELECT o_orderkey AS b_key,
+             |    date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS b_start
+             |  FROM orders WHERE o_orderkey % 89 = 0)
+             |SELECT a_key, b_key,
+             |  (least(a_start + 90, b_start + 44) - greatest(a_start, b_start) + 1)::BIGINT
+             |    AS overlap_days
+             |FROM a JOIN b ON a_start <= b_start + 44 AND b_start <= a_start + 90
+             |ORDER BY a_key, b_key""".stripMargin)),
 
     // Sliding-window chunking (TextAnalysis.chunk — map-only, no shuffle):
     // 40-token windows advancing by 30 (10-token overlap). The oracle

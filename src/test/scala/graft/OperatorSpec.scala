@@ -310,6 +310,79 @@ class OperatorSpec extends SparkSpec with Matchers {
     out("d") shouldBe ((None, None))             // right row is AFTER the left ts
   }
 
+  test("as-of join: matched-row atomicity, forward direction, uniqueness guard, collision guard") {
+    import spark.implicits._
+    // A newer matched row whose value is NULL must NOT stitch in an older
+    // row's non-null value — ts and value travel in ONE struct.
+    val left = Seq((1L, 30L, "x")).toDF("k", "ts", "tag")
+    val right = Seq((1L, 10L, Some(7.0)), (1L, 20L, None)).toDF("k", "ts", "v")
+    graft.operators.AsOfJoin.backward(left, right, "k", "ts", Seq("v"))
+      .select("asof_ts", "asof_v").as[(Option[Long], Option[Double])]
+      .head() shouldBe ((Some(20L), None))
+
+    // forward: earliest at-or-after wins, equal ts inclusive, unmatched kept
+    val fl = Seq((1L, 10L, "a"), (1L, 16L, "b"), (2L, 99L, "c")).toDF("k", "ts", "tag")
+    val fr = Seq((1L, 10L, 1.0), (1L, 15L, 2.0), (1L, 40L, 3.0)).toDF("k", "ts", "v")
+    val fout = graft.operators.AsOfJoin.forward(fl, fr, "k", "ts", Seq("v"))
+      .select("tag", "asof_ts", "asof_v").as[(String, Option[Long], Option[Double])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    fout("a") shouldBe ((Some(10L), Some(1.0)))
+    fout("b") shouldBe ((Some(40L), Some(3.0)))
+    fout("c") shouldBe ((None, None))
+
+    // two right rows at the same (key, ts) violate the contract → the lazy
+    // Merge-style guard raises on first computation; opt-out skips it
+    val dupRight = Seq((1L, 10L, 1.0), (1L, 10L, 2.0)).toDF("k", "ts", "v")
+    val e = intercept[Exception] {
+      graft.operators.AsOfJoin.backward(left, dupRight, "k", "ts", Seq("v")).count()
+    }
+    e.getMessage should include("multiple rows for (key, ts)")
+    graft.operators.AsOfJoin.backward(left, dupRight, "k", "ts", Seq("v"),
+      validateUnique = false).count() shouldBe 1L
+
+    // left columns may not collide with the generated asof_* outputs
+    val clashLeft = Seq((1L, 10L, 0L)).toDF("k", "ts", "asof_ts")
+    intercept[IllegalArgumentException] {
+      graft.operators.AsOfJoin.backward(clashLeft, right, "k", "ts", Seq("v"))
+    }.getMessage should include("collide")
+  }
+
+  test("range join: exact long-range buckets, giant-interval cap, overlap join") {
+    import spark.implicits._
+    // bucket ids must be exact where double arithmetic is not (>2^53) and
+    // must floor (not truncate) for negative axes
+    val big = Long.MaxValue - 10L
+    val points = Seq((1L, big + 5L), (2L, -1000000007L)).toDF("pid", "x")
+    val intervals = Seq((10L, big, big + 9L), (20L, -1000000010L, -1000000000L))
+      .toDF("iid", "s", "e")
+    graft.operators.RangeJoin.pointInInterval(points, intervals, "x", "s", "e",
+        bucketWidth = 7)
+      .select("iid", "pid").as[(Long, Long)].collect().sorted shouldBe
+      Array((10L, 1L), (20L, 2L))
+
+    // a giant interval must not explode the exchange: the cap routes it
+    // through a broadcast residual instead of sequence+explode
+    val pts = (0L until 100L).map(i => (i, i * 1000L)).toDF("pid", "x")
+    val ivs = Seq((1L, 0L, Long.MaxValue / 2), (2L, 5000L, 6000L)).toDF("iid", "s", "e")
+    val out = graft.operators.RangeJoin.pointInInterval(pts, ivs, "x", "s", "e",
+      bucketWidth = 1000, maxBucketsPerInterval = 16)
+    out.count() shouldBe 102L // giant matches all 100 points; iid=2 matches 2
+    out.queryExecution.executedPlan.toString should include("BroadcastNestedLoopJoin")
+
+    // overlap join agrees with the brute-force cross product, including an
+    // oversized left interval routed through the broadcast residual path
+    val la = Seq((1L, 0L, 10L), (2L, 20L, 25L), (3L, 5L, 500L)).toDF("a_id", "a_s", "a_e")
+    val rb = Seq((7L, 8L, 22L), (8L, 600L, 601L), (9L, 24L, 30L)).toDF("b_id", "b_s", "b_e")
+    val fast = graft.operators.RangeJoin.intervalOverlap(la, rb,
+        "a_s", "a_e", "b_s", "b_e", bucketWidth = 8, maxBucketsPerInterval = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    val brute = la.crossJoin(rb)
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().sorted
+    fast should not be empty
+    fast shouldBe brute
+  }
+
   test("range join: bucket-spanning intervals match exactly once, BETWEEN is inclusive") {
     import spark.implicits._
     val points = Seq((1L, 0L), (2L, 64L), (3L, 100L), (4L, 199L), (5L, 200L))
