@@ -385,6 +385,70 @@ object ExtensionQueries {
              |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
              |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF ANN with a TRAINED codebook: two fixed-point Lloyd k-means
+    // iterations refine the seed centroids before the probe. The
+    // fixed-point mean (exact long sums of floor(x·2^20), divided back in
+    // double space) is order-independent, so the oracle replays training
+    // bit-for-bit in SQL — same assignments, same centroids, same final
+    // ranking.
+    QueryDef("x08d_ann_ivf_trained",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2,
+          trainIterations = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some {
+        // One Lloyd iteration: assign (argmax cosine, ties → smaller cid),
+        // explode components, fixed-point mean per (cell, pos), reassemble.
+        def lloyd(i: Int, prev: String) =
+          s"""a$i AS (SELECT vec_id, vec, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+             |  FROM (SELECT v.vec_id, v.vec, $prev.cid,
+             |      ${dkCosine("v.vec", s"$prev.centroid")} AS cc
+             |    FROM v CROSS JOIN $prev)),
+             |e$i AS (SELECT cid AS cell, unnest(range(1, len(vec)+1)) AS pos,
+             |    unnest(vec) AS x
+             |  FROM a$i WHERE rn = 1),
+             |s$i AS (SELECT cell, pos, sum(floor(x * 1048576)::BIGINT) AS s, count(*) AS n
+             |  FROM e$i GROUP BY 1, 2),
+             |cb$i AS (SELECT cell AS cid,
+             |    list(s::DOUBLE / (n * 1048576)::DOUBLE ORDER BY pos) AS centroid
+             |  FROM s$i GROUP BY cell)""".stripMargin
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+           |    FROM embeddings),
+           |cb0 AS (SELECT vec_id AS cid, vec AS centroid FROM v ORDER BY vec_id LIMIT 8),
+           |${lloyd(1, "cb0")},
+           |${lloyd(2, "cb1")},
+           |asg AS (SELECT vec_id, vec, cid,
+           |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+           |  FROM (SELECT v.vec_id, v.vec, cb2.cid,
+           |      ${dkCosine("v.vec", "cb2.centroid")} AS cc
+           |    FROM v CROSS JOIN cb2)),
+           |cells AS (SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell
+           |  FROM asg WHERE rn = 1),
+           |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+           |probes AS (SELECT query_id, qv, cid AS cell FROM (
+           |    SELECT query_id, qv, cid,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, cid) AS pr
+           |    FROM (SELECT q.query_id, q.qv, cb2.cid,
+           |        ${dkCosine("q.qv", "cb2.centroid")} AS qc
+           |      FROM q CROSS JOIN cb2))
+           |  WHERE pr <= 2),
+           |scored AS (SELECT query_id, c.neighbor_id,
+           |    ${dkCosine("p.qv", "c.cv")} AS cosine
+           |  FROM probes p JOIN cells c USING (cell)
+           |  WHERE p.query_id <> c.neighbor_id),
+           |ranked AS (SELECT query_id, neighbor_id, cosine,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+           |  FROM scored)
+           |SELECT query_id, rank, neighbor_id, floor(cosine*1000000)::BIGINT AS cosine_x1m
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+      }),
+
     // Language id (stopword-marker n-gram heuristic).
     QueryDef("x09_text_langid",
       (s, d) => TextAnalysis.languageId(tbl(s, d, "documents"), "doc_id", "text")

@@ -347,6 +347,39 @@ class OperatorSpec extends SparkSpec with Matchers {
     }.getMessage should include("collide")
   }
 
+  test("IVF: k-means training recovers recall lost to a degenerate seed") {
+    import spark.implicits._
+    // The sf fixtures' embeddings are near-uniform on the sphere (only
+    // ~7/60 true-neighbor pairs share a label, cell purity ~0.15 — no
+    // cluster structure), so there no codebook systematically beats any
+    // other: both paths measure ~45/60 there. Training earns its keep when
+    // clusters EXIST and the first-nlist seed lands badly. Plant exactly
+    // that: 8 wide clusters in id-order blocks, so the first-8-by-id seed
+    // takes ALL its centroids from cluster 0 and boundary vectors bucket
+    // inconsistently with their neighbors; Lloyd iterations then pull the
+    // centroids onto the real clusters. (Fixed RNG seed → deterministic.)
+    val rnd = new scala.util.Random(42)
+    val dim = 16
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 400).map { i =>
+      (i.toLong, centers(i / 50).map(x => x + 0.8 * rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 50 === 0) // one per cluster
+    val truth = Similarity
+      .bruteForceTopK(queries, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(trainIterations: Int): Long = Similarity
+      .ivfTopK(queries, vecs, "vec_id", "embedding",
+        k = 3, nlist = 8, nprobe = 1, trainIterations = trainIterations)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      .intersect(truth).size.toLong
+    val sample = hits(0)
+    val trained = hits(2)
+    withClue(s"recall hits of ${truth.size}: sample=$sample trained=$trained: ") {
+      trained should be > sample
+    }
+  }
+
   test("range join: exact long-range buckets, giant-interval cap, overlap join") {
     import spark.implicits._
     // bucket ids must be exact where double arithmetic is not (>2^53) and
