@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, RangeJoin, TextAnalysis}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -57,22 +57,53 @@ object ScaleProbe {
     }
     def corpus(m: Int): DataFrame = spark.read.parquet(replicaDirs.take(m): _*)
 
-    val ops: Seq[(String, DataFrame => Long)] = Seq(
-      "dedup_exact" -> (df => Dedup.exact(df, "doc_id", "text").count()),
-      "dedup_minhash_lsh" -> (df =>
-        Dedup.minHashLsh(df, "doc_id", "text", shingleSize = 3, numHashes = 16,
+    // Time-series operators probe on arithmetic inputs (spark.range) sized
+    // by the multiplier instead of corpus replicas: keys scale with m so
+    // per-key density (window partition width, matches per interval) stays
+    // CONSTANT — the workload grows linearly by construction and the
+    // exponent isolates the engine, exactly like the token-prefix scheme
+    // does for the text operators.
+    def asofInputs(m: Int): (DataFrame, DataFrame) = {
+      val n = 1000000L * m; val keys = 1000L * m
+      val left = spark.range(n).select((col("id") % keys).as("k"),
+        (expr(s"id div ${keys}L") * 2).as("ts"), col("id").as("lid"))
+      val right = spark.range(n).select((col("id") % keys).as("k"),
+        (expr(s"id div ${keys}L") * 2 + 1).as("ts"), col("id").as("v"))
+      (left, right)
+    }
+
+    val ops: Seq[(String, Int => Long)] = Seq(
+      "dedup_exact" -> (m => Dedup.exact(corpus(m), "doc_id", "text").count()),
+      "dedup_minhash_lsh" -> (m =>
+        Dedup.minHashLsh(corpus(m), "doc_id", "text", shingleSize = 3, numHashes = 16,
           bands = 4, threshold = 0.5).count()),
-      "dedup_simhash" -> (df =>
-        Dedup.simHash(df, "doc_id", "text", maxHamming = 3).count()),
-      "text_quality" -> (df =>
-        TextAnalysis.qualityScore(df, "doc_id", "text").count()))
+      "dedup_simhash" -> (m =>
+        Dedup.simHash(corpus(m), "doc_id", "text", maxHamming = 3).count()),
+      "text_quality" -> (m =>
+        TextAnalysis.qualityScore(corpus(m), "doc_id", "text").count()),
+      "doc_chunking" -> (m =>
+        TextAnalysis.chunk(corpus(m), "doc_id", "text", window = 40, stride = 30).count()),
+      "asof_join" -> { m =>
+        val (left, right) = asofInputs(m)
+        // right is unique per (k, ts) by construction — single-shuffle plan
+        AsOfJoin.backward(left, right, "k", "ts", Seq("v"),
+          validateUnique = false).count()
+      },
+      "range_join" -> { m =>
+        val n = 2000000L * m
+        val points = spark.range(n).select(col("id").as("pid"), col("id").as("x"))
+        val intervals = spark.range(n / 50)
+          .select(col("id").as("iid"), (col("id") * 50).as("s"),
+            (col("id") * 50 + 99).as("e")) // every point in ~2 intervals
+        RangeJoin.pointInInterval(points, intervals, "x", "s", "e",
+          bucketWidth = 64).count()
+      })
 
     val results = ops.map { case (name, run) =>
       val times = multipliers.map { m =>
-        val df = corpus(m)
-        run(df) // warm-up: codegen+JIT for this input
+        run(m) // warm-up: codegen+JIT for this input
         val t0 = System.nanoTime()
-        run(df)
+        run(m)
         m -> (System.nanoTime() - t0) / 1e9
       }
       name -> times

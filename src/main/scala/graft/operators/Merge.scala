@@ -22,8 +22,16 @@ object Merge {
     * a per-key window count over `updates` (the small side) feeding a
     * `raise_error` woven into the key projection — so it adds no extra
     * driver-side job; the error surfaces when the merged result is first
-    * computed. Disable it to also skip the window shuffle when uniqueness
-    * is guaranteed upstream.
+    * computed. BEST-EFFORT under partial consumption: a `limit`/`show`
+    * that stops before the offending partition, or a downstream filter
+    * that prunes the duplicate key's rows, can complete without raising
+    * (unlike the eager collect-based check this replaced). Full actions —
+    * count, write, the sink path — always evaluate every row and always
+    * raise. Callers that need fail-fast-at-call-time semantics under
+    * partial consumption should pre-check
+    * `updates.groupBy(key).count().filter("count > 1").isEmpty` themselves.
+    * Disable to also skip the window shuffle when uniqueness is guaranteed
+    * upstream.
     */
   def upsertByKey(base: DataFrame, updates: DataFrame, key: String,
       validateUniqueKeys: Boolean = true): DataFrame = {

@@ -278,6 +278,9 @@ object AnalyticsQueries {
     // (HLL rsd=0.05 → 3σ=15%; percentile accuracy=1000 → rank error 1e-3,
     // asserted against a ±0.05/±0.02-rank exact bracket). The oracle
     // strict-checks the exact counts and expects every bound to hold.
+    // NOT a perf witness: the exact aggregates dominate its runtime, so
+    // this entry is deliberately excluded from the Bench headline set —
+    // timing it would measure count(DISTINCT), not the O(log n) sketch.
     QueryDef("x23_approx_sketch",
       (s, d) => QueryDef.events(s, d)
         .groupBy("event_type")

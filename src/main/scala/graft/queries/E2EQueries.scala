@@ -271,6 +271,40 @@ object E2EQueries {
              |UNION ALL
              |SELECT o_orderkey::VARCHAR, '/api/notfound', 404, true, '{"error":"nope"}'
              |FROM orders WHERE o_orderkey % 20 = 10
-             |ORDER BY request_id""".stripMargin))
+             |ORDER BY request_id""".stripMargin)),
+
+    // Bronze → curation bridge: exact dedup over an ingested bronze
+    // table's body_text, closing the loop between the parity layer and the
+    // training-data layer. The pipeline injects ONLY the customer as a
+    // request param, so orders sharing a customer receive byte-identical
+    // API bodies — real duplicate clusters in bronze (the content the
+    // row_hash column anticipates, ref: src/core/bronze.py:24-30).
+    // Dedup.exact groups them in one hash-groupBy shuffle; keeper =
+    // lexicographic min request_id (request_id is a string column).
+    QueryDef("x33_dedup_bronze", (s, d) => {
+      val server = new MockApiServer().start()
+      try {
+        val source = tbl(s, d, "orders").filter(col("o_orderkey") % 25 === 0)
+          .select("o_orderkey", "o_custkey")
+        val cfg = PipelineConfig(
+          endpoint = EndpointConfig("verify", server.baseUrl, "/api/data"),
+          auth = NoAuth, middleware = Seq(JsonBodyConfig),
+          tables = TablesConfig(None,
+            SinkTableConfig("x33_bronze", "graft_verify", mode = "overwrite"),
+            Seq(ColumnMapping("o_custkey", Some("customer")))),
+          execution = ExecutionConfig(s.sparkContext.defaultParallelism, 100000L, 2,
+            math.max(8, 1024 / s.sparkContext.defaultParallelism)))
+        PipelineOrchestrator.runPipeline(s, cfg, Some(source), Some("o_orderkey"))
+        graft.operators.Dedup.exact(s.table("graft_verify.x33_bronze"),
+          "request_id", "body_text")
+          .orderBy("content_hash")
+      } finally server.stop()
+    },
+      Some("""WITH b AS (SELECT o_orderkey::VARCHAR AS request_id,
+             |    '{"id":"","customer":"'||o_custkey||'","status":"ok"}' AS body_text
+             |  FROM orders WHERE o_orderkey % 25 = 0)
+             |SELECT md5(body_text) AS content_hash, min(request_id) AS keeper_id,
+             |  count(*) AS dup_count
+             |FROM b GROUP BY 1 ORDER BY content_hash""".stripMargin))
   )
 }

@@ -21,23 +21,27 @@ object ExtensionQueries {
   /** DuckDB twin of Portable.hash56. */
   private def dkHash56(expr: String) = s"('0x'||substr(md5($expr),1,14))::BIGINT"
 
-  /** DuckDB word-k-shingle CTEs over documents. */
-  private def dkShingles(k: Int) =
+  /** DuckDB word-k-shingle CTEs over an arbitrary `(id, text)` source —
+    * chunk-level dedup (x32) reuses the document-level logic verbatim.
+    */
+  private def dkShinglesFrom(src: String, id: String, text: String, k: Int) =
     s"""toks AS (
-       |  SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS toks
-       |  FROM documents),
+       |  SELECT $id AS doc, string_split_regex(lower($text), '\\s+') AS toks
+       |  FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc, unnest(list_transform(range(1, greatest(len(toks)-${k - 1},1)+1),
        |    i -> array_to_string(list_slice(toks, i, i+${k - 1}), ' '))) AS shingle
        |  FROM toks),
        |hs AS (SELECT doc, ${dkHash56("shingle")} AS h FROM sh)""".stripMargin
 
+  private def dkShingles(k: Int) = dkShinglesFrom("documents", "doc_id", "text", k)
+
   // ---- dedup ----
 
   /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend
     * WITH or WITH RECURSIVE); ends with `res(doc_a, doc_b, common, size_a,
     * size_b, jac)`. */
-  private val minHashPairsBody: String = {
+  private def minHashPairsBodyFrom(src: String, id: String, text: String): String = {
     val numHashes = 16; val bands = 4; val r = numHashes / bands
     val minhashExprs = (0 until numHashes).map(i =>
       s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
@@ -46,7 +50,7 @@ object ExtensionQueries {
       val parts = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
       s"  SELECT doc, $b AS band, concat_ws('_', $parts) AS sig FROM sig"
     }.mkString("\n  UNION ALL\n")
-    s"""${dkShingles(3)},
+    s"""${dkShinglesFrom(src, id, text, 3)},
        |sig AS (SELECT doc,
        |    $minhashExprs
        |  FROM hs GROUP BY doc),
@@ -63,6 +67,9 @@ object ExtensionQueries {
        |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jac
        |  FROM com JOIN sizes sa ON com.doc_a = sa.doc JOIN sizes sb ON com.doc_b = sb.doc)""".stripMargin
   }
+
+  private val minHashPairsBody: String =
+    minHashPairsBodyFrom("documents", "doc_id", "text")
 
   private val minHashOracle: String =
     s"""WITH $minHashPairsBody
@@ -964,6 +971,73 @@ object ExtensionQueries {
       Some("""SELECT t AS token, count(*)::BIGINT AS n
              |FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
              |      FROM documents)
-             |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin))
+             |GROUP BY 1 ORDER BY n DESC, token LIMIT 50""".stripMargin)),
+
+    // End-to-end curation composition — THE 100 TB training-data pipeline
+    // shape, as one dataflow: clean → chunk (40/30 sliding windows) →
+    // chunk-level MinHash-LSH near-dup drop (keep-lowest chunk id) →
+    // quality gate → per-doc survival summary. Every stage is an existing
+    // operator; this entry proves they compose without glue shuffles
+    // (clean and chunk are map-only; dedup adds its own equi-joins; the
+    // drop anti-join broadcasts the small pair set under AQE).
+    QueryDef("x32_curation_pipeline",
+      (s, d) => {
+        val cleaned = TextAnalysis.clean(tbl(s, d, "documents"), "doc_id", "text")
+        val chunks = TextAnalysis.chunk(cleaned, "doc_id", "cleaned",
+            window = 40, stride = 30)
+          .withColumn("chunk_id", col("doc_id") * 1000 + col("chunk_idx"))
+        val dupPairs = Dedup.minHashLsh(chunks, "chunk_id", "chunk_text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        val surviving = chunks.join(
+          dupPairs.select(col("doc_b").as("chunk_id")).distinct(),
+          Seq("chunk_id"), "left_anti")
+        val kept = TextAnalysis.qualityFilter(surviving, "chunk_id", "chunk_text",
+            minChars = 50, maxChars = 100000, minWords = 5,
+            maxDigitRatioPct = 30, maxPunctRatioPct = 20)
+          .filter(col("keep"))
+          .withColumn("doc_id", expr("chunk_id div 1000"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("kept_chunks"), sum("words").cast("long").as("kept_words"))
+        chunks.groupBy("doc_id").agg(count(lit(1)).as("total_chunks"))
+          .join(kept, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("total_chunks"),
+            coalesce(col("kept_chunks"), lit(0L)).as("kept_chunks"),
+            coalesce(col("kept_words"), lit(0L)).as("kept_words"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cleanExpr =
+          "trim(regexp_replace(regexp_replace(text, '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))"
+        s"""WITH cl AS (SELECT doc_id, $cleanExpr AS cleaned FROM documents),
+           |ctoks AS (SELECT doc_id, string_split_regex(lower(cleaned), '\\s+') AS ctk FROM cl),
+           |nch AS (SELECT doc_id, ctk,
+           |    CASE WHEN len(ctk) <= 40 THEN 1
+           |         ELSE 1 + CAST(ceil((len(ctk) - 40)::DOUBLE / 30) AS INT) END AS nc
+           |  FROM ctoks),
+           |chk AS (SELECT doc_id, ctk, unnest(range(0, nc)) AS chunk_idx FROM nch),
+           |chunks AS (SELECT doc_id, chunk_idx, doc_id*1000 + chunk_idx AS chunk_id,
+           |    array_to_string(ctk[chunk_idx*30+1 : chunk_idx*30+40], ' ') AS chunk_text
+           |  FROM chk),
+           |${minHashPairsBodyFrom("chunks", "chunk_id", "chunk_text")},
+           |dropped AS (SELECT DISTINCT doc_b AS chunk_id FROM res WHERE jac >= 0.5),
+           |surv AS (SELECT c.* FROM chunks c LEFT JOIN dropped d USING (chunk_id)
+           |  WHERE d.chunk_id IS NULL),
+           |q AS (SELECT doc_id, length(chunk_text) AS chars,
+           |    len(string_split_regex(lower(chunk_text), '\\s+')) AS words,
+           |    length(chunk_text) - length(regexp_replace(chunk_text, '[0-9]', '', 'g')) AS digits,
+           |    length(chunk_text) - length(regexp_replace(chunk_text, '[.,!?;:]', '', 'g')) AS punct
+           |  FROM surv),
+           |kept AS (SELECT doc_id, count(*) AS kept_chunks, sum(words)::BIGINT AS kept_words
+           |  FROM q
+           |  WHERE chars >= 50 AND chars <= 100000 AND words >= 5
+           |    AND (100 * digits) // greatest(chars, 1) <= 30
+           |    AND (100 * punct) // greatest(chars, 1) <= 20
+           |  GROUP BY doc_id),
+           |tot AS (SELECT doc_id, count(*) AS total_chunks FROM chunks GROUP BY doc_id)
+           |SELECT t.doc_id, total_chunks,
+           |  coalesce(kept_chunks, 0)::BIGINT AS kept_chunks,
+           |  coalesce(kept_words, 0)::BIGINT AS kept_words
+           |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin
+      })
   )
 }

@@ -147,6 +147,25 @@ class PlanSpec extends SparkSpec with Matchers {
     (optimized should not).include("ResolvedHint")
   }
 
+  test("x28b as-of join is a pure union+window — no join node, minimal exchanges") {
+    // the union-trick plan: ONE hash exchange for the window partition and
+    // one range exchange for the output ordering; a theta-join formulation
+    // would show a Join node and a |L|×|matching R| intermediate
+    val plan = planOf(q("x28b_asof_join_forward"))
+    (plan should not).include("Join")
+    nodeCount(plan, "Exchange") should be <= 3 // window + orderBy + AQE margin
+  }
+
+  test("x32 curation pipeline reuses the chunk-feature exchange (no re-read per stage)") {
+    // clean→chunk→minhash-dedup→quality composes WITHOUT recomputing the
+    // chunk feature sets: the minhash bucket/verify subtrees must collapse
+    // onto one computed exchange at runtime, same as x03's guarantee
+    val df = q("x32_curation_pipeline")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(plan).length should be >= 3
+  }
+
   test("b05 rollup expands grouping sets in ONE aggregation pass") {
     val plan = planOf(q("b05_rollup_revenue"))
     plan should include("Expand")
