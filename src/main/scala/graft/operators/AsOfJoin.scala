@@ -52,21 +52,33 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Nearest right row with `right.ts <= left.ts` (most recent at-or-before). */
+  /** Nearest right row with `right.ts <= left.ts` (most recent
+    * at-or-before). `tolerance` bounds the allowed staleness (pandas
+    * merge_asof `tolerance`): a match older than `left.ts - tolerance`
+    * is nulled out — pass an interval for timestamp axes
+    * (`expr("INTERVAL 1 HOUR")`) or a numeric literal for numeric axes.
+    * Applied as a post-window projection — the plan is unchanged.
+    */
   def backward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String],
-      validateUnique: Boolean = true): DataFrame =
-    asof(left, right, keyCol, tsCol, valueCols, forward = false, validateUnique)
+      validateUnique: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame =
+    asof(left, right, keyCol, tsCol, valueCols, forward = false,
+      validateUnique, tolerance)
 
-  /** Nearest right row with `right.ts >= left.ts` (earliest at-or-after). */
+  /** Nearest right row with `right.ts >= left.ts` (earliest at-or-after);
+    * `tolerance` bounds how far ahead a match may be.
+    */
   def forward(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String],
-      validateUnique: Boolean = true): DataFrame =
-    asof(left, right, keyCol, tsCol, valueCols, forward = true, validateUnique)
+      validateUnique: Boolean = true,
+      tolerance: Option[Column] = None): DataFrame =
+    asof(left, right, keyCol, tsCol, valueCols, forward = true,
+      validateUnique, tolerance)
 
   private def asof(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, valueCols: Seq[String], forward: Boolean,
-      validateUnique: Boolean): DataFrame = {
+      validateUnique: Boolean, tolerance: Option[Column]): DataFrame = {
     require(valueCols.nonEmpty, "asOf: valueCols must be non-empty")
     require(!valueCols.contains("__t"),
       "asOf: the value column name __t is reserved for the matched-row struct")
@@ -114,10 +126,21 @@ object AsOfJoin {
       .orderBy(tsOrder, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Tolerance nulls the whole matched struct at once (fields stay
+    // atomic — either the complete row qualifies or none of it does).
+    val matched = tolerance match {
+      case None => col("__m")
+      case Some(tol) if forward =>
+        when(col("__m").getField("__t") <= col("__ts") + tol, col("__m"))
+      case Some(tol) =>
+        when(col("__m").getField("__t") >= col("__ts") - tol, col("__m"))
+    }
+
     lTagged.unionByName(rTagged)
-      .select(col("__is_left"), col("__l"),
+      .select(col("__is_left"), col("__ts"), col("__l"),
         last(col("__r"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__is_left"))
+      .withColumn("__m", matched)
       .select(leftCols.map(c => col("__l").getField(c).as(c)) ++
         (col("__m").getField("__t").as("asof_ts") +:
           valueCols.map(v => col("__m").getField(v).as(s"asof_$v"))): _*)

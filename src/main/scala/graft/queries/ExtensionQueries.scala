@@ -689,6 +689,27 @@ object ExtensionQueries {
       Some("""SELECT DISTINCT user_id, event_type FROM events
              |ORDER BY user_id, event_type""".stripMargin)),
 
+    // Watermarked stream-stream join: purchase stream × view stream within
+    // a 6-hour attribution window, both sides unbounded. The time-range
+    // condition + per-side watermarks bound the join state (Spark evicts
+    // buffered rows past watermark + lag); the oracle is the equivalent
+    // batch interval join.
+    QueryDef("x34_stream_stream_join",
+      (s, d) => StreamOps.streamStreamJoin(s, s"$d/events.parquet",
+        maxLag = "6 HOUR", queryName = s"stream_ssj_${System.nanoTime()}")
+        .select(col("p_user").as("user_id"), col("p_event"), col("v_event"),
+          date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("p_ts"),
+          date_format(col("v_ts"), "yyyy-MM-dd HH:mm:ss").as("v_ts"))
+        .orderBy("user_id", "p_event", "v_event"),
+      Some("""SELECT p.user_id, p.event_id AS p_event, v.event_id AS v_event,
+             |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+             |  strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS v_ts
+             |FROM events p JOIN events v
+             |  ON p.user_id = v.user_id AND p.event_type = 'purchase'
+             |  AND v.event_type = 'view'
+             |  AND v.ts >= p.ts - INTERVAL 6 HOUR AND v.ts <= p.ts
+             |ORDER BY 1, 2, 3""".stripMargin)),
+
     // Custom typed Aggregator: bounded-memory top-k per group (k-capped
     // merge state + map-side partial agg — the 100 TB path where a window
     // row_number would sort entire groups). Oracle = the window formulation.
@@ -865,6 +886,48 @@ object ExtensionQueries {
              |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
              |  strftime(view_ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
              |  (floor(view_value * 100 + 0.5))::BIGINT AS view_cents
+             |FROM w WHERE il = 1 ORDER BY user_id, ts, event_id""".stripMargin)),
+
+    // As-of join with a staleness bound (pandas merge_asof `tolerance`):
+    // matches older than 1 hour are nulled out as a post-window projection
+    // — same single-shuffle plan as x28b, plus the bound a production
+    // feature join always carries (a quote from last week must not price
+    // today's trade).
+    QueryDef("x28c_asof_join_tolerance",
+      (s, d) => {
+        val ev = QueryDef.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("user_id", "ts", "event_id")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+        AsOfJoin.backward(purchases, views, "user_id", "ts", Seq("view_value"),
+            validateUnique = false, tolerance = Some(expr("INTERVAL 1 HOUR")))
+          .select(col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+            col("event_id"),
+            date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("view_ts"),
+            floor(col("asof_view_value") * 100 + 0.5).cast("long").as("view_cents"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""WITH p AS (SELECT user_id, ts, event_id FROM events
+             |  WHERE event_type = 'purchase'),
+             |v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+             |  WHERE event_type = 'view' GROUP BY 1, 2),
+             |u AS (
+             |  SELECT user_id, ts, event_id, NULL::TIMESTAMP AS r_ts,
+             |    NULL::DOUBLE AS r_v, 1 AS il FROM p
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, ts, view_value, 0 FROM v),
+             |w AS (SELECT user_id, ts, event_id, il,
+             |    last_value(r_ts IGNORE NULLS) OVER win AS view_ts,
+             |    last_value(r_v IGNORE NULLS) OVER win AS view_value
+             |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, il
+             |    ROWS UNBOUNDED PRECEDING))
+             |SELECT user_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts, event_id,
+             |  CASE WHEN view_ts >= ts - INTERVAL 1 HOUR
+             |    THEN strftime(view_ts, '%Y-%m-%d %H:%M:%S') END AS view_ts,
+             |  CASE WHEN view_ts >= ts - INTERVAL 1 HOUR
+             |    THEN (floor(view_value * 100 + 0.5))::BIGINT END AS view_cents
              |FROM w WHERE il = 1 ORDER BY user_id, ts, event_id""".stripMargin)),
 
     // Bucketized point-in-interval range join (RangeJoin.pointInInterval):

@@ -109,6 +109,45 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream inner join — purchases joined to the views
+    * that preceded them within a bounded interval, BOTH sides unbounded
+    * streams (the attribution-join shape: ad views → purchases, log
+    * correlation, feature joins between event streams).
+    *
+    * The time-range condition plus watermarks on both sides are what make
+    * this runnable forever: Spark buffers each side's join state only
+    * within watermark + interval bound and evicts older rows, so state ≈
+    * arrival rate × horizon instead of the whole history. AvailableNow
+    * trigger here (single-batch over the staged file, so the batch oracle
+    * matches exactly); the 100 TB path is the same query on a continuous
+    * trigger.
+    */
+  def streamStreamJoin(spark: SparkSession, eventsPath: String,
+      maxLag: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-ssj")
+    def src = normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 day")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+      .withWatermark("v_ts", "1 day")
+    val joined = purchases.join(views,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr(s"INTERVAL $maxLag") &&
+        col("v_ts") <= col("p_ts"))
+    val q = joined.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter (the canonical "custom state machine"
     * shape — anything not expressible as a windowed agg goes here). Update

@@ -345,6 +345,16 @@ class OperatorSpec extends SparkSpec with Matchers {
     intercept[IllegalArgumentException] {
       graft.operators.AsOfJoin.backward(clashLeft, right, "k", "ts", Seq("v"))
     }.getMessage should include("collide")
+
+    // tolerance nulls out matches older than the bound — atomically (ts
+    // AND value together), keeping the left row
+    val tl = Seq((1L, 30L, "t")).toDF("k", "ts", "tag")
+    val tr = Seq((1L, 20L, 5.0)).toDF("k", "ts", "v")
+    def tolJoin(tol: Long) = graft.operators.AsOfJoin
+      .backward(tl, tr, "k", "ts", Seq("v"), tolerance = Some(lit(tol)))
+      .select("asof_ts", "asof_v").as[(Option[Long], Option[Double])].head()
+    tolJoin(15L) shouldBe ((Some(20L), Some(5.0))) // within bound
+    tolJoin(5L) shouldBe ((None, None))            // stale → nulled, row kept
   }
 
   test("IVF: k-means training recovers recall lost to a degenerate seed") {
