@@ -22,7 +22,24 @@ object Bench {
     "x07_ann_bruteforce", "x07b_ann_native_expr", "x08b_ann_ivf", "x14_stream_window_agg",
     "x15_sessionize", "x18_salted_join", "x20_stream_dedup", "x22_topk_aggregator",
     "x28_asof_join", "x29_range_join", "x30_doc_chunking", "x32_curation_pipeline",
+    "x35_decontamination", "x36_repetition", "x37_pii_redaction", "x38_sequence_packing",
+    "x23b_sketch_only",
     "e01_pipeline_noauth", "e09_dsv2_http")
+
+  /** Bench-only twin of x23 with the exact aggregates stripped: times the
+    * O(log n) sketch path itself (approx_count_distinct + approx_percentile)
+    * — x23 proper stays the correctness gate, where the exact aggregates it
+    * self-checks against dominate its runtime and would drown the signal.
+    * Not in SparkEntry.queries: sketch values have no cross-engine oracle.
+    */
+  private val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("x23b_sketch_only" -> { (s, dd) =>
+      import org.apache.spark.sql.functions._
+      queries.QueryDef.events(s, dd)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("apcts"))
+    })
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,7 +67,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed session warm-up (executor threads, codegen, parquet footers).
     spark.range(1000).selectExpr("sum(id)").collect()
-    val qs = SparkEntry.queries
+    val qs = SparkEntry.queries ++ benchOnly
     // JMH-style per-query warm-up at the TARGET SF: the untimed first run
     // pays one-time janino codegen + JIT for the exact post-AQE plan (a
     // smaller warm-up SF compiles DIFFERENT code — AQE picks different join

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Corpus-curation operators beyond dedup/quality: benchmark
+  * decontamination, repetition (boilerplate) detection, PII redaction, and
+  * training-sequence packing. Like the rest of the §7.5 family these are
+  * pure DataFrame transformations over codegen'd built-ins — no UDFs — with
+  * exact integer/string outputs so the DuckDB oracles hash-match.
+  */
+object Curation {
+
+  /** Benchmark decontamination — flag corpus documents that overlap an
+    * evaluation set (the "did my training data leak the test set" check
+    * every serious LLM pipeline runs before training).
+    *
+    * Method: word-`shingleSize`-gram overlap. Per corpus doc, count how
+    * many of its DISTINCT shingle hashes appear anywhere in the eval set;
+    * `overlap_pct = 100·matched ÷ total` (integer division, exact), and
+    * `contaminated = overlap_pct >= thresholdPct`.
+    *
+    * Scale plan: eval sets are TINY next to a 100 TB corpus (benchmarks are
+    * a few MB), so the eval shingle-hash set is globally deduped and
+    * BROADCAST — the corpus side is never shuffled for the membership
+    * probe. The only corpus-wide shuffle is the per-doc `collect_set`
+    * feature aggregation (map-side dedup, same shape as Dedup.minHashLsh);
+    * the matched-count aggregate and the totals join both key on `doc`, so
+    * they reuse that exchange's partitioning. Never corpus × eval.
+    */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 5, thresholdPct: Int = 20): DataFrame = {
+    require(thresholdPct >= 0 && thresholdPct <= 100,
+      "decontaminate: thresholdPct must be in [0, 100]")
+    val corpusFeats = Dedup.shingles(corpus, idCol, textCol, shingleSize)
+      .select(col("doc"), hash56(col("shingle")).as("h"))
+      .groupBy("doc").agg(collect_set(col("h")).as("features"))
+    val evalHashes = broadcast(
+      Dedup.shingles(evalSet, idCol, textCol, shingleSize)
+        .select(hash56(col("shingle")).as("h")).distinct())
+
+    val totals = corpusFeats.select(col("doc"),
+      size(col("features")).cast("long").as("total_shingles"))
+    // features arrays are distinct per doc, so post-join count() = distinct
+    // matched shingles — no second dedup needed.
+    val matched = corpusFeats
+      .select(col("doc"), explode(col("features")).as("h"))
+      .join(evalHashes, Seq("h"))
+      .groupBy("doc").agg(count(lit(1)).as("matched_shingles"))
+
+    totals.join(matched, Seq("doc"), "left")
+      .select(col("doc").as(idCol), col("total_shingles"),
+        coalesce(col("matched_shingles"), lit(0L)).as("matched_shingles"))
+      .withColumn("overlap_pct",
+        expr("div(100 * matched_shingles, greatest(total_shingles, 1))"))
+      .withColumn("contaminated", col("overlap_pct") >= thresholdPct)
+  }
+
+  /** Repetition / boilerplate detection — the Gopher-style repetition
+    * signals: per document, how dominated is it by its most frequent word
+    * n-gram, and what fraction of n-gram occurrences are repeats.
+    *
+    * Outputs (all exact integers): `total_ngrams`, `distinct_ngrams`,
+    * `top_ngram_count` (occurrences of the modal n-gram),
+    * `top_ngram_pct` = 100·top ÷ total, `dup_ngram_pct` =
+    * 100·(total − distinct) ÷ total. A scraped page that is 90% repeated
+    * boilerplate shows up as high dup_ngram_pct; a looping generation shows
+    * up as high top_ngram_pct. Callers threshold downstream (Gopher drops
+    * docs with top-2-gram fraction > 0.20).
+    *
+    * Plan shape: explode n-grams (bounded by text length) → count per
+    * (doc, gram) → aggregate per doc. Two shuffles, both with map-side
+    * partial aggregation; the (doc, gram) key spreads even a single giant
+    * document across partitions, so one pathological doc cannot hot-spot a
+    * task the way a per-doc array-mode computation (O(grams²) per row)
+    * would.
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame =
+    Dedup.shingles(df, idCol, textCol, n)
+      .groupBy(col("doc"), col("shingle")).agg(count(lit(1)).as("cnt"))
+      .groupBy("doc").agg(
+        sum("cnt").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max("cnt").as("top_ngram_count"))
+      .select(col("doc").as(idCol), col("total_ngrams"), col("distinct_ngrams"),
+        col("top_ngram_count"),
+        expr("div(100 * top_ngram_count, greatest(total_ngrams, 1))").as("top_ngram_pct"),
+        expr("div(100 * (total_ngrams - distinct_ngrams), greatest(total_ngrams, 1))")
+          .as("dup_ngram_pct"))
+
+  /** PII patterns shared with the oracle: kept to RE2-safe syntax (both
+    * Java regex and DuckDB's RE2 agree on these exactly — no lookarounds,
+    * no backrefs).
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  /** PII detection + redaction — emails, IPv4 addresses, and NNN-NNN-NNNN
+    * phone numbers replaced with typed placeholders, with per-type match
+    * counts kept for auditing (a curation pipeline reports how much PII it
+    * scrubbed, not just the scrubbed text).
+    *
+    * The three patterns cannot match overlapping spans (emails contain `@`,
+    * phones contain `-` between digit groups, IPs contain dots between
+    * digit groups), so counts on the ORIGINAL text and sequential
+    * replacement agree no matter the order. Map-only projection: counting
+    * and replacing are codegen'd regexp expressions — no shuffle, pushes
+    * through to the scan, trivially linear at 100 TB.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_count(t, lit(EmailRe)).as("emails"),
+      regexp_count(t, lit(Ipv4Re)).as("ips"),
+      regexp_count(t, lit(PhoneRe)).as("phones"),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+        .as("redacted"))
+  }
+
+  /** Training-sequence packing — concat-and-chunk: lay every document's
+    * tokens end to end (in id order) and cut the stream into fixed
+    * `capacity`-token training sequences. Documents may span a sequence
+    * boundary (the standard LLM pretraining packing; attention masks handle
+    * the seams). Output: one row per (document, sequence) it occupies —
+    * `seq_id` within the shard, `offset_in_seq` where the doc's tokens
+    * begin, `tokens_in_seq` how many land there; `sum(tokens_in_seq)` per
+    * doc = its token count, `sum(tokens_in_seq)` per sequence = `capacity`
+    * (except each shard's last).
+    *
+    * Scale plan: a single global running sum would serialize 100 TB through
+    * one window partition, so the stream is SHARDED first —
+    * `shard = hash56(id) mod numShards` — and the cumulative sum runs per
+    * shard (`numShards` ≈ cluster cores ⇒ every core packs its own
+    * independent stream; sequences are complete within a shard, so no
+    * cross-shard stitching). The explode emits one row per sequence a doc
+    * touches: ⌈tokens/capacity⌉+1 worst case — bounded, no blowup.
+    * Deterministic: same ids → same shards, same order, same sequences,
+    * every run and every engine.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      capacity: Long, numShards: Int): DataFrame = {
+    require(capacity > 0, "packSequences: capacity must be positive")
+    require(numShards > 0, "packSequences: numShards must be positive")
+    val base = df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("doc_tokens"))
+      .withColumn("shard", (hash56(col(idCol).cast("string")) % numShards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(idCol)
+    base
+      .withColumn("end_off", sum("doc_tokens").over(w))
+      .withColumn("start_off", col("end_off") - col("doc_tokens"))
+      // doc_tokens >= 1 always (split yields at least one token), so
+      // end_off - 1 >= start_off and the sequence range is never empty.
+      .withColumn("seq_id", explode(sequence(
+        expr(s"start_off div ${capacity}L"),
+        expr(s"(end_off - 1) div ${capacity}L"))))
+      .select(col(idCol), col("shard"), col("seq_id"), col("doc_tokens"),
+        (greatest(col("start_off"), col("seq_id") * capacity) - col("seq_id") * capacity)
+          .as("offset_in_seq"),
+        (least(col("end_off"), (col("seq_id") + 1) * capacity) -
+          greatest(col("start_off"), col("seq_id") * capacity)).as("tokens_in_seq"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -1101,6 +1101,125 @@ object ExtensionQueries {
            |  coalesce(kept_chunks, 0)::BIGINT AS kept_chunks,
            |  coalesce(kept_words, 0)::BIGINT AS kept_words
            |FROM tot t LEFT JOIN kept k USING (doc_id) ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Benchmark decontamination: a deterministic 10% hash-slice of the
+    // corpus stands in for the eval set; every remaining doc is scored by
+    // distinct-5-gram overlap against the eval set's (broadcast) shingle
+    // hashes. The near-dup pairs the dedup family finds straddle the split,
+    // so real contamination shows up.
+    QueryDef("x35_decontamination",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val split = Portable.hash56(col("doc_id").cast("string")) % 10
+        Curation.decontaminate(
+          docs.filter(split =!= 0), docs.filter(split === 0),
+          "doc_id", "text", shingleSize = 5, thresholdPct = 20)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ev AS (SELECT doc_id, text FROM documents
+             |    WHERE ${dkHash56("doc_id::VARCHAR")} % 10 = 0),
+             |co AS (SELECT doc_id, text FROM documents
+             |    WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 0),
+             |ctoks AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\\s+') AS toks
+             |  FROM co),
+             |csh AS (SELECT DISTINCT doc, unnest(list_transform(range(1, greatest(len(toks)-4,1)+1),
+             |    i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS shingle
+             |  FROM ctoks),
+             |chs AS (SELECT DISTINCT doc, ${dkHash56("shingle")} AS h FROM csh),
+             |etoks AS (SELECT string_split_regex(lower(text), '\\s+') AS toks FROM ev),
+             |esh AS (SELECT DISTINCT unnest(list_transform(range(1, greatest(len(toks)-4,1)+1),
+             |    i -> array_to_string(list_slice(toks, i, i+4), ' '))) AS shingle
+             |  FROM etoks),
+             |ehs AS (SELECT DISTINCT ${dkHash56("shingle")} AS h FROM esh),
+             |tot AS (SELECT doc, count(*)::BIGINT AS total_shingles FROM chs GROUP BY doc),
+             |mat AS (SELECT doc, count(*)::BIGINT AS matched_shingles
+             |  FROM chs JOIN ehs USING (h) GROUP BY doc)
+             |SELECT t.doc AS doc_id, total_shingles,
+             |  coalesce(matched_shingles, 0)::BIGINT AS matched_shingles,
+             |  (100 * coalesce(matched_shingles, 0)) // greatest(total_shingles, 1) AS overlap_pct,
+             |  (100 * coalesce(matched_shingles, 0)) // greatest(total_shingles, 1) >= 20
+             |    AS contaminated
+             |FROM tot t LEFT JOIN mat m ON t.doc = m.doc ORDER BY doc_id""".stripMargin)),
+
+    // Repetition / boilerplate detection (Gopher-style): modal-2-gram
+    // dominance and repeated-2-gram mass per doc, exact integer percents.
+    QueryDef("x36_repetition",
+      (s, d) => Curation.repetitionStats(tbl(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id AS doc, string_split_regex(lower(text), '\s+') AS toks
+             |  FROM documents),
+             |g AS (SELECT doc, unnest(list_transform(range(1, greatest(len(toks)-1,1)+1),
+             |    i -> array_to_string(list_slice(toks, i, i+1), ' '))) AS shingle
+             |  FROM t),
+             |c AS (SELECT doc, shingle, count(*) AS cnt FROM g GROUP BY doc, shingle),
+             |a AS (SELECT doc, sum(cnt)::BIGINT AS total_ngrams,
+             |    count(*)::BIGINT AS distinct_ngrams, max(cnt)::BIGINT AS top_ngram_count
+             |  FROM c GROUP BY doc)
+             |SELECT doc AS doc_id, total_ngrams, distinct_ngrams, top_ngram_count,
+             |  (100 * top_ngram_count) // greatest(total_ngrams, 1) AS top_ngram_pct,
+             |  (100 * (total_ngrams - distinct_ngrams)) // greatest(total_ngrams, 1)
+             |    AS dup_ngram_pct
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // PII detection + redaction. Deterministic synthetic PII is appended to
+    // every 7th doc IN BOTH ENGINES so the regex match-and-replace path is
+    // actually exercised (the synthetic corpus carries no organic PII) —
+    // counts AND the redacted text itself are hash-compared.
+    QueryDef("x37_pii_redaction",
+      (s, d) => {
+        val seeded = tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" Contact user"), col("doc_id").cast("string"),
+                lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+                lit(".77, tel 555-"),
+                lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-1234.")))
+              .otherwise(lit(""))).as("text"))
+        Curation.redactPii(seeded, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(s"""WITH seeded AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN ' Contact user' || doc_id::VARCHAR || '@example.com or 10.0.' ||
+             |        (doc_id % 256)::VARCHAR || '.77, tel 555-' ||
+             |        lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-1234.'
+             |      ELSE '' END AS text
+             |  FROM documents)
+             |SELECT doc_id,
+             |  len(regexp_extract_all(text, '${Curation.EmailRe}')) AS emails,
+             |  len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS ips,
+             |  len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS phones,
+             |  regexp_replace(regexp_replace(regexp_replace(text,
+             |    '${Curation.EmailRe}', '<EMAIL>', 'g'),
+             |    '${Curation.Ipv4Re}', '<IP>', 'g'),
+             |    '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+             |FROM seeded ORDER BY doc_id""".stripMargin)),
+
+    // Training-sequence packing (concat-and-chunk): documents laid end to
+    // end per hash-shard and cut into 256-token sequences; one row per
+    // (doc, sequence) occupancy. The oracle replays the same shard +
+    // running-sum arithmetic.
+    QueryDef("x38_sequence_packing",
+      (s, d) => Curation.packSequences(tbl(s, d, "documents"), "doc_id", "text",
+          capacity = 256, numShards = 8)
+        .orderBy("doc_id", "seq_id"),
+      Some(s"""WITH b AS (SELECT doc_id,
+             |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS doc_tokens,
+             |    (${dkHash56("doc_id::VARCHAR")} % 8)::INT AS shard
+             |  FROM documents),
+             |c AS (SELECT doc_id, shard, doc_tokens,
+             |    (sum(doc_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
+             |  FROM b),
+             |s AS (SELECT doc_id, shard, doc_tokens, end_off,
+             |    end_off - doc_tokens AS start_off FROM c),
+             |e AS (SELECT doc_id, shard, doc_tokens, start_off, end_off,
+             |    unnest(range(start_off // 256, (end_off - 1) // 256 + 1)) AS seq_id
+             |  FROM s)
+             |SELECT doc_id, shard, seq_id, doc_tokens,
+             |  greatest(start_off, seq_id * 256) - seq_id * 256 AS offset_in_seq,
+             |  least(end_off, (seq_id + 1) * 256) - greatest(start_off, seq_id * 256)
+             |    AS tokens_in_seq
+             |FROM e ORDER BY doc_id, seq_id""".stripMargin))
   )
 }

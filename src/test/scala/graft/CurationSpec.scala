@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Curation
+
+/** Behavioral tests for the curation operators (decontamination,
+  * repetition stats, PII redaction, sequence packing) on planted inputs —
+  * the sf-level hash checks live in the Verify/oracle gate.
+  */
+class CurationSpec extends SparkSpec with Matchers {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("decontaminate flags an eval-identical doc at 100%, clean docs at 0%") {
+    val leaked = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = docs(
+      1L -> leaked,
+      2L -> "uno dos tres cuatro cinco seis siete ocho nueve diez",
+      3L -> ("prefix words here then " + leaked)) // partial overlap
+    val eval = docs(100L -> leaked)
+    val out = Curation.decontaminate(corpus, eval, "doc_id", "text",
+        shingleSize = 5, thresholdPct = 20)
+      .orderBy("doc_id").collect()
+    // doc 1: all 6 5-shingles shared -> 100%, contaminated
+    out(0).getAs[Long]("matched_shingles") shouldBe out(0).getAs[Long]("total_shingles")
+    out(0).getAs[Long]("overlap_pct") shouldBe 100L
+    out(0).getAs[Boolean]("contaminated") shouldBe true
+    // doc 2: nothing shared
+    out(1).getAs[Long]("matched_shingles") shouldBe 0L
+    out(1).getAs[Boolean]("contaminated") shouldBe false
+    // doc 3: the leaked suffix contributes shared shingles but the prefix
+    // dilutes the ratio below 100
+    out(2).getAs[Long]("matched_shingles") should be > 0L
+    out(2).getAs[Long]("overlap_pct") should be < 100L
+  }
+
+  test("repetition stats: modal n-gram dominance and repeated mass are exact") {
+    // "spam spam spam spam ham": 2-grams = [spam spam]x3, [spam ham]x1
+    val out = Curation.repetitionStats(docs(1L -> "spam spam spam spam ham"),
+      "doc_id", "text", n = 2).collect().head
+    out.getAs[Long]("total_ngrams") shouldBe 4L
+    out.getAs[Long]("distinct_ngrams") shouldBe 2L
+    out.getAs[Long]("top_ngram_count") shouldBe 3L
+    out.getAs[Long]("top_ngram_pct") shouldBe 75L
+    out.getAs[Long]("dup_ngram_pct") shouldBe 50L // (4-2)/4
+  }
+
+  test("repetition stats: fully unique text has zero repetition") {
+    val out = Curation.repetitionStats(docs(1L -> "one two three four five"),
+      "doc_id", "text", n = 2).collect().head
+    out.getAs[Long]("top_ngram_count") shouldBe 1L
+    out.getAs[Long]("dup_ngram_pct") shouldBe 0L
+  }
+
+  test("PII redaction counts and replaces emails, IPs, phones") {
+    val out = Curation.redactPii(docs(
+      1L -> "mail a.user+tag@sub.example.org then ping 192.168.0.1 or call 555-123-4567 twice 555-987-6543",
+      2L -> "no pii here at all"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out(0).getAs[Int]("emails") shouldBe 1
+    out(0).getAs[Int]("ips") shouldBe 1
+    out(0).getAs[Int]("phones") shouldBe 2
+    out(0).getAs[String]("redacted") shouldBe
+      "mail <EMAIL> then ping <IP> or call <PHONE> twice <PHONE>"
+    out(1).getAs[Int]("emails") + out(1).getAs[Int]("ips") +
+      out(1).getAs[Int]("phones") shouldBe 0
+    out(1).getAs[String]("redacted") shouldBe "no pii here at all"
+  }
+
+  test("sequence packing: per-doc token mass is conserved and sequences fill to capacity") {
+    val corpus = docs((1L to 40L).map(i =>
+      i -> (1L to (i % 7 + 3)).map(j => s"w$j").mkString(" ")): _*)
+    val packed = Curation.packSequences(corpus, "doc_id", "text",
+      capacity = 16, numShards = 2)
+    // conservation: every doc's tokens_in_seq sums to its token count
+    val bad = packed.groupBy("doc_id", "doc_tokens")
+      .agg(sum("tokens_in_seq").as("packed"))
+      .filter(col("packed") =!= col("doc_tokens"))
+    bad.count() shouldBe 0L
+    // every sequence except each shard's last holds exactly `capacity`
+    val perSeq = packed.groupBy("shard", "seq_id")
+      .agg(sum("tokens_in_seq").as("fill"))
+    val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("last_seq"))
+    perSeq.join(lastSeq, Seq("shard"))
+      .filter(col("seq_id") < col("last_seq") && col("fill") =!= 16L)
+      .count() shouldBe 0L
+    // offsets stay inside the sequence window
+    packed.filter(col("offset_in_seq") < 0 || col("offset_in_seq") >= 16 ||
+      col("tokens_in_seq") <= 0 || col("offset_in_seq") + col("tokens_in_seq") > 16)
+      .count() shouldBe 0L
+  }
+
+  test("sequence packing: a doc longer than capacity spans consecutive sequences") {
+    val long = (1 to 40).map(i => s"t$i").mkString(" ") // 40 tokens, capacity 16
+    val out = Curation.packSequences(docs(1L -> long), "doc_id", "text",
+        capacity = 16, numShards = 1)
+      .orderBy("seq_id").collect()
+    out.map(_.getAs[Long]("seq_id")).toSeq shouldBe Seq(0L, 1L, 2L)
+    out.map(_.getAs[Long]("tokens_in_seq")).toSeq shouldBe Seq(16L, 16L, 8L)
+    out.map(_.getAs[Long]("offset_in_seq")).toSeq shouldBe Seq(0L, 0L, 0L)
+  }
+}
