@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, RangeJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, RangeJoin, TextAnalysis}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -97,7 +97,27 @@ object ScaleProbe {
             (col("id") * 50 + 99).as("e")) // every point in ~2 intervals
         RangeJoin.pointInInterval(points, intervals, "x", "s", "e",
           bucketWidth = 64).count()
-      })
+      },
+      // Eval side stays FIXED (replica 0) while the corpus grows — the
+      // real decontamination shape: benchmark sets don't grow with the
+      // corpus, so a linear exponent certifies the broadcast-probe plan.
+      "decontamination" -> (m =>
+        Curation.decontaminate(corpus(m), corpus(1), "doc_id", "text",
+          shingleSize = 5, thresholdPct = 20)
+          .agg(sum("matched_shingles")).first().getLong(0)),
+      "repetition" -> (m =>
+        Curation.repetitionStats(corpus(m), "doc_id", "text", n = 2).count()),
+      // count() would let Catalyst prune the regexp columns (the b11
+      // bench caveat); summing the redacted lengths forces the real work.
+      "pii_redaction" -> (m =>
+        Curation.redactPii(corpus(m), "doc_id", "text")
+          .agg(sum(length(col("redacted")))).first().getLong(0)),
+      // numShards scales with m (the deploy guidance: shards ≈ cores ×
+      // data growth), so per-shard stream length — the window partition a
+      // single task walks — stays constant.
+      "sequence_packing" -> (m =>
+        Curation.packSequences(corpus(m), "doc_id", "text",
+          capacity = 256, numShards = 8 * m).count()))
 
     val results = ops.map { case (name, run) =>
       val times = multipliers.map { m =>

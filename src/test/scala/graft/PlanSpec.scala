@@ -173,4 +173,42 @@ class PlanSpec extends SparkSpec with Matchers {
     // per-grouping-set re-aggregation
     nodeCount(plan, "Exchange") should be <= 2
   }
+
+  test("x35 decontamination broadcasts the eval shingle set and reads the corpus once") {
+    // eval sets are tiny next to the corpus: the membership probe must be
+    // a broadcast hash join (the corpus side never shuffles on the shingle
+    // hash), and at runtime the corpus feature aggregate — referenced by
+    // both the totals and the matched branch — must collapse onto one
+    // computed exchange (one corpus read, not two)
+    val df = q("x35_decontamination")
+    val plan = planOf(df)
+    nodeCount(plan, "BroadcastHashJoin") should be >= 1
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(executed).length should be >= 1
+  }
+
+  test("x37 PII redaction is map-only — no exchange except the output ordering") {
+    // counting + replacement are codegen'd regexp projections over the
+    // scan; the only exchange the query may contain is its orderBy's range
+    // partitioning
+    val df = q("x37_pii_redaction")
+    val plan = planOf(df)
+    nodeCount(plan, "Exchange") should be <= 1
+    (plan should not).include("Join")
+    df.collect() // codegen stages appear in the executed final plan
+    df.queryExecution.executedPlan.toString should include("*(")
+  }
+
+  test("x38 sequence packing windows per shard, never one global partition") {
+    // the running sum must partition by the hash shard — a global-order
+    // window would serialize the whole corpus through one task (Spark even
+    // warns 'No Partition Defined for Window operation')
+    val df = q("x38_sequence_packing")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("Window")
+    // the exchange feeding the window partitions on the shard key
+    plan should include("hashpartitioning(shard")
+    (plan should not).include("SinglePartition")
+  }
 }
