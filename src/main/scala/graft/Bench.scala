@@ -89,13 +89,19 @@ object Bench {
       val c0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }
       val cold = (System.nanoTime() - c0) / 1e9
-      val runs = (1 to iters).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try { qs(name)(spark, sfDir).count() } catch {
           case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }
+      val base = (1 to iters).map(_ => timed())
+      // Adaptive re-measure: a >3× min-to-max spread means at least one
+      // iteration hit machine-level contention (the r4 artifact bug class);
+      // two extra iterations give min-of-5 a clean sample to find. All
+      // iterations stay visible in iter_sec either way.
+      val runs = if (base.max > 3 * base.min) base ++ (1 to 2).map(_ => timed()) else base
       (name, runs.min, cold, runs)
     }
     val qJson = results.map { case (k, v, _, _) => "\"" + k + f"""":${v}%.3f""" }

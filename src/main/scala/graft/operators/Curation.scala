@@ -124,6 +124,69 @@ object Curation {
         .as("redacted"))
   }
 
+  /** Corpus-informed rarity scoring — the two-pass "global statistics,
+    * then score each row against them" pattern (the TF-IDF building
+    * block): pass 1 computes every token's document frequency across the
+    * corpus; pass 2 joins the DF table back onto each doc's distinct
+    * tokens and aggregates. `mean_df_x100` = 100·Σdf ÷ distinct_tokens —
+    * LOW means rare vocabulary (specialist/noisy text), HIGH means the doc
+    * is built from corpus-common words. Exact integer output.
+    *
+    * Scale: three equi-shuffles (doc→token explode + groupBy token;
+    * join back on token; groupBy doc) — all hash-partitionable,
+    * map-side-combined, never quadratic. The DF table side of the join
+    * arrives already partitioned by token from its aggregation, so only
+    * the doc-token side pays a second token shuffle; stop-word-scale skew
+    * (the token "the" in half the corpus) spreads because the groupBy key
+    * is (token) for counting but (doc) for scoring — no single hot
+    * reducer sees a whole token's postings in pass 2.
+    */
+  def rarityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val docTok = df.select(col(idCol),
+      explode(array_distinct(tokens(col(textCol)))).as("token"))
+    val dfTable = docTok.groupBy("token").agg(count(lit(1)).as("df"))
+    docTok.join(dfTable, Seq("token"))
+      .groupBy(idCol).agg(
+        count(lit(1)).as("distinct_tokens"),
+        sum("df").as("df_sum"))
+      .select(col(idCol), col("distinct_tokens"), col("df_sum"),
+        expr("div(100 * df_sum, greatest(distinct_tokens, 1))").as("mean_df_x100"))
+  }
+
+  /** Stratified deterministic sampling — per-stratum keep rates over the
+    * same seedless hash56 slice as TextAnalysis.deterministicSample, so a
+    * language-balanced (or source-balanced) subsample is reproducible
+    * across runs, partitionings, and engines, and slices NEST: a stratum's
+    * 10% sample is a subset of its 20% sample. Pure filter — pushes to the
+    * scan, no shuffle; the mixing knob of a 100 TB curation pipeline.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Int], defaultRate: Int, outOf: Int = 100): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= outOf),
+      s"stratifiedSample: rates must be in [0, $outOf]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(hash56(col(idCol).cast("string")) % outOf < rate)
+  }
+
+  /** Mixture upsampling — replicate each row `weight(stratum)` times with
+    * a `copy` index (1..w): the "epochs per source" data-mixture step
+    * (high-quality sources repeat, bulk web sees one pass). Map-only
+    * explode of a per-row `sequence`, bounded by the max weight; rows with
+    * weight 0 drop out, matching a mixture that excludes a source.
+    */
+  def replicateByWeight(df: DataFrame, stratumCol: String,
+      weights: Map[String, Int], defaultWeight: Int = 1): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0),
+      "replicateByWeight: weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("copy", explode(
+      when(w >= 1, sequence(lit(1), w)).otherwise(array().cast("array<int>"))))
+  }
+
   /** Training-sequence packing — concat-and-chunk: lay every document's
     * tokens end to end (in id order) and cut the stream into fixed
     * `capacity`-token training sequences. Documents may span a sequence

@@ -171,7 +171,10 @@ object ExtensionQueries {
 
   // ---- text ----
 
-  private val langIdOracle: String = {
+  /** Language-id CTE chain (t, scored, pred) — shared by x09 and the
+    * mixture query x40, which strata on the predicted language.
+    */
+  private val langIdCtes: String = {
     val hitCols = TextAnalysis.langMarkers.map { case (lang, markers) =>
       val terms = markers.map(m =>
         s"(length(_t) - length(replace(_t, '$m', ''))) // ${m.length}").mkString(" + ")
@@ -182,14 +185,20 @@ object ExtensionQueries {
       val geq = langs.filter(_ != lang).map(o => s"${lang}_hits >= ${o}_hits").mkString(" AND ")
       s"WHEN ${lang}_hits > 0 AND $geq THEN '$lang'"
     }.mkString("\n    ")
-    s"""WITH t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS _t FROM documents),
+    s"""t AS (SELECT doc_id, ' ' || lower(text) || ' ' AS _t FROM documents),
        |scored AS (SELECT doc_id,
        |    $hitCols
-       |  FROM t)
-       |SELECT doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
-       |  CASE $cases ELSE 'und' END AS predicted_lang
-       |FROM scored ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |pred AS (SELECT doc_id,
+       |    CASE $cases ELSE 'und' END AS predicted_lang
+       |  FROM scored)""".stripMargin
   }
+
+  private val langIdOracle: String =
+    s"""WITH $langIdCtes
+       |SELECT scored.doc_id, en_hits, de_hits, fr_hits, es_hits, zh_hits,
+       |  predicted_lang
+       |FROM scored JOIN pred USING (doc_id) ORDER BY doc_id""".stripMargin
 
   // ---- the query list ----
 
@@ -1220,6 +1229,72 @@ object ExtensionQueries {
              |  greatest(start_off, seq_id * 256) - seq_id * 256 AS offset_in_seq,
              |  least(end_off, (seq_id + 1) * 256) - greatest(start_off, seq_id * 256)
              |    AS tokens_in_seq
-             |FROM e ORDER BY doc_id, seq_id""".stripMargin))
+             |FROM e ORDER BY doc_id, seq_id""".stripMargin)),
+
+    // Corpus-informed rarity: global token document-frequency table joined
+    // back per doc — the two-pass corpus-statistics pattern (TF-IDF
+    // building block), exact integers.
+    QueryDef("x39_rarity_score",
+      (s, d) => Curation.rarityScore(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH dt AS (SELECT DISTINCT doc_id,
+             |    unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |dfreq AS (SELECT token, count(*)::BIGINT AS df FROM dt GROUP BY token)
+             |SELECT doc_id, count(*)::BIGINT AS distinct_tokens,
+             |  sum(df)::BIGINT AS df_sum,
+             |  (100 * sum(df)::BIGINT) // greatest(count(*)::BIGINT, 1) AS mean_df_x100
+             |FROM dt JOIN dfreq USING (token)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Data mixture: language-stratified deterministic sampling (en 60% /
+    // de 30% / rest 10%) + per-language epoch weights (en×1, de×2, und
+    // dropped, other langs ×3) — the sampling/mixing knobs of a training
+    // run, fully reproducible because the slice is hash-deterministic.
+    QueryDef("x40_data_mixture",
+      (s, d) => {
+        val lang = TextAnalysis.languageId(tbl(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("predicted_lang"))
+        val sampled = Curation.stratifiedSample(lang, "doc_id", "predicted_lang",
+          rates = Map("en" -> 60, "de" -> 30), defaultRate = 10)
+        Curation.replicateByWeight(sampled, "predicted_lang",
+          weights = Map("en" -> 1, "de" -> 2, "und" -> 0), defaultWeight = 3)
+          .orderBy("doc_id", "copy")
+      },
+      Some(s"""WITH $langIdCtes,
+             |sampled AS (SELECT doc_id, predicted_lang FROM pred
+             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 100 <
+             |    CASE predicted_lang WHEN 'en' THEN 60 WHEN 'de' THEN 30 ELSE 10 END),
+             |w AS (SELECT doc_id, predicted_lang,
+             |    CASE predicted_lang WHEN 'en' THEN 1 WHEN 'de' THEN 2
+             |      WHEN 'und' THEN 0 ELSE 3 END AS wt
+             |  FROM sampled)
+             |SELECT doc_id, predicted_lang, unnest(range(1, wt + 1))::INT AS copy
+             |FROM w WHERE wt >= 1 ORDER BY doc_id, copy""".stripMargin)),
+
+    // Streaming curation: the continuous-ingest twin of the batch curation
+    // family — documents stream in as files, each micro-batch is
+    // PII-scrubbed then quality-gated on the redacted text. Map-only,
+    // stateless, append-mode; the oracle is the batch equivalent.
+    QueryDef("x41_stream_curation",
+      (s, d) => StreamOps.streamingCuration(s, s"$d/documents.parquet",
+          queryName = "graft_x41", minChars = 60, minWords = 8)
+        .orderBy("doc_id"),
+      Some(s"""WITH red AS (SELECT doc_id,
+             |    len(regexp_extract_all(text, '${Curation.EmailRe}')) AS emails,
+             |    len(regexp_extract_all(text, '${Curation.Ipv4Re}')) AS ips,
+             |    len(regexp_extract_all(text, '${Curation.PhoneRe}')) AS phones,
+             |    regexp_replace(regexp_replace(regexp_replace(text,
+             |      '${Curation.EmailRe}', '<EMAIL>', 'g'),
+             |      '${Curation.Ipv4Re}', '<IP>', 'g'),
+             |      '${Curation.PhoneRe}', '<PHONE>', 'g') AS redacted
+             |  FROM documents)
+             |SELECT doc_id, emails, ips, phones,
+             |  length(redacted) AS chars,
+             |  len(string_split_regex(lower(redacted), '\\s+')) AS words
+             |FROM red
+             |WHERE length(redacted) >= 60
+             |  AND len(string_split_regex(lower(redacted), '\\s+')) >= 8
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -109,6 +109,36 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Streaming curation — the continuous-ingest shape of the x35–x40
+    * batch family: documents arrive as files (a crawl drop folder), each
+    * micro-batch is PII-scrubbed (Curation.redactPii) and quality-gated on
+    * the REDACTED text (scrub first, then gate — placeholder tokens count
+    * like words, matching how the batch pipeline orders the two). Pure
+    * map-only projections: append output mode, NO state, NO watermark —
+    * the stream that runs forever at any rate because nothing accumulates.
+    * A doc passes the gate when chars >= minChars and words >= minWords.
+    */
+  def streamingCuration(spark: SparkSession, docsPath: String,
+      queryName: String, minChars: Int = 60, minWords: Int = 8): DataFrame = {
+    import graft.functions.Portable.tokens
+    val schema = spark.read.parquet(docsPath).schema
+    val streamDir = stageStreamDir(docsPath, "graft-stream-curation")
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val red = graft.operators.Curation.redactPii(
+      stream.select(col("doc_id"), col("text")), "doc_id", "text")
+    val gated = red.select(col("doc_id"), col("emails"), col("ips"), col("phones"),
+        length(col("redacted")).as("chars"),
+        size(tokens(col("redacted"))).as("words"))
+      .filter(col("chars") >= minChars && col("words") >= minWords)
+    val q = gated.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Watermarked stream-stream inner join — purchases joined to the views
     * that preceded them within a bounded interval, BOTH sides unbounded
     * streams (the attribution-join shape: ad views → purchases, log

@@ -96,6 +96,46 @@ class CurationSpec extends SparkSpec with Matchers {
       .count() shouldBe 0L
   }
 
+  test("rarity score: common-vocabulary docs score higher mean df than unique ones") {
+    val corpus = docs(
+      1L -> "shared words appear here",
+      2L -> "shared words appear here too",
+      3L -> "utterly unique vocabulary nowhere else")
+    val out = Curation.rarityScore(corpus, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 3's tokens each appear in exactly 1 doc -> mean df = 100
+    out(2).getAs[Long]("mean_df_x100") shouldBe 100L
+    // docs 1/2 share 4 tokens (df=2 each) -> mean well above 100
+    out(0).getAs[Long]("mean_df_x100") should be > 100L
+    out(0).getAs[Long]("distinct_tokens") shouldBe 4L
+  }
+
+  test("stratified sample rates nest: the 10% slice is inside the 20% slice") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    def ids(rate: Int): Set[Long] =
+      Curation.stratifiedSample(rows, "doc_id", "lang",
+        rates = Map("en" -> rate), defaultRate = 0)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s10 = ids(10); val s20 = ids(20)
+    s10.subsetOf(s20) shouldBe true
+    s10.size should be < s20.size
+    // defaultRate 0 drops the other stratum entirely
+    ids(100).size shouldBe 250
+  }
+
+  test("replicateByWeight emits weight copies, drops weight-0 strata") {
+    import spark.implicits._
+    val rows = Seq((1L, "en"), (2L, "de"), (3L, "und"), (4L, "fr"))
+      .toDF("doc_id", "lang")
+    val out = Curation.replicateByWeight(rows, "lang",
+      weights = Map("en" -> 1, "de" -> 2, "und" -> 0), defaultWeight = 3)
+      .orderBy("doc_id", "copy").collect()
+    out.map(r => (r.getLong(0), r.getInt(2))).toSeq shouldBe Seq(
+      (1L, 1), (2L, 1), (2L, 2), (4L, 1), (4L, 2), (4L, 3))
+  }
+
   test("sequence packing: a doc longer than capacity spans consecutive sequences") {
     val long = (1 to 40).map(i => s"t$i").mkString(" ") // 40 tokens, capacity 16
     val out = Curation.packSequences(docs(1L -> long), "doc_id", "text",

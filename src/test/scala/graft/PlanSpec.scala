@@ -200,6 +200,16 @@ class PlanSpec extends SparkSpec with Matchers {
     df.queryExecution.executedPlan.toString should include("*(")
   }
 
+  test("x40 data mixture is map-only: language-id, sample, and upsample add no shuffle") {
+    // languageId is a projection, stratifiedSample a filter,
+    // replicateByWeight a per-row explode — the whole mixture pipeline
+    // must stay shuffle-free except the output ordering
+    val plan = planOf(q("x40_data_mixture"))
+    nodeCount(plan, "Exchange") should be <= 1
+    (plan should not).include("Join")
+    plan should include("Generate") // the epoch-replication explode
+  }
+
   test("x38 sequence packing windows per shard, never one global partition") {
     // the running sum must partition by the hash shard — a global-order
     // window would serialize the whole corpus through one task (Spark even
