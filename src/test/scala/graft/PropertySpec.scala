@@ -137,6 +137,90 @@ class PropertySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("property: sequence packing conserves tokens and fills every non-final sequence") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = Gen.zip(Gen.chooseNum(4L, 64L), Gen.chooseNum(1, 6),
+      Gen.listOfN(60, Gen.chooseNum(1, 30)))
+    samples(gen, 5).foreach { case (capacity, shards, tokenCounts) =>
+      val corpus = tokenCounts.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      val packed = graft.operators.Curation.packSequences(
+        corpus, "doc_id", "text", capacity, shards)
+      // conservation per doc
+      packed.groupBy("doc_id", "doc_tokens")
+        .agg(sum("tokens_in_seq").as("packed"))
+        .filter(col("packed") =!= col("doc_tokens")).count() shouldBe 0L
+      // every sequence except each shard's last is exactly full
+      val perSeq = packed.groupBy("shard", "seq_id").agg(sum("tokens_in_seq").as("fill"))
+      perSeq.join(perSeq.groupBy("shard").agg(max("seq_id").as("last")), Seq("shard"))
+        .filter(col("seq_id") < col("last") && col("fill") =!= capacity)
+        .count() shouldBe 0L
+      // offsets inside the window
+      packed.filter(col("offset_in_seq") < 0 || col("tokens_in_seq") <= 0 ||
+        col("offset_in_seq") + col("tokens_in_seq") > capacity).count() shouldBe 0L
+    }
+  }
+
+  test("property: stratified-sample slices nest as the rate grows") {
+    import spark.implicits._
+    val rows = (1L to 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "st")
+    def ids(r0: Int, r1: Int, r2: Int): Set[Long] =
+      graft.operators.Curation.stratifiedSample(rows, "doc_id", "st",
+          Map("s0" -> r0, "s1" -> r1), r2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    samples(Gen.listOfN(3, Gen.chooseNum(0, 90)), 6).foreach {
+      case Seq(a, b, c) =>
+        val lo = ids(a, b, c)
+        val hi = ids(a + 10, b + 10, c + 10)
+        lo.subsetOf(hi) shouldBe true
+      case _ => ()
+    }
+  }
+
+  test("property: repetition stats obey count identities") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.listOfN(20, Gen.chooseNum(1, 5)))
+    samples(gen, 4).foreach { wordIds =>
+      val corpus = wordIds.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.map(w => s"t$w").mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.operators.Curation.repetitionStats(corpus, "doc_id", "text", n = 2)
+        .collect().foreach { r =>
+          val total = r.getAs[Long]("total_ngrams")
+          val distinct = r.getAs[Long]("distinct_ngrams")
+          val top = r.getAs[Long]("top_ngram_count")
+          distinct should be <= total
+          top should be <= total
+          // the modal count is at least the average bucket size
+          top * distinct should be >= total
+        }
+    }
+  }
+
+  test("property: decontamination overlap is bounded and threshold-consistent") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.listOfN(10, Gen.chooseNum(1, 9)), Gen.chooseNum(0, 100))
+    samples(gen, 4).foreach { case (seedWords, threshold) =>
+      val corpus = (1L to 6L).map(i =>
+        (i, (seedWords ++ Seq(i * 100, i * 100 + 1)).map(w => s"w$w").mkString(" ")))
+        .toDF("doc_id", "text")
+      val eval = Seq((99L, seedWords.map(w => s"w$w").mkString(" ")))
+        .toDF("doc_id", "text")
+      graft.operators.Curation.decontaminate(corpus, eval, "doc_id", "text",
+          shingleSize = 3, thresholdPct = threshold)
+        .collect().foreach { r =>
+          val total = r.getAs[Long]("total_shingles")
+          val matched = r.getAs[Long]("matched_shingles")
+          val pct = r.getAs[Long]("overlap_pct")
+          matched should be <= total
+          pct shouldBe (100 * matched) / math.max(total, 1L)
+          r.getAs[Boolean]("contaminated") shouldBe (pct >= threshold)
+        }
+    }
+  }
+
   test("property: http id-range partitioning is a partition of unity over [start, end)") {
     val gen = Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 500L), Gen.chooseNum(1, 40))
     samples(gen, 50).foreach { case (start, span, parts) =>
