@@ -128,6 +128,30 @@ object SubmissionClient {
     last // unreachable
   }
 
+  /** Baseline spark-property set for a REST submission — the settings the
+    * reference DAG documents as REQUIRED in the payload because REST
+    * submissions bypass spark-submit and never read spark-defaults.conf
+    * (ref: dags/demo_pipelines_dag.py:44-81): cluster deploy mode against
+    * the given master, and the Java-17 `--add-opens` flags Spark needs on
+    * modern JVMs, applied to driver and executors. Merge job-specific
+    * settings (warehouse, catalog, object-store credentials) on top.
+    */
+  def baseProperties(masterUrl: String, appName: String): Map[String, String] = {
+    val java17Opens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio", "java.base/java.util",
+      "java.base/java.util.concurrent", "java.base/sun.nio.ch",
+      "java.base/sun.security.action")
+      .map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+    Map(
+      "spark.master" -> masterUrl,
+      "spark.app.name" -> appName,
+      "spark.submit.deployMode" -> "cluster",
+      "spark.driver.supervise" -> "false",
+      "spark.driver.extraJavaOptions" -> java17Opens,
+      "spark.executor.extraJavaOptions" -> java17Opens)
+  }
+
   /** Submit-and-wait in one call — the whole reference Airflow task. */
   def run(masterRestUrl: String, request: SubmissionRequest,
       pollInterval: Duration = Duration.ofSeconds(10),

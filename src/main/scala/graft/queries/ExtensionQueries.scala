@@ -1295,6 +1295,41 @@ object ExtensionQueries {
              |FROM red
              |WHERE length(redacted) >= 60
              |  AND len(string_split_regex(lower(redacted), '\\s+')) >= 8
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Per-language quality quota: keep the 10 highest-scoring docs per
+    // predicted language ("best N per source"), selected with the
+    // bounded-state TopKAggregator — per-group state is k entries and
+    // merges map-side, so the shuffle carries languages × k rows, never a
+    // whole group sorted through a window (x22's contract applied to the
+    // curation use case). Score = words·1000 + distinct words, exact ints.
+    QueryDef("x42_quality_quota",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val lang = TextAnalysis.languageId(docs, "doc_id", "text")
+          .select(col("doc_id"), col("predicted_lang"))
+        val scored = docs.select(col("doc_id"),
+          (size(Portable.tokens(col("text"))) * 1000 +
+            size(array_distinct(Portable.tokens(col("text"))))).cast("long").as("score"))
+        val topk = graft.functions.TopKAggregator.topK(10)
+        lang.join(scored, Seq("doc_id"))
+          .groupBy("predicted_lang")
+          .agg(topk(col("doc_id"), col("score")).as("top"))
+          .select(col("predicted_lang"), posexplode(col("top")))
+          .select(col("predicted_lang"), (col("pos") + 1).cast("int").as("rank"),
+            col("col._1").as("doc_id"), col("col._2").as("score"))
+          .orderBy("predicted_lang", "rank")
+      },
+      Some(s"""WITH $langIdCtes,
+             |q AS (SELECT doc_id,
+             |    (len(string_split_regex(lower(text), '\\s+')) * 1000 +
+             |     len(list_distinct(string_split_regex(lower(text), '\\s+'))))::BIGINT AS score
+             |  FROM documents)
+             |SELECT predicted_lang, rank, doc_id, score FROM (
+             |  SELECT predicted_lang, p.doc_id AS doc_id, score,
+             |    row_number() OVER (PARTITION BY predicted_lang
+             |      ORDER BY score DESC, p.doc_id)::INT AS rank
+             |  FROM pred p JOIN q ON p.doc_id = q.doc_id)
+             |WHERE rank <= 10 ORDER BY predicted_lang, rank""".stripMargin))
   )
 }

@@ -94,6 +94,17 @@ class SubmissionClientSpec extends AnyFunSuite with Matchers with BeforeAndAfter
     sent.get("appArgs").get(1).asText() shouldBe "0.01"
   }
 
+  test("baseProperties carry everything a defaults-less REST submission needs") {
+    val props = SubmissionClient.baseProperties("spark://m:7077", "graft-job")
+    props("spark.master") shouldBe "spark://m:7077"
+    props("spark.submit.deployMode") shouldBe "cluster"
+    // Java 17 opens reach BOTH sides, or the driver dies at startup
+    props("spark.driver.extraJavaOptions") should include("--add-opens=java.base/sun.nio.ch")
+    props("spark.executor.extraJavaOptions") shouldBe props("spark.driver.extraJavaOptions")
+    // job-specific overrides win on merge
+    (props ++ Map("spark.app.name" -> "x"))("spark.app.name") shouldBe "x"
+  }
+
   test("awaitCompletion polls through SUBMITTED/RUNNING to FINISHED") {
     statusCalls.set(0)
     val done = SubmissionClient.awaitCompletion(base, "driver-20260812-0001",
