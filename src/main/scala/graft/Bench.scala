@@ -76,34 +76,76 @@ object Bench {
     // (first-run, warm-up-free) seconds are reported alongside. Stateful
     // side effects are safe to repeat: e2e sinks are overwrite-mode and
     // streaming queries use fresh temp checkpoints per call.
-    // Timed value = min of THREE post-warm-up iterations for EVERY query —
-    // not just e*. Round 4 proved why: a machine-level contention spike
-    // landed on one x04 iteration and min-of-2 recorded 5.72 s where an
-    // immediate rerun measured 0.98 s; the official artifact hid a real
-    // 2× speedup. min-of-3 absorbs a single-spike round, and the raw
-    // per-iteration times are emitted in the JSON ("iter_sec") so any
-    // remaining spread is visible IN the artifact instead of requiring a
-    // forensic rerun to detect.
-    val iters = 3
-    val results = headline.filter(qs.contains).map { name =>
-      val c0 = System.nanoTime()
-      try { qs(name)(spark, sfDir).count() } catch { case _: Throwable => () }
-      val cold = (System.nanoTime() - c0) / 1e9
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        try { qs(name)(spark, sfDir).count() } catch {
-          case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // Timed value = min over INTERLEAVED cycles. Round 4 proved why single
+    // per-query bursts lie: a machine-level contention spike landed on one
+    // x04 burst and min-of-2 recorded 5.72 s where an immediate rerun
+    // measured 0.98 s. Back-to-back per-query iterations share the same
+    // failure mode — a minute-long contention window inflates EVERY sample
+    // of whichever query it covers (observed again this round: one run's
+    // first four queries all +40-100%). Cycling the whole query list three
+    // times instead means a contention window touches each query's sample
+    // set at most once, and min-over-cycles drops that cycle wholesale.
+    // Two defenses on top:
+    //  - sub-second queries inner-loop 3 back-to-back executions per
+    //    sample (a ±100 ms scheduler hiccup is 30% of one 0.3 s run but
+    //    10% of the averaged triple);
+    //  - any query whose samples still spread >1.3× min-to-max gets
+    //    topped up with extra samples (to at most 7) AFTER all cycles,
+    //    i.e. at a different point in time from whatever disturbed it.
+    // Raw per-sample times are emitted in the JSON ("iter_sec") so the
+    // remaining spread is visible IN the artifact, not only in a forensic
+    // rerun.
+    val qlist = headline.filter(qs.contains)
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try { qs(name)(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      val base = (1 to iters).map(_ => timed())
-      // Adaptive re-measure: a >3× min-to-max spread means at least one
-      // iteration hit machine-level contention (the r4 artifact bug class);
-      // two extra iterations give min-of-5 a clean sample to find. All
-      // iterations stay visible in iter_sec either way.
-      val runs = if (base.max > 3 * base.min) base ++ (1 to 2).map(_ => timed()) else base
-      (name, runs.min, cold, runs)
+      (System.nanoTime() - t0) / 1e9
     }
+    val colds = qlist.map(name => name -> once(name)).toMap
+    // Warm-up TO CONVERGENCE, not to a fixed count: some queries (the
+    // ObjectHashAggregate-heavy dedup/ANN plans) keep JIT-compiling for
+    // 5-10 executions, so a single warm-up run leaves the timed samples on
+    // the still-descending part of the curve — and any run-to-run
+    // difference in sample count then reads different depths of that curve
+    // and manufactures fake regressions. Running untimed until two
+    // consecutive executions agree within 10% (capped at 4 extra) puts
+    // every bench invocation at the same steady state before timing
+    // starts, which is what makes two consecutive artifacts comparable.
+    val warm = qlist.map { name =>
+      var prev = colds(name); var cur = once(name); var n = 1
+      while (n < 8 && math.abs(cur - prev) > 0.1 * math.min(cur, prev)) {
+        prev = cur; cur = once(name); n += 1
+      }
+      name -> cur
+    }.toMap
+    def timed(name: String): Double = {
+      // sub-second queries inner-loop 3 executions per sample: a ±100 ms
+      // scheduler hiccup is 30% of one 0.3 s run, 10% of the averaged
+      // triple. Keyed off the CONVERGED warm time — the cold time is a
+      // single noisy sample, and a query sitting near the threshold would
+      // otherwise flip inner between runs and read different depths of its
+      // JIT curve (observed on the IVF query: cold 1.03 vs 0.98 flipped
+      // inner and manufactured a 25% artifact-to-artifact difference).
+      val inner = if (warm(name) < 1.0) 3 else 1
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < inner) { once(name); i += 1 }
+      (System.nanoTime() - t0) / 1e9 / inner
+    }
+    val samples = scala.collection.mutable.Map(
+      qlist.map(_ -> Vector.empty[Double]): _*)
+    // FIXED sample counts (3 interleaved cycles for all, +2 cycles for
+    // sub-2s queries): deterministic depth keeps two runs comparable, and
+    // interleaving means a minutes-long contention window touches each
+    // query's sample set once instead of swallowing one query whole —
+    // min-over-cycles then drops the polluted cycle.
+    for (_ <- 1 to 3; name <- qlist) samples(name) :+= timed(name)
+    for (_ <- 1 to 2; name <- qlist if warm(name) < 2.0)
+      samples(name) :+= timed(name)
+    val results = qlist.map(name =>
+      (name, samples(name).min, colds(name), samples(name)))
     val qJson = results.map { case (k, v, _, _) => "\"" + k + f"""":${v}%.3f""" }
       .mkString("{", ",", "}")
     val wJson = results.map { case (k, _, c, _) => "\"" + k + f"""":${c}%.3f""" }
