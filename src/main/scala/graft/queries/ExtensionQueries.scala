@@ -1330,6 +1330,60 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY predicted_lang
              |      ORDER BY score DESC, p.doc_id)::INT AS rank
              |  FROM pred p JOIN q ON p.doc_id = q.doc_id)
-             |WHERE rank <= 10 ORDER BY predicted_lang, rank""".stripMargin))
+             |WHERE rank <= 10 ORDER BY predicted_lang, rank""".stripMargin)),
+
+    // Corpus card: the per-(source, language) release report every dataset
+    // ships — doc counts, exact-duplicate collapse (distinct text hashes),
+    // token mass, mean length — with ROLLUP subtotals per source and a
+    // grand total, all in ONE aggregation pass (b05's Expand guarantee).
+    // Uses the documents table's real source/lang columns.
+    QueryDef("x43_corpus_report",
+      (s, d) => {
+        tbl(s, d, "documents").createOrReplaceTempView("x43_docs")
+        s.sql("""SELECT coalesce(source, 'ALL') AS source,
+                |  coalesce(lang, 'ALL') AS lang,
+                |  count(*) AS docs,
+                |  count(DISTINCT md5(text)) AS distinct_texts,
+                |  sum(cast(size(split(lower(text), '\\s+')) AS BIGINT)) AS total_tokens,
+                |  sum(length(text)) div count(*) AS mean_chars
+                |FROM x43_docs
+                |GROUP BY ROLLUP(source, lang)
+                |ORDER BY source, lang""".stripMargin)
+      },
+      Some("""SELECT coalesce(source, 'ALL') AS source,
+             |  coalesce(lang, 'ALL') AS lang,
+             |  count(*)::BIGINT AS docs,
+             |  count(DISTINCT md5(text))::BIGINT AS distinct_texts,
+             |  sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS total_tokens,
+             |  sum(length(text))::BIGINT // count(*) AS mean_chars
+             |FROM documents
+             |GROUP BY ROLLUP(source, lang) ORDER BY source, lang""".stripMargin)),
+
+    // Per-label embedding centroids — the cluster-audit aggregate of an
+    // embedding table (labels = the embeddings table's real label column).
+    // Components are quantized to 1e-6 integers BEFORE summing (float →
+    // double cast is exact, double×1e6 floor is deterministic), so the
+    // centroid arithmetic is exact integer math in both engines — no
+    // float-summation-order drift. One posexplode (dim-bounded) + one
+    // (label, dim) aggregation: scales as rows × dim, map-side combined.
+    QueryDef("x44_label_centroids",
+      (s, d) => tbl(s, d, "embeddings")
+        .select(col("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+            .as("q"))
+        .select(col("label"), posexplode(col("q")))
+        .groupBy("label", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .select(col("label"), col("pos"), col("n"),
+          expr("div(s, n)").as("centroid_x1m"))
+        .orderBy("label", "pos"),
+      Some("""WITH q AS (SELECT label,
+             |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+             |  FROM embeddings),
+             |e AS (SELECT label, i - 1 AS pos, q[i] AS v
+             |  FROM (SELECT label, q, unnest(range(1, len(q) + 1)) AS i FROM q))
+             |SELECT label, pos::INT AS pos, count(*)::BIGINT AS n,
+             |  sum(v)::BIGINT // count(*)::BIGINT AS centroid_x1m
+             |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin))
   )
 }
