@@ -1384,6 +1384,85 @@ object ExtensionQueries {
              |  FROM (SELECT label, q, unnest(range(1, len(q) + 1)) AS i FROM q))
              |SELECT label, pos::INT AS pos, count(*)::BIGINT AS n,
              |  sum(v)::BIGINT // count(*)::BIGINT AS centroid_x1m
-             |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin))
+             |FROM e GROUP BY label, pos ORDER BY label, pos""".stripMargin)),
+
+    // Cross-source duplication matrix: MinHash-LSH near-dup pairs
+    // attributed to the (source, source) combination of their endpoints —
+    // the corpus forensics that shows WHICH sources mirror each other
+    // (unordered source pair via least/greatest, so each combination is
+    // one row). Reuses x03's candidate machinery; the joins back to the
+    // source column are doc-id equi-joins.
+    QueryDef("x45_source_dup_matrix",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val src = docs.select(col("doc_id"), col("source"))
+        pairs
+          .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+          .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+          .select(least(col("sa"), col("sb")).as("source_1"),
+            greatest(col("sa"), col("sb")).as("source_2"))
+          .groupBy("source_1", "source_2").agg(count(lit(1)).as("dup_pairs"))
+          .orderBy("source_1", "source_2")
+      },
+      Some(s"""WITH $minHashPairsBody,
+             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |lab AS (SELECT least(da.source, db.source) AS source_1,
+             |    greatest(da.source, db.source) AS source_2
+             |  FROM pairs
+             |  JOIN documents da ON pairs.doc_a = da.doc_id
+             |  JOIN documents db ON pairs.doc_b = db.doc_id)
+             |SELECT source_1, source_2, count(*)::BIGINT AS dup_pairs
+             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Nearest-centroid confusion matrix — the embedding-quality audit that
+    // pairs with x44: every vector is assigned to its nearest label
+    // centroid (exact integer squared distance in the 1e-6 quantized
+    // space; ties break on the smaller label) and the (true label,
+    // assigned label) counts show cluster separability. Centroids are FEW
+    // (one per label) — the assignment join is a broadcast, the corpus
+    // never shuffles for it; the same shape IVF uses for cell assignment.
+    QueryDef("x46_centroid_confusion",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings").select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> cast(floor(cast(x AS double) * 1000000) AS bigint))")
+            .as("q"))
+        val cent = emb.select(col("label").as("clabel"), posexplode(col("q")))
+          .groupBy("clabel", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .groupBy("clabel")
+          .agg(expr("transform(array_sort(collect_list(struct(pos, s div n AS c))), x -> x.c)")
+            .as("cvec"))
+        val dist = emb.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            expr("aggregate(zip_with(q, cvec, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+              .as("dist"))
+        dist.groupBy("vec_id", "label")
+          .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+          .select(col("label"), col("m.clabel").as("assigned"))
+          .groupBy("label", "assigned").agg(count(lit(1)).as("n"))
+          .orderBy("label", "assigned")
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS q
+             |  FROM embeddings),
+             |e AS (SELECT label AS clabel, i - 1 AS pos, q[i] AS v
+             |  FROM (SELECT label, q, unnest(range(1, len(q) + 1)) AS i FROM q)),
+             |cc AS (SELECT clabel, pos, sum(v)::BIGINT // count(*)::BIGINT AS c
+             |  FROM e GROUP BY clabel, pos),
+             |cent AS (SELECT clabel, list(c ORDER BY pos) AS cvec FROM cc GROUP BY clabel),
+             |d AS (SELECT vec_id, label, clabel,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(1, len(q) + 1), i -> (q[i] - cvec[i]) * (q[i] - cvec[i]))),
+             |      (a, b) -> a + b) AS dist
+             |  FROM q CROSS JOIN cent),
+             |best AS (SELECT vec_id, label, clabel AS assigned FROM (
+             |  SELECT vec_id, label, clabel,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+             |  FROM d) WHERE rn = 1)
+             |SELECT label, assigned, count(*)::BIGINT AS n
+             |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
