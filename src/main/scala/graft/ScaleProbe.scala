@@ -107,6 +107,12 @@ object ScaleProbe {
           .agg(sum("matched_shingles")).first().getLong(0)),
       "repetition" -> (m =>
         Curation.repetitionStats(corpus(m), "doc_id", "text", n = 2).count()),
+      // Two-pass global-stats shape: token DF table + join-back. Disjoint
+      // replica token namespaces keep per-token DF constant, so the
+      // exponent isolates the engine, not a densifying vocabulary.
+      "rarity_score" -> (m =>
+        Curation.rarityScore(corpus(m), "doc_id", "text")
+          .agg(sum("df_sum")).first().getLong(0)),
       // count() would let Catalyst prune the regexp columns (the b11
       // bench caveat); summing the redacted lengths forces the real work.
       "pii_redaction" -> (m =>

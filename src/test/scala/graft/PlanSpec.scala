@@ -210,6 +210,29 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("Generate") // the epoch-replication explode
   }
 
+  test("x43 corpus report expands the rollup in one aggregation pass") {
+    val plan = planOf(q("x43_corpus_report"))
+    plan should include("Expand")
+    // distinct-agg rewrites add one expand+regroup; still bounded passes
+    nodeCount(plan, "Exchange") should be <= 3
+  }
+
+  test("x46 centroid assignment broadcasts the centroids — the corpus never shuffles") {
+    // the per-vector distance scan must probe a BroadcastExchange of the
+    // (few) centroids, not shuffle the embedding table against them
+    val df = q("x46_centroid_confusion")
+    val plan = planOf(df)
+    plan should include("BroadcastNestedLoopJoin")
+    (plan should not).include("SortMergeJoin")
+  }
+
+  test("x45 source dup matrix reuses the minhash feature exchange at runtime") {
+    val df = q("x45_source_dup_matrix")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(plan).length should be >= 3
+  }
+
   test("x38 sequence packing windows per shard, never one global partition") {
     // the running sum must partition by the hash shard — a global-order
     // window would serialize the whole corpus through one task (Spark even
