@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, RangeJoin, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, RangeJoin, Sequence, Similarity, Skew, TextAnalysis}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -1463,6 +1463,53 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
              |  FROM d) WHERE rn = 1)
              |SELECT label, assigned, count(*)::BIGINT AS n
-             |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Funnel: per-user stage-progression depth through THREE consecutive
+    // view → click → purchase conversion cycles (9 stages — deep enough
+    // that users spread across depths), greedy earliest-match with each
+    // stage strictly after the previously matched event in (ts, event_id)
+    // order. One fold per user over a single shuffle — no
+    // MATCH_RECOGNIZE, no 8-deep self-join chain like the oracle's
+    // formulation (which is the equivalent chained first-occurrence-after
+    // definition, generated below).
+    QueryDef("x47_funnel",
+      (s, d) => Sequence.funnel(QueryDef.events(s, d),
+          "user_id", "ts", "event_id", "event_type", funnelStages)
+        .groupBy("reached").agg(count(lit(1)).as("users"))
+        .orderBy("reached"),
+      Some(funnelOracle))
   )
+
+  private lazy val funnelStages: Seq[String] =
+    Seq.fill(3)(Seq("view", "click", "purchase")).flatten
+
+  private lazy val funnelOracle: String = {
+    val ctes = funnelStages.zipWithIndex.map { case (st, i) =>
+      val n = i + 1
+      if (i == 0)
+        s"""s1 AS (SELECT user_id, ts AS t1, event_id AS i1 FROM e
+           |  WHERE event_type = '$st'
+           |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1)""".stripMargin
+      else
+        s"""s$n AS (SELECT e.user_id, e.ts AS t$n, e.event_id AS i$n FROM e
+           |  JOIN s$i USING (user_id)
+           |  WHERE event_type = '$st' AND (e.ts, e.event_id) > (t$i, i$i)
+           |  QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) = 1)""".stripMargin
+    }.mkString(",\n")
+    val cases = funnelStages.indices.reverse
+      .map(i => s"WHEN s${i + 1}.user_id IS NOT NULL THEN ${i + 1}").mkString("\n  ")
+    val joins = funnelStages.indices
+      .map(i => s"LEFT JOIN s${i + 1} USING (user_id)").mkString("\n")
+    s"""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+       |$ctes,
+       |users AS (SELECT DISTINCT user_id FROM e)
+       |SELECT CASE
+       |  $cases
+       |  ELSE 0 END AS reached,
+       |  count(*)::BIGINT AS users
+       |FROM users
+       |$joins
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

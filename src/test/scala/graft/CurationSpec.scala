@@ -136,6 +136,28 @@ class CurationSpec extends SparkSpec with Matchers {
       (1L, 1), (2L, 1), (2L, 2), (4L, 1), (4L, 2), (4L, 3))
   }
 
+  test("funnel: greedy earliest match, strictly-after stages, id tie-break") {
+    import spark.implicits._
+    import graft.operators.Sequence
+    // u1 completes view->click->purchase in order; u2's click precedes its
+    // view (must not count -> depth 1); u3 has view+click only (depth 2);
+    // u4 has purchase first then nothing (depth 0); u5: view and click at
+    // the SAME ts — event_id tie-break orders view (id 50) before click
+    // (id 51), so both match (depth 2)
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "click"), (1L, 30L, 3L, "purchase"),
+      (2L, 10L, 4L, "click"), (2L, 20L, 5L, "view"), (2L, 15L, 6L, "error"),
+      (3L, 10L, 7L, "view"), (3L, 40L, 8L, "click"),
+      (4L, 5L, 9L, "purchase"),
+      (5L, 10L, 50L, "view"), (5L, 10L, 51L, "click"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Sequence.funnel(ev, "user_id", "ts", "event_id", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy("key").collect()
+    out.map(r => (r.getLong(0), r.getInt(1))).toSeq shouldBe Seq(
+      (1L, 3), (2L, 1), (3L, 2), (4L, 0), (5L, 2))
+  }
+
   test("sequence packing: a doc longer than capacity spans consecutive sequences") {
     val long = (1 to 40).map(i => s"t$i").mkString(" ") // 40 tokens, capacity 16
     val out = Curation.packSequences(docs(1L -> long), "doc_id", "text",
