@@ -24,7 +24,7 @@ object Bench {
     "x28_asof_join", "x29_range_join", "x30_doc_chunking", "x32_curation_pipeline",
     "x35_decontamination", "x36_repetition", "x37_pii_redaction", "x38_sequence_packing",
     "x39_rarity_score", "x43_corpus_report", "x46_centroid_confusion",
-    "x23b_sketch_only",
+    "x47_funnel", "x23b_sketch_only",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

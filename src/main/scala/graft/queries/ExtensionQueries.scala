@@ -1478,7 +1478,31 @@ object ExtensionQueries {
           "user_id", "ts", "event_id", "event_type", funnelStages)
         .groupBy("reached").agg(count(lit(1)).as("users"))
         .orderBy("reached"),
-      Some(funnelOracle))
+      Some(funnelOracle)),
+
+    // Retention triangle: users bucketed by first-activity week (cohort),
+    // counted per (cohort, weeks-since-cohort) — the week-over-week
+    // retention report. Two shuffles (first-week per user, then the
+    // cohort×week distinct count); ISO Monday weeks in both engines.
+    QueryDef("x48_retention_cohorts",
+      (s, d) => {
+        val ev = QueryDef.events(s, d)
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+        val firstWk = ev.groupBy("user_id").agg(min("wk").as("cw"))
+        ev.join(firstWk, Seq("user_id"))
+          .groupBy(col("cw"), col("wk"))
+          .agg(countDistinct("user_id").as("users"))
+          .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+            expr("div(datediff(wk, cw), 7)").as("offset_weeks"), col("users"))
+          .orderBy("cohort_week", "offset_weeks")
+      },
+      Some("""WITH ev AS (SELECT user_id, date_trunc('week', ts) AS wk FROM events),
+             |f AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY user_id)
+             |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+             |  date_diff('day', cw, wk) // 7 AS offset_weeks,
+             |  count(DISTINCT user_id)::BIGINT AS users
+             |FROM ev JOIN f USING (user_id)
+             |GROUP BY cw, wk ORDER BY cohort_week, offset_weeks""".stripMargin))
   )
 
   private lazy val funnelStages: Seq[String] =

@@ -233,6 +233,16 @@ class PlanSpec extends SparkSpec with Matchers {
     "ReusedExchange".r.findAllIn(plan).length should be >= 3
   }
 
+  test("x47 funnel is one aggregation pass — no self-join chain, no window") {
+    // the 9-stage funnel must not plan as 8 range self-joins (the naive
+    // SQL shape, quadratic per stage) or a global-order window: one
+    // collect_list aggregate + the reached-count regroup
+    val plan = planOf(q("x47_funnel"))
+    (plan should not).include("Join")
+    (plan should not).include("Window")
+    nodeCount(plan, "Exchange") should be <= 3 // user agg + regroup + sort
+  }
+
   test("x38 sequence packing windows per shard, never one global partition") {
     // the running sum must partition by the hash shard — a global-order
     // window would serialize the whole corpus through one task (Spark even
