@@ -187,6 +187,41 @@ object Curation {
       when(w >= 1, sequence(lit(1), w)).otherwise(array().cast("array<int>"))))
   }
 
+  /** Distinctive-term extraction — the full TF-IDF two-pass made exact:
+    * per document, the top-`k` tokens ranked by term frequency (desc) then
+    * document frequency (asc) then token — i.e. the terms most
+    * over-represented in THIS doc relative to the corpus. For a fixed doc
+    * this ordering tracks tf·idf (idf is monotone-decreasing in df) while
+    * staying in exact integer arithmetic — no `ln()`, whose libm rounding
+    * differs across engines, so the oracle hash-matches bit for bit.
+    *
+    * Plan: explode tokens → count per (doc, token) = tf (one shuffle,
+    * map-side combine) → count docs per token = df (reuses the (doc,token)
+    * partitioning's token-side aggregation) → join tf⋈df on token →
+    * row_number window PARTITIONED BY DOC. The window partition is one
+    * document's distinct tokens — bounded by doc length, never corpus
+    * size, so the sort stays in-memory per task at any corpus scale. The
+    * df table is corpus-vocabulary-sized; at 100 TB it exceeds broadcast
+    * range and the token equi-join shuffles both sides — fine, it is the
+    * same key the tf aggregation just shuffled on, so AQE reuses the
+    * exchange.
+    */
+  def distinctiveTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, "distinctiveTerms: k must be positive")
+    val tf = df.select(col(idCol).as("doc"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("doc", "token").agg(count(lit(1)).as("tf"))
+    val dfTable = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc")
+      .orderBy(col("tf").desc, col("df").asc, col("token").asc)
+    tf.join(dfTable, Seq("token"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc").as(idCol), col("rank"), col("token"),
+        col("tf"), col("df"))
+  }
+
   /** Training-sequence packing — concat-and-chunk: lay every document's
     * tokens end to end (in id order) and cut the stream into fixed
     * `capacity`-token training sequences. Documents may span a sequence

@@ -39,6 +39,30 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_count"))
 
+  /** Incremental exact dedup — the steady-state shape of a production
+    * corpus: a small `batch` of freshly crawled documents arrives against a
+    * huge already-ingested `index`, and only batch docs whose normalized
+    * fingerprint appears in neither the index nor earlier in the batch
+    * survive. Returns one row per NOVEL fingerprint:
+    * (fingerprint, keeper_id, dup_count) — keeper is the min-id batch doc.
+    *
+    * Scale: the index side reads ONLY its fingerprint column (store
+    * fingerprints as their own compact table/column in production — at
+    * 100 TB the index probe is a scan of a 16-byte-per-doc column, not the
+    * corpus). One shuffle each side on the fingerprint for the left-anti
+    * join; the within-batch groupBy then reuses the anti-join's
+    * fingerprint partitioning — no extra exchange. Never index × batch.
+    */
+  def incrementalNew(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    def fp(d: DataFrame) = d.select(col(idCol),
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fingerprint"))
+    fp(batch)
+      .join(fp(index).select("fingerprint").distinct(), Seq("fingerprint"), "left_anti")
+      .groupBy("fingerprint")
+      .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_count"))
+  }
+
   /** Word-k-shingles per document: (doc, shingle), WITH duplicates — the
     * downstream `collect_set` aggregate dedups map-side, so a separate
     * distinct would only add a shuffle. The explode is bounded by text

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding quantization — symmetric per-vector int8 scalar quantization,
+  * the standard 4× compression applied before a 100 TB embedding corpus is
+  * indexed (FAISS SQ8, ScaNN's fixed-point leaves): per vector,
+  * `scale = 127 / max|v_i|` and `q_i = floor(v_i·scale + 0.5)` ∈
+  * [-127, 127]. Map-only projection over codegen'd array expressions — no
+  * shuffle, no UDF; linear at any corpus size and trivially chained in
+  * front of the ANN operators (Similarity.*) to shrink their shuffle and
+  * state 4×.
+  *
+  * Determinism: |v_i| and max are computed in FLOAT (exact), widened to
+  * double (exact), and the divide / multiply / floor(x+0.5) sequence is
+  * bit-identical IEEE-754 double arithmetic in any engine — the DuckDB
+  * oracle reproduces q_i exactly. floor(x+0.5) is used instead of round()
+  * because engines disagree on round-half semantics; the +0.5-floor trick
+  * is the same one every *_cents oracle query uses. All-zero vectors get
+  * scale = 0 and an all-zero q (guarded division).
+  */
+object Quantize {
+
+  /** Adds `scale` (double) and `q` (array<int>) columns; original columns
+    * pass through. `embCol` must be an array of float/double.
+    */
+  def int8(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__maxabs",
+        expr(s"cast(array_max(transform(`$embCol`, x -> abs(x))) as double)"))
+      .withColumn("scale",
+        when(col("__maxabs") > 0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
+      .withColumn("q",
+        expr(s"transform(`$embCol`, x -> cast(floor(cast(x as double) * scale + 0.5d) as int))"))
+      .drop("__maxabs")
+}

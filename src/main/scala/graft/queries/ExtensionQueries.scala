@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, RangeJoin, Sequence, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Profile, Quantize, RangeJoin, Sequence, Similarity, Skew, TextAnalysis}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -1502,7 +1502,104 @@ object ExtensionQueries {
              |  date_diff('day', cw, wk) // 7 AS offset_weeks,
              |  count(DISTINCT user_id)::BIGINT AS users
              |FROM ev JOIN f USING (user_id)
-             |GROUP BY cw, wk ORDER BY cohort_week, offset_weeks""".stripMargin))
+             |GROUP BY cw, wk ORDER BY cohort_week, offset_weeks""".stripMargin)),
+
+    // Distinctive terms (exact TF-IDF ranking, Curation.distinctiveTerms):
+    // per doc, top-3 tokens by tf desc / df asc / token — integer-exact
+    // (no ln(), whose libm rounding drifts across engines). The window
+    // partition is one doc's distinct tokens — bounded by doc length.
+    QueryDef("x49_distinctive_terms",
+      (s, d) => Curation.distinctiveTerms(
+          tbl(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH dt AS (
+             |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS token
+             |  FROM documents),
+             |tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf FROM dt GROUP BY 1, 2),
+             |dft AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+             |SELECT doc_id, rank, token, tf, df FROM (
+             |  SELECT tf.doc_id, row_number() OVER (PARTITION BY tf.doc_id
+             |      ORDER BY tf.tf DESC, dft.df ASC, tf.token ASC)::INT AS rank,
+             |    tf.token, tf.tf AS tf, dft.df AS df
+             |  FROM tf JOIN dft USING (token))
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
+    // Column profiler (Profile.columns): one-pass per-column stats over
+    // orders, unpivoted via stack. Exact multi-distinct (Expand + partial
+    // agg); min/max as engine-portable strings (int/varchar columns only).
+    QueryDef("x50_column_profile",
+      (s, d) => Profile.columns(tbl(s, d, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column_name"),
+      Some("""WITH p AS (
+             |  SELECT 'o_orderkey' AS column_name, count(o_orderkey)::BIGINT AS non_null_count,
+             |    (count(*) - count(o_orderkey))::BIGINT AS null_count,
+             |    count(DISTINCT o_orderkey)::BIGINT AS distinct_count,
+             |    min(o_orderkey)::VARCHAR AS min_value, max(o_orderkey)::VARCHAR AS max_value
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey', count(o_custkey)::BIGINT, (count(*) - count(o_custkey))::BIGINT,
+             |    count(DISTINCT o_custkey)::BIGINT, min(o_custkey)::VARCHAR, max(o_custkey)::VARCHAR
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus', count(o_orderstatus)::BIGINT, (count(*) - count(o_orderstatus))::BIGINT,
+             |    count(DISTINCT o_orderstatus)::BIGINT, min(o_orderstatus), max(o_orderstatus)
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority', count(o_orderpriority)::BIGINT, (count(*) - count(o_orderpriority))::BIGINT,
+             |    count(DISTINCT o_orderpriority)::BIGINT, min(o_orderpriority), max(o_orderpriority)
+             |  FROM orders)
+             |SELECT * FROM p ORDER BY column_name""".stripMargin)),
+
+    // Int8 embedding quantization (Quantize.int8): per-vector symmetric
+    // scalar quantization, checked via exact integer aggregates of the
+    // quantized array plus the scale at 1e-6 resolution. Map-only.
+    QueryDef("x51_embedding_quantize",
+      (s, d) => Quantize.int8(tbl(s, d, "embeddings"), "embedding")
+        .select(col("vec_id"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("array_min(q)").as("q_min"),
+          expr("array_max(q)").as("q_max"),
+          expr("cast(size(filter(q, x -> x != 0)) as int)").as("q_nonzero"),
+          floor(col("scale") * 1e6).cast("long").as("scale_x1e6"))
+        .orderBy("vec_id"),
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+             |      THEN 127.0 / list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+             |      ELSE 0.0 END AS scale
+             |  FROM embeddings),
+             |u AS (
+             |  SELECT vec_id, floor(e::DOUBLE * scale + 0.5)::BIGINT AS qe
+             |  FROM (SELECT vec_id, scale, unnest(embedding) AS e FROM m))
+             |SELECT u.vec_id, sum(qe)::BIGINT AS q_sum, min(qe)::INT AS q_min,
+             |  max(qe)::INT AS q_max,
+             |  sum(CASE WHEN qe <> 0 THEN 1 ELSE 0 END)::INT AS q_nonzero,
+             |  floor(any_value(scale) * 1e6)::BIGINT AS scale_x1e6
+             |FROM u JOIN m USING (vec_id)
+             |GROUP BY u.vec_id ORDER BY u.vec_id""".stripMargin)),
+
+    // Incremental dedup (Dedup.incrementalNew): a fresh batch (doc_id % 5
+    // = 0) probed against the already-ingested index (the rest) — only
+    // fingerprints new to BOTH survive. The steady-state production shape:
+    // anti-join on the fingerprint, then the in-batch groupBy reuses the
+    // same partitioning.
+    QueryDef("x52_incremental_dedup",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.incrementalNew(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+          .orderBy("fingerprint")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+             |  FROM documents),
+             |b AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+             |i AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0)
+             |SELECT fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS dup_count
+             |FROM b WHERE fingerprint NOT IN (SELECT fingerprint FROM i)
+             |GROUP BY 1 ORDER BY fingerprint""".stripMargin))
   )
 
   private lazy val funnelStages: Seq[String] =

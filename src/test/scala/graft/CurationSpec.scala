@@ -167,4 +167,31 @@ class CurationSpec extends SparkSpec with Matchers {
     out.map(_.getAs[Long]("tokens_in_seq")).toSeq shouldBe Seq(16L, 16L, 8L)
     out.map(_.getAs[Long]("offset_in_seq")).toSeq shouldBe Seq(0L, 0L, 0L)
   }
+
+  test("distinctive terms: tf dominates, df breaks ties toward rarer tokens") {
+    // doc 1: "rare" appears twice (tf=2, top); "common" and "unique" tie at
+    // tf=1 — "unique" (df=1) outranks "common" (df=2)
+    val out = Curation.distinctiveTerms(docs(
+        1L -> "rare rare common unique",
+        2L -> "common other words here"),
+      "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank").collect()
+    out.map(r => (r.getAs[Int]("rank"), r.getAs[String]("token"),
+      r.getAs[Long]("tf"), r.getAs[Long]("df"))).toSeq shouldBe Seq(
+      (1, "rare", 2L, 1L), (2, "unique", 1L, 1L))
+  }
+
+  test("incremental dedup: index hits drop, in-batch dups collapse, novel docs survive") {
+    import graft.operators.Dedup
+    val index = docs(10L -> "already ingested doc", 11L -> "another old doc")
+    val batch = docs(
+      20L -> "already   INGESTED doc", // fingerprint-matches index 10 -> dropped
+      21L -> "brand new content",
+      22L -> "Brand New   content", // in-batch dup of 21 -> same fingerprint
+      23L -> "fully novel text")
+    val out = Dedup.incrementalNew(batch, index, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    out.map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("dup_count"))).toSeq shouldBe
+      Seq((21L, 2L), (23L, 1L))
+  }
 }

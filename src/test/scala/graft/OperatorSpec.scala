@@ -439,4 +439,40 @@ class OperatorSpec extends SparkSpec with Matchers {
     // 4 buckets; 20 matches only the boundary point; 30 (e < s) matches none
     out shouldBe Array((10L, 1L), (10L, 2L), (10L, 3L), (10L, 4L), (20L, 2L))
   }
+
+  test("column profile: null/distinct/min/max per column from one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), None),
+      (Some(2L), Some("c")), (None, Some("a")))
+      .toDF("k", "s")
+    val out = graft.operators.Profile.columns(df, Seq("k", "s"))
+      .orderBy("column_name").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getString(4), r.getString(5))).toSeq shouldBe Seq(
+      ("k", 3L, 1L, 2L, "1", "2"),
+      ("s", 3L, 1L, 2L, "a", "c"))
+  }
+
+  test("int8 quantization: extremes hit ±127, zero vectors stay zero, error bounded") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.5f, -1.0f, 0.25f)), // maxabs 1.0 -> scale 127
+      (2L, Array(0.0f, 0.0f)), // zero vector -> scale 0, q all 0
+      (3L, Array(2.0f))) // single max -> q = 127
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Quantize.int8(df, "embedding")
+      .orderBy("vec_id").collect()
+    out(0).getAs[collection.Seq[Int]]("q").toSeq shouldBe Seq(64, -127, 32)
+    out(1).getAs[collection.Seq[Int]]("q").toSeq shouldBe Seq(0, 0)
+    out(1).getAs[Double]("scale") shouldBe 0.0
+    out(2).getAs[collection.Seq[Int]]("q").toSeq shouldBe Seq(127)
+    // reconstruction: |q/scale - v| <= 0.5/scale for every component
+    val q0 = out(0).getAs[collection.Seq[Int]]("q")
+    val s0 = out(0).getAs[Double]("scale")
+    val v0 = Seq(0.5, -1.0, 0.25)
+    q0.zip(v0).foreach { case (q, v) =>
+      math.abs(q / s0 - v) should be <= (0.5 / s0 + 1e-12)
+    }
+  }
 }
