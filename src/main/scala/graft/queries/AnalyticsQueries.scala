@@ -469,7 +469,59 @@ object AnalyticsQueries {
              |  string_split(o_orderpriority, '-')[1] AS part1,
              |  array_to_string(list_sort(string_split(o_orderpriority, '-')), '|') AS sorted_joined,
              |  list_contains(string_split(o_orderpriority, '-'), 'URGENT') AS has_urgent
-             |FROM orders WHERE o_orderkey % 211 = 0 ORDER BY o_orderkey""".stripMargin))
+             |FROM orders WHERE o_orderkey % 211 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // Time-range rolling window: per-customer trailing-7-day revenue via a
+    // RANGE frame over an exact day offset (integer axis — numeric RANGE
+    // frames are engine-portable where interval-literal frames are not).
+    // Same single shuffle as any window: partition by customer, sort by
+    // day; the frame scan is linear per partition.
+    QueryDef("b20_window_range_rolling",
+      (s, d) => {
+        val o = tbl(s, d, "orders").select(
+          col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("long").as("day"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val w = Window.partitionBy("o_custkey").orderBy(col("day"))
+          .rangeBetween(-6, 0)
+        o.withColumn("rev7_cents", sum("cents").over(w))
+          .orderBy("o_custkey", "day", "o_orderkey")
+      },
+      Some("""WITH o AS (SELECT o_custkey, o_orderkey,
+             |    date_diff('day', DATE '1992-01-01', o_orderdate::DATE)::BIGINT AS day,
+             |    (floor(o_totalprice*100 + 0.5))::BIGINT AS cents
+             |  FROM orders)
+             |SELECT o_custkey, o_orderkey, day, cents,
+             |  sum(cents) OVER (PARTITION BY o_custkey ORDER BY day
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS rev7_cents
+             |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin)),
+
+    // Rank-function family over one window: ntile quartiles, percent_rank
+    // and cume_dist (scaled to exact integers — (rank-1)/(n-1) is the same
+    // IEEE double in every engine; ×1e6-floor freezes it).
+    QueryDef("b22_rank_distribution",
+      (s, d) => {
+        val c = tbl(s, d, "customer").select(col("c_mktsegment"),
+          col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"))
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(col("bal_cents").desc, col("c_custkey"))
+        c.select(col("c_mktsegment"), col("c_custkey"), col("bal_cents"),
+            ntile(4).over(w).as("quartile"),
+            floor(percent_rank().over(w) * 1e6).cast("long").as("pr_x1e6"),
+            floor(cume_dist().over(w) * 1e6).cast("long").as("cd_x1e6"))
+          .orderBy(col("c_mktsegment"), col("bal_cents").desc, col("c_custkey"))
+      },
+      Some("""SELECT c_mktsegment, c_custkey,
+             |  (floor(c_acctbal*100 + 0.5))::BIGINT AS bal_cents,
+             |  ntile(4) OVER win AS quartile,
+             |  floor(percent_rank() OVER win * 1e6)::BIGINT AS pr_x1e6,
+             |  floor(cume_dist() OVER win * 1e6)::BIGINT AS cd_x1e6
+             |FROM customer
+             |WINDOW win AS (PARTITION BY c_mktsegment
+             |  ORDER BY (floor(c_acctbal*100 + 0.5))::BIGINT DESC, c_custkey)
+             |ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

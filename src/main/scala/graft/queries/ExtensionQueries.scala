@@ -1599,7 +1599,22 @@ object ExtensionQueries {
              |i AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0)
              |SELECT fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS dup_count
              |FROM b WHERE fingerprint NOT IN (SELECT fingerprint FROM i)
-             |GROUP BY 1 ORDER BY fingerprint""".stripMargin))
+             |GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // Stream-static enrichment (StreamOps.streamStaticEnrich): the event
+    // stream joins the customer dimension snapshot per micro-batch
+    // (stateless — no watermark, no join state), aggregated per market
+    // segment. Batch-equivalent semantics, so plain SQL is the oracle.
+    QueryDef("x53_stream_static_enrich",
+      (s, d) => StreamOps.streamStaticEnrich(s, s"$d/events.parquet",
+          tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", "c_mktsegment",
+          queryName = s"sse_${System.nanoTime()}")
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*)::BIGINT AS events,
+             |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   private lazy val funnelStages: Seq[String] =

@@ -178,6 +178,34 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Stream-static enrichment — the standard "join the event stream onto a
+    * dimension snapshot" shape: stateless per micro-batch (no watermark, no
+    * join state — each batch probes the CURRENT dim snapshot), aggregated
+    * per dim attribute in complete mode. The dim side is broadcast here
+    * (dims are small next to a 100 TB stream); an oversized dim falls back
+    * to a per-batch shuffle join with the same semantics.
+    */
+  def streamStaticEnrich(spark: SparkSession, eventsPath: String,
+      dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
+      queryName: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-sse")
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val agg = stream
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter (the canonical "custom state machine"
     * shape — anything not expressible as a windowed agg goes here). Update

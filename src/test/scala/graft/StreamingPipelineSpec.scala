@@ -142,4 +142,25 @@ class StreamingPipelineSpec extends SparkSpec with Matchers {
       r7.getAs[String]("status") shouldBe "ok"
     } finally server.stop()
   }
+
+  test("stream-static enrichment joins each micro-batch onto the dim snapshot") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sse-spec")
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.004, "view"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2.0, "view"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 3.0, "click"),
+      (9L, java.sql.Timestamp.valueOf("2024-01-01 03:00:00"), 9.0, "view")) // no dim row -> dropped
+      .toDF("user_id", "ts", "value", "event_type")
+    events.write.mode("overwrite").parquet(dir.toString)
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER"), (3L, "GOLD"))
+      .toDF("c_custkey", "c_mktsegment")
+    val out = graft.streaming.StreamOps.streamStaticEnrich(spark, dir.toString,
+        dim, "user_id", "c_custkey", "c_mktsegment",
+        queryName = s"sse_spec_${System.nanoTime()}")
+      .orderBy("c_mktsegment").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq shouldBe Seq(
+      ("GOLD", 2L, 300L), // floor(1.004*100+.5)=100 + 200
+      ("SILVER", 1L, 300L))
+  }
 }
