@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, RangeJoin, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin, TextAnalysis}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -123,7 +123,31 @@ object ScaleProbe {
       // single task walks — stays constant.
       "sequence_packing" -> (m =>
         Curation.packSequences(corpus(m), "doc_id", "text",
-          capacity = 256, numShards = 8 * m).count()))
+          capacity = 256, numShards = 8 * m).count()),
+      // Disjoint replica token namespaces keep each doc's distinct-token
+      // set and per-token DF constant as the corpus grows — the exponent
+      // isolates the tf/df shuffles and the per-doc window.
+      "distinctive_terms" -> (m =>
+        Curation.distinctiveTerms(corpus(m), "doc_id", "text", k = 3)
+          .agg(sum("df")).first().getLong(0)),
+      // Steady-state incremental shape: the batch stays FIXED (replica 0)
+      // while the index grows with m — linearity certifies the probe cost
+      // is driven by the index scan, never index × batch.
+      "incremental_dedup" -> (m =>
+        Dedup.incrementalNew(corpus(1), corpus(m), "doc_id", "text").count()),
+      "column_profile" -> (m =>
+        Profile.columns(corpus(m), Seq("doc_id", "text")).count()),
+      // sum(q_sum) forces the full transform (count() would prune the
+      // quantization projection away — the b11 bench caveat).
+      "quantize_int8" -> { m =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val grown = (0 until m).map(r => emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        Quantize.int8(grown, "embedding")
+          .select(expr("aggregate(q, 0L, (a, x) -> a + x)").as("qs"))
+          .agg(sum("qs")).first().getLong(0)
+      })
 
     val results = ops.map { case (name, run) =>
       val times = multipliers.map { m =>

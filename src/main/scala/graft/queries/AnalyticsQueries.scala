@@ -497,6 +497,44 @@ object AnalyticsQueries {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)::BIGINT AS rev7_cents
              |FROM o ORDER BY o_custkey, day, o_orderkey""".stripMargin)),
 
+    // TPC-H Q5 shape: the 6-table local-supplier-volume join — region and
+    // nation broadcast (tiny), customer/orders/lineitem/supplier hash-join
+    // on their keys with the date filter pushed to the orders scan. The
+    // same-nation condition (supplier's nation = customer's nation) rides
+    // the supplier join. Per-line revenue frozen to cents so the aggregate
+    // is exact integer arithmetic.
+    QueryDef("b21_tpch_q5",
+      (s, d) => {
+        val r = tbl(s, d, "region").filter(col("r_name") === "ASIA")
+        val n = tbl(s, d, "nation")
+        val c = tbl(s, d, "customer")
+        val o = tbl(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+            col("o_orderdate") < lit("1998-01-01").cast("date"))
+        val l = tbl(s, d, "lineitem")
+        val su = tbl(s, d, "supplier")
+        broadcast(r).join(broadcast(n), col("n_regionkey") === col("r_regionkey"))
+          .join(c, col("c_nationkey") === col("n_nationkey"))
+          .join(o, col("o_custkey") === col("c_custkey"))
+          .join(l, col("l_orderkey") === col("o_orderkey"))
+          .join(su, col("s_suppkey") === col("l_suppkey") &&
+            col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")).as("revenue_cents"))
+          .orderBy(col("revenue_cents").desc, col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  sum((floor(l_extendedprice*(1-l_discount)*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM region r
+             |JOIN nation n ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+             |JOIN customer c ON c_nationkey = n_nationkey
+             |JOIN orders o ON o_custkey = c_custkey
+             |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+             |JOIN lineitem l ON l_orderkey = o_orderkey
+             |JOIN supplier s ON s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+             |GROUP BY 1 ORDER BY revenue_cents DESC, n_name""".stripMargin)),
+
     // Rank-function family over one window: ntile quartiles, percent_rank
     // and cume_dist (scaled to exact integers — (rank-1)/(n-1) is the same
     // IEEE double in every engine; ×1e6-floor freezes it).

@@ -254,4 +254,64 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("hashpartitioning(shard")
     (plan should not).include("SinglePartition")
   }
+
+  test("x49 distinctive terms: rank filter becomes a window group limit, windows per doc") {
+    val df = q("x49_distinctive_terms")
+    val plan = df.queryExecution.executedPlan.toString
+    // rank <= k prunes inside each window partition BEFORE the full sort
+    // materializes (the 100 TB difference between top-k and sort-everything)
+    plan should include("WindowGroupLimit")
+    plan should include("hashpartitioning(doc")
+    (plan should not).include("SinglePartition")
+  }
+
+  test("x50 column profile: one aggregation pass (Expand), no join, no per-column scans") {
+    val df = q("x50_column_profile")
+    val plan = planOf(df)
+    plan should include("Expand") // the exact multi-distinct shape
+    (plan should not).include("Join")
+    // one scan feeds everything: profile agg + final ordering only
+    nodeCount(plan, "Scan parquet") shouldBe 1
+  }
+
+  test("x51 quantization is map-only — no exchange except the output ordering") {
+    val df = q("x51_embedding_quantize")
+    val plan = planOf(df)
+    nodeCount(plan, "Exchange") should be <= 1
+    (plan should not).include("Join")
+  }
+
+  test("x52 incremental dedup: hashable anti-join; in-batch groupBy reuses its partitioning") {
+    val df = q("x52_incremental_dedup")
+    val plan = planOf(df)
+    (plan should not).include("NestedLoop")
+    // exchanges: batch fingerprints, index fingerprints, final orderBy —
+    // the post-anti-join aggregate must NOT add a fourth
+    nodeCount(plan, "Exchange") should be <= 3
+  }
+
+  test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
+    val df = q("b20_window_range_rolling")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("RangeFrame")
+    plan should include("hashpartitioning(o_custkey")
+    (plan should not).include("SinglePartition")
+  }
+
+  test("b21 TPC-H Q5: tiny dims broadcast, date filter pushed to the orders scan") {
+    val df = q("b21_tpch_q5")
+    val plan = planOf(df)
+    nodeCount(plan, "BroadcastHashJoin") should be >= 2 // region, nation at least
+    (plan should not).include("NestedLoop")
+    // the o_orderdate range reaches the parquet reader as PushedFilters
+    plan should include regex "PushedFilters:.*GreaterThanOrEqual\\(o_orderdate"
+  }
+
+  test("b22 rank distribution: all three rank functions share ONE window operator") {
+    val df = q("b22_rank_distribution")
+    val plan = planOf(df)
+    // ntile/percent_rank/cume_dist share the window spec — one Window
+    // node, one sort, one exchange for the partition key
+    nodeCount(plan, "Window") shouldBe 1
+  }
 }
