@@ -1614,7 +1614,43 @@ object ExtensionQueries {
       Some("""SELECT c_mktsegment, count(*)::BIGINT AS events,
              |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Semantic dedup end-to-end: sign-LSH-blocked cosine pairs over the
+    // embedding space feed connected-component canonicalization — the
+    // "SemDeDup" composition (embedding near-dup graph → one survivor per
+    // semantic cluster). Candidate generation is the metadata-free LSH
+    // bucket join (never vectors²); the component fold is the same
+    // bounded-round label propagation as x19.
+    QueryDef("x54_semantic_dedup",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val pairs = Dedup.embeddingCosineLsh(emb, "vec_id", "embedding",
+            bits = 8, threshold = 0.3)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.canonicalize(emb.select("vec_id"), "vec_id", pairs)
+          .orderBy("doc")
+      },
+      Some(s"""WITH RECURSIVE v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+             |b AS (SELECT vec_id, vec,
+             |    (CASE WHEN vec[1] > 0 THEN 1 ELSE 0 END) + (CASE WHEN vec[2] > 0 THEN 2 ELSE 0 END) +
+             |    (CASE WHEN vec[3] > 0 THEN 4 ELSE 0 END) + (CASE WHEN vec[4] > 0 THEN 8 ELSE 0 END) +
+             |    (CASE WHEN vec[5] > 0 THEN 16 ELSE 0 END) + (CASE WHEN vec[6] > 0 THEN 32 ELSE 0 END) +
+             |    (CASE WHEN vec[7] > 0 THEN 64 ELSE 0 END) + (CASE WHEN vec[8] > 0 THEN 128 ELSE 0 END)
+             |      AS blk
+             |  FROM v),
+             |pairs AS (SELECT l.vec_id AS doc_a, r.vec_id AS doc_b
+             |  FROM b l JOIN b r ON l.blk = r.blk AND l.vec_id < r.vec_id
+             |  WHERE ${dkCosine("l.vec", "r.vec")} >= 0.3),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT vec_id, vec_id FROM v
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+             |SELECT a AS doc, min(b) AS canonical_id, (min(b) = a) AS is_keeper
+             |FROM reach GROUP BY a ORDER BY doc""".stripMargin))
   )
 
   private lazy val funnelStages: Seq[String] =
