@@ -33,4 +33,30 @@ object Quantize {
       .withColumn("q",
         expr(s"transform(`$embCol`, x -> cast(floor(cast(x as double) * scale + 0.5d) as int))"))
       .drop("__maxabs")
+
+  /** Quantized-dot-product top-k: brute-force ANN over the int8 codes —
+    * the compressed-domain scorer (ScaNN/FAISS-SQ shape: score in the
+    * quantized space, never dequantize). The integer dot is EXACT
+    * arithmetic, so unlike float cosine the result is bit-reproducible on
+    * any engine — and the corpus side streams 4× less data than the float
+    * path. Queries broadcast (small side); ranking is dot desc with
+    * neighbor-id tie-break. Note the metric: raw quantized dot product —
+    * callers wanting cosine-faithful ranking normalize vectors upstream
+    * (then per-vector scales are ~equal and dot order tracks cosine
+    * order).
+    */
+  def dotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = int8(queries, embCol).select(col(idCol).as("query_id"), col("q").as("qq"))
+    val c = int8(corpus, embCol).select(col(idCol).as("neighbor_id"), col("q").as("cq"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        expr("aggregate(zip_with(qq, cq, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)")
+          .as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+  }
 }

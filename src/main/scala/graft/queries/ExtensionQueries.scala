@@ -1650,7 +1650,40 @@ object ExtensionQueries {
              |  UNION
              |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
              |SELECT a AS doc, min(b) AS canonical_id, (min(b) = a) AS is_keeper
-             |FROM reach GROUP BY a ORDER BY doc""".stripMargin))
+             |FROM reach GROUP BY a ORDER BY doc""".stripMargin)),
+
+    // Compressed-domain ANN (Quantize.dotTopK): top-5 by int8 quantized
+    // dot product — exact integer arithmetic end to end, so this is a
+    // full hash check (the float-cosine paths freeze through ×1e6-floor;
+    // here nothing needs freezing).
+    QueryDef("x55_ann_quantized",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Quantize.dotTopK(emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5)
+          .orderBy("query_id", "rank")
+      },
+      Some("""WITH m AS (
+             |  SELECT vec_id, embedding,
+             |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+             |      THEN 127.0 / list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+             |      ELSE 0.0 END AS scale
+             |  FROM embeddings),
+             |qz AS (SELECT vec_id,
+             |    list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::BIGINT) AS q
+             |  FROM m),
+             |sc AS (SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+             |    list_reduce(list_prepend(0::BIGINT,
+             |      list_transform(range(1, len(l.q)+1), i -> l.q[i]*r.q[i])),
+             |      (p, s) -> p + s) AS qdot
+             |  FROM qz l JOIN qz r ON r.vec_id <> l.vec_id
+             |  WHERE l.vec_id < 10)
+             |SELECT query_id, rank, neighbor_id, qdot FROM (
+             |  SELECT query_id, neighbor_id, qdot,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY qdot DESC, neighbor_id)::INT AS rank
+             |  FROM sc)
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 
   private lazy val funnelStages: Seq[String] =

@@ -475,4 +475,18 @@ class OperatorSpec extends SparkSpec with Matchers {
       math.abs(q / s0 - v) should be <= (0.5 / s0 + 1e-12)
     }
   }
+
+  test("quantized dot top-k ranks the aligned vector first, excludes self") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Quantize.dotTopK(
+        vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", k = 2)
+      .orderBy("rank").collect()
+    out.map(_.getAs[Long]("neighbor_id")).toSeq shouldBe Seq(1L, 2L)
+    // int8 dot of (127,0)·(127,14): exact integer score
+    out.head.getAs[Long]("qdot") shouldBe 127L * 127L
+  }
 }
