@@ -25,6 +25,8 @@ object Bench {
     "x35_decontamination", "x36_repetition", "x37_pii_redaction", "x38_sequence_packing",
     "x39_rarity_score", "x43_corpus_report", "x46_centroid_confusion",
     "x47_funnel", "x23b_sketch_only",
+    "x49_distinctive_terms", "x51_embedding_quantize", "x52_incremental_dedup",
+    "x55_ann_quantized", "b21_tpch_q5",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the
