@@ -3,9 +3,12 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline queries on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line {"metric":...,"queries":{name:sec,...},
-  * "iter_sec":{name:[t1,t2,t3],...}} — min-of-3 per query, with the raw
-  * iteration times exposed so measurement noise is visible in the artifact.
+  * prints TWO JSON lines — a bulky detail line ({"detail":"iterations",
+  * "iter_sec":{name:[t1,t2,t3],...},...}) first, then the compact summary
+  * {"metric":"total","value":N,"queries":{name:sec,...},"sf":...} as the
+  * FINAL line so a bounded tail capture always ends on a complete parsable
+  * object. Min-of-3+ interleaved cycles per query, with the raw iteration
+  * times exposed so measurement noise is visible in the artifact.
   * Headliners cover every engine layer: scan/agg (b01), broadcast star join
   * (b02), window top-k (b03), stream-table agg (b04), exact + MinHash-LSH +
   * SimHash dedup (x01/x03/x04), brute-force ANN (x07), streaming window
@@ -157,7 +160,16 @@ object Bench {
       "\"" + k + "\":[" + rs.map(r => f"$r%.3f").mkString(",") + "]"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"cold_first_run_sec":$wJson,"iter_sec":$iJson,"sf":"$sfDir"}""")
+    // Output shape: the bulky per-iteration detail goes on its OWN earlier
+    // line, and the compact summary is the FINAL stdout line. The driver's
+    // bounded tail capture reads from the end — round 5's single long line
+    // (38 queries × per-iteration arrays) overflowed that window and the
+    // official artifact came back "parsed": null with only a mid-line tail.
+    // Printing detail-first/summary-last means any tail window that holds
+    // one full line holds a complete parsable summary; the iteration spread
+    // stays in the artifact on the detail line for forensic reads.
+    println(f"""{"detail":"iterations","cold_first_run_sec":$wJson,"iter_sec":$iJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

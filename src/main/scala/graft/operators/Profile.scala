@@ -30,15 +30,23 @@ object Profile {
     require(cols.nonEmpty, "profile: at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"profile: unknown columns ${missing.mkString(", ")}")
-    val aggs = cols.flatMap { c =>
-      Seq(count(col(c)).as(s"__nn_$c"),
-        count_distinct(col(c)).as(s"__nd_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+    // Internal aliases are INDEX-based (__nn_0, __nd_0, ...) so a profiled
+    // column named `a.b`, `a b`, or `a``b` never reaches a generated
+    // identifier; the source column itself is referenced backtick-quoted
+    // and its display name enters the unpivot as an escaped string literal
+    // — no user text is ever spliced into SQL unquoted.
+    def src(c: String) = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(src(c)).as(s"__nn_$i"),
+        count_distinct(src(c)).as(s"__nd_$i"),
+        min(src(c)).cast("string").as(s"__mn_$i"),
+        max(src(c)).cast("string").as(s"__mx_$i"))
     } :+ count(lit(1)).as("__total")
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', __nn_$c, __total - __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    def lit_(c: String) = "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    val stackArgs = cols.zipWithIndex.map { case (c, i) =>
+      s"${lit_(c)}, __nn_$i, __total - __nn_$i, __nd_$i, __mn_$i, __mx_$i"
+    }.mkString(", ")
     one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
       "(column_name, non_null_count, null_count, distinct_count, min_value, max_value)")
   }

@@ -23,16 +23,24 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** Adds `scale` (double) and `q` (array<int>) columns; original columns
-    * pass through. `embCol` must be an array of float/double.
+    * pass through. `embCol` must be an array of float/double. `scale` and
+    * `q` are RESERVED output names — a caller column with either name
+    * would be silently clobbered by withColumn, so their presence is an
+    * error (rename upstream); the internal temp uses a graft-prefixed name
+    * for the same reason.
     */
-  def int8(df: DataFrame, embCol: String): DataFrame =
-    df.withColumn("__maxabs",
+  def int8(df: DataFrame, embCol: String): DataFrame = {
+    val clash = Seq("scale", "q").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"Quantize.int8: input already has reserved output column(s) ${clash.mkString(", ")} — rename them upstream")
+    df.withColumn("__graft_q_maxabs",
         expr(s"cast(array_max(transform(`$embCol`, x -> abs(x))) as double)"))
       .withColumn("scale",
-        when(col("__maxabs") > 0, lit(127.0) / col("__maxabs")).otherwise(lit(0.0)))
+        when(col("__graft_q_maxabs") > 0, lit(127.0) / col("__graft_q_maxabs")).otherwise(lit(0.0)))
       .withColumn("q",
         expr(s"transform(`$embCol`, x -> cast(floor(cast(x as double) * scale + 0.5d) as int))"))
-      .drop("__maxabs")
+      .drop("__graft_q_maxabs")
+  }
 
   /** Quantized-dot-product top-k: brute-force ANN over the int8 codes —
     * the compressed-domain scorer (ScaNN/FAISS-SQ shape: score in the

@@ -30,7 +30,8 @@ object StreamOps {
     * the arithmetic exact; ns epoch values overflow double precision).
     */
   private def normalizeTs(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    if (schema.fieldNames.contains("ts") &&
+        schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
 
@@ -187,7 +188,7 @@ object StreamOps {
     */
   def streamStaticEnrich(spark: SparkSession, eventsPath: String,
       dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
-      queryName: String): DataFrame = {
+      queryName: String, valueCol: String = "value"): DataFrame = {
     val schema = spark.read.parquet(eventsPath).schema
     val streamDir = stageStreamDir(eventsPath, "graft-stream-sse")
     val stream = normalizeTs(
@@ -196,7 +197,7 @@ object StreamOps {
       .join(broadcast(dim), col(streamKey) === col(dimKey))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("events"),
-        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
     val q = agg.writeStream
       .format("memory").queryName(queryName)
       .outputMode("complete")
@@ -218,6 +219,14 @@ object StreamOps {
     * resumes exactly where it stopped, so each change file is folded in
     * once — restart-safe upserts without Delta.
     *
+    * Restart safety is version-arithmetic, not luck: a replayed batch (crash
+    * between the v<batchId> write and the checkpoint commit) merges against
+    * versions STRICTLY BELOW its own batchId, so it never reads the
+    * partially/fully written directory it is about to overwrite, and a
+    * version directory only counts as a snapshot once its `_SUCCESS` marker
+    * exists (a crashed mid-write dir has none). Replay therefore recomputes
+    * the same merge from the same base and idempotently overwrites.
+    *
     * Scale: per batch, ONE shuffle of the (small) change set for the
     * per-key collapse and one key shuffle for the anti-join against the
     * snapshot; the snapshot rewrite is a blind columnar write. At 100 TB
@@ -234,19 +243,7 @@ object StreamOps {
     val writer = stream.writeStream
       .queryName(queryName)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(key).orderBy(orderDescCols.map(col(_).desc): _*)
-        val latest = batch.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-        val merged = latestSnapshot(s, snapshotRoot) match {
-          case Some(current) =>
-            graft.operators.Merge.upsertByKey(
-              current.select(latest.columns.map(col): _*), latest, key,
-              validateUniqueKeys = false) // latest is unique per key by construction
-          case None => latest
-        }
-        merged.write.mode("overwrite").parquet(s"$snapshotRoot/v$batchId")
+        applyCdcBatch(batch, batchId, snapshotRoot, key, orderDescCols)
       }
       .trigger(Trigger.AvailableNow())
     checkpointDir.foreach(writer.option("checkpointLocation", _))
@@ -254,11 +251,45 @@ object StreamOps {
     q.awaitTermination()
   }
 
-  /** Highest-version snapshot under `root` (None before the first batch). */
-  def latestSnapshot(spark: SparkSession, root: String): Option[DataFrame] = {
+  /** One CDC micro-batch fold (the foreachBatch body, exposed so restart
+    * replay is directly testable): collapse `batch` to its latest change
+    * per key, merge onto the newest committed snapshot with version <
+    * `batchId`, write v<batchId>. Calling this twice with the same batchId
+    * (= checkpoint-less replay after a crash) reproduces the same output.
+    */
+  def applyCdcBatch(batch: DataFrame, batchId: Long, snapshotRoot: String,
+      key: String, orderDescCols: Seq[String]): Unit = {
+    val s = batch.sparkSession
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy(orderDescCols.map(col(_).desc): _*)
+    val latest = batch.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val merged = latestSnapshot(s, snapshotRoot, maxExclusive = Some(batchId)) match {
+      case Some(current) =>
+        graft.operators.Merge.upsertByKey(
+          current.select(latest.columns.map(col): _*), latest, key,
+          validateUniqueKeys = false) // latest is unique per key by construction
+      case None => latest
+    }
+    merged.write.mode("overwrite").parquet(s"$snapshotRoot/v$batchId")
+  }
+
+  /** Highest COMMITTED snapshot under `root` (None before the first batch).
+    * A version directory counts only if its parquet `_SUCCESS` marker
+    * exists — a dir from a crashed mid-write is invisible. `maxExclusive`
+    * restricts to versions strictly below it: a replayed batch passes its
+    * own batchId so it never resolves the very directory it is about to
+    * overwrite (the restart-safety contract in `cdcApply`'s doc).
+    */
+  def latestSnapshot(spark: SparkSession, root: String,
+      maxExclusive: Option[Long] = None): Option[DataFrame] = {
     val dir = new java.io.File(root)
     Option(dir.listFiles())
-      .map(_.filter(f => f.isDirectory && f.getName.matches("v\\d+")).toSeq)
+      .map(_.filter { f =>
+        f.isDirectory && f.getName.matches("v\\d+") &&
+          new java.io.File(f, "_SUCCESS").isFile &&
+          maxExclusive.forall(f.getName.drop(1).toLong < _)
+      }.toSeq)
       .filter(_.nonEmpty)
       .map(_.maxBy(_.getName.drop(1).toLong))
       .map(f => spark.read.parquet(f.toString))

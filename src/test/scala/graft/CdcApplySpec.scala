@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.streaming.StreamOps
+
+/** CDC apply restart safety (ADVICE round-5 item): a replayed micro-batch
+  * (crash between the v<batchId> write and the checkpoint commit) must merge
+  * against versions strictly below its own batchId, and partially-written
+  * version dirs (no _SUCCESS) must never count as the latest snapshot.
+  */
+class CdcApplySpec extends SparkSpec with Matchers {
+  import StreamOps.{applyCdcBatch, latestSnapshot}
+
+  private def changes(rows: Seq[(Long, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v", "seq")
+  }
+
+  private def snapshotMap(root: String): Map[Long, String] =
+    latestSnapshot(spark, root).get
+      .select("k", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("cdc batches fold last-writer-wins per key across versions") {
+    val root = Files.createTempDirectory("graft-cdc-fold").toString
+    applyCdcBatch(changes(Seq((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L))),
+      batchId = 0, root, "k", Seq("seq"))
+    applyCdcBatch(changes(Seq((2L, "b1", 2L), (3L, "c0", 1L))),
+      batchId = 1, root, "k", Seq("seq"))
+    snapshotMap(root) shouldBe Map(1L -> "a1", 2L -> "b1", 3L -> "c0")
+  }
+
+  test("replaying a batch after a crash-before-commit reproduces the same snapshot") {
+    val root = Files.createTempDirectory("graft-cdc-replay").toString
+    applyCdcBatch(changes(Seq((1L, "a0", 1L), (2L, "b0", 1L))),
+      batchId = 0, root, "k", Seq("seq"))
+    val batch1 = Seq((1L, "a1", 2L), (3L, "c0", 1L))
+    applyCdcBatch(changes(batch1), batchId = 1, root, "k", Seq("seq"))
+    val once = snapshotMap(root)
+    // Crash landed between the v1 write and the checkpoint commit: the
+    // stream replays batch 1. The merge base must be v0 (strictly below
+    // batchId 1), never the v1 dir the replay is about to overwrite.
+    applyCdcBatch(changes(batch1), batchId = 1, root, "k", Seq("seq"))
+    snapshotMap(root) shouldBe once
+    snapshotMap(root) shouldBe Map(1L -> "a1", 2L -> "b0", 3L -> "c0")
+  }
+
+  test("a version dir without _SUCCESS is invisible to latestSnapshot") {
+    val root = Files.createTempDirectory("graft-cdc-partial").toString
+    applyCdcBatch(changes(Seq((1L, "a0", 1L))), batchId = 0, root, "k", Seq("seq"))
+    // Simulate a crashed mid-write v1: parquet part files but no _SUCCESS.
+    changes(Seq((1L, "poison", 9L))).write.parquet(s"$root/v1")
+    assert(new java.io.File(s"$root/v1/_SUCCESS").delete())
+    snapshotMap(root) shouldBe Map(1L -> "a0")
+    // maxExclusive hides a committed own-version dir too (the replay path).
+    latestSnapshot(spark, root, maxExclusive = Some(0L)) shouldBe None
+  }
+
+  test("cdcApply end-to-end with a checkpoint folds the change file once") {
+    val root = Files.createTempDirectory("graft-cdc-e2e").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
+    val chg = Files.createTempDirectory("graft-cdc-chg").resolve("changes.parquet")
+    changes(Seq((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L)))
+      .coalesce(1).write.parquet(chg.toString)
+    StreamOps.cdcApply(spark, chg.toString, root, "k", Seq("seq"),
+      queryName = s"cdc_e2e_${System.nanoTime()}", checkpointDir = Some(ckpt))
+    snapshotMap(root) shouldBe Map(1L -> "a1", 2L -> "b0")
+  }
+}

@@ -476,6 +476,26 @@ class OperatorSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("column profile survives hostile column names (dots, spaces, quotes, backticks)") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("a.b c", "it's `quoted`")
+    val out = graft.operators.Profile.columns(df, Seq("a.b c", "it's `quoted`"))
+      .orderBy("column_name").collect()
+    out.map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq shouldBe Seq(
+      ("a.b c", 2L, 2L),
+      ("it's `quoted`", 2L, 2L))
+  }
+
+  test("int8 quantization rejects inputs that already carry reserved output columns") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f), 9.9)).toDF("vec_id", "embedding", "scale")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Quantize.int8(df, "embedding")
+    }
+    e.getMessage should include("reserved output column")
+  }
+
   test("quantized dot top-k ranks the aligned vector first, excludes self") {
     import spark.implicits._
     val vecs = Seq(
