@@ -144,12 +144,20 @@ object Similarity {
         .select(col("cell"), posexplode(col("v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(floor(col("col") * KMeansScale)).as("s"), count(lit(1)).as("n"))
-      codebook = componentSums
+      val next = componentSums
         .groupBy(col("cell").as("cid"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
           e => e.getField("s").cast("double") /
             (e.getField("n") * KMeansScale).cast("double")).as("centroid"))
+      // Materialize each iteration: the codebook is nlist × dim doubles, so
+      // collect it to a LocalRelation. Without this, `codebook` is a lazy
+      // plan that nests one full corpus-scan assignment subtree PER
+      // iteration, and every consumer of the trained index re-executes all
+      // of them (round-5 verdict item #3). With it, training runs exactly
+      // `iterations` corpus passes once, and the returned plan is a literal.
+      codebook = corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
     }
     codebook
   }

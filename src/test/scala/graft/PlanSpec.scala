@@ -85,6 +85,17 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("max_by")
   }
 
+  test("x08d trained IVF embeds the codebook as a literal — no nested training subtrees") {
+    // trainCodebook materializes each Lloyd iteration (collect-to-literal:
+    // the codebook is nlist × dim doubles), so the returned plan carries a
+    // LocalTableScan, and the consumer's corpus-scan count equals the
+    // untrained x08b shape (corpus + queries) instead of growing by one
+    // nested assignment subtree per training iteration.
+    val plan = planOf(q("x08d_ann_ivf_trained"))
+    plan should include("LocalTableScan")
+    nodeCount(plan, "Scan parquet") should be <= 2
+  }
+
   test("x18 salted join shards the hot key over (key, salt) when broadcast is off") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
