@@ -29,7 +29,8 @@ object Bench {
     "x39_rarity_score", "x43_corpus_report", "x46_centroid_confusion",
     "x47_funnel", "x23b_sketch_only",
     "x49_distinctive_terms", "x51_embedding_quantize", "x52_incremental_dedup",
-    "x55_ann_quantized", "b21_tpch_q5",
+    "x55_ann_quantized", "x56_ann_ivf_sq8", "x57_paragraph_dedup",
+    "x58_quality_model", "b21_tpch_q5",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

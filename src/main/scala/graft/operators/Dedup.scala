@@ -63,6 +63,43 @@ object Dedup {
       .agg(min(idCol).as("keeper_id"), count(lit(1)).as("dup_count"))
   }
 
+  /** Paragraph-granularity exact dedup — the dedup level between
+    * whole-document fingerprints (`fingerprint`) and shingle near-dup
+    * (`minHashLsh`), and the one that actually removes the boilerplate
+    * production corpora carry (repeated headers / footers / license
+    * blocks): split each document into paragraphs on `delimiter`, hash the
+    * normalized paragraph, count how many DISTINCT documents each
+    * paragraph appears in, and emit per doc the paragraph counts plus a
+    * scrubbed text with every corpus-repeated paragraph (≥ 2 docs)
+    * removed. Returns (id, para_count, dup_para_count, scrubbed_text);
+    * paragraph order is preserved in the scrub.
+    *
+    * Scale: one map-only explode (bounded by text length), one
+    * hash-groupBy shuffle on the 16-byte paragraph digest (map-side
+    * partial — the exchange carries distinct digests, not paragraphs), one
+    * digest-keyed equi-join, one doc-keyed regroup. Never docs²; a
+    * pathological mega-paragraph shared by millions of docs is ONE digest
+    * row on the frequency side, not a hot partition.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      delimiter: String = "\\n+"): DataFrame = {
+    val paras = docs
+      .select(col(idCol),
+        posexplode(filter(transform(split(col(textCol), delimiter), p => trim(p)),
+          p => p =!= "")).as(Seq("para_idx", "para")))
+      .withColumn("ph", md5(trim(regexp_replace(lower(col("para")), "\\s+", " "))))
+    val freq = paras.groupBy("ph").agg(count_distinct(col(idCol)).as("n_docs"))
+    paras.join(freq, Seq("ph"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("para_count"),
+        sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("dup_para_count"),
+        array_join(
+          transform(
+            filter(array_sort(collect_list(struct(col("para_idx"), col("para"), col("n_docs")))),
+              s => s.getField("n_docs") === 1),
+            s => s.getField("para")), "\n").as("scrubbed_text"))
+  }
+
   /** Word-k-shingles per document: (doc, shingle), WITH duplicates — the
     * downstream `collect_set` aggregate dedups map-side, so a separate
     * distinct would only add a shuffle. The explode is bounded by text

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Embedding quantization — symmetric per-vector int8 scalar quantization,
@@ -63,6 +63,54 @@ object Quantize {
       .select(col("query_id"), col("neighbor_id"),
         expr("aggregate(zip_with(qq, cq, (a, b) -> cast(a as bigint) * b), 0L, (acc, x) -> acc + x)")
           .as("qdot"))
+    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "qdot")
+  }
+
+  /** Exact integer dot product over two int arrays (long accumulator —
+    * 127² × dim never overflows).
+    */
+  private def idot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y), lit(0L),
+      (acc, v) => acc + v)
+
+  /** IVF over int8 codes — the FAISS IVF-SQ composition: coarse cells and
+    * in-cell scoring both run on the quantized codes, so the float vectors
+    * never leave the map side and every shuffled payload is 4× smaller
+    * than the float IVF path (Similarity.ivfTopK). Cell seeds are the
+    * first `nlist` corpus codes by id (the same deterministic quantizer as
+    * the float path); assignment is argmax integer dot (ties → smaller
+    * cid) via broadcast codebook + map-side max_by — the corpus shuffles
+    * once, on its cell key. Scoring inside the probed cells is the exact
+    * integer dot, so the whole operator is bit-reproducible and carries a
+    * full hash oracle (nothing to freeze). Returns
+    * (query_id, rank, neighbor_id, qdot).
+    */
+  def ivfDotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = int8(corpus, embCol).select(col(idCol).as("neighbor_id"), col("q").as("cq"))
+    val codebook = c.orderBy("neighbor_id").limit(nlist)
+      .select(col("neighbor_id").as("cid"), col("cq").as("ccode"))
+    val assigned = c.crossJoin(broadcast(codebook))
+      .select(col("neighbor_id"), col("cq"), col("cid"),
+        idot(col("cq"), col("ccode")).as("cc"))
+      .groupBy("neighbor_id")
+      .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cell"),
+        first(col("cq")).as("cq"))
+    val q = int8(queries, embCol).select(col(idCol).as("query_id"), col("q").as("qq"))
+    val probeW = Window.partitionBy("query_id").orderBy(col("qc").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("qq"), col("cid"),
+        idot(col("qq"), col("ccode")).as("qc"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qq"), col("cid").as("cell"))
+    val scored = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        idot(col("qq"), col("cq")).as("qdot"))
     val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "qdot")

@@ -80,6 +80,48 @@ object TextAnalysis {
           col("digit_ratio_pct") <= maxDigitRatioPct &&
           col("punct_ratio_pct") <= maxPunctRatioPct)
 
+  /** Default weights for `modelQualityScore` — sign and rough magnitude
+    * follow what trained fasttext-style quality classifiers learn on web
+    * corpora: reward lexical diversity and moderate word length, penalize
+    * digit/punctuation/uppercase density. Fixed-point integers; a Seq (not
+    * a Map) so feature/column order is deterministic.
+    */
+  val defaultQualityWeights: Seq[(String, Long)] = Seq(
+    "avg_word_len_x100" -> 2L,
+    "distinct_ratio_pct" -> 30L,
+    "digit_ratio_pct" -> -40L,
+    "punct_ratio_pct" -> -25L,
+    "upper_ratio_pct" -> -10L,
+    "words" -> 1L)
+
+  /** Model-based quality scoring — the "classifier filtering" stage of a
+    * real curation pipeline, as a fixed-point linear model over the
+    * engineered `qualityScore` signals: score = bias + Σ wᵢ·fᵢ where every
+    * feature is an exact integer (ratios are ×100 integer-divided) and
+    * every weight an integer — so the score, and the keep decision at
+    * `threshold`, are bit-identical in any engine (the same determinism
+    * discipline that kept distinctiveTerms off `ln()`). Swapping in
+    * weights exported from a real trained linear probe changes nothing
+    * structurally. Map-only projection: no shuffle, chains into the scan.
+    */
+  def modelQualityScore(df: DataFrame, idCol: String, textCol: String,
+      weights: Seq[(String, Long)] = defaultQualityWeights, bias: Long = 0L,
+      threshold: Long = 0L): DataFrame = {
+    val featured = qualityScore(df, idCol, textCol)
+      .withColumn("distinct_ratio_pct",
+        expr("div(100 * distinct_words, greatest(words, 1))"))
+      .withColumn("digit_ratio_pct", expr("div(100 * digits, greatest(chars, 1))"))
+      .withColumn("punct_ratio_pct", expr("div(100 * punct, greatest(chars, 1))"))
+      .withColumn("upper_ratio_pct", expr("div(100 * uppercase, greatest(chars, 1))"))
+    val unknown = weights.map(_._1).filterNot(featured.columns.contains)
+    require(unknown.isEmpty, s"modelQualityScore: unknown features ${unknown.mkString(", ")}")
+    featured
+      .withColumn("score", weights.foldLeft(lit(bias).cast("long")) {
+        case (acc, (f, w)) => acc + col(f).cast("long") * lit(w)
+      })
+      .withColumn("keep", col("score") >= threshold)
+  }
+
   /** Token counts: whitespace tokens and a BPE-ish lexer regex
     * (letter runs | digit runs | single non-alnum), plus chars-per-token
     * ×100 — the usual tokens≈chars/4 estimator, exact integer math.

@@ -147,6 +147,24 @@ object ExtensionQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** DuckDB twin of Quantize's exact integer dot (sequential fold, BIGINT
+    * accumulator). */
+  private def dkIdot(a: String, b: String) =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (p,q) -> p+q)"
+
+  /** DuckDB twin of Quantize.int8 as CTEs ending in
+    * `qz(vec_id, q)` — shared by x55/x56. */
+  private val dkInt8: String =
+    """m AS (
+      |  SELECT vec_id, embedding,
+      |    CASE WHEN list_max(list_transform(embedding, x -> abs(x))) > 0
+      |      THEN 127.0 / list_max(list_transform(embedding, x -> abs(x)))::DOUBLE
+      |      ELSE 0.0 END AS scale
+      |  FROM embeddings),
+      |qz AS (SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * scale + 0.5)::BIGINT) AS q
+      |  FROM m)""".stripMargin
+
   /** Shared by x08 (broadcast path) and x08c (shuffle/aggregator path):
     * the two plans must produce identical rows, so they share one oracle. */
   private lazy val lshAnnOracle: String =
@@ -1683,8 +1701,139 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY query_id
              |      ORDER BY qdot DESC, neighbor_id)::INT AS rank
              |  FROM sc)
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF×SQ8 (Quantize.ivfDotTopK): the FAISS IVF-SQ composition — cells
+    // and in-cell scoring both in the int8 domain, so no float vector ever
+    // reaches a shuffle. Exact integer arithmetic end to end → full hash
+    // oracle.
+    QueryDef("x56_ann_ivf_sq8",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Quantize.ivfDotTopK(emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 3, nlist = 8, nprobe = 2)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH $dkInt8,
+             |cb AS (SELECT vec_id AS cid, q AS ccode FROM qz ORDER BY vec_id LIMIT 8),
+             |asg AS (SELECT vec_id, q, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+             |  FROM (SELECT z.vec_id, z.q, cb.cid,
+             |      ${dkIdot("z.q", "cb.ccode")} AS cc
+             |    FROM qz z CROSS JOIN cb)),
+             |cells AS (SELECT vec_id AS neighbor_id, q AS cq, cid AS cell
+             |  FROM asg WHERE rn = 1),
+             |qq AS (SELECT vec_id AS query_id, q AS qcode FROM qz WHERE vec_id < 10),
+             |probes AS (SELECT query_id, qcode, cid AS cell FROM (
+             |    SELECT query_id, qcode, cid,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY qc DESC, cid) AS pr
+             |    FROM (SELECT qq.query_id, qq.qcode, cb.cid,
+             |        ${dkIdot("qq.qcode", "cb.ccode")} AS qc
+             |      FROM qq CROSS JOIN cb))
+             |  WHERE pr <= 2),
+             |scored AS (SELECT query_id, c.neighbor_id,
+             |    ${dkIdot("p.qcode", "c.cq")} AS qdot
+             |  FROM probes p JOIN cells c USING (cell)
+             |  WHERE p.query_id <> c.neighbor_id)
+             |SELECT query_id, rank, neighbor_id, qdot FROM (
+             |  SELECT query_id, neighbor_id, qdot,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY qdot DESC, neighbor_id)::INT AS rank
+             |  FROM scored)
+             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Paragraph-granularity exact dedup (Dedup.paragraphDedup): the
+    // boilerplate scrubber. The synthetic corpus has no newlines, so the
+    // query first rebuilds paragraph structure deterministically (3-token
+    // groups joined by \n) and then runs the newline-split operator on it;
+    // 1413 of 7460 distinct paragraphs recur across docs at sf0.01, so
+    // dup_para_count and the scrubbed text both carry real signal.
+    QueryDef("x57_paragraph_dedup",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+          .select(col("doc_id"), split(col("text"), "\\s+").as("__t"))
+          .select(col("doc_id"), concat_ws("\n",
+            transform(
+              sequence(lit(0), greatest(expr("div(size(__t) + 2, 3)"), lit(1)) - 1),
+              i => concat_ws(" ", slice(col("__t"), i * 3 + 1, lit(3))))).as("text"))
+        Dedup.paragraphDedup(docs, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(text, '\s+') AS toks
+             |    FROM documents),
+             |p0 AS (SELECT doc_id,
+             |    list_transform(range(greatest((len(toks)+2)//3, 1)),
+             |      i -> array_to_string(toks[(i*3+1):(i*3+3)], ' ')) AS paras
+             |  FROM t),
+             |p AS (SELECT doc_id, unnest(range(len(paras))) AS para_idx,
+             |    unnest(paras) AS para FROM p0),
+             |pp AS (SELECT doc_id, para_idx, trim(para) AS para
+             |  FROM p WHERE trim(para) <> ''),
+             |f AS (SELECT md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) AS ph,
+             |    count(DISTINCT doc_id) AS n_docs
+             |  FROM pp GROUP BY 1),
+             |j AS (SELECT doc_id, para_idx, para, n_docs FROM pp
+             |  JOIN f ON md5(trim(regexp_replace(lower(para), '\s+', ' ', 'g'))) = f.ph)
+             |SELECT doc_id, count(*)::BIGINT AS para_count,
+             |  sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_para_count,
+             |  coalesce(string_agg(CASE WHEN n_docs = 1 THEN para END,
+             |    chr(10) ORDER BY para_idx), '') AS scrubbed_text
+             |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Model-based quality scoring (TextAnalysis.modelQualityScore): a
+    // fixed-point linear classifier over the engineered quality signals —
+    // exact integer features × integer weights, threshold 2300 ≈ the
+    // corpus median so the keep flag splits for real.
+    QueryDef("x58_quality_model",
+      (s, d) => TextAnalysis.modelQualityScore(tbl(s, d, "documents"),
+          "doc_id", "text", threshold = 2300L)
+        .select("doc_id", "avg_word_len_x100", "distinct_ratio_pct",
+          "digit_ratio_pct", "punct_ratio_pct", "upper_ratio_pct", "words",
+          "score", "keep")
+        .orderBy("doc_id"),
+      Some(s"""$dkQualityModelCtes
+             |SELECT doc_id, avg_word_len_x100, distinct_ratio_pct,
+             |  digit_ratio_pct, punct_ratio_pct, upper_ratio_pct, words,
+             |  score, (score >= 2300) AS keep
+             |FROM scored ORDER BY doc_id""".stripMargin)),
+
+    // Threshold-filter variant: the actual curation gate — keep only docs
+    // the linear model scores at/above threshold.
+    QueryDef("x58b_quality_model_filter",
+      (s, d) => TextAnalysis.modelQualityScore(tbl(s, d, "documents"),
+          "doc_id", "text", threshold = 2300L)
+        .filter(col("keep"))
+        .select("doc_id", "score")
+        .orderBy("doc_id"),
+      Some(s"""$dkQualityModelCtes
+             |SELECT doc_id, score FROM scored
+             |WHERE score >= 2300 ORDER BY doc_id""".stripMargin))
   )
+
+  /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
+    * (default weights), ending in `scored(doc_id, features..., score)`.
+    */
+  private lazy val dkQualityModelCtes: String =
+    """WITH m AS (SELECT doc_id, length(text) AS chars,
+      |    len(string_split_regex(lower(text), '\s+')) AS words,
+      |    (100 * length(replace(text, ' ', ''))) //
+      |      greatest(len(string_split_regex(lower(text), '\s+')), 1) AS avg_word_len_x100,
+      |    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+      |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS punct,
+      |    length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS uppercase,
+      |    len(list_distinct(string_split_regex(lower(text), '\s+'))) AS dw
+      |  FROM documents),
+      |f AS (SELECT doc_id, avg_word_len_x100,
+      |    (100 * dw) // greatest(words, 1) AS distinct_ratio_pct,
+      |    (100 * digits) // greatest(chars, 1) AS digit_ratio_pct,
+      |    (100 * punct) // greatest(chars, 1) AS punct_ratio_pct,
+      |    (100 * uppercase) // greatest(chars, 1) AS upper_ratio_pct,
+      |    words
+      |  FROM m),
+      |scored AS (SELECT doc_id, avg_word_len_x100, distinct_ratio_pct,
+      |    digit_ratio_pct, punct_ratio_pct, upper_ratio_pct, words,
+      |    (2*avg_word_len_x100 + 30*distinct_ratio_pct - 40*digit_ratio_pct
+      |     - 25*punct_ratio_pct - 10*upper_ratio_pct + 1*words)::BIGINT AS score
+      |  FROM f)""".stripMargin
 
   private lazy val funnelStages: Seq[String] =
     Seq.fill(3)(Seq("view", "click", "purchase")).flatten

@@ -509,4 +509,50 @@ class OperatorSpec extends SparkSpec with Matchers {
     // int8 dot of (127,0)·(127,14): exact integer score
     out.head.getAs[Long]("qdot") shouldBe 127L * 127L
   }
+
+  test("IVF-SQ8 probes only the query's cell and scores with exact integer dots") {
+    import spark.implicits._
+    // codebook = first 2 codes: c0=(127,0), c1=(0,127); vec 2 quantizes to
+    // (127,14) -> cell 0, vec 3 to (14,127) -> cell 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.9f, 0.1f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Quantize.ivfDotTopK(
+        vecs.filter($"vec_id" < 2), vecs, "vec_id", "embedding",
+        k = 2, nlist = 2, nprobe = 1)
+      .orderBy("query_id", "rank").collect()
+    // one candidate per query: the same-cell non-self vector
+    out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+      r.getAs[Long]("qdot"))).toSeq shouldBe Seq(
+      (0L, 2L, 127L * 127L), (1L, 3L, 127L * 127L))
+  }
+
+  test("paragraph dedup counts cross-doc paragraphs and scrubs them from the text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Shared Header\nbody one\nShared  footer"),
+      (2L, "shared header\nbody two\nShared footer"), // case/ws-normalized match
+      (3L, "all mine"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.paragraphDedup(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getAs[Long]("para_count"),
+      r.getAs[Long]("dup_para_count"), r.getAs[String]("scrubbed_text"))).toSeq shouldBe Seq(
+      (1L, 3L, 2L, "body one"),
+      (2L, 3L, 2L, "body two"),
+      (3L, 1L, 0L, "all mine"))
+  }
+
+  test("model quality score is the exact fixed-point linear combination") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello world 123.")).toDF("doc_id", "text")
+    val r = graft.operators.TextAnalysis.modelQualityScore(df, "doc_id", "text")
+      .collect().head
+    // chars=16, words=3, avg_word_len_x100=1400/3=466, digits=3, punct=1,
+    // upper=1, distinct=3 -> ratios 100, 18, 6, 6; score =
+    // 2*466 + 30*100 - 40*18 - 25*6 - 10*6 + 3 = 3005
+    r.getAs[Long]("score") shouldBe 3005L
+    r.getAs[Boolean]("keep") shouldBe true
+  }
 }

@@ -96,6 +96,34 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Scan parquet") should be <= 2
   }
 
+  test("x56 IVF-SQ8 broadcasts the codebook and stays in the integer domain") {
+    val plan = planOf(q("x56_ann_ivf_sq8"))
+    // coarse assignment: broadcast codebook + map-side max_by, like x08b
+    plan should include("BroadcastHashJoin")
+    plan should include("max_by")
+    (plan should not).include("SortMergeJoin")
+    // compressed-domain scoring: no float cosine anywhere in the plan
+    (plan.toLowerCase should not).include("cosine")
+  }
+
+  test("x57 paragraph dedup is explode -> digest groupBy -> join-back, never docs x docs") {
+    val plan = planOf(q("x57_paragraph_dedup"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // frequency side aggregates partially before its shuffle, and the
+    // whole pipeline needs at most 4 hash exchanges (pre-distinct,
+    // count-distinct, doc regroup) + the output range exchange
+    plan.toLowerCase should include("partial_count(distinct")
+    nodeCount(plan, "Exchange") should be <= 5
+  }
+
+  test("x58 model quality scoring is map-only — no join, no aggregate, one output sort exchange") {
+    val plan = planOf(q("x58_quality_model"))
+    (plan.toLowerCase should not).include("join")
+    (plan should not).include("HashAggregate")
+    nodeCount(plan, "Exchange") shouldBe 1
+  }
+
   test("x18 salted join shards the hot key over (key, salt) when broadcast is off") {
     val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
