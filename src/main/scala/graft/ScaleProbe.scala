@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin, TextAnalysis}
+import graft.functions.Portable
+import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin, Sequence, TextAnalysis}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -147,6 +148,81 @@ object ScaleProbe {
         Quantize.int8(grown, "embedding")
           .select(expr("aggregate(q, 0L, (a, x) -> a + x)").as("qs"))
           .agg(sum("qs")).first().getLong(0)
+      },
+      // Funnel (x47): users scale with m, 20 events per user constant —
+      // the per-key fold width (the only per-task state) never grows.
+      "funnel" -> { m =>
+        val users = 100000L * m
+        val ev = spark.range(users * 20).select(
+          (col("id") % users).as("user_id"),
+          expr(s"id div $users").as("ts"), col("id").as("event_id"),
+          expr(s"element_at(array('view','click','purchase'), " +
+            s"cast((id div $users) % 3 as int) + 1)").as("event_type"))
+        Sequence.funnel(ev, "user_id", "ts", "event_id", "event_type",
+            Seq("view", "click", "purchase"))
+          .agg(sum("reached")).first().getLong(0)
+      },
+      // Retention (x48 shape): users scale with m, 8 activity weeks per
+      // user constant — two keyed shuffles whose per-key width is fixed.
+      "retention" -> { m =>
+        val users = 200000L * m
+        val ev = spark.range(users * 16).select(
+          (col("id") % users).as("user_id"),
+          expr(s"(id div $users) % 8").as("wk"))
+        val first = ev.groupBy("user_id").agg(min("wk").as("cw"))
+        ev.join(first, Seq("user_id")).groupBy("cw", "wk")
+          .agg(count_distinct(col("user_id")).as("users"))
+          .agg(sum("users")).first().getLong(0)
+      },
+      // Semantic dedup (x54 composition): deterministic pseudo-random
+      // vectors (disjoint ids per multiplier step — no replica collisions),
+      // with LSH bits growing log2(m) so expected bucket occupancy stays
+      // constant — exactly the documented deploy guidance (raise bits with
+      // the corpus). Candidate pairs then grow ~linearly and the exponent
+      // isolates the bucket join + component rounds.
+      "semantic_dedup" -> { m =>
+        val n = 20000L * m; val dim = 16
+        val bits = 8 + (31 - Integer.numberOfLeadingZeros(m))
+        val vecs = spark.range(n).select(col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(dim)),
+            j => (Portable.hash56(concat(col("id").cast("string"), lit("_"),
+              j.cast("string"))) % 2001 - 1000) / 1000.0).as("embedding"))
+        val pairs = Dedup.embeddingCosineLsh(vecs, "vec_id", "embedding",
+            bits = bits, threshold = 0.8)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        Dedup.canonicalize(vecs.select("vec_id"), "vec_id", pairs).count()
+      },
+      // Quantized brute-force ANN (x55): fixed 10-query set, corpus grows —
+      // candidates are 10 × corpus, strictly linear by construction.
+      "ann_quantized" -> { m =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val grown = (0 until m).map(r => emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        Quantize.dotTopK(grown.filter(col("vec_id") < 10), grown,
+          "vec_id", "embedding", k = 5).count()
+      },
+      // IVF-SQ8 (x56): fixed queries and fixed nlist/nprobe — probed
+      // candidates are nprobe/nlist of the corpus, linear in m.
+      "ann_ivf_sq8" -> { m =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val grown = (0 until m).map(r => emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        Quantize.ivfDotTopK(grown.filter(col("vec_id") < 10), grown,
+          "vec_id", "embedding", k = 5, nlist = 64, nprobe = 4).count()
+      },
+      // Paragraph dedup (x57): token-prefixed replicas keep paragraph
+      // namespaces disjoint, so per-digest frequency is constant; summing
+      // scrubbed lengths forces the full join-back + regroup.
+      "paragraph_dedup" -> { m =>
+        val withParas = corpus(m)
+          .select(col("doc_id"), split(col("text"), "\\s+").as("__t"))
+          .select(col("doc_id"), concat_ws("\n", transform(
+            sequence(lit(0), greatest(expr("div(size(__t) + 2, 3)"), lit(1)) - 1),
+            i => concat_ws(" ", slice(col("__t"), i * 3 + 1, lit(3))))).as("text"))
+        Dedup.paragraphDedup(withParas, "doc_id", "text")
+          .agg(sum(length(col("scrubbed_text")))).first().getLong(0)
       })
 
     val results = ops.map { case (name, run) =>
