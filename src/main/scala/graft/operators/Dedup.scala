@@ -143,6 +143,23 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    val (feats, buckets) = minHashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+
+    val candidates = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+
+    verifyJaccardArrays(candidates, feats, threshold)
+  }
+
+  /** Shared MinHash-LSH front end: per-doc feature sets and banded
+    * signature buckets — the two tables every LSH consumer (self-join
+    * dedup, incremental probe) joins on.
+    */
+  private def minHashBuckets(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
@@ -160,14 +177,40 @@ object Dedup {
     }
     val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    (feats, buckets)
+  }
 
-    val candidates = buckets.as("l").join(buckets.as("r"),
-        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-          col("l.doc") < col("r.doc"))
+  /** Incremental NEAR-dup — the probe production pipelines run on every
+    * fresh crawl batch before ingest: does this document nearly duplicate
+    * something already in the corpus? Both sides run the same MinHash-LSH
+    * front end; candidates are (batch, index) band-bucket collisions —
+    * never batch² or index², and the index's signatures/buckets are
+    * exactly what a persisted LSH index stores, so at 100 TB the index
+    * side is a pre-materialized table and only the batch recomputes.
+    * Returns verified pairs (batch_doc, index_doc, common, size_a, size_b,
+    * jaccard) with jaccard ≥ threshold; batch docs absent from the result
+    * are novel. Ids must be disjoint across the two sides.
+    */
+  def incrementalNearDup(batch: DataFrame, index: DataFrame, idCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val (bFeats, bBuckets) = minHashBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
+    val (iFeats, iBuckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
+    val candidates = bBuckets.as("l").join(iBuckets.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-
-    verifyJaccardArrays(candidates, feats, threshold)
+    candidates
+      .join(bFeats.as("fa"), col("doc_a") === col("fa.doc"))
+      .join(iFeats.as("fb"), col("doc_b") === col("fb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa.features"), col("fb.features"))).cast("long").as("common"),
+        size(col("fa.features")).cast("long").as("size_a"),
+        size(col("fb.features")).cast("long").as("size_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at

@@ -41,7 +41,8 @@ object ExtensionQueries {
   /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend
     * WITH or WITH RECURSIVE); ends with `res(doc_a, doc_b, common, size_a,
     * size_b, jac)`. */
-  private def minHashPairsBodyFrom(src: String, id: String, text: String): String = {
+  private def minHashPairsBodyFrom(src: String, id: String, text: String,
+      candCond: String = "l.doc < r.doc"): String = {
     val numHashes = 16; val bands = 4; val r = numHashes / bands
     val minhashExprs = (0 until numHashes).map(i =>
       s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
@@ -57,7 +58,7 @@ object ExtensionQueries {
        |bucket AS (
        |$bandRows),
        |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-       |  FROM bucket l JOIN bucket r ON l.band = r.band AND l.sig = r.sig AND l.doc < r.doc),
+       |  FROM bucket l JOIN bucket r ON l.band = r.band AND l.sig = r.sig AND $candCond),
        |sizes AS (SELECT doc, count(*) AS sz FROM hs GROUP BY doc),
        |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM cand c
        |  JOIN hs fa ON c.doc_a = fa.doc
@@ -1806,14 +1807,113 @@ object ExtensionQueries {
         .orderBy("doc_id"),
       Some(s"""$dkQualityModelCtes
              |SELECT doc_id, score FROM scored
-             |WHERE score >= 2300 ORDER BY doc_id""".stripMargin))
+             |WHERE score >= 2300 ORDER BY doc_id""".stripMargin)),
+
+    // Streaming CDC apply (StreamOps.cdcApply) as a gated query: fold the
+    // lineitem "change stream" (key l_orderkey, order l_linenumber) into a
+    // last-writer-wins snapshot through the real foreachBatch + versioned-
+    // snapshot machinery, then read latestSnapshot back. Single staged file
+    // -> one micro-batch, so batch-granularity fold == global row_number
+    // and plain SQL is the oracle. (Restart-safety is separately covered
+    // by CdcApplySpec's crash-replay tests.) The testdata lineitem has
+    // duplicate (l_orderkey, l_linenumber) pairs, so qty_cents joins the
+    // ordering as a determinism tiebreaker — the picked row is then fully
+    // determined by its own output columns.
+    QueryDef("x59_cdc_snapshot",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-cdc-q").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-q-ckpt").toString
+        val stage = java.nio.file.Files.createTempDirectory("graft-cdc-q-in")
+          .resolve("changes.parquet")
+        tbl(s, d, "lineitem").select(
+            col("l_orderkey"), col("l_linenumber"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("qty_cents"))
+          .coalesce(1).write.parquet(stage.toString)
+        StreamOps.cdcApply(s, stage.toString, root, "l_orderkey",
+          Seq("l_linenumber", "qty_cents"), queryName = s"cdcq_${System.nanoTime()}",
+          checkpointDir = Some(ckpt))
+        StreamOps.latestSnapshot(s, root).get.orderBy("l_orderkey")
+      },
+      Some("""SELECT l_orderkey, l_linenumber, qty_cents
+             |FROM (SELECT l_orderkey, l_linenumber,
+             |    floor(l_quantity*100 + 0.5)::BIGINT AS qty_cents,
+             |    row_number() OVER (PARTITION BY l_orderkey
+             |      ORDER BY l_linenumber DESC, floor(l_quantity*100 + 0.5) DESC) AS rn
+             |  FROM lineitem)
+             |WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+
+    // Quality-aware canonical selection — SemDeDup as production runs it:
+    // near-dup clusters keep their BEST-quality member, not the min id.
+    // MinHash-LSH pairs -> connected components -> join the fixed-point
+    // quality model -> argmax(score, tie smaller id) per cluster. The
+    // cluster fold and the scorer reuse x19/x58 machinery unchanged.
+    QueryDef("x60_dedup_keep_best",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val labels = Dedup.canonicalize(docs.select("doc_id"), "doc_id", pairs)
+        val scores = TextAnalysis.modelQualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("score"))
+        labels.join(scores, labels("doc") === scores("doc_id"))
+          .groupBy(col("canonical_id"))
+          .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("best_doc"),
+            max(col("score")).as("best_score"),
+            count(lit(1)).as("cluster_size"))
+          .orderBy("canonical_id")
+      },
+      Some(s"""WITH RECURSIVE $minHashPairsBody,
+             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |labels AS (SELECT a AS doc, min(b) AS canonical_id FROM reach GROUP BY a),
+             |$dkQualityModelBody,
+             |ranked AS (SELECT l.canonical_id, sc.doc_id, sc.score,
+             |    row_number() OVER (PARTITION BY l.canonical_id
+             |      ORDER BY sc.score DESC, sc.doc_id) AS rn,
+             |    count(*) OVER (PARTITION BY l.canonical_id) AS cluster_size
+             |  FROM labels l JOIN scored sc ON l.doc = sc.doc_id)
+             |SELECT canonical_id, doc_id AS best_doc, score AS best_score,
+             |  cluster_size::BIGINT AS cluster_size
+             |FROM ranked WHERE rn = 1 ORDER BY canonical_id""".stripMargin)),
+
+    // Incremental NEAR-dup (Dedup.incrementalNearDup): the fresh batch
+    // (doc_id % 5 = 0) LSH-probed against the already-ingested index (the
+    // rest) — x52's exact probe at shingle granularity. Candidates are
+    // cross-side band collisions only; the oracle runs the same signature
+    // pipeline over the union and restricts candidate pairs to the split.
+    QueryDef("x61_incremental_neardup",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 5 === 0),
+            docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
+            col("size_b"),
+            floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc % 5 = 0 AND r.doc % 5 <> 0")}
+             |SELECT doc_a, doc_b, common, size_a, size_b,
+             |  floor(jac*1000000)::BIGINT AS jaccard_x1m
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
     * (default weights), ending in `scored(doc_id, features..., score)`.
+    * Body has no WITH so it composes into WITH RECURSIVE lists (x60).
     */
-  private lazy val dkQualityModelCtes: String =
-    """WITH m AS (SELECT doc_id, length(text) AS chars,
+  private lazy val dkQualityModelCtes: String = s"WITH $dkQualityModelBody"
+
+  private lazy val dkQualityModelBody: String =
+    """m AS (SELECT doc_id, length(text) AS chars,
       |    len(string_split_regex(lower(text), '\s+')) AS words,
       |    (100 * length(replace(text, ' ', ''))) //
       |      greatest(len(string_split_regex(lower(text), '\s+')), 1) AS avg_word_len_x100,
