@@ -52,6 +52,24 @@ class OperatorSpec extends SparkSpec with Matchers {
     jac should be < 1.0
   }
 
+  test("incremental near-dup probes batch against index only — no within-side pairs") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val indexDup = base.replace("tau", "tau2")   // near-dups base, lives in the index
+    val batchDup = base.replace("sigma", "sigma2") // near-dups both index docs
+    val novel = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val out = Dedup.incrementalNearDup(
+      batch = docs(10L -> batchDup, 11L -> novel),
+      index = docs(1L -> base, 2L -> indexDup, 3L -> "unrelated corpus text entirely"),
+      "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    // (1,2) is a near-dup pair WITHIN the index — must not be emitted;
+    // novel batch doc 11 matches nothing.
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((10L, 1L), (10L, 2L))
+    all(out.map(_.getAs[Double]("jaccard"))) should be > 0.5
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within bound") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val out = Dedup.simHash(docs(1L -> base, 2L -> base, 3L -> (base + " extra")),

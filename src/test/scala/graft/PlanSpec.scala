@@ -329,6 +329,28 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 3
   }
 
+  test("x60 keep-best selection folds each cluster in ONE max_by aggregate, no window") {
+    // the oracle ranks with row_number; the Spark side must instead be a
+    // single agg pass — a Window here would sort every cluster at 100 TB
+    val plan = planOf(q("x60_dedup_keep_best"))
+    plan should include("max_by")
+    nodeCount(plan, "Window") shouldBe 0
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+  }
+
+  test("x61 incremental near-dup reuses each side's signature exchange for its feature join") {
+    // static plan repeats the per-side explode+collect_set subtree (bucket
+    // join + verify); AQE must collapse each side to one computed exchange
+    // — at 100 TB that is one batch read + one index read, not two of each
+    val df = q("x61_incremental_neardup")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    "ReusedExchange".r.findAllIn(plan).length should be >= 2
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("NestedLoop")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
