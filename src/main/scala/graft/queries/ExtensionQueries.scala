@@ -1903,7 +1903,32 @@ object ExtensionQueries {
                  candCond = "l.doc % 5 = 0 AND r.doc % 5 <> 0")}
              |SELECT doc_a, doc_b, common, size_a, size_b,
              |  floor(jac*1000000)::BIGINT AS jaccard_x1m
-             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Bloom-prefiltered incremental dedup (Dedup.bloomProbeNew): x52's
+    // exact semantics behind a broadcast bit-array membership sketch —
+    // provably-novel batch docs (some probe bit unset) skip the anti-join
+    // shuffle entirely. The sketch never reaches the oracle: Bloom has no
+    // false negatives, so the output is bit-identical to incrementalNew
+    // and x52's plain-SQL oracle applies unchanged (different split so the
+    // two queries don't alias).
+    QueryDef("x62_bloom_incremental_dedup",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.bloomProbeNew(
+            docs.filter(col("doc_id") % 3 === 0),
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+            numBits = 1L << 20, numHashes = 5)
+          .orderBy("fingerprint")
+      },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+             |  FROM documents),
+             |b AS (SELECT * FROM fp WHERE doc_id % 3 = 0),
+             |i AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 <> 0)
+             |SELECT fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS dup_count
+             |FROM b WHERE fingerprint NOT IN (SELECT fingerprint FROM i)
+             |GROUP BY 1 ORDER BY fingerprint""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

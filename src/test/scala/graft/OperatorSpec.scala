@@ -52,6 +52,22 @@ class OperatorSpec extends SparkSpec with Matchers {
     jac should be < 1.0
   }
 
+  test("bloom-prefiltered incremental dedup matches the exact anti-join result") {
+    val batch = docs(10L -> "seen before", 11L -> "Seen   BEFORE", 12L -> "brand new",
+      13L -> "also new", 14L -> "also new")
+    val index = docs(1L -> "seen before", 2L -> "other corpus text")
+    val out = Dedup.bloomProbeNew(batch, index, "doc_id", "text",
+      numBits = 1L << 12, numHashes = 5).orderBy("keeper_id").collect()
+    // 10/11 collapse to the index fingerprint (not novel); 12 novel alone;
+    // 13/14 are an in-batch dup pair with keeper 13 — same contract as
+    // incrementalNew, the sketch must not change a single row
+    out.map(r => (r.getAs[Long]("keeper_id"), r.getAs[Long]("dup_count"))).toSeq shouldBe
+      Seq((12L, 1L), (13L, 2L))
+    val exact = Dedup.incrementalNew(batch, index, "doc_id", "text")
+      .orderBy("keeper_id").collect()
+    out.map(_.toSeq).toSeq shouldBe exact.map(_.toSeq).toSeq
+  }
+
   test("incremental near-dup probes batch against index only — no within-side pairs") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

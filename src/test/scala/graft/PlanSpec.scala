@@ -351,6 +351,16 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("NestedLoop")
   }
 
+  test("x62 bloom probe: bit_or bitmap agg, one-row broadcast, exact anti-join confirm") {
+    val plan = planOf(q("x62_bloom_incremental_dedup"))
+    plan should include("bit_or")           // bitmap fold on the index side
+    plan should include("map_from_entries") // sketch collapses to one broadcast row
+    plan should include("LeftAnti")         // suspects still confirmed exactly
+    // the probe itself is expressions on a broadcast map — no UDF objects
+    (plan should not).include("BatchEvalPython")
+    (plan.toLowerCase should not).include("scalaudf")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
