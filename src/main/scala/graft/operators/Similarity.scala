@@ -225,4 +225,40 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
+
+  /** Cluster-balanced sampling — the diversity-sampling stage of a
+    * curation pipeline: assign every embedding to its argmax-cosine IVF
+    * cell (same broadcast-codebook + max_by assignment as `ivfTopK`; pass
+    * `trainIterations > 0` for a Lloyd-refined codebook), then keep a
+    * deterministic `perCell` quota per cell ranked by the portable 56-bit
+    * hash of the id — a "random" slice that is identical on every rerun,
+    * partitioning, and engine, but spread across embedding space instead
+    * of dominated by the head cluster. Returns (id, cell, cell_rank).
+    *
+    * Scale: the codebook broadcast is nlist × dim doubles; assignment
+    * partial-aggregates map-side (vectors never shuffle); the quota is one
+    * (cell)-keyed window whose rank filter pushes down to a
+    * WindowGroupLimit — each task keeps at most `perCell` rows per cell
+    * before the exchange, so a billion-doc head cluster shuffles `perCell`
+    * rows, not a partition-sized sort.
+    */
+  def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, perCell: Int, trainIterations: Int = 0): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val codebook =
+      if (trainIterations > 0)
+        trainCodebook(corpus, idCol, vecCol, nlist, trainIterations)
+      else c.orderBy("vid").limit(nlist)
+        .select(col("vid").as("cid"), col("cv").as("centroid"))
+    val assigned = c.crossJoin(broadcast(codebook))
+      .select(col("vid"), col("cid"), cosine(col("cv"), col("centroid")).as("cc"))
+      .groupBy("vid")
+      .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cell"))
+    val w = Window.partitionBy("cell")
+      .orderBy(graft.functions.Portable.hash56(col("vid").cast("string")), col("vid"))
+    assigned.withColumn("cell_rank", row_number().over(w))
+      .filter(col("cell_rank") <= perCell)
+      .select(col("vid").as(idCol), col("cell"), col("cell_rank"))
+  }
 }

@@ -1928,7 +1928,33 @@ object ExtensionQueries {
              |i AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 3 <> 0)
              |SELECT fingerprint, min(doc_id) AS keeper_id, count(*)::BIGINT AS dup_count
              |FROM b WHERE fingerprint NOT IN (SELECT fingerprint FROM i)
-             |GROUP BY 1 ORDER BY fingerprint""".stripMargin))
+             |GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // Cluster-balanced sampling (Similarity.clusterBalancedSample): IVF
+    // cell assignment (8 cells, sample quantizer) then a deterministic
+    // 25-per-cell hash-ranked quota — the diversity-sampling curation
+    // stage. The oracle rebuilds assignment with the x08b CTEs and ranks
+    // by the same portable hash56.
+    QueryDef("x63_cluster_balanced_sample",
+      (s, d) => Similarity.clusterBalancedSample(
+          tbl(s, d, "embeddings"), "vec_id", "embedding",
+          nlist = 8, perCell = 25)
+        .orderBy("cell", "cell_rank"),
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |cb AS (SELECT vec_id AS cid, vec AS centroid FROM v ORDER BY vec_id LIMIT 8),
+             |asg AS (SELECT vec_id, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+             |  FROM (SELECT v.vec_id, cb.cid,
+             |      ${dkCosine("v.vec", "cb.centroid")} AS cc
+             |    FROM v CROSS JOIN cb)),
+             |cells AS (SELECT vec_id, cid AS cell FROM asg WHERE rn = 1),
+             |ranked AS (SELECT vec_id, cell,
+             |    row_number() OVER (PARTITION BY cell
+             |      ORDER BY ${dkHash56("vec_id::VARCHAR")}, vec_id) AS cell_rank
+             |  FROM cells)
+             |SELECT vec_id, cell, cell_rank FROM ranked
+             |WHERE cell_rank <= 25 ORDER BY cell, cell_rank""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -52,6 +52,25 @@ class OperatorSpec extends SparkSpec with Matchers {
     jac should be < 1.0
   }
 
+  test("cluster-balanced sample keeps at most perCell members per cell") {
+    import spark.implicits._
+    // first three ids seed the codebook (one per planted cluster); cell 1
+    // gets three members total, the quota must drop exactly one of them
+    val emb = Seq(
+      1L -> Seq(1.0, 0.0), 2L -> Seq(0.0, 1.0), 3L -> Seq(-1.0, 0.5),
+      4L -> Seq(0.9, 0.1), 5L -> Seq(0.1, 0.9), 6L -> Seq(-0.9, 0.4),
+      7L -> Seq(0.95, 0.05)).toDF("vec_id", "embedding")
+    val out = Similarity.clusterBalancedSample(emb, "vec_id", "embedding",
+      nlist = 3, perCell = 2).collect()
+    out.length shouldBe 6
+    out.groupBy(_.getAs[Long]("cell")).view.mapValues(_.length).toMap shouldBe
+      Map(1L -> 2, 2L -> 2, 3L -> 2)
+    all(out.map(_.getAs[Int]("cell_rank"))) should be <= 2
+    // members of cell 1 are {1,4,7}; exactly two of them survive
+    out.filter(_.getAs[Long]("cell") == 1L).map(_.getAs[Long]("vec_id")).toSet
+      .subsetOf(Set(1L, 4L, 7L)) shouldBe true
+  }
+
   test("bloom-prefiltered incremental dedup matches the exact anti-join result") {
     val batch = docs(10L -> "seen before", 11L -> "Seen   BEFORE", 12L -> "brand new",
       13L -> "also new", 14L -> "also new")

@@ -361,6 +361,13 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan.toLowerCase should not).include("scalaudf")
   }
 
+  test("x63 cluster-balanced sample: map-side cell assignment, quota pushes to WindowGroupLimit") {
+    val plan = planOf(q("x63_cluster_balanced_sample"))
+    plan should include("max_by")           // assignment aggregates, no per-vector window
+    plan should include("WindowGroupLimit") // quota keeps perCell rows per task pre-shuffle
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
