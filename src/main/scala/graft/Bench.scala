@@ -31,6 +31,8 @@ object Bench {
     "x49_distinctive_terms", "x51_embedding_quantize", "x52_incremental_dedup",
     "x55_ann_quantized", "x56_ann_ivf_sq8", "x57_paragraph_dedup",
     "x58_quality_model", "b21_tpch_q5",
+    "x61_incremental_neardup", "x62_bloom_incremental_dedup",
+    "x63_cluster_balanced_sample",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin, Sequence, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin, Sequence, Similarity, TextAnalysis}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -223,7 +223,39 @@ object ScaleProbe {
             i => concat_ws(" ", slice(col("__t"), i * 3 + 1, lit(3))))).as("text"))
         Dedup.paragraphDedup(withParas, "doc_id", "text")
           .agg(sum(length(col("scrubbed_text")))).first().getLong(0)
-      })
+      },
+      // Bloom-prefiltered incremental dedup (x62): batch fixed (replica
+      // 0), index grows — cost must track the index scan + bitmap fold;
+      // the anti-join side is bounded by the batch regardless of m.
+      "bloom_incremental" -> (m =>
+        Dedup.bloomProbeNew(corpus(1), corpus(m), "doc_id", "text",
+          numBits = 1L << 22, numHashes = 5).count()),
+      // Cluster-balanced sample (x63): corpus grows, nlist/perCell fixed —
+      // assignment is broadcast+map-side, the quota is WindowGroupLimit,
+      // so the exponent certifies no global-sort creep.
+      "cluster_sample" -> { m =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val grown = (0 until m).map(r => emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        Similarity.clusterBalancedSample(grown, "vec_id", "embedding",
+          nlist = 16, perCell = 50).count()
+      },
+      // Exact quantiles (x64): the value domain (doc lengths) is constant
+      // as the corpus grows, so the histogram — and the single-partition
+      // cumulative window over it — stays fixed-size; only the groupBy
+      // scan scales.
+      "exact_quantiles" -> (m =>
+        Profile.exactQuantiles(
+            corpus(m).select(length(col("text")).as("len")), "len",
+            Seq(2500, 5000, 7500, 9900))
+          .agg(sum("value")).first().getLong(0)),
+      // Vocab coverage (x65): disjoint replica token namespaces keep
+      // per-token frequency constant while distinct tokens grow ×m — the
+      // top-V cut and broadcast probe must stay linear in the token count.
+      "vocab_coverage" -> (m =>
+        TextAnalysis.vocabCoverage(corpus(m), "doc_id", "text", vocabSize = 500)
+          .agg(sum("oov_tokens")).first().getLong(0)))
 
     val results = ops.map { case (name, run) =>
       val times = multipliers.map { m =>

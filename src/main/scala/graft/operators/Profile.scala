@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiler — the "what is in this table" first pass every data
@@ -49,5 +50,42 @@ object Profile {
     }.mkString(", ")
     one.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
       "(column_name, non_null_count, null_count, distinct_count, min_value, max_value)")
+  }
+
+  /** Exact quantiles of a discrete (integer-valued) metric via a
+    * distributed histogram — the scale-correct replacement for
+    * `ORDER BY + row_number` quantiles (which sort 100 TB into one window
+    * partition) and for `percentile_approx` (which isn't exact or
+    * engine-portable). Pass qs as per-ten-thousand integers (2500 = p25).
+    *
+    * Two stages: (1) groupBy(value) → counts — ONE shuffle whose width is
+    * the value domain (doc lengths, token counts: thousands of rows), with
+    * map-side partial aggregation collapsing each partition to its local
+    * histogram first; (2) a cumulative-sum window + quantile pick over the
+    * histogram ONLY — a single-partition window over |domain| rows, which
+    * is exactly when a single partition is fine. The quantile definition is
+    * inverse-CDF (SQL-2003 PERCENTILE_DISC): smallest v with
+    * cum_count ≥ ceil(q·n). Returns (q_x10k, value) — exact, derivable in
+    * any engine, independent of partitioning.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, qs: Seq[Int]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 10000),
+      "quantiles are per-ten-thousand in (0, 10000]")
+    val hist = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy()))
+    val targets = qs.map(q =>
+      struct(lit(q).as("q_x10k"),
+        // ceil(q*n/10000) in exact integer arithmetic
+        ((lit(q.toLong) * col("n") + 9999L) / 10000L).cast("long").as("target")))
+    cum.select(col("v"), col("cum"), explode(array(targets: _*)).as("t"))
+      .filter(col("cum") >= col("t.target"))
+      .groupBy(col("t.q_x10k").as("q_x10k"))
+      .agg(min(col("v")).as("value"))
   }
 }

@@ -137,6 +137,33 @@ object TextAnalysis {
         .as("chars_per_token_x100"))
   }
 
+  /** Vocabulary coverage — build the top-`vocabSize` token vocabulary by
+    * corpus frequency (ties → lexicographically smaller token, so the
+    * vocab is deterministic) and score every document's out-of-vocabulary
+    * rate against it. The tokenizer-fit signal real pipelines gate on:
+    * a high OOV rate means the tokenizer will shred the document into
+    * bytes. Returns (id, total_tokens, oov_tokens, oov_x1m) with the rate
+    * in exact fixed point (floor(oov·1e6 / total)).
+    *
+    * Scale: token frequencies are ONE token-keyed shuffle with map-side
+    * partial counts; the top-V cut is TakeOrderedAndProject (each task
+    * keeps V rows — never a full sort); the vocab (V rows) broadcasts to
+    * the per-token membership probe; the per-doc fold is one id-keyed
+    * aggregate. Nothing is ever corpus × vocab.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok")).limit(vocabSize)
+      .select(col("tok").as("vtok"))
+    toks.join(broadcast(vocab), col("tok") === col("vtok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when(col("vtok").isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_x1m", expr("div(oov_tokens * 1000000, total_tokens)"))
+  }
+
   /** Document fingerprints:
     *  - `fingerprint`: md5 of the normalized text (lower, collapsed spaces);
     *  - `rolling_hash`: word-level polynomial rolling hash

@@ -1954,7 +1954,49 @@ object ExtensionQueries {
              |      ORDER BY ${dkHash56("vec_id::VARCHAR")}, vec_id) AS cell_rank
              |  FROM cells)
              |SELECT vec_id, cell, cell_rank FROM ranked
-             |WHERE cell_rank <= 25 ORDER BY cell, cell_rank""".stripMargin))
+             |WHERE cell_rank <= 25 ORDER BY cell, cell_rank""".stripMargin)),
+
+    // Exact quantiles via distributed histogram (Profile.exactQuantiles):
+    // p25/p50/p75/p90/p99 of document length, inverse-CDF (PERCENTILE_DISC)
+    // in exact integer arithmetic — no global sort, no approx sketch. The
+    // cumulative window runs over the HISTOGRAM (|domain| rows), which is
+    // the one place a single-partition window is the right plan.
+    QueryDef("x64_exact_quantiles",
+      (s, d) => Profile.exactQuantiles(
+          tbl(s, d, "documents").select(length(col("text")).as("len")),
+          "len", Seq(2500, 5000, 7500, 9000, 9900))
+        .orderBy("q_x10k"),
+      Some("""WITH h AS (SELECT length(text)::BIGINT AS v, count(*)::BIGINT AS cnt
+             |    FROM documents WHERE text IS NOT NULL GROUP BY 1),
+             |c AS (SELECT v, cnt,
+             |    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS n FROM h),
+             |t AS (SELECT unnest([2500, 5000, 7500, 9000, 9900]) AS q_x10k)
+             |SELECT q_x10k, min(v) AS value FROM c CROSS JOIN t
+             |WHERE cum >= (q_x10k::BIGINT * n + 9999) // 10000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Vocabulary coverage (TextAnalysis.vocabCoverage): top-500 corpus
+    // vocabulary by token frequency (ties lexicographic), then each doc's
+    // out-of-vocabulary rate in exact fixed point — the tokenizer-fit
+    // gate. Top-V cut is TakeOrderedAndProject; the 500-row vocab
+    // broadcasts to the membership probe.
+    QueryDef("x65_vocab_coverage",
+      (s, d) => TextAnalysis.vocabCoverage(
+          tbl(s, d, "documents"), "doc_id", "text", vocabSize = 500)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    unnest(string_split_regex(lower(text), '\s+')) AS tok
+             |  FROM documents),
+             |vf AS (SELECT tok, count(*)::BIGINT AS freq FROM toks GROUP BY 1),
+             |vocab AS (SELECT tok FROM vf ORDER BY freq DESC, tok LIMIT 500)
+             |SELECT t.doc_id, count(*)::BIGINT AS total_tokens,
+             |  sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT AS oov_tokens,
+             |  (sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT * 1000000)
+             |    // count(*)::BIGINT AS oov_x1m
+             |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -52,6 +52,26 @@ class OperatorSpec extends SparkSpec with Matchers {
     jac should be < 1.0
   }
 
+  test("exact quantiles follow the inverse-CDF (PERCENTILE_DISC) definition") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // n=4 with a fat tail: p50 target ceil(2)=2 -> 1; p75 target 3 -> 1;
+    // p76 target ceil(3.04)=4 -> 1000 (the smallest v with cum >= target)
+    val df = Seq(1L, 1L, 1L, 1000L).toDF("v")
+    val out = Profile.exactQuantiles(df, "v", Seq(5000, 7500, 7600, 10000))
+      .orderBy("q_x10k").collect()
+    out.map(r => (r.getInt(0), r.getLong(1))).toSeq shouldBe
+      Seq((5000, 1L), (7500, 1L), (7600, 1000L), (10000, 1000L))
+  }
+
+  test("vocab coverage: top-V vocabulary by frequency, exact OOV fixed point") {
+    // freqs: a=3, b=1, c=1 -> vocab(2) = [a, b] (tie b<c); doc 2's 'c' is OOV
+    val out = TextAnalysis.vocabCoverage(docs(1L -> "a a b", 2L -> "a c"),
+      "doc_id", "text", vocabSize = 2).orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq shouldBe
+      Seq((1L, 3L, 0L, 0L), (2L, 2L, 1L, 500000L))
+  }
+
   test("cluster-balanced sample keeps at most perCell members per cell") {
     import spark.implicits._
     // first three ids seed the codebook (one per planted cluster); cell 1

@@ -368,6 +368,24 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("SortMergeJoin")
   }
 
+  test("x64 exact quantiles: histogram aggregates partially; window runs over the histogram only") {
+    val plan = planOf(q("x64_exact_quantiles"))
+    // stage 1 collapses each partition to its local histogram pre-shuffle
+    plan.toLowerCase should include("partial_count")
+    // stage 2's cumulative window exists but consumes the aggregate, not
+    // the raw scan — the scan side must never feed a Window directly
+    plan should include("Window")
+    nodeCount(plan, "Window") should be <= 2
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("x65 vocab coverage: top-V cut is TakeOrdered, vocab broadcasts to the probe") {
+    val plan = planOf(q("x65_vocab_coverage"))
+    plan should include("TakeOrderedAndProject") // never a full token-frequency sort
+    plan should include("BroadcastHashJoin")     // V-row vocab broadcasts
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
