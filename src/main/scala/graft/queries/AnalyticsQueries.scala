@@ -559,7 +559,31 @@ object AnalyticsQueries {
              |FROM customer
              |WINDOW win AS (PARTITION BY c_mktsegment
              |  ORDER BY (floor(c_acctbal*100 + 0.5))::BIGINT DESC, c_custkey)
-             |ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin))
+             |ORDER BY c_mktsegment, bal_cents DESC, c_custkey""".stripMargin)),
+
+    // Correlated scalar subquery (TPC-H Q17 shape): small-lot revenue per
+    // brand, where "small" is relative to the PART's own average quantity.
+    // Catalyst must DECORRELATE the subquery into a partkey aggregate +
+    // equi-join — never a per-row re-scan (pinned in PlanSpec). Quantities
+    // are integer-valued doubles, so avg is an exact-sum division and the
+    // 0.2× threshold compare is engine-stable.
+    QueryDef("b23_correlated_subquery",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b23_lineitem")
+        tbl(s, d, "part").createOrReplaceTempView("b23_part")
+        s.sql("""SELECT p.p_brand, count(*) AS small_lots,
+                |  sum(cast(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+                |FROM b23_lineitem l JOIN b23_part p ON p.p_partkey = l.l_partkey
+                |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                |  FROM b23_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+                |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)
+      },
+      Some("""SELECT p.p_brand, count(*)::BIGINT AS small_lots,
+             |  sum((floor(l.l_extendedprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+             |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

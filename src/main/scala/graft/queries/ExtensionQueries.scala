@@ -1996,7 +1996,38 @@ object ExtensionQueries {
              |  (sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)::BIGINT * 1000000)
              |    // count(*)::BIGINT AS oov_x1m
              |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
-             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+             |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // Fuzzy decontamination: x35 catches exact n-gram overlap with the
+    // eval set; this catches PARAPHRASED leakage — corpus docs that
+    // NEAR-duplicate an eval doc (shingle Jaccard via the x61 LSH probe),
+    // folded to one row per contaminated doc with its best-matching eval
+    // doc (argmax jaccard, tie → smaller eval id). Eval side is tiny and
+    // fixed, so at 100 TB its signatures broadcast and the corpus pays
+    // one LSH pass — never corpus × eval.
+    QueryDef("x66_fuzzy_decontamination",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        Dedup.incrementalNearDup(
+            docs.filter(col("doc_id") % 11 =!= 0),   // corpus
+            docs.filter(col("doc_id") % 11 === 0),   // "benchmark" slice
+            "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(max_by(col("doc_b"), struct(col("jaccard"), -col("doc_b"))).as("eval_doc"),
+            floor(max(col("jaccard")) * 1000000).cast("long").as("jaccard_x1m"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc % 11 <> 0 AND r.doc % 11 = 0")},
+             |hits AS (SELECT doc_a, doc_b, jac,
+             |    row_number() OVER (PARTITION BY doc_a
+             |      ORDER BY jac DESC, doc_b) AS rn,
+             |    max(jac) OVER (PARTITION BY doc_a) AS best
+             |  FROM res WHERE jac >= 0.5)
+             |SELECT doc_a AS doc_id, doc_b AS eval_doc,
+             |  floor(best*1000000)::BIGINT AS jaccard_x1m
+             |FROM hits WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

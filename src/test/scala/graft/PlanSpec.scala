@@ -386,6 +386,14 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("SortMergeJoin")
   }
 
+  test("b23 correlated subquery decorrelates to an aggregate + equi-join, no per-row re-scan") {
+    val plan = planOf(q("b23_correlated_subquery"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // the subquery became a partkey aggregate feeding a join
+    plan.toLowerCase should include("partial_avg")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
