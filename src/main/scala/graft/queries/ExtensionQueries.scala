@@ -2027,7 +2027,31 @@ object ExtensionQueries {
              |  FROM res WHERE jac >= 0.5)
              |SELECT doc_a AS doc_id, doc_b AS eval_doc,
              |  floor(best*1000000)::BIGINT AS jaccard_x1m
-             |FROM hits WHERE rn = 1 ORDER BY doc_id""".stripMargin))
+             |FROM hits WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Streaming dedup ingestion (StreamOps.streamDedupIngest): documents
+    // arrive as a file stream; each micro-batch anti-joins the persisted
+    // fingerprint index, collapses in-batch dups, appends the novel
+    // survivors as a new index version (cdcApply's versioned-snapshot +
+    // _SUCCESS + strictly-below-batchId restart machinery). One staged
+    // file -> one batch, so the final index equals plain fingerprint
+    // dedup and SQL is the oracle; cross-batch precedence and crash
+    // replay are pinned in CdcApplySpec.
+    QueryDef("x67_stream_dedup_ingest",
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("graft-sdi-q").toString
+        val ckpt = java.nio.file.Files.createTempDirectory("graft-sdi-q-ckpt").toString
+        val stage = java.nio.file.Files.createTempDirectory("graft-sdi-q-in")
+          .resolve("docs.parquet")
+        tbl(s, d, "documents").select("doc_id", "text")
+          .coalesce(1).write.parquet(stage.toString)
+        StreamOps.streamDedupIngest(s, stage.toString, root, "doc_id", "text",
+          queryName = s"sdi_${System.nanoTime()}", checkpointDir = Some(ckpt))
+        StreamOps.latestSnapshot(s, root).get.orderBy("fingerprint")
+      },
+      Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+             |  min(doc_id) AS keeper_id
+             |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

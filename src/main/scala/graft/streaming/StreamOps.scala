@@ -251,6 +251,69 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming dedup ingestion — the production corpus-ingest loop: a
+    * document stream arrives in micro-batches; each batch is fingerprinted,
+    * deduped against the PERSISTED fingerprint index (everything ingested
+    * by earlier batches), deduped within itself (min id per fingerprint),
+    * and the novel survivors are appended to a new index version. Uses the
+    * same versioned-snapshot + strictly-below-batchId + _SUCCESS machinery
+    * as `cdcApply`, so a crash between the version write and the
+    * checkpoint commit replays idempotently.
+    *
+    * Keeper semantics: the FIRST batch that sees a fingerprint owns it
+    * (min id within that batch) — streaming semantics, not global-min.
+    * With a single micro-batch this equals the batch `fingerprint`
+    * operator exactly, which is what the oracle checks; cross-batch
+    * precedence is pinned by `CdcApplySpec`-style direct-body tests.
+    *
+    * Scale: per batch, one fingerprint anti-join against an index that
+    * reads ONLY (fingerprint) — at 100 TB the index is a bucketed
+    * fingerprint table and the probe co-locates; swap the anti-join for
+    * `Dedup.bloomProbeNew` when the batch is large enough for the sketch
+    * to pay (same result by construction).
+    */
+  def streamDedupIngest(spark: SparkSession, docsPath: String,
+      indexRoot: String, idCol: String, textCol: String, queryName: String,
+      checkpointDir: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(docsPath).schema
+    val streamDir = stageStreamDir(docsPath, "graft-dedup-ingest")
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+    val writer = stream.writeStream
+      .queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestDedupBatch(batch, batchId, indexRoot, idCol, textCol)
+      }
+      .trigger(Trigger.AvailableNow())
+    checkpointDir.foreach(writer.option("checkpointLocation", _))
+    val q = writer.start()
+    q.awaitTermination()
+  }
+
+  /** One dedup-ingest micro-batch (the foreachBatch body, exposed for
+    * direct replay tests): fingerprint the batch, keep min-id-per-novel-
+    * fingerprint against the committed index below `batchId`, write the
+    * UNION as v<batchId>. Index rows are (fingerprint, keeper_id).
+    */
+  def ingestDedupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
+      idCol: String, textCol: String): Unit = {
+    val s = batch.sparkSession
+    val fp = batch.select(col(idCol).cast("long").as("keeper_id"),
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fingerprint"))
+    val current = latestSnapshot(s, indexRoot, maxExclusive = Some(batchId))
+    val novel = current match {
+      case Some(idx) =>
+        fp.join(idx.select("fingerprint"), Seq("fingerprint"), "left_anti")
+      case None => fp
+    }
+    val collapsed = novel.groupBy("fingerprint")
+      .agg(min(col("keeper_id")).as("keeper_id"))
+    val merged = current match {
+      case Some(idx) => idx.select("fingerprint", "keeper_id").unionByName(collapsed)
+      case None => collapsed
+    }
+    merged.write.mode("overwrite").parquet(s"$indexRoot/v$batchId")
+  }
+
   /** One CDC micro-batch fold (the foreachBatch body, exposed so restart
     * replay is directly testable): collapse `batch` to its latest change
     * per key, merge onto the newest committed snapshot with version <

@@ -25,6 +25,25 @@ class CdcApplySpec extends SparkSpec with Matchers {
       .select("k", "v").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("dedup ingest: first batch owns a fingerprint; replay is idempotent") {
+    import spark.implicits._
+    import StreamOps.ingestDedupBatch
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val root = Files.createTempDirectory("graft-sdi-fold").toString
+    // batch 0: A duplicated in-batch (keeper = min id 10), B novel
+    ingestDedupBatch(docs(10L -> "A", 11L -> "A", 12L -> "B"), 0, root, "doc_id", "text")
+    // batch 1: doc 1 re-sends A — the INDEXED keeper (10) must win even
+    // though 1 < 10; C is novel
+    ingestDedupBatch(docs(1L -> "A", 2L -> "C"), 1, root, "doc_id", "text")
+    def keepers = latestSnapshot(spark, root).get
+      .select("keeper_id").collect().map(_.getLong(0)).toSet
+    keepers shouldBe Set(10L, 12L, 2L)
+    // crash replay of batch 1 (same batchId): identical snapshot
+    ingestDedupBatch(docs(1L -> "A", 2L -> "C"), 1, root, "doc_id", "text")
+    keepers shouldBe Set(10L, 12L, 2L)
+    latestSnapshot(spark, root).get.count() shouldBe 3
+  }
+
   test("cdc batches fold last-writer-wins per key across versions") {
     val root = Files.createTempDirectory("graft-cdc-fold").toString
     applyCdcBatch(changes(Seq((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L))),
