@@ -78,11 +78,24 @@ object Dedup {
     * fingerprint so the confirm join co-locates; the Bloom bitmap itself
     * is incrementally maintainable (bit_or is idempotent and mergeable).
     *
-    * Everything is built-in expressions inside whole-stage codegen — the
-    * sketch probe is `element_at` + mask on a broadcast map column, not a
-    * UDF closing over a driver-side filter object. xxhash64 seeds the k
-    * probe functions; it never reaches the oracle (the final rows are
-    * sketch-independent by the no-false-negative argument).
+    * The probe is `element_at` + mask on a DENSE long array riding a
+    * one-row broadcast — O(1) per probe bit inside whole-stage codegen,
+    * no UDF, shipped once per executor. (Two rejected shapes, measured:
+    * a MapType sketch makes every lookup a linear scan over numBits/64
+    * ArrayBasedMapData entries — quadratic; a `lit(denseArray)` embeds
+    * the sketch in every task binary.) Like `Similarity.trainCodebook`,
+    * the sketch materializes eagerly: the sparse (word, bits) fold is a
+    * distributed bit_or aggregate whose ≤ numBits/8-byte result (512 KB
+    * at the default) collects and densifies on the driver — the
+    * build-then-broadcast shape of Spark's own stat.bloomFilter, minus
+    * its driver-object UDF probe. The index fingerprint projection is
+    * materialized once (localCheckpoint) so the sketch build and the
+    * confirm anti-join share one hashing pass — in production that
+    * projection IS the persisted fingerprint table and the sketch builds
+    * incrementally alongside it (bit_or is idempotent and mergeable).
+    * xxhash64 seeds the k probe functions; it never reaches the oracle
+    * (the final rows are sketch-independent by the no-false-negative
+    * argument).
     */
   def bloomProbeNew(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String, numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
@@ -96,18 +109,24 @@ object Dedup {
     def maskOf(pos: Column): Column =
       call_function("shiftleft", lit(1L), (pos % 64L).cast("int"))
 
-    val idxFp = fp(index).select("fingerprint")
-    val bitmap = idxFp
+    val idxFp = fp(index).select("fingerprint").localCheckpoint()
+    val numWords = (numBits / 64L).toInt
+    val sparse = idxFp
       .select(explode(array(positions(col("fingerprint")): _*)).as("pos"))
       .groupBy(wordOf(col("pos")).as("w"))
       .agg(bit_or(maskOf(col("pos"))).as("bits"))
-      .agg(map_from_entries(array_sort(collect_list(struct(col("w"), col("bits")))))
-        .as("bloom"))
+      .collect()
+    val dense = new Array[Long](numWords)
+    sparse.foreach(r => dense(r.getInt(0)) = r.getLong(1))
+    val s = batch.sparkSession
+    import s.implicits._
+    val bitmap = Seq(Tuple1(dense)).toDF("bloom")
 
     val probed = fp(batch).crossJoin(broadcast(bitmap))
       .withColumn("might",
         positions(col("fingerprint"))
-          .map(p => (coalesce(element_at(col("bloom"), wordOf(p)), lit(0L))
+          // arrays are 1-based in element_at
+          .map(p => (element_at(col("bloom"), (wordOf(p) + 1))
             .bitwiseAND(maskOf(p))) =!= 0L)
           .reduce(_ && _))
     val provablyNovel = probed.filter(!col("might")).select(col(idCol), col("fingerprint"))

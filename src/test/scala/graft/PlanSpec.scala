@@ -351,12 +351,14 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("NestedLoop")
   }
 
-  test("x62 bloom probe: bit_or bitmap agg, one-row broadcast, exact anti-join confirm") {
+  test("x62 bloom probe: codegen'd dense-array literal probe, exact anti-join confirm") {
     val plan = planOf(q("x62_bloom_incremental_dedup"))
-    plan should include("bit_or")           // bitmap fold on the index side
-    plan should include("map_from_entries") // sketch collapses to one broadcast row
+    // the sketch is an embedded dense-array literal probed with element_at
+    // (O(1) per bit) — the bitmap bit_or fold ran eagerly at build time
+    plan should include("element_at")
     plan should include("LeftAnti")         // suspects still confirmed exactly
-    // the probe itself is expressions on a broadcast map — no UDF objects
+    // no driver-object probe UDF (stat.bloomFilter's shape); the only
+    // nested-loop is the one-row sketch broadcast
     (plan should not).include("BatchEvalPython")
     (plan.toLowerCase should not).include("scalaudf")
   }
