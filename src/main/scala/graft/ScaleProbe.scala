@@ -21,8 +21,10 @@ import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin,
   * doc collide in LSH bands, and the corpus genuinely develops m-member
   * clusters — m²/2 candidate pairs per base doc, quadratic in m.)
   *
-  * Usage: `runMain graft.ScaleProbe [maxMultiplier]` (default 8; must be a
-  * power of two). Reads SPARK_GRAFT_SF_DIR (default sf0.1).
+  * Usage: `runMain graft.ScaleProbe [maxMultiplier] [opPrefix,...]`
+  * (default 8; must be a power of two; the optional second arg restricts
+  * to ops whose name starts with one of the prefixes). Reads
+  * SPARK_GRAFT_SF_DIR (default sf0.1).
   */
 object ScaleProbe {
 
@@ -257,7 +259,13 @@ object ScaleProbe {
         TextAnalysis.vocabCoverage(corpus(m), "doc_id", "text", vocabSize = 500)
           .agg(sum("oov_tokens")).first().getLong(0)))
 
-    val results = ops.map { case (name, run) =>
+    val opFilter: String => Boolean = args.lift(1) match {
+      case Some(prefixes) =>
+        val ps = prefixes.split(",").map(_.trim).filter(_.nonEmpty)
+        name => ps.exists(name.startsWith)
+      case None => _ => true
+    }
+    val results = ops.filter(o => opFilter(o._1)).map { case (name, run) =>
       val times = multipliers.map { m =>
         run(m) // warm-up: codegen+JIT for this input
         val t0 = System.nanoTime()
