@@ -137,6 +137,26 @@ object TextAnalysis {
         .as("chars_per_token_x100"))
   }
 
+  /** Within-doc line dedup — remove REPEATED lines inside each document,
+    * keeping the first occurrence in order (the terminal-style scrub for
+    * per-doc boilerplate: repeated headers, nav bars, signature blocks —
+    * the within-doc complement of corpus-level `Dedup.paragraphDedup`).
+    * Returns (id, line_count, dup_lines, deduped_text).
+    *
+    * Scale: map-only — one projection of array HOFs (split, filter by
+    * first-occurrence index, concat), no shuffle at all; per-row cost is
+    * O(lines²) string compares bounded by document length, inside
+    * whole-stage codegen.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val kept = filter(lines, (x, i) => array_position(lines, x) === (i + 1))
+    df.select(col(idCol),
+      size(lines).cast("long").as("line_count"),
+      (size(lines) - size(kept)).cast("long").as("dup_lines"),
+      array_join(kept, "\n").as("deduped_text"))
+  }
+
   /** Vocabulary coverage — build the top-`vocabSize` token vocabulary by
     * corpus frequency (ties → lexicographically smaller token, so the
     * vocab is deterministic) and score every document's out-of-vocabulary

@@ -2051,7 +2051,42 @@ object ExtensionQueries {
       },
       Some("""SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
              |  min(doc_id) AS keeper_id
-             |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
+
+    // Within-doc line dedup (TextAnalysis.dedupLines): the testdata corpus
+    // is single-line, so the query plants the production shape — a
+    // boilerplate line repeated around the doc's two halves — and the
+    // scrub must keep exactly the first occurrence, order preserved,
+    // map-only. The oracle rebuilds the same synthetic doc and dedups via
+    // window + ordered string_agg.
+    QueryDef("x68_line_dedup",
+      (s, d) => {
+        val b = "SUBSCRIBE TO OUR NEWSLETTER"
+        val synth = tbl(s, d, "documents").select(col("doc_id"),
+          concat_ws("\n", lit(b),
+            expr("substring(text, 1, cast(div(length(text), 2) as int))"), lit(b),
+            expr("substring(text, cast(div(length(text), 2) as int) + 1)"), lit(b))
+            .as("text"))
+        TextAnalysis.dedupLines(synth, "doc_id", "text").orderBy("doc_id")
+      },
+      Some("""WITH src AS (SELECT doc_id,
+             |    'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+             |    substr(text, 1, length(text)//2) || chr(10) ||
+             |    'SUBSCRIBE TO OUR NEWSLETTER' || chr(10) ||
+             |    substr(text, length(text)//2 + 1) || chr(10) ||
+             |    'SUBSCRIBE TO OUR NEWSLETTER' AS text
+             |  FROM documents),
+             |l AS (SELECT doc_id,
+             |    unnest(string_split(text, chr(10))) AS line,
+             |    generate_subscripts(string_split(text, chr(10)), 1) AS idx
+             |  FROM src),
+             |k AS (SELECT doc_id, line, idx,
+             |    row_number() OVER (PARTITION BY doc_id, line ORDER BY idx) AS rn
+             |  FROM l)
+             |SELECT doc_id, count(*)::BIGINT AS line_count,
+             |  (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))::BIGINT AS dup_lines,
+             |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx) AS deduped_text
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -64,6 +64,16 @@ class OperatorSpec extends SparkSpec with Matchers {
       Seq((5000, 1L), (7500, 1L), (7600, 1000L), (10000, 1000L))
   }
 
+  test("line dedup keeps the first occurrence of each line, order preserved") {
+    val out = TextAnalysis.dedupLines(docs(
+      1L -> "header\nbody one\nheader\nbody two\nheader",
+      2L -> "unique one\nunique two"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq shouldBe
+      Seq((1L, 5L, 2L, "header\nbody one\nbody two"),
+        (2L, 2L, 0L, "unique one\nunique two"))
+  }
+
   test("vocab coverage: top-V vocabulary by frequency, exact OOV fixed point") {
     // freqs: a=3, b=1, c=1 -> vocab(2) = [a, b] (tie b<c); doc 2's 'c' is OOV
     val out = TextAnalysis.vocabCoverage(docs(1L -> "a a b", 2L -> "a c"),

@@ -396,6 +396,13 @@ class PlanSpec extends SparkSpec with Matchers {
     plan.toLowerCase should include("partial_avg")
   }
 
+  test("x68 line dedup is map-only — array HOFs, no shuffle beyond the output sort") {
+    val plan = planOf(q("x68_line_dedup"))
+    (plan should not).include("HashAggregate")
+    (plan should not).include("Join")
+    nodeCount(plan, "Exchange") shouldBe 1 // only the output orderBy
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
