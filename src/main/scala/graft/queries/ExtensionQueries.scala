@@ -2086,7 +2086,46 @@ object ExtensionQueries {
              |SELECT doc_id, count(*)::BIGINT AS line_count,
              |  (count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END))::BIGINT AS dup_lines,
              |  string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY idx) AS deduped_text
-             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Quality-binned (curriculum) sampling — three operator families in
+    // the shape production curation actually chains them: the fixed-point
+    // quality model (x58) scores every doc; exact histogram quantiles
+    // (x64) cut the score distribution at p25/p50/p75; each doc lands in
+    // a bin (count of cuts strictly below its score) and keeps a
+    // deterministic per-bin rate (top quartile 100%, then 50/25/10) via
+    // the portable hash — more high-quality data, a reproducible trickle
+    // of the tail. Quantile cuts broadcast (3 longs); the rest is
+    // map-only over the score projection.
+    QueryDef("x69_quality_binned_sample",
+      (s, d) => {
+        val scores = TextAnalysis.modelQualityScore(
+          tbl(s, d, "documents"), "doc_id", "text").select(col("doc_id"), col("score"))
+        val cuts = Profile.exactQuantiles(scores, "score", Seq(2500, 5000, 7500))
+          .agg(sort_array(collect_list(col("value"))).as("cuts"))
+        val rates = array(lit(10), lit(25), lit(50), lit(100))
+        scores.crossJoin(broadcast(cuts))
+          .withColumn("bin", size(filter(col("cuts"), c => col("score") > c)))
+          .filter(Portable.hash56(col("doc_id").cast("string")) % 100 <
+            element_at(rates, col("bin") + 1))
+          .select(col("doc_id"), col("score"), col("bin"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH $dkQualityModelBody,
+             |h AS (SELECT score AS v, count(*)::BIGINT AS cnt FROM scored GROUP BY 1),
+             |c AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+             |      PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS n FROM h),
+             |t AS (SELECT unnest([2500, 5000, 7500]) AS q),
+             |cuts AS (SELECT q, min(v) AS cut FROM c CROSS JOIN t
+             |  WHERE cum >= (q::BIGINT * n + 9999) // 10000 GROUP BY q),
+             |binned AS (SELECT sc.doc_id, sc.score,
+             |    (SELECT count(*) FROM cuts WHERE sc.score > cut)::INT AS bin
+             |  FROM scored sc)
+             |SELECT doc_id, score, bin FROM binned
+             |WHERE ${dkHash56("doc_id::VARCHAR")} % 100 <
+             |  CASE bin WHEN 3 THEN 100 WHEN 2 THEN 50 WHEN 1 THEN 25 ELSE 10 END
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -403,6 +403,15 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") shouldBe 1 // only the output orderBy
   }
 
+  test("x69 quality-binned sample: cuts ride a one-row broadcast; windows only over the histogram") {
+    val plan = planOf(q("x69_quality_binned_sample"))
+    (plan should not).include("SortMergeJoin")
+    // the only windows are the quantile stage's cumulative pass over the
+    // score HISTOGRAM — the doc-level path stays window-free and map-only
+    nodeCount(plan, "Window") should be <= 2
+    plan should include("BroadcastNestedLoopJoin") // the 3-long cuts row
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
