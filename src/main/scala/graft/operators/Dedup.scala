@@ -270,6 +270,15 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val (bFeats, bBuckets) = minHashBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
     val (iFeats, iBuckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
+    crossSideProbe(bFeats, bBuckets, iFeats, iBuckets, threshold)
+  }
+
+  /** The cross-side LSH probe shared by `incrementalNearDup` (both sides
+    * computed in-plan) and `probeLshIndex` (index sides read from a
+    * persisted store): band-bucket collisions → exact Jaccard verify.
+    */
+  private def crossSideProbe(bFeats: DataFrame, bBuckets: DataFrame,
+      iFeats: DataFrame, iBuckets: DataFrame, threshold: Double): DataFrame = {
     val candidates = bBuckets.as("l").join(iBuckets.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
@@ -285,6 +294,39 @@ object Dedup {
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Persist the LSH index — the scaladoc claim "at 100 TB the index side
+    * is a pre-materialized table" as working code: write the per-doc
+    * feature sets and banded signature buckets for `index` under `path`
+    * (`<path>/features`, `<path>/buckets`). Build once per corpus
+    * generation; every later crawl batch probes the STORED signatures
+    * (`probeLshIndex`) and never re-shingles the corpus. At production
+    * scale, bucket the buckets table by (band, sig) and the features
+    * table by doc so probes co-locate.
+    */
+  def buildLshIndex(index: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    val (feats, buckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
+    feats.write.mode("overwrite").parquet(s"$path/features")
+    buckets.write.mode("overwrite").parquet(s"$path/buckets")
+  }
+
+  /** Probe a fresh batch against a persisted LSH index (`buildLshIndex`).
+    * Identical output contract to `incrementalNearDup` — the batch side
+    * runs the same MinHash front end (same shingleSize/numHashes/bands as
+    * the build, or signatures won't collide); the index side is two
+    * column-pruned parquet scans instead of a corpus re-shingle.
+    */
+  def probeLshIndex(batch: DataFrame, indexPath: String, idCol: String,
+      textCol: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val s = batch.sparkSession
+    val (bFeats, bBuckets) = minHashBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
+    crossSideProbe(bFeats, bBuckets,
+      s.read.parquet(s"$indexPath/features"),
+      s.read.parquet(s"$indexPath/buckets"), threshold)
   }
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at

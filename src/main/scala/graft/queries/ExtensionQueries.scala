@@ -2125,7 +2125,33 @@ object ExtensionQueries {
              |SELECT doc_id, score, bin FROM binned
              |WHERE ${dkHash56("doc_id::VARCHAR")} % 100 <
              |  CASE bin WHEN 3 THEN 100 WHEN 2 THEN 50 WHEN 1 THEN 25 ELSE 10 END
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Persisted LSH index (Dedup.buildLshIndex / probeLshIndex): the
+    // index side's signatures are built ONCE, written to parquet, and the
+    // probe reads the store instead of re-shingling the corpus — the
+    // steady-state crawl-ingest read path. Result contract identical to
+    // x61 (same probe, different split), so the same oracle CTE chain
+    // applies with the split condition flipped to %7.
+    QueryDef("x70_persisted_lsh_probe",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val idxPath = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
+          idxPath, shingleSize = 3, numHashes = 16, bands = 4)
+        Dedup.probeLshIndex(docs.filter(col("doc_id") % 7 === 0), idxPath,
+            "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("common"), col("size_a"),
+            col("size_b"),
+            floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc % 7 = 0 AND r.doc % 7 <> 0")}
+             |SELECT doc_a, doc_b, common, size_a, size_b,
+             |  floor(jac*1000000)::BIGINT AS jaccard_x1m
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -135,6 +135,24 @@ class OperatorSpec extends SparkSpec with Matchers {
     all(out.map(_.getAs[Double]("jaccard"))) should be > 0.5
   }
 
+  test("persisted LSH index probe matches the in-plan incremental probe") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val batch = docs(10L -> base.replace("sigma", "sigma2"), 11L -> "novel words only here")
+    val index = docs(1L -> base, 2L -> "other corpus text entirely")
+    val path = java.nio.file.Files.createTempDirectory("graft-lsh-spec").toString
+    Dedup.buildLshIndex(index, "doc_id", "text", path, shingleSize = 3,
+      numHashes = 16, bands = 8)
+    val stored = Dedup.probeLshIndex(batch, path, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    val inPlan = Dedup.incrementalNearDup(batch, index, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .orderBy("doc_a", "doc_b").collect()
+    stored.map(_.toSeq).toSeq shouldBe inPlan.map(_.toSeq).toSeq
+    stored.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((10L, 1L))
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within bound") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val out = Dedup.simHash(docs(1L -> base, 2L -> base, 3L -> (base + " extra")),

@@ -412,6 +412,15 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("BroadcastNestedLoopJoin") // the 3-long cuts row
   }
 
+  test("x70 persisted-index probe never re-shingles the index — only the batch aggregates") {
+    val plan = planOf(q("x70_persisted_lsh_probe"))
+    // the index side is two column-pruned parquet scans of the store;
+    // the only minhash signature subtrees belong to the batch (statically
+    // duplicated twice: bucket side + verify side)
+    "partial_collect_set".r.findAllIn(plan).length should be <= 2
+    (plan should not).include("CartesianProduct")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
