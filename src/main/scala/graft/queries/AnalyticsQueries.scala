@@ -402,6 +402,51 @@ object AnalyticsQueries {
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |GROUP BY 1 ORDER BY c_mktsegment""".stripMargin)),
 
+    // Schema evolution (mergeSchema read): generation 1 of a table lacks
+    // the price column generation 2 added — the read unions both parquet
+    // generations, back-filling NULL. The lakehouse-ops move every
+    // long-lived 100 TB table eventually needs.
+    QueryDef("p17_schema_evolution",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-schevo").toString
+        val o = tbl(s, d, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "o_custkey")
+          .write.mode("overwrite").parquet(s"$tmp/gen1")
+        o.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"))
+          .write.mode("overwrite").parquet(s"$tmp/gen2")
+        s.read.option("mergeSchema", "true").parquet(s"$tmp/gen1", s"$tmp/gen2")
+          .select("o_orderkey", "o_custkey", "price_cents")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             |  CASE WHEN o_orderkey % 2 <> 0
+             |    THEN (floor(o_totalprice*100 + 0.5))::BIGINT END AS price_cents
+             |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Partition pruning: orders written PARTITIONED BY month, the reader
+    // filters one month — the scan must touch only that partition's
+    // directory (PlanSpec pins PartitionFilters), the free Catalyst win
+    // that turns a 100 TB scan into a 1-partition read.
+    QueryDef("p18_partition_pruning",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-partpr").toString
+        tbl(s, d, "orders")
+          .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .write.partitionBy("month").mode("overwrite").parquet(tmp)
+        s.read.parquet(tmp).filter(col("month") === "1996-03")
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("orders"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("revenue_cents"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*)::BIGINT AS orders,
+             |  sum((floor(o_totalprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM orders WHERE strftime(o_orderdate, '%Y-%m') = '1996-03'
+             |GROUP BY 1 ORDER BY o_orderstatus""".stripMargin)),
+
     // Bag-semantics set op: EXCEPT ALL keeps multiplicity (a customer with
     // 3 orders in 1996 and 1 in 1997 survives twice), grouped to counts so
     // the output is deterministic.

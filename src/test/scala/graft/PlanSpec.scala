@@ -421,6 +421,15 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("CartesianProduct")
   }
 
+  test("p18 partition filter prunes the scan to one partition directory") {
+    val df = q("p18_partition_pruning")
+    val plan = planOf(df)
+    plan should include("PartitionFilters")
+    plan should include("month")
+    // the month predicate must be a partition filter, not a post-scan Filter
+    (plan should not).include("PushedFilters: [IsNotNull(month)")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
