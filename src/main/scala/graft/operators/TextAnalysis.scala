@@ -137,6 +137,30 @@ object TextAnalysis {
         .as("chars_per_token_x100"))
   }
 
+  /** Corpus bigram table — adjacent-token pair frequencies, the
+    * tokenizer-training primitive (a BPE merge step picks the top pair and
+    * fuses it; n-gram LMs and collocation mining consume the same table).
+    * Returns the top `k` pairs as (tok_a, tok_b, pair_count), ties broken
+    * lexicographically so the cut is deterministic.
+    *
+    * Scale: the pair explode is map-only and bounded by corpus token
+    * count; frequencies are ONE (tok_a, tok_b)-keyed shuffle with
+    * map-side partial counts; the top-k cut is TakeOrderedAndProject —
+    * each task keeps k rows, never a full frequency sort.
+    */
+  def bigramTable(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val pairs = df.select(explode(
+      zip_with(slice(t, lit(1), greatest(n - 1, lit(0))),
+        slice(t, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+    pairs.select(col("p.tok_a"), col("p.tok_b"))
+      .groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Within-doc line dedup — remove REPEATED lines inside each document,
     * keeping the first occurrence in order (the terminal-style scrub for
     * per-doc boilerplate: repeated headers, nav bars, signature blocks —

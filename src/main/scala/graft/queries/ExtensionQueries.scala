@@ -2151,7 +2151,22 @@ object ExtensionQueries {
                  candCond = "l.doc % 7 = 0 AND r.doc % 7 <> 0")}
              |SELECT doc_a, doc_b, common, size_a, size_b,
              |  floor(jac*1000000)::BIGINT AS jaccard_x1m
-             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Corpus bigram table (TextAnalysis.bigramTable): top-200 adjacent
+    // token pairs — the table a BPE merge step / n-gram LM / collocation
+    // miner consumes. Map-only pair explode, one keyed shuffle,
+    // TakeOrdered cut. The oracle zips each doc's token list against its
+    // own tail via DuckDB's aligned parallel unnest.
+    QueryDef("x71_bigram_table",
+      (s, d) => TextAnalysis.bigramTable(tbl(s, d, "documents"), "text", k = 200),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+             |    FROM documents),
+             |p AS (SELECT unnest(t[1:len(t)-1]) AS tok_a,
+             |    unnest(t[2:len(t)]) AS tok_b FROM toks)
+             |SELECT tok_a, tok_b, count(*)::BIGINT AS pair_count FROM p
+             |GROUP BY 1, 2 ORDER BY pair_count DESC, tok_a, tok_b
+             |LIMIT 200""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -74,6 +74,14 @@ class OperatorSpec extends SparkSpec with Matchers {
         (2L, 2L, 0L, "unique one\nunique two"))
   }
 
+  test("bigram table counts adjacent pairs, deterministic top-k cut") {
+    val out = TextAnalysis.bigramTable(docs(
+      1L -> "to be or not to be", 2L -> "to be is to do"), "text", k = 3).collect()
+    // pairs: (to,be)x3, (be,or), (or,not), (not,to), (be,is), (is,to), (to,do)
+    out.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq shouldBe
+      Seq(("to", "be", 3L), ("be", "is", 1L), ("be", "or", 1L))
+  }
+
   test("vocab coverage: top-V vocabulary by frequency, exact OOV fixed point") {
     // freqs: a=3, b=1, c=1 -> vocab(2) = [a, b] (tie b<c); doc 2's 'c' is OOV
     val out = TextAnalysis.vocabCoverage(docs(1L -> "a a b", 2L -> "a c"),

@@ -430,6 +430,13 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("PushedFilters: [IsNotNull(month)")
   }
 
+  test("x71 bigram table: partial counts before the shuffle, TakeOrdered cut") {
+    val plan = planOf(q("x71_bigram_table"))
+    plan.toLowerCase should include("partial_count")
+    plan should include("TakeOrderedAndProject")
+    (plan should not).include("Join")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
