@@ -358,6 +358,36 @@ object StreamOps {
       .map(f => spark.read.parquet(f.toString))
   }
 
+  /** Retention for the versioned snapshot stores (`cdcApply`,
+    * `streamDedupIngest`): delete committed versions older than the
+    * newest `keepLast`, never touching uncommitted (no `_SUCCESS`) dirs
+    * newer than the newest committed version — those may be a write in
+    * flight. The vacuum a production deploy schedules so the store
+    * doesn't grow one full snapshot per batch forever. Returns the
+    * deleted version numbers (ascending).
+    */
+  def pruneSnapshots(root: String, keepLast: Int): Seq[Long] = {
+    require(keepLast >= 1, "must keep at least the latest snapshot")
+    val dir = new java.io.File(root)
+    val versioned = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toLong -> f)
+      .sortBy(_._1)
+    val committed = versioned.filter { case (_, f) =>
+      new java.io.File(f, "_SUCCESS").isFile
+    }
+    if (committed.isEmpty) return Seq.empty
+    val keepFrom = committed.takeRight(keepLast).head._1
+    val doomed = versioned.filter { case (v, f) =>
+      v < keepFrom // old committed AND old crashed partials; in-flight dirs are newer
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    doomed.foreach { case (_, f) => rm(f) }
+    doomed.map(_._1)
+  }
+
   /** Custom streaming state via KeyValueGroupedDataset.mapGroupsWithState:
     * a running per-user event counter (the canonical "custom state machine"
     * shape — anything not expressible as a windowed agg goes here). Update

@@ -44,6 +44,21 @@ class CdcApplySpec extends SparkSpec with Matchers {
     latestSnapshot(spark, root).get.count() shouldBe 3
   }
 
+  test("pruneSnapshots keeps the newest k committed versions, spares in-flight dirs") {
+    import StreamOps.{applyCdcBatch, pruneSnapshots}
+    val root = Files.createTempDirectory("graft-cdc-prune").toString
+    (0 to 3).foreach { b =>
+      applyCdcBatch(changes(Seq((1L, s"a$b", b.toLong))), b, root, "k", Seq("seq"))
+    }
+    // an in-flight (uncommitted) newer dir must survive the vacuum
+    val inflight = new java.io.File(root, "v9"); inflight.mkdirs()
+    pruneSnapshots(root, keepLast = 2) shouldBe Seq(0L, 1L)
+    new java.io.File(root, "v2").exists() shouldBe true
+    new java.io.File(root, "v3").exists() shouldBe true
+    inflight.exists() shouldBe true
+    snapshotMap(root) shouldBe Map(1L -> "a3") // latest committed unchanged
+  }
+
   test("cdc batches fold last-writer-wins per key across versions") {
     val root = Files.createTempDirectory("graft-cdc-fold").toString
     applyCdcBatch(changes(Seq((1L, "a0", 1L), (1L, "a1", 2L), (2L, "b0", 1L))),
