@@ -161,6 +161,31 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Positional skip-gram table — forward co-occurrence counts tagged
+    * with their token distance (1..window): the word2vec-style training-
+    * pair generator and the positional-collocation statistic in one
+    * table. `bigramTable` is the distance-1 slice. Top-k cut is
+    * deterministic (count desc, then pair, then distance).
+    *
+    * Scale: same discipline as the bigram table — the pair generation is
+    * a map-only flatten of `window` zipped slices (output rows ≤ window ×
+    * corpus tokens), one keyed shuffle with partial counts, TakeOrdered.
+    */
+  def skipGramTable(df: DataFrame, textCol: String, window: Int, k: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val pairs = df.select(explode(flatten(
+      transform(sequence(lit(1), lit(window)), o =>
+        zip_with(slice(t, lit(1), greatest(n - o, lit(0))),
+          slice(t, o + 1, greatest(n - o, lit(0))),
+          (a, b) => struct(a.as("tok_a"), b.as("tok_b"), o.as("distance")))))).as("p"))
+    pairs.select(col("p.tok_a"), col("p.tok_b"), col("p.distance"))
+      .groupBy("tok_a", "tok_b", "distance").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("tok_a"), col("tok_b"), col("distance"))
+      .limit(k)
+  }
+
   /** Within-doc line dedup — remove REPEATED lines inside each document,
     * keeping the first occurrence in order (the terminal-style scrub for
     * per-doc boilerplate: repeated headers, nav bars, signature blocks —

@@ -2166,6 +2166,27 @@ object ExtensionQueries {
              |    unnest(t[2:len(t)]) AS tok_b FROM toks)
              |SELECT tok_a, tok_b, count(*)::BIGINT AS pair_count FROM p
              |GROUP BY 1, 2 ORDER BY pair_count DESC, tok_a, tok_b
+             |LIMIT 200""".stripMargin)),
+
+    // Positional skip-gram table (TextAnalysis.skipGramTable, window 3):
+    // distance-tagged forward co-occurrences — word2vec pair generation /
+    // positional collocations. The oracle unions one aligned-unnest slice
+    // pair per distance (greatest() guards short docs against DuckDB's
+    // negative-index list slicing).
+    QueryDef("x72_skipgram_table",
+      (s, d) => TextAnalysis.skipGramTable(tbl(s, d, "documents"), "text",
+        window = 3, k = 200),
+      Some("""WITH toks AS (SELECT string_split_regex(lower(text), '\s+') AS t
+             |    FROM documents),
+             |p AS (
+             |  SELECT unnest(t[1:greatest(len(t)-1, 0)]) AS tok_a,
+             |    unnest(t[2:len(t)]) AS tok_b, 1 AS distance FROM toks
+             |  UNION ALL SELECT unnest(t[1:greatest(len(t)-2, 0)]),
+             |    unnest(t[3:len(t)]), 2 FROM toks
+             |  UNION ALL SELECT unnest(t[1:greatest(len(t)-3, 0)]),
+             |    unnest(t[4:len(t)]), 3 FROM toks)
+             |SELECT tok_a, tok_b, distance, count(*)::BIGINT AS pair_count FROM p
+             |GROUP BY 1, 2, 3 ORDER BY pair_count DESC, tok_a, tok_b, distance
              |LIMIT 200""".stripMargin))
   )
 

@@ -82,6 +82,16 @@ class OperatorSpec extends SparkSpec with Matchers {
       Seq(("to", "be", 3L), ("be", "is", 1L), ("be", "or", 1L))
   }
 
+  test("skip-gram table tags pairs with distance; bigram is the distance-1 slice") {
+    val out = TextAnalysis.skipGramTable(docs(1L -> "a b c a b"), "text",
+      window = 2, k = 100).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    // d1: (a,b)x2 (b,c) (c,a); d2: (a,c) (b,a) (c,b)
+    out.head shouldBe ("a", "b", 1, 2L)
+    out.toSet shouldBe Set(("a", "b", 1, 2L), ("b", "c", 1, 1L), ("c", "a", 1, 1L),
+      ("a", "c", 2, 1L), ("b", "a", 2, 1L), ("c", "b", 2, 1L))
+  }
+
   test("vocab coverage: top-V vocabulary by frequency, exact OOV fixed point") {
     // freqs: a=3, b=1, c=1 -> vocab(2) = [a, b] (tie b<c); doc 2's 'c' is OOV
     val out = TextAnalysis.vocabCoverage(docs(1L -> "a a b", 2L -> "a c"),
