@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable._
 
 /** Large-scale deduplication operators for training-data pipelines
-  * (SURVEY.md §7.5 / BASELINE.json north star). All operators are pure
+  * (SURVEY.md §7.5 / BASELINE.json north star). All operators are
   * DataFrame transformations built from codegen'd built-in expressions —
   * no UDFs — so Catalyst keeps pushdown/pruning and whole-stage codegen.
+  * All are lazy single plans except `bloomProbeNew`, whose bounded
+  * (≤ numBits/8-byte) sketch materializes eagerly by design — see its
+  * scaladoc.
   *
   * Scale design (100 TB): every operator reduces to
   * explode → shuffle-on-key → aggregate patterns whose width is bounded by
