@@ -58,6 +58,8 @@ object Dedup {
     */
   def incrementalNew(batch: DataFrame, index: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    require(idCol != "fingerprint",
+      "incrementalNew: id column collides with the reserved output column 'fingerprint'")
     def fp(d: DataFrame) = d.select(col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fingerprint"))
     fp(batch)
@@ -104,6 +106,8 @@ object Dedup {
       textCol: String, numBits: Long = 1L << 22, numHashes: Int = 5): DataFrame = {
     require(numHashes >= 1, "need at least one probe hash")
     require(numBits > 0 && (numBits & (numBits - 1)) == 0, "numBits must be a power of two")
+    require(idCol != "fingerprint",
+      "bloomProbeNew: id column collides with the reserved output column 'fingerprint'")
     def fp(d: DataFrame) = d.select(col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fingerprint"))
     def positions(c: Column): Seq[Column] =

@@ -244,6 +244,8 @@ object Similarity {
     */
   def clusterBalancedSample(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, perCell: Int, trainIterations: Int = 0): DataFrame = {
+    require(idCol != "cell" && idCol != "cell_rank",
+      s"clusterBalancedSample: id column '$idCol' collides with a reserved output column")
     val c = corpus.select(col(idCol).as("vid"),
       col(vecCol).cast("array<double>").as("cv"))
     val codebook =

@@ -198,6 +198,8 @@ object TextAnalysis {
     * whole-stage codegen.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    require(!Set("line_count", "dup_lines", "deduped_text").contains(idCol),
+      s"dedupLines: id column '$idCol' collides with a reserved output column")
     val lines = split(col(textCol), "\n")
     val kept = filter(lines, (x, i) => array_position(lines, x) === (i + 1))
     df.select(col(idCol),
@@ -222,6 +224,9 @@ object TextAnalysis {
     */
   def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
       vocabSize: Int): DataFrame = {
+    val reserved = Set("tok", "vtok", "total_tokens", "oov_tokens", "oov_x1m")
+    require(!reserved.contains(idCol),
+      s"vocabCoverage: id column '$idCol' collides with a reserved output/internal column")
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
     val vocab = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("tok")).limit(vocabSize)

@@ -296,6 +296,8 @@ object StreamOps {
     */
   def ingestDedupBatch(batch: DataFrame, batchId: Long, indexRoot: String,
       idCol: String, textCol: String): Unit = {
+    require(idCol != "fingerprint",
+      "ingestDedupBatch: id column collides with the reserved index column 'fingerprint'")
     val s = batch.sparkSession
     val fp = batch.select(col(idCol).cast("long").as("keeper_id"),
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fingerprint"))
