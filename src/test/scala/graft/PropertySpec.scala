@@ -221,6 +221,51 @@ class PropertySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("property: exact quantiles match brute-force inverse-CDF on random integer lists") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val gen = Gen.zip(Gen.nonEmptyListOf(Gen.chooseNum(-50L, 50L)),
+      Gen.nonEmptyListOf(Gen.chooseNum(1, 10000)))
+    samples(gen, 12).foreach { case (values, qs0) =>
+      val qs = qs0.distinct
+      val out = graft.operators.Profile.exactQuantiles(values.toDF("v"), "v", qs)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val sorted = values.sorted
+      qs.foreach { q =>
+        // PERCENTILE_DISC: element at rank ceil(q·n/10000) (1-based)
+        val target = ((q.toLong * sorted.size + 9999) / 10000).toInt
+        out(q) shouldBe sorted(math.max(target, 1) - 1)
+      }
+    }
+  }
+
+  test("property: line dedup equals order-preserving distinct; counts are consistent") {
+    import spark.implicits._
+    val lineGen = Gen.oneOf("a", "b", "c", "dd", "")
+    samples(Gen.nonEmptyListOf(lineGen), 20).foreach { lines =>
+      val text = lines.mkString("\n")
+      val row = graft.operators.TextAnalysis.dedupLines(
+        Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text").first()
+      // split/mkString round-trip drops nothing: counts cover every line
+      row.getAs[Long]("line_count") shouldBe lines.size.toLong
+      row.getAs[Long]("dup_lines") shouldBe (lines.size - lines.distinct.size).toLong
+      row.getAs[String]("deduped_text") shouldBe lines.distinct.mkString("\n")
+    }
+  }
+
+  test("property: bigram counts match the naive sliding-window count") {
+    import spark.implicits._
+    val tok = Gen.oneOf("x", "y", "z")
+    samples(Gen.nonEmptyListOf(tok), 15).foreach { toks =>
+      val text = toks.mkString(" ")
+      val out = graft.operators.TextAnalysis.bigramTable(
+        Seq((1L, text)).toDF("doc_id", "text"), "text", k = 1000)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val naive = toks.zip(toks.drop(1)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out shouldBe naive
+    }
+  }
+
   test("property: http id-range partitioning is a partition of unity over [start, end)") {
     val gen = Gen.zip(Gen.chooseNum(0L, 1000L), Gen.chooseNum(0L, 500L), Gen.chooseNum(1, 40))
     samples(gen, 50).foreach { case (start, span, parts) =>
