@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence (funnel) analytics — the event-pattern capability SQL
@@ -41,5 +42,54 @@ object Sequence {
         expr(s"aggregate(evs, 0, (acc, e) -> " +
           s"IF(acc < ${stages.size} AND e.ty = element_at($stageArr, acc + 1), " +
           "acc + 1, acc))").as("reached"))
+  }
+
+  /** Batch gap-sessionization — the window-function idiom for historical
+    * data (the streaming twin is `StreamOps.sessionize` / session_window):
+    * a new session starts when the gap to the previous event exceeds
+    * `gapSeconds`; session index = running sum of the new-session flag.
+    * All time arithmetic is exact integer microseconds. Returns one row
+    * per session: (key, session_idx, session_start_us, session_end_us,
+    * events).
+    *
+    * Plan shape: ONE (key)-keyed window pass (lag + running sum share the
+    * same sort) feeding a groupBy that reuses the window's partitioning —
+    * per-key state is the key's own events, the same skew bound the
+    * streaming variant lives with.
+    */
+  def sessionizeBatch(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy("key").orderBy("t_us", "eid")
+    events
+      .select(col(keyCol).as("key"), unix_micros(col(tsCol)).as("t_us"),
+        col(idCol).as("eid"))
+      .withColumn("new_session",
+        when(col("t_us") - lag(col("t_us"), 1).over(w) > gapSeconds * 1000000L, 1L)
+          .otherwise(lit(0L)))
+      .withColumn("session_idx",
+        sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col("key"), col("session_idx"))
+      .agg(min(col("t_us")).as("session_start_us"),
+        max(col("t_us")).as("session_end_us"),
+        count(lit(1)).as("events"))
+  }
+
+  /** SCD2 (slowly-changing-dimension type-2) history build — fold a keyed
+    * change log into versioned rows with validity ranges: each change is
+    * valid from its own sequence number until the key's next change
+    * (NULL = current). The lakehouse table-maintenance op that turns the
+    * CDC stream `StreamOps.cdcApply` folds to latest into a queryable
+    * full history instead.
+    *
+    * Plan shape: one (key)-keyed window pass (lead over the sequence) —
+    * no join, no self-join; 100 TB of history shuffles once on the key.
+    */
+  def scd2(changes: DataFrame, keyCol: String, seqCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(seqCol)
+    changes
+      .withColumn("valid_from", col(seqCol))
+      .withColumn("valid_to", lead(col(seqCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
   }
 }

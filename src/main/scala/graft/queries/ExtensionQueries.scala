@@ -2187,7 +2187,53 @@ object ExtensionQueries {
              |    unnest(t[4:len(t)]), 3 FROM toks)
              |SELECT tok_a, tok_b, distance, count(*)::BIGINT AS pair_count FROM p
              |GROUP BY 1, 2, 3 ORDER BY pair_count DESC, tok_a, tok_b, distance
-             |LIMIT 200""".stripMargin))
+             |LIMIT 200""".stripMargin)),
+
+    // SCD2 history (Sequence.scd2): the events change log folded into
+    // type-2 versioned rows — each change valid from its own sequence
+    // number until the key's next change (NULL = current). One lead()
+    // window pass, no join; the full-history complement of x59's
+    // latest-snapshot CDC fold.
+    QueryDef("x73_scd2_history",
+      (s, d) => {
+        val ev = QueryDef.events(s, d).select(col("user_id"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value_cents"))
+        Sequence.scd2(ev, "user_id", "event_id")
+          .select(col("user_id"), col("event_id"), col("value_cents"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id,
+             |  floor(value*100 + 0.5)::BIGINT AS value_cents,
+             |  event_id AS valid_from,
+             |  lead(event_id) OVER w AS valid_to,
+             |  (lead(event_id) OVER w IS NULL) AS is_current
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Batch gap-sessionization (Sequence.sessionizeBatch, 1h gap): the
+    // window-function idiom over historical events — x15's streaming
+    // session_window for data at rest. Exact integer microsecond
+    // arithmetic end to end.
+    QueryDef("x74_sessionize_batch",
+      (s, d) => Sequence.sessionizeBatch(QueryDef.events(s, d),
+          "user_id", "ts", "event_id", gapSeconds = 3600)
+        .orderBy("key", "session_idx"),
+      Some("""WITH e AS (SELECT user_id AS key, epoch_us(ts) AS t_us,
+             |    event_id AS eid FROM events),
+             |f AS (SELECT key, t_us, eid,
+             |    CASE WHEN t_us - lag(t_us) OVER (PARTITION BY key
+             |        ORDER BY t_us, eid) > 3600000000 THEN 1 ELSE 0 END AS ns
+             |  FROM e),
+             |g AS (SELECT key, t_us,
+             |    sum(ns) OVER (PARTITION BY key ORDER BY t_us, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si
+             |  FROM f)
+             |SELECT key, si::BIGINT AS session_idx,
+             |  min(t_us) AS session_start_us, max(t_us) AS session_end_us,
+             |  count(*)::BIGINT AS events
+             |FROM g GROUP BY 1, 2 ORDER BY key, session_idx""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -171,6 +171,30 @@ class OperatorSpec extends SparkSpec with Matchers {
     stored.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((10L, 1L))
   }
 
+  test("scd2 builds validity ranges per key; last change per key is current") {
+    import spark.implicits._
+    import graft.operators.Sequence
+    val out = Sequence.scd2(Seq((1L, 1L, "a"), (1L, 5L, "b"), (2L, 2L, "x"))
+        .toDF("k", "seq", "v"), "k", "seq")
+      .orderBy("k", "seq").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Any]("valid_to"),
+        r.getBoolean(r.fieldIndex("is_current"))))
+    out.toSeq shouldBe Seq((1L, 1L, 5L, false), (1L, 5L, null, true), (2L, 2L, null, true))
+  }
+
+  test("batch sessionization splits on gaps over the threshold") {
+    import spark.implicits._
+    import graft.operators.Sequence
+    val ev = Seq((1L, 0L, 100L), (1L, 10L, 101L), (1L, 5000L, 102L), (2L, 7L, 103L))
+      .toDF("u", "secs", "eid")
+      .select(col("u"), timestamp_seconds(col("secs")).as("ts"), col("eid"))
+    val out = Sequence.sessionizeBatch(ev, "u", "ts", "eid", gapSeconds = 3600)
+      .orderBy("key", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // user 1: {0s,10s} then 5000s (gap 4990 > 3600) starts session 1
+    out.toSeq shouldBe Seq((1L, 0L, 2L), (1L, 1L, 1L), (2L, 0L, 1L))
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within bound") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val out = Dedup.simHash(docs(1L -> base, 2L -> base, 3L -> (base + " extra")),

@@ -437,6 +437,22 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("Join")
   }
 
+  test("x73 scd2 is one keyed window pass — no join, no self-join") {
+    val plan = planOf(q("x73_scd2_history"))
+    nodeCount(plan, "Window") shouldBe 1
+    (plan should not).include("Join")
+    (plan should not).include("SinglePartition")
+  }
+
+  test("x74 batch sessionization: session groupBy reuses the window's key partitioning") {
+    val plan = planOf(q("x74_sessionize_batch"))
+    (plan should not).include("Join")
+    (plan should not).include("SinglePartition")
+    // one exchange for the key window, one for the output sort — the
+    // (key, session_idx) aggregate must NOT add a third
+    nodeCount(plan, "Exchange") should be <= 2
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
