@@ -181,6 +181,43 @@ object Dedup {
             s => s.getField("para")), "\n").as("scrubbed_text"))
   }
 
+  /** Content-anchored exact-substring dedup — character-level
+    * verbatim-copy detection (the "deduplicating training data" substring
+    * family): at every position whose 8-char anchor gram hashes to
+    * 0 mod `stride` (winnowing-style CONTENT-DEFINED sampling — a copy of
+    * a block anchors at the same content positions no matter what offset
+    * it sits at, which a fixed-offset stride cannot guarantee), take the
+    * length-`k` window, hash it, count DISTINCT docs per window hash
+    * corpus-wide, and report per doc how many of its anchored spans
+    * appear in ≥ `minDocs` docs. Catches long verbatim copies (licenses,
+    * quoted articles) that word-shingle Jaccard dilutes away when the
+    * surrounding doc differs. Docs shorter than `k` drop out; expected
+    * anchors per doc ≈ len/stride.
+    *
+    * Scale: candidate positions generate-and-filter map-side inside one
+    * codegen stage (the transient explode never shuffles — only the
+    * ~len/stride anchored rows do), the frequency fold is one hash-keyed
+    * shuffle with map-side partial distinct, and the join-back is
+    * digest-keyed — never docs².
+    */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, stride: Int = 16, minDocs: Int = 2): DataFrame = {
+    require(k >= 9 && stride >= 1 && minDocs >= 2, "substringDedup: bad parameters")
+    val t = col(textCol)
+    val grams = docs
+      .select(col(idCol).as("doc"), t.as("__txt"),
+        explode(when(length(t) >= k,
+          sequence(lit(1), length(t) - (k - 1)))
+          .otherwise(array().cast("array<int>"))).as("pos"))
+      .filter(hash56(expr("substring(__txt, pos, 8)")) % stride === 0)
+      .select(col("doc"), md5(expr(s"substring(__txt, pos, $k)")).as("h"))
+    val freq = grams.groupBy("h").agg(count_distinct(col("doc")).as("nd"))
+    grams.join(freq, Seq("h"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("total_spans"),
+        sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("shared_spans"))
+  }
+
   /** Word-k-shingles per document: (doc, shingle), WITH duplicates — the
     * downstream `collect_set` aggregate dedups map-side, so a separate
     * distinct would only add a shuffle. The explode is bounded by text

@@ -2233,7 +2233,31 @@ object ExtensionQueries {
              |SELECT key, si::BIGINT AS session_idx,
              |  min(t_us) AS session_start_us, max(t_us) AS session_end_us,
              |  count(*)::BIGINT AS events
-             |FROM g GROUP BY 1, 2 ORDER BY key, session_idx""".stripMargin))
+             |FROM g GROUP BY 1, 2 ORDER BY key, session_idx""".stripMargin)),
+
+    // Content-anchored exact-substring dedup (Dedup.substringDedup, k=64
+    // chars, anchor density 1/16): character-level verbatim-copy spans
+    // counted per doc — the substring-dedup family member between
+    // exact-doc and shingle Jaccard, with winnowing-style content-defined
+    // anchors so copies align regardless of offset. The oracle replays
+    // the same anchor filter with generate_series + hash56.
+    QueryDef("x75_substring_dedup",
+      (s, d) => Dedup.substringDedup(tbl(s, d, "documents"), "doc_id", "text",
+          k = 64, stride = 16, minDocs = 2)
+        .orderBy("doc")
+        .select(col("doc"), col("total_spans"), col("shared_spans")),
+      Some(s"""WITH g AS (SELECT doc_id,
+             |    unnest(generate_series(1, length(text)-63)) AS pos
+             |    FROM documents WHERE length(text) >= 64),
+             |a AS (SELECT g.doc_id, g.pos FROM g JOIN documents d USING (doc_id)
+             |  WHERE ${dkHash56("substr(d.text, g.pos, 8)")} % 16 = 0),
+             |gr AS (SELECT a.doc_id, md5(substr(d.text, a.pos, 64)) AS h
+             |  FROM a JOIN documents d USING (doc_id)),
+             |freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM gr GROUP BY h)
+             |SELECT doc_id AS doc, count(*)::BIGINT AS total_spans,
+             |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS shared_spans
+             |FROM gr JOIN freq USING (h)
+             |GROUP BY 1 ORDER BY doc""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

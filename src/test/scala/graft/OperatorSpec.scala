@@ -153,6 +153,21 @@ class OperatorSpec extends SparkSpec with Matchers {
     all(out.map(_.getAs[Double]("jaccard"))) should be > 0.5
   }
 
+  test("substring dedup flags verbatim shared blocks, ignores unique text") {
+    val block = ("the quick brown fox jumps over the lazy dog again and again " * 3).trim
+    val out = Dedup.substringDedup(docs(
+      1L -> s"unique preamble one. $block",
+      2L -> s"totally different lead-in text here!! $block",
+      3L -> "no overlap with anything else in this corpus, short and alone " * 3),
+      "doc_id", "text", k = 64, stride = 16, minDocs = 2)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // docs 1 and 2 share the long block -> both have shared spans; doc 3 none
+    out(0)._2 should be > 0L
+    out(1)._2 should be > 0L
+    out(2)._2 shouldBe 0L
+  }
+
   test("persisted LSH index probe matches the in-plan incremental probe") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"

@@ -453,6 +453,13 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 2
   }
 
+  test("x75 substring dedup: digest-keyed shuffles with partial distinct, never docs x docs") {
+    val plan = planOf(q("x75_substring_dedup"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("NestedLoop")
+    plan.toLowerCase should include("partial_count(distinct")
+  }
+
   test("b20 rolling revenue: RANGE frame windows per customer, single window pass") {
     val df = q("b20_window_range_rolling")
     val plan = df.queryExecution.executedPlan.toString
