@@ -257,7 +257,16 @@ object ScaleProbe {
       // top-V cut and broadcast probe must stay linear in the token count.
       "vocab_coverage" -> (m =>
         TextAnalysis.vocabCoverage(corpus(m), "doc_id", "text", vocabSize = 500)
-          .agg(sum("oov_tokens")).first().getLong(0)))
+          .agg(sum("oov_tokens")).first().getLong(0)),
+      // Substring dedup (x75): the transient all-positions explode is
+      // O(total chars) by construction — the probe certifies the
+      // generate-and-filter stays map-side (cost linear in corpus chars,
+      // no anchor-row blowup). Token-prefixed replicas shift anchor
+      // positions but keep per-window duplicate frequency constant.
+      "substring_dedup" -> (m =>
+        Dedup.substringDedup(corpus(m), "doc_id", "text",
+            k = 64, stride = 16, minDocs = 2)
+          .agg(sum("shared_spans")).first().getLong(0)))
 
     val opFilter: String => Boolean = args.lift(1) match {
       case Some(prefixes) =>
