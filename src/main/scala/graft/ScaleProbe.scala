@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Profile, Quantize, RangeJoin, Sequence, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -266,7 +266,40 @@ object ScaleProbe {
       "substring_dedup" -> (m =>
         Dedup.substringDedup(corpus(m), "doc_id", "text",
             k = 64, stride = 16, minDocs = 2)
-          .agg(sum("shared_spans")).first().getLong(0)))
+          .agg(sum("shared_spans")).first().getLong(0)),
+      // BM25 (x76): replica token prefixes would zero the match set, so
+      // the query carries one term per replica — matched postings grow
+      // linearly while the per-term df stays constant. The map-side term
+      // filter must keep the postings shuffle bounded by matches, not by
+      // the token stream.
+      "bm25" -> (m =>
+        Retrieval.bm25(corpus(m), "doc_id", "text",
+            (0 until m).map(r => s"r${r}_spark"))
+          .agg(sum("score_x1e3")).first().getLong(0)),
+      // PageRank (x77): nodes scale with m at constant out-degree 5 and
+      // fixed 3 supersteps — each superstep is two keyed shuffles over an
+      // edge list growing linearly, so the exponent certifies the
+      // join-agg dataflow (and the per-step checkpoint barrier) adds no
+      // super-linear term.
+      "pagerank" -> { m =>
+        val n = 200000L * m
+        val edges = spark.range(n * 5).select(
+          (col("id") % n).as("src"),
+          ((col("id") * 2654435761L + 7L) % n).as("dst"))
+        Graph.pageRank(edges, "src", "dst", iterations = 3)
+          .agg(sum("rank_x1e12")).first().getLong(0)
+      },
+      // Z-order layout (x78): pure map + one range shuffle + sort — the
+      // cheapest family here; the probe certifies the range-partitioner
+      // sampling doesn't creep super-linear as rows grow.
+      "zorder_layout" -> { m =>
+        val n = 4000000L * m
+        val pts = spark.range(n).select(col("id"),
+          (col("id") % 256).as("ub"), (expr("id div 256") % 256).as("db"))
+        Layout.clusterByZ(pts, col("ub"), col("db"), bits = 8,
+            numPartitions = 32)
+          .agg(sum("zkey")).first().getLong(0)
+      })
 
     val opFilter: String => Boolean = args.lift(1) match {
       case Some(prefixes) =>

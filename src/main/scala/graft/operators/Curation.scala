@@ -264,4 +264,31 @@ object Curation {
         (least(col("end_off"), (col("seq_id") + 1) * capacity) -
           greatest(col("start_off"), col("seq_id") * capacity)).as("tokens_in_seq"))
   }
+
+  /** Leakage-safe train/val/test split: assign WHOLE near-duplicate
+    * clusters to one split, so a held-out document never has a near-copy
+    * in train (random row-level splits leak exactly this way — the
+    * benchmark-contamination failure mode decontaminate() checks for,
+    * prevented at split time). `pairs` is any (doc_a, doc_b) similarity
+    * edge table (minHashLsh, simHash, semantic dedup); clusters come from
+    * Dedup.canonicalize, and the split is the deterministic hash slice of
+    * the CLUSTER id: test gets [0, testPct), val [testPct, testPct+valPct),
+    * train the rest — seedless, reproducible across runs and engines, and
+    * nested the same way stratifiedSample's slices are.
+    *
+    * Scale: canonicalize's label propagation dominates (edge-keyed
+    * shuffles, lineage O(1) via localCheckpoint); the split itself is a
+    * map-only expression on the labeled table.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "leakageSafeSplit: valPct/testPct must be >= 0 and sum to <= 100")
+    Dedup.canonicalize(docs, idCol, pairs)
+      .withColumn("slice", hash56(col("canonical_id").cast("string")) % 100)
+      .select(col("doc"), col("canonical_id"),
+        when(col("slice") < testPct, "test")
+          .when(col("slice") < testPct + valPct, "val")
+          .otherwise("train").as("split"))
+  }
 }

