@@ -33,7 +33,7 @@ object Bench {
     "x58_quality_model", "b21_tpch_q5",
     "x61_incremental_neardup", "x62_bloom_incremental_dedup",
     "x63_cluster_balanced_sample",
-    "x76_bm25", "x77_pagerank", "x78_zorder_layout",
+    "x76_bm25", "x77_pagerank", "x78_zorder_layout", "x80_resample",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

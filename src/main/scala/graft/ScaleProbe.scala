@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis, TimeSeries}
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -288,6 +288,18 @@ object ScaleProbe {
           ((col("id") * 2654435761L + 7L) % n).as("dst"))
         Graph.pageRank(edges, "src", "dst", iterations = 3)
           .agg(sum("rank_x1e12")).first().getLong(0)
+      },
+      // Resample (x80): keys scale with m, observations-per-key and grid
+      // density constant — one keyed window shuffle + a bounded map-side
+      // explode; the exponent certifies the grid fan-out stays per-row.
+      "resample" -> { m =>
+        val keys = 50000L * m; val obsPerKey = 20L
+        val obs = spark.range(keys * obsPerKey).select(
+          (col("id") % keys).as("k"),
+          (expr(s"id div ${keys}L") * 97L).as("t"),
+          ((col("id") * 31L) % 1000L).as("v"))
+        TimeSeries.resampleLinear(obs, "k", "t", "v", stepUs = 10L)
+          .agg(sum("value_cents")).first().getLong(0)
       },
       // Z-order layout (x78): pure map + one range shuffle + sort — the
       // cheapest family here; the probe certifies the range-partitioner

@@ -45,7 +45,7 @@ object TimeSeries {
     require(clash.isEmpty,
       s"resampleLinear: input already has reserved column(s) ${clash.mkString(", ")} — rename them upstream")
 
-    val w = Window.partitionBy(keyCol).orderBy(tsUsCol)
+    val w = Window.partitionBy(keyCol).orderBy("__t0")
     val wAll = Window.partitionBy(keyCol)
     df.select(col(keyCol), col(tsUsCol).cast("long").as("__t0"),
         col(valueCentsCol).cast("long").as("__v0"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Multimodal, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Multimodal, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis, TimeSeries}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -2393,7 +2393,71 @@ object ExtensionQueries {
              |  CASE WHEN ${dkHash56("canonical_id::VARCHAR")} % 100 < 10 THEN 'test'
              |       WHEN ${dkHash56("canonical_id::VARCHAR")} % 100 < 15 THEN 'val'
              |       ELSE 'train' END AS split
-             |FROM canon ORDER BY doc""".stripMargin))
+             |FROM canon ORDER BY doc""".stripMargin)),
+
+    // Regular-grid resampling with linear interpolation
+    // (TimeSeries.resampleLinear, 6-hour grid per user): the tempo/Flint
+    // resample surface in exact integer arithmetic — one keyed window
+    // shuffle, then a map-side explode of each observation interval into
+    // the grid points it owns. The oracle replays the ceil-aligned grid
+    // and the sign-split magnitude division.
+    QueryDef("x80_resample",
+      (s, d) => {
+        val step = 21600000000L // 6 h in micros
+        val obs = QueryDef.events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy("user_id", "t_us").agg(sum("cents").as("cents"))
+        TimeSeries.resampleLinear(obs, "user_id", "t_us", "cents", step)
+          .orderBy("user_id", "grid_us")
+      },
+      Some("""WITH obs AS (SELECT user_id, epoch_us(ts) AS t,
+             |    sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS v
+             |  FROM events GROUP BY 1, 2),
+             |w AS (SELECT user_id, t AS t0, v AS v0,
+             |    lead(t) OVER (PARTITION BY user_id ORDER BY t) AS t1,
+             |    lead(v) OVER (PARTITION BY user_id ORDER BY t) AS v1,
+             |    min(t) OVER (PARTITION BY user_id) AS g0
+             |  FROM obs),
+             |g AS (SELECT user_id, t0, v0, t1, v1,
+             |    unnest(generate_series(
+             |      g0 + ((t0 - g0 + 21599999999) // 21600000000) * 21600000000,
+             |      coalesce(t1 - 1, t0), 21600000000)) AS grid
+             |  FROM w)
+             |SELECT user_id, grid AS grid_us,
+             |  (CASE WHEN grid = t0 THEN v0
+             |       WHEN v1 >= v0 THEN v0 + ((v1 - v0) * (grid - t0)) // (t1 - t0)
+             |       ELSE v0 - ((v0 - v1) * (grid - t0)) // (t1 - t0) END)::BIGINT
+             |    AS value_cents,
+             |  grid <> t0 AS interpolated
+             |FROM g ORDER BY user_id, grid_us""".stripMargin)),
+
+    // OHLC downsampling (TimeSeries.ohlc, 1-day buckets per user):
+    // open/high/low/close + count/sum in ONE aggregation pass via
+    // min_by/max_by on the (ts, event_id) tie-break — no window, no
+    // self-join. The oracle uses first/last window values and collapses.
+    QueryDef("x81_ohlc",
+      (s, d) => TimeSeries.ohlc(
+          QueryDef.events(s, d).select(col("user_id"),
+            expr("unix_micros(ts)").as("t_us"), col("event_id"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          "user_id", "t_us", "event_id", "cents", bucketUs = 86400000000L)
+        .orderBy("user_id", "bucket"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS eid,
+             |    floor(value*100 + 0.5)::BIGINT AS v FROM events),
+             |b AS (SELECT user_id, t // 86400000000 AS bucket, t, eid, v FROM e),
+             |wv AS (SELECT user_id, bucket, v,
+             |    first_value(v) OVER (PARTITION BY user_id, bucket
+             |      ORDER BY t, eid) AS open,
+             |    last_value(v) OVER (PARTITION BY user_id, bucket
+             |      ORDER BY t, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+             |  FROM b)
+             |SELECT user_id, bucket, min(open)::BIGINT AS open,
+             |  max(v)::BIGINT AS high, min(v)::BIGINT AS low,
+             |  min(close)::BIGINT AS close, count(*)::BIGINT AS n,
+             |  sum(v)::BIGINT AS sum_cents
+             |FROM wv GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
