@@ -34,6 +34,7 @@ object Bench {
     "x61_incremental_neardup", "x62_bloom_incremental_dedup",
     "x63_cluster_balanced_sample",
     "x76_bm25", "x77_pagerank", "x78_zorder_layout", "x80_resample",
+    "x82_lm_surprise", "x84_mad_outliers",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

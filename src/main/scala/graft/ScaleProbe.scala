@@ -289,6 +289,13 @@ object ScaleProbe {
         Graph.pageRank(edges, "src", "dst", iterations = 3)
           .agg(sum("rank_x1e12")).first().getLong(0)
       },
+      // LM surprise (x82): disjoint replica token namespaces keep each
+      // bigram's count and prefix count constant while the bigram table
+      // grows ×m — the exponent certifies the vocab²-bounded stats tables
+      // never turn the scoring join super-linear.
+      "lm_surprise" -> (m =>
+        TextAnalysis.lmSurprise(corpus(m), "doc_id", "text")
+          .agg(sum("surprise_x1e6")).first().getLong(0)),
       // Resample (x80): keys scale with m, observations-per-key and grid
       // density constant — one keyed window shuffle + a bounded map-side
       // explode; the exponent certifies the grid fan-out stays per-row.

@@ -88,4 +88,48 @@ object Profile {
       .groupBy(col("t.q_x10k").as("q_x10k"))
       .agg(min(col("v")).as("value"))
   }
+
+  /** Robust per-key outlier stats via median / MAD (median absolute
+    * deviation) — the outlier filter that survives heavy tails where
+    * mean/stddev z-scores break (one giant value drags the mean toward
+    * itself and inflates sigma until nothing is an outlier). A row is
+    * flagged when |v − median| · 100 > kX100 · MAD (default k = 3).
+    * Medians are inverse-CDF (PERCENTILE_DISC: smallest value whose
+    * cumulative count reaches ⌈n/2⌉) — exact integers end to end.
+    * Output: (key, n, med, mad, outliers).
+    *
+    * Scale: the same histogram discipline as exactQuantiles, per key —
+    * each median is groupBy(key, v) with map-side partials (one shuffle
+    * whose width is Σ per-key value domains), then a per-key window over
+    * the HISTOGRAM only; never a sort of the raw rows. Two passes (values,
+    * then deviations), both histogram-shaped.
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      kX100: Int = 300): DataFrame = {
+    require(kX100 >= 0, "madOutliers: kX100 must be >= 0")
+
+    def histMedian(in: DataFrame, vCol: String): DataFrame = {
+      val hist = in.groupBy(col("key"), col(vCol).as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = hist
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy("key").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("key")))
+      cum.filter(col("cum") >= expr("div(n + 1, 2)"))
+        .groupBy("key").agg(min(col("v")).as(s"${vCol}_med"))
+    }
+
+    val e = df.select(col(keyCol).as("key"), col(valueCol).cast("long").as("v"))
+    val med = histMedian(e, "v").withColumnRenamed("v_med", "med")
+    val dev = e.join(med, Seq("key")).withColumn("ad", abs(col("v") - col("med")))
+    val mad = histMedian(dev.select(col("key"), col("ad")), "ad")
+      .withColumnRenamed("ad_med", "mad")
+    dev.join(mad, Seq("key"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"), min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
+        sum(when(col("ad") * 100 > lit(kX100.toLong) * col("mad"), 1L)
+          .otherwise(0L)).as("outliers"))
+  }
 }

@@ -36,4 +36,31 @@ object Skew {
       .withColumnRenamed(dimKey, factKey)
     saltedFact.join(repDim, Seq(factKey, "__salt")).drop("__salt")
   }
+
+  /** Hot-key diagnostics — the measurement that DECIDES when saltedJoin
+    * (or a bigger AQE skew threshold) is worth it: per-key row counts for
+    * the heaviest `topK` keys, each with its corpus share
+    * (`pct_x10000` = div(10⁴·count, total)) and its skew factor
+    * (`skew_x100` = div(100·count·partitions, total) — how many times one
+    * average reducer's load this single key is at the given shuffle
+    * fan-out; ≥ 100 means the key alone overflows a reducer and a plain
+    * keyed shuffle will hot-spot no matter how many partitions you add).
+    *
+    * Scale: one keyed count with map-side partials, a TakeOrdered top-k
+    * cut (count desc, key asc — deterministic), and a one-row total
+    * broadcast back. Never sorts the full key-frequency table.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, topK: Int,
+      partitions: Int): DataFrame = {
+    require(topK > 0, "hotKeys: topK must be positive")
+    require(partitions > 0, "hotKeys: partitions must be positive")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(total))
+      .select(col("key"), col("cnt"),
+        expr("div(10000 * cnt, total)").as("pct_x10000"),
+        expr(s"div(100 * cnt * $partitions, total)").as("skew_x100"))
+  }
 }

@@ -161,6 +161,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Corpus-LM surprise scoring — the "perplexity filter" stage of a
+    * curation pipeline, kept oracle-exact: train bigram statistics on the
+    * corpus itself, then score each document by how SURPRISING its token
+    * transitions are under that model. Per bigram (a,b) the surprise
+    * proxy is the inverse conditional probability
+    * `div(10⁶ · count(a,·), count(a,b))` (= 10⁶/P(b|a), monotone in
+    * −log P exactly as rank order needs, with no floating log); a doc's
+    * score is the mean over its bigrams (`surprise_x1e6` — higher =
+    * less predictable text; boilerplate scores ≈ 10⁶·1, gibberish high).
+    * Output: (doc, n_bigrams, surprise_x1e6), docs with ≥ 2 tokens.
+    *
+    * Scale: pair explode is map-only; the bigram-count table is one
+    * (a,b)-keyed shuffle with map-side partials; prefix counts regroup
+    * that (vocab²-bounded) table, never the corpus; scoring joins the
+    * corpus pair stream against the scored bigram table on (a,b) — an
+    * equi-shuffle on bigram keys, the same partitioning the count table
+    * already has, so the exchange is reused.
+    */
+  def lmSurprise(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val docPairs = df.select(col(idCol).as("doc"), explode(
+        zip_with(slice(t, lit(1), greatest(n - 1, lit(0))),
+          slice(t, lit(2), greatest(n - 1, lit(0))),
+          (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+      .select(col("doc"), col("p.tok_a"), col("p.tok_b"))
+    val pairCounts = docPairs.groupBy("tok_a", "tok_b")
+      .agg(count(lit(1)).as("pc"))
+    val prefixCounts = pairCounts.groupBy("tok_a").agg(sum(col("pc")).as("ac"))
+    val scored = pairCounts.join(prefixCounts, Seq("tok_a"))
+      .select(col("tok_a"), col("tok_b"), expr("div(1000000 * ac, pc)").as("sup"))
+    docPairs.join(scored, Seq("tok_a", "tok_b"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("sup")).as("__ssum"))
+      .select(col("doc"), col("n_bigrams"),
+        expr("div(__ssum, n_bigrams)").as("surprise_x1e6"))
+  }
+
   /** Positional skip-gram table — forward co-occurrence counts tagged
     * with their token distance (1..window): the word2vec-style training-
     * pair generator and the positional-collocation statistic in one

@@ -2457,7 +2457,81 @@ object ExtensionQueries {
              |  max(v)::BIGINT AS high, min(v)::BIGINT AS low,
              |  min(close)::BIGINT AS close, count(*)::BIGINT AS n,
              |  sum(v)::BIGINT AS sum_cents
-             |FROM wv GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin))
+             |FROM wv GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin)),
+
+    // Corpus-LM surprise scoring (TextAnalysis.lmSurprise): the
+    // perplexity-filter stage in exact integer arithmetic — self-trained
+    // bigram stats, per-doc mean inverse conditional probability. The
+    // oracle retrains the same counts and replays the same floors.
+    QueryDef("x82_lm_surprise",
+      (s, d) => TextAnalysis.lmSurprise(tbl(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc"),
+      Some("""WITH toks AS (SELECT doc_id AS doc,
+             |    string_split_regex(lower(text), '\s+') AS tk FROM documents),
+             |bp AS (SELECT doc, unnest(list_transform(
+             |    range(1, greatest(len(tk), 1)),
+             |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p FROM toks),
+             |bp2 AS (SELECT doc, p.a AS a, p.b AS b FROM bp),
+             |pc AS (SELECT a, b, count(*)::BIGINT AS pc FROM bp2 GROUP BY 1, 2),
+             |ac AS (SELECT a, sum(pc)::BIGINT AS ac FROM pc GROUP BY 1),
+             |sc AS (SELECT b.a, b.b, (1000000 * c.ac) // b.pc AS sup
+             |  FROM pc b JOIN ac c USING (a))
+             |SELECT doc, count(*)::BIGINT AS n_bigrams,
+             |  (sum(sup) // count(*))::BIGINT AS surprise_x1e6
+             |FROM bp2 JOIN sc USING (a, b)
+             |GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // Hot-key diagnostics (Skew.hotKeys, top 20 users at fan-out 32): the
+    // measurement that decides when x18's salting is worth it — per-key
+    // share and skew factor vs an average reducer at the given shuffle
+    // width. TakeOrdered cut, one-row total broadcast.
+    QueryDef("x83_hot_keys",
+      (s, d) => Skew.hotKeys(QueryDef.events(s, d), "user_id",
+          topK = 20, partitions = 32)
+        .orderBy(col("cnt").desc, col("key")),
+      Some("""WITH c AS (SELECT user_id AS key, count(*)::BIGINT AS cnt
+             |  FROM events GROUP BY 1),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+             |SELECT key, cnt, (10000 * cnt) // total AS pct_x10000,
+             |  (100 * cnt * 32) // total AS skew_x100
+             |FROM c, t ORDER BY cnt DESC, key LIMIT 20""".stripMargin)),
+
+    // Robust outliers (Profile.madOutliers, k=3): per-event-type median /
+    // MAD over cents with inverse-CDF medians — the heavy-tail-safe
+    // quality filter. Histogram-shaped both passes; the oracle replays
+    // the identical cumulative-count medians.
+    QueryDef("x84_mad_outliers",
+      (s, d) => Profile.madOutliers(
+          QueryDef.events(s, d).select(col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          "event_type", "cents", kX100 = 300)
+        .orderBy("key"),
+      Some("""WITH e AS (SELECT event_type AS key,
+             |    floor(value*100 + 0.5)::BIGINT AS v FROM events),
+             |h1 AS (SELECT key, v, count(*)::BIGINT AS cnt FROM e GROUP BY 1, 2),
+             |c1 AS (SELECT key, v,
+             |    sum(cnt) OVER (PARTITION BY key ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER (PARTITION BY key) AS n
+             |  FROM h1),
+             |med AS (SELECT key, min(v)::BIGINT AS med FROM c1
+             |  WHERE cum >= (n + 1) // 2 GROUP BY 1),
+             |d AS (SELECT e.key, e.v, med.med, abs(e.v - med.med) AS ad
+             |  FROM e JOIN med USING (key)),
+             |h2 AS (SELECT key, ad, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2),
+             |c2 AS (SELECT key, ad,
+             |    sum(cnt) OVER (PARTITION BY key ORDER BY ad
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER (PARTITION BY key) AS n
+             |  FROM h2),
+             |mad AS (SELECT key, min(ad)::BIGINT AS mad FROM c2
+             |  WHERE cum >= (n + 1) // 2 GROUP BY 1)
+             |SELECT d.key, count(*)::BIGINT AS n, min(d.med)::BIGINT AS med,
+             |  min(mad.mad)::BIGINT AS mad,
+             |  sum(CASE WHEN d.ad * 100 > 300 * mad.mad THEN 1 ELSE 0 END)::BIGINT
+             |    AS outliers
+             |FROM d JOIN mad USING (key)
+             |GROUP BY 1 ORDER BY key""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
