@@ -265,6 +265,52 @@ object Curation {
           greatest(col("start_off"), col("seq_id") * capacity)).as("tokens_in_seq"))
   }
 
+  /** Token-budget waterfilling — the mixture-planning step: given a total
+    * training budget of `budgetTokens` and per-source token masses, find
+    * the per-source cap C* (waterfilling level) such that
+    * Σ min(tokensₛ, C*) fills the budget: small sources keep everything,
+    * large sources are capped at the common level — the "no source
+    * dominates" allocation every mixture spec wants, computed exactly.
+    *
+    * C* is closed-form over the sources sorted by mass ascending: at the
+    * first source i (0-based, prefix = Σ masses before i, r = n − i
+    * sources remaining) where prefix + r·tokensᵢ exceeds the budget, the
+    * level is div(budget − prefix, r); if no source overflows, the budget
+    * covers the corpus and nothing is capped. Output per source:
+    * (source, tokens, allocated, rate_x10000), allocation = min(tokens,
+    * C*), rate = div(10⁴·allocated, tokens).
+    *
+    * Scale: the corpus collapses to ONE row per source first (map-side
+    * partial token counts), so the sort + prefix windows run over the
+    * source table (dozens of rows at any corpus size), and the level
+    * joins back as a one-row broadcast.
+    */
+  def tokenBudget(df: DataFrame, sourceCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "tokenBudget: budgetTokens must be >= 0")
+    val masses = df
+      .select(col(sourceCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("t"))
+      .groupBy("source").agg(sum(col("t")).as("tokens"))
+    val w = Window.orderBy(col("tokens"), col("source"))
+    val ranked = masses
+      .withColumn("prefix",
+        coalesce(sum(col("tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("remaining",
+        count(lit(1)).over(Window.partitionBy()) - row_number().over(w) + 1L)
+    val level = ranked
+      .filter(col("prefix") + col("remaining") * col("tokens") > budgetTokens)
+      .agg(min_by(
+        expr(s"div(${budgetTokens}L - prefix, remaining)"),
+        struct(col("tokens"), col("source"))).as("level"))
+    masses.crossJoin(broadcast(level))
+      .select(col("source"), col("tokens"),
+        least(col("tokens"), coalesce(col("level"), col("tokens"))).as("allocated"))
+      .withColumn("rate_x10000",
+        expr("div(10000 * allocated, greatest(tokens, 1))"))
+  }
+
   /** Leakage-safe train/val/test split: assign WHOLE near-duplicate
     * clusters to one split, so a held-out document never has a near-copy
     * in train (random row-level splits leak exactly this way — the

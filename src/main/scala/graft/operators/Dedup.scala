@@ -218,6 +218,36 @@ object Dedup {
         sum(when(col("nd") >= minDocs, 1L).otherwise(0L)).as("shared_spans"))
   }
 
+  /** Time-scoped exact dedup — the crawl/re-crawl policy: identical
+    * content seen again WITHIN `horizonUs` of the previous sighting is a
+    * burst duplicate (drop); seen again after a quiet gap longer than the
+    * horizon it is a refresh (keep). Burst grouping is gap-based (the
+    * session_window idiom on the content digest): a new burst starts when
+    * the gap since the PREVIOUS sighting exceeds the horizon. Output:
+    * (id, ts, burst, keep) — `keep` marks each burst's first sighting,
+    * `burst` is the per-digest burst ordinal (0-based).
+    *
+    * Scale: one digest-keyed window shuffle — per-digest partition width
+    * is that content's sighting count, never the corpus; the lag +
+    * running-sum pair evaluates in a single pass over each sorted
+    * partition (same frame, one Window operator).
+    */
+  def timeScopedDedup(df: DataFrame, idCol: String, textCol: String,
+      tsUsCol: String, horizonUs: Long): DataFrame = {
+    require(horizonUs > 0, "timeScopedDedup: horizonUs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("__fp").orderBy(col("__ts"), col(idCol))
+    df.select(col(idCol), md5(col(textCol)).as("__fp"),
+        col(tsUsCol).cast("long").as("__ts"))
+      .withColumn("__new", when(
+        col("__ts") - lag(col("__ts"), 1).over(w) > horizonUs || lag(col("__ts"), 1).over(w).isNull,
+        1L).otherwise(0L))
+      .withColumn("burst",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1L)
+      .select(col(idCol), col("__ts").as("ts"), col("burst"),
+        (col("__new") === 1L).as("keep"))
+  }
+
   /** Word-k-shingles per document: (doc, shingle), WITH duplicates — the
     * downstream `collect_set` aggregate dedups map-side, so a separate
     * distinct would only add a shuffle. The explode is bounded by text

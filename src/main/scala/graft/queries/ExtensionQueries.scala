@@ -2531,7 +2531,82 @@ object ExtensionQueries {
              |  sum(CASE WHEN d.ad * 100 > 300 * mad.mad THEN 1 ELSE 0 END)::BIGINT
              |    AS outliers
              |FROM d JOIN mad USING (key)
-             |GROUP BY 1 ORDER BY key""".stripMargin))
+             |GROUP BY 1 ORDER BY key""".stripMargin)),
+
+    // Time-scoped exact dedup (Dedup.timeScopedDedup, 2-day horizon over
+    // the events props payload): burst duplicates within the horizon drop,
+    // refreshes after a quiet gap keep — the crawl/re-crawl policy as one
+    // digest-keyed window pass. Oracle replays the lag + running-sum pair.
+    QueryDef("x85_timescoped_dedup",
+      (s, d) => Dedup.timeScopedDedup(
+          QueryDef.events(s, d).select(col("event_id"), col("props"),
+            expr("unix_micros(ts)").as("t_us")),
+          "event_id", "props", "t_us", horizonUs = 172800000000L)
+        .orderBy("event_id"),
+      Some("""WITH e AS (SELECT event_id, md5(props) AS fp, epoch_us(ts) AS t
+             |  FROM events),
+             |f AS (SELECT event_id, fp, t,
+             |    CASE WHEN t - lag(t) OVER (PARTITION BY fp ORDER BY t, event_id)
+             |           > 172800000000
+             |         OR lag(t) OVER (PARTITION BY fp ORDER BY t, event_id) IS NULL
+             |      THEN 1 ELSE 0 END AS nw
+             |  FROM e),
+             |g AS (SELECT event_id, t, nw,
+             |    sum(nw) OVER (PARTITION BY fp ORDER BY t, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS burst
+             |  FROM f)
+             |SELECT event_id, t AS ts, burst::BIGINT AS burst, nw = 1 AS keep
+             |FROM g ORDER BY event_id""".stripMargin)),
+
+    // Token-budget waterfilling (Curation.tokenBudget, 20k of ~27k
+    // tokens): per-source caps at the common waterfilling level — the
+    // exact mixture-planning allocation. The corpus collapses to one row
+    // per source before any window runs; the level broadcasts back.
+    QueryDef("x86_token_budget",
+      (s, d) => Curation.tokenBudget(tbl(s, d, "documents"),
+          "source", "text", budgetTokens = 20000L)
+        .orderBy("source"),
+      Some("""WITH m AS (SELECT source,
+             |    sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS tokens
+             |  FROM documents GROUP BY 1),
+             |r AS (SELECT source, tokens,
+             |    coalesce(sum(tokens) OVER (ORDER BY tokens, source
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix,
+             |    count(*) OVER () - row_number() OVER (ORDER BY tokens, source) + 1
+             |      AS remaining
+             |  FROM m),
+             |lvl AS (SELECT (SELECT (20000 - prefix) // remaining FROM r
+             |    WHERE prefix + remaining * tokens > 20000
+             |    ORDER BY tokens, source LIMIT 1) AS level)
+             |SELECT m.source, m.tokens,
+             |  least(m.tokens, coalesce(l.level, m.tokens))::BIGINT AS allocated,
+             |  ((10000 * least(m.tokens, coalesce(l.level, m.tokens)))
+             |    // greatest(m.tokens, 1))::BIGINT AS rate_x10000
+             |FROM m CROSS JOIN lvl l ORDER BY m.source""".stripMargin)),
+
+    // Streaming OHLC candles (StreamOps.streamingOhlc, 1-day windows per
+    // user): min_by/max_by update incrementally in watermark-bounded
+    // state — real-time candlesticks with no raw-tick buffering. The
+    // oracle is the batch x81 computation re-keyed to the window start.
+    QueryDef("x87_stream_ohlc",
+      (s, d) => StreamOps.streamingOhlc(s, s"$d/events.parquet",
+          queryName = s"stream_ohlc_${System.nanoTime()}")
+        .orderBy("user_id", "bucket"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS eid,
+             |    floor(value*100 + 0.5)::BIGINT AS v FROM events),
+             |b AS (SELECT user_id, t // 86400000000 AS bucket, t, eid, v FROM e),
+             |wv AS (SELECT user_id, bucket, v,
+             |    first_value(v) OVER (PARTITION BY user_id, bucket
+             |      ORDER BY t, eid) AS open,
+             |    last_value(v) OVER (PARTITION BY user_id, bucket
+             |      ORDER BY t, eid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close
+             |  FROM b)
+             |SELECT user_id, bucket, min(open)::BIGINT AS open,
+             |  max(v)::BIGINT AS high, min(v)::BIGINT AS low,
+             |  min(close)::BIGINT AS close, count(*)::BIGINT AS n,
+             |  sum(v)::BIGINT AS sum_cents
+             |FROM wv GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

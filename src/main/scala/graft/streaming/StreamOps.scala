@@ -67,6 +67,41 @@ object StreamOps {
         col("events"), col("sum_cents"))
   }
 
+  /** Streaming OHLC candles — the real-time twin of TimeSeries.ohlc: per
+    * (1-day event-time window, key) open/high/low/close/count/sum as a
+    * watermarked streaming aggregation. min_by/max_by on the
+    * (unix_micros(ts), event_id) tie-break are declarative aggregates, so
+    * the whole candle updates incrementally in state — no per-window
+    * buffering of raw ticks. Watermark bounds state exactly as in
+    * windowedEventAgg; AvailableNow drains the backlog here, a continuous
+    * trigger serves live dashboards at scale.
+    */
+  def streamingOhlc(spark: SparkSession, eventsPath: String,
+      queryName: String = "graft_stream_ohlc"): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-ohlc")
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val ord = struct(expr("unix_micros(ts)"), col("event_id"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(min_by(cents, ord).as("open"), max(cents).as("high"),
+        min(cents).as("low"), max_by(cents, ord).as("close"),
+        count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .select(col("user_id"),
+        expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("sum_cents"))
+  }
+
   /** Gap-based sessionization via the native session_window operator: a
     * session extends while consecutive events arrive within `gap`; the
     * window start is the session's first event time. One shuffle on the

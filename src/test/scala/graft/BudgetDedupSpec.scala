@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{Curation, Dedup}
+
+/** Planted-input tests for time-scoped dedup and token-budget
+  * waterfilling (x85/x86).
+  */
+class BudgetDedupSpec extends SparkSpec with Matchers {
+
+  test("timeScopedDedup: bursts drop, refreshes keep, per-digest bursts count up") {
+    import spark.implicits._
+    // same content at t=0,5,8 (one burst with horizon 10), refresh at t=50,
+    // its echo at t=55; different content at t=3.
+    val rows = Seq(
+      (1L, "A", 0L), (2L, "A", 5L), (3L, "A", 8L),
+      (4L, "A", 50L), (5L, "A", 55L), (6L, "B", 3L))
+      .toDF("id", "text", "t")
+    val out = Dedup.timeScopedDedup(rows, "id", "text", "t", horizonUs = 10L)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("burst"),
+        r.getAs[Boolean]("keep"))).toSeq
+    out shouldBe Seq(
+      (1L, 0L, true), (2L, 0L, false), (3L, 0L, false),
+      (4L, 1L, true), (5L, 1L, false), (6L, 0L, true))
+  }
+
+  test("timeScopedDedup: gap semantics — a slow drip never refreshes") {
+    import spark.implicits._
+    // sightings every 8 < horizon 10: one long burst, only the first kept.
+    val rows = (0 until 5).map(i => (i.toLong, "X", i * 8L)).toDF("id", "text", "t")
+    val out = Dedup.timeScopedDedup(rows, "id", "text", "t", 10L)
+      .collect()
+    out.count(_.getAs[Boolean]("keep")) shouldBe 1
+    out.map(_.getAs[Long]("burst")).toSet shouldBe Set(0L)
+  }
+
+  test("tokenBudget: waterfilling caps the large sources at the exact level") {
+    import spark.implicits._
+    // masses: a=2, b=4, c=10, d=20 (1 token per doc row); budget 16.
+    // ascending: a(2) b(4) c(10) d(20); binding at c: prefix=6, r=2,
+    // 6+2*10=26>16 -> level = (16-6)/2 = 5 -> alloc a=2 b=4 c=5 d=5.
+    val docs = (Seq.fill(2)("a") ++ Seq.fill(4)("b") ++ Seq.fill(10)("c") ++
+      Seq.fill(20)("d")).zipWithIndex
+      .map { case (s, i) => (s, s"tok$i") }
+      .toDF("source", "text")
+    val out = Curation.tokenBudget(docs, "source", "text", budgetTokens = 16L)
+      .orderBy("source").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("allocated"), r.getAs[Long]("rate_x10000"))).toSeq
+    out shouldBe Seq(
+      ("a", 2L, 2L, 10000L), ("b", 4L, 4L, 10000L),
+      ("c", 10L, 5L, 5000L), ("d", 20L, 5L, 2500L))
+    out.map(_._3).sum should be <= 16L
+  }
+
+  test("tokenBudget: budget covering the corpus caps nothing") {
+    import spark.implicits._
+    val docs = Seq(("a", "one two"), ("b", "three")).toDF("source", "text")
+    val out = Curation.tokenBudget(docs, "source", "text", budgetTokens = 100L)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("allocated"), r.getAs[Long]("rate_x10000"))).toMap
+    out("a") shouldBe ((2L, 10000L))
+    out("b") shouldBe ((1L, 10000L))
+  }
+
+  test("tokenBudget: zero budget allocates zero everywhere") {
+    import spark.implicits._
+    val docs = Seq(("a", "one two"), ("b", "three")).toDF("source", "text")
+    val out = Curation.tokenBudget(docs, "source", "text", budgetTokens = 0L)
+      .collect()
+    all(out.map(_.getAs[Long]("allocated"))) shouldBe 0L
+  }
+}

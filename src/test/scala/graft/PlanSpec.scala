@@ -508,6 +508,27 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("events.parquet")
   }
 
+  test("x85 time-scoped dedup: one digest-keyed exchange feeds both window frames, no join") {
+    val plan = planOf(q("x85_timescoped_dedup"))
+    // lag (sliding frame) and the burst running-sum (cumulative frame)
+    // are two Window operators over the SAME sort/partitioning — one
+    // hash exchange on the digest, plus only the output-order range
+    // exchange; nothing is joined back
+    nodeCount(plan, "Window") shouldBe 2
+    raw"hashpartitioning\(__fp".r.findAllIn(plan).length shouldBe 1
+    (plan should not).include("Join")
+  }
+
+  test("x86 token budget: corpus collapses per source before any window; level broadcasts back") {
+    val plan = planOf(q("x86_token_budget"))
+    // the one-row waterfilling level rides a broadcast nested-loop join;
+    // nothing corpus-sized is ever sort-merge joined
+    plan should include("BroadcastNestedLoopJoin")
+    (plan should not).include("SortMergeJoin")
+    // token counting aggregates partially map-side before the source shuffle
+    plan.toLowerCase should include("partial")
+  }
+
   test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
     val df = q("x78_zorder_layout")
     val plan = planOf(df)
