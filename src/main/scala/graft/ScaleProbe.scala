@@ -289,6 +289,20 @@ object ScaleProbe {
         Graph.pageRank(edges, "src", "dst", iterations = 3)
           .agg(sum("rank_x1e12")).first().getLong(0)
       },
+      // Time-scoped dedup (x85): digests scale with m, sightings per
+      // digest constant — the window partition width (the only per-task
+      // state) never grows with the corpus.
+      "timescoped_dedup" -> { m =>
+        val digests = 100000L * m; val sightings = 10L
+        val ev = spark.range(digests * sightings).select(
+          col("id").as("eid"),
+          concat(lit("c"), (col("id") % digests).cast("string")).as("content"),
+          (expr(s"id div ${digests}L") * 3600000000L +
+            (col("id") % 7) * 86400000000L).as("t"))
+        Dedup.timeScopedDedup(ev, "eid", "content", "t",
+            horizonUs = 43200000000L)
+          .agg(sum(when(col("keep"), 1L).otherwise(0L))).first().getLong(0)
+      },
       // LM surprise (x82): disjoint replica token namespaces keep each
       // bigram's count and prefix count constant while the bigram table
       // grows ×m — the exponent certifies the vocab²-bounded stats tables
@@ -326,12 +340,21 @@ object ScaleProbe {
         name => ps.exists(name.startsWith)
       case None => _ => true
     }
+    // Checkpoint-using operators (pageRank, canonicalize compositions)
+    // pin block-manager memory per invocation; drop it between runs so a
+    // later multiplier never pays eviction thrash for an earlier one's
+    // leftovers (every run's action has fully completed first).
+    def dropPersisted(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     val results = ops.filter(o => opFilter(o._1)).map { case (name, run) =>
       val times = multipliers.map { m =>
         run(m) // warm-up: codegen+JIT for this input
+        dropPersisted()
         val t0 = System.nanoTime()
         run(m)
-        m -> (System.nanoTime() - t0) / 1e9
+        val t = (System.nanoTime() - t0) / 1e9
+        dropPersisted()
+        m -> t
       }
       name -> times
     }

@@ -55,18 +55,26 @@ object Graph {
     val base = (100L - dampingX100) * r0 / 100L
 
     var ranks = nodes.select(col("node"), lit(r0).as("rank"))
+    var superseded: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
       val contrib = e
         .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
           Seq("src"))
         .select(col("dst").as("node"), expr("div(rank, outdeg)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(
             expr(s"div($dampingX100 * contrib, 100)"), lit(0L))).as("rank"))
         .localCheckpoint(true)
+      // Drop the superseded rank snapshot: only the newest checkpoint is
+      // ever read again, and without the unpersist a k-iteration run pins
+      // k rank tables in the block manager — at graph scale that evicts
+      // the edge cache and the supersteps start re-shuffling from scratch.
+      superseded.foreach(_.unpersist())
+      superseded = Some(next)
+      ranks = next
     }
     nodes.join(outdeg, Seq("node"), "left")
       .na.fill(0L, Seq("outdeg"))

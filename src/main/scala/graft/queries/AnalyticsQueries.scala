@@ -628,7 +628,37 @@ object AnalyticsQueries {
              |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
              |WHERE l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
              |  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
-             |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin))
+             |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin)),
+
+    // TPC-H-Q16-shape supplier-variety count: distinct part-supplier links
+    // (lineitem stands in for partsupp), NOT IN exclusion of negative-
+    // balance suppliers — exercises the null-aware anti-join decorrelation
+    // plus a two-level distinct aggregate. Deterministic order by
+    // (supplier_cnt DESC, brand, type, size).
+    QueryDef("b24_tpch_q16",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b24_lineitem")
+        tbl(s, d, "part").createOrReplaceTempView("b24_part")
+        tbl(s, d, "supplier").createOrReplaceTempView("b24_supplier")
+        s.sql("""SELECT p.p_brand, p.p_type, p.p_size,
+                |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+                |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM b24_lineitem) ps
+                |JOIN b24_part p ON p.p_partkey = ps.l_partkey
+                |WHERE p.p_size <= 15
+                |  AND ps.l_suppkey NOT IN (
+                |    SELECT s_suppkey FROM b24_supplier WHERE s_acctbal < 0)
+                |GROUP BY p.p_brand, p.p_type, p.p_size
+                |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin)
+      },
+      Some("""SELECT p.p_brand, p.p_type, p.p_size,
+             |  count(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+             |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+             |JOIN part p ON p.p_partkey = ps.l_partkey
+             |WHERE p.p_size <= 15
+             |  AND ps.l_suppkey NOT IN (
+             |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+             |GROUP BY p.p_brand, p.p_type, p.p_size
+             |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

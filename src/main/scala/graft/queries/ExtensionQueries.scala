@@ -2606,7 +2606,137 @@ object ExtensionQueries {
              |  max(v)::BIGINT AS high, min(v)::BIGINT AS low,
              |  min(close)::BIGINT AS close, count(*)::BIGINT AS n,
              |  sum(v)::BIGINT AS sum_cents
-             |FROM wv GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin))
+             |FROM wv GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin)),
+
+    // The whole engine in one query: the corpus→training-set funnel.
+    // raw → exact dedup → near-dup canonicalization → benchmark
+    // decontamination (eval = the hash-slice-0 docs, which leave the
+    // corpus at that stage) → model quality gate (x58's scorer, threshold
+    // 2300) → sequence packing (256-token sequences, 8 shards). One row
+    // per stage with surviving docs + tokens (packed: sequences +
+    // packed tokens — conservation of the stage-4 token mass is visible
+    // in the report). Every stage reuses the already-oracle-checked
+    // operator; the oracle composes the same CTE bodies end to end.
+    QueryDef("x88_curation_funnel",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val tk = docs.select(col("doc_id"),
+          size(Portable.tokens(col("text"))).cast("long").as("tk"))
+        def stageRow(ord: Int, name: String, ids: org.apache.spark.sql.DataFrame) =
+          ids.join(tk, Seq("doc_id"))
+            .agg(count(lit(1)).as("docs"),
+              coalesce(sum(col("tk")), lit(0L)).as("tokens"))
+            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+              col("docs"), col("tokens"))
+        val ek = Dedup.exact(docs, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val s1docs = docs.join(ek, Seq("doc_id"))
+        val pairs = Dedup.minHashLsh(s1docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val s2ids = Dedup.canonicalize(s1docs, "doc_id", pairs)
+          .filter(col("is_keeper")).select(col("doc").as("doc_id"))
+        val s2docs = s1docs.join(s2ids, Seq("doc_id"))
+        val slice = Portable.hash56(col("doc_id").cast("string")) % 10
+        val evalSet = docs.filter(slice === 0)
+        val corpus3 = s2docs.filter(slice =!= 0)
+        val s3ids = Curation.decontaminate(corpus3, evalSet, "doc_id", "text",
+            shingleSize = 5, thresholdPct = 20)
+          .filter(!col("contaminated")).select("doc_id")
+        val s3docs = corpus3.join(s3ids, Seq("doc_id"))
+        val s4ids = TextAnalysis.modelQualityScore(s3docs, "doc_id", "text",
+            threshold = 2300L)
+          .filter(col("keep")).select("doc_id")
+        val s4docs = docs.join(s4ids, Seq("doc_id"))
+        val packed = Curation.packSequences(s4docs, "doc_id", "text",
+          capacity = 256, numShards = 8)
+        val s5 = packed
+          .agg(count_distinct(col("shard"), col("seq_id")).as("docs"),
+            coalesce(sum(col("tokens_in_seq")), lit(0L)).as("tokens"))
+          .select(lit(5).as("stage_ord"), lit("packed").as("stage"),
+            col("docs"), col("tokens"))
+        stageRow(0, "raw", docs.select("doc_id"))
+          .unionByName(stageRow(1, "exact_dedup", ek))
+          .unionByName(stageRow(2, "near_dedup", s2ids))
+          .unionByName(stageRow(3, "decontaminated", s3ids))
+          .unionByName(stageRow(4, "quality", s4ids))
+          .unionByName(s5)
+          .orderBy("stage_ord")
+      },
+      Some(s"""WITH RECURSIVE
+             |rt AS (SELECT doc_id,
+             |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tk
+             |  FROM documents),
+             |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
+             |${minHashPairsBodyFrom("s1", "doc_id", "text")},
+             |prs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edg AS (SELECT doc_a AS a, doc_b AS b FROM prs
+             |  UNION SELECT doc_b, doc_a FROM prs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edg e ON r.b = e.a),
+             |canon AS (SELECT a AS doc, min(b) AS c FROM reach GROUP BY a),
+             |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+             |  JOIN canon ON s1.doc_id = canon.doc WHERE canon.c = s1.doc_id),
+             |ev AS (SELECT doc_id, text FROM documents
+             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 = 0),
+             |co AS (SELECT doc_id, text FROM s2
+             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 0),
+             |ctoks AS (SELECT doc_id AS doc,
+             |    string_split_regex(lower(text), '\\s+') AS ctk FROM co),
+             |csh AS (SELECT DISTINCT doc,
+             |    unnest(list_transform(range(1, greatest(len(ctk)-4,1)+1),
+             |      i -> array_to_string(list_slice(ctk, i, i+4), ' '))) AS shingle
+             |  FROM ctoks),
+             |chs AS (SELECT DISTINCT doc, ${dkHash56("shingle")} AS h FROM csh),
+             |etoks AS (SELECT string_split_regex(lower(text), '\\s+') AS etk FROM ev),
+             |esh AS (SELECT DISTINCT
+             |    unnest(list_transform(range(1, greatest(len(etk)-4,1)+1),
+             |      i -> array_to_string(list_slice(etk, i, i+4), ' '))) AS shingle
+             |  FROM etoks),
+             |ehs AS (SELECT DISTINCT ${dkHash56("shingle")} AS h FROM esh),
+             |dtot AS (SELECT doc, count(*)::BIGINT AS ts FROM chs GROUP BY doc),
+             |dmat AS (SELECT doc, count(*)::BIGINT AS ms
+             |  FROM chs JOIN ehs USING (h) GROUP BY doc),
+             |s3 AS (SELECT co.doc_id FROM co
+             |  JOIN dtot t ON co.doc_id = t.doc
+             |  LEFT JOIN dmat mm ON co.doc_id = mm.doc
+             |  WHERE (100 * coalesce(mm.ms, 0)) // greatest(t.ts, 1) < 20),
+             |$dkQualityModelBody,
+             |s4 AS (SELECT s3.doc_id FROM s3
+             |  JOIN scored USING (doc_id) WHERE scored.score >= 2300),
+             |pb AS (SELECT s4.doc_id, rt.tk AS doc_tokens,
+             |    (${dkHash56("s4.doc_id::VARCHAR")} % 8)::INT AS shard
+             |  FROM s4 JOIN rt USING (doc_id)),
+             |pc AS (SELECT doc_id, shard, doc_tokens,
+             |    (sum(doc_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
+             |  FROM pb),
+             |pe AS (SELECT shard, end_off - doc_tokens AS start_off, end_off,
+             |    unnest(range((end_off - doc_tokens) // 256,
+             |      (end_off - 1) // 256 + 1)) AS seq_id
+             |  FROM pc),
+             |pk AS (SELECT count(DISTINCT (shard, seq_id))::BIGINT AS docs,
+             |    coalesce(sum(least(end_off, (seq_id + 1) * 256)
+             |      - greatest(start_off, seq_id * 256)), 0)::BIGINT AS tokens
+             |  FROM pe)
+             |SELECT * FROM (
+             |  SELECT 0 AS stage_ord, 'raw' AS stage,
+             |    (SELECT count(*) FROM documents)::BIGINT AS docs,
+             |    (SELECT sum(tk) FROM rt)::BIGINT AS tokens
+             |  UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM s1)::BIGINT,
+             |    (SELECT sum(tk) FROM s1 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 2, 'near_dedup', (SELECT count(*) FROM s2)::BIGINT,
+             |    (SELECT sum(tk) FROM s2 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM s3)::BIGINT,
+             |    (SELECT sum(tk) FROM s3 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM s4)::BIGINT,
+             |    (SELECT sum(tk) FROM s4 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 5, 'packed', (SELECT docs FROM pk),
+             |    (SELECT tokens FROM pk)
+             |) ORDER BY stage_ord""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
