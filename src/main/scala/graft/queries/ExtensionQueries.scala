@@ -2736,7 +2736,65 @@ object ExtensionQueries {
              |    (SELECT sum(tk) FROM s4 JOIN rt USING (doc_id))::BIGINT
              |  UNION ALL SELECT 5, 'packed', (SELECT docs FROM pk),
              |    (SELECT tokens FROM pk)
-             |) ORDER BY stage_ord""".stripMargin))
+             |) ORDER BY stage_ord""".stripMargin)),
+
+    // Streaming hot-key monitor (StreamOps.streamingHotKeys, top 20
+    // users): x83's diagnostics maintained incrementally in streaming
+    // state — the live skew dashboard. Oracle is the batch top-k count.
+    QueryDef("x89_stream_hot_keys",
+      (s, d) => StreamOps.streamingHotKeys(s, s"$d/events.parquet",
+          "user_id", k = 20, queryName = s"stream_hot_${System.nanoTime()}")
+        .orderBy(col("cnt").desc, col("key")),
+      Some("""SELECT user_id AS key, count(*)::BIGINT AS cnt
+             |FROM events GROUP BY 1
+             |ORDER BY cnt DESC, key LIMIT 20""".stripMargin)),
+
+    // Point-in-time-correct feature join (x90): the feature-store
+    // pattern — cumulative per-user view features (running count/sum as
+    // of each feature timestamp) attached to purchase events via
+    // AsOfJoin.backward, so a training row can never see a feature value
+    // from AFTER its own timestamp (feature leakage). Single-shuffle
+    // union+window as-of; features pre-aggregated per (user, ts).
+    QueryDef("x90_pit_features",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(s, d)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), expr("unix_micros(ts)").as("t"))
+          .agg(count(lit(1)).as("vn"),
+            sum(floor(col("value") * 100 + 0.5).cast("long")).as("vs"))
+        val w = Window.partitionBy("user_id").orderBy("t")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val feats = views.select(col("user_id"), col("t"),
+          sum(col("vn")).over(w).as("views"),
+          sum(col("vs")).over(w).as("view_cents"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("t"))
+        AsOfJoin.backward(purchases, feats, "user_id", "t",
+            Seq("views", "view_cents"), validateUnique = false)
+          .select(col("event_id"), col("user_id"), col("t").as("ts"),
+            coalesce(col("asof_views"), lit(0L)).as("views"),
+            coalesce(col("asof_view_cents"), lit(0L)).as("view_cents"))
+          .orderBy("event_id")
+      },
+      Some("""WITH v AS (SELECT user_id, epoch_us(ts) AS t, count(*)::BIGINT AS vn,
+             |    sum(floor(value*100 + 0.5)::BIGINT)::BIGINT AS vs
+             |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+             |f AS (SELECT user_id, t,
+             |    sum(vn) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS UNBOUNDED PRECEDING) AS views,
+             |    sum(vs) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS UNBOUNDED PRECEDING) AS view_cents
+             |  FROM v),
+             |p AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events
+             |  WHERE event_type = 'purchase'),
+             |j AS (SELECT p.event_id, p.user_id, p.t, f.views, f.view_cents,
+             |    row_number() OVER (PARTITION BY p.event_id ORDER BY f.t DESC) AS rn
+             |  FROM p LEFT JOIN f ON p.user_id = f.user_id AND f.t <= p.t)
+             |SELECT event_id, user_id, t AS ts,
+             |  coalesce(views, 0)::BIGINT AS views,
+             |  coalesce(view_cents, 0)::BIGINT AS view_cents
+             |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -102,6 +102,30 @@ object StreamOps {
         col("n"), col("sum_cents"))
   }
 
+  /** Streaming hot-key monitor — Skew.hotKeys' real-time twin: per-key
+    * counts maintained incrementally in streaming state (complete mode),
+    * cut to the top `k` on read. At scale this is the live skew dashboard
+    * that tells you a key is going hot BEFORE the batch join that would
+    * have hot-spotted on it; state is one counter per distinct key (bound
+    * the key domain upstream — hash-bucket raw keys if unbounded).
+    */
+  def streamingHotKeys(spark: SparkSession, eventsPath: String,
+      keyCol: String, k: Int,
+      queryName: String = "graft_stream_hotkeys"): DataFrame = {
+    require(k > 0, "streamingHotKeys: k must be positive")
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-hotkeys")
+    val stream = normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val agg = stream.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName).orderBy(col("cnt").desc, col("key")).limit(k)
+  }
+
   /** Gap-based sessionization via the native session_window operator: a
     * session extends while consecutive events arrive within `gap`; the
     * window start is the session's first event time. One shuffle on the
