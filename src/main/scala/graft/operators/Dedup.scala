@@ -248,6 +248,30 @@ object Dedup {
         (col("__new") === 1L).as("keep"))
   }
 
+  /** Corpus snapshot diff — the incremental-pipeline primitive: compare
+    * two versions of a corpus by id + content digest and classify every id
+    * as `added` (new only), `removed` (old only), `changed` (both, digest
+    * differs), or `unchanged`. The digest comparison makes the diff
+    * content-aware, not just membership-aware — a re-crawled page with
+    * edits shows as changed, byte-identical re-delivery as unchanged
+    * (downstream stages can skip it). Output: (id, status).
+    *
+    * Scale: both sides project to (id, 16-byte digest) BEFORE the full
+    * outer join — the only shuffle moves slim digest rows on the id key,
+    * never document bodies.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Word-k-shingles per document: (doc, shingle), WITH duplicates — the
     * downstream `collect_set` aggregate dedups map-side, so a separate
     * distinct would only add a shuffle. The explode is bounded by text

@@ -132,4 +132,56 @@ object Profile {
         sum(when(col("ad") * 100 > lit(kX100.toLong) * col("mad"), 1L)
           .otherwise(0L)).as("outliers"))
   }
+
+  /** Per-category distribution drift — the data-quality monitor that
+    * catches "source X suddenly ships much shorter documents": bucket
+    * every row by the GLOBAL quantile cuts of `valueCol` (exactQuantiles'
+    * inverse-CDF cuts at `cutsQ`, so buckets are corpus-calibrated), then
+    * compare each category's bucket shares against the corpus shares.
+    * Output per category: (cat, n, worst_bucket, max_dev_x10000) — the
+    * bucket with the largest absolute share deviation and that deviation
+    * in basis points (ties resolve to the smallest bucket id). Empty
+    * buckets count (a category missing an entire quartile IS drift).
+    *
+    * Scale: cuts are a ≤|cutsQ|-row broadcast; bucketing is map-only
+    * (one filter() HOF against the sorted cut array); the per-category
+    * and corpus share aggregates are two keyed shuffles with map-side
+    * partials; the (category × bucket) grid is category-count × (|cuts|+1)
+    * rows — never row-scaled.
+    */
+  def categoryDrift(df: DataFrame, catCol: String, valueCol: String,
+      cutsQ: Seq[Int] = Seq(2500, 5000, 7500)): DataFrame = {
+    require(cutsQ.nonEmpty, "categoryDrift: at least one cut")
+    val nb = cutsQ.size + 1
+    val base = df.select(col(catCol).as("cat"), col(valueCol).cast("long").as("v"))
+    val cutsRow = broadcast(exactQuantiles(base.select("v"), "v", cutsQ)
+      .agg(sort_array(collect_list(col("value"))).as("cuts")))
+    val bucketed = base.crossJoin(cutsRow)
+      .select(col("cat"),
+        expr("size(filter(cuts, c -> v > c))").as("bucket"))
+    val catTot = bucketed.groupBy("cat").agg(count(lit(1)).as("n"))
+    val grid = catTot.select(col("cat"), col("n"),
+      explode(sequence(lit(0), lit(nb - 1))).as("bucket"))
+    val catDist = grid
+      .join(bucketed.groupBy("cat", "bucket").agg(count(lit(1)).as("cnt")),
+        Seq("cat", "bucket"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("pct", expr("div(10000 * cnt, n)"))
+    val corpusTot = bucketed.agg(count(lit(1)).as("cn"))
+    val corpusDist = bucketed.groupBy("bucket").agg(count(lit(1)).as("ccnt"))
+    val corpusGrid = catTot.sparkSession.range(nb)
+      .select(col("id").cast("int").as("bucket"))
+      .join(corpusDist, Seq("bucket"), "left")
+      .na.fill(0L, Seq("ccnt"))
+      .crossJoin(broadcast(corpusTot))
+      .select(col("bucket"), expr("div(10000 * ccnt, cn)").as("cpct"))
+    val dev = catDist.join(broadcast(corpusGrid), Seq("bucket"))
+      .withColumn("dev", abs(col("pct") - col("cpct")))
+    val maxDev = dev.groupBy("cat").agg(max(col("dev")).as("mdev"))
+    dev.join(maxDev, Seq("cat"))
+      .groupBy("cat")
+      .agg(min(col("n")).as("n"),
+        min(when(col("dev") === col("mdev"), col("bucket"))).as("worst_bucket"),
+        min(col("mdev")).as("max_dev_x10000"))
+  }
 }

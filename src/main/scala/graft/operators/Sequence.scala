@@ -92,4 +92,36 @@ object Sequence {
       .withColumn("valid_to", lead(col(seqCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Rolling distinct actives — the trailing-`windowDays` DAU/WAU/MAU
+    * family: for every observed day, how many DISTINCT keys were active
+    * in the window ending that day. Exact rolling COUNT DISTINCT is the
+    * classic hard case (not frame-mergeable, so no window-function route
+    * without buffering raw rows per frame); the scale-correct shape used
+    * here is contribute-and-regroup: dedup to (day, key), fan each
+    * activity out MAP-SIDE to the `windowDays` window-end days it
+    * supports (bounded explode, no range join, no giant window
+    * partition), and take one distinct-count aggregate keyed by
+    * window-end day. Output: (day, actives) for observed days only.
+    *
+    * Scale: the explode multiplies the DEDUPED (day, key) activity table
+    * by windowDays — for a 30-day MAU over years of events that is 30×
+    * a small table, not 30× the raw stream; the count_distinct shuffle
+    * partitions by day with map-side partial dedup.
+    */
+  def rollingActives(events: DataFrame, keyCol: String, tsUsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays >= 1, "rollingActives: windowDays must be >= 1")
+    val du = events.select(
+        expr(s"div(cast($tsUsCol as bigint), 86400000000)").as("day"),
+        col(keyCol).as("k"))
+      .distinct()
+    val observed = du.select("day").distinct()
+    val rolled = du
+      .select(explode(sequence(col("day"), col("day") + (windowDays - 1)))
+        .as("rday"), col("k"))
+      .groupBy("rday").agg(count_distinct(col("k")).as("actives"))
+    observed.join(rolled, observed("day") === rolled("rday"))
+      .select(col("day"), col("actives"))
+  }
 }

@@ -2794,7 +2794,103 @@ object ExtensionQueries {
              |SELECT event_id, user_id, t AS ts,
              |  coalesce(views, 0)::BIGINT AS views,
              |  coalesce(view_cents, 0)::BIGINT AS view_cents
-             |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin))
+             |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin)),
+
+    // Rolling 7-day distinct actives (Sequence.rollingActives): exact
+    // trailing COUNT DISTINCT per observed day via contribute-and-regroup
+    // (map-side fan-out of deduped activity to window-end days) — no
+    // range join, no per-frame buffering. The WAU curve, exactly.
+    QueryDef("x91_rolling_actives",
+      (s, d) => Sequence.rollingActives(
+          QueryDef.events(s, d).withColumn("t_us", expr("unix_micros(ts)")),
+          "user_id", "t_us", windowDays = 7)
+        .orderBy("day"),
+      Some("""WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+             |    user_id FROM events),
+             |obs AS (SELECT DISTINCT day FROM du),
+             |c AS (SELECT day + unnest([0, 1, 2, 3, 4, 5, 6]) AS rday, user_id
+             |  FROM du),
+             |r AS (SELECT rday, count(DISTINCT user_id)::BIGINT AS actives
+             |  FROM c GROUP BY 1)
+             |SELECT o.day, r.actives FROM obs o JOIN r ON r.rday = o.day
+             |ORDER BY o.day""".stripMargin)),
+
+    // Per-source distribution drift (Profile.categoryDrift over doc
+    // lengths, global quartile cuts): each source's bucket shares vs the
+    // corpus shares, worst deviation in basis points — the data-quality
+    // monitor that catches a source shipping suddenly-different
+    // documents. Empty buckets count as drift.
+    QueryDef("x92_source_drift",
+      (s, d) => Profile.categoryDrift(
+          tbl(s, d, "documents").select(col("source"), length(col("text")).as("len")),
+          "source", "len", Seq(2500, 5000, 7500))
+        .orderBy("cat"),
+      Some("""WITH base AS (SELECT source AS cat, length(text)::BIGINT AS v
+             |  FROM documents),
+             |h AS (SELECT v, count(*)::BIGINT AS cnt FROM base GROUP BY 1),
+             |cc AS (SELECT v, cnt,
+             |    sum(cnt) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             |      AND CURRENT ROW) AS cum,
+             |    sum(cnt) OVER () AS n FROM h),
+             |t AS (SELECT unnest([2500, 5000, 7500]) AS q),
+             |cuts AS (SELECT q, min(v) AS cv FROM cc CROSS JOIN t
+             |  WHERE cum >= (q::BIGINT * n + 9999) // 10000 GROUP BY 1),
+             |bk AS (SELECT cat,
+             |    (SELECT count(*) FROM cuts WHERE base.v > cuts.cv)::INT AS bucket
+             |  FROM base),
+             |ct AS (SELECT cat, count(*)::BIGINT AS n FROM bk GROUP BY 1),
+             |grid AS (SELECT ct.cat, ct.n, u.bucket FROM ct
+             |  CROSS JOIN (SELECT unnest(range(0, 4))::INT AS bucket) u),
+             |xc AS (SELECT cat, bucket, count(*)::BIGINT AS cnt FROM bk
+             |  GROUP BY 1, 2),
+             |cd AS (SELECT g.cat, g.n, g.bucket,
+             |    (10000 * coalesce(x.cnt, 0)) // g.n AS pct
+             |  FROM grid g LEFT JOIN xc x
+             |    ON g.cat = x.cat AND g.bucket = x.bucket),
+             |cot AS (SELECT count(*)::BIGINT AS cn FROM bk),
+             |cog AS (SELECT u.bucket,
+             |    (10000 * coalesce(cb.ccnt, 0)) // cot.cn AS cpct
+             |  FROM (SELECT unnest(range(0, 4))::INT AS bucket) u
+             |  LEFT JOIN (SELECT bucket, count(*)::BIGINT AS ccnt FROM bk
+             |    GROUP BY 1) cb USING (bucket)
+             |  CROSS JOIN cot),
+             |dv AS (SELECT cd.cat, cd.n, cd.bucket, abs(cd.pct - cog.cpct) AS dev
+             |  FROM cd JOIN cog USING (bucket)),
+             |md AS (SELECT cat, max(dev) AS mdev FROM dv GROUP BY 1)
+             |SELECT dv.cat, min(dv.n)::BIGINT AS n,
+             |  min(CASE WHEN dv.dev = md.mdev THEN dv.bucket END)::INT
+             |    AS worst_bucket,
+             |  min(md.mdev)::BIGINT AS max_dev_x10000
+             |FROM dv JOIN md USING (cat)
+             |GROUP BY dv.cat ORDER BY dv.cat""".stripMargin)),
+
+    // Corpus snapshot diff (Dedup.snapshotDiff): two simulated corpus
+    // versions (hash-slice 0 arrives, slice 1 leaves, slice 2 is edited)
+    // classified added/removed/changed/unchanged by id + content digest.
+    // Only slim (id, digest) rows reach the full-outer shuffle.
+    QueryDef("x93_snapshot_diff",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val slice = Portable.hash56(col("doc_id").cast("string")) % 10
+        val oldSnap = docs.filter(slice =!= 0)
+        val newSnap = docs.filter(slice =!= 1)
+          .withColumn("text",
+            when(slice === 2, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")))
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text").orderBy("id")
+      },
+      Some(s"""WITH o AS (SELECT doc_id AS id, md5(text) AS h FROM documents
+             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 0),
+             |n AS (SELECT doc_id AS id,
+             |    md5(CASE WHEN ${dkHash56("doc_id::VARCHAR")} % 10 = 2
+             |      THEN text || ' v2' ELSE text END) AS h
+             |  FROM documents WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 1)
+             |SELECT coalesce(o.id, n.id) AS id,
+             |  CASE WHEN o.id IS NULL THEN 'added'
+             |       WHEN n.id IS NULL THEN 'removed'
+             |       WHEN o.h <> n.h THEN 'changed'
+             |       ELSE 'unchanged' END AS status
+             |FROM o FULL OUTER JOIN n ON o.id = n.id ORDER BY id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

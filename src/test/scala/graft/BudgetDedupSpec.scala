@@ -72,4 +72,13 @@ class BudgetDedupSpec extends SparkSpec with Matchers {
       .collect()
     all(out.map(_.getAs[Long]("allocated"))) shouldBe 0L
   }
+
+  test("snapshotDiff: classifies added/removed/changed/unchanged by content digest") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "same"), (2L, "goes away"), (3L, "edit me")).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "same"), (3L, "edited"), (4L, "brand new")).toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed", 4L -> "added")
+  }
 }

@@ -529,6 +529,21 @@ class PlanSpec extends SparkSpec with Matchers {
     plan.toLowerCase should include("partial")
   }
 
+  test("x90 PIT features: the as-of attach is union+window — no join of events to features") {
+    val plan = planOf(q("x90_pit_features"))
+    plan should include("Union")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("x91 rolling actives: map-side fan-out, no range join, distinct aggregates partially") {
+    val plan = planOf(q("x91_rolling_actives"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("NestedLoop")
+    plan should include("Generate") // the windowDays explode is map-side
+    plan.toLowerCase should include("partial")
+  }
+
   test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
     val df = q("x78_zorder_layout")
     val plan = planOf(df)
