@@ -311,6 +311,38 @@ object Curation {
         expr("div(10000 * allocated, greatest(tokens, 1))"))
   }
 
+  /** Length-bucketed training batches — minimize padding waste: within
+    * each shard, sort documents by token count and cut into fixed-size
+    * batches, so each batch pads to a max close to its members' lengths
+    * (random batching pads everything to the global tail). Output one row
+    * per (shard, batch): members, max/sum tokens, and `padding_tokens` =
+    * n·max − sum (the waste a per-batch-padded training step pays).
+    *
+    * Scale: same sharded-window discipline as packSequences — the length
+    * sort runs per shard (shards ≈ cores), never as one global sort;
+    * batch stats are one keyed aggregate reusing the shard partitioning.
+    * Deterministic: (tokens, id) ordering, seedless hash sharding.
+    */
+  def batchByLength(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, numShards: Int): DataFrame = {
+    require(batchSize > 0, "batchByLength: batchSize must be positive")
+    require(numShards > 0, "batchByLength: numShards must be positive")
+    val base = df.select(col(idCol),
+        size(tokens(col(textCol))).cast("long").as("doc_tokens"))
+      .withColumn("shard",
+        (hash56(col(idCol).cast("string")) % numShards).cast("int"))
+    val w = Window.partitionBy("shard").orderBy(col("doc_tokens"), col(idCol))
+    base
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("batch_idx", expr(s"div(__rn - 1, $batchSize)"))
+      .groupBy("shard", "batch_idx")
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("doc_tokens")).as("max_tokens"),
+        sum(col("doc_tokens")).as("sum_tokens"))
+      .withColumn("padding_tokens",
+        col("n_docs") * col("max_tokens") - col("sum_tokens"))
+  }
+
   /** Leakage-safe train/val/test split: assign WHOLE near-duplicate
     * clusters to one split, so a held-out document never has a near-copy
     * in train (random row-level splits leak exactly this way — the

@@ -449,6 +449,43 @@ object Dedup {
     verifyJaccardArrays(candidates, feats, threshold)
   }
 
+  /** Shingle CONTAINMENT near-dup — the asymmetric metric Jaccard
+    * structurally misses: a short document quoted verbatim inside a long
+    * one has |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B| ≈ 0, so
+    * threshold-Jaccard never fires. Containment here is measured against
+    * the SMALLER side (`div(100·common, min(size_a, size_b))`) — "is one
+    * of these documents mostly inside the other" — the
+    * quote/excerpt/wrapper-page detector.
+    *
+    * Same dataflow as ngramJaccard: per-doc distinct shingle-hash sets
+    * (one collect_set shuffle), shared-shingle inverted-index candidates,
+    * array_intersect verification — candidates bounded by docs sharing a
+    * shingle, never all pairs.
+    */
+  def shingleContainment(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, thresholdPct: Int = 80): DataFrame = {
+    require(thresholdPct >= 0 && thresholdPct <= 100,
+      "shingleContainment: thresholdPct must be in [0, 100]")
+    val feats = featureSets(shingles(df, idCol, textCol, shingleSize)
+      .select(col("doc"), hash56(col("shingle")).as("h")))
+    val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
+    val candidates = grams.as("l").join(grams.as("r"),
+        col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    candidates
+      .join(feats.as("fa"), col("doc_a") === col("fa.doc"))
+      .join(feats.as("fb"), col("doc_b") === col("fb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa.features"), col("fb.features")))
+          .cast("long").as("common"),
+        size(col("fa.features")).cast("long").as("size_a"),
+        size(col("fb.features")).cast("long").as("size_b"))
+      .withColumn("containment_pct",
+        expr("div(100 * common, greatest(least(size_a, size_b), 1))"))
+      .filter(col("containment_pct") >= thresholdPct)
+  }
+
   /** Exact Jaccard for candidate pairs against a per-doc feature-array
     * table: |A∩B| = `size(array_intersect)` after two equi-joins on doc id
     * — no feature-level join explosion, no extra aggregate. Integers all

@@ -2890,7 +2890,55 @@ object ExtensionQueries {
              |       WHEN n.id IS NULL THEN 'removed'
              |       WHEN o.h <> n.h THEN 'changed'
              |       ELSE 'unchanged' END AS status
-             |FROM o FULL OUTER JOIN n ON o.id = n.id ORDER BY id""".stripMargin))
+             |FROM o FULL OUTER JOIN n ON o.id = n.id ORDER BY id""".stripMargin)),
+
+    // Length-bucketed training batches (Curation.batchByLength, batch 16,
+    // 8 shards): per-shard length sort cut into fixed batches — padding
+    // waste = n·max − sum per batch, the quantity dynamic batching
+    // minimizes. Sharded windows, never a global sort.
+    QueryDef("x94_length_batches",
+      (s, d) => Curation.batchByLength(tbl(s, d, "documents"), "doc_id", "text",
+          batchSize = 16, numShards = 8)
+        .orderBy("shard", "batch_idx"),
+      Some(s"""WITH b AS (SELECT doc_id,
+             |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS doc_tokens,
+             |    (${dkHash56("doc_id::VARCHAR")} % 8)::INT AS shard
+             |  FROM documents),
+             |r AS (SELECT doc_id, shard, doc_tokens,
+             |    (row_number() OVER (PARTITION BY shard
+             |      ORDER BY doc_tokens, doc_id) - 1) // 16 AS batch_idx
+             |  FROM b)
+             |SELECT shard, batch_idx::BIGINT AS batch_idx,
+             |  count(*)::BIGINT AS n_docs, max(doc_tokens)::BIGINT AS max_tokens,
+             |  sum(doc_tokens)::BIGINT AS sum_tokens,
+             |  (count(*) * max(doc_tokens) - sum(doc_tokens))::BIGINT
+             |    AS padding_tokens
+             |FROM r GROUP BY 1, 2 ORDER BY shard, batch_idx""".stripMargin)),
+
+    // Shingle containment (Dedup.shingleContainment, 3-shingles, >= 50%):
+    // the asymmetric near-dup metric — a short doc quoted inside a long
+    // one fires containment while its Jaccard stays near zero. Same
+    // inverted-index candidate discipline as x05.
+    QueryDef("x95_containment",
+      (s, d) => Dedup.shingleContainment(tbl(s, d, "documents"), "doc_id", "text",
+          shingleSize = 3, thresholdPct = 50)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH ${dkShingles(3)},
+             |sizes AS (SELECT doc, count(DISTINCT h) AS sz FROM hs GROUP BY 1),
+             |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+             |  FROM hs l JOIN hs r ON l.h = r.h AND l.doc < r.doc),
+             |com AS (SELECT c.doc_a, c.doc_b, count(DISTINCT fa.h) AS common
+             |  FROM cand c JOIN hs fa ON c.doc_a = fa.doc
+             |  JOIN hs fb ON c.doc_b = fb.doc AND fa.h = fb.h
+             |  GROUP BY 1, 2)
+             |SELECT com.doc_a, com.doc_b, common::BIGINT AS common,
+             |  sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b,
+             |  (100 * common) // greatest(least(sa.sz, sb.sz), 1)
+             |    AS containment_pct
+             |FROM com JOIN sizes sa ON com.doc_a = sa.doc
+             |JOIN sizes sb ON com.doc_b = sb.doc
+             |WHERE (100 * common) // greatest(least(sa.sz, sb.sz), 1) >= 50
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -73,6 +73,40 @@ class BudgetDedupSpec extends SparkSpec with Matchers {
     all(out.map(_.getAs[Long]("allocated"))) shouldBe 0L
   }
 
+  test("shingleContainment: a quoted excerpt fires containment where Jaccard stays low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = ("zero one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen ") + short
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.shingleContainment(docs, "doc_id", "text",
+      shingleSize = 3, thresholdPct = 80).collect()
+    out.length shouldBe 1
+    val r = out.head
+    (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) shouldBe ((1L, 2L))
+    r.getAs[Long]("containment_pct") shouldBe 100L
+    // and the symmetric Jaccard on the same pair is far below 0.5:
+    Dedup.ngramJaccard(docs, "doc_id", "text", n = 12, threshold = 0.5)
+      .collect().length shouldBe 0
+  }
+
+  test("batchByLength: per-shard length sort, exact padding accounting") {
+    import spark.implicits._
+    // one shard (numShards=1): lengths 1,1,2,2,3,3 in batches of 2 ->
+    // batches (1,1),(2,2),(3,3): padding 0 everywhere. Random batching
+    // could have paired (1,3): padding 2.
+    val docs = Seq(
+      (1L, "a"), (2L, "b"), (3L, "a b"), (4L, "c d"),
+      (5L, "a b c"), (6L, "d e f")).toDF("doc_id", "text")
+    val out = Curation.batchByLength(docs, "doc_id", "text",
+        batchSize = 2, numShards = 1)
+      .orderBy("batch_idx").collect()
+      .map(r => (r.getAs[Long]("batch_idx"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("max_tokens"), r.getAs[Long]("padding_tokens"))).toSeq
+    out shouldBe Seq((0L, 2L, 1L, 0L), (1L, 2L, 2L, 0L), (2L, 2L, 3L, 0L))
+  }
+
   test("snapshotDiff: classifies added/removed/changed/unchanged by content digest") {
     import spark.implicits._
     val oldSnap = Seq((1L, "same"), (2L, "goes away"), (3L, "edit me")).toDF("doc_id", "text")
