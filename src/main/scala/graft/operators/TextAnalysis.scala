@@ -199,6 +199,47 @@ object TextAnalysis {
         expr("div(__ssum, n_bigrams)").as("surprise_x1e6"))
   }
 
+  /** Collocation mining — bigrams ranked by fixed-point LIFT, the
+    * PMI-without-log association measure: how much more often (a,b)
+    * occurs than independence predicts,
+    *   lift_x1e6 = div(10⁶ · pc · T₂, ca · cb)
+    * with pc the bigram count, T₂ the total bigram count, ca/cb the
+    * counts of a as a bigram PREFIX and b as a bigram SUFFIX. Monotone in
+    * PMI (log is monotone), so ranking order matches, with no floating
+    * log — the same trick as BM25's rational idf. `minCount` prunes the
+    * hapax noise PMI is notorious for. Exact in 64-bit for
+    * pc·T₂ ≤ ~9·10¹² — beyond that, mine per shard/source first.
+    * Output: top `k` by (lift desc, a, b) — (tok_a, tok_b, pair_count,
+    * lift_x1e6).
+    *
+    * Scale: one (a,b)-keyed count shuffle with map-side partials;
+    * prefix/suffix tables regroup the vocab²-bounded pair table, never
+    * the corpus; the top-k cut is TakeOrderedAndProject.
+    */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    require(minCount >= 1, "collocations: minCount must be >= 1")
+    require(k >= 1, "collocations: k must be >= 1")
+    val t = tokens(col(textCol))
+    val n = size(t)
+    val pairs = df.select(explode(
+      zip_with(slice(t, lit(1), greatest(n - 1, lit(0))),
+        slice(t, lit(2), greatest(n - 1, lit(0))),
+        (a, b) => struct(a.as("tok_a"), b.as("tok_b")))).as("p"))
+      .select(col("p.tok_a"), col("p.tok_b"))
+    val pc = pairs.groupBy("tok_a", "tok_b").agg(count(lit(1)).as("pc"))
+    val ca = pc.groupBy("tok_a").agg(sum(col("pc")).as("ca"))
+    val cb = pc.groupBy("tok_b").agg(sum(col("pc")).as("cb"))
+    val t2 = pc.agg(sum(col("pc")).as("t2"))
+    pc.filter(col("pc") >= minCount)
+      .join(ca, Seq("tok_a")).join(cb, Seq("tok_b"))
+      .crossJoin(broadcast(t2))
+      .select(col("tok_a"), col("tok_b"), col("pc").as("pair_count"),
+        expr("div(1000000 * pc * t2, ca * cb)").as("lift_x1e6"))
+      .orderBy(col("lift_x1e6").desc, col("tok_a"), col("tok_b"))
+      .limit(k)
+  }
+
   /** Positional skip-gram table — forward co-occurrence counts tagged
     * with their token distance (1..window): the word2vec-style training-
     * pair generator and the positional-collocation statistic in one

@@ -658,7 +658,33 @@ object AnalyticsQueries {
              |  AND ps.l_suppkey NOT IN (
              |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
              |GROUP BY p.p_brand, p.p_type, p.p_size
-             |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin))
+             |ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size""".stripMargin)),
+
+    // TPC-H-Q18-shape large-volume orders: HAVING-filtered aggregate
+    // joined back to orders + customer — the aggregate prunes BEFORE the
+    // dimension joins, so only big orders reach them.
+    QueryDef("b25_tpch_q18",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b25_lineitem")
+        tbl(s, d, "orders").createOrReplaceTempView("b25_orders")
+        tbl(s, d, "customer").createOrReplaceTempView("b25_customer")
+        s.sql("""SELECT c.c_name, o.o_orderkey, big.sum_qty,
+                |  CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+                |FROM (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+                |      FROM b25_lineitem GROUP BY 1
+                |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+                |JOIN b25_orders o ON o.o_orderkey = big.l_orderkey
+                |JOIN b25_customer c ON c.c_custkey = o.o_custkey
+                |ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_name, o.o_orderkey, big.sum_qty::BIGINT AS sum_qty,
+             |  (floor(o.o_totalprice*100 + 0.5))::BIGINT AS total_cents
+             |FROM (SELECT l_orderkey, sum(l_quantity::BIGINT) AS sum_qty
+             |      FROM lineitem GROUP BY 1
+             |      HAVING sum(l_quantity::BIGINT) > 300) big
+             |JOIN orders o ON o.o_orderkey = big.l_orderkey
+             |JOIN customer c ON c.c_custkey = o.o_custkey
+             |ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

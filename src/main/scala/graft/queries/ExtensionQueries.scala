@@ -2938,7 +2938,31 @@ object ExtensionQueries {
              |FROM com JOIN sizes sa ON com.doc_a = sa.doc
              |JOIN sizes sb ON com.doc_b = sb.doc
              |WHERE (100 * common) // greatest(least(sa.sz, sb.sz), 1) >= 50
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Collocation mining (TextAnalysis.collocations, minCount 5, top 50):
+    // bigrams ranked by fixed-point lift (PMI without the log — monotone,
+    // so ranking matches) over prefix/suffix marginals. TakeOrdered cut;
+    // the marginals regroup the vocab²-bounded pair table, never the
+    // corpus.
+    QueryDef("x96_collocations",
+      (s, d) => TextAnalysis.collocations(tbl(s, d, "documents"), "text",
+        minCount = 5L, k = 50),
+      Some("""WITH tok AS (SELECT string_split_regex(lower(text), '\s+') AS tk
+             |  FROM documents),
+             |bp AS (SELECT unnest(list_transform(
+             |    range(1, greatest(len(tk), 1)),
+             |    i -> {'a': tk[i], 'b': tk[i+1]})) AS p FROM tok),
+             |b2 AS (SELECT p.a AS a, p.b AS b FROM bp),
+             |pc AS (SELECT a, b, count(*)::BIGINT AS pc FROM b2 GROUP BY 1, 2),
+             |ca AS (SELECT a, sum(pc)::BIGINT AS ca FROM pc GROUP BY 1),
+             |cb AS (SELECT b, sum(pc)::BIGINT AS cb FROM pc GROUP BY 1),
+             |t2 AS (SELECT sum(pc)::BIGINT AS t2 FROM pc)
+             |SELECT pc.a AS tok_a, pc.b AS tok_b, pc.pc AS pair_count,
+             |  ((1000000 * pc.pc * t2.t2) // (ca.ca * cb.cb))::BIGINT AS lift_x1e6
+             |FROM pc JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN t2
+             |WHERE pc.pc >= 5
+             |ORDER BY lift_x1e6 DESC, tok_a, tok_b LIMIT 50""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
