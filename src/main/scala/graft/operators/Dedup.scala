@@ -486,6 +486,79 @@ object Dedup {
       .filter(col("containment_pct") >= thresholdPct)
   }
 
+  /** Blocked edit-distance dedup — entity-resolution for SHORT strings
+    * (titles, names, product labels) where token/shingle similarity is
+    * too coarse: candidates share at least one character `gramSize`-gram
+    * (q-gram filtering: strings of length L within k edits share at
+    * least L+1−q−k·q q-grams, so ≥1 shared gram keeps full recall while
+    * L+1−q > k·q), verified with the exact `levenshtein` built-in
+    * (codegen'd in Spark, identical semantics in DuckDB — a fully
+    * oracle-checkable edit distance). Output: (doc_a, doc_b, dist ≤
+    * maxDist).
+    *
+    * Scale: the q-gram inverted index is the same candidate discipline as
+    * ngramJaccard — equi-join on shared grams, never all pairs; the O(L²)
+    * levenshtein verify runs only on candidates and L is short by
+    * contract (cap inputs upstream; distance on long texts is
+    * meaningless anyway).
+    */
+  def editDistanceDedup(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, gramSize: Int = 6): DataFrame = {
+    require(maxDist >= 0, "editDistanceDedup: maxDist must be >= 0")
+    require(gramSize >= 2, "editDistanceDedup: gramSize must be >= 2")
+    val base = df.select(col(idCol).as("doc"), lower(col(textCol)).as("key"))
+    val grams = base.select(col("doc"), explode(expr(
+        s"array_distinct(transform(sequence(1, greatest(length(key) - ${gramSize - 1}, 1)), " +
+          s"i -> substring(key, i, $gramSize)))")).as("g"))
+    val candidates = grams.as("l").join(grams.as("r"),
+        col("l.g") === col("r.g") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("doc").as("doc_a"), col("key").as("__ka")), Seq("doc_a"))
+      .join(base.select(col("doc").as("doc_b"), col("key").as("__kb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Sorted-neighborhood entity resolution — the other classic blocking
+    * scheme: within each `prefixLen`-character block, rank records by
+    * (normalized key, id) and compare each record against its next
+    * `window` neighbors in sort order (similar strings sort together, so
+    * a small window catches most true matches at O(window·n) candidate
+    * cost — the method of choice when q-gram blocking floods on common
+    * substrings). Verification is exact `levenshtein` ≤ maxDist. Output:
+    * (doc_a, doc_b, dist), doc_a the sort-order predecessor.
+    *
+    * Scale: ranks are per-prefix windows (blocks partition the data, no
+    * global sort); neighbor pairing is a map-side offset explode joined
+    * back on (block, rank) — an equi-join. Deterministic by construction;
+    * the documented blind spot is pairs whose keys differ in the first
+    * `prefixLen` characters (use editDistanceDedup's q-gram blocking when
+    * leading-character typos matter).
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+      window: Int, maxDist: Int, prefixLen: Int = 2): DataFrame = {
+    require(window >= 1, "sortedNeighborhood: window must be >= 1")
+    require(maxDist >= 0, "sortedNeighborhood: maxDist must be >= 0")
+    require(prefixLen >= 1, "sortedNeighborhood: prefixLen must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("doc"), lower(col(textCol)).as("key"))
+      .withColumn("block", substring(col("key"), 1, prefixLen))
+    val w = Window.partitionBy("block").orderBy(col("key"), col("doc"))
+    val ranked = base.withColumn("rn", row_number().over(w))
+    val probes = ranked.select(col("block"),
+      explode(expr(s"sequence(rn + 1, rn + $window)")).as("rn"),
+      col("doc").as("doc_a"), col("key").as("__ka"))
+    probes
+      .join(ranked.select(col("block"), col("rn"),
+        col("doc").as("doc_b"), col("key").as("__kb")), Seq("block", "rn"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ka"), col("__kb")).cast("long").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact Jaccard for candidate pairs against a per-doc feature-array
     * table: |A∩B| = `size(array_intersect)` after two equi-joins on doc id
     * — no feature-level join explosion, no extra aggregate. Integers all

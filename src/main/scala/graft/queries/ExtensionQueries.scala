@@ -2962,7 +2962,55 @@ object ExtensionQueries {
              |  ((1000000 * pc.pc * t2.t2) // (ca.ca * cb.cb))::BIGINT AS lift_x1e6
              |FROM pc JOIN ca USING (a) JOIN cb USING (b) CROSS JOIN t2
              |WHERE pc.pc >= 5
-             |ORDER BY lift_x1e6 DESC, tok_a, tok_b LIMIT 50""".stripMargin))
+             |ORDER BY lift_x1e6 DESC, tok_a, tok_b LIMIT 50""".stripMargin)),
+
+    // Blocked edit-distance dedup (Dedup.editDistanceDedup over 24-char
+    // title prefixes, 6-gram blocking, dist <= 8): entity resolution for
+    // short strings with an exact codegen'd levenshtein verify — q-gram
+    // candidates, never all pairs.
+    QueryDef("x97_editdist_dedup",
+      (s, d) => Dedup.editDistanceDedup(
+          tbl(s, d, "documents").select(col("doc_id"),
+            substring(col("text"), 1, 24).as("title")),
+          "doc_id", "title", maxDist = 8, gramSize = 6)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH base AS (SELECT doc_id AS doc,
+             |    lower(substr(text, 1, 24)) AS key FROM documents),
+             |g AS (SELECT doc, unnest(list_distinct(list_transform(
+             |    range(1, greatest(length(key) - 5, 1) + 1),
+             |    i -> substr(key, i, 6)))) AS g FROM base),
+             |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+             |  FROM g l JOIN g r ON l.g = r.g AND l.doc < r.doc),
+             |v AS (SELECT c.doc_a, c.doc_b,
+             |    levenshtein(a.key, b.key)::BIGINT AS dist
+             |  FROM cand c JOIN base a ON c.doc_a = a.doc
+             |  JOIN base b ON c.doc_b = b.doc)
+             |SELECT doc_a, doc_b, dist FROM v WHERE dist <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Sorted-neighborhood linkage (Dedup.sortedNeighborhood, window 3,
+    // 2-char blocks, dist <= 8): the other classic blocking scheme —
+    // per-block rank windows, map-side neighbor explode, equi-join, exact
+    // levenshtein verify.
+    QueryDef("x98_sorted_neighborhood",
+      (s, d) => Dedup.sortedNeighborhood(
+          tbl(s, d, "documents").select(col("doc_id"),
+            substring(col("text"), 1, 24).as("title")),
+          "doc_id", "title", window = 3, maxDist = 8, prefixLen = 2)
+        .orderBy("doc_a", "doc_b"),
+      Some("""WITH base AS (SELECT doc_id AS doc,
+             |    lower(substr(text, 1, 24)) AS key,
+             |    lower(substr(text, 1, 2)) AS block FROM documents),
+             |r AS (SELECT doc, key, block,
+             |    row_number() OVER (PARTITION BY block ORDER BY key, doc) AS rn
+             |  FROM base),
+             |p AS (SELECT block, rn + unnest([1, 2, 3]) AS rn2,
+             |    doc AS doc_a, key AS ka FROM r),
+             |j AS (SELECT p.doc_a, r2.doc AS doc_b,
+             |    levenshtein(p.ka, r2.key)::BIGINT AS dist
+             |  FROM p JOIN r r2 ON p.block = r2.block AND p.rn2 = r2.rn)
+             |SELECT doc_a, doc_b, dist FROM j WHERE dist <= 8
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -107,6 +107,32 @@ class BudgetDedupSpec extends SparkSpec with Matchers {
     out shouldBe Seq((0L, 2L, 1L, 0L), (1L, 2L, 2L, 0L), (2L, 2L, 3L, 0L))
   }
 
+  test("editDistanceDedup: q-gram blocking finds typo pairs, exact distance verifies") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"), (2L, "the quick brwon fox"), // transpo: dist 2
+      (3L, "a completely different string"), (4L, "the quick brown fox")) // exact: dist 0
+      .toDF("doc_id", "title")
+    val out = Dedup.editDistanceDedup(docs, "doc_id", "title",
+        maxDist = 3, gramSize = 6)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("dist")))
+    out.toSeq shouldBe Seq((1L, 2L, 2L), (1L, 4L, 0L), (2L, 4L, 2L))
+  }
+
+  test("sortedNeighborhood: neighbors within the rank window pair up, blocks bound candidates") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "smith john"), (2L, "smith jon"), (3L, "smith johnny"),
+      (4L, "zimmer alex")).toDF("doc_id", "title")
+    val out = Dedup.sortedNeighborhood(docs, "doc_id", "title",
+        window = 2, maxDist = 3, prefixLen = 2)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // sort order in block "sm": "smith john"(1) < "smith johnny"(3) < "smith jon"(2)
+    // window 2 pairs: (1,3),(1,2),(3,2); dists: john/johnny=2, john/jon=1, johnny/jon=3
+    out shouldBe Set((1L, 3L), (1L, 2L), (3L, 2L))
+  }
+
   test("snapshotDiff: classifies added/removed/changed/unchanged by content digest") {
     import spark.implicits._
     val oldSnap = Seq((1L, "same"), (2L, "goes away"), (3L, "edit me")).toDF("doc_id", "text")
