@@ -187,6 +187,31 @@ object Curation {
       when(w >= 1, sequence(lit(1), w)).otherwise(array().cast("array<int>"))))
   }
 
+  /** Fractional-epoch mixture — replicateByWeight with a FRACTIONAL knob,
+    * which is what real mixture specs use ("2.5 epochs of source A"):
+    * weight arrives ×100; every row gets div(w, 100) full copies, and the
+    * fractional remainder keeps an extra copy for the deterministic
+    * hash56 slice of size (w mod 100)% — seedless, engine-portable, and
+    * NESTED (the 2.5-epoch set contains the 2.2-epoch set for the same
+    * source). Map-only: a bounded explode, no shuffle.
+    */
+  def fractionalEpochs(df: DataFrame, idCol: String, stratumCol: String,
+      weightsX100: Map[String, Int], defaultX100: Int = 100): DataFrame = {
+    require((weightsX100.values ++ Seq(defaultX100)).forall(_ >= 0),
+      "fractionalEpochs: weights must be >= 0")
+    val w = weightsX100.foldLeft(lit(defaultX100)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__w", w)
+      .withColumn("__extra",
+        (hash56(col(idCol).cast("string")) % 100 < col("__w") % 100).cast("int"))
+      .withColumn("copy", explode(expr(
+        "CASE WHEN div(__w, 100) + __extra >= 1 " +
+          "THEN sequence(CAST(1 AS BIGINT), CAST(div(__w, 100) + __extra AS BIGINT)) " +
+          "ELSE CAST(array() AS array<bigint>) END")))
+      .drop("__w", "__extra")
+  }
+
   /** Distinctive-term extraction — the full TF-IDF two-pass made exact:
     * per document, the top-`k` tokens ranked by term frequency (desc) then
     * document frequency (asc) then token — i.e. the terms most

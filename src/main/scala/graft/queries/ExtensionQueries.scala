@@ -3010,7 +3010,56 @@ object ExtensionQueries {
              |    levenshtein(p.ka, r2.key)::BIGINT AS dist
              |  FROM p JOIN r r2 ON p.block = r2.block AND p.rn2 = r2.rn)
              |SELECT doc_a, doc_b, dist FROM j WHERE dist <= 8
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Fractional-epoch mixture (Curation.fractionalEpochs: en 2.5 epochs,
+    // de 1.2, others 1.0): full copies plus a deterministic hash-slice
+    // extra copy for the fractional remainder — the real mixture-spec
+    // knob, map-only and nested across rates.
+    QueryDef("x99_fractional_epochs",
+      (s, d) => Curation.fractionalEpochs(tbl(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 250, "de" -> 120), defaultX100 = 100)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy"),
+      Some(s"""WITH w AS (SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 120
+             |      ELSE 100 END AS wx,
+             |    CASE WHEN ${dkHash56("doc_id::VARCHAR")} % 100 <
+             |      (CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 120
+             |        ELSE 100 END) % 100 THEN 1 ELSE 0 END AS extra
+             |  FROM documents)
+             |SELECT doc_id, lang, unnest(range(1, wx // 100 + extra + 1)) AS copy
+             |FROM w WHERE wx // 100 + extra >= 1
+             |ORDER BY doc_id, copy""".stripMargin)),
+
+    // Tokenizer fertility by language (x11's lexer aggregated per lang):
+    // chars-per-BPE-ish-token ×100 per language — the tokenizer-fit
+    // report that decides whether a vocab underserves a language.
+    QueryDef("x100_tokenizer_fertility",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val tc = TextAnalysis.tokenCounts(docs, "doc_id", "text")
+        docs.select(col("doc_id"), col("lang"), length(col("text")).as("chars"))
+          .join(tc, Seq("doc_id"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("docs"),
+            sum(col("chars").cast("long")).as("chars"),
+            sum(col("ws_tokens").cast("long")).as("ws_tokens"),
+            sum(col("bpe_ish_tokens").cast("long")).as("bpe_tokens"))
+          .withColumn("chars_per_bpe_x100",
+            expr("div(100 * chars, greatest(bpe_tokens, 1))"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*)::BIGINT AS docs,
+             |  sum(length(text))::BIGINT AS chars,
+             |  sum(len(string_split_regex(lower(text), '\s+')))::BIGINT AS ws_tokens,
+             |  sum(len(regexp_extract_all(text,
+             |    '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::BIGINT AS bpe_tokens,
+             |  (100 * sum(length(text)) //
+             |    greatest(sum(len(regexp_extract_all(text,
+             |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 1))::BIGINT
+             |    AS chars_per_bpe_x100
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

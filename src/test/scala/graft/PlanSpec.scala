@@ -544,6 +544,34 @@ class PlanSpec extends SparkSpec with Matchers {
     plan.toLowerCase should include("partial")
   }
 
+  test("x94 length batches: windows run per shard, never one global sort partition") {
+    val df = q("x94_length_batches")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(shard")
+    (plan should not).include("SinglePartition")
+  }
+
+  test("x96 collocations: marginals regroup the pair table; top-k is TakeOrdered") {
+    val plan = planOf(q("x96_collocations"))
+    plan should include("TakeOrderedAndProject")
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("x97 edit-distance dedup: q-gram equi-join candidates, no nested-loop verify") {
+    val plan = planOf(q("x97_editdist_dedup"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("NestedLoop")
+    plan should include("levenshtein")
+  }
+
+  test("x98 sorted neighborhood: per-block rank windows, neighbor join is an equi-join") {
+    val df = q("x98_sorted_neighborhood")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(block")
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("NestedLoop")
+  }
+
   test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
     val df = q("x78_zorder_layout")
     val plan = planOf(df)
