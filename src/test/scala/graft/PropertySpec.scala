@@ -282,4 +282,107 @@ class PropertySpec extends SparkSpec with Matchers {
       all(ranges.map(r => r.hi - r.lo)) should be >= 0L
     }
   }
+
+  test("property: resampled grid values are bounded by the bracketing observations") {
+    import spark.implicits._
+    val serieGen = Gen.zip(
+      Gen.chooseNum(1L, 5L), // step
+      Gen.nonEmptyListOf(Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(-50L, 50L))))
+    samples(serieGen, 12).foreach { case (step, raw) =>
+      val obs = raw.toMap.toSeq // unique ts
+      val df = obs.map { case (t, v) => ("k", t, v) }.toDF("k", "t", "v")
+      val out = graft.operators.TimeSeries.resampleLinear(df, "k", "t", "v", step)
+        .collect()
+      val sorted = obs.sortBy(_._1)
+      out.foreach { r =>
+        val g = r.getAs[Long]("grid_us"); val vc = r.getAs[Long]("value_cents")
+        val before = sorted.filter(_._1 <= g)
+        val after = sorted.filter(_._1 >= g)
+        // bracketing observation values bound the interpolation
+        val v0 = before.last._2
+        val v1 = if (after.nonEmpty) after.head._2 else v0
+        vc should be >= math.min(v0, v1)
+        vc should be <= math.max(v0, v1)
+        // exact hits are never marked interpolated
+        if (sorted.exists(_._1 == g))
+          r.getAs[Boolean]("interpolated") shouldBe false
+      }
+    }
+  }
+
+  test("property: token-budget waterfilling fills but never exceeds the budget") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.chooseNum(0L, 60L),
+      Gen.nonEmptyListOf(Gen.chooseNum(1, 12)))
+    samples(gen, 12).foreach { case (budget, sizes) =>
+      val docs = sizes.zipWithIndex.flatMap { case (n, i) =>
+        Seq.fill(n)((s"s$i", "t"))
+      }.toDF("source", "text")
+      val out = graft.operators.Curation.tokenBudget(docs, "source", "text", budget)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("tokens"),
+          r.getAs[Long]("allocated")))
+      val total = out.map(_._3).sum
+      total should be <= math.max(budget, 0L)
+      // every allocation within [0, tokens]
+      out.foreach { case (_, t, a) => a should (be >= 0L and be <= t) }
+      // waterfilling optimality: if anything was capped, the budget is
+      // filled to within one token per capped source (floor loss only)
+      val capped = out.count(o => o._3 < o._2)
+      if (capped > 0) (budget - total) should be < capped.toLong
+      else total shouldBe math.min(budget, out.map(_._2).sum)
+    }
+  }
+
+  test("property: pageRank conserves bounded mass and respects the base floor") {
+    import spark.implicits._
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L)))
+    samples(edgeGen, 8).foreach { raw =>
+      val edges = raw.filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        val out = graft.operators.Graph.pageRank(
+          edges.toDF("src", "dst"), "src", "dst", iterations = 2)
+          .collect().map(_.getAs[Long]("rank_x1e12"))
+        val n = out.length.toLong
+        val base = 15L * (1000000000000L / n) / 100L
+        all(out) should be >= base
+        // dangling nodes only LOSE mass; floors only lose mass
+        out.sum should be <= 1000000000000L
+      }
+    }
+  }
+
+  test("property: morton interleave is a bijection on the bucket grid") {
+    import spark.implicits._
+    val pts = (0 until 1024).map(i => (i.toLong % 32, i.toLong / 32))
+    val zs = pts.toDF("a", "b")
+      .select(graft.operators.Layout.mortonKey(
+        org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"), bits = 5).as("z"))
+      .collect().map(_.getLong(0))
+    zs.distinct.length shouldBe 1024
+    zs.min shouldBe 0L
+    zs.max shouldBe 1023L
+  }
+
+  test("property: fractional epochs emit exactly div(w,100) or +1 copies, slice-deterministically") {
+    import spark.implicits._
+    samples(Gen.chooseNum(0, 350), 10).foreach { w =>
+      val docs = (1L to 40L).map(i => (i, "s")).toDF("doc_id", "lang")
+        .withColumn("text", org.apache.spark.sql.functions.lit("t"))
+      val out = graft.operators.Curation.fractionalEpochs(
+        docs, "doc_id", "lang", Map("s" -> w))
+        .groupBy("doc_id").count().collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("count")).toMap
+      val lo = w / 100
+      (1L to 40L).foreach { id =>
+        out.getOrElse(id, 0L) should (be(lo.toLong) or be(lo.toLong + 1))
+      }
+      // total matches the target rate within one copy per row
+      val total = out.values.sum
+      total should be >= (40L * lo)
+      total should be <= (40L * (lo + 1))
+    }
+  }
 }
