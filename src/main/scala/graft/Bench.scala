@@ -34,7 +34,8 @@ object Bench {
     "x61_incremental_neardup", "x62_bloom_incremental_dedup",
     "x63_cluster_balanced_sample",
     "x76_bm25", "x77_pagerank", "x78_zorder_layout", "x80_resample",
-    "x82_lm_surprise", "x84_mad_outliers",
+    "x82_lm_surprise", "x84_mad_outliers", "x88_curation_funnel",
+    "x91_rolling_actives", "x95_containment", "x97_editdist_dedup",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

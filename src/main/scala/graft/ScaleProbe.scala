@@ -267,6 +267,29 @@ object ScaleProbe {
         Dedup.substringDedup(corpus(m), "doc_id", "text",
             k = 64, stride = 16, minDocs = 2)
           .agg(sum("shared_spans")).first().getLong(0)),
+      // Shingle containment (x95): disjoint replica token namespaces keep
+      // shared-gram candidates within replicas — linearity certifies the
+      // inverted index never goes corpus².
+      "containment" -> (m =>
+        Dedup.shingleContainment(corpus(m), "doc_id", "text",
+            shingleSize = 3, thresholdPct = 50)
+          .agg(sum("common")).first().getLong(0)),
+      // Edit-distance dedup (x97): 24-char replica-prefixed titles keep
+      // q-gram namespaces disjoint (the replica tag is inside the first
+      // gram), so candidates stay within replicas and the exponent
+      // isolates the gram index + levenshtein verify.
+      "editdist_dedup" -> (m =>
+        Dedup.editDistanceDedup(
+            corpus(m).select(col("doc_id"),
+              substring(col("text"), 1, 24).as("title")),
+            "doc_id", "title", maxDist = 8, gramSize = 6)
+          .agg(sum("dist")).first().getLong(0)),
+      // Collocations (x96): disjoint token namespaces keep the pair table
+      // growing ×m with constant per-pair counts; the probe certifies the
+      // vocab²-bounded marginals never dominate.
+      "collocations" -> (m =>
+        TextAnalysis.collocations(corpus(m), "text", minCount = 5L, k = 50)
+          .agg(sum("pair_count")).first().getLong(0)),
       // BM25 (x76): replica token prefixes would zero the match set, so
       // the query carries one term per replica — matched postings grow
       // linearly while the per-term df stays constant. The map-side term

@@ -488,10 +488,12 @@ object Dedup {
 
   /** Blocked edit-distance dedup — entity-resolution for SHORT strings
     * (titles, names, product labels) where token/shingle similarity is
-    * too coarse: candidates share at least one character `gramSize`-gram
-    * (q-gram filtering: strings of length L within k edits share at
-    * least L+1−q−k·q q-grams, so ≥1 shared gram keeps full recall while
-    * L+1−q > k·q), verified with the exact `levenshtein` built-in
+    * too coarse: candidates share at least one NON-FLOODED character
+    * `gramSize`-gram (q-gram filtering: strings of length L within k
+    * edits share at least L+1−q−k·q q-grams, so one shared gram keeps
+    * full recall while L+1−q > k·q — minus pairs whose every shared gram
+    * is a pruned stop-gram, see `maxBucket`), verified with the exact
+    * `levenshtein` built-in
     * (codegen'd in Spark, identical semantics in DuckDB — a fully
     * oracle-checkable edit distance). Output: (doc_a, doc_b, dist ≤
     * maxDist).
@@ -503,14 +505,26 @@ object Dedup {
     * meaningless anyway).
     */
   def editDistanceDedup(df: DataFrame, idCol: String, textCol: String,
-      maxDist: Int, gramSize: Int = 6): DataFrame = {
+      maxDist: Int, gramSize: Int = 6, maxBucket: Long = 256L): DataFrame = {
     require(maxDist >= 0, "editDistanceDedup: maxDist must be >= 0")
     require(gramSize >= 2, "editDistanceDedup: gramSize must be >= 2")
+    require(maxBucket >= 2, "editDistanceDedup: maxBucket must be >= 2")
     val base = df.select(col(idCol).as("doc"), lower(col(textCol)).as("key"))
     val grams = base.select(col("doc"), explode(expr(
         s"array_distinct(transform(sequence(1, greatest(length(key) - ${gramSize - 1}, 1)), " +
           s"i -> substring(key, i, $gramSize)))")).as("g"))
-    val candidates = grams.as("l").join(grams.as("r"),
+    // Frequency pruning (the q-gram flood guard the ScaleProbe surfaced):
+    // a gram shared by more than `maxBucket` records generates bucket²
+    // candidate pairs while carrying almost no blocking signal — the
+    // low-entropy stop-grams of the key domain. Dropping them bounds the
+    // self-join fan-out at maxBucket²/2 pairs per gram; matches that
+    // ONLY share flooded grams are the documented recall trade-off
+    // (sortedNeighborhood covers that regime).
+    val kept = grams.join(
+      grams.groupBy("g").agg(count(lit(1)).as("__gc"))
+        .filter(col("__gc") <= maxBucket), Seq("g"))
+      .select(col("doc"), col("g"))
+    val candidates = kept.as("l").join(kept.as("r"),
         col("l.g") === col("r.g") && col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()

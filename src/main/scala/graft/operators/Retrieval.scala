@@ -73,4 +73,24 @@ object Retrieval {
       .agg(count(lit(1)).as("matched_terms"), first(col("dl")).as("dl"),
         sum(expr("div(idf_x1e3 * tfc_x1e6, 1000000)")).as("score_x1e3"))
   }
+
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner: each
+    * ranked list contributes div(10⁶, kRrf + rank) per document, summed
+    * across systems (Cormack et al.'s RRF, fixed-point). Rank-based, so
+    * it fuses incomparable score scales (BM25 vs cosine) without
+    * normalization, and the integer arithmetic keeps it oracle-exact.
+    * Input lists carry (idCol, rankCol with rank ≥ 1); output:
+    * (doc, rrf_x1e6, systems). One union + one keyed aggregate — the
+    * lists are top-k-bounded, so this never touches corpus scale.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, rankCol: String,
+      kRrf: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse: at least one ranked list")
+    require(kRrf >= 0, "rrfFuse: kRrf must be >= 0")
+    lists.map(df => df.select(col(idCol).as("doc"),
+        expr(s"div(1000000, $kRrf + $rankCol)").as("__c")))
+      .reduce(_ unionByName _)
+      .groupBy("doc")
+      .agg(sum(col("__c")).as("rrf_x1e6"), count(lit(1)).as("systems"))
+  }
 }

@@ -2979,8 +2979,10 @@ object ExtensionQueries {
              |g AS (SELECT doc, unnest(list_distinct(list_transform(
              |    range(1, greatest(length(key) - 5, 1) + 1),
              |    i -> substr(key, i, 6)))) AS g FROM base),
+             |gc AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+             |gk AS (SELECT g.doc, g.g FROM g JOIN gc USING (g) WHERE gc.c <= 256),
              |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-             |  FROM g l JOIN g r ON l.g = r.g AND l.doc < r.doc),
+             |  FROM gk l JOIN gk r ON l.g = r.g AND l.doc < r.doc),
              |v AS (SELECT c.doc_a, c.doc_b,
              |    levenshtein(a.key, b.key)::BIGINT AS dist
              |  FROM cand c JOIN base a ON c.doc_a = a.doc
@@ -3059,7 +3061,63 @@ object ExtensionQueries {
              |    greatest(sum(len(regexp_extract_all(text,
              |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 1))::BIGINT
              |    AS chars_per_bpe_x100
-             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin)),
+
+    // Hybrid retrieval with reciprocal-rank fusion (x101): the lexical
+    // BM25 top-50 (x76's query) and the dense cosine top-50 for doc 0's
+    // embedding (x07's search, ids align with documents) fused by RRF —
+    // the production hybrid-search combiner, fixed-point so the fusion is
+    // oracle-exact. Output: fused top 20 with per-system membership.
+    QueryDef("x101_hybrid_retrieval",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, d, "documents")
+        val emb = tbl(s, d, "embeddings")
+        val lex = Retrieval.bm25(docs, "doc_id", "text",
+            Seq("spark", "vector", "merge"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score_x1e3").desc, col("doc"))))
+          .filter(col("rank") <= 50).select(col("doc"), col("rank"))
+        val dense = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, dense), "doc", "rank", kRrf = 60)
+          .orderBy(col("rrf_x1e6").desc, col("doc")).limit(20)
+      },
+      Some(s"""WITH tok AS (SELECT doc_id AS doc,
+             |    string_split_regex(lower(text), '\\s+') AS toks FROM documents),
+             |dls AS (SELECT doc, len(toks)::BIGINT AS dl FROM tok),
+             |stats AS (SELECT count(*)::BIGINT AS n_docs,
+             |    (100 * sum(dl)) // count(*) AS avgdl_x100 FROM dls),
+             |post0 AS (SELECT doc, unnest(toks) AS term FROM tok),
+             |post AS (SELECT doc, term, count(*)::BIGINT AS tf FROM post0
+             |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |dft AS (SELECT term, count(*)::BIGINT AS df FROM post GROUP BY 1),
+             |sc AS (SELECT p.doc,
+             |    ((1000000 * (2 * s.n_docs - 2 * f.df + 1)) // (2 * f.df + 1)) // 1000
+             |      AS idf_x1e3,
+             |    (1000000 * p.tf * 220 * 100 * s.avgdl_x100) //
+             |      (s.avgdl_x100 * (10000 * p.tf + 120 * 25) + 120 * 75 * 100 * d.dl)
+             |      AS tfc_x1e6
+             |  FROM post p JOIN dls d USING (doc) JOIN dft f USING (term)
+             |  CROSS JOIN stats s),
+             |bm AS (SELECT doc,
+             |    sum((idf_x1e3 * tfc_x1e6) // 1000000)::BIGINT AS score
+             |  FROM sc GROUP BY doc),
+             |lexr AS (SELECT doc,
+             |    row_number() OVER (ORDER BY score DESC, doc) AS r FROM bm),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec FROM v WHERE vec_id = 0),
+             |scored AS (SELECT c.vec_id AS doc, ${dkCosine("q.vec", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE c.vec_id <> 0),
+             |denser AS (SELECT doc,
+             |    row_number() OVER (ORDER BY cosine DESC, doc) AS r FROM scored),
+             |u AS (SELECT doc, 1000000 // (60 + r) AS c FROM lexr WHERE r <= 50
+             |  UNION ALL SELECT doc, 1000000 // (60 + r) FROM denser WHERE r <= 50)
+             |SELECT doc, sum(c)::BIGINT AS rrf_x1e6, count(*)::BIGINT AS systems
+             |FROM u GROUP BY doc
+             |ORDER BY rrf_x1e6 DESC, doc LIMIT 20""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
