@@ -3117,7 +3117,24 @@ object ExtensionQueries {
              |  UNION ALL SELECT doc, 1000000 // (60 + r) FROM denser WHERE r <= 50)
              |SELECT doc, sum(c)::BIGINT AS rrf_x1e6, count(*)::BIGINT AS systems
              |FROM u GROUP BY doc
-             |ORDER BY rrf_x1e6 DESC, doc LIMIT 20""".stripMargin))
+             |ORDER BY rrf_x1e6 DESC, doc LIMIT 20""".stripMargin)),
+
+    // flatMapGroupsWithState threshold alerting (x102): per user, one
+    // alert row per 50-dollar level the running positive spend crosses —
+    // the 0..n-rows-per-group streaming state machine (x16's
+    // mapGroupsWithState can only emit exactly one). Oracle: batch totals
+    // exploded to div(total, threshold) ordinals.
+    QueryDef("x102_stream_alerts",
+      (s, d) => StreamOps.streamingThresholdAlerts(s, s"$d/events.parquet",
+          thresholdCents = 5000L, queryName = s"stream_alerts_${System.nanoTime()}")
+        .orderBy("user_id", "alert_idx"),
+      Some("""WITH t AS (SELECT user_id,
+             |    sum(CASE WHEN value > 0
+             |      THEN floor(value*100 + 0.5)::BIGINT ELSE 0 END)::BIGINT AS cents
+             |  FROM events GROUP BY 1)
+             |SELECT user_id, unnest(range(1, cents // 5000 + 1)) AS alert_idx
+             |FROM t WHERE cents // 5000 >= 1
+             |ORDER BY user_id, alert_idx""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

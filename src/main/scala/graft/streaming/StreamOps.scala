@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming extension (SURVEY.md §7.5): the reference is
   * batch-only; this adds the streaming ingestion path — file stream →
@@ -480,5 +480,47 @@ object StreamOps {
     // the latest (= max, counts are monotonic) update per user is the total
     spark.table(queryName).groupBy("user_id")
       .agg(max(col("events")).as("events"))
+  }
+
+  /** Threshold alerting via flatMapGroupsWithState — the 0..n-rows-per-
+    * group state machine mapGroupsWithState can't express: per user,
+    * accumulate positive spend (cents) in state and EMIT one alert row
+    * for every `thresholdCents` level the running total crosses within a
+    * batch (a quiet batch emits nothing, a big one emits several — the
+    * real-time budget/abuse alarm). Alert ordinals are cumulative across
+    * batches (div(old,T)+1 .. div(new,T)), so replays from a checkpoint
+    * continue the sequence instead of restarting it. State is one Long
+    * per user; Update output mode.
+    */
+  def streamingThresholdAlerts(spark: SparkSession, eventsPath: String,
+      thresholdCents: Long, queryName: String): DataFrame = {
+    require(thresholdCents > 0, "streamingThresholdAlerts: threshold must be positive")
+    import spark.implicits._
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-alerts")
+    val spend = normalizeTs(
+        spark.readStream.schema(schema).parquet(streamDir), schema)
+      .select(col("user_id"),
+        when(col("value") > 0, floor(col("value") * 100 + 0.5).cast("long"))
+          .otherwise(0L).as("cents"))
+      .as[(Long, Long)]
+    val alerts = spend.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          val old = state.getOption.getOrElse(0L)
+          val total = old + batch.map(_._2).sum
+          state.update(total)
+          ((old / thresholdCents + 1) to (total / thresholdCents))
+            .iterator.map(user -> _)
+      }
+      .toDF("user_id", "alert_idx")
+    val q = alerts.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
   }
 }
