@@ -492,21 +492,24 @@ object StreamOps {
     * continue the sequence instead of restarting it. State is one Long
     * per user; Update output mode.
     */
-  def streamingThresholdAlerts(spark: SparkSession, eventsPath: String,
-      thresholdCents: Long, queryName: String): DataFrame = {
-    require(thresholdCents > 0, "streamingThresholdAlerts: threshold must be positive")
+  /** The alert stream itself (shared by the memory-sink query path and
+    * the checkpointed parquet path): Append-mode flatMapGroupsWithState —
+    * alerts are emitted exactly when crossed and never revised, so the
+    * operator composes with append-only sinks and checkpoint recovery.
+    */
+  private def thresholdAlertStream(spark: SparkSession, streamDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      thresholdCents: Long): DataFrame = {
     import spark.implicits._
-    val schema = spark.read.parquet(eventsPath).schema
-    val streamDir = stageStreamDir(eventsPath, "graft-stream-alerts")
     val spend = normalizeTs(
         spark.readStream.schema(schema).parquet(streamDir), schema)
       .select(col("user_id"),
         when(col("value") > 0, floor(col("value") * 100 + 0.5).cast("long"))
           .otherwise(0L).as("cents"))
       .as[(Long, Long)]
-    val alerts = spend.groupByKey(_._1)
+    spend.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[(Long, Long)], state: GroupState[Long]) =>
           val old = state.getOption.getOrElse(0L)
           val total = old + batch.map(_._2).sum
@@ -515,12 +518,41 @@ object StreamOps {
             .iterator.map(user -> _)
       }
       .toDF("user_id", "alert_idx")
-    val q = alerts.writeStream
+  }
+
+  def streamingThresholdAlerts(spark: SparkSession, eventsPath: String,
+      thresholdCents: Long, queryName: String): DataFrame = {
+    require(thresholdCents > 0, "streamingThresholdAlerts: threshold must be positive")
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-alerts")
+    val q = thresholdAlertStream(spark, streamDir, schema, thresholdCents)
+      .writeStream
       .format("memory").queryName(queryName)
-      .outputMode("update")
+      .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Checkpointed variant: drain whatever is new in `streamDir` into a
+    * parquet alert log at `outDir`, resuming group state from
+    * `checkpointDir` — run it again after more files arrive and the alert
+    * ordinals CONTINUE (the restart guarantee the scaladoc claims,
+    * exercised by StreamAlertsRestartSpec).
+    */
+  def thresholdAlertsToDir(spark: SparkSession, streamDir: String,
+      outDir: String, checkpointDir: String, thresholdCents: Long): Unit = {
+    require(thresholdCents > 0, "thresholdAlertsToDir: threshold must be positive")
+    val schema = spark.read.parquet(streamDir).schema
+    val q = thresholdAlertStream(spark, streamDir, schema, thresholdCents)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 }
