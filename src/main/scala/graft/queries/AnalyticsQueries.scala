@@ -314,6 +314,23 @@ object AnalyticsQueries {
     QueryDef("p15_orc_source", (s, d) => roundTrip(s, d, "orc"),
       Some(roundTripOracle)),
 
+    // Line-text source round-trip: order keys serialized one per line
+    // through spark.read/write.text — the log-file ingestion path (every
+    // "value" line re-parsed with a cast, count+sum must survive).
+    QueryDef("p19_text_source",
+      (s, d) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-text").toString
+        tbl(s, d, "orders").select(col("o_orderkey").cast("string").as("value"))
+          .write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(col("value").cast("long").as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"),
+            min(col("k")).as("key_min"), max(col("k")).as("key_max"))
+      },
+      Some("""SELECT count(*)::BIGINT AS n, sum(o_orderkey)::BIGINT AS key_sum,
+             |  min(o_orderkey)::BIGINT AS key_min, max(o_orderkey)::BIGINT AS key_max
+             |FROM orders""".stripMargin)),
+
     // Full outer join between two yearly aggregates, zero-filled — the
     // left/right/full outer family with post-join coalesce null handling.
     QueryDef("b13_outer_join",
@@ -684,7 +701,35 @@ object AnalyticsQueries {
              |      HAVING sum(l_quantity::BIGINT) > 300) big
              |JOIN orders o ON o.o_orderkey = big.l_orderkey
              |JOIN customer c ON c.c_custkey = o.o_custkey
-             |ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin))
+             |ORDER BY sum_qty DESC, o.o_orderkey""".stripMargin)),
+
+    // TPC-H-Q19-shape disjunctive-predicate join: OR-of-ANDs mixing both
+    // sides' columns — the CNF-extraction test (the common p_partkey =
+    // l_partkey conjunct must still drive an equi-join, and the
+    // single-side disjuncts should reach the scans).
+    QueryDef("b26_tpch_q19",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b26_lineitem")
+        tbl(s, d, "part").createOrReplaceTempView("b26_part")
+        s.sql("""SELECT count(*) AS matched,
+                |  sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)) AS revenue_cents
+                |FROM b26_lineitem l JOIN b26_part p ON p.p_partkey = l.l_partkey
+                |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+                |       AND l.l_quantity BETWEEN 1 AND 11)
+                |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+                |       AND l.l_quantity BETWEEN 10 AND 20)
+                |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+                |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)
+      },
+      Some("""SELECT count(*)::BIGINT AS matched,
+             |  sum((floor(l.l_extendedprice*100 + 0.5))::BIGINT)::BIGINT AS revenue_cents
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+             |       AND l.l_quantity BETWEEN 1 AND 11)
+             |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+             |       AND l.l_quantity BETWEEN 10 AND 20)
+             |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+             |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit
