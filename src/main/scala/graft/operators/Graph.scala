@@ -51,6 +51,8 @@ object Graph {
     val outdeg = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val n = nodes.count()
+    require(n > 0,
+      "pageRank: edge list has no non-self-loop edges — nothing to rank")
     val r0 = S / n
     val base = (100L - dampingX100) * r0 / 100L
 

@@ -97,6 +97,12 @@ class RankLayoutSpec extends SparkSpec with Matchers {
     byNode(1L) shouldBe (15L * (1000000000000L / 5L) / 100L)
   }
 
+  test("pageRank: empty or all-self-loop edge lists fail fast with a clear message") {
+    the[IllegalArgumentException] thrownBy
+      Graph.pageRank(edges(1L -> 1L), "src", "dst") should have message
+      "requirement failed: pageRank: edge list has no non-self-loop edges — nothing to rank"
+  }
+
   test("pageRank: deterministic across input partitioning, dedups multi-edges") {
     val e = edges(1L -> 2L, 1L -> 2L, 2L -> 3L, 3L -> 1L, 1L -> 3L)
     val a = Graph.pageRank(e, "src", "dst").orderBy("node").collect().toSeq
