@@ -121,6 +121,7 @@ object Profile {
     }
 
     val e = df.select(col(keyCol).as("key"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull) // same null discipline as exactQuantiles
     val med = histMedian(e, "v").withColumnRenamed("v_med", "med")
     val dev = e.join(med, Seq("key")).withColumn("ad", abs(col("v") - col("med")))
     val mad = histMedian(dev.select(col("key"), col("ad")), "ad")
