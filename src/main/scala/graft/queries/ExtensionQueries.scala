@@ -3134,7 +3134,52 @@ object ExtensionQueries {
              |  FROM events GROUP BY 1)
              |SELECT user_id, unnest(range(1, cents // 5000 + 1)) AS alert_idx
              |FROM t WHERE cents // 5000 >= 1
-             |ORDER BY user_id, alert_idx""".stripMargin))
+             |ORDER BY user_id, alert_idx""".stripMargin)),
+
+    // Dataset publication manifest (x103): per train/val/test split
+    // (x79's leakage-safe assignment) — docs, tokens, and an
+    // ORDER-INDEPENDENT content checksum (bit_xor of the 56-bit doc
+    // hashes), the verifiable dataset-card row a release pipeline signs.
+    // Identical partitioning, any engine, any run → identical checksums.
+    QueryDef("x103_split_manifest",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val split = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+            valPct = 5, testPct = 10)
+          .select(col("doc").as("doc_id"), col("split"))
+        docs.select(col("doc_id"),
+            size(Portable.tokens(col("text"))).cast("long").as("tk"),
+            Portable.hash56(col("text")).as("h"))
+          .join(split, Seq("doc_id"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("docs"), sum(col("tk")).as("tokens"),
+            expr("bit_xor(h)").as("content_checksum"))
+          .orderBy("split")
+      },
+      Some(s"""WITH RECURSIVE $minHashPairsBody,
+             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
+             |sp AS (SELECT doc AS doc_id,
+             |  CASE WHEN ${dkHash56("cid::VARCHAR")} % 100 < 10 THEN 'test'
+             |       WHEN ${dkHash56("cid::VARCHAR")} % 100 < 15 THEN 'val'
+             |       ELSE 'train' END AS split
+             |  FROM canon),
+             |m AS (SELECT d.doc_id,
+             |    len(string_split_regex(lower(d.text), '\\s+'))::BIGINT AS tk,
+             |    ${dkHash56("d.text")} AS h, sp.split
+             |  FROM documents d JOIN sp USING (doc_id))
+             |SELECT split, count(*)::BIGINT AS docs, sum(tk)::BIGINT AS tokens,
+             |  bit_xor(h)::BIGINT AS content_checksum
+             |FROM m GROUP BY 1 ORDER BY split""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
