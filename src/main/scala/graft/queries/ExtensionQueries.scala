@@ -3179,7 +3179,94 @@ object ExtensionQueries {
              |  FROM documents d JOIN sp USING (doc_id))
              |SELECT split, count(*)::BIGINT AS docs, sum(tk)::BIGINT AS tokens,
              |  bit_xor(h)::BIGINT AS content_checksum
-             |FROM m GROUP BY 1 ORDER BY split""".stripMargin))
+             |FROM m GROUP BY 1 ORDER BY split""".stripMargin)),
+
+    // ANN recall evaluation (x104): IVF top-10 measured against the
+    // exact brute-force top-10 per query — recall@k, the standard ANN
+    // quality gate, fully deterministic so the harness itself is
+    // oracle-checked. (x08b's parameters: nlist 8, nprobe 2.)
+    QueryDef("x104_ann_recall",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding",
+          k = 10).select("query_id", "neighbor_id")
+        val approx = Similarity.ivfTopK(qs, emb, "vec_id", "embedding",
+          k = 10, nlist = 8, nprobe = 2).select("query_id", "neighbor_id")
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("hits"))
+          .withColumn("recall_x100", expr("div(100 * hits, 10)"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS vec
+             |    FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+             |esc AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+             |er AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank FROM esc),
+             |cb AS (SELECT vec_id AS cid, vec AS centroid FROM v
+             |  ORDER BY vec_id LIMIT 8),
+             |asg AS (SELECT vec_id, vec, cid,
+             |    row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn
+             |  FROM (SELECT v.vec_id, v.vec, cb.cid,
+             |      ${dkCosine("v.vec", "cb.centroid")} AS cc
+             |    FROM v CROSS JOIN cb)),
+             |cells AS (SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell
+             |  FROM asg WHERE rn = 1),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.query_id, q.qv, cb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${dkCosine("q.qv", "cb.centroid")} DESC, cb.cid) AS pr
+             |    FROM q CROSS JOIN cb)
+             |  WHERE pr <= 2),
+             |isc AS (SELECT query_id, c.neighbor_id,
+             |    ${dkCosine("p.qv", "c.cv")} AS cosine
+             |  FROM probes p JOIN cells c USING (cell)
+             |  WHERE p.query_id <> c.neighbor_id),
+             |ir AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank FROM isc),
+             |h AS (SELECT e.query_id, count(*)::BIGINT AS hits
+             |  FROM er e JOIN ir i ON e.query_id = i.query_id
+             |    AND e.neighbor_id = i.neighbor_id
+             |  WHERE e.rank <= 10 AND i.rank <= 10 GROUP BY 1)
+             |SELECT q.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+             |  (100 * coalesce(h.hits, 0)) // 10 AS recall_x100
+             |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)),
+
+    // Dup-cluster census (x105): the dedup-audit histogram — how many
+    // near-dup clusters of each size exist (size 1 = unique docs). Two
+    // keyed aggregates over the canonical labels; the census is what a
+    // curation report quotes ("12% of the corpus sits in clusters > 5").
+    QueryDef("x105_cluster_census",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        Dedup.canonicalize(docs, "doc_id", pairs)
+          .groupBy("canonical_id").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("clusters"))
+          .orderBy("size")
+      },
+      Some(s"""WITH RECURSIVE $minHashPairsBody,
+             |prs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+             |  UNION SELECT doc_b, doc_a FROM prs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
+             |cs AS (SELECT cid, count(*)::BIGINT AS size FROM canon GROUP BY 1)
+             |SELECT size, count(*)::BIGINT AS clusters
+             |FROM cs GROUP BY 1 ORDER BY size""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
