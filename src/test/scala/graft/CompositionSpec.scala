@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Retrieval
+
+/** Invariant pins for the large composition queries (x88, x101) beyond
+  * their oracle checks.
+  */
+class CompositionSpec extends SparkSpec with Matchers {
+
+  test("x88 funnel: stage counts only shrink, packing conserves the quality stage's tokens") {
+    val rows = SparkEntry.queries("x88_curation_funnel")(spark, sfDir)
+      .collect().sortBy(_.getAs[Int]("stage_ord"))
+      .map(r => (r.getAs[String]("stage"), r.getAs[Long]("docs"),
+        r.getAs[Long]("tokens")))
+    rows.map(_._1).toSeq shouldBe Seq("raw", "exact_dedup", "near_dedup",
+      "decontaminated", "quality", "packed")
+    // docs monotone non-increasing through the doc-level stages 0..4
+    rows.take(5).map(_._2).sliding(2).foreach {
+      case Array(a, b) => b should be <= a
+      case _ => ()
+    }
+    // token mass likewise shrinks, and packing CONSERVES stage 4's mass
+    rows.take(5).map(_._3).sliding(2).foreach {
+      case Array(a, b) => b should be <= a
+      case _ => ()
+    }
+    rows(5)._3 shouldBe rows(4)._3
+    all(rows.map(_._2)) should be > 0L
+  }
+
+  test("rrfFuse: exact contributions, both-list docs beat single-list docs at equal rank") {
+    import spark.implicits._
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc", "rank")
+    val l2 = Seq((10L, 2), (40L, 1)).toDF("doc", "rank")
+    val out = Retrieval.rrfFuse(Seq(l1, l2), "doc", "rank", kRrf = 60)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[Long]("rrf_x1e6"), r.getAs[Long]("systems"))).toMap
+    out(10L) shouldBe ((1000000L / 61 + 1000000L / 62, 2L))
+    out(20L) shouldBe ((1000000L / 62, 1L))
+    out(30L) shouldBe ((1000000L / 63, 1L))
+    out(40L) shouldBe ((1000000L / 61, 1L))
+    // doc 10 (rank 1 + rank 2) outscores every single-list doc
+    out(10L)._1 should be > out(40L)._1
+  }
+
+  test("x104 recall: IVF recall is bounded by 100 and the harness reports every query") {
+    val rows = SparkEntry.queries("x104_ann_recall")(spark, sfDir)
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("hits"), r.getAs[Long]("recall_x100")))
+    rows.map(_._1).toSeq shouldBe (0L until 10L)
+    all(rows.map(_._3)) should (be >= 0L and be <= 100L)
+    all(rows.map(r => r._3 == r._2 * 10)) shouldBe true
+  }
+}
