@@ -572,6 +572,21 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("NestedLoop")
   }
 
+  test("x101 hybrid retrieval: dense leg broadcasts the query vector, no unbounded cross join") {
+    val plan = planOf(q("x101_hybrid_retrieval"))
+    // the only nested-loop is the broadcast of the single query vector /
+    // one-row stats; the fusion itself is a union + keyed aggregate
+    plan should include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+    plan should include("Union")
+  }
+
+  test("x103 split manifest: checksum aggregates partially; no quadratic pair work outside LSH") {
+    val plan = planOf(q("x103_split_manifest"))
+    (plan should not).include("CartesianProduct")
+    plan.toLowerCase should include("partial_bit_xor")
+  }
+
   test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
     val df = q("x78_zorder_layout")
     val plan = planOf(df)
