@@ -267,6 +267,29 @@ object ScaleProbe {
         Dedup.substringDedup(corpus(m), "doc_id", "text",
             k = 64, stride = 16, minDocs = 2)
           .agg(sum("shared_spans")).first().getLong(0)),
+      // Snapshot diff (x93): both versions grow with m; only slim
+      // (id, digest) rows reach the full-outer shuffle, so the exponent
+      // certifies the diff never rereads bodies post-join.
+      "snapshot_diff" -> { m =>
+        val oldSnap = corpus(m)
+        val newSnap = corpus(m).withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .groupBy("status").count()
+          .agg(sum("count")).first().getLong(0)
+      },
+      // Rolling actives (x91): keys scale with m, activity days per key
+      // constant — the windowDays fan-out must stay map-side and the
+      // distinct-count shuffle per-day bounded.
+      "rolling_actives" -> { m =>
+        val keys = 100000L * m
+        val ev = spark.range(keys * 10).select(
+          (col("id") % keys).as("user_id"),
+          (expr(s"id div ${keys}L") * 86400000000L).as("t"))
+        Sequence.rollingActives(ev, "user_id", "t", windowDays = 7)
+          .agg(sum("actives")).first().getLong(0)
+      },
       // Shingle containment (x95): disjoint replica token namespaces keep
       // shared-gram candidates within replicas — linearity certifies the
       // inverted index never goes corpus².
