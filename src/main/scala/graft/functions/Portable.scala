@@ -20,6 +20,17 @@ object Portable {
   def hash56(c: Column): Column =
     conv(substring(md5(c), 1, 14), 16, 10).cast("long")
 
+  /** Driver-side twin of [[hash56]] for building literal structures
+    * (e.g. the consistent-hash ring) that must agree bit-for-bit with the
+    * engine-side hash: first 7 md5 bytes (14 hex digits) as a
+    * non-negative Long.
+    */
+  def hash56Local(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(7).map("%02x".format(_)).mkString, 16)
+  }
+
   /** Universal-hash family over a 56-bit input, mod a 31-bit prime:
     * h_i(x) = (a_i * (x mod P) + b_i) mod P. Products stay < 2^62 — exact
     * in 64-bit arithmetic in both engines.

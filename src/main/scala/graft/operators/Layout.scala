@@ -28,6 +28,69 @@ object Layout {
     terms.reduce(_.bitwiseOR(_))
   }
 
+  /** Consistent-hash ring assignment: each of `shards` shards projects
+    * `vnodes` virtual points onto a 56-bit ring (hash of
+    * "ring_<shard>_<vnode>"); a key lands on the first point at or after
+    * its own hash (wrapping). The property that matters at 100 TB: when
+    * the shard count changes, only the keys between affected ring points
+    * move (~1/newShards of the corpus), where mod-hashing reshuffles
+    * almost everything — rebalancing cost is the operator
+    * `shardMovement` quantifies. Pure broadcast + map-side aggregate:
+    * the ring is shards×vnodes rows, keys never shuffle to be assigned.
+    */
+  def ringAssign(df: DataFrame, keyCol: String, shards: Int,
+      vnodes: Int = 16): DataFrame = {
+    require(shards >= 1 && vnodes >= 1, "ringAssign: shards/vnodes must be >= 1")
+    require(!df.columns.contains("shard"),
+      "ringAssign: input already has a shard column — rename it upstream")
+    val pts = for { s <- 0 until shards; v <- 0 until vnodes }
+      yield (graft.functions.Portable.hash56Local(s"ring_${s}_$v"), s)
+    val ring = array(pts.sortBy(identity).map { case (ph, s) =>
+      struct(lit(ph).as("ph"), lit(s).as("s")) }: _*)
+    // MAP-ONLY: the sorted ring is a literal inside the plan; the first
+    // point at-or-after the key's hash is the first survivor of the
+    // filter HOF (try_element_at stays null-safe under ANSI when the key
+    // hashes past the last point and wraps to ring[1]).
+    df.withColumn("__kh",
+        graft.functions.Portable.hash56(col(keyCol).cast("string")))
+      .withColumn("__ring", ring)
+      .withColumn("shard", coalesce(
+        expr("try_element_at(filter(__ring, p -> p.ph >= __kh), 1).s"),
+        expr("try_element_at(__ring, 1).s")))
+      .drop("__kh", "__ring")
+  }
+
+  /** Resharding movement report: assign keys under `fromShards` and
+    * `toShards` with BOTH schemes — the consistent ring and plain
+    * mod-hashing — and count how many keys change shards. One row:
+    * (total, ring_moved, ring_pct_x10000, mod_moved, mod_pct_x10000).
+    * The ring's movement approaches the theoretical
+    * |to−from|/max(to,from); mod reshuffles nearly everything — the
+    * number that decides whether a topology change is an online
+    * rebalance or a full rewrite.
+    */
+  def shardMovement(df: DataFrame, keyCol: String, fromShards: Int,
+      toShards: Int, vnodes: Int = 16): DataFrame = {
+    require(fromShards >= 1 && toShards >= 1,
+      "shardMovement: shard counts must be >= 1")
+    val keys = df.select(col(keyCol).as("k")).distinct()
+    val a = ringAssign(keys, "k", fromShards, vnodes)
+      .select(col("k"), col("shard").as("ring_from"))
+    val b = ringAssign(keys, "k", toShards, vnodes)
+      .select(col("k"), col("shard").as("ring_to"))
+    a.join(b, Seq("k"))
+      .withColumn("__kh", graft.functions.Portable.hash56(col("k").cast("string")))
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("ring_from") =!= col("ring_to"), 1L).otherwise(0L))
+          .as("ring_moved"),
+        sum(when(col("__kh") % fromShards =!= col("__kh") % toShards, 1L)
+          .otherwise(0L)).as("mod_moved"))
+      .select(col("total"), col("ring_moved"),
+        expr("div(10000 * ring_moved, greatest(total, 1))").as("ring_pct_x10000"),
+        col("mod_moved"),
+        expr("div(10000 * mod_moved, greatest(total, 1))").as("mod_pct_x10000"))
+  }
+
   /** Cluster `df` along the Z-curve of two pre-bucketed dimensions: adds
     * `zkey` = mortonKey(aBucket, bBucket) and range-partitions + sorts by
     * it, so each output file covers one compact Z-curve segment — a

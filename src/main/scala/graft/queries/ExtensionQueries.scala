@@ -3266,7 +3266,38 @@ object ExtensionQueries {
              |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
              |cs AS (SELECT cid, count(*)::BIGINT AS size FROM canon GROUP BY 1)
              |SELECT size, count(*)::BIGINT AS clusters
-             |FROM cs GROUP BY 1 ORDER BY size""".stripMargin))
+             |FROM cs GROUP BY 1 ORDER BY size""".stripMargin)),
+
+    // Resharding movement report (Layout.shardMovement, 8 → 10 shards,
+    // 16 vnodes): consistent-ring vs mod-hash key movement — the number
+    // that decides whether a topology change is an online rebalance
+    // (~2000 bp for the ring) or a full rewrite (~9000 bp for mod). The
+    // ring is a literal sorted array, assignment is map-only.
+    QueryDef("x106_shard_movement",
+      (s, d) => Layout.shardMovement(tbl(s, d, "documents"), "doc_id",
+        fromShards = 8, toShards = 10, vnodes = 16),
+      Some(s"""WITH p8 AS (SELECT r1.range AS s,
+             |    ('0x'||substr(md5('ring_'||r1.range::VARCHAR||'_'||r2.range::VARCHAR),1,14))::BIGINT AS ph
+             |  FROM range(0, 8) r1, range(0, 16) r2),
+             |p10 AS (SELECT r1.range AS s,
+             |    ('0x'||substr(md5('ring_'||r1.range::VARCHAR||'_'||r2.range::VARCHAR),1,14))::BIGINT AS ph
+             |  FROM range(0, 10) r1, range(0, 16) r2),
+             |k AS (SELECT DISTINCT doc_id AS k,
+             |    ${dkHash56("doc_id::VARCHAR")} AS kh FROM documents),
+             |a AS (SELECT k.k, k.kh,
+             |    coalesce((SELECT s FROM p8 WHERE ph >= k.kh ORDER BY ph, s LIMIT 1),
+             |             (SELECT s FROM p8 ORDER BY ph, s LIMIT 1)) AS s8,
+             |    coalesce((SELECT s FROM p10 WHERE ph >= k.kh ORDER BY ph, s LIMIT 1),
+             |             (SELECT s FROM p10 ORDER BY ph, s LIMIT 1)) AS s10
+             |  FROM k)
+             |SELECT count(*)::BIGINT AS total,
+             |  sum(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END)::BIGINT AS ring_moved,
+             |  ((10000 * sum(CASE WHEN s8 <> s10 THEN 1 ELSE 0 END))
+             |    // greatest(count(*), 1))::BIGINT AS ring_pct_x10000,
+             |  sum(CASE WHEN kh % 8 <> kh % 10 THEN 1 ELSE 0 END)::BIGINT AS mod_moved,
+             |  ((10000 * sum(CASE WHEN kh % 8 <> kh % 10 THEN 1 ELSE 0 END))
+             |    // greatest(count(*), 1))::BIGINT AS mod_pct_x10000
+             |FROM a""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

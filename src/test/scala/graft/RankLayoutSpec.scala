@@ -138,6 +138,32 @@ class RankLayoutSpec extends SparkSpec with Matchers {
     all(cells.map(_.getAs[Long]("wb"))) should be <= 3L
   }
 
+  test("ringAssign: total assignment, stable under shard growth for most keys") {
+    import spark.implicits._
+    val keys = (1L to 400L).toDF("k")
+    val a = Layout.ringAssign(keys, "k", shards = 8).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Int]("shard")).toMap
+    // total function into [0, 8)
+    a.values.toSet.subsetOf((0 until 8).toSet) shouldBe true
+    a.size shouldBe 400
+    val b = Layout.ringAssign(keys, "k", shards = 10).collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[Int]("shard")).toMap
+    val moved = (1L to 400L).count(k => a(k) != b(k))
+    // consistent hashing: growth 8 -> 10 moves roughly 2/10 of keys —
+    // far below the ~9/10 mod-hashing would move (allow generous slack)
+    moved.toDouble / 400 should be < 0.45
+  }
+
+  test("shardMovement: ring rebalance beats mod-hash reshuffle") {
+    import spark.implicits._
+    val keys = (1L to 500L).toDF("k")
+    val r = Layout.shardMovement(keys, "k", fromShards = 8, toShards = 10)
+      .collect().head
+    r.getAs[Long]("total") shouldBe 500L
+    r.getAs[Long]("ring_moved") should be < r.getAs[Long]("mod_moved")
+    r.getAs[Long]("ring_pct_x10000") should be < 4500L
+  }
+
   test("clusterByZ: zkey clash rejected") {
     import spark.implicits._
     val bad = Seq((1L, 2L, 3L)).toDF("a", "b", "zkey")
