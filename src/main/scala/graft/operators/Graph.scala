@@ -83,4 +83,64 @@ object Graph {
       .join(ranks, Seq("node"))
       .select(col("node"), col("outdeg"), col("rank").as("rank_x1e12"))
   }
+
+  /** Personalized PageRank — the seed-set expansion primitive: teleport
+    * mass returns only to `seeds`, so rank measures proximity TO THE SEED
+    * SET through the link structure ("find everything related to these
+    * documents/users"). Same fixed-point arithmetic and superstep
+    * dataflow as [[pageRank]]; the only change is the base term —
+    * div((100−d)·div(S, |seeds|), 100) for seeds, 0 elsewhere — and the
+    * r₀ vector (seeds start with div(S, |seeds|), everything else 0).
+    * Non-seed nodes with no inbound path keep rank 0: the expansion
+    * frontier is exactly the reachable set.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, iterations: Int = 3, dampingX100: Int = 85): DataFrame = {
+    require(iterations >= 1, "personalizedPageRank: iterations must be >= 1")
+    require(dampingX100 >= 0 && dampingX100 <= 100,
+      "personalizedPageRank: dampingX100 must be in [0, 100]")
+    val S = 1000000000000L
+
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val seedSet = seeds.select(col(seeds.columns.head).as("node")).distinct()
+      .join(nodes, Seq("node"))
+      .withColumn("__seed", lit(true))
+      .localCheckpoint(true)
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0,
+      "personalizedPageRank: no seed appears in the edge list's node set")
+    val r0 = S / nSeeds
+    val base = (100L - dampingX100) * r0 / 100L
+
+    def withSeedBase(contrib: DataFrame, seedVal: Long): DataFrame = nodes
+      .join(contrib, Seq("node"), "left")
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"),
+        (when(col("__seed"), seedVal).otherwise(0L) + coalesce(
+          expr(s"div($dampingX100 * contrib, 100)"), lit(0L))).as("rank"))
+
+    var ranks = nodes.join(seedSet, Seq("node"), "left")
+      .select(col("node"), when(col("__seed"), r0).otherwise(0L).as("rank"))
+    var superseded: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(ranks.join(outdeg, Seq("node")).withColumnRenamed("node", "src"),
+          Seq("src"))
+        .select(col("dst").as("node"), expr("div(rank, outdeg)").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("contrib"))
+      val next = withSeedBase(contrib, base).localCheckpoint(true)
+      superseded.foreach(_.unpersist())
+      superseded = Some(next)
+      ranks = next
+    }
+    nodes.join(ranks, Seq("node"))
+      .select(col("node"), col("rank").as("rank_x1e12"))
+  }
 }

@@ -3297,7 +3297,57 @@ object ExtensionQueries {
              |  sum(CASE WHEN kh % 8 <> kh % 10 THEN 1 ELSE 0 END)::BIGINT AS mod_moved,
              |  ((10000 * sum(CASE WHEN kh % 8 <> kh % 10 THEN 1 ELSE 0 END))
              |    // greatest(count(*), 1))::BIGINT AS mod_pct_x10000
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // Personalized PageRank (x107): teleport restricted to the seed set
+    // (users ≡ 0 mod 50) — rank measures proximity TO THE SEEDS through
+    // the temporal-affinity graph, the seed-set expansion primitive.
+    // Same superstep dataflow and checkpoint discipline as x77.
+    QueryDef("x107_personalized_pagerank",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(s, d)
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("user_id", 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+          .select(col("src"), col("user_id").as("dst"))
+        val seeds = ev.select(col("user_id")).distinct()
+          .filter(col("user_id") % 50 === 0)
+        Graph.personalizedPageRank(edges, "src", "dst", seeds,
+            iterations = 3, dampingX100 = 85)
+          .orderBy("node")
+      },
+      Some {
+        val S = "1000000000000"
+        def cr(i: Int) =
+          s"""c$i AS (SELECT e.dst AS node, sum(r.r // o.outdeg) AS contrib
+             |  FROM edges e JOIN r${i - 1} r ON e.src = r.node
+             |  JOIN outdeg o ON e.src = o.node GROUP BY 1),
+             |r$i AS (SELECT n.node,
+             |    (CASE WHEN n.node % 50 = 0
+             |      THEN (15 * ($S // ns.n)) // 100 ELSE 0 END)
+             |    + COALESCE((85 * c.contrib) // 100, 0) AS r
+             |  FROM nodes n CROSS JOIN ns LEFT JOIN c$i c ON n.node = c.node)""".stripMargin
+        s"""WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us, event_id, user_id
+           |    FROM events),
+           |le AS (SELECT user_id AS dst, lag(user_id) OVER (
+           |    PARTITION BY event_type ORDER BY t_us, event_id) AS src FROM ev),
+           |edges AS (SELECT DISTINCT src, dst FROM le
+           |  WHERE src IS NOT NULL AND src <> dst),
+           |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+           |outdeg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+           |  FROM edges GROUP BY 1),
+           |ns AS (SELECT count(*)::BIGINT AS n FROM nodes WHERE node % 50 = 0),
+           |r0 AS (SELECT node,
+           |    CASE WHEN node % 50 = 0 THEN ($S // n) ELSE 0 END AS r
+           |  FROM nodes, ns),
+           |${cr(1)},
+           |${cr(2)},
+           |${cr(3)}
+           |SELECT n.node, r.r::BIGINT AS rank_x1e12
+           |FROM nodes n JOIN r3 r ON n.node = r.node ORDER BY n.node""".stripMargin
+      })
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
