@@ -17,9 +17,11 @@ import graft.functions.Portable._
   * explode → shuffle-on-key → aggregate patterns whose width is bounded by
   * (docs × features), never docs²: candidate pairs come from inverted-index
   * self-joins on LSH buckets / shared grams, so the quadratic blowup is
-  * limited to rows sharing a bucket. (Skew guard at extreme scale: cap
-  * oversized buckets with a count-filter on the bucket key before the
-  * self-join — a one-line addition at the `buckets`/`grams` stage.)
+  * limited to rows sharing a bucket. Oversized buckets are capped with a
+  * count-filter before the self-join wherever raw shared features drive
+  * candidates (`ngramJaccard` / `shingleContainment` /
+  * `editDistanceDedup` `maxBucket`, `simHash` optional `maxBucket`);
+  * MinHash-LSH band signatures carry enough entropy not to need one.
   */
 object Dedup {
 
@@ -428,13 +430,28 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
-    * least one character-n-gram are verified exactly. For corpora where
-    * every pair shares common grams, prefer `minHashLsh`; this operator is
-    * the exact baseline.
+    * least one NON-FLOODED character-n-gram are verified exactly. For
+    * corpora where every pair shares common grams, prefer `minHashLsh`;
+    * this operator is the exact baseline.
+    *
+    * `maxBucket` is the candidate flood guard (same discipline as
+    * `editDistanceDedup`): a gram present in m documents yields C(m,2)
+    * candidate pairs, and a natural corpus's stop-grams ("of the and"-class
+    * character runs) appear in nearly every document, degenerating the
+    * inverted-index join toward all-pairs. Grams shared by more than
+    * `maxBucket` docs are dropped BEFORE the self-join, bounding per-gram
+    * fan-out at maxBucket²/2 pairs. Recall trade-off: a pair is missed
+    * only if EVERY gram it shares is a flooded stop-gram — precisely the
+    * pairs whose overlap carries no discriminative content, which sit far
+    * below any useful Jaccard threshold anyway (two docs made entirely of
+    * corpus-common grams). Verification always uses the FULL feature sets,
+    * so reported Jaccard values are exact; only candidate discovery is
+    * pruned.
     */
   def ngramJaccard(
       df: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, threshold: Double = 0.5): DataFrame = {
+      n: Int = 8, threshold: Double = 0.5, maxBucket: Long = 256L): DataFrame = {
+    require(maxBucket >= 2, "ngramJaccard: maxBucket must be >= 2")
     val feats = featureSets(df
       .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
       .select(col("doc"), explode(
@@ -442,7 +459,11 @@ object Dedup {
           s"i -> substring(t, i, $n))")).as("gram"))
       .select(col("doc"), hash56(col("gram")).as("h")))
     val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
-    val candidates = grams.as("l").join(grams.as("r"),
+    val kept = grams.join(
+      grams.groupBy("feature").agg(count(lit(1)).as("__fc"))
+        .filter(col("__fc") <= maxBucket), Seq("feature"))
+      .select(col("doc"), col("feature"))
+    val candidates = kept.as("l").join(kept.as("r"),
         col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
@@ -460,16 +481,31 @@ object Dedup {
     * Same dataflow as ngramJaccard: per-doc distinct shingle-hash sets
     * (one collect_set shuffle), shared-shingle inverted-index candidates,
     * array_intersect verification — candidates bounded by docs sharing a
-    * shingle, never all pairs.
+    * NON-FLOODED shingle, never all pairs. `maxBucket` is the same
+    * stop-feature flood guard as `ngramJaccard`/`editDistanceDedup`:
+    * shingles present in more than `maxBucket` docs ("of the and"-class
+    * word 3-grams, which a natural corpus puts in nearly every document)
+    * are dropped before the self-join, bounding per-shingle fan-out at
+    * maxBucket²/2 pairs. Recall trade-off: a contained pair is missed only
+    * if every shingle it shares is corpus-common boilerplate — but a true
+    * quote/excerpt by definition shares the QUOTED text's distinctive
+    * shingles, which are rare corpus-wide. Verification uses the full
+    * feature sets, so containment percentages are exact.
     */
   def shingleContainment(df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, thresholdPct: Int = 80): DataFrame = {
+      shingleSize: Int = 3, thresholdPct: Int = 80,
+      maxBucket: Long = 256L): DataFrame = {
     require(thresholdPct >= 0 && thresholdPct <= 100,
       "shingleContainment: thresholdPct must be in [0, 100]")
+    require(maxBucket >= 2, "shingleContainment: maxBucket must be >= 2")
     val feats = featureSets(shingles(df, idCol, textCol, shingleSize)
       .select(col("doc"), hash56(col("shingle")).as("h")))
     val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
-    val candidates = grams.as("l").join(grams.as("r"),
+    val kept = grams.join(
+      grams.groupBy("feature").agg(count(lit(1)).as("__fc"))
+        .filter(col("__fc") <= maxBucket), Seq("feature"))
+      .select(col("doc"), col("feature"))
+    val candidates = kept.as("l").join(kept.as("r"),
         col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()

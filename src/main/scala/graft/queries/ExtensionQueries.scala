@@ -127,8 +127,11 @@ object ExtensionQueries {
        |    i -> substr(t, i, $n))) AS gram
        |  FROM g0),
        |feat AS (SELECT doc, ${dkHash56("gram")} AS feature FROM grams),
+       |fc AS (SELECT feature, count(*) AS c FROM feat GROUP BY 1),
+       |fk AS (SELECT f.doc, f.feature FROM feat f JOIN fc USING (feature)
+       |  WHERE fc.c <= 256),
        |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-       |  FROM feat l JOIN feat r ON l.feature = r.feature AND l.doc < r.doc),
+       |  FROM fk l JOIN fk r ON l.feature = r.feature AND l.doc < r.doc),
        |sizes AS (SELECT doc, count(*) AS sz FROM feat GROUP BY doc),
        |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM cand c
        |  JOIN feat fa ON c.doc_a = fa.doc
@@ -2925,8 +2928,11 @@ object ExtensionQueries {
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH ${dkShingles(3)},
              |sizes AS (SELECT doc, count(DISTINCT h) AS sz FROM hs GROUP BY 1),
+             |hc AS (SELECT h, count(DISTINCT doc) AS c FROM hs GROUP BY 1),
+             |hk AS (SELECT DISTINCT s.doc, s.h FROM hs s JOIN hc USING (h)
+             |  WHERE hc.c <= 256),
              |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-             |  FROM hs l JOIN hs r ON l.h = r.h AND l.doc < r.doc),
+             |  FROM hk l JOIN hk r ON l.h = r.h AND l.doc < r.doc),
              |com AS (SELECT c.doc_a, c.doc_b, count(DISTINCT fa.h) AS common
              |  FROM cand c JOIN hs fa ON c.doc_a = fa.doc
              |  JOIN hs fb ON c.doc_b = fb.doc AND fa.h = fb.h

@@ -91,6 +91,32 @@ class BudgetDedupSpec extends SparkSpec with Matchers {
       .collect().length shouldBe 0
   }
 
+  test("shingleContainment/ngramJaccard: flooded stop-features are pruned, distinctive overlap still pairs") {
+    import spark.implicits._
+    // 10 docs share the same boilerplate header (every one of its shingles
+    // floods past maxBucket=5); docs 1 and 2 additionally share a
+    // distinctive sentence. With the guard, the header shingles generate
+    // ZERO candidates — only (1,2) surfaces, via its rare shingles — and
+    // its containment is still computed on the FULL sets.
+    val header = "standard license header apply terms here now"
+    val rows = (1L to 10L).map { i =>
+      val tail =
+        if (i <= 2) "unique quick zebra jumps gracefully tonight"
+        else s"filler$i noise$i word$i pad$i extra$i more$i"
+      (i, s"$header $tail")
+    }.toDF("doc_id", "text")
+    val contained = Dedup.shingleContainment(rows, "doc_id", "text",
+      shingleSize = 3, thresholdPct = 50, maxBucket = 5L).collect()
+    contained.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet shouldBe
+      Set((1L, 2L))
+    // full-set verification: both docs have the same shingle count, all shared
+    contained.head.getAs[Long]("containment_pct") shouldBe 100L
+    val jac = Dedup.ngramJaccard(rows, "doc_id", "text",
+      n = 12, threshold = 0.5, maxBucket = 5L).collect()
+    jac.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet shouldBe
+      Set((1L, 2L))
+  }
+
   test("batchByLength: per-shard length sort, exact padding accounting") {
     import spark.implicits._
     // one shard (numShards=1): lengths 1,1,2,2,3,3 in batches of 2 ->
