@@ -28,8 +28,15 @@ object Retrieval {
     *   tfc_x1e6 = div(10⁶·tf·(k1x100+100)·100·avgdl_x100, D)
     *   D        = avgdl_x100·(10⁴·tf + k1x100·(100 − bx100)) + k1x100·bx100·100·dl
     *   avgdl_x100 = div(100·Σdl, N)
-    * Exact in 64-bit for tf·avgdl_x100 ≤ ~4·10¹² (a 10⁶-token doc in a
-    * 4000-token-average corpus) — far beyond any real document.
+    * The tfc numerator/denominator and the idf·tfc product are evaluated
+    * in decimal(38,0) — int64 would overflow the tfc numerator once
+    * tf·avgdl_x100 > ~4·10⁸ (e.g. tf ~ 10⁴ against a 500-token-average
+    * corpus), well inside real-corpus range. Decimal keeps every
+    * intermediate exact while it stays under 10³⁸, which holds for any
+    * physical corpus (the largest term, 2.2·10¹⁰·tf·avgdl_x100, needs
+    * tf·avgdl ~ 10²⁶ to break — a yottabyte-class document). Remaining
+    * int64 terms are linear in N and Σdl and safe to Σdl ≤ 9·10¹⁶ tokens
+    * (~400× a 100 TB text corpus).
     *
     * Scale (100 TB): the term filter runs map-side BEFORE the postings
     * shuffle — only tokens matching the (tiny, literal) query set leave the
@@ -66,12 +73,13 @@ object Retrieval {
       .withColumn("idf_x1e3", expr(
         "div(div(1000000 * (2 * n_docs - 2 * df + 1), 2 * df + 1), 1000)"))
       .withColumn("tfc_x1e6", expr(
-        s"div(1000000 * tf * ${k1X100 + 100} * 100 * avgdl_x100, " +
-          s"avgdl_x100 * (10000 * tf + $k1X100 * ${100 - bX100}) + " +
-          s"$k1X100 * $bX100 * 100 * dl)"))
+        s"div(cast(1000000 as decimal(38,0)) * tf * ${k1X100 + 100} * 100 * avgdl_x100, " +
+          s"cast(avgdl_x100 as decimal(38,0)) * (10000 * tf + $k1X100 * ${100 - bX100}) + " +
+          s"cast($k1X100 as decimal(38,0)) * $bX100 * 100 * dl)"))
       .groupBy("doc")
       .agg(count(lit(1)).as("matched_terms"), first(col("dl")).as("dl"),
-        sum(expr("div(idf_x1e3 * tfc_x1e6, 1000000)")).as("score_x1e3"))
+        sum(expr("div(cast(idf_x1e3 as decimal(38,0)) * tfc_x1e6, 1000000)"))
+          .as("score_x1e3"))
   }
 
   /** Reciprocal-rank fusion — the standard hybrid-search combiner: each

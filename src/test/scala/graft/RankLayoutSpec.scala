@@ -60,6 +60,20 @@ class RankLayoutSpec extends SparkSpec with Matchers {
     (s(3L) - s(2L)) should be < (s(2L) - s(1L))
   }
 
+  test("bm25: exact in the region where int64 tfc arithmetic overflowed") {
+    // tf=50000, avgdl_x100=3e6 -> the old int64 numerator is 3.3e21 (wraps
+    // negative); the decimal(38,0) restaging must produce the exact
+    // hand-computed quotient. D = 3e6*(5e8+3000) + 9e5*5e4
+    //   = 1,500,054,000,000,000; tfc_x1e6 = div(3.3e21, D) = 2,199,920;
+    // idf_x1e3 = 1000 (df=1, N=2); score_x1e3 = 2199.
+    val big = ("hit " * 50000).trim
+    val filler = ("pad " * 10000).trim
+    val out = Retrieval.bm25(docs(1L -> big, 2L -> filler),
+      "doc_id", "text", Seq("hit")).collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("score_x1e3") shouldBe 2199L
+  }
+
   test("bm25: reserved-column clash rejected") {
     val bad = docs(1L -> "x").withColumn("tf", lit(1))
     an[IllegalArgumentException] should be thrownBy
