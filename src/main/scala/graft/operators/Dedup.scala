@@ -264,13 +264,20 @@ object Dedup {
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"))
-    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"))
+    // Presence is carried as an explicit flag per side, NOT inferred from
+    // digest nullness: a row whose text is NULL has a NULL md5, and
+    // digest-as-presence would misclassify it as added/removed. The
+    // changed/unchanged split compares digests null-safely (<=>) so two
+    // NULL-text versions of an id read as unchanged.
+    val o = oldDf.select(col(idCol).as("id"), md5(col(textCol)).as("__oh"),
+      lit(true).as("__op"))
+    val n = newDf.select(col(idCol).as("id"), md5(col(textCol)).as("__nh"),
+      lit(true).as("__np"))
     o.join(n, Seq("id"), "full_outer")
       .select(col("id"),
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed")
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__oh") <=> col("__nh")), "changed")
           .otherwise("unchanged").as("status"))
   }
 

@@ -207,8 +207,13 @@ object TextAnalysis {
     * counts of a as a bigram PREFIX and b as a bigram SUFFIX. Monotone in
     * PMI (log is monotone), so ranking order matches, with no floating
     * log — the same trick as BM25's rational idf. `minCount` prunes the
-    * hapax noise PMI is notorious for. Exact in 64-bit for
-    * pc·T₂ ≤ ~9·10¹² — beyond that, mine per shard/source first.
+    * hapax noise PMI is notorious for. Both the 10⁶·pc·T₂ numerator and
+    * the ca·cb denominator are evaluated in decimal(38,0): each factor is
+    * bounded by T₂, so int64 would overflow the highest-frequency pairs
+    * first (ca·cb breaks once both marginals pass ~3·10⁹ — exactly the
+    * "of the"-class bigrams the ranking exists to compare), while the
+    * decimal products stay exact to T₂ ≈ 10¹⁶ bigrams (~400× a 100 TB
+    * text corpus).
     * Output: top `k` by (lift desc, a, b) — (tok_a, tok_b, pair_count,
     * lift_x1e6).
     *
@@ -235,7 +240,8 @@ object TextAnalysis {
       .join(ca, Seq("tok_a")).join(cb, Seq("tok_b"))
       .crossJoin(broadcast(t2))
       .select(col("tok_a"), col("tok_b"), col("pc").as("pair_count"),
-        expr("div(1000000 * pc * t2, ca * cb)").as("lift_x1e6"))
+        expr("div(cast(1000000 as decimal(38,0)) * pc * t2, " +
+          "cast(ca as decimal(38,0)) * cb)").as("lift_x1e6"))
       .orderBy(col("lift_x1e6").desc, col("tok_a"), col("tok_b"))
       .limit(k)
   }

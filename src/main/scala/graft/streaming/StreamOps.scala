@@ -37,9 +37,14 @@ object StreamOps {
 
   /** Event-time tumbling-window aggregation over the events table, run as a
     * real streaming query (AvailableNow trigger — processes the backlog,
-    * then stops; the 100 TB path is the same query with a continuous
-    * trigger). Watermark bounds state: windows older than `watermark` are
-    * finalized and evicted — without it, state grows unboundedly.
+    * then stops). NOTE on modes: this drain uses `complete` output into a
+    * memory sink, and under complete mode the watermark does NOT evict
+    * window state — every window ever seen stays in the store, which is
+    * fine for a bounded backlog drain and wrong for a long-running query.
+    * The continuous 100 TB path is the same aggregation in `update`/
+    * `append` mode with a merging file sink (the `thresholdAlertsToDir` /
+    * `streamDedupIngest` shape), where the watermark DOES finalize and
+    * evict windows older than the lag bound.
     *
     * Output: (event_type, window_start, events, sum_cents) — integers only;
     * cents are floored *per event* (floor(v*100+0.5)) so the sum is exact
@@ -72,9 +77,13 @@ object StreamOps {
     * watermarked streaming aggregation. min_by/max_by on the
     * (unix_micros(ts), event_id) tie-break are declarative aggregates, so
     * the whole candle updates incrementally in state — no per-window
-    * buffering of raw ticks. Watermark bounds state exactly as in
-    * windowedEventAgg; AvailableNow drains the backlog here, a continuous
-    * trigger serves live dashboards at scale.
+    * buffering of raw ticks. Mode caveat (same as windowedEventAgg): this
+    * AvailableNow drain runs in `complete` mode, where the watermark does
+    * NOT evict window state — suitable only for bounded backlog drains.
+    * The live-dashboard path at scale is the identical aggregation in
+    * `update` mode with a merging sink (see `thresholdAlertsToDir`), which
+    * lets the watermark finalize and drop closed (day, key) windows so
+    * state stays bounded by the open-window set.
     */
   def streamingOhlc(spark: SparkSession, eventsPath: String,
       queryName: String = "graft_stream_ohlc"): DataFrame = {
@@ -106,8 +115,11 @@ object StreamOps {
     * counts maintained incrementally in streaming state (complete mode),
     * cut to the top `k` on read. At scale this is the live skew dashboard
     * that tells you a key is going hot BEFORE the batch join that would
-    * have hot-spotted on it; state is one counter per distinct key (bound
-    * the key domain upstream — hash-bucket raw keys if unbounded).
+    * have hot-spotted on it. State note: this is a GLOBAL (un-windowed)
+    * count, so state is one counter per distinct key for the lifetime of
+    * the query in ANY mode — bound the key domain upstream (hash-bucket
+    * raw keys if unbounded), or window the count and run it in `update`
+    * mode with a merging sink so old windows age out of the store.
     */
   def streamingHotKeys(spark: SparkSession, eventsPath: String,
       keyCol: String, k: Int,

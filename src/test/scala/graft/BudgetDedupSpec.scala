@@ -167,4 +167,19 @@ class BudgetDedupSpec extends SparkSpec with Matchers {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
     out shouldBe Map(1L -> "unchanged", 2L -> "removed", 3L -> "changed", 4L -> "added")
   }
+
+  test("snapshotDiff: NULL text is presence, not absence") {
+    import spark.implicits._
+    // id 1: NULL -> NULL (unchanged, null-safe digest compare); id 2:
+    // NULL -> text (changed, not 'added'); id 3: text -> NULL (changed,
+    // not 'removed'); id 4: NULL only in old (removed).
+    val oldSnap = Seq[(Long, String)]((1L, null), (2L, null), (3L, "body"),
+      (4L, null)).toDF("doc_id", "text")
+    val newSnap = Seq[(Long, String)]((1L, null), (2L, "body"), (3L, null))
+      .toDF("doc_id", "text")
+    val out = Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("status")).toMap
+    out shouldBe Map(1L -> "unchanged", 2L -> "changed", 3L -> "changed",
+      4L -> "removed")
+  }
 }

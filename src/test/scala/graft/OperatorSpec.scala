@@ -82,6 +82,18 @@ class OperatorSpec extends SparkSpec with Matchers {
       Seq(("to", "be", 3L), ("be", "is", 1L), ("be", "or", 1L))
   }
 
+  test("collocations: exact decimal lift on a hand-computed corpus") {
+    // bigrams: doc1 (x,y)(y,x)(x,y), doc2 (x,y)(y,z)(z,w) -> pc(x,y)=3,
+    // T2=6, prefix ca(x)=3, suffix cb(y)=3; minCount=2 keeps only (x,y):
+    // lift_x1e6 = div(1e6*3*6, 3*3) = 2_000_000 (decimal path, same value
+    // int64 gave before the overflow restaging).
+    val out = TextAnalysis.collocations(docs(
+      1L -> "x y x y", 2L -> "x y z w"), "text", minCount = 2L, k = 10).collect()
+    out.length shouldBe 1
+    (out.head.getString(0), out.head.getString(1), out.head.getLong(2),
+      out.head.getLong(3)) shouldBe ("x", "y", 3L, 2000000L)
+  }
+
   test("skip-gram table tags pairs with distance; bigram is the distance-1 slice") {
     val out = TextAnalysis.skipGramTable(docs(1L -> "a b c a b"), "text",
       window = 2, k = 100).collect()
