@@ -2631,25 +2631,36 @@ object ExtensionQueries {
               coalesce(sum(col("tk")), lit(0L)).as("tokens"))
             .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
               col("docs"), col("tokens"))
+        // Each stage's slim id-set is eagerly localCheckpoint()ed: the
+        // report is a union of 6 stage rows and Spark does NOT share
+        // common subtrees across union branches, so without the cut the
+        // exact-dedup + LSH prefix re-executes once per downstream branch
+        // (~5x the work — it was the slowest headliner for exactly this
+        // reason). Checkpointing truncates lineage to the materialized id
+        // rows (KBs per stage), the same discipline Graph.pageRank and
+        // trainCodebook follow. Trade-off at cluster scale: local
+        // checkpoints are non-replicated — an executor loss forces a
+        // stage recompute — acceptable for a report query.
         val ek = Dedup.exact(docs, "doc_id", "text")
-          .select(col("keeper_id").as("doc_id"))
+          .select(col("keeper_id").as("doc_id")).localCheckpoint()
         val s1docs = docs.join(ek, Seq("doc_id"))
         val pairs = Dedup.minHashLsh(s1docs, "doc_id", "text",
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
           .select("doc_a", "doc_b")
         val s2ids = Dedup.canonicalize(s1docs, "doc_id", pairs)
           .filter(col("is_keeper")).select(col("doc").as("doc_id"))
+          .localCheckpoint()
         val s2docs = s1docs.join(s2ids, Seq("doc_id"))
         val slice = Portable.hash56(col("doc_id").cast("string")) % 10
         val evalSet = docs.filter(slice === 0)
         val corpus3 = s2docs.filter(slice =!= 0)
         val s3ids = Curation.decontaminate(corpus3, evalSet, "doc_id", "text",
             shingleSize = 5, thresholdPct = 20)
-          .filter(!col("contaminated")).select("doc_id")
+          .filter(!col("contaminated")).select("doc_id").localCheckpoint()
         val s3docs = corpus3.join(s3ids, Seq("doc_id"))
         val s4ids = TextAnalysis.modelQualityScore(s3docs, "doc_id", "text",
             threshold = 2300L)
-          .filter(col("keep")).select("doc_id")
+          .filter(col("keep")).select("doc_id").localCheckpoint()
         val s4docs = docs.join(s4ids, Seq("doc_id"))
         val packed = Curation.packSequences(s4docs, "doc_id", "text",
           capacity = 256, numShards = 8)

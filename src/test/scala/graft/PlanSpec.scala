@@ -508,6 +508,20 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("events.parquet")
   }
 
+  test("x88 funnel: stage id-sets are checkpointed — the union replays no dedup subtree") {
+    val plan = planOf(q("x88_curation_funnel"))
+    // every stage id-set (exact dedup, LSH canonicalization,
+    // decontamination, quality gate) is an eager localCheckpoint, so the
+    // 6-branch union reads materialized id rows instead of re-executing
+    // the dedup chain once per branch: the final plan must contain the
+    // checkpoint scans and ZERO LSH/decontamination feature aggregates.
+    // (md5 still legitimately appears: hash56 slice/shard assignment is a
+    // cheap per-row expression, not the dedup chain.)
+    raw"Scan ExistingRDD".r.findAllIn(plan).length should be >= 4
+    (plan should not).include("collect_set")
+    (plan should not).include("array_min")
+  }
+
   test("x85 time-scoped dedup: one digest-keyed exchange feeds both window frames, no join") {
     val plan = planOf(q("x85_timescoped_dedup"))
     // lag (sliding frame) and the burst running-sum (cumulative frame)
