@@ -86,9 +86,16 @@ object Quantize {
     * integer dot, so the whole operator is bit-reproducible and carries a
     * full hash oracle (nothing to freeze). Returns
     * (query_id, rank, neighbor_id, qdot).
+    *
+    * SIZE CONTRACT — `broadcastProbes` mirrors `Similarity.ivfTopK`:
+    * default true pins the (queries × nprobe) probe side as the broadcast
+    * build, which a batch-scoring job with a large query set must turn
+    * off — the candidate join then shuffles on the cell key and the
+    * top-k runs as a map-side-partial TopKAggregator.
     */
   def ivfDotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+      embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+      broadcastProbes: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = int8(corpus, embCol).select(col(idCol).as("neighbor_id"), col("q").as("cq"))
     val codebook = c.orderBy("neighbor_id").limit(nlist)
@@ -107,12 +114,23 @@ object Quantize {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qq"), col("cid").as("cell"))
-    val scored = broadcast(probes).join(assigned, Seq("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val scored = probeSide.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         idot(col("qq"), col("cq")).as("qdot"))
-    val w = Window.partitionBy("query_id").orderBy(col("qdot").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "qdot")
+    if (broadcastProbes) {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("qdot").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "qdot")
+    } else {
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKAggregator.topK(k)(
+          col("neighbor_id"), col("qdot")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._1").as("neighbor_id"), col("col._2").as("qdot"))
+    }
   }
 }

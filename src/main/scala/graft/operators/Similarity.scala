@@ -182,11 +182,23 @@ object Similarity {
     * of parallelism — size nlist ≈ √|corpus| to balance cell width vs
     * probe fan-out.
     *
+    * SIZE CONTRACT — `broadcastProbes` (default true) pins the probe side
+    * (queries × nprobe rows, each carrying its vector) as the broadcast
+    * build: right for the interactive-retrieval shape where the query set
+    * is orders smaller than the corpus. A batch-scoring job with a LARGE
+    * query set must pass false — the candidate join then degrades to a
+    * cell-key shuffle join and the final top-k runs as a map-side-partial
+    * TopKAggregator instead of a per-query window (the same pair of
+    * shapes `lshTopK` exposes via `broadcastQueries`). Forcing a huge
+    * broadcast would OOM the driver/executors silently; the flag makes
+    * the trade explicit at the call site.
+    *
     * Returns (query_id, rank, neighbor_id, cosine).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int, nlist: Int = 16,
-      nprobe: Int = 2, trainIterations: Int = 0): DataFrame = {
+      nprobe: Int = 2, trainIterations: Int = 0,
+      broadcastProbes: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
     val codebook =
@@ -217,13 +229,24 @@ object Similarity {
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
 
-    val scored = broadcast(probes).join(assigned, Seq("cell"))
+    val probeSide = if (broadcastProbes) broadcast(probes) else probes
+    val scored = probeSide.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+    if (broadcastProbes) {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    } else {
+      scored.groupBy("query_id")
+        .agg(graft.functions.TopKAggregator.topKDouble(k)(
+          col("neighbor_id"), col("cosine")).as("tk"))
+        .select(col("query_id"), posexplode(col("tk")))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col._1").as("neighbor_id"), col("col._2").as("cosine"))
+    }
   }
 
   /** Cluster-balanced sampling — the diversity-sampling stage of a

@@ -318,6 +318,21 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.map(_.getLong(2)).toSeq shouldBe Seq(2L, 4L) // cell-0 members only, ranked
   }
 
+  test("IVF ANN shuffle path (broadcastProbes=false) matches the broadcast path") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0.05f, 0.95f)),
+      (4L, Array(0.9f, 0.1f)), (5L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    def run(bc: Boolean) = Similarity.ivfTopK(vecs, vecs, "vec_id",
+        "embedding", k = 2, nlist = 2, nprobe = 2, broadcastProbes = bc)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9)))
+    run(true).toSeq shouldBe run(false).toSeq
+  }
+
   test("IVF ANN with nprobe = nlist recovers the brute-force result") {
     import spark.implicits._
     val vecs = Seq(

@@ -186,6 +186,27 @@ class PlanSpec extends SparkSpec with Matchers {
     (optimized should not).include("ResolvedHint")
   }
 
+  test("ivfTopK broadcastProbes=false: cell join degrades to a shuffle join, top-k is bounded-state") {
+    // the batch-scoring contract: a large query set must NOT be pinned to
+    // a BroadcastExchange (which would OOM instead of degrading). With
+    // the auto-broadcast threshold off, only the hinted codebook
+    // broadcasts remain and the probe->cell candidate join plans as a
+    // shuffle join; the per-query top-k runs through the bounded-state
+    // aggregator instead of a window over every candidate row.
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val df = graft.operators.Similarity.ivfTopK(emb, emb, "vec_id",
+        "embedding", k = 3, nlist = 8, nprobe = 2, broadcastProbes = false)
+      val plan = planOf(df)
+      (nodeCount(plan, "SortMergeJoin") +
+        nodeCount(plan, "ShuffledHashJoin")) should be >= 1
+      plan.toLowerCase should include("topkdoubleaggregator")
+      plan.toLowerCase should include("partial")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("x28b as-of join is a pure union+window — no join node, minimal exchanges") {
     // the union-trick plan: ONE hash exchange for the window partition and
     // one range exchange for the output ordering; a theta-join formulation
