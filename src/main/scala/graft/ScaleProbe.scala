@@ -60,6 +60,35 @@ object ScaleProbe {
     }
     def corpus(m: Int): DataFrame = spark.read.parquet(replicaDirs.take(m): _*)
 
+    // ---- Natural-corpus (shared-vocabulary Zipfian) staging ----
+    // The disjoint-token-namespace replicas above isolate ENGINE scaling
+    // but are structurally BLIND to cross-doc feature sharing: replicas
+    // cannot share a single shingle by construction, so an unpruned
+    // inverted-index candidate generator measures linear there no matter
+    // how badly it would flood on real text. The zipf_* ops run the
+    // inverted-index family on a corpus with the opposite property: every
+    // doc draws its tokens from ONE fixed vocabulary with p(rank r) ∝ 1/r
+    // (inverse-CDF floor(V^u) over a hash-uniform u — Zipf s=1, the
+    // natural-corpus head/tail shape), so stop-features are shared
+    // corpus-wide and the docs-per-feature histogram grows with m —
+    // exactly the flooding workload the maxBucket guard exists for.
+    // Growing m adds docs over the SAME vocabulary (ids continue, heads
+    // densify), unlike the namespace-shifted replicas.
+    val zipfBase = 5000L
+    lazy val zipfDirs: IndexedSeq[String] = (0 until maxMult).map { r =>
+      val dir = s"$stageRoot/zipf/r$r"
+      spark.range(r * zipfBase, (r + 1) * zipfBase)
+        .select(col("id").as("doc_id"),
+          concat_ws(" ", transform(sequence(lit(1), lit(60)), j =>
+            concat(lit("t"), floor(pow(lit(20000.0),
+              (Portable.hash56(concat(col("id").cast("string"), lit("_"),
+                j.cast("string"))) % 1000000L).cast("double") / 1e6))
+              .cast("long").cast("string")))).as("text"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def zipfCorpus(m: Int): DataFrame = spark.read.parquet(zipfDirs.take(m): _*)
+
     // Time-series operators probe on arithmetic inputs (spark.range) sized
     // by the multiplier instead of corpus replicas: keys scale with m so
     // per-key density (window partition width, matches per interval) stays
@@ -378,7 +407,27 @@ object ScaleProbe {
         Layout.clusterByZ(pts, col("ub"), col("db"), bits = 8,
             numPartitions = 32)
           .agg(sum("zkey")).first().getLong(0)
-      })
+      },
+      // Natural-corpus probes (see the zipf staging comment): the shared
+      // Zipfian vocabulary floods stop-features, so these certify the
+      // maxBucket candidate guards keep the inverted-index family
+      // sub-quadratic on the workload the disjoint-namespace corpus
+      // cannot even express.
+      "zipf_minhash_lsh" -> (m =>
+        Dedup.minHashLsh(zipfCorpus(m), "doc_id", "text", shingleSize = 3,
+          numHashes = 16, bands = 4, threshold = 0.5).count()),
+      "zipf_ngram_jaccard" -> (m =>
+        Dedup.ngramJaccard(zipfCorpus(m), "doc_id", "text",
+          n = 12, threshold = 0.5).count()),
+      "zipf_containment" -> (m =>
+        Dedup.shingleContainment(zipfCorpus(m), "doc_id", "text",
+          shingleSize = 3, thresholdPct = 50).count()),
+      "zipf_editdist" -> (m =>
+        Dedup.editDistanceDedup(
+            zipfCorpus(m).select(col("doc_id"),
+              substring(col("text"), 1, 24).as("title")),
+            "doc_id", "title", maxDist = 8, gramSize = 6)
+          .agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)))
 
     val opFilter: String => Boolean = args.lift(1) match {
       case Some(prefixes) =>

@@ -3364,7 +3364,67 @@ object ExtensionQueries {
            |${cr(3)}
            |SELECT n.node, r.r::BIGINT AS rank_x1e12
            |FROM nodes n JOIN r3 r ON n.node = r.node ORDER BY n.node""".stripMargin
-      })
+      }),
+
+    // Ingest triage (x108): the real crawl-absorption loop END TO END —
+    // stage 1 Bloom-prefiltered EXACT dedup of the fresh batch against the
+    // ingested corpus (bloomProbeNew: within-batch keeper = min id, dup
+    // count per fingerprint), stage 2 NEAR-dup probe of the exact-novel
+    // keepers against a PERSISTED LSH index version chain (two index
+    // generations built with buildLshIndex, probed per version — the
+    // store shape a versioned ingest loop accumulates; probes read stored
+    // signatures, never re-shingle the corpus). Verdict per exact-novel
+    // keeper: near_dup (>=0.5 Jaccard against an indexed doc) or
+    // admitted. Composes x62 + x70; candidate work stays index×batch-
+    // bounded in both stages.
+    QueryDef("x108_ingest_triage",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val batch = docs.filter(col("doc_id") % 4 === 0)
+        val idxV0 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
+        val idxV1 = docs.filter(col("doc_id") % 4 === 3)
+        val root = java.nio.file.Files.createTempDirectory("graft-triage-idx").toString
+        Dedup.buildLshIndex(idxV0, "doc_id", "text", s"$root/v0",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        Dedup.buildLshIndex(idxV1, "doc_id", "text", s"$root/v1",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        val exactNovel = Dedup.bloomProbeNew(batch,
+          idxV0.unionByName(idxV1), "doc_id", "text",
+          numBits = 1L << 20, numHashes = 5)
+        val keepers = docs.join(
+          exactNovel.select(col("keeper_id").as("doc_id")), Seq("doc_id"))
+        val nearPairs = Seq("v0", "v1").map(v =>
+          Dedup.probeLshIndex(keepers, s"$root/$v", "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5))
+          .reduce(_ unionByName _)
+        val nearCounts = nearPairs
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(count(lit(1)).as("near_matches"))
+        exactNovel.select(col("keeper_id").as("doc_id"), col("dup_count"))
+          .join(nearCounts, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_count"),
+            coalesce(col("near_matches"), lit(0L)).as("near_matches"),
+            when(coalesce(col("near_matches"), lit(0L)) > 0, lit("near_dup"))
+              .otherwise(lit("admitted")).as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+             |  FROM documents),
+             |bfp AS (SELECT * FROM fp WHERE doc_id % 4 = 0),
+             |ifp AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 <> 0),
+             |ek AS (SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS dup_count
+             |  FROM bfp WHERE fingerprint NOT IN (SELECT fingerprint FROM ifp)
+             |  GROUP BY 1),
+             |${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc IN (SELECT doc_id FROM ek) AND r.doc % 4 <> 0")},
+             |nm AS (SELECT doc_a AS doc_id, count(*) AS near_matches
+             |  FROM res WHERE jac >= 0.5 GROUP BY 1)
+             |SELECT ek.doc_id, ek.dup_count::BIGINT AS dup_count,
+             |  coalesce(nm.near_matches, 0)::BIGINT AS near_matches,
+             |  CASE WHEN coalesce(nm.near_matches, 0) > 0 THEN 'near_dup'
+             |    ELSE 'admitted' END AS verdict
+             |FROM ek LEFT JOIN nm USING (doc_id) ORDER BY ek.doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

@@ -94,6 +94,45 @@ class CdcApplySpec extends SparkSpec with Matchers {
     latestSnapshot(spark, root, maxExclusive = Some(0L)) shouldBe None
   }
 
+  test("cdcApply end-to-end: crash between v-dir write and checkpoint commit replays idempotently") {
+    // The ADVICE round-6 scenario, driven through the REAL stream restart
+    // machinery (not applyCdcBatch directly): batch 1's v1 directory lands
+    // but the checkpoint commit does not — on restart Structured Streaming
+    // re-executes batchId 1, and the strictly-below-batchId merge base
+    // must reproduce the identical snapshot instead of folding v1 into
+    // itself.
+    val root = Files.createTempDirectory("graft-cdc-crash").toString
+    val ckpt = Files.createTempDirectory("graft-cdc-crash-ckpt").toString
+    // a DIRECTORY source keeps the stream path stable across restarts
+    val chgDir = Files.createTempDirectory("graft-cdc-crash-chg").toString
+    changes(Seq((1L, "a0", 1L), (2L, "b0", 1L)))
+      .coalesce(1).write.mode("append").parquet(chgDir)
+    StreamOps.cdcApply(spark, chgDir, root, "k", Seq("seq"),
+      queryName = s"cdc_crash0_${System.nanoTime()}", checkpointDir = Some(ckpt))
+    snapshotMap(root) shouldBe Map(1L -> "a0", 2L -> "b0")
+    changes(Seq((1L, "a1", 2L), (3L, "c0", 1L)))
+      .coalesce(1).write.mode("append").parquet(chgDir)
+    StreamOps.cdcApply(spark, chgDir, root, "k", Seq("seq"),
+      queryName = s"cdc_crash1_${System.nanoTime()}", checkpointDir = Some(ckpt))
+    val once = snapshotMap(root)
+    once shouldBe Map(1L -> "a1", 2L -> "b0", 3L -> "c0")
+    // Kill the commit marker of the newest batch: offsets say batch 1
+    // started, commits say it never finished — exactly the crash window.
+    val commitFiles = new java.io.File(ckpt, "commits").listFiles()
+      .filter(_.getName.forall(_.isDigit))
+    val maxCommit = commitFiles.map(_.getName.toLong).max
+    maxCommit shouldBe 1L
+    assert(new java.io.File(s"$ckpt/commits/$maxCommit").delete())
+    // the local FS is checksummed: a real crash leaves neither the commit
+    // nor its CRC shadow, and a stale CRC fails the replay's rename
+    new java.io.File(s"$ckpt/commits/.$maxCommit.crc").delete()
+    StreamOps.cdcApply(spark, chgDir, root, "k", Seq("seq"),
+      queryName = s"cdc_crash2_${System.nanoTime()}", checkpointDir = Some(ckpt))
+    snapshotMap(root) shouldBe once
+    // and the replay really did rewrite v1 from the v0 base (no v2 grew)
+    new java.io.File(root, "v2").exists() shouldBe false
+  }
+
   test("cdcApply end-to-end with a checkpoint folds the change file once") {
     val root = Files.createTempDirectory("graft-cdc-e2e").toString
     val ckpt = Files.createTempDirectory("graft-cdc-ckpt").toString
