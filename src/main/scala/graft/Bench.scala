@@ -36,6 +36,10 @@ object Bench {
     "x76_bm25", "x77_pagerank", "x78_zorder_layout", "x80_resample",
     "x82_lm_surprise", "x84_mad_outliers", "x88_curation_funnel",
     "x91_rolling_actives", "x95_containment", "x97_editdist_dedup",
+    "x98_sorted_neighborhood", "x99_fractional_epochs",
+    "x100_tokenizer_fertility", "x101_hybrid_retrieval", "x102_stream_alerts",
+    "x103_split_manifest", "x104_ann_recall", "x105_cluster_census",
+    "x106_shard_movement", "x107_personalized_pagerank", "x108_ingest_triage",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

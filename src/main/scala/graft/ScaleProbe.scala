@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis, TimeSeries}
+import graft.streaming.StreamOps
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -88,6 +89,20 @@ object ScaleProbe {
       dir
     }
     def zipfCorpus(m: Int): DataFrame = spark.read.parquet(zipfDirs.take(m): _*)
+
+    // Staged outside the timed section (a parquet write inside an op would
+    // bill staging to the operator): per-multiplier synthetic event files
+    // for the streaming-alerts probe. Users scale with m; 10 events/user
+    // at 1100 cents against a 2000-cent threshold → 5 alerts/user, so
+    // per-key state and emit width stay constant.
+    lazy val alertDirs: Map[Int, String] = multipliers.map { m =>
+      val users = 100000L * m
+      val dir = s"$stageRoot/alerts/m$m"
+      spark.range(users * 10).select((col("id") % users).as("user_id"),
+          lit(11.0).as("value"))
+        .write.mode("overwrite").parquet(dir)
+      m -> dir
+    }.toMap
 
     // Time-series operators probe on arithmetic inputs (spark.range) sized
     // by the multiplier instead of corpus replicas: keys scale with m so
@@ -427,7 +442,53 @@ object ScaleProbe {
             zipfCorpus(m).select(col("doc_id"),
               substring(col("text"), 1, 24).as("title")),
             "doc_id", "title", maxDist = 8, gramSize = 6)
-          .agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)))
+          .agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)),
+      // Hybrid retrieval (x101): both legs grow with the corpus — BM25
+      // postings linearly (one query term per replica, constant per-term
+      // df, like the bm25 probe) and the dense brute-force leg as fixed
+      // query × growing corpus. The RRF fuse is top-k-bounded, so the
+      // exponent certifies the legs, not the combiner.
+      "hybrid_retrieval" -> { m =>
+        import org.apache.spark.sql.expressions.Window
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val grown = (0 until m).map(r => emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        val lex = Retrieval.bm25(corpus(m), "doc_id", "text",
+            (0 until m).map(r => s"r${r}_spark"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("score_x1e3").desc, col("doc"))))
+          .filter(col("rank") <= 50).select(col("doc"), col("rank"))
+        val dense = Similarity.bruteForceTopK(
+            grown.filter(col("vec_id") === 0), grown,
+            "vec_id", "embedding", k = 50)
+          .select(col("neighbor_id").as("doc"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, dense), "doc", "rank", kRrf = 60)
+          .orderBy(col("rrf_x1e6").desc, col("doc")).limit(20).count()
+      },
+      // Streaming threshold alerts (x102): users scale with m, per-user
+      // event count / state / alert fan-out constant — the exponent
+      // certifies the flatMapGroupsWithState stage shuffles once on the
+      // key and its state stays O(users), with no per-batch global work.
+      "stream_alerts" -> (m =>
+        StreamOps.streamingThresholdAlerts(spark, alertDirs(m),
+          thresholdCents = 2000L,
+          queryName = s"probe_alerts_${m}_${System.nanoTime()}").count()),
+      // Personalized PageRank (x107): same linear-graph construction as
+      // the pagerank probe (nodes ×m, out-degree 5, 3 supersteps), seeds
+      // a fixed 1/50 slice of the nodes — the restricted-teleport rank
+      // must keep the per-superstep join-agg dataflow and checkpoint
+      // discipline of x77.
+      "personalized_pagerank" -> { m =>
+        val n = 200000L * m
+        val edges = spark.range(n * 5).select(
+          (col("id") % n).as("src"),
+          ((col("id") * 2654435761L + 7L) % n).as("dst"))
+        val seeds = spark.range(n).select(col("id").as("node"))
+          .filter(col("node") % 50 === 0)
+        Graph.personalizedPageRank(edges, "src", "dst", seeds, iterations = 3)
+          .agg(sum("rank_x1e12")).first().getLong(0)
+      })
 
     val opFilter: String => Boolean = args.lift(1) match {
       case Some(prefixes) =>

@@ -22,17 +22,28 @@ object QueryDef {
   def tbl(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries TIMESTAMP(NANOS) parquet timestamps, which
-    * Spark only reads as LongType (spark.sql.legacy.parquet.nanosAsLong —
-    * set in Verify/Bench/test sessions); convert to a microsecond timestamp
-    * here. `div` keeps the arithmetic in exact integer space (ns epoch
-    * values overflow double precision).
+  /** The events table's `ts` has shipped as two parquet physical types
+    * across testdata generations, and both must normalize to a session-tz
+    * TIMESTAMP so `unix_micros`/windowing behave identically:
+    *  - TIMESTAMP(NANOS), which Spark only reads as LongType
+    *    (spark.sql.legacy.parquet.nanosAsLong — set in Verify/Bench/test
+    *    sessions): convert via `div 1000` in exact integer space (ns epoch
+    *    values overflow double precision);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false), which arrives as
+    *    TIMESTAMP_NTZ: cast to TIMESTAMP — sessions run UTC, so the
+    *    wall-clock reading is the same instant DuckDB's naive TIMESTAMP
+    *    sees and `epoch_us` agrees across engines.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = tbl(spark, sfDir, "events")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }

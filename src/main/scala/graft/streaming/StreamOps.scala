@@ -25,15 +25,23 @@ object StreamOps {
     }
   }
 
-  /** TIMESTAMP(NANOS) parquet arrives as LongType under the nanosAsLong
-    * legacy conf — convert `ts` to a real event-time column (`div` keeps
-    * the arithmetic exact; ns epoch values overflow double precision).
+  /** Normalize the event-time column across the testdata generations'
+    * parquet physical types (same contract as QueryDef.events):
+    * TIMESTAMP(NANOS) arrives as LongType under the nanosAsLong legacy
+    * conf (`div` keeps the arithmetic exact; ns epoch values overflow
+    * double precision); TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives
+    * as TIMESTAMP_NTZ and casts to the session-tz TIMESTAMP (sessions run
+    * UTC, so the instant matches DuckDB's naive reading).
     */
   private def normalizeTs(df: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (schema.fieldNames.contains("ts") &&
-        schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (!schema.fieldNames.contains("ts")) df
+    else schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   /** Event-time tumbling-window aggregation over the events table, run as a
     * real streaming query (AvailableNow trigger — processes the backlog,
