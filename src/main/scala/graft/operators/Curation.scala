@@ -59,6 +59,41 @@ object Curation {
       .withColumn("contaminated", col("overlap_pct") >= thresholdPct)
   }
 
+  /** SEMANTIC (embedding-space) decontamination — the modern complement
+    * to shingle `decontaminate`: a paraphrased, translated, or
+    * reformatted benchmark item shares few-to-no word n-grams with its
+    * source yet sits next to it in embedding space, so n-gram overlap
+    * misses it. Per corpus vector, the max cosine against ANY eval-set
+    * vector; `contaminated = max_eval_cosine >= threshold`. Output:
+    * (id, max_eval_cosine, contaminated) — one row per corpus vector
+    * (eval must be non-empty; an empty eval set would silently flag
+    * nothing, which is the one failure mode this check exists to catch).
+    *
+    * Scale: eval sets are tiny next to a 100 TB corpus (a benchmark is
+    * thousands of rows), so the eval VECTORS broadcast and the per-row
+    * max collapses map-side — the corpus never shuffles its vectors; the
+    * only exchange carries one (id, max) row per corpus vector. For an
+    * eval set too big to broadcast, block both sides first (the
+    * `Dedup.embeddingCosineLsh` sign-bucket discipline) and take the max
+    * per corpus id over bucket-local pairs — same output, candidate-
+    * bounded.
+    */
+  def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val reserved = Seq("max_eval_cosine", "contaminated")
+    require(!reserved.contains(idCol),
+      s"semanticDecontaminate: id column collides with an output column")
+    val c = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val e = evalSet.select(col(vecCol).cast("array<double>").as("__ev"))
+    c.crossJoin(broadcast(e))
+      .select(col("id"), Similarity.cosine(col("__cv"), col("__ev")).as("__cos"))
+      .groupBy("id")
+      .agg(max(col("__cos")).as("max_eval_cosine"))
+      .select(col("id").as(idCol), col("max_eval_cosine"),
+        (col("max_eval_cosine") >= threshold).as("contaminated"))
+  }
+
   /** Repetition / boilerplate detection — the Gopher-style repetition
     * signals: per document, how dominated is it by its most frequent word
     * n-gram, and what fraction of n-gram occurrences are repeats.

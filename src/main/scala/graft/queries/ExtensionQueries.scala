@@ -3424,7 +3424,37 @@ object ExtensionQueries {
              |  coalesce(nm.near_matches, 0)::BIGINT AS near_matches,
              |  CASE WHEN coalesce(nm.near_matches, 0) > 0 THEN 'near_dup'
              |    ELSE 'admitted' END AS verdict
-             |FROM ek LEFT JOIN nm USING (doc_id) ORDER BY ek.doc_id""".stripMargin))
+             |FROM ek LEFT JOIN nm USING (doc_id) ORDER BY ek.doc_id""".stripMargin)),
+
+    // Semantic decontamination (x109): embedding-space complement to the
+    // shingle-based x35 — a paraphrased benchmark item shares no 5-grams
+    // with its source but sits next to it in embedding space. Eval set =
+    // the vec_id % 20 = 0 slice (tiny, broadcast); per corpus vector the
+    // max cosine against any eval vector, flagged at 0.3 (the synthetic
+    // vectors are near-orthogonal, so the threshold keeps the flag set
+    // small but non-trivial). The corpus never shuffles its vectors.
+    QueryDef("x109_semantic_decontamination",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Curation.semanticDecontaminate(
+            emb.filter(col("vec_id") % 20 =!= 0),
+            emb.filter(col("vec_id") % 20 === 0),
+            "vec_id", "embedding", threshold = 0.3)
+          .select(col("vec_id"),
+            floor(col("max_eval_cosine") * 1000000).cast("long")
+              .as("max_cos_x1m"),
+            col("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec FROM embeddings),
+             |c AS (SELECT vec_id, vec FROM v WHERE vec_id % 20 <> 0),
+             |e AS (SELECT vec FROM v WHERE vec_id % 20 = 0),
+             |mx AS (SELECT c.vec_id, max(${dkCosine("c.vec", "e.vec")}) AS mc
+             |  FROM c CROSS JOIN e GROUP BY 1)
+             |SELECT vec_id, floor(mc*1000000)::BIGINT AS max_cos_x1m,
+             |  mc >= 0.3 AS contaminated
+             |FROM mx ORDER BY vec_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs

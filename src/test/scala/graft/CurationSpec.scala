@@ -40,6 +40,23 @@ class CurationSpec extends SparkSpec with Matchers {
     out(2).getAs[Long]("overlap_pct") should be < 100L
   }
 
+  test("semanticDecontaminate: nearest eval vector sets the max, threshold splits the flag") {
+    import spark.implicits._
+    // eval = x-axis unit vector. Corpus: parallel (cos 1), 45-degree
+    // (cos ~0.707), orthogonal (cos 0).
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(1.0f, 1.0f)), (3L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Curation.semanticDecontaminate(corpus, eval, "vec_id",
+        "embedding", threshold = 0.7)
+      .orderBy("vec_id").collect()
+    out.map(_.getAs[Boolean]("contaminated")).toSeq shouldBe Seq(true, true, false)
+    out(0).getAs[Double]("max_eval_cosine") shouldBe 1.0 +- 1e-12
+    out(1).getAs[Double]("max_eval_cosine") shouldBe math.sqrt(0.5) +- 1e-12
+    out(2).getAs[Double]("max_eval_cosine") shouldBe 0.0 +- 1e-12
+  }
+
   test("repetition stats: modal n-gram dominance and repeated mass are exact") {
     // "spam spam spam spam ham": 2-grams = [spam spam]x3, [spam ham]x1
     val out = Curation.repetitionStats(docs(1L -> "spam spam spam spam ham"),
