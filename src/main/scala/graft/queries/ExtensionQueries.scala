@@ -3388,9 +3388,13 @@ object ExtensionQueries {
           shingleSize = 3, numHashes = 16, bands = 4)
         Dedup.buildLshIndex(idxV1, "doc_id", "text", s"$root/v1",
           shingleSize = 3, numHashes = 16, bands = 4)
+        // exactNovel feeds three subtrees (both version probes via the
+        // keeper join, plus the final report join) — checkpoint the slim
+        // keeper rows so the Bloom+anti-join stage executes once (the x88
+        // staging discipline).
         val exactNovel = Dedup.bloomProbeNew(batch,
           idxV0.unionByName(idxV1), "doc_id", "text",
-          numBits = 1L << 20, numHashes = 5)
+          numBits = 1L << 20, numHashes = 5).localCheckpoint()
         val keepers = docs.join(
           exactNovel.select(col("keeper_id").as("doc_id")), Seq("doc_id"))
         val nearPairs = Seq("v0", "v1").map(v =>
