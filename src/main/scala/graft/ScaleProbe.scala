@@ -90,6 +90,29 @@ object ScaleProbe {
     }
     def zipfCorpus(m: Int): DataFrame = spark.read.parquet(zipfDirs.take(m): _*)
 
+    // Boilerplate variant: same Zipfian body, but every 5th doc carries an
+    // identical 12-token license-header prefix. Random Zipf draws alone
+    // flood only mildly (a specific shared TRIGRAM needs the same three
+    // tokens in sequence — measured exponent ~0.5 unguarded); real floods
+    // come from REPEATED BLOCKS, where every header shingle is shared by
+    // the whole 20% cohort and candidate pairs grow C(cohort, 2) ∝ m².
+    lazy val zipfBoilerDirs: IndexedSeq[String] = {
+      val header = "standard license header terms apply to this document " +
+        "revision two zero"
+      (0 until maxMult).map { r =>
+        val dir = s"$stageRoot/zipfb/r$r"
+        spark.read.parquet(zipfDirs(r))
+          .select(col("doc_id"),
+            when(col("doc_id") % 5 === 0,
+              concat(lit(header + " "), col("text")))
+              .otherwise(col("text")).as("text"))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
+    }
+    def zipfBoiler(m: Int): DataFrame =
+      spark.read.parquet(zipfBoilerDirs.take(m): _*)
+
     // Staged outside the timed section (a parquet write inside an op would
     // bill staging to the operator): per-multiplier synthetic event files
     // for the streaming-alerts probe. Users scale with m; 10 events/user
@@ -443,6 +466,28 @@ object ScaleProbe {
               substring(col("text"), 1, 24).as("title")),
             "doc_id", "title", maxDist = 8, gramSize = 6)
           .agg(coalesce(sum("dist"), lit(0L))).first().getLong(0)),
+      // CONTROL: the same operator with the flood guard effectively OFF
+      // (maxBucket = corpus size) on the shared-vocabulary corpus. Random
+      // Zipf draws flood only mildly (a shared trigram needs the same
+      // three tokens in sequence), so this control quantifies the
+      // no-boilerplate baseline.
+      "zipf_unguarded_containment" -> (m =>
+        Dedup.shingleContainment(zipfCorpus(m), "doc_id", "text",
+          shingleSize = 3, thresholdPct = 50, maxBucket = Long.MaxValue)
+          .count()),
+      // The guarded/unguarded A/B on the BOILERPLATE corpus (see
+      // zipfBoilerDirs): the header cohort is 20% of every multiplier's
+      // docs, so each header shingle's bucket grows with m and the
+      // unguarded candidate set grows C(0.2·n, 2) ∝ m² — run the
+      // unguarded one capped (`ScaleProbe 4 zipfb`); the guard prunes
+      // those buckets (>256 docs already at 1×) and should stay flat.
+      "zipfb_containment" -> (m =>
+        Dedup.shingleContainment(zipfBoiler(m), "doc_id", "text",
+          shingleSize = 3, thresholdPct = 50).count()),
+      "zipfb_unguarded_containment" -> (m =>
+        Dedup.shingleContainment(zipfBoiler(m), "doc_id", "text",
+          shingleSize = 3, thresholdPct = 50, maxBucket = Long.MaxValue)
+          .count()),
       // Hybrid retrieval (x101): both legs grow with the corpus — BM25
       // postings linearly (one query term per replica, constant per-term
       // df, like the bm25 probe) and the dense brute-force leg as fixed
