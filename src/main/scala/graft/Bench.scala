@@ -40,6 +40,7 @@ object Bench {
     "x100_tokenizer_fertility", "x101_hybrid_retrieval", "x102_stream_alerts",
     "x103_split_manifest", "x104_ann_recall", "x105_cluster_census",
     "x106_shard_movement", "x107_personalized_pagerank", "x108_ingest_triage",
+    "x109_semantic_decontamination",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

@@ -91,7 +91,7 @@ object ScaleProbe {
     def zipfCorpus(m: Int): DataFrame = spark.read.parquet(zipfDirs.take(m): _*)
 
     // Boilerplate variant: same Zipfian body, but every 5th doc carries an
-    // identical 12-token license-header prefix. Random Zipf draws alone
+    // identical 11-token license-header prefix. Random Zipf draws alone
     // flood only mildly (a specific shared TRIGRAM needs the same three
     // tokens in sequence — measured exponent ~0.5 unguarded); real floods
     // come from REPEATED BLOCKS, where every header shingle is shared by
@@ -479,12 +479,15 @@ object ScaleProbe {
       // zipfBoilerDirs): the header cohort is 20% of every multiplier's
       // docs, so each header shingle's bucket grows with m and the
       // unguarded candidate set grows C(0.2·n, 2) ∝ m² — run the
-      // unguarded one capped (`ScaleProbe 4 zipfb`); the guard prunes
+      // unguarded one capped (`ScaleProbe 4 boiler`); the guard prunes
       // those buckets (>256 docs already at 1×) and should stay flat.
-      "zipfb_containment" -> (m =>
+      // (Named boiler_*, NOT zipfb_*: the op filter is prefix-match, and
+      // a "zipf" run must not drag in the deliberately-quadratic
+      // control.)
+      "boiler_containment" -> (m =>
         Dedup.shingleContainment(zipfBoiler(m), "doc_id", "text",
           shingleSize = 3, thresholdPct = 50).count()),
-      "zipfb_unguarded_containment" -> (m =>
+      "boiler_unguarded_containment" -> (m =>
         Dedup.shingleContainment(zipfBoiler(m), "doc_id", "text",
           shingleSize = 3, thresholdPct = 50, maxBucket = Long.MaxValue)
           .count()),
@@ -515,10 +518,16 @@ object ScaleProbe {
       // event count / state / alert fan-out constant — the exponent
       // certifies the flatMapGroupsWithState stage shuffles once on the
       // key and its state stays O(users), with no per-batch global work.
-      "stream_alerts" -> (m =>
-        StreamOps.streamingThresholdAlerts(spark, alertDirs(m),
-          thresholdCents = 2000L,
-          queryName = s"probe_alerts_${m}_${System.nanoTime()}").count()),
+      "stream_alerts" -> { m =>
+        val qn = s"probe_alerts_${m}_${System.nanoTime()}"
+        val n = StreamOps.streamingThresholdAlerts(spark, alertDirs(m),
+          thresholdCents = 2000L, queryName = qn).count()
+        // drop the memory-sink table — each invocation registers a fresh
+        // one (unique name), and leaked sinks would pin millions of alert
+        // rows on the driver and skew every later op's timing
+        spark.catalog.dropTempView(qn)
+        n
+      },
       // Personalized PageRank (x107): same linear-graph construction as
       // the pagerank probe (nodes ×m, out-degree 5, 3 supersteps), seeds
       // a fixed 1/50 slice of the nodes — the restricted-teleport rank

@@ -86,6 +86,12 @@ object Curation {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("__cv"))
     val e = evalSet.select(col(vecCol).cast("array<double>").as("__ev"))
+    // Enforce the documented precondition eagerly (one limit-1 job): an
+    // empty eval set would make the crossJoin return ZERO rows — a
+    // nothing-is-contaminated report from a misconfigured eval path is
+    // the exact silent failure this check exists to catch.
+    require(!e.isEmpty,
+      "semanticDecontaminate: eval set is empty — every corpus row would be reported uncontaminated")
     c.crossJoin(broadcast(e))
       .select(col("id"), Similarity.cosine(col("__cv"), col("__ev")).as("__cos"))
       .groupBy("id")

@@ -91,7 +91,8 @@ object Quantize {
     * default true pins the (queries × nprobe) probe side as the broadcast
     * build, which a batch-scoring job with a large query set must turn
     * off — the candidate join then shuffles on the cell key and the
-    * top-k runs as a map-side-partial TopKAggregator.
+    * top-k runs as a map-side-partial TopKAggregator (which buffers
+    * bigint ids — integral id columns only on that path).
     */
   def ivfDotTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
       embCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,

@@ -191,7 +191,10 @@ object Similarity {
     * TopKAggregator instead of a per-query window (the same pair of
     * shapes `lshTopK` exposes via `broadcastQueries`). Forcing a huge
     * broadcast would OOM the driver/executors silently; the flag makes
-    * the trade explicit at the call site.
+    * the trade explicit at the call site. Type note: the false path's
+    * TopKAggregator buffers (bigint id, score) pairs, so ids must be
+    * integral (the same constraint `lshTopK`'s aggregator path has); the
+    * default window path accepts any orderable id type.
     *
     * Returns (query_id, rank, neighbor_id, cosine).
     */

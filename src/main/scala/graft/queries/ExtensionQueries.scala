@@ -36,6 +36,17 @@ object ExtensionQueries {
 
   private def dkShingles(k: Int) = dkShinglesFrom("documents", "doc_id", "text", k)
 
+  /** JVM-stable scratch root for queries that persist an LSH index as part
+    * of their own definition (x70/x108): ONE directory per JVM, reused
+    * with overwrite-mode writes, so repeated Verify/Bench/PlanSpec
+    * evaluations don't orphan a fresh index tree per invocation. (The
+    * streaming queries keep per-invocation temp dirs on purpose — a
+    * reused versioned-snapshot root would leak state BETWEEN runs and
+    * change their results.)
+    */
+  private lazy val idxScratch: String =
+    java.nio.file.Files.createTempDirectory("graft-idx-scratch").toString
+
   // ---- dedup ----
 
   /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend
@@ -2139,7 +2150,7 @@ object ExtensionQueries {
     QueryDef("x70_persisted_lsh_probe",
       (s, d) => {
         val docs = tbl(s, d, "documents")
-        val idxPath = java.nio.file.Files.createTempDirectory("graft-lsh-idx").toString
+        val idxPath = s"$idxScratch/x70"
         Dedup.buildLshIndex(docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text",
           idxPath, shingleSize = 3, numHashes = 16, bands = 4)
         Dedup.probeLshIndex(docs.filter(col("doc_id") % 7 === 0), idxPath,
@@ -2902,7 +2913,7 @@ object ExtensionQueries {
              |SELECT coalesce(o.id, n.id) AS id,
              |  CASE WHEN o.id IS NULL THEN 'added'
              |       WHEN n.id IS NULL THEN 'removed'
-             |       WHEN o.h <> n.h THEN 'changed'
+             |       WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
              |       ELSE 'unchanged' END AS status
              |FROM o FULL OUTER JOIN n ON o.id = n.id ORDER BY id""".stripMargin)),
 
@@ -3383,7 +3394,7 @@ object ExtensionQueries {
         val batch = docs.filter(col("doc_id") % 4 === 0)
         val idxV0 = docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2)
         val idxV1 = docs.filter(col("doc_id") % 4 === 3)
-        val root = java.nio.file.Files.createTempDirectory("graft-triage-idx").toString
+        val root = s"$idxScratch/x108"
         Dedup.buildLshIndex(idxV0, "doc_id", "text", s"$root/v0",
           shingleSize = 3, numHashes = 16, bands = 4)
         Dedup.buildLshIndex(idxV1, "doc_id", "text", s"$root/v1",
