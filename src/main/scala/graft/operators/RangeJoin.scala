@@ -73,7 +73,7 @@ object RangeJoin {
     val oversized = broadcast(iv.filter(width > maxBucketsPerInterval)
       .drop("__bs", "__be"))
     bucketed.unionByName(oversized.join(points, residual)
-      .select(bucketed.columns.map(col): _*))
+      .select(bucketed.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Interval × interval overlap join: pairs where
@@ -114,7 +114,7 @@ object RangeJoin {
 
     val lBig = broadcast(l.filter(width > maxBucketsPerInterval).drop("__bs", "__be"))
     val rBig = broadcast(r.filter(width > maxBucketsPerInterval).drop("__bs", "__be"))
-    val outCols = bucketed.columns.map(col)
+    val outCols = bucketed.columns.toIndexedSeq.map(col)
     bucketed
       .unionByName(lBig.join(right.filter(col(rEnd) >= col(rStart)), overlap)
         .select(outCols: _*))

@@ -411,7 +411,7 @@ object StreamOps {
     val merged = latestSnapshot(s, snapshotRoot, maxExclusive = Some(batchId)) match {
       case Some(current) =>
         graft.operators.Merge.upsertByKey(
-          current.select(latest.columns.map(col): _*), latest, key,
+          current.select(latest.columns.toIndexedSeq.map(col): _*), latest, key,
           validateUniqueKeys = false) // latest is unique per key by construction
       case None => latest
     }
