@@ -142,6 +142,22 @@ object ScaleProbe {
       (left, right)
     }
 
+    // Per-replica LSH index versions for the ingest_triage probe: built
+    // once on demand (the untimed warm-up pass triggers any build a
+    // multiplier needs), then every timed run probes the STORED
+    // signatures only.
+    val triageBuilt = scala.collection.mutable.Set[Int]()
+    def triageIdx(r: Int): String = {
+      val p = s"$stageRoot/triage/r$r"
+      if (!triageBuilt(r)) {
+        Dedup.buildLshIndex(
+          spark.read.parquet(replicaDirs(r)).filter(col("doc_id") % 4 =!= 0),
+          "doc_id", "text", p, shingleSize = 3, numHashes = 16, bands = 4)
+        triageBuilt += r
+      }
+      p
+    }
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "dedup_exact" -> (m => Dedup.exact(corpus(m), "doc_id", "text").count()),
       "dedup_minhash_lsh" -> (m =>
@@ -528,6 +544,100 @@ object ScaleProbe {
         spark.catalog.dropTempView(qn)
         n
       },
+      // madOutliers (x84): rows scale with m at FIXED key count (8) and
+      // FIXED value domain (10k distinct, ≈ the per-key distinct-cents
+      // width of the sf0.1 events table) — the exponent certifies the
+      // histogram-median shape stays scan-bound: per-key histograms and
+      // the cumulative windows over them are domain-sized, so only the
+      // two groupBy scans and the med/mad join-backs grow.
+      "mad_outliers" -> { m =>
+        val n = 500000L * m
+        val ev = spark.range(n).select((col("id") % 8).as("key"),
+          ((col("id") * 2654435761L) % 10000L).as("cents"))
+        Profile.madOutliers(ev, "key", "cents")
+          .agg(sum("outliers")).first().getLong(0)
+      },
+      // The x84-regression bisect twin: rows FIXED (2M), value domain
+      // scales with m — isolates the cost of a widening per-key histogram
+      // (the r7 testdata regeneration changed the events value
+      // distribution; this measures how much that lever can move x84).
+      "mad_outliers_domain" -> { m =>
+        val ev = spark.range(2000000L).select((col("id") % 8).as("key"),
+          ((col("id") * 2654435761L) % (10000L * m)).as("cents"))
+        Profile.madOutliers(ev, "key", "cents")
+          .agg(sum("outliers")).first().getLong(0)
+      },
+      // Split manifest (x103): corpus-wide LSH + canonicalize + one
+      // grouped checksum agg — token-prefixed replicas keep clusters
+      // within replicas, so pairs grow ×m and the exponent certifies the
+      // LSH/label-propagation chain plus the bit_xor rollup stay linear.
+      "split_manifest" -> { m =>
+        val docs = corpus(m)
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val split = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+            valPct = 5, testPct = 10)
+          .select(col("doc").as("doc_id"), col("split"))
+        docs.select(col("doc_id"),
+            size(Portable.tokens(col("text"))).cast("long").as("tk"),
+            Portable.hash56(col("text")).as("h"))
+          .join(split, Seq("doc_id"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("docs"), sum(col("tk")).as("tokens"),
+            expr("bit_xor(h)").as("content_checksum"))
+          .count()
+      },
+      // Cluster census (x105): LSH pairs + canonicalize + two keyed
+      // aggregates — same linear-workload construction as split_manifest;
+      // the census aggregates are cluster-count-sized, never corpus².
+      "cluster_census" -> { m =>
+        val docs = corpus(m)
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        Dedup.canonicalize(docs, "doc_id", pairs)
+          .groupBy("canonical_id").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("clusters"))
+          .count()
+      },
+      // Ingest triage (x108): FIXED batch (replica 0's %4==0 slice)
+      // probed against a GROWING persisted-index version chain — one LSH
+      // index version per replica, built once in staging (untimed; the
+      // warm-up pass triggers any missing builds). Timed work = Bloom
+      // exact-dedup against m replicas' docs + a stored-signature probe
+      // per version: each version probe is (fixed batch × fixed version)
+      // so the total must grow ∝ m — THE scaling claim of the versioned
+      // ingest loop (index × batch bounded, never index²).
+      "ingest_triage" -> { m =>
+        val batch = corpus(1).filter(col("doc_id") % 4 === 0)
+        val idxDocs = corpus(m).filter(col("doc_id") % 4 =!= 0)
+        val exactNovel = Dedup.bloomProbeNew(batch, idxDocs, "doc_id", "text",
+          numBits = 1L << 20, numHashes = 5).localCheckpoint()
+        val keepers = corpus(1).join(
+          exactNovel.select(col("keeper_id").as("doc_id")), Seq("doc_id"))
+        val nearPairs = (0 until m).map(r =>
+          Dedup.probeLshIndex(keepers, triageIdx(r), "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5))
+          .reduce(_ unionByName _)
+        exactNovel.select(col("keeper_id").as("doc_id"), col("dup_count"))
+          .join(nearPairs.groupBy(col("doc_a").as("doc_id"))
+            .agg(count(lit(1)).as("near_matches")), Seq("doc_id"), "left")
+          .count()
+      },
+      // x88 funnel staging A/B: the SAME end-to-end curation funnel with
+      // stage id-sets eagerly localCheckpoint()ed (staged) vs the fully
+      // declarative plan (unstaged, branches replay the shared dedup
+      // prefix but pay no materialization barriers). Identical data,
+      // identical result — the pair answers "when do the 4 barriers beat
+      // the replayed prefix?" (round-7 verdict: staged measured 1.41×
+      // SLOWER at sf0.1 1×; this probe measures where/if that crosses).
+      "funnel_staged" -> (m =>
+        graft.queries.ExtensionQueries.curationFunnel(corpus(m),
+          stageCheckpoints = true).count()),
+      "funnel_unstaged" -> (m =>
+        graft.queries.ExtensionQueries.curationFunnel(corpus(m),
+          stageCheckpoints = false).count()),
       // Personalized PageRank (x107): same linear-graph construction as
       // the pagerank probe (nodes ×m, out-degree 5, 3 supersteps), seeds
       // a fixed 1/50 slice of the nodes — the restricted-teleport rank

@@ -77,6 +77,15 @@ object Curation {
     * `Dedup.embeddingCosineLsh` sign-bucket discipline) and take the max
     * per corpus id over bucket-local pairs — same output, candidate-
     * bounded.
+    *
+    * NOTE: this method runs ONE EAGER Spark job at DataFrame-construction
+    * time (a limit-1 existence probe of the eval set) — callers composing
+    * lazy plans should construct it once, not per branch. Zero-norm eval
+    * vectors are dropped before scoring (cosine against the zero vector
+    * is NaN, and `max` propagates NaN, which would flag EVERY corpus row
+    * contaminated); the non-empty requirement applies AFTER the drop, so
+    * an eval set of only zero vectors still fails loudly instead of
+    * silently flagging everything or nothing.
     */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
@@ -86,12 +95,13 @@ object Curation {
     val c = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("__cv"))
     val e = evalSet.select(col(vecCol).cast("array<double>").as("__ev"))
+      .filter(exists(col("__ev"), v => v =!= 0.0))
     // Enforce the documented precondition eagerly (one limit-1 job): an
-    // empty eval set would make the crossJoin return ZERO rows — a
-    // nothing-is-contaminated report from a misconfigured eval path is
-    // the exact silent failure this check exists to catch.
+    // empty (post-drop) eval set would make the crossJoin return ZERO
+    // rows — a nothing-is-contaminated report from a misconfigured eval
+    // path is the exact silent failure this check exists to catch.
     require(!e.isEmpty,
-      "semanticDecontaminate: eval set is empty — every corpus row would be reported uncontaminated")
+      "semanticDecontaminate: eval set is empty (or all zero-norm) — every corpus row would be reported uncontaminated")
     c.crossJoin(broadcast(e))
       .select(col("id"), Similarity.cosine(col("__cv"), col("__ev")).as("__cos"))
       .groupBy("id")

@@ -436,6 +436,28 @@ object Dedup {
       s.read.parquet(s"$indexPath/buckets"), threshold)
   }
 
+  /** Persist the corpus's canonical near-dup labels — the write-once,
+    * read-many artifact for the report family (`buildLshIndex` pattern):
+    * run MinHash-LSH + connected-component canonicalization ONCE and
+    * store (doc, canonical_id, is_keeper) under `path`. The x88/x103/
+    * x105-class report queries each recompute exactly this subcomputation
+    * corpus-wide — three of the five most expensive headliners duplicate
+    * it — and at 100 TB the label table is THE shared artifact: build it
+    * per corpus generation, then every report (split manifests, cluster
+    * censuses, keeper joins) is a join-and-aggregate against the stored
+    * labels instead of a corpus-wide LSH + label-propagation rerun. At
+    * production scale, bucket the table by doc so consumer joins
+    * co-locate.
+    */
+  def buildCanonicalLabels(docs: DataFrame, idCol: String, textCol: String,
+      path: String, shingleSize: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): Unit = {
+    val pairs = minHashLsh(docs, idCol, textCol, shingleSize, numHashes,
+        bands, threshold)
+      .select("doc_a", "doc_b")
+    canonicalize(docs, idCol, pairs).write.mode("overwrite").parquet(path)
+  }
+
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
     * least one NON-FLOODED character-n-gram are verified exactly. For
     * corpora where every pair shares common grams, prefer `minHashLsh`;

@@ -196,6 +196,14 @@ object Similarity {
     * integral (the same constraint `lshTopK`'s aggregator path has); the
     * default window path accepts any orderable id type.
     *
+    * Zero-norm vectors are DROPPED from both sides before scoring: a
+    * zero-norm vector makes every cosine against it NaN, and the two
+    * top-k paths order NaN differently (the desc window sorts NaN first,
+    * TopKDoubleAggregator sorts it last), so a single such vector could
+    * make broadcastProbes=true/false disagree on identical data. Cosine
+    * against the zero vector is undefined anyway — dropping is the
+    * principled answer, and it guarantees the two paths agree.
+    *
     * Returns (query_id, rank, neighbor_id, cosine).
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame,
@@ -204,6 +212,7 @@ object Similarity {
       broadcastProbes: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
+      .filter(exists(col("cv"), v => v =!= 0.0))
     val codebook =
       if (trainIterations > 0)
         trainCodebook(corpus, idCol, vecCol, nlist, trainIterations)
@@ -223,6 +232,7 @@ object Similarity {
     // Queries probe their nprobe nearest cells.
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
+      .filter(exists(col("qv"), v => v =!= 0.0))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qc").desc, col("cid"))
     val probes = q.crossJoin(broadcast(codebook))

@@ -24,28 +24,64 @@ object ExtensionQueries {
   /** DuckDB word-k-shingle CTEs over an arbitrary `(id, text)` source —
     * chunk-level dedup (x32) reuses the document-level logic verbatim.
     */
-  private def dkShinglesFrom(src: String, id: String, text: String, k: Int) =
-    s"""toks AS (
+  private def dkShinglesFrom(src: String, id: String, text: String, k: Int,
+      pfx: String = "") =
+    s"""${pfx}toks AS (
        |  SELECT $id AS doc, string_split_regex(lower($text), '\\s+') AS toks
        |  FROM $src),
-       |sh AS (
+       |${pfx}sh AS (
        |  SELECT DISTINCT doc, unnest(list_transform(range(1, greatest(len(toks)-${k - 1},1)+1),
        |    i -> array_to_string(list_slice(toks, i, i+${k - 1}), ' '))) AS shingle
-       |  FROM toks),
-       |hs AS (SELECT doc, ${dkHash56("shingle")} AS h FROM sh)""".stripMargin
+       |  FROM ${pfx}toks),
+       |${pfx}hs AS (SELECT doc, ${dkHash56("shingle")} AS h FROM ${pfx}sh)""".stripMargin
 
   private def dkShingles(k: Int) = dkShinglesFrom("documents", "doc_id", "text", k)
 
   /** JVM-stable scratch root for queries that persist an LSH index as part
-    * of their own definition (x70/x108): ONE directory per JVM, reused
-    * with overwrite-mode writes, so repeated Verify/Bench/PlanSpec
-    * evaluations don't orphan a fresh index tree per invocation. (The
-    * streaming queries keep per-invocation temp dirs on purpose — a
-    * reused versioned-snapshot root would leak state BETWEEN runs and
-    * change their results.)
+    * of their own definition (x70/x108/x110): ONE directory per JVM,
+    * reused with overwrite-mode writes, so repeated Verify/Bench/PlanSpec
+    * evaluations don't orphan a fresh index tree per invocation; a
+    * shutdown hook deletes it on JVM exit. (The streaming queries keep
+    * per-invocation temp dirs on purpose — a reused versioned-snapshot
+    * root would leak state BETWEEN runs and change their results.)
+    *
+    * SINGLE-THREADED-EVALUATION ASSUMPTION: these queries mutate shared
+    * on-disk index state (buildLshIndex overwrite = delete-then-write), so
+    * two of them evaluating concurrently in one JVM could race a rebuild
+    * against a probe read. Safe today — suites fork and queries evaluate
+    * sequentially in Verify/Bench/tests; a future parallel evaluator must
+    * give each thread its own scratch root.
     */
-  private lazy val idxScratch: String =
-    java.nio.file.Files.createTempDirectory("graft-idx-scratch").toString
+  private lazy val idxScratch: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir.toFile)
+    }))
+    dir.toString
+  }
+
+  /** Build-once-per-(JVM, sf-dir) canonical-label artifact
+    * (Dedup.buildCanonicalLabels) for the consumer queries (x111): the
+    * first evaluation pays the corpus-wide LSH + canonicalize build, every
+    * later evaluation reads the stored labels — which is the deployment
+    * contract the artifact exists for (build per corpus generation, then
+    * every report consumes it). Bench's min-of-warm therefore times the
+    * CONSUMER cost, with the build visible in the cold column.
+    */
+  private val labelsBuilt = scala.collection.mutable.Set[String]()
+  private def canonicalLabelsFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = labelsBuilt.synchronized {
+    val path = s"$idxScratch/labels_${Integer.toHexString(d.hashCode)}"
+    if (!labelsBuilt(path)) {
+      Dedup.buildCanonicalLabels(tbl(s, d, "documents"), "doc_id", "text",
+        path, shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      labelsBuilt += path
+    }
+    path
+  }
 
   // ---- dedup ----
 
@@ -53,31 +89,31 @@ object ExtensionQueries {
     * WITH or WITH RECURSIVE); ends with `res(doc_a, doc_b, common, size_a,
     * size_b, jac)`. */
   private def minHashPairsBodyFrom(src: String, id: String, text: String,
-      candCond: String = "l.doc < r.doc"): String = {
+      candCond: String = "l.doc < r.doc", pfx: String = ""): String = {
     val numHashes = 16; val bands = 4; val r = numHashes / bands
     val minhashExprs = (0 until numHashes).map(i =>
       s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
       .mkString(",\n    ")
     val bandRows = (0 until bands).map { b =>
       val parts = (b * r until (b + 1) * r).map(i => s"m$i").mkString(", ")
-      s"  SELECT doc, $b AS band, concat_ws('_', $parts) AS sig FROM sig"
+      s"  SELECT doc, $b AS band, concat_ws('_', $parts) AS sig FROM ${pfx}sig"
     }.mkString("\n  UNION ALL\n")
-    s"""${dkShinglesFrom(src, id, text, 3)},
-       |sig AS (SELECT doc,
+    s"""${dkShinglesFrom(src, id, text, 3, pfx)},
+       |${pfx}sig AS (SELECT doc,
        |    $minhashExprs
-       |  FROM hs GROUP BY doc),
-       |bucket AS (
+       |  FROM ${pfx}hs GROUP BY doc),
+       |${pfx}bucket AS (
        |$bandRows),
-       |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-       |  FROM bucket l JOIN bucket r ON l.band = r.band AND l.sig = r.sig AND $candCond),
-       |sizes AS (SELECT doc, count(*) AS sz FROM hs GROUP BY doc),
-       |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM cand c
-       |  JOIN hs fa ON c.doc_a = fa.doc
-       |  JOIN hs fb ON c.doc_b = fb.doc AND fa.h = fb.h
+       |${pfx}cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+       |  FROM ${pfx}bucket l JOIN ${pfx}bucket r ON l.band = r.band AND l.sig = r.sig AND $candCond),
+       |${pfx}sizes AS (SELECT doc, count(*) AS sz FROM ${pfx}hs GROUP BY doc),
+       |${pfx}com AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM ${pfx}cand c
+       |  JOIN ${pfx}hs fa ON c.doc_a = fa.doc
+       |  JOIN ${pfx}hs fb ON c.doc_b = fb.doc AND fa.h = fb.h
        |  GROUP BY 1, 2),
-       |res AS (SELECT com.doc_a, com.doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
+       |${pfx}res AS (SELECT com.doc_a, com.doc_b, common, sa.sz AS size_a, sb.sz AS size_b,
        |    common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE AS jac
-       |  FROM com JOIN sizes sa ON com.doc_a = sa.doc JOIN sizes sb ON com.doc_b = sb.doc)""".stripMargin
+       |  FROM ${pfx}com com JOIN ${pfx}sizes sa ON com.doc_a = sa.doc JOIN ${pfx}sizes sb ON com.doc_b = sb.doc)""".stripMargin
   }
 
   private val minHashPairsBody: String =
@@ -635,8 +671,11 @@ object ExtensionQueries {
     // Structured Streaming windowed aggregation (event time + watermark),
     // checked against the batch-equivalent SQL.
     QueryDef("x14_stream_window_agg",
-      (s, d) => StreamOps.windowedEventAgg(s, s"$d/events.parquet",
-        queryName = s"stream_agg_${System.nanoTime()}")
+      // The APPEND-mode drain (round-8): windows finalize + evict at the
+      // watermark and append to a parquet sink — the unbounded-safe shape.
+      // Same result as the complete-mode windowedEventAgg on a bounded
+      // backlog, which the unchanged oracle certifies.
+      (s, d) => StreamOps.windowedEventAggAppend(s, s"$d/events.parquet")
         .orderBy("event_type", "window_start"),
       Some("""SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
              |  count(*) AS events,
@@ -2603,8 +2642,9 @@ object ExtensionQueries {
     // state — real-time candlesticks with no raw-tick buffering. The
     // oracle is the batch x81 computation re-keyed to the window start.
     QueryDef("x87_stream_ohlc",
-      (s, d) => StreamOps.streamingOhlc(s, s"$d/events.parquet",
-          queryName = s"stream_ohlc_${System.nanoTime()}")
+      // Append-mode drain (round-8): candles finalize + evict at the
+      // watermark; same result on a bounded backlog, unchanged oracle.
+      (s, d) => StreamOps.streamingOhlcAppend(s, s"$d/events.parquet")
         .orderBy("user_id", "bucket"),
       Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id AS eid,
              |    floor(value*100 + 0.5)::BIGINT AS v FROM events),
@@ -2632,62 +2672,7 @@ object ExtensionQueries {
     // in the report). Every stage reuses the already-oracle-checked
     // operator; the oracle composes the same CTE bodies end to end.
     QueryDef("x88_curation_funnel",
-      (s, d) => {
-        val docs = tbl(s, d, "documents")
-        val tk = docs.select(col("doc_id"),
-          size(Portable.tokens(col("text"))).cast("long").as("tk"))
-        def stageRow(ord: Int, name: String, ids: org.apache.spark.sql.DataFrame) =
-          ids.join(tk, Seq("doc_id"))
-            .agg(count(lit(1)).as("docs"),
-              coalesce(sum(col("tk")), lit(0L)).as("tokens"))
-            .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
-              col("docs"), col("tokens"))
-        // Each stage's slim id-set is eagerly localCheckpoint()ed: the
-        // report is a union of 6 stage rows and Spark does NOT share
-        // common subtrees across union branches, so without the cut the
-        // exact-dedup + LSH prefix re-executes once per downstream branch
-        // (~5x the work — it was the slowest headliner for exactly this
-        // reason). Checkpointing truncates lineage to the materialized id
-        // rows (KBs per stage), the same discipline Graph.pageRank and
-        // trainCodebook follow. Trade-off at cluster scale: local
-        // checkpoints are non-replicated — an executor loss forces a
-        // stage recompute — acceptable for a report query.
-        val ek = Dedup.exact(docs, "doc_id", "text")
-          .select(col("keeper_id").as("doc_id")).localCheckpoint()
-        val s1docs = docs.join(ek, Seq("doc_id"))
-        val pairs = Dedup.minHashLsh(s1docs, "doc_id", "text",
-          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
-          .select("doc_a", "doc_b")
-        val s2ids = Dedup.canonicalize(s1docs, "doc_id", pairs)
-          .filter(col("is_keeper")).select(col("doc").as("doc_id"))
-          .localCheckpoint()
-        val s2docs = s1docs.join(s2ids, Seq("doc_id"))
-        val slice = Portable.hash56(col("doc_id").cast("string")) % 10
-        val evalSet = docs.filter(slice === 0)
-        val corpus3 = s2docs.filter(slice =!= 0)
-        val s3ids = Curation.decontaminate(corpus3, evalSet, "doc_id", "text",
-            shingleSize = 5, thresholdPct = 20)
-          .filter(!col("contaminated")).select("doc_id").localCheckpoint()
-        val s3docs = corpus3.join(s3ids, Seq("doc_id"))
-        val s4ids = TextAnalysis.modelQualityScore(s3docs, "doc_id", "text",
-            threshold = 2300L)
-          .filter(col("keep")).select("doc_id").localCheckpoint()
-        val s4docs = docs.join(s4ids, Seq("doc_id"))
-        val packed = Curation.packSequences(s4docs, "doc_id", "text",
-          capacity = 256, numShards = 8)
-        val s5 = packed
-          .agg(count_distinct(col("shard"), col("seq_id")).as("docs"),
-            coalesce(sum(col("tokens_in_seq")), lit(0L)).as("tokens"))
-          .select(lit(5).as("stage_ord"), lit("packed").as("stage"),
-            col("docs"), col("tokens"))
-        stageRow(0, "raw", docs.select("doc_id"))
-          .unionByName(stageRow(1, "exact_dedup", ek))
-          .unionByName(stageRow(2, "near_dedup", s2ids))
-          .unionByName(stageRow(3, "decontaminated", s3ids))
-          .unionByName(stageRow(4, "quality", s4ids))
-          .unionByName(s5)
-          .orderBy("stage_ord")
-      },
+      (s, d) => curationFunnel(tbl(s, d, "documents")),
       Some(s"""WITH RECURSIVE
              |rt AS (SELECT doc_id,
              |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tk
@@ -3187,27 +3172,7 @@ object ExtensionQueries {
             expr("bit_xor(h)").as("content_checksum"))
           .orderBy("split")
       },
-      Some(s"""WITH RECURSIVE $minHashPairsBody,
-             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(a, b) AS (
-             |  SELECT doc, doc FROM toks
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-             |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
-             |sp AS (SELECT doc AS doc_id,
-             |  CASE WHEN ${dkHash56("cid::VARCHAR")} % 100 < 10 THEN 'test'
-             |       WHEN ${dkHash56("cid::VARCHAR")} % 100 < 15 THEN 'val'
-             |       ELSE 'train' END AS split
-             |  FROM canon),
-             |m AS (SELECT d.doc_id,
-             |    len(string_split_regex(lower(d.text), '\\s+'))::BIGINT AS tk,
-             |    ${dkHash56("d.text")} AS h, sp.split
-             |  FROM documents d JOIN sp USING (doc_id))
-             |SELECT split, count(*)::BIGINT AS docs, sum(tk)::BIGINT AS tokens,
-             |  bit_xor(h)::BIGINT AS content_checksum
-             |FROM m GROUP BY 1 ORDER BY split""".stripMargin)),
+      Some(splitManifestOracle)),
 
     // ANN recall evaluation (x104): IVF top-10 measured against the
     // exact brute-force top-10 per query — recall@k, the standard ANN
@@ -3469,8 +3434,150 @@ object ExtensionQueries {
              |  FROM c CROSS JOIN e GROUP BY 1)
              |SELECT vec_id, floor(mc*1000000)::BIGINT AS max_cos_x1m,
              |  mc >= 0.3 AS contaminated
-             |FROM mx ORDER BY vec_id""".stripMargin))
+             |FROM mx ORDER BY vec_id""".stripMargin)),
+
+    // Ingest ABSORB loop (x110): x108's triage closed into the full
+    // crawl-absorb-grow cycle the persisted-index design exists for.
+    // Batch 1 (doc_id %8==0) is triaged against index versions v0+v1
+    // (Bloom exact dedup + stored-signature near-dup probe); its ADMITTED
+    // keepers become index version v2 via buildLshIndex; then batch 2
+    // (doc_id %8==4) is triaged against the GROWN chain — exact dedup vs
+    // ingested docs (index ∪ admitted batch 1), near-dup probe vs
+    // v0+v1+v2 stored signatures. Output: batch-2 verdicts. Both stages
+    // stay index×batch-bounded; every probe reads stored signatures
+    // (plan-pinned like x70 — batch 2's plan re-shingles only itself).
+    QueryDef("x110_ingest_absorb",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val idxDocs = docs.filter(col("doc_id") % 4 =!= 0)
+        val root = s"$idxScratch/x110"
+        Dedup.buildLshIndex(
+          docs.filter(col("doc_id") % 4 === 1 || col("doc_id") % 4 === 2),
+          "doc_id", "text", s"$root/v0", shingleSize = 3, numHashes = 16,
+          bands = 4)
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 4 === 3),
+          "doc_id", "text", s"$root/v1", shingleSize = 3, numHashes = 16,
+          bands = 4)
+        def triage(batch: org.apache.spark.sql.DataFrame,
+            ingested: org.apache.spark.sql.DataFrame,
+            versions: Seq[String]) = {
+          val exactNovel = Dedup.bloomProbeNew(batch, ingested, "doc_id",
+            "text", numBits = 1L << 20, numHashes = 5).localCheckpoint()
+          val keepers = docs.join(
+            exactNovel.select(col("keeper_id").as("doc_id")), Seq("doc_id"))
+          val nearCounts = versions.map(v =>
+              Dedup.probeLshIndex(keepers, v, "doc_id", "text",
+                shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5))
+            .reduce(_ unionByName _)
+            .groupBy(col("doc_a").as("doc_id"))
+            .agg(count(lit(1)).as("near_matches"))
+          exactNovel.select(col("keeper_id").as("doc_id"), col("dup_count"))
+            .join(nearCounts, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("dup_count"),
+              coalesce(col("near_matches"), lit(0L)).as("near_matches"),
+              when(coalesce(col("near_matches"), lit(0L)) > 0, lit("near_dup"))
+                .otherwise(lit("admitted")).as("verdict"))
+        }
+        val t1 = triage(docs.filter(col("doc_id") % 8 === 0), idxDocs,
+          Seq(s"$root/v0", s"$root/v1")).localCheckpoint()
+        val admitted1 = docs.join(
+          t1.filter(col("verdict") === "admitted").select("doc_id"),
+          Seq("doc_id"))
+        Dedup.buildLshIndex(admitted1, "doc_id", "text", s"$root/v2",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        triage(docs.filter(col("doc_id") % 8 === 4),
+            idxDocs.unionByName(admitted1),
+            Seq(s"$root/v0", s"$root/v1", s"$root/v2"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH fp AS (SELECT doc_id,
+             |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+             |  FROM documents),
+             |ifp AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 4 <> 0),
+             |ek1 AS (SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS dup_count
+             |  FROM fp WHERE doc_id % 8 = 0
+             |    AND fingerprint NOT IN (SELECT fingerprint FROM ifp)
+             |  GROUP BY 1),
+             |${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc IN (SELECT doc_id FROM ek1) AND r.doc % 4 <> 0")},
+             |nm1 AS (SELECT doc_a AS doc_id, count(*) AS near_matches
+             |  FROM res WHERE jac >= 0.5 GROUP BY 1),
+             |adm1 AS (SELECT ek1.doc_id FROM ek1 LEFT JOIN nm1 USING (doc_id)
+             |  WHERE coalesce(nm1.near_matches, 0) = 0),
+             |ifp2 AS (SELECT fingerprint FROM ifp
+             |  UNION SELECT fp.fingerprint FROM fp JOIN adm1 USING (doc_id)),
+             |ek2 AS (SELECT fingerprint, min(doc_id) AS doc_id, count(*) AS dup_count
+             |  FROM fp WHERE doc_id % 8 = 4
+             |    AND fingerprint NOT IN (SELECT fingerprint FROM ifp2)
+             |  GROUP BY 1),
+             |${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc IN (SELECT doc_id FROM ek2) AND " +
+                   "(r.doc % 4 <> 0 OR r.doc IN (SELECT doc_id FROM adm1))",
+                 pfx = "p2")},
+             |nm2 AS (SELECT doc_a AS doc_id, count(*) AS near_matches
+             |  FROM p2res WHERE jac >= 0.5 GROUP BY 1)
+             |SELECT ek2.doc_id, ek2.dup_count::BIGINT AS dup_count,
+             |  coalesce(nm2.near_matches, 0)::BIGINT AS near_matches,
+             |  CASE WHEN coalesce(nm2.near_matches, 0) > 0 THEN 'near_dup'
+             |    ELSE 'admitted' END AS verdict
+             |FROM ek2 LEFT JOIN nm2 USING (doc_id) ORDER BY ek2.doc_id""".stripMargin)),
+
+    // Stored-label split manifest (x111): x103's report consuming the
+    // PERSISTED canonical-label artifact (Dedup.buildCanonicalLabels —
+    // built once per corpus generation, read by every report) instead of
+    // recomputing corpus-wide LSH + label propagation in-plan. Identical
+    // output to x103 by construction (same oracle); the bench pair
+    // x103/x111 quantifies what the shared artifact saves — the consumer
+    // is a parquet-scan join + one grouped aggregate.
+    QueryDef("x111_manifest_from_labels",
+      (s, d) => {
+        val labels = s.read.parquet(canonicalLabelsFor(s, d))
+        val split = labels
+          .withColumn("slice",
+            Portable.hash56(col("canonical_id").cast("string")) % 100)
+          .select(col("doc").as("doc_id"),
+            when(col("slice") < 10, "test")
+              .when(col("slice") < 15, "val")
+              .otherwise("train").as("split"))
+        tbl(s, d, "documents")
+          .select(col("doc_id"),
+            size(Portable.tokens(col("text"))).cast("long").as("tk"),
+            Portable.hash56(col("text")).as("h"))
+          .join(split, Seq("doc_id"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("docs"), sum(col("tk")).as("tokens"),
+            expr("bit_xor(h)").as("content_checksum"))
+          .orderBy("split")
+      },
+      Some(splitManifestOracle))
   )
+
+  /** Shared oracle for x103 and its stored-label consumer twin x111 —
+    * identical output by construction (the labels x111 reads are exactly
+    * what x103's in-plan LSH + canonicalize computes).
+    */
+  private lazy val splitManifestOracle: String =
+    s"""WITH RECURSIVE $minHashPairsBody,
+       |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc, doc FROM toks
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
+       |sp AS (SELECT doc AS doc_id,
+       |  CASE WHEN ${dkHash56("cid::VARCHAR")} % 100 < 10 THEN 'test'
+       |       WHEN ${dkHash56("cid::VARCHAR")} % 100 < 15 THEN 'val'
+       |       ELSE 'train' END AS split
+       |  FROM canon),
+       |m AS (SELECT d.doc_id,
+       |    len(string_split_regex(lower(d.text), '\\s+'))::BIGINT AS tk,
+       |    ${dkHash56("d.text")} AS h, sp.split
+       |  FROM documents d JOIN sp USING (doc_id))
+       |SELECT split, count(*)::BIGINT AS docs, sum(tk)::BIGINT AS tokens,
+       |  bit_xor(h)::BIGINT AS content_checksum
+       |FROM m GROUP BY 1 ORDER BY split""".stripMargin
 
   /** DuckDB twin of TextAnalysis.modelQualityScore's feature + score CTEs
     * (default weights), ending in `scored(doc_id, features..., score)`.
@@ -3500,6 +3607,84 @@ object ExtensionQueries {
       |    (2*avg_word_len_x100 + 30*distinct_ratio_pct - 40*digit_ratio_pct
       |     - 25*punct_ratio_pct - 10*upper_ratio_pct + 1*words)::BIGINT AS score
       |  FROM f)""".stripMargin
+
+  /** The x88 corpus→training-set funnel body, parameterized by the
+    * staging strategy so ScaleProbe can A/B the two shapes on identical
+    * data (`funnel_staged` / `funnel_unstaged`).
+    *
+    * `stageCheckpoints = true` eagerly `localCheckpoint()`s each stage's
+    * slim id-set: the report is a union of 6 stage rows and Spark does NOT
+    * share common subtrees across union branches, so without the cut the
+    * exact-dedup + LSH prefix re-executes once per downstream branch.
+    * Checkpointing truncates lineage to the materialized id rows (KBs per
+    * stage) at the price of 4 serialized materialization barriers; local
+    * checkpoints are non-replicated, so an executor loss forces a stage
+    * recompute — acceptable for a report query.
+    *
+    * `stageCheckpoints = false` leaves the full declarative plan standing:
+    * branches replay the shared prefix, but ReusedExchange still shares
+    * the feature-set shuffle across the LSH bucket/verify paths, every
+    * stage runs with no barrier, and nothing is driver-materialized.
+    *
+    * MEASURED (round-8 ScaleProbe A/B, `funnel_staged` vs
+    * `funnel_unstaged`, 1×–16× on the sf0.1 corpus, two independent
+    * sweeps): the shapes CROSS between 8× and 16×. Unstaged wins up to 8×
+    * (4.3–6.7 s vs 5.4–8.3 s — the barriers cost more than the replayed
+    * prefix while the shared exchanges are memory-resident), staged wins
+    * at 16× in both sweeps (10.3/11.1 s vs 14.1/13.2 s) and carries the
+    * flatter exponent (0.23 vs 0.39–0.43) — re-running the corpus-wide
+    * dedup prefix per branch is the term that grows, exactly the
+    * 100 TB-direction argument. Default = true (staged): the sf0.1 bench
+    * pays ~1.3 s for the shape that wins from ~80 k docs up — the same
+    * "slower at sf0.1, alive at scale" trade x95's flood guard makes.
+    */
+  private[graft] def curationFunnel(docs: org.apache.spark.sql.DataFrame,
+      stageCheckpoints: Boolean = true): org.apache.spark.sql.DataFrame = {
+    def cut(ids: org.apache.spark.sql.DataFrame) =
+      if (stageCheckpoints) ids.localCheckpoint() else ids
+    val tk = docs.select(col("doc_id"),
+      size(Portable.tokens(col("text"))).cast("long").as("tk"))
+    def stageRow(ord: Int, name: String, ids: org.apache.spark.sql.DataFrame) =
+      ids.join(tk, Seq("doc_id"))
+        .agg(count(lit(1)).as("docs"),
+          coalesce(sum(col("tk")), lit(0L)).as("tokens"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("docs"), col("tokens"))
+    val ek = cut(Dedup.exact(docs, "doc_id", "text")
+      .select(col("keeper_id").as("doc_id")))
+    val s1docs = docs.join(ek, Seq("doc_id"))
+    val pairs = Dedup.minHashLsh(s1docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val s2ids = cut(Dedup.canonicalize(s1docs, "doc_id", pairs)
+      .filter(col("is_keeper")).select(col("doc").as("doc_id")))
+    val s2docs = s1docs.join(s2ids, Seq("doc_id"))
+    val slice = Portable.hash56(col("doc_id").cast("string")) % 10
+    val evalSet = docs.filter(slice === 0)
+    val corpus3 = s2docs.filter(slice =!= 0)
+    val s3ids = cut(Curation.decontaminate(corpus3, evalSet, "doc_id", "text",
+        shingleSize = 5, thresholdPct = 20)
+      .filter(!col("contaminated")).select("doc_id"))
+    val s3docs = corpus3.join(s3ids, Seq("doc_id"))
+    val s4ids = cut(TextAnalysis.modelQualityScore(s3docs, "doc_id", "text",
+        threshold = 2300L)
+      .filter(col("keep")).select("doc_id"))
+    val s4docs = docs.join(s4ids, Seq("doc_id"))
+    val packed = Curation.packSequences(s4docs, "doc_id", "text",
+      capacity = 256, numShards = 8)
+    val s5 = packed
+      .agg(count_distinct(col("shard"), col("seq_id")).as("docs"),
+        coalesce(sum(col("tokens_in_seq")), lit(0L)).as("tokens"))
+      .select(lit(5).as("stage_ord"), lit("packed").as("stage"),
+        col("docs"), col("tokens"))
+    stageRow(0, "raw", docs.select("doc_id"))
+      .unionByName(stageRow(1, "exact_dedup", ek))
+      .unionByName(stageRow(2, "near_dedup", s2ids))
+      .unionByName(stageRow(3, "decontaminated", s3ids))
+      .unionByName(stageRow(4, "quality", s4ids))
+      .unionByName(s5)
+      .orderBy("stage_ord")
+  }
 
   private lazy val funnelStages: Seq[String] =
     Seq.fill(3)(Seq("view", "click", "purchase")).flatten

@@ -49,10 +49,11 @@ object StreamOps {
     * memory sink, and under complete mode the watermark does NOT evict
     * window state — every window ever seen stays in the store, which is
     * fine for a bounded backlog drain and wrong for a long-running query.
-    * The continuous 100 TB path is the same aggregation in `update`/
-    * `append` mode with a merging file sink (the `thresholdAlertsToDir` /
-    * `streamDedupIngest` shape), where the watermark DOES finalize and
-    * evict windows older than the lag bound.
+    * The continuous 100 TB path is `windowedEventAggAppend` below — the
+    * same aggregation in `append` mode with a parquet sink, where the
+    * watermark DOES finalize and evict windows older than the lag bound
+    * (state bounded by the open-window set; `StreamingPipelineSpec`
+    * asserts the eviction).
     *
     * Output: (event_type, window_start, events, sum_cents) — integers only;
     * cents are floored *per event* (floor(v*100+0.5)) so the sum is exact
@@ -88,9 +89,9 @@ object StreamOps {
     * buffering of raw ticks. Mode caveat (same as windowedEventAgg): this
     * AvailableNow drain runs in `complete` mode, where the watermark does
     * NOT evict window state — suitable only for bounded backlog drains.
-    * The live-dashboard path at scale is the identical aggregation in
-    * `update` mode with a merging sink (see `thresholdAlertsToDir`), which
-    * lets the watermark finalize and drop closed (day, key) windows so
+    * The live-dashboard path at scale is `streamingOhlcAppend` below:
+    * identical aggregation in `append` mode with a parquet sink, where
+    * the watermark finalizes and drops closed (day, key) windows so
     * state stays bounded by the open-window set.
     */
   def streamingOhlc(spark: SparkSession, eventsPath: String,
@@ -117,6 +118,140 @@ object StreamOps {
         expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
         col("open"), col("high"), col("low"), col("close"),
         col("n"), col("sum_cents"))
+  }
+
+  /** Stage a stream dir like `stageStreamDir`, then drop in ONE
+    * far-future sentinel row (ts = 2100-01-01, every other column null)
+    * as a late-arriving file. Under APPEND output mode a windowed
+    * aggregation only emits a window once the watermark passes its end —
+    * a drain without the sentinel would withhold the trailing windows
+    * forever (the watermark never passes the newest data). The sentinel
+    * pushes the watermark beyond every real window, so the drain emits
+    * and EVICTS all of them; the sentinel's own window (null keys, year
+    * 2100) is the only state left behind and is never emitted. This is
+    * exactly how a production append-mode pipeline behaves: windows
+    * finalize as later event-time arrives; a bounded drain just needs
+    * that "later" injected explicitly.
+    */
+  private def stageStreamDirWithSentinel(spark: SparkSession,
+      eventsPath: String, prefix: String,
+      schema: org.apache.spark.sql.types.StructType): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val src = java.nio.file.Paths.get(eventsPath)
+    val files =
+      if (java.nio.file.Files.isDirectory(src))
+        src.toFile.listFiles().toSeq
+          .filter(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))
+          .map(_.toPath)
+      else Seq(src)
+    files.foreach(f =>
+      java.nio.file.Files.createSymbolicLink(dir.resolve(f.getFileName), f))
+    val vals: Array[Any] = schema.fields.map(_ => null: Any)
+    vals(schema.fieldIndex("ts")) = schema("ts").dataType match {
+      // epoch nanos under the nanosAsLong legacy read of TIMESTAMP(NANOS)
+      case org.apache.spark.sql.types.LongType => 4102444800000000000L
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        java.time.LocalDateTime.of(2100, 1, 1, 0, 0)
+      case _ =>
+        java.sql.Timestamp.from(java.time.Instant.parse("2100-01-01T00:00:00Z"))
+    }
+    val sentDir = java.nio.file.Files.createTempDirectory(s"$prefix-sent")
+    spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(vals: _*)), schema)
+      .coalesce(1).write.mode("overwrite").parquet(sentDir.toString)
+    val part = sentDir.toFile.listFiles()
+      .find(f => f.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dir.resolve("zz-sentinel.parquet"))
+    dir.toString
+  }
+
+  /** Run an append-mode windowed aggregation to a parquet sink with a
+    * fresh checkpoint and return (result, final state rows). Shared body
+    * of the two append-mode drains; the state-row count comes from the
+    * query's final progress and lets specs assert the watermark actually
+    * evicted (complete mode's state holds EVERY window ever seen; here
+    * only the sentinel's unfinalized window may remain).
+    */
+  private def runAppendDrain(spark: SparkSession, agg: DataFrame,
+      prefix: String): (DataFrame, Long) = {
+    val outDir = java.nio.file.Files.createTempDirectory(s"$prefix-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory(s"$prefix-ckpt").toString
+    val q = agg.writeStream
+      .format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val stateRows = q.recentProgress.toSeq
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+    (spark.read.parquet(outDir), stateRows)
+  }
+
+  /** APPEND-MODE twin of `windowedEventAgg` — the shape that runs forever
+    * at 100 TB: the watermark FINALIZES each (day, event_type) window once
+    * event time passes window end + 1 day, the finalized row is appended
+    * to a parquet sink exactly once, and the window's state is EVICTED —
+    * state is bounded by the open-window set instead of growing one row
+    * per window forever (complete mode's failure shape). Checkpointed, so
+    * a restarted drain resumes without re-emitting. Same output contract
+    * and oracle as `windowedEventAgg`; the far-future sentinel that
+    * flushes the trailing windows (see `stageStreamDirWithSentinel`)
+    * never appears in the output — its window never finalizes.
+    */
+  def windowedEventAggAppend(spark: SparkSession, eventsPath: String): DataFrame =
+    windowedEventAggAppendWithState(spark, eventsPath)._1
+
+  private[graft] def windowedEventAggAppendWithState(
+      spark: SparkSession, eventsPath: String): (DataFrame, Long) = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
+      "graft-stream-appagg", schema)
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("sum_cents"))
+    val (out, stateRows) = runAppendDrain(spark, agg, "graft-stream-appagg")
+    (out.select(col("event_type"),
+        date_format(col("w.start"), "yyyy-MM-dd").as("window_start"),
+        col("events"), col("sum_cents")),
+      stateRows)
+  }
+
+  /** APPEND-MODE twin of `streamingOhlc`: per-(day, user) candles
+    * finalize when the watermark passes the window, append to the sink
+    * exactly once, and leave the state store — the live-dashboard shape
+    * whose state stays bounded by the open-window set at any stream
+    * length. Same output contract and oracle as `streamingOhlc`.
+    */
+  def streamingOhlcAppend(spark: SparkSession, eventsPath: String): DataFrame =
+    streamingOhlcAppendWithState(spark, eventsPath)._1
+
+  private[graft] def streamingOhlcAppendWithState(
+      spark: SparkSession, eventsPath: String): (DataFrame, Long) = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
+      "graft-stream-appohlc", schema)
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val ord = struct(expr("unix_micros(ts)"), col("event_id"))
+    val cents = floor(col("value") * 100 + 0.5).cast("long")
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(min_by(cents, ord).as("open"), max(cents).as("high"),
+        min(cents).as("low"), max_by(cents, ord).as("close"),
+        count(lit(1)).as("n"), sum(cents).as("sum_cents"))
+    val (out, stateRows) = runAppendDrain(spark, agg, "graft-stream-appohlc")
+    (out.select(col("user_id"),
+        expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n"), col("sum_cents")),
+      stateRows)
   }
 
   /** Streaming hot-key monitor — Skew.hotKeys' real-time twin: per-key

@@ -57,6 +57,27 @@ class CurationSpec extends SparkSpec with Matchers {
     out(2).getAs[Double]("max_eval_cosine") shouldBe 0.0 +- 1e-12
   }
 
+  test("semanticDecontaminate: zero-norm eval vectors are dropped, all-zero eval fails loudly") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    // a zero-norm eval vector used to NaN every cosine (max propagates
+    // NaN → every corpus row flagged); it must be ignored now
+    val eval = Seq(
+      (100L, Array(0.0f, 0.0f)), (101L, Array(1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Curation.semanticDecontaminate(corpus, eval, "vec_id",
+        "embedding", threshold = 0.7)
+      .orderBy("vec_id").collect()
+    out.map(_.getAs[Boolean]("contaminated")).toSeq shouldBe Seq(true, false)
+    // an eval set that is ONLY zero vectors is as misconfigured as an
+    // empty one — same loud failure
+    val allZero = Seq((100L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    an[IllegalArgumentException] should be thrownBy
+      Curation.semanticDecontaminate(corpus, allZero, "vec_id", "embedding", 0.7)
+  }
+
   test("repetition stats: modal n-gram dominance and repeated mass are exact") {
     // "spam spam spam spam ham": 2-grams = [spam spam]x3, [spam ham]x1
     val out = Curation.repetitionStats(docs(1L -> "spam spam spam spam ham"),

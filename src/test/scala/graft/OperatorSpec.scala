@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
 
 /** Behavioral tests for the training-data extension operators on planted
   * inputs (small, exact expectations — the sf-level hash checks live in the
@@ -331,6 +331,46 @@ class OperatorSpec extends SparkSpec with Matchers {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         math.round(r.getDouble(3) * 1e9)))
     run(true).toSeq shouldBe run(false).toSeq
+  }
+
+  test("quantized IVF shuffle path (broadcastProbes=false) matches the broadcast path") {
+    import spark.implicits._
+    // Mirrors the Similarity.ivfTopK equivalence pin for Quantize.ivfDotTopK:
+    // a drift in the integer TopKAggregator path (tie-break, posexplode
+    // column mapping, bigint-id constraint) must not go uncaught (ADVICE r7).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0.05f, 0.95f)),
+      (4L, Array(0.9f, 0.1f)), (5L, Array(0.7f, 0.7f)),
+      (6L, Array(0.9f, 0.1f)) // exact duplicate of 4's direction: forces ties
+    ).toDF("vec_id", "embedding")
+    def run(bc: Boolean) = Quantize.ivfDotTopK(vecs, vecs, "vec_id",
+        "embedding", k = 2, nlist = 2, nprobe = 2, broadcastProbes = bc)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    run(true).toSeq shouldBe run(false).toSeq
+  }
+
+  test("IVF ANN drops zero-norm vectors so both top-k paths agree") {
+    import spark.implicits._
+    // A zero-norm vector used to make every cosine against it NaN, and
+    // the two paths order NaN differently (window first, aggregator
+    // last) — the operator now drops such vectors from both sides.
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.95f, 0.05f)), (3L, Array(0.0f, 0.0f)), // zero-norm
+      (4L, Array(0.9f, 0.1f)), (5L, Array(0.7f, 0.7f))
+    ).toDF("vec_id", "embedding")
+    def run(bc: Boolean) = Similarity.ivfTopK(vecs, vecs, "vec_id",
+        "embedding", k = 3, nlist = 2, nprobe = 2, broadcastProbes = bc)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        math.round(r.getDouble(3) * 1e9)))
+    val bcRes = run(true).toSeq
+    bcRes shouldBe run(false).toSeq
+    // the zero-norm vector appears neither as a query nor as a neighbor
+    bcRes.exists(_._1 == 3L) shouldBe false
+    bcRes.exists(_._3 == 3L) shouldBe false
   }
 
   test("IVF ANN with nprobe = nlist recovers the brute-force result") {

@@ -442,6 +442,34 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("CartesianProduct")
   }
 
+  test("x110 absorb loop: batch-2 probes read stored signatures from all three index versions") {
+    val plan = planOf(q("x110_ingest_absorb"))
+    // every index generation — including v2, built from batch 1's
+    // admitted docs INSIDE the query — is probed via its persisted
+    // buckets/features store, never re-shingled in-plan: the only
+    // feature-set aggregates belong to the batch-2 keepers (statically
+    // duplicated per probe: bucket side + verify side × 3 versions)
+    Seq("v0", "v1", "v2").foreach { v =>
+      plan should include(s"$v/buckets")
+      plan should include(s"$v/features")
+    }
+    "partial_collect_set".r.findAllIn(plan).length should be <= 6
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("x111 stored-label manifest: consumes the label artifact, no LSH recompute") {
+    val plan = planOf(q("x111_manifest_from_labels"))
+    // the canonical labels arrive from the persisted artifact (a parquet
+    // scan of the labels store); the plan contains NO minhash/LSH
+    // subtree — no feature collect_set, no signature array_min — and no
+    // label-propagation checkpoint scans: the consumer is a scan-join-
+    // aggregate, which is the whole point of the shared artifact
+    plan should include("labels_")
+    (plan should not).include("collect_set")
+    (plan should not).include("array_min")
+    (plan should not).include("CartesianProduct")
+  }
+
   test("p18 partition filter prunes the scan to one partition directory") {
     val df = q("p18_partition_pruning")
     val plan = planOf(df)

@@ -109,6 +109,33 @@ class StreamingPipelineSpec extends SparkSpec with Matchers {
     emitted("00:00") shouldBe 3L // late 00:04 row dropped by the watermark
   }
 
+  test("append-mode drains emit every finalized window and EVICT state (bounded by the watermark)") {
+    import graft.streaming.StreamOps
+    // The complete-mode drain keeps one state row per window ever seen;
+    // the append twin must (a) produce the identical result on a bounded
+    // backlog and (b) finish with state bounded by the UNFINALIZED window
+    // set — here only the far-future sentinel's window (null keys), never
+    // the real windows, which the watermark finalized and evicted.
+    val events = s"$sfDir/events.parquet"
+    val (agg, aggState) = StreamOps.windowedEventAggAppendWithState(spark, events)
+    val complete = StreamOps.windowedEventAgg(spark, events,
+      queryName = s"spec_complete_agg_${System.nanoTime()}")
+    val key = Seq("event_type", "window_start")
+    val appendRows = agg.orderBy(key.map(col): _*).collect().toSeq
+    val completeRows = complete.orderBy(key.map(col): _*).collect().toSeq
+    appendRows shouldBe completeRows
+    appendRows.size should be > 10 // real windows were emitted...
+    // ...but did NOT stay in state: only the sentinel's open window may
+    // remain (complete mode would hold all of them)
+    aggState should be >= 0L
+    aggState should be < 5L
+
+    val (ohlc, ohlcState) = StreamOps.streamingOhlcAppendWithState(spark, events)
+    ohlc.count() should be > 10L
+    ohlcState should be >= 0L
+    ohlcState should be < 5L
+  }
+
   test("silver layer runs over a streaming bronze source (typed from_json projection)") {
     val server = new MockApiServer().start()
     val bronzeDir = Files.createTempDirectory("stream-silver-bronze").toString
