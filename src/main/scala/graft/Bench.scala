@@ -34,6 +34,10 @@ object Bench {
     "x61_incremental_neardup", "x62_bloom_incremental_dedup",
     "x63_cluster_balanced_sample",
     "x76_bm25", "x77_pagerank", "x78_zorder_layout", "x80_resample",
+    // (x84's r6→r7 doubling is attributed: the ScaleProbe mad_outliers
+    // row/domain pair both measure ~flat (0.03/0.05), so the operator is
+    // overhead-bound at sf0.1 and its absolute time tracks machine state,
+    // not data shape — read it against the calibration object.)
     "x82_lm_surprise", "x84_mad_outliers", "x88_curation_funnel",
     "x91_rolling_actives", "x95_containment", "x97_editdist_dedup",
     "x98_sorted_neighborhood", "x99_fractional_epochs",
@@ -41,7 +45,8 @@ object Bench {
     "x103_split_manifest", "x104_ann_recall", "x105_cluster_census",
     "x106_shard_movement", "x107_personalized_pagerank", "x108_ingest_triage",
     "x109_semantic_decontamination", "x110_ingest_absorb",
-    "x111_manifest_from_labels",
+    "x111_manifest_from_labels", "x112_stream_hotkeys_windowed",
+    "x113_stream_enrich_windowed",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

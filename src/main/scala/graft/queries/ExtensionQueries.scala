@@ -3549,7 +3549,39 @@ object ExtensionQueries {
             expr("bit_xor(h)").as("content_checksum"))
           .orderBy("split")
       },
-      Some(splitManifestOracle))
+      Some(splitManifestOracle)),
+
+    // Windowed append-mode hot keys (x112): the unbounded-safe twin of
+    // x89 — per-(day, key) counts finalize + evict at the watermark into
+    // the sink; the top-5 per closed day ranks batch-side over the
+    // appended log. State is bounded by open windows, not the key domain.
+    QueryDef("x112_stream_hotkeys_windowed",
+      (s, d) => StreamOps.streamingHotKeysWindowedAppend(
+          s, s"$d/events.parquet", "user_id", k = 5)
+        .orderBy("bucket", "rank"),
+      Some("""WITH c AS (SELECT epoch_us(ts) // 86400000000 AS bucket,
+             |    user_id AS key, count(*)::BIGINT AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |r AS (SELECT bucket, key, cnt, row_number() OVER (
+             |    PARTITION BY bucket ORDER BY cnt DESC, key) AS rank FROM c)
+             |SELECT bucket, key, cnt, rank FROM r
+             |WHERE rank <= 5 ORDER BY bucket, rank""".stripMargin)),
+
+    // Windowed append-mode stream-static enrichment (x113): x53's dim
+    // join with a watermarked per-day rollup — each (day, segment) row
+    // appends exactly once and leaves the store; the sentinel advances
+    // the watermark and is dropped by the inner join (zero state left).
+    QueryDef("x113_stream_enrich_windowed",
+      (s, d) => StreamOps.streamStaticEnrichWindowedAppend(
+          s, s"$d/events.parquet",
+          tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey", "c_mktsegment")
+        .orderBy("bucket", "c_mktsegment"),
+      Some("""SELECT epoch_us(ts) // 86400000000 AS bucket, c_mktsegment,
+             |  count(*)::BIGINT AS events,
+             |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 
   /** Shared oracle for x103 and its stored-label consumer twin x111 —

@@ -147,7 +147,24 @@ object StreamOps {
       else Seq(src)
     files.foreach(f =>
       java.nio.file.Files.createSymbolicLink(dir.resolve(f.getFileName), f))
-    val vals: Array[Any] = schema.fields.map(_ => null: Any)
+    // Every sentinel field is NON-NULL: a downstream inner join pushes
+    // `isnotnull(<key>)` below the watermark operator, and an all-null
+    // sentinel would be filtered at the scan — never reaching the
+    // event-time tracker, never advancing the watermark, silently
+    // withholding the last real window (observed on the dim-join drain).
+    // Typed sentinel values (-1 / "__sentinel" / 0.0) survive any such
+    // pushdown; join/group keys either drop out (no dim match) or form
+    // one never-emitted state row.
+    val vals: Array[Any] = schema.fields.map { f =>
+      (f.dataType match {
+        case org.apache.spark.sql.types.LongType => -1L
+        case org.apache.spark.sql.types.IntegerType => -1
+        case org.apache.spark.sql.types.StringType => "__sentinel"
+        case org.apache.spark.sql.types.DoubleType => 0.0
+        case org.apache.spark.sql.types.FloatType => 0.0f
+        case _ => null
+      }): Any
+    }
     vals(schema.fieldIndex("ts")) = schema("ts").dataType match {
       // epoch nanos under the nanosAsLong legacy read of TIMESTAMP(NANOS)
       case org.apache.spark.sql.types.LongType => 4102444800000000000L
@@ -254,6 +271,67 @@ object StreamOps {
       stateRows)
   }
 
+  /** WINDOWED append-mode hot-key monitor — the unbounded-safe variant of
+    * `streamingHotKeys`: per-(day, key) counts finalize and EVICT at the
+    * watermark into a parquet sink, so state is bounded by the
+    * open-window key set instead of one counter per key forever (the
+    * global count's failure shape on an unbounded key domain). The
+    * top-`k` cut per day runs batch-side over the appended log — ranking
+    * is not incrementally maintainable in append mode, and doesn't need
+    * to be: finalized windows are immutable, so the dashboard ranks the
+    * closed days it reads. Returns (bucket, key, cnt, rank), rank ≤ k
+    * per bucket.
+    */
+  def streamingHotKeysWindowedAppend(spark: SparkSession, eventsPath: String,
+      keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "streamingHotKeysWindowedAppend: k must be positive")
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
+      "graft-stream-hotw", schema)
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val (out, _) = runAppendDrain(spark, agg, "graft-stream-hotw")
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("cnt").desc, col("key"))
+    out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+        col("key"), col("cnt"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
+  /** WINDOWED append-mode stream-static enrichment — the unbounded-safe
+    * variant of `streamStaticEnrich`: the dim join stays stateless and
+    * broadcast per micro-batch, but the aggregate is per (day, attribute)
+    * under a watermark in append mode, so each day's rollup finalizes,
+    * appends to the sink exactly once, and leaves the store — instead of
+    * complete mode's forever-growing global re-emit. The sentinel row
+    * advances the watermark and is then dropped by the inner dim join, so
+    * it leaves no state at all. Returns (bucket, groupCol, events,
+    * sum_cents).
+    */
+  def streamStaticEnrichWindowedAppend(spark: SparkSession, eventsPath: String,
+      dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
+      valueCol: String = "value"): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
+      "graft-stream-ssew", schema)
+    val stream = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(window(col("ts"), "1 day").as("w"), col(groupCol))
+      .agg(count(lit(1)).as("events"),
+        sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
+    val (out, _) = runAppendDrain(spark, agg, "graft-stream-ssew")
+    out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+      col(groupCol), col("events"), col("sum_cents"))
+  }
+
   /** Streaming hot-key monitor — Skew.hotKeys' real-time twin: per-key
     * counts maintained incrementally in streaming state (complete mode),
     * cut to the top `k` on read. At scale this is the live skew dashboard
@@ -261,8 +339,9 @@ object StreamOps {
     * have hot-spotted on it. State note: this is a GLOBAL (un-windowed)
     * count, so state is one counter per distinct key for the lifetime of
     * the query in ANY mode — bound the key domain upstream (hash-bucket
-    * raw keys if unbounded), or window the count and run it in `update`
-    * mode with a merging sink so old windows age out of the store.
+    * raw keys if unbounded), or use `streamingHotKeysWindowedAppend`
+    * above, where per-(day, key) windows finalize and age out of the
+    * store at the watermark.
     */
   def streamingHotKeys(spark: SparkSession, eventsPath: String,
       keyCol: String, k: Int,
@@ -398,7 +477,10 @@ object StreamOps {
     * join state — each batch probes the CURRENT dim snapshot), aggregated
     * per dim attribute in complete mode. The dim side is broadcast here
     * (dims are small next to a 100 TB stream); an oversized dim falls back
-    * to a per-batch shuffle join with the same semantics.
+    * to a per-batch shuffle join with the same semantics. The
+    * unbounded-safe shape is `streamStaticEnrichWindowedAppend` above —
+    * the same join with a watermarked per-day rollup that finalizes and
+    * evicts instead of re-emitting a growing global aggregate.
     */
   def streamStaticEnrich(spark: SparkSession, eventsPath: String,
       dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
