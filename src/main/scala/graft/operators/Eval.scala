@@ -1,0 +1,250 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable._
+
+/** Detector-quality and reproducibility audits — the measurements a
+  * curation team runs ON its own pipeline: how much do two sources
+  * overlap, how much near-dup mass does the production LSH config miss
+  * and at what similarity, and does the split policy actually prevent
+  * leakage. Same discipline as the rest of the §7.5 family: codegen'd
+  * built-ins only, exact integer outputs, every result DuckDB-oracle
+  * checkable via the shared portable primitives.
+  */
+object Eval {
+
+  /** Corpus-level source-overlap matrix — pairwise shingle-set Jaccard
+    * between data SOURCES, the "are these two crawls the same data"
+    * audit that decides whether ingesting a new source is worth it.
+    * (Complementary to the x45 source-dup matrix: x45 counts individual
+    * near-dup DOC pairs across sources and needs the full per-doc LSH;
+    * this measures whole-source content similarity and needs only one
+    * collapse pass.)
+    *
+    * Two measurements per source pair:
+    *  - `est_jaccard_x1m` from per-source MinHash UNION signatures: each
+    *    source collapses to `numHashes` longs via `min(h_i(shingle))`
+    *    partial aggregation DIRECTLY on the exploded shingle stream (min
+    *    is duplicate-blind, so no distinct shuffle is needed) — ONE
+    *    map-side-combined pass over the corpus, then the pairwise compare
+    *    runs on a #sources-row table. This is the only pass you'd run at
+    *    100 TB.
+    *  - `exact_jaccard_x1m` from the distinct (source, shingle-hash)
+    *    table: sizes per source plus an inverted-index self-join on the
+    *    hash for pairwise intersections. Per-hash fan-out is bounded by
+    *    #sources² (sources are few), but the distinct + join shuffles are
+    *    corpus-sized — the audit mode that certifies the estimate, run at
+    *    sample scale. `withExact = false` skips it.
+    *
+    * Emitting both makes the operator self-certifying the way the ANN
+    * recall eval (x104) is: the oracle checks the estimate AND its error
+    * against ground truth in one result.
+    */
+  def sourceOverlap(df: DataFrame, groupCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16,
+      withExact: Boolean = true): DataFrame = {
+    val hs = Dedup.shingles(df, groupCol, textCol, shingleSize)
+      .select(col("doc").as("grp"), hash56(col("shingle")).as("h"))
+
+    val minCols = (0 until numHashes).map(i =>
+      min(uhash(col("h"), coeffA(i), coeffB(i))).as(s"m$i"))
+    val sigs = hs.groupBy("grp").agg(minCols.head, minCols.tail: _*)
+
+    val agree = (0 until numHashes).map(i =>
+      when(col(s"l.m$i") === col(s"r.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = sigs.as("l").join(sigs.as("r"), col("l.grp") < col("r.grp"))
+      .select(col("l.grp").as("source_a"), col("r.grp").as("source_b"),
+        agree.as("agree"))
+      .withColumn("est_jaccard_x1m", expr(s"div(1000000 * agree, $numHashes)"))
+
+    if (!withExact) return pairs.orderBy("source_a", "source_b")
+
+    val dh = hs.distinct()
+    val sizes = dh.groupBy("grp").agg(count(lit(1)).as("sz"))
+    val common = dh.as("l").join(dh.as("r"),
+        col("l.h") === col("r.h") && col("l.grp") < col("r.grp"))
+      .groupBy(col("l.grp").as("source_a"), col("r.grp").as("source_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(common, Seq("source_a", "source_b"), "left")
+      .na.fill(0L, Seq("common"))
+      .join(sizes.select(col("grp").as("source_a"), col("sz").as("size_a")),
+        Seq("source_a"))
+      .join(sizes.select(col("grp").as("source_b"), col("sz").as("size_b")),
+        Seq("source_b"))
+      .withColumn("exact_jaccard_x1m",
+        expr("div(1000000 * common, size_a + size_b - common)"))
+      .select("source_a", "source_b", "agree", "est_jaccard_x1m",
+        "common", "size_a", "size_b", "exact_jaccard_x1m")
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Exact word-shingle Jaccard pair table — the ground truth the LSH
+    * recall eval measures against, in the SAME feature space as
+    * Dedup.minHashLsh (word k-shingles → 56-bit hashes → distinct
+    * per-doc sets). Inverted-index candidate generation with the standard
+    * `maxBucket` flood guard (a pair is missed only if every shared
+    * shingle is corpus-flooded — the no-discriminative-content pairs);
+    * verification uses the full feature arrays, so Jaccard values are
+    * exact.
+    *
+    * Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs
+    * with jaccard ≥ threshold — Dedup.minHashLsh's exact-baseline twin.
+    */
+  def shingleJaccardExact(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.5,
+      maxBucket: Long = 256L): DataFrame = {
+    require(maxBucket >= 2, "shingleJaccardExact: maxBucket must be >= 2")
+    val feats = Dedup.shingles(df, idCol, textCol, shingleSize)
+      .select(col("doc"), hash56(col("shingle")).as("h"))
+      .groupBy("doc").agg(collect_set(col("h")).as("features"))
+    val grams = feats.select(col("doc"), explode(col("features")).as("h"))
+    val kept = grams.join(
+      grams.groupBy("h").agg(count(lit(1)).as("__fc"))
+        .filter(col("__fc") <= maxBucket), Seq("h"))
+      .select(col("doc"), col("h"))
+    val candidates = kept.as("l").join(kept.as("r"),
+        col("l.h") === col("r.h") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    candidates
+      .join(feats.select(col("doc").as("doc_a"), col("features").as("fa")),
+        Seq("doc_a"))
+      .join(feats.select(col("doc").as("doc_b"), col("features").as("fb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa"), col("fb"))).cast("long").as("common"),
+        size(col("fa")).cast("long").as("size_a"),
+        size(col("fb")).cast("long").as("size_b"))
+      .withColumn("jaccard",
+        col("common").cast("double") /
+          (col("size_a") + col("size_b") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash-LSH recall S-curve — the banding theory (P[collide] =
+    * 1-(1-j^r)^b) made measurable on the actual corpus: ground-truth
+    * near-dup pairs (exact shingle Jaccard ≥ threshold) bucketed by true
+    * similarity, each bucket scored by how many pairs the production LSH
+    * config (numHashes/bands) actually detected. The output is the table
+    * that answers "we dedup at 0.5 — how much 0.5–0.6 mass does 16/4
+    * banding silently miss, and is the miss where the theory says it is".
+    *
+    * `jac_x10` is the exact rational floor div(10·common, union) — no
+    * float bucketing drift between engines. Detected pairs are a subset
+    * of truth by construction (both verify exact Jaccard on the same
+    * feature sets; LSH only restricts candidate discovery), so
+    * recall_x100 ∈ [0, 100].
+    *
+    * Scale: truth is the expensive leg (inverted-index candidates), run
+    * at audit scale with the flood guard; the detector leg is the
+    * production config itself. Joins are all equi-joins on (doc_a, doc_b).
+    */
+  def lshRecallByBucket(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Long = 256L): DataFrame = {
+    val truth = shingleJaccardExact(df, idCol, textCol, shingleSize,
+        threshold, maxBucket)
+      .withColumn("jac_x10", expr("div(10 * common, size_a + size_b - common)"))
+      .select("doc_a", "doc_b", "jac_x10")
+    val detected = Dedup.minHashLsh(df, idCol, textCol, shingleSize,
+        numHashes, bands, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    truth.join(detected, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("hit"))
+      .groupBy("jac_x10")
+      .agg(count(lit(1)).as("truth_pairs"), sum("hit").as("detected_pairs"))
+      .withColumn("recall_x100", expr("div(100 * detected_pairs, truth_pairs)"))
+      .orderBy("jac_x10")
+  }
+
+  /** Split-leakage audit — does the split policy keep near-copies out of
+    * each other's splits? Scores TWO policies on the same similarity
+    * edges: `naive` (hash-slice of the DOC id — what most pipelines ship
+    * first) and `cluster` (hash-slice of the near-dup CLUSTER id —
+    * Curation.leakageSafeSplit). For each policy: total edges, edges
+    * crossing any split boundary, and the worst kind — train↔test edges,
+    * a held-out doc with a near-copy in train. The cluster policy's
+    * cross counts are structurally zero (both endpoints share a
+    * canonical id, hence a split); the naive policy's counts are the
+    * measured leakage a random row split would ship.
+    *
+    * Scale: canonicalize's label propagation dominates; the audit itself
+    * is two broadcast-free equi-joins of the slim edge table against the
+    * labeled docs, then a two-row aggregate.
+    */
+  def splitLeakage(docs: DataFrame, idCol: String, pairs: DataFrame,
+      valPct: Int, testPct: Int): DataFrame = {
+    require(valPct >= 0 && testPct >= 0 && valPct + testPct <= 100,
+      "splitLeakage: valPct/testPct must be >= 0 and sum to <= 100")
+    def sliceToSplit(slice: org.apache.spark.sql.Column) =
+      when(slice < testPct, "test")
+        .when(slice < testPct + valPct, "val")
+        .otherwise("train")
+    val labeled = Dedup.canonicalize(docs, idCol, pairs)
+      .select(col("doc"),
+        sliceToSplit(hash56(col("doc").cast("string")) % 100).as("naive"),
+        sliceToSplit(hash56(col("canonical_id").cast("string")) % 100)
+          .as("cluster"))
+    val edges = pairs.select(col("doc_a"), col("doc_b"))
+      .join(labeled.select(col("doc").as("doc_a"), col("naive").as("na"),
+        col("cluster").as("ca")), Seq("doc_a"))
+      .join(labeled.select(col("doc").as("doc_b"), col("naive").as("nb"),
+        col("cluster").as("cb")), Seq("doc_b"))
+    def crossCnt(a: String, b: String) =
+      sum(when(col(a) =!= col(b), 1L).otherwise(0L))
+    def ttCnt(a: String, b: String) =
+      sum(when((col(a) === "train" && col(b) === "test") ||
+               (col(a) === "test" && col(b) === "train"), 1L).otherwise(0L))
+    // Both policies in ONE pass over the edge join (a stack unpivot of a
+    // single 5-column aggregate — not two scans).
+    edges.agg(
+        count(lit(1)).as("pairs_total"),
+        crossCnt("na", "nb").as("n_cross"), ttCnt("na", "nb").as("n_tt"),
+        crossCnt("ca", "cb").as("c_cross"), ttCnt("ca", "cb").as("c_tt"))
+      .select(
+        expr("stack(2, 'cluster', c_cross, c_tt, 'naive', n_cross, n_tt) " +
+          "as (policy, cross_split_pairs, train_test_pairs)"),
+        col("pairs_total"))
+      .select("policy", "pairs_total", "cross_split_pairs", "train_test_pairs")
+      .orderBy("policy")
+  }
+
+  /** Reproducible per-epoch training order — the data-ordering half of a
+    * reproducible training run: every epoch is a DIFFERENT deterministic
+    * permutation of the corpus (seeded hash of (seed, epoch, id)), cut
+    * into `shards` independent files, with a stable position inside each
+    * shard. Re-running on any partitioning, cluster size, or engine
+    * yields byte-identical order — the property that lets a crashed run
+    * resume mid-epoch and an ablation replay the exact data stream.
+    *
+    * Scale: there is NO global sort — the shard is the top bits of the
+    * hash-key space (contiguous range per shard, so the permutation is
+    * globally ordered across shards by construction), and positions are
+    * rank-within-shard windows that sort each shard independently. At
+    * 100 TB: thousands of shards, each window a single executor-local
+    * sort. `repartition` on (epoch, shard) would co-locate each output
+    * file's rows with its window — one shuffle, then sorted writes.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epochs: Int, shards: Int,
+      seed: String = "graft"): DataFrame = {
+    require(epochs >= 1 && shards >= 1 && shards <= 127,
+      "epochShuffle: epochs >= 1 and 1 <= shards <= 127 " +
+        "(key * shards must stay below 2^63; widen via a second level " +
+        "of sharding if you need more output files)")
+    val keyed = df.select(col(idCol))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("key", hash56(
+        concat_ws(":", lit(seed), col("epoch"), col(idCol))))
+      .withColumn("shard", expr(s"div(key * $shards, ${1L << 56})").cast("int"))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch", "shard").orderBy("key", idCol)))
+      .select(col("epoch"), col("shard"), col("pos").cast("long").as("pos"),
+        col(idCol))
+  }
+}

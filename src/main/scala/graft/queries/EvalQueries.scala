@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.operators.{Dedup, Eval}
+import graft.queries.ExtensionQueries.{dkHash56, minHashPairsBodyFrom}
+import graft.queries.QueryDef.tbl
+
+/** Detector-quality and reproducibility audit queries (x114–x117) — the
+  * measurements a curation team runs ON its own pipeline: source-overlap
+  * estimation, LSH recall against exact ground truth, reproducible epoch
+  * ordering, and split-leakage scoring. Oracles reuse the shared portable
+  * primitives (md5 56-bit hash + the Portable minhash family), so every
+  * entry is a full hash check.
+  */
+object EvalQueries {
+
+  private val P = Portable.P
+
+  /** The 16 per-source min-hash aggregate expressions of the portable
+    * family, as DuckDB SQL over a `(grp, h)` CTE.
+    */
+  private def dkMinCols(numHashes: Int): String =
+    (0 until numHashes).map(i =>
+      s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
+      .mkString(",\n    ")
+
+  val all: Seq[QueryDef] = Seq(
+
+    // Source-overlap matrix (x114): pairwise shingle-set Jaccard between
+    // data sources — estimated from per-source MinHash UNION signatures
+    // (one map-side-combined pass; the only pass you'd run at 100 TB)
+    // AND exact from the distinct hash sets (the audit mode), in one
+    // self-certifying result like x104's ANN recall.
+    QueryDef("x114_source_overlap",
+      (s, d) => Eval.sourceOverlap(tbl(s, d, "documents"), "source", "text",
+        shingleSize = 3, numHashes = 16),
+      Some {
+        val agree = (0 until 16).map(i =>
+          s"CASE WHEN l.m$i = r.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"""WITH toks AS (
+           |  SELECT source AS doc, string_split_regex(lower(text), '\\s+') AS toks
+           |  FROM documents),
+           |sh AS (
+           |  SELECT DISTINCT doc, unnest(list_transform(range(1, greatest(len(toks)-2,1)+1),
+           |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS shingle
+           |  FROM toks),
+           |dhs AS (SELECT DISTINCT doc AS grp, ${dkHash56("shingle")} AS h FROM sh),
+           |sig AS (SELECT grp,
+           |    ${dkMinCols(16)}
+           |  FROM dhs GROUP BY grp),
+           |sz AS (SELECT grp, count(*)::BIGINT AS sz FROM dhs GROUP BY grp),
+           |cm AS (SELECT l.grp AS source_a, r.grp AS source_b, count(*)::BIGINT AS common
+           |  FROM dhs l JOIN dhs r ON l.h = r.h AND l.grp < r.grp GROUP BY 1, 2),
+           |pr AS (SELECT l.grp AS source_a, r.grp AS source_b,
+           |    ($agree)::BIGINT AS agree
+           |  FROM sig l JOIN sig r ON l.grp < r.grp)
+           |SELECT pr.source_a, pr.source_b, agree,
+           |  (1000000 * agree) // 16 AS est_jaccard_x1m,
+           |  coalesce(cm.common, 0)::BIGINT AS common, sa.sz AS size_a, sb.sz AS size_b,
+           |  ((1000000 * coalesce(cm.common, 0)) //
+           |    (sa.sz + sb.sz - coalesce(cm.common, 0)))::BIGINT AS exact_jaccard_x1m
+           |FROM pr LEFT JOIN cm USING (source_a, source_b)
+           |JOIN sz sa ON sa.grp = pr.source_a
+           |JOIN sz sb ON sb.grp = pr.source_b
+           |ORDER BY source_a, source_b""".stripMargin
+      }),
+
+    // MinHash-LSH recall S-curve (x115): ground-truth near-dup pairs
+    // (exact shingle Jaccard >= 0.5, flood-guarded inverted index)
+    // bucketed by true similarity, scored by how many the production
+    // 16-hash/4-band config detected — the measured version of the
+    // banding collision curve, and the audit that quantifies what
+    // dedup-at-0.5 silently misses in the 0.5–0.6 band.
+    QueryDef("x115_lsh_recall",
+      (s, d) => Eval.lshRecallByBucket(tbl(s, d, "documents"), "doc_id",
+        "text", shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        maxBucket = 256L),
+      Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text")},
+             |fc AS (SELECT h FROM hs GROUP BY h HAVING count(*) <= 256),
+             |kept AS (SELECT doc, h FROM hs JOIN fc USING (h)),
+             |tcand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+             |  FROM kept l JOIN kept r ON l.h = r.h AND l.doc < r.doc),
+             |tcom AS (SELECT c.doc_a, c.doc_b, count(*) AS common FROM tcand c
+             |  JOIN hs fa ON c.doc_a = fa.doc
+             |  JOIN hs fb ON c.doc_b = fb.doc AND fa.h = fb.h
+             |  GROUP BY 1, 2),
+             |truth AS (SELECT t.doc_a, t.doc_b, common, sa.sz AS size_a, sb.sz AS size_b
+             |  FROM tcom t JOIN sizes sa ON t.doc_a = sa.doc
+             |  JOIN sizes sb ON t.doc_b = sb.doc
+             |  WHERE common::DOUBLE / (sa.sz + sb.sz - common)::DOUBLE >= 0.5),
+             |tb AS (SELECT doc_a, doc_b,
+             |    ((10 * common) // (size_a + size_b - common))::BIGINT AS jac_x10
+             |  FROM truth),
+             |det AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |j AS (SELECT tb.jac_x10,
+             |    CASE WHEN det.doc_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM tb LEFT JOIN det
+             |    ON tb.doc_a = det.doc_a AND tb.doc_b = det.doc_b)
+             |SELECT jac_x10, count(*)::BIGINT AS truth_pairs,
+             |  sum(hit)::BIGINT AS detected_pairs,
+             |  ((100 * sum(hit)) // count(*))::BIGINT AS recall_x100
+             |FROM j GROUP BY 1 ORDER BY jac_x10""".stripMargin)),
+
+    // Reproducible epoch shuffle (x116): every epoch a different
+    // deterministic permutation (seeded hash), cut into shards that are
+    // contiguous ranges of the key space — order is global across shards
+    // with NO global sort (rank windows per (epoch, shard)). The property
+    // that lets a crashed training run resume mid-epoch byte-identically.
+    QueryDef("x116_epoch_shuffle",
+      (s, d) => Eval.epochShuffle(tbl(s, d, "documents"), "doc_id",
+          epochs = 3, shards = 8)
+        .orderBy("epoch", "shard", "pos"),
+      Some(s"""WITH k AS (
+             |  SELECT epoch::INT AS epoch, doc_id,
+             |    ${dkHash56("concat_ws(':', 'graft', epoch::VARCHAR, doc_id::VARCHAR)")} AS key
+             |  FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS epoch)),
+             |s AS (SELECT epoch, doc_id, key,
+             |    ((key * 8) // ${1L << 56})::INT AS shard FROM k)
+             |SELECT epoch, shard,
+             |  (row_number() OVER (PARTITION BY epoch, shard ORDER BY key, doc_id))::BIGINT AS pos,
+             |  doc_id
+             |FROM s ORDER BY epoch, shard, pos""".stripMargin)),
+
+    // Split-leakage audit (x117): the same near-dup edges scored under a
+    // naive doc-hash split and the cluster-aware split (x79's policy) in
+    // one aggregate pass — cluster's cross counts are structurally zero;
+    // naive's train↔test count is the leakage a random row split ships.
+    QueryDef("x117_split_leakage",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val pairs = Dedup.minHashLsh(docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        Eval.splitLeakage(docs, "doc_id", pairs, valPct = 5, testPct = 10)
+      },
+      Some {
+        def split(h: String) =
+          s"""CASE WHEN ${dkHash56(h)} % 100 < 10 THEN 'test'
+             |       WHEN ${dkHash56(h)} % 100 < 15 THEN 'val'
+             |       ELSE 'train' END""".stripMargin
+        s"""WITH RECURSIVE ${minHashPairsBodyFrom("documents", "doc_id", "text")},
+           |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT doc, doc FROM toks
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |canon AS (SELECT a AS doc, min(b) AS canonical_id FROM reach GROUP BY a),
+           |lab AS (SELECT doc,
+           |  ${split("doc::VARCHAR")} AS naive,
+           |  ${split("canonical_id::VARCHAR")} AS clus
+           |  FROM canon),
+           |ej AS (SELECT la.naive AS na, la.clus AS ca, lb.naive AS nb, lb.clus AS cb
+           |  FROM pairs p JOIN lab la ON p.doc_a = la.doc
+           |  JOIN lab lb ON p.doc_b = lb.doc),
+           |ag AS (SELECT count(*)::BIGINT AS pairs_total,
+           |    sum(CASE WHEN na <> nb THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+           |    sum(CASE WHEN (na = 'train' AND nb = 'test')
+           |          OR (na = 'test' AND nb = 'train') THEN 1 ELSE 0 END)::BIGINT AS n_tt,
+           |    sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT AS c_cross,
+           |    sum(CASE WHEN (ca = 'train' AND cb = 'test')
+           |          OR (ca = 'test' AND cb = 'train') THEN 1 ELSE 0 END)::BIGINT AS c_tt
+           |  FROM ej)
+           |SELECT 'cluster' AS policy, pairs_total, c_cross AS cross_split_pairs,
+           |  c_tt AS train_test_pairs FROM ag
+           |UNION ALL
+           |SELECT 'naive', pairs_total, n_cross, n_tt FROM ag
+           |ORDER BY policy""".stripMargin
+      })
+  )
+}

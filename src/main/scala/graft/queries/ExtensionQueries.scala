@@ -19,12 +19,12 @@ object ExtensionQueries {
   private val P = Portable.P
 
   /** DuckDB twin of Portable.hash56. */
-  private def dkHash56(expr: String) = s"('0x'||substr(md5($expr),1,14))::BIGINT"
+  private[queries] def dkHash56(expr: String) = s"('0x'||substr(md5($expr),1,14))::BIGINT"
 
   /** DuckDB word-k-shingle CTEs over an arbitrary `(id, text)` source —
     * chunk-level dedup (x32) reuses the document-level logic verbatim.
     */
-  private def dkShinglesFrom(src: String, id: String, text: String, k: Int,
+  private[queries] def dkShinglesFrom(src: String, id: String, text: String, k: Int,
       pfx: String = "") =
     s"""${pfx}toks AS (
        |  SELECT $id AS doc, string_split_regex(lower($text), '\\s+') AS toks
@@ -88,7 +88,7 @@ object ExtensionQueries {
   /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend
     * WITH or WITH RECURSIVE); ends with `res(doc_a, doc_b, common, size_a,
     * size_b, jac)`. */
-  private def minHashPairsBodyFrom(src: String, id: String, text: String,
+  private[queries] def minHashPairsBodyFrom(src: String, id: String, text: String,
       candCond: String = "l.doc < r.doc", pfx: String = ""): String = {
     val numHashes = 16; val bands = 4; val r = numHashes / bands
     val minhashExprs = (0 until numHashes).map(i =>

@@ -650,6 +650,32 @@ class PlanSpec extends SparkSpec with Matchers {
     plan.toLowerCase should include("partial_bit_xor")
   }
 
+  test("x114 source-overlap estimate path: ONE partial-min collapse pass, no corpus-sized join") {
+    import graft.operators.Eval
+    val plan = planOf(Eval.sourceOverlap(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "source", "text",
+      withExact = false))
+    // the signature aggregate combines map-side — the corpus collapses to
+    // #sources rows before anything pairwise happens
+    plan.toLowerCase should include("partial_min")
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+    // pairwise compare is a nested-loop over the #sources-row aggregate —
+    // bounded — and must be the ONLY nested-loop in the plan
+    nodeCount(plan, "BroadcastNestedLoopJoin") shouldBe 1
+  }
+
+  test("x116 epoch shuffle: rank windows per (epoch, shard), never a global sort") {
+    import graft.operators.Eval
+    val df = Eval.epochShuffle(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id",
+      epochs = 3, shards = 8)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("hashpartitioning(epoch")
+    (plan should not).include("rangepartitioning")
+    (plan should not).include("SinglePartition")
+  }
+
   test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
     val df = q("x78_zorder_layout")
     val plan = planOf(df)
