@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfJoin, Curation, Dedup, Eval, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis, TimeSeries}
 import graft.streaming.StreamOps
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
@@ -638,6 +638,33 @@ object ScaleProbe {
       "funnel_unstaged" -> (m =>
         graft.queries.ExtensionQueries.curationFunnel(corpus(m),
           stageCheckpoints = false).count()),
+      // Source-overlap estimate (x114): the number of SOURCES is fixed
+      // (20) while the corpus grows, so the signature collapse must stay
+      // one linear map-side-combined pass with a 20-row result; the
+      // pairwise stage (190 rows) must stay invisible at any multiplier.
+      "source_overlap_est" -> { m =>
+        val docs = corpus(m).select(col("doc_id"),
+          concat(lit("s"), pmod(col("doc_id"), lit(20L))).as("source"),
+          col("text"))
+        Eval.sourceOverlap(docs, "source", "text", withExact = false).count()
+      },
+      // LSH recall eval (x115): disjoint-namespace replicas grow the
+      // ground-truth pair set linearly; truth (guarded inverted index)
+      // and detector (banded LSH) legs compose, so the audit should track
+      // the slower of zipf_ngram_jaccard/dedup_minhash_lsh. The zipf twin
+      // certifies the truth side's maxBucket guard under the
+      // shared-vocabulary flood the namespace corpus cannot express.
+      "lsh_recall" -> (m =>
+        Eval.lshRecallByBucket(corpus(m), "doc_id", "text").count()),
+      "zipf_lsh_recall" -> (m =>
+        Eval.lshRecallByBucket(zipfCorpus(m), "doc_id", "text").count()),
+      // Epoch shuffle (x116): 3 epochs × m·corpus rows ranked in
+      // per-(epoch, shard) windows; shards fixed at 32, so window width
+      // grows with m but every sort stays shard-local — expect ~linear
+      // (n log n inside shards), and NO global-sort cliff.
+      "epoch_shuffle" -> (m =>
+        Eval.epochShuffle(corpus(m), "doc_id", epochs = 3, shards = 32)
+          .count()),
       // Personalized PageRank (x107): same linear-graph construction as
       // the pagerank probe (nodes ×m, out-degree 5, 3 supersteps), seeds
       // a fixed 1/50 slice of the nodes — the restricted-teleport rank
