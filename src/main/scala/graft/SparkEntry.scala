@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{AnalyticsQueries, E2EQueries, EvalQueries, ExtensionQueries, ParityQueries, QueryDef}
+import graft.queries.{AnalyticsQueries, E2EQueries, EvalQueries, ExtensionQueries, IngestQueries, ParityQueries, QueryDef}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,7 +18,7 @@ object SparkEntry {
 
   val allQueries: Seq[QueryDef] =
     ParityQueries.all ++ E2EQueries.all ++ ExtensionQueries.all ++
-      EvalQueries.all ++ AnalyticsQueries.all
+      EvalQueries.all ++ IngestQueries.all ++ AnalyticsQueries.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0: the full
     * noauth pipeline end to end.

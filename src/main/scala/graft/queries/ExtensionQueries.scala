@@ -52,7 +52,7 @@ object ExtensionQueries {
     * sequentially in Verify/Bench/tests; a future parallel evaluator must
     * give each thread its own scratch root.
     */
-  private lazy val idxScratch: String = {
+  private[queries] lazy val idxScratch: String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-idx-scratch")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable.hash56
+import graft.operators.Ingest
+import graft.queries.ExtensionQueries.{dkHash56, idxScratch}
+import graft.queries.QueryDef.tbl
+
+/** Raw-format ingestion queries: JSONL with corrupt-line quarantine
+  * (x118). The query stages a JSONL rendering of the documents table with
+  * DETERMINISTICALLY planted damage — every doc_id ≡ 0 (mod 50) line
+  * truncated mid-string (malformed), every doc_id ≡ 25 (mod 50) line
+  * written without its primary key (missing_id) — then ingests it back
+  * through the quarantine split. The oracle knows exactly which ids must
+  * survive, and the per-doc text hash proves the typed round trip through
+  * JSON escaping is byte-exact; a corrupt line leaking into the valid
+  * side would hash-mismatch, a valid line mis-quarantined would
+  * row-count-mismatch.
+  */
+object IngestQueries {
+
+  private val docSchemaDdl =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+
+  /** Build-once-per-(JVM, sf-dir) damaged-JSONL staging (the idxScratch
+    * pattern): repeated Verify/Bench evaluations reuse the rendered files
+    * rather than re-writing them per invocation.
+    */
+  private val staged = scala.collection.mutable.Set[String]()
+  private def jsonlDirFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = staged.synchronized {
+    val dir = s"$idxScratch/jsonl_${Integer.toHexString(d.hashCode)}"
+    if (!staged(dir)) {
+      val docs = tbl(s, d, "documents")
+      val full = to_json(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      val noId = to_json(struct(col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      docs.select(
+          when(col("doc_id") % 50 === 0, substring(full, 1, 20))
+            .when(col("doc_id") % 50 === 25, noId)
+            .otherwise(full).as("value"))
+        .write.mode("overwrite").text(dir)
+      staged += dir
+    }
+    dir
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // JSONL quarantine ingest (x118): the valid-side typed round trip.
+    // Map-only split (text scan + from_json, no shuffle either branch);
+    // the quarantine side's reason triage is pinned in IngestSpec.
+    QueryDef("x118_jsonl_quarantine",
+      (s, d) => {
+        val (valid, _) = Ingest.jsonlWithQuarantine(s, jsonlDirFor(s, d),
+          docSchemaDdl, "doc_id")
+        valid.select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), hash56(col("text")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, source, lang, n_chars,
+             |  ${dkHash56("text")} AS h
+             |FROM documents
+             |WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25
+             |ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.Ingest
+
+/** Behavioral tests for the JSONL quarantine ingest (x118): all three
+  * triage classes (valid / malformed / missing_id), raw-byte preservation
+  * on the quarantine side, and the map-only plan shape.
+  */
+class IngestSpec extends SparkSpec with Matchers {
+
+  private val ddl = "doc_id BIGINT, text STRING"
+
+  private def stage(lines: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ingest-spec")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("triage: valid parses typed, malformed and missing_id quarantine with reasons") {
+    val dir = stage(
+      """{"doc_id": 1, "text": "hello world"}""",
+      """{"doc_id": 2, "text": "truncated""", // malformed (unclosed)
+      """{"text": "no primary key"}""", // missing_id
+      "", // blank — dropped, not quarantined
+      """{"doc_id": 3, "text": "quote \" and backslash \\ round trip"}""")
+    val (valid, quarantine) = Ingest.jsonlWithQuarantine(spark, dir, ddl, "doc_id")
+    val v = valid.orderBy("doc_id").collect()
+    v.map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+    v(1).getString(1) shouldBe "quote \" and backslash \\ round trip"
+    val q = quarantine.orderBy("reason").collect()
+    q.map(_.getString(1)).toSeq shouldBe Seq("malformed", "missing_id")
+    // raw bytes preserved untouched for forensics/re-crawl
+    q(0).getString(0) shouldBe """{"doc_id": 2, "text": "truncated"""
+    q(1).getString(0) shouldBe """{"text": "no primary key"}"""
+  }
+
+  test("idField must exist in the schema") {
+    an[IllegalArgumentException] should be thrownBy
+      Ingest.jsonlWithQuarantine(spark, "/tmp/nowhere", ddl, "id")
+  }
+
+  test("both branches are map-only: no exchange on either side") {
+    val dir = stage("""{"doc_id": 1, "text": "a"}""")
+    val (valid, quarantine) = Ingest.jsonlWithQuarantine(spark, dir, ddl, "doc_id")
+    for (df <- Seq(valid, quarantine)) {
+      val plan = df.queryExecution.executedPlan.toString
+      (plan should not).include("Exchange")
+      (plan should not).include("ShuffleExchange")
+    }
+  }
+
+  test("x118 planted damage routes exactly the two corrupt classes to quarantine") {
+    // Drive the full query's staging contract at sf0.001: quarantine
+    // reasons must split 50-aligned (malformed) vs 25-aligned (missing_id)
+    // and the valid side must carry everything else.
+    val d = sfDir
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val total = docs.count()
+    val expMalformed = docs.filter(col("doc_id") % 50 === 0).count()
+    val expMissing = docs.filter(col("doc_id") % 50 === 25).count()
+    val out = SparkEntry.queries("x118_jsonl_quarantine")(spark, d)
+    out.count() shouldBe (total - expMalformed - expMissing)
+  }
+}
