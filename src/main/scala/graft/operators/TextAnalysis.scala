@@ -381,6 +381,87 @@ object TextAnalysis {
     * final chunk may be shorter than `window` but is never empty, and no
     * chunk starts past the text.
     */
+  /** Iterative BPE merge training — the first `steps` merges of a
+    * byte-pair-encoding vocabulary learned from the corpus, each step
+    * emitting (step, left_sym, right_sym, pair_count). x71's bigram table
+    * is ONE merge step's candidate list; this is the loop that actually
+    * trains a tokenizer vocabulary.
+    *
+    * Scale design — the three decisions that make this viable at 100 TB:
+    *  1. Everything after the first aggregate operates on the DISTINCT
+    *     word vocabulary: the corpus contributes only `(word, freq)`
+    *     through one groupBy pass, and every merge iteration touches
+    *     vocabulary-sized data (Σ word lengths over distinct words) no
+    *     matter how large the corpus is.
+    *  2. The chosen merge stays IN-PLAN: the 1-row best-pair table is
+    *     broadcast-joined into the next iteration's expressions — no
+    *     driver collect per step (the Pregel discipline, like
+    *     Graph.pageRank).
+    *  3. Greedy left-to-right merge application is RELATIONAL, not a
+    *     per-row fold: matched adjacent positions are grouped into
+    *     consecutive runs (pos − row_number), and every odd-ranked match
+    *     in a run is accepted — exactly BPE's non-overlapping greedy
+    *     scan, because a run of chained matches can only exist when
+    *     left = right (e.g. 'aaaa' under (a,a) → accept offsets 1 and 3),
+    *     while for left ≠ right every match is its own run. Windows
+    *     partition by word — executor-local sorts, no global sort.
+    *
+    * Symbol state is `localCheckpoint`ed per iteration by default
+    * (lineage O(1) across steps, same as the PageRank supersteps);
+    * `checkpoint = false` keeps the whole loop declarative — identical
+    * result, used by the plan tests to pin the per-word window /
+    * no-corpus-join shape that materialization otherwise hides. Tokens
+    * are restricted to `[a-z]+` so character positions agree across
+    * engines (multi-byte grapheme counting is where SQL dialects drift).
+    * Deterministic tie-break: pair_count DESC, then (left, right) ASC.
+    */
+  def bpeMergeSteps(df: DataFrame, textCol: String, steps: Int,
+      checkpoint: Boolean = true): DataFrame = {
+    require(steps >= 1 && steps <= 8,
+      s"bpeMergeSteps: steps must be in [1, 8], got $steps")
+    import org.apache.spark.sql.expressions.Window
+    def cp(d: DataFrame): DataFrame = if (checkpoint) d.localCheckpoint() else d
+    val wf = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var syms = cp(wf.select(col("w"), col("freq"),
+        posexplode(expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), col("freq"), (col("pos") + 1).as("pos"),
+        col("col").as("sym")))
+    val wWin = Window.partitionBy("w").orderBy("pos")
+    val out = (1 to steps).map { t =>
+      val withNext = syms.withColumn("nxt", lead("sym", 1).over(wWin))
+      val best = cp(withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("left_sym"), col("nxt").as("right_sym"))
+        .agg(sum("freq").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
+        .limit(1))
+      if (t < steps) {
+        val b = broadcast(best.select(col("left_sym").as("__a"),
+          col("right_sym").as("__b")))
+        val accepted = withNext.crossJoin(b)
+          .filter(col("sym") === col("__a") && col("nxt") === col("__b"))
+          .withColumn("rn", row_number().over(wWin))
+          .withColumn("rg", row_number().over(
+            Window.partitionBy(col("w"), col("pos") - col("rn")).orderBy("pos")))
+          .filter(col("rg") % 2 === 1)
+          .select(col("w"), col("pos"))
+        syms = cp(syms.crossJoin(b)
+          .join(accepted.withColumn("__acc", lit(true)), Seq("w", "pos"), "left")
+          .join(accepted.select(col("w"), (col("pos") + 1).as("pos"))
+            .withColumn("__cons", lit(true)), Seq("w", "pos"), "left")
+          .filter(col("__cons").isNull)
+          .select(col("w"), col("freq"),
+            row_number().over(wWin).as("pos"),
+            when(col("__acc"), concat(col("__a"), col("__b")))
+              .otherwise(col("sym")).as("sym")))
+      }
+      best.select(lit(t).as("step"), col("left_sym"), col("right_sym"),
+        col("pair_count"))
+    }
+    out.reduce(_ unionByName _).orderBy("step")
+  }
+
   def chunk(df: DataFrame, idCol: String, textCol: String,
       window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0 && stride <= window,

@@ -3581,8 +3581,66 @@ object ExtensionQueries {
              |  count(*)::BIGINT AS events,
              |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // BPE merge training (x119): the first 3 merges of a corpus-learned
+    // byte-pair-encoding vocabulary (TextAnalysis.bpeMergeSteps) — x71's
+    // bigram table is one step's candidate list; this runs the loop. The
+    // oracle replays the identical relational formulation (vocab-only
+    // state, run-grouped greedy merge application) as chained CTE blocks.
+    QueryDef("x119_bpe_merges",
+      (s, d) => TextAnalysis.bpeMergeSteps(tbl(s, d, "documents"), "text",
+        steps = 3),
+      Some(dkBpeOracle(3)))
   )
+
+  /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational
+    * BPE loop as chained CTE blocks. Per step t: pair counts over
+    * adjacent vocab symbols → 1-row best (cnt DESC, pair ASC) → matched
+    * positions grouped into consecutive runs (pos − row_number), odd
+    * ranks accepted (BPE's greedy non-overlapping scan) → accepted
+    * positions take the merged symbol, their right neighbors drop, and
+    * positions re-rank dense for the next step's adjacency join.
+    */
+  private def dkBpeOracle(steps: Int): String = {
+    val base =
+      """w0 AS (SELECT tok AS w, count(*)::BIGINT AS freq FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+        |    FROM documents)
+        |  WHERE regexp_full_match(tok, '[a-z]+') GROUP BY 1),
+        |s1 AS (SELECT w, freq, pos, substr(w, pos, 1) AS sym FROM (
+        |    SELECT w, freq, unnest(range(1, length(w)+1)) AS pos FROM w0))""".stripMargin
+    val stepCtes = (1 to steps).map { t =>
+      val pick =
+        s"""p$t AS (SELECT l.sym AS a, r.sym AS b, sum(l.freq)::BIGINT AS cnt
+           |  FROM s$t l JOIN s$t r ON l.w = r.w AND r.pos = l.pos + 1
+           |  GROUP BY 1, 2),
+           |b$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      if (t == steps) pick else
+        pick + ",\n" +
+          s"""m$t AS (SELECT l.w, l.pos FROM s$t l
+             |  JOIN s$t r ON l.w = r.w AND r.pos = l.pos + 1
+             |  CROSS JOIN b$t WHERE l.sym = b$t.a AND r.sym = b$t.b),
+             |r$t AS (SELECT w, pos,
+             |    row_number() OVER (PARTITION BY w ORDER BY pos) AS rn FROM m$t),
+             |a$t AS (SELECT w, pos FROM (SELECT w, pos,
+             |    row_number() OVER (PARTITION BY w, pos - rn ORDER BY pos) AS rg
+             |  FROM r$t) WHERE rg % 2 = 1),
+             |s${t + 1}raw AS (SELECT s.w, s.freq, s.pos,
+             |    CASE WHEN a.pos IS NOT NULL THEN bt.a || bt.b ELSE s.sym END AS sym
+             |  FROM s$t s CROSS JOIN b$t bt
+             |  LEFT JOIN a$t a ON s.w = a.w AND s.pos = a.pos
+             |  LEFT JOIN a$t c ON s.w = c.w AND s.pos = c.pos + 1
+             |  WHERE c.pos IS NULL),
+             |s${t + 1} AS (SELECT w, freq,
+             |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+             |  FROM s${t + 1}raw)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to steps).map(t =>
+      s"SELECT $t AS step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"WITH $base,\n$stepCtes\n$sel\nORDER BY step"
+  }
 
   /** Shared oracle for x103 and its stored-label consumer twin x111 —
     * identical output by construction (the labels x111 reads are exactly

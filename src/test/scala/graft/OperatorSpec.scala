@@ -769,6 +769,29 @@ class OperatorSpec extends SparkSpec with Matchers {
       (3L, 1L, 0L, "all mine"))
   }
 
+  test("BPE merges: greedy run-split, frequency weighting, and re-merge of merged symbols") {
+    import spark.implicits._
+    // tokens: aaaa (freq 2), bb (freq 1).
+    // step 1: (a,a) count 3 adjacencies × 2 = 6 beats (b,b)=1; greedy on
+    //   a-a-a-a accepts run offsets 1 and 3 -> aa,aa (NOT aa,a,a).
+    // step 2: (aa,aa) = 1 × 2 = 2 beats (b,b)=1 — a merged symbol merges
+    //   again. step 3: only (b,b)=1 remains.
+    val df = Seq((1L, "aaaa bb"), (2L, "aaaa")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeMergeSteps(df, "text", steps = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L), (3, "b", "b", 1L))
+  }
+
+  test("BPE merges: lexicographic tie-break and non-[a-z] token exclusion") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ba x1 Mixed")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeMergeSteps(df, "text", steps = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    // "mixed" survives lowercasing; x1 is excluded; (a,b) ties (b,a) at 1
+    // and every "mixed" pair at 1 — (a,b) wins the (left, right) ASC break
+    out.toSeq shouldBe Seq(("a", "b", 1L))
+  }
+
   test("model quality score is the exact fixed-point linear combination") {
     import spark.implicits._
     val df = Seq((1L, "Hello world 123.")).toDF("doc_id", "text")

@@ -676,6 +676,24 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("SinglePartition")
   }
 
+  test("x119 BPE merges: per-word windows, vocab-bounded state, merge decision in-plan") {
+    import graft.operators.TextAnalysis
+    // checkpoint = false keeps the loop declarative so the per-step
+    // dataflow is actually IN this plan (the default materializes each
+    // step, leaving only the output union visible).
+    val df = TextAnalysis.bpeMergeSteps(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "text", steps = 2,
+      checkpoint = false)
+    val plan = df.queryExecution.executedPlan.toString
+    // symbol-state windows shard by word — executor-local sorts only
+    plan should include("hashpartitioning(w")
+    (plan should not).include("CartesianProduct")
+    // the only broadcast-nested-loop inputs are the 1-row best-pair
+    // tables (the in-plan merge decision); a corpus-sized nested loop
+    // would show as a join with a non-singleton build side
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("x78 z-order: one range exchange on zkey, morton key is pure codegen") {
     val df = q("x78_zorder_layout")
     val plan = planOf(df)
