@@ -665,6 +665,16 @@ object ScaleProbe {
       "epoch_shuffle" -> (m =>
         Eval.epochShuffle(corpus(m), "doc_id", epochs = 3, shards = 32)
           .count()),
+      // BPE merge training (x119): growing m adds docs over the SAME
+      // Zipfian vocabulary (digits letter-mapped so tokens pass the
+      // [a-z]+ filter), so the distinct-word state every iteration
+      // touches is CONSTANT while only the one corpus-side frequency
+      // groupBy grows — the vocab-bounded design claim, measured.
+      "bpe_merges" -> { m =>
+        val letters = zipfCorpus(m).select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        TextAnalysis.bpeMergeSteps(letters, "text", steps = 3).count()
+      },
       // Personalized PageRank (x107): same linear-graph construction as
       // the pagerank probe (nodes ×m, out-degree 5, 3 supersteps), seeds
       // a fixed 1/50 slice of the nodes — the restricted-teleport rank
