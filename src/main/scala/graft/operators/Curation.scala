@@ -85,7 +85,9 @@ object Curation {
     * is NaN, and `max` propagates NaN, which would flag EVERY corpus row
     * contaminated); the non-empty requirement applies AFTER the drop, so
     * an eval set of only zero vectors still fails loudly instead of
-    * silently flagging everything or nothing.
+    * silently flagging everything or nothing. Zero-norm CORPUS vectors
+    * keep their row but score 0.0 / contaminated = false — they match
+    * nothing, and without the guard their NaN max would flag them.
     */
   def semanticDecontaminate(corpus: DataFrame, evalSet: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame = {
@@ -102,8 +104,15 @@ object Curation {
     // path is the exact silent failure this check exists to catch.
     require(!e.isEmpty,
       "semanticDecontaminate: eval set is empty (or all zero-norm) — every corpus row would be reported uncontaminated")
+    // Zero-norm CORPUS vectors score 0.0 against everything (cosine would
+    // be NaN, max propagates NaN, and NaN >= threshold holds in Spark —
+    // which would silently flag the row contaminated); a zero vector
+    // matches nothing, so it reports (0.0, false) like any far-away row.
     c.crossJoin(broadcast(e))
-      .select(col("id"), Similarity.cosine(col("__cv"), col("__ev")).as("__cos"))
+      .select(col("id"),
+        when(exists(col("__cv"), v => v =!= 0.0),
+          Similarity.cosine(col("__cv"), col("__ev")))
+          .otherwise(lit(0.0)).as("__cos"))
       .groupBy("id")
       .agg(max(col("__cos")).as("max_eval_cosine"))
       .select(col("id").as(idCol), col("max_eval_cosine"),

@@ -298,8 +298,29 @@ object Dedup {
     * distinct-then-regroup two-shuffle shape. The array is bounded by
     * document length, never corpus size.
     */
-  private def featureSets(exploded: DataFrame): DataFrame =
+  private[operators] def featureSets(exploded: DataFrame): DataFrame =
     exploded.groupBy("doc").agg(collect_set(col("h")).as("features"))
+
+  /** Flood-guarded inverted-index candidate generation over a per-doc
+    * feature-array table: explode the sets, drop features shared by more
+    * than `maxBucket` docs (the stop-feature flood guard — see
+    * `ngramJaccard`'s recall discussion), self-join the survivors on the
+    * feature. Shared by the char-n-gram (`ngramJaccard`) and
+    * word-shingle (`Eval.shingleJaccardExact`) exact baselines so the
+    * guard-counting rule lives in exactly one place.
+    */
+  private[operators] def guardedCandidates(feats: DataFrame,
+      maxBucket: Long): DataFrame = {
+    val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
+    val kept = grams.join(
+      grams.groupBy("feature").agg(count(lit(1)).as("__fc"))
+        .filter(col("__fc") <= maxBucket), Seq("feature"))
+      .select(col("doc"), col("feature"))
+    kept.as("l").join(kept.as("r"),
+        col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+  }
 
   /** MinHash + LSH banding near-dup detection.
     *
@@ -487,16 +508,7 @@ object Dedup {
         expr(s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), " +
           s"i -> substring(t, i, $n))")).as("gram"))
       .select(col("doc"), hash56(col("gram")).as("h")))
-    val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
-    val kept = grams.join(
-      grams.groupBy("feature").agg(count(lit(1)).as("__fc"))
-        .filter(col("__fc") <= maxBucket), Seq("feature"))
-      .select(col("doc"), col("feature"))
-    val candidates = kept.as("l").join(kept.as("r"),
-        col("l.feature") === col("r.feature") && col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
-      .distinct()
-    verifyJaccardArrays(candidates, feats, threshold)
+    verifyJaccardArrays(guardedCandidates(feats, maxBucket), feats, threshold)
   }
 
   /** Shingle CONTAINMENT near-dup — the asymmetric metric Jaccard
@@ -643,7 +655,7 @@ object Dedup {
     * — no feature-level join explosion, no extra aggregate. Integers all
     * the way, so the oracle comparison is exact.
     */
-  private def verifyJaccardArrays(candidates: DataFrame, feats: DataFrame,
+  private[operators] def verifyJaccardArrays(candidates: DataFrame, feats: DataFrame,
       threshold: Double): DataFrame =
     candidates
       .join(feats.as("fa"), col("doc_a") === col("fa.doc"))

@@ -99,31 +99,11 @@ object Eval {
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxBucket: Long = 256L): DataFrame = {
     require(maxBucket >= 2, "shingleJaccardExact: maxBucket must be >= 2")
-    val feats = Dedup.shingles(df, idCol, textCol, shingleSize)
-      .select(col("doc"), hash56(col("shingle")).as("h"))
-      .groupBy("doc").agg(collect_set(col("h")).as("features"))
-    val grams = feats.select(col("doc"), explode(col("features")).as("h"))
-    val kept = grams.join(
-      grams.groupBy("h").agg(count(lit(1)).as("__fc"))
-        .filter(col("__fc") <= maxBucket), Seq("h"))
-      .select(col("doc"), col("h"))
-    val candidates = kept.as("l").join(kept.as("r"),
-        col("l.h") === col("r.h") && col("l.doc") < col("r.doc"))
-      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
-      .distinct()
-    candidates
-      .join(feats.select(col("doc").as("doc_a"), col("features").as("fa")),
-        Seq("doc_a"))
-      .join(feats.select(col("doc").as("doc_b"), col("features").as("fb")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("fa"), col("fb"))).cast("long").as("common"),
-        size(col("fa")).cast("long").as("size_a"),
-        size(col("fb")).cast("long").as("size_b"))
-      .withColumn("jaccard",
-        col("common").cast("double") /
-          (col("size_a") + col("size_b") - col("common")).cast("double"))
-      .filter(col("jaccard") >= threshold)
+    val feats = Dedup.featureSets(
+      Dedup.shingles(df, idCol, textCol, shingleSize)
+        .select(col("doc"), hash56(col("shingle")).as("h")))
+    Dedup.verifyJaccardArrays(
+      Dedup.guardedCandidates(feats, maxBucket), feats, threshold)
   }
 
   /** MinHash-LSH recall S-curve — the banding theory (P[collide] =
@@ -195,11 +175,14 @@ object Eval {
         col("cluster").as("ca")), Seq("doc_a"))
       .join(labeled.select(col("doc").as("doc_b"), col("naive").as("nb"),
         col("cluster").as("cb")), Seq("doc_b"))
+    // coalesce: sum over ZERO edges is null, and an empty pair table is
+    // the audit's success case — it must read (0, 0), not (null, null)
     def crossCnt(a: String, b: String) =
-      sum(when(col(a) =!= col(b), 1L).otherwise(0L))
+      coalesce(sum(when(col(a) =!= col(b), 1L).otherwise(0L)), lit(0L))
     def ttCnt(a: String, b: String) =
-      sum(when((col(a) === "train" && col(b) === "test") ||
-               (col(a) === "test" && col(b) === "train"), 1L).otherwise(0L))
+      coalesce(sum(when((col(a) === "train" && col(b) === "test") ||
+               (col(a) === "test" && col(b) === "train"), 1L).otherwise(0L)),
+        lit(0L))
     // Both policies in ONE pass over the edge join (a stack unpivot of a
     // single 5-column aggregate — not two scans).
     edges.agg(

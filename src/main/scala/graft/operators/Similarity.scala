@@ -210,12 +210,17 @@ object Similarity {
       idCol: String, vecCol: String, k: Int, nlist: Int = 16,
       nprobe: Int = 2, trainIterations: Int = 0,
       broadcastProbes: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // The zero-norm drop must also cover the TRAINING input: a zero-norm
+    // seed centroid makes every assignment cosine NaN, and Spark orders
+    // NaN above all doubles, so max_by would funnel the whole corpus into
+    // the dead cell and collapse the codebook to one live cell.
+    val nonZero = corpus.filter(
+      exists(col(vecCol).cast("array<double>"), v => v =!= 0.0))
+    val c = nonZero.select(col(idCol).as("neighbor_id"),
       col(vecCol).cast("array<double>").as("cv"))
-      .filter(exists(col("cv"), v => v =!= 0.0))
     val codebook =
       if (trainIterations > 0)
-        trainCodebook(corpus, idCol, vecCol, nlist, trainIterations)
+        trainCodebook(nonZero, idCol, vecCol, nlist, trainIterations)
       else c.orderBy("neighbor_id").limit(nlist)
         .select(col("neighbor_id").as("cid"), col("cv").as("centroid"))
 

@@ -139,12 +139,20 @@ object StreamOps {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     val src = java.nio.file.Paths.get(eventsPath)
     val files =
-      if (java.nio.file.Files.isDirectory(src))
-        src.toFile.listFiles().toSeq
-          .filter(f => f.isFile && !f.getName.startsWith("_") &&
-            !f.getName.startsWith("."))
-          .map(_.toPath)
-      else Seq(src)
+      if (java.nio.file.Files.isDirectory(src)) {
+        val entries = src.toFile.listFiles().toSeq
+          .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+        // the symlink staging flattens ONE level — a nested (partitioned)
+        // layout would be silently truncated to its top-level files, so
+        // refuse it loudly instead
+        val subdirs = entries.filter(_.isDirectory)
+        require(subdirs.isEmpty,
+          s"stageStreamDirWithSentinel: $eventsPath contains nested " +
+            s"directories (${subdirs.take(3).map(_.getName).mkString(", ")}) " +
+            "— partitioned layouts are not supported by the flat sentinel " +
+            "staging; point at a flat file directory or a single file")
+        entries.filter(_.isFile).map(_.toPath)
+      } else Seq(src)
     files.foreach(f =>
       java.nio.file.Files.createSymbolicLink(dir.resolve(f.getFileName), f))
     // Every sentinel field is NON-NULL: a downstream inner join pushes
@@ -220,13 +228,19 @@ object StreamOps {
   def windowedEventAggAppend(spark: SparkSession, eventsPath: String): DataFrame =
     windowedEventAggAppendWithState(spark, eventsPath)._1
 
+  /** Shared preamble of the append-mode drains: read the batch schema,
+    * stage the sentinel'd stream dir, open the ts-normalized stream.
+    */
+  private def sentinelStream(spark: SparkSession, eventsPath: String,
+      prefix: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDirWithSentinel(spark, eventsPath, prefix, schema)
+    normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+  }
+
   private[graft] def windowedEventAggAppendWithState(
       spark: SparkSession, eventsPath: String): (DataFrame, Long) = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
-      "graft-stream-appagg", schema)
-    val stream = normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val stream = sentinelStream(spark, eventsPath, "graft-stream-appagg")
     val agg = stream
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
@@ -250,11 +264,7 @@ object StreamOps {
 
   private[graft] def streamingOhlcAppendWithState(
       spark: SparkSession, eventsPath: String): (DataFrame, Long) = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
-      "graft-stream-appohlc", schema)
-    val stream = normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val stream = sentinelStream(spark, eventsPath, "graft-stream-appohlc")
     val ord = struct(expr("unix_micros(ts)"), col("event_id"))
     val cents = floor(col("value") * 100 + 0.5).cast("long")
     val agg = stream
@@ -285,11 +295,7 @@ object StreamOps {
   def streamingHotKeysWindowedAppend(spark: SparkSession, eventsPath: String,
       keyCol: String, k: Int): DataFrame = {
     require(k > 0, "streamingHotKeysWindowedAppend: k must be positive")
-    val schema = spark.read.parquet(eventsPath).schema
-    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
-      "graft-stream-hotw", schema)
-    val stream = normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val stream = sentinelStream(spark, eventsPath, "graft-stream-hotw")
     val agg = stream
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col(keyCol).as("key"))
@@ -316,11 +322,7 @@ object StreamOps {
   def streamStaticEnrichWindowedAppend(spark: SparkSession, eventsPath: String,
       dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
       valueCol: String = "value"): DataFrame = {
-    val schema = spark.read.parquet(eventsPath).schema
-    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
-      "graft-stream-ssew", schema)
-    val stream = normalizeTs(
-      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val stream = sentinelStream(spark, eventsPath, "graft-stream-ssew")
     val agg = stream
       .withWatermark("ts", "1 day")
       .join(broadcast(dim), col(streamKey) === col(dimKey))

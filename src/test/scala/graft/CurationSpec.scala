@@ -76,6 +76,16 @@ class CurationSpec extends SparkSpec with Matchers {
     val allZero = Seq((100L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
     an[IllegalArgumentException] should be thrownBy
       Curation.semanticDecontaminate(corpus, allZero, "vec_id", "embedding", 0.7)
+    // a zero-norm CORPUS vector matches nothing: it keeps its row and
+    // reports (0.0, false) instead of a NaN max flagging it contaminated
+    val corpusWithZero = Seq(
+      (1L, Array(2.0f, 0.0f)), (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val z = Curation.semanticDecontaminate(corpusWithZero, eval, "vec_id",
+        "embedding", threshold = 0.7)
+      .orderBy("vec_id").collect()
+    z.map(_.getAs[Boolean]("contaminated")).toSeq shouldBe Seq(true, false)
+    z(1).getAs[Double]("max_eval_cosine") shouldBe 0.0
   }
 
   test("repetition stats: modal n-gram dominance and repeated mass are exact") {

@@ -159,4 +159,13 @@ class EvalSpec extends SparkSpec with Matchers {
     val naive = out.find(_._1 == "naive").get
     naive._3 shouldBe expCross.toLong
   }
+
+  test("splitLeakage: an empty pair table (the audit's success case) reads 0, not null") {
+    import spark.implicits._
+    val df = docs(1L -> "only document")
+    val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Eval.splitLeakage(df, "doc_id", noPairs, valPct = 5, testPct = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(("cluster", 0L, 0L, 0L), ("naive", 0L, 0L, 0L))
+  }
 }

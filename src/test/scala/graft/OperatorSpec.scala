@@ -373,6 +373,33 @@ class OperatorSpec extends SparkSpec with Matchers {
     bcRes.exists(_._3 == 3L) shouldBe false
   }
 
+  test("IVF ANN trained codebook also excludes zero-norm vectors (no collapsed cells)") {
+    import spark.implicits._
+    // The zero vector's id (0) would otherwise SEED a centroid
+    // (orderBy-id limit nlist): cosine against the zero centroid is NaN
+    // for every vector, Spark orders NaN above all doubles, and max_by
+    // would funnel the whole corpus into the dead cell.
+    val vecs = Seq(
+      (0L, Array(0.0f, 0.0f)), // zero-norm, lowest id
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.1f, 0.9f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(vecs, vecs, "vec_id", "embedding",
+        k = 2, nlist = 2, nprobe = 1, trainIterations = 2)
+      .collect()
+    out should not be empty
+    out.foreach { r =>
+      r.getLong(0) should not be 0L
+      r.getLong(2) should not be 0L
+      r.getDouble(3).isNaN shouldBe false
+    }
+    // nprobe = 1 with a healthy 2-cell codebook: each axis-aligned query
+    // finds its same-cell twin first
+    val first = out.filter(_.getInt(1) == 1).map(r => (r.getLong(0), r.getLong(2))).toMap
+    first(1L) shouldBe 2L
+    first(3L) shouldBe 4L
+  }
+
   test("IVF ANN with nprobe = nlist recovers the brute-force result") {
     import spark.implicits._
     val vecs = Seq(
