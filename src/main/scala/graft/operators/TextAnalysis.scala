@@ -416,7 +416,49 @@ object TextAnalysis {
     * Deterministic tie-break: pair_count DESC, then (left, right) ASC.
     */
   def bpeMergeSteps(df: DataFrame, textCol: String, steps: Int,
+      checkpoint: Boolean = true): DataFrame =
+    bpeLoop(df, textCol, steps, checkpoint, applyLast = false)._1
+      .reduce(_ unionByName _).orderBy("step")
+
+  /** Apply the corpus-learned BPE vocabulary back to the corpus — the
+    * ENCODE half of the trainer pair: run `steps` merges (identical loop
+    * to [[bpeMergeSteps]], with the final merge also APPLIED), then count
+    * symbols per word and roll up per document. Output: (id, words,
+    * bpe_tokens, avg_symbols_x100) — `words` counts the `[a-z]+` tokens
+    * the vocabulary covers, `bpe_tokens` their total encoded length, and
+    * the ratio ×100 is the fertility metric (x100's chars-per-token,
+    * here symbols-per-word) that measures how much the learned merges
+    * compressed the corpus. Docs with no `[a-z]+` tokens report
+    * (0, 0, 0).
+    *
+    * Scale: the encode join attaches the vocab-sized per-word length
+    * table to the corpus token stream — one equi-join on the word plus
+    * one per-doc aggregate; the training loop itself never touches
+    * corpus-sized data (see [[bpeMergeSteps]]).
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String, steps: Int,
       checkpoint: Boolean = true): DataFrame = {
+    val syms = bpeLoop(df, textCol, steps, checkpoint, applyLast = true)._2
+    val wlen = syms.groupBy("w").agg(count(lit(1)).as("sym_count"))
+    val docToks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+    val agg = docToks.join(wlen, Seq("w"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("words"), sum("sym_count").as("bpe_tokens"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .na.fill(0L, Seq("words", "bpe_tokens"))
+      .withColumn("avg_symbols_x100",
+        expr("div(100 * bpe_tokens, greatest(words, 1))"))
+  }
+
+  /** The shared BPE training loop: returns (per-step best-pair frames,
+    * final symbol state). `applyLast` controls whether the last chosen
+    * merge is also applied to the symbol state (the encode path needs
+    * the post-merge vocabulary; the merge-table path can skip the final
+    * application).
+    */
+  private def bpeLoop(df: DataFrame, textCol: String, steps: Int,
+      checkpoint: Boolean, applyLast: Boolean): (Seq[DataFrame], DataFrame) = {
     require(steps >= 1 && steps <= 8,
       s"bpeMergeSteps: steps must be in [1, 8], got $steps")
     import org.apache.spark.sql.expressions.Window
@@ -436,7 +478,7 @@ object TextAnalysis {
         .agg(sum("freq").as("pair_count"))
         .orderBy(col("pair_count").desc, col("left_sym"), col("right_sym"))
         .limit(1))
-      if (t < steps) {
+      if (t < steps || applyLast) {
         val b = broadcast(best.select(col("left_sym").as("__a"),
           col("right_sym").as("__b")))
         val accepted = withNext.crossJoin(b)
@@ -459,7 +501,7 @@ object TextAnalysis {
       best.select(lit(t).as("step"), col("left_sym"), col("right_sym"),
         col("pair_count"))
     }
-    out.reduce(_ unionByName _).orderBy("step")
+    (out, syms)
   }
 
   def chunk(df: DataFrame, idCol: String, textCol: String,

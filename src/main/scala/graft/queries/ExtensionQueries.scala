@@ -3591,7 +3591,32 @@ object ExtensionQueries {
     QueryDef("x119_bpe_merges",
       (s, d) => TextAnalysis.bpeMergeSteps(tbl(s, d, "documents"), "text",
         steps = 3),
-      Some(dkBpeOracle(3)))
+      Some(dkBpeOracle(3))),
+
+    // BPE encode (x120): the trained vocabulary applied back to the
+    // corpus — per-doc word and encoded-symbol counts plus the fertility
+    // ratio ×100. The vocab-sized per-word length table joins the corpus
+    // token stream once; the training loop never touches corpus-sized
+    // data (x119's design).
+    QueryDef("x120_bpe_encode",
+      (s, d) => TextAnalysis.bpeEncode(tbl(s, d, "documents"), "doc_id",
+          "text", steps = 3)
+        .orderBy("doc_id"),
+      Some(s"""WITH ${dkBpeCtes(3, applyLast = true)},
+             |wlen AS (SELECT w, count(*)::BIGINT AS sym_count FROM s4 GROUP BY w),
+             |dt AS (SELECT doc_id, tok AS w FROM (
+             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+             |    FROM documents)
+             |  WHERE regexp_full_match(tok, '[a-z]+')),
+             |agg AS (SELECT doc_id, count(*)::BIGINT AS words,
+             |    sum(sym_count)::BIGINT AS bpe_tokens
+             |  FROM dt JOIN wlen USING (w) GROUP BY 1)
+             |SELECT d.doc_id, coalesce(words, 0)::BIGINT AS words,
+             |  coalesce(bpe_tokens, 0)::BIGINT AS bpe_tokens,
+             |  ((100 * coalesce(bpe_tokens, 0)) //
+             |    greatest(coalesce(words, 0), 1))::BIGINT AS avg_symbols_x100
+             |FROM documents d LEFT JOIN agg USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational
@@ -3603,6 +3628,18 @@ object ExtensionQueries {
     * positions re-rank dense for the next step's adjacency join.
     */
   private def dkBpeOracle(steps: Int): String = {
+    val sel = (1 to steps).map(t =>
+      s"SELECT $t AS step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
+      .mkString("\nUNION ALL ")
+    s"WITH ${dkBpeCtes(steps, applyLast = false)}\n$sel\nORDER BY step"
+  }
+
+  /** The BPE training CTE chain shared by x119 (merge table) and x120
+    * (encode): with `applyLast` the final merge is also applied, so
+    * `s{steps+1}` holds the post-training symbol state the encode
+    * aggregates over.
+    */
+  private def dkBpeCtes(steps: Int, applyLast: Boolean): String = {
     val base =
       """w0 AS (SELECT tok AS w, count(*)::BIGINT AS freq FROM (
         |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
@@ -3616,7 +3653,7 @@ object ExtensionQueries {
            |  FROM s$t l JOIN s$t r ON l.w = r.w AND r.pos = l.pos + 1
            |  GROUP BY 1, 2),
            |b$t AS (SELECT a, b, cnt FROM p$t ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
-      if (t == steps) pick else
+      if (t == steps && !applyLast) pick else
         pick + ",\n" +
           s"""m$t AS (SELECT l.w, l.pos FROM s$t l
              |  JOIN s$t r ON l.w = r.w AND r.pos = l.pos + 1
@@ -3636,10 +3673,7 @@ object ExtensionQueries {
              |    row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
              |  FROM s${t + 1}raw)""".stripMargin
     }.mkString(",\n")
-    val sel = (1 to steps).map(t =>
-      s"SELECT $t AS step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")
-      .mkString("\nUNION ALL ")
-    s"WITH $base,\n$stepCtes\n$sel\nORDER BY step"
+    s"$base,\n$stepCtes"
   }
 
   /** Shared oracle for x103 and its stored-label consumer twin x111 —

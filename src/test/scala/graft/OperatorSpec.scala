@@ -809,6 +809,24 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.toSeq shouldBe Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L), (3, "b", "b", 1L))
   }
 
+  test("BPE encode: merged vocabulary compresses words, uncovered docs report zeros") {
+    import spark.implicits._
+    // merges learned from this corpus (see the trainer spec): (a,a),
+    // (aa,aa), (b,b) — all APPLIED under encode, so aaaa -> 1 symbol
+    // and bb -> 1 symbol; "12345" fails [a-z]+ and doc 3 has no covered
+    // words at all.
+    val df = Seq((1L, "aaaa bb"), (2L, "aaaa"), (3L, "12345"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.bpeEncode(df, "doc_id", "text",
+        steps = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 2L, 2L, 100L), // aaaa + bb -> 1 + 1 symbols
+      (2L, 1L, 1L, 100L),
+      (3L, 0L, 0L, 0L))
+  }
+
   test("BPE merges: lexicographic tie-break and non-[a-z] token exclusion") {
     import spark.implicits._
     val df = Seq((1L, "ab ba x1 Mixed")).toDF("doc_id", "text")
