@@ -39,6 +39,59 @@ object Ingest {
     */
   def jsonlWithQuarantine(spark: SparkSession, path: String,
       schemaDdl: String, idField: String): (DataFrame, DataFrame) = {
+    val schema = validatedSchema(schemaDdl, idField)
+    triage(spark.read.text(path), schema, idField)
+  }
+
+  /** STREAMING twin of [[jsonlWithQuarantine]] — the crawl-firehose
+    * shape: lines stream in (`readStream.text`), the same expression-only
+    * triage splits each micro-batch, and `foreachBatch` appends the two
+    * channels to parquet under `outRoot/valid` and `outRoot/quarantine`
+    * with a checkpoint, so a crashed ingest resumes exactly where it
+    * stopped (micro-batch append + checkpointed offsets = each line
+    * lands exactly once). The AvailableNow trigger drains the current
+    * backlog and stops — a production deployment just removes the
+    * trigger. Returns the two channels read back from the sinks.
+    *
+    * Both sink directories are pre-initialized with empty typed frames
+    * ONLY when absent, so (a) a drain with zero rows in either channel
+    * (e.g. a clean crawl with nothing to quarantine) still reads back
+    * as an empty table instead of a schema-less read failure, and (b) a
+    * RESUME against an existing outRoot keeps its already-appended data
+    * — the checkpoint skips processed files, so wiping the sinks on
+    * re-entry would lose exactly the rows the checkpoint refuses to
+    * replay.
+    */
+  def jsonlStreamWithQuarantine(spark: SparkSession, path: String,
+      schemaDdl: String, idField: String, outRoot: String): (DataFrame, DataFrame) = {
+    val schema = validatedSchema(schemaDdl, idField)
+    val validDir = s"$outRoot/valid"
+    val quarDir = s"$outRoot/quarantine"
+    val (emptyV, emptyQ) = triage(
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        StructType.fromDDL("value STRING")), schema, idField)
+    def initIfMissing(dir: String, df: DataFrame): Unit =
+      if (!new java.io.File(dir).exists()) {
+        df.write.mode("overwrite").parquet(dir); ()
+      }
+    initIfMissing(validDir, emptyV)
+    initIfMissing(quarDir, emptyQ)
+    val q = spark.readStream.text(path)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (v, quar) = triage(batch, schema, idField)
+        v.write.mode("append").parquet(validDir)
+        quar.write.mode("append").parquet(quarDir)
+        ()
+      }
+      .option("checkpointLocation", s"$outRoot/_checkpoint")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    (spark.read.parquet(validDir), spark.read.parquet(quarDir))
+  }
+
+  private def validatedSchema(schemaDdl: String, idField: String): StructType = {
     val schema = StructType.fromDDL(schemaDdl)
     require(schema.fieldNames.contains(idField),
       s"jsonlWithQuarantine: idField '$idField' is not in the schema " +
@@ -46,9 +99,18 @@ object Ingest {
     require(!schema.fieldNames.contains("_corrupt_record"),
       "jsonlWithQuarantine: the schema must not declare _corrupt_record " +
         "(reserved for the malformed-line channel)")
+    schema
+  }
+
+  /** The expression-only triage shared by the batch and streaming paths
+    * (works on any `value: STRING` frame, batch or streaming — it is
+    * pure column expressions, no shuffle).
+    */
+  private def triage(lines0: DataFrame, schema: StructType,
+      idField: String): (DataFrame, DataFrame) = {
     val parseSchema = schema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
-    val lines = spark.read.text(path)
+    val lines = lines0
       .filter(length(trim(col("value"))) > 0)
       .withColumn("__p", from_json(col("value"), parseSchema,
         Map("mode" -> "PERMISSIVE",

@@ -60,10 +60,31 @@ object IngestQueries {
             col("n_chars"), hash56(col("text")).as("h"))
           .orderBy("doc_id")
       },
-      Some(s"""SELECT doc_id, source, lang, n_chars,
-             |  ${dkHash56("text")} AS h
-             |FROM documents
-             |WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25
-             |ORDER BY doc_id""".stripMargin))
+      Some(jsonlValidOracle)),
+
+    // Streaming JSONL quarantine ingest (x121): the same damaged files
+    // drained as a STREAM — per-micro-batch triage, dual parquet sinks,
+    // checkpointed exactly-once append (the crawl-firehose shape). Same
+    // oracle as x118: the streamed valid channel must be byte-identical
+    // to the batch split.
+    QueryDef("x121_jsonl_stream_quarantine",
+      (s, d) => {
+        val outRoot = java.nio.file.Files
+          .createTempDirectory("graft-x121").toString
+        val (valid, _) = Ingest.jsonlStreamWithQuarantine(s,
+          jsonlDirFor(s, d), docSchemaDdl, "doc_id", outRoot)
+        valid.select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), hash56(col("text")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some(jsonlValidOracle))
   )
+
+  // lazy: referenced from `all`, which initializes first
+  private lazy val jsonlValidOracle: String =
+    s"""SELECT doc_id, source, lang, n_chars,
+       |  ${dkHash56("text")} AS h
+       |FROM documents
+       |WHERE doc_id % 50 <> 0 AND doc_id % 50 <> 25
+       |ORDER BY doc_id""".stripMargin
 }

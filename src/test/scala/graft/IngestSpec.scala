@@ -53,6 +53,28 @@ class IngestSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("streaming quarantine drain matches the batch split and fills both sinks") {
+    val dir = stage(
+      """{"doc_id": 1, "text": "one"}""",
+      """{"doc_id": 2, "text": "broke""",
+      """{"text": "keyless"}""",
+      """{"doc_id": 3, "text": "three"}""")
+    val out = java.nio.file.Files.createTempDirectory("graft-ingest-stream").toString
+    val (valid, quarantine) = Ingest.jsonlStreamWithQuarantine(
+      spark, dir, ddl, "doc_id", out)
+    valid.orderBy("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+    val (bv, bq) = Ingest.jsonlWithQuarantine(spark, dir, ddl, "doc_id")
+    valid.orderBy("doc_id").collect().toSeq shouldBe bv.orderBy("doc_id").collect().toSeq
+    quarantine.orderBy("reason").collect().toSeq shouldBe bq.orderBy("reason").collect().toSeq
+    // RESUME against the SAME outRoot: the checkpoint marks the backlog
+    // processed, so nothing re-appends AND the existing sink data
+    // survives (exactly-once, no wipe-on-reentry)
+    val (valid2, quarantine2) = Ingest.jsonlStreamWithQuarantine(
+      spark, dir, ddl, "doc_id", out)
+    valid2.orderBy("doc_id").collect().map(_.getLong(0)).toSeq shouldBe Seq(1L, 3L)
+    quarantine2.count() shouldBe 2L
+  }
+
   test("x118 planted damage routes exactly the two corrupt classes to quarantine") {
     // Drive the full query's staging contract at sf0.001: quarantine
     // reasons must split 50-aligned (malformed) vs 25-aligned (missing_id)
