@@ -675,6 +675,15 @@ object ScaleProbe {
           translate(col("text"), "0123456789", "abcdefghij").as("text"))
         TextAnalysis.bpeMergeSteps(letters, "text", steps = 3).count()
       },
+      // BPE encode (x120): training is vocab-bounded (above); the encode
+      // adds the per-word length join against the GROWING corpus token
+      // stream plus the per-doc aggregate — the one genuinely linear
+      // stage, so the pair separates trainer cost from encoder cost.
+      "bpe_encode" -> { m =>
+        val letters = zipfCorpus(m).select(col("doc_id"),
+          translate(col("text"), "0123456789", "abcdefghij").as("text"))
+        TextAnalysis.bpeEncode(letters, "doc_id", "text", steps = 3).count()
+      },
       // Personalized PageRank (x107): same linear-graph construction as
       // the pagerank probe (nodes ×m, out-degree 5, 3 supersteps), seeds
       // a fixed 1/50 slice of the nodes — the restricted-teleport rank
