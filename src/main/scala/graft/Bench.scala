@@ -22,6 +22,11 @@ object Bench {
     // a plain count, not the window.)
     "b05_rollup_revenue", "b09_tpch_q3_topk",
     "p05_anti_join", "x01_dedup_exact", "x03_dedup_minhash_lsh", "x04_dedup_simhash",
+    // (x14/x87 route through the APPEND-mode drains since round 8 — a
+    // checkpointed parquet sink + sentinel staging instead of the old
+    // complete-into-memory drain, so their r7→r8 deltas are the mode
+    // switch's real extra work, not a regression; the unbounded-state
+    // complete-mode shape they replaced is the thing that doesn't scale.)
     "x07_ann_bruteforce", "x07b_ann_native_expr", "x08b_ann_ivf", "x14_stream_window_agg",
     "x15_sessionize", "x18_salted_join", "x20_stream_dedup", "x22_topk_aggregator",
     "x28_asof_join", "x29_range_join", "x30_doc_chunking", "x32_curation_pipeline",
@@ -49,6 +54,7 @@ object Bench {
     "x113_stream_enrich_windowed", "x114_source_overlap", "x115_lsh_recall",
     "x116_epoch_shuffle", "x117_split_leakage", "x118_jsonl_quarantine",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
+    "x122_decayed_engagement",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

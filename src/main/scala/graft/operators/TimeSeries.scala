@@ -94,4 +94,51 @@ object TimeSeries {
         count(lit(1)).as("n"),
         sum(col(valueCentsCol).cast("long")).as("sum_cents"))
   }
+
+  /** Recency-weighted (exponentially decayed) per-key rollup — the
+    * engagement/freshness score every ranking and retention system keeps:
+    * an event `a` half-lives ago contributes `value / 2^a`. EXACT
+    * fixed-point: ages quantize to whole half-lives (integer division
+    * from the corpus max timestamp), weights are powers of two
+    * (`shiftleft`, no floating decay factor), contributions are
+    * long×long products bounded by cents·2^horizon, and the sum rides
+    * decimal(38,0) so no corpus size overflows it. Output per key:
+    * (events, cents_total, decayed_x1024) where decayed_x1024 is the
+    * score scaled so an age-zero event contributes its cents × 1024 —
+    * engine-portable integer arithmetic end to end (non-negative cents
+    * required: Spark `div` truncates while DuckDB `//` floors, which
+    * only agree ≥ 0; the floor(value·100+0.5) cents convention upstream
+    * satisfies this).
+    *
+    * Scale: one 1-row max-timestamp broadcast, one map-side weight
+    * expression, ONE keyed aggregate with partial aggregation — the
+    * same shuffle count as a plain sum. Events older than
+    * `horizonHalfLives` contribute exactly 0 (their true weight is below
+    * the ×1024 resolution anyway), which is what makes the fixed-point
+    * representation closed.
+    */
+  def decayedScore(events: DataFrame, keyCol: String, tsUsCol: String,
+      centsCol: String, halfLifeDays: Int = 1,
+      horizonHalfLives: Int = 30): DataFrame = {
+    require(halfLifeDays >= 1, "decayedScore: halfLifeDays must be >= 1")
+    require(horizonHalfLives >= 10 && horizonHalfLives <= 40,
+      "decayedScore: horizonHalfLives must be in [10, 40] (>= 10 so the " +
+        "x1024 output scale divides out; <= 40 so cents * weight stays " +
+        "inside 64-bit products)")
+    val mx = events.agg(max(col(tsUsCol)).as("__tmax"))
+    events.crossJoin(broadcast(mx))
+      .withColumn("__age", expr(
+        s"div(div(__tmax - $tsUsCol, 86400000000), $halfLifeDays)"))
+      .withColumn("__w", when(col("__age") <= horizonHalfLives,
+        expr(s"shiftleft(1L, cast($horizonHalfLives - __age as int))"))
+        .otherwise(lit(0L)))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("events"),
+        sum(col(centsCol)).as("cents_total"),
+        sum((col(centsCol) * col("__w")).cast("decimal(38,0)")).as("__dsum"))
+      .withColumn("decayed_x1024",
+        expr(s"div(__dsum, ${1L << (horizonHalfLives - 10)})"))
+      .select(col(keyCol), col("events"), col("cents_total"),
+        col("decayed_x1024"))
+  }
 }

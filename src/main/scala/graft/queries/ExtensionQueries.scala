@@ -3616,7 +3616,36 @@ object ExtensionQueries {
              |  ((100 * coalesce(bpe_tokens, 0)) //
              |    greatest(coalesce(words, 0), 1))::BIGINT AS avg_symbols_x100
              |FROM documents d LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Recency-weighted engagement (x122): per-user exponentially decayed
+    // value rollup in exact fixed-point — whole-half-life ages, power-of-
+    // two weights (shiftleft), decimal(38,0) sum, one keyed aggregate.
+    // The "how active is this user RIGHT NOW" score that a plain sum
+    // (also emitted) cannot express.
+    QueryDef("x122_decayed_engagement",
+      (s, d) => {
+        val ev = QueryDef.events(s, d)
+          .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        TimeSeries.decayedScore(ev, "user_id", "t_us", "cents",
+            halfLifeDays = 1, horizonHalfLives = 30)
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+             |    (floor(value*100 + 0.5))::BIGINT AS cents FROM events),
+             |mx AS (SELECT max(t) AS tmax FROM e),
+             |w AS (SELECT user_id, cents,
+             |    ((tmax - t) // 86400000000) AS age FROM e CROSS JOIN mx),
+             |g AS (SELECT user_id, count(*)::BIGINT AS events,
+             |    sum(cents)::BIGINT AS cents_total,
+             |    sum((CASE WHEN age <= 30
+             |      THEN cents * (1::BIGINT << (30 - age)::INT)
+             |      ELSE 0 END)::DECIMAL(38,0)) AS dsum
+             |  FROM w GROUP BY 1)
+             |SELECT user_id, events, cents_total,
+             |  (dsum::HUGEINT // 1048576)::BIGINT AS decayed_x1024
+             |FROM g ORDER BY user_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

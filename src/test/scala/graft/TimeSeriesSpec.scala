@@ -84,4 +84,26 @@ class TimeSeriesSpec extends SparkSpec with Matchers {
       (0L, 50L, 90L, 20L, 20L, 3L, 160L),
       (1L, 70L, 70L, 30L, 30L, 2L, 100L))
   }
+
+  test("decayedScore: power-of-two half-life weights, horizon cutoff, exact x1024 scale") {
+    import spark.implicits._
+    val day = 86400000000L
+    // tmax = 40·day. Ages: 0, 1, 31 (beyond the 30-half-life horizon -> 0),
+    // and a second key with one age-0 event.
+    val ev = Seq(
+      ("u", 40L * day, 100L), ("u", 39L * day, 100L), ("u", 9L * day, 999L),
+      ("v", 40L * day, 7L)
+    ).toDF("k", "t_us", "cents")
+    val out = graft.operators.TimeSeries.decayedScore(ev, "k", "t_us", "cents",
+        halfLifeDays = 1, horizonHalfLives = 30)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      // 100·1024 (age 0) + 100·512 (age 1) + 0 (age 31, beyond horizon)
+      ("u", 3L, 1199L, 153600L),
+      ("v", 1L, 7L, 7168L)) // 7·1024
+    an[IllegalArgumentException] should be thrownBy
+      graft.operators.TimeSeries.decayedScore(ev, "k", "t_us", "cents",
+        halfLifeDays = 1, horizonHalfLives = 50)
+  }
 }
