@@ -53,14 +53,23 @@ object Ingest {
     * backlog and stops — a production deployment just removes the
     * trigger. Returns the two channels read back from the sinks.
     *
-    * Both sink directories are pre-initialized with empty typed frames
-    * ONLY when absent, so (a) a drain with zero rows in either channel
-    * (e.g. a clean crawl with nothing to quarantine) still reads back
-    * as an empty table instead of a schema-less read failure, and (b) a
-    * RESUME against an existing outRoot keeps its already-appended data
-    * — the checkpoint skips processed files, so wiping the sinks on
-    * re-entry would lose exactly the rows the checkpoint refuses to
-    * replay.
+    * Exactly-once output despite foreachBatch's at-least-once contract:
+    * each micro-batch lands in a `batch=<id>` subdirectory with
+    * mode(OVERWRITE), so a crash-replay of the same batch id rewrites
+    * the same directory instead of double-appending (the standard
+    * idempotent-foreachBatch pattern); the read-back drops the
+    * discovered `batch` partition column. Each batch is persisted
+    * across the two channel writes so its files are scanned and parsed
+    * once, not twice.
+    *
+    * Both sink directories are pre-initialized with an empty typed
+    * `batch=-1` frame ONLY when absent (Hadoop-FS existence check, so
+    * URI and non-local outRoots behave the same as bare local paths):
+    * (a) a drain with zero rows in either channel still reads back as
+    * an empty table instead of a schema-less read failure, and (b) a
+    * RESUME against an existing outRoot keeps its already-written data
+    * — the checkpoint skips processed input files, so wiping the sinks
+    * on re-entry would lose exactly the rows it refuses to replay.
     */
   def jsonlStreamWithQuarantine(spark: SparkSession, path: String,
       schemaDdl: String, idField: String, outRoot: String): (DataFrame, DataFrame) = {
@@ -70,25 +79,31 @@ object Ingest {
     val (emptyV, emptyQ) = triage(
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         StructType.fromDDL("value STRING")), schema, idField)
-    def initIfMissing(dir: String, df: DataFrame): Unit =
-      if (!new java.io.File(dir).exists()) {
-        df.write.mode("overwrite").parquet(dir); ()
+    val hconf = spark.sessionState.newHadoopConf()
+    def initIfMissing(dir: String, df: DataFrame): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      if (!p.getFileSystem(hconf).exists(p)) {
+        df.write.mode("overwrite").parquet(s"$dir/batch=-1"); ()
       }
+    }
     initIfMissing(validDir, emptyV)
     initIfMissing(quarDir, emptyQ)
     val q = spark.readStream.text(path)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (v, quar) = triage(batch, schema, idField)
-        v.write.mode("append").parquet(validDir)
-        quar.write.mode("append").parquet(quarDir)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          val (v, quar) = triage(b, schema, idField)
+          v.write.mode("overwrite").parquet(s"$validDir/batch=$batchId")
+          quar.write.mode("overwrite").parquet(s"$quarDir/batch=$batchId")
+        } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", s"$outRoot/_checkpoint")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    (spark.read.parquet(validDir), spark.read.parquet(quarDir))
+    (spark.read.parquet(validDir).drop("batch"),
+      spark.read.parquet(quarDir).drop("batch"))
   }
 
   private def validatedSchema(schemaDdl: String, idField: String): StructType = {

@@ -100,9 +100,9 @@ object TimeSeries {
     * an event `a` half-lives ago contributes `value / 2^a`. EXACT
     * fixed-point: ages quantize to whole half-lives (integer division
     * from the corpus max timestamp), weights are powers of two
-    * (`shiftleft`, no floating decay factor), contributions are
-    * long×long products bounded by cents·2^horizon, and the sum rides
-    * decimal(38,0) so no corpus size overflows it. Output per key:
+    * (`shiftleft`, no floating decay factor), and contributions multiply
+    * and sum in decimal(38,0), so neither a large cents value nor corpus
+    * size can overflow them. Output per key:
     * (events, cents_total, decayed_x1024) where decayed_x1024 is the
     * score scaled so an age-zero event contributes its cents × 1024 —
     * engine-portable integer arithmetic end to end (non-negative cents
@@ -123,8 +123,9 @@ object TimeSeries {
     require(halfLifeDays >= 1, "decayedScore: halfLifeDays must be >= 1")
     require(horizonHalfLives >= 10 && horizonHalfLives <= 40,
       "decayedScore: horizonHalfLives must be in [10, 40] (>= 10 so the " +
-        "x1024 output scale divides out; <= 40 so cents * weight stays " +
-        "inside 64-bit products)")
+        "x1024 output scale divides out; <= 40 keeps the weight range " +
+        "sane — the product itself is computed in decimal(38,0), so no " +
+        "cents magnitude can overflow it)")
     val mx = events.agg(max(col(tsUsCol)).as("__tmax"))
     events.crossJoin(broadcast(mx))
       .withColumn("__age", expr(
@@ -135,7 +136,9 @@ object TimeSeries {
       .groupBy(keyCol)
       .agg(count(lit(1)).as("events"),
         sum(col(centsCol)).as("cents_total"),
-        sum((col(centsCol) * col("__w")).cast("decimal(38,0)")).as("__dsum"))
+        // cast BEFORE the multiply: cents * 2^40 as a long product would
+        // wrap for cents >= 2^23; in decimal(38,0) it cannot
+        sum(col(centsCol).cast("decimal(38,0)") * col("__w")).as("__dsum"))
       .withColumn("decayed_x1024",
         expr(s"div(__dsum, ${1L << (horizonHalfLives - 10)})"))
       .select(col(keyCol), col("events"), col("cents_total"),

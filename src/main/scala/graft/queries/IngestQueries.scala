@@ -69,8 +69,11 @@ object IngestQueries {
     // to the batch split.
     QueryDef("x121_jsonl_stream_quarantine",
       (s, d) => {
-        val outRoot = java.nio.file.Files
-          .createTempDirectory("graft-x121").toString
+        // outRoot lives under idxScratch (one per JVM+sf-dir, shutdown-
+        // hook cleaned): the first evaluation drains the backlog, later
+        // ones resume against the checkpoint and read the same sinks —
+        // the deployment contract, and no per-invocation /tmp leak.
+        val outRoot = s"$idxScratch/x121_${Integer.toHexString(d.hashCode)}"
         val (valid, _) = Ingest.jsonlStreamWithQuarantine(s,
           jsonlDirFor(s, d), docSchemaDdl, "doc_id", outRoot)
         valid.select(col("doc_id"), col("source"), col("lang"),

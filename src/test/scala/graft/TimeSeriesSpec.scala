@@ -105,5 +105,11 @@ class TimeSeriesSpec extends SparkSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       graft.operators.TimeSeries.decayedScore(ev, "k", "t_us", "cents",
         halfLifeDays = 1, horizonHalfLives = 50)
+    // cents >= 2^23 at horizon 40: a long product would wrap negative;
+    // the decimal multiply keeps it exact (2^24 · 2^40 / 2^30 = 2^34)
+    val big = Seq(("w", 40L * day, 1L << 24)).toDF("k", "t_us", "cents")
+    graft.operators.TimeSeries.decayedScore(big, "k", "t_us", "cents",
+        halfLifeDays = 1, horizonHalfLives = 40)
+      .collect().head.getLong(3) shouldBe (1L << 34)
   }
 }
