@@ -40,7 +40,23 @@ object Ingest {
   def jsonlWithQuarantine(spark: SparkSession, path: String,
       schemaDdl: String, idField: String): (DataFrame, DataFrame) = {
     val schema = validatedSchema(schemaDdl, idField)
-    triage(spark.read.text(path), schema, idField)
+    triage(spark.read.text(path), schema, idField, from_json(_, _, parseOpts))
+  }
+
+  /** CSV twin of [[jsonlWithQuarantine]] — same triage contract over
+    * headerless CSV lines (schema fields bind by POSITION). `from_csv`
+    * under PERMISSIVE sets the corrupt-record channel for wrong column
+    * counts and type errors; a row with an EMPTY key field parses clean
+    * with a null id and lands in `missing_id`. One CSV-specific caveat,
+    * pinned in IngestSpec: an unclosed quote is SALVAGED by the parser
+    * (field taken to end of line, no corrupt marker) — quote damage is
+    * not detectable as malformed, truncated/overlong records and type
+    * errors are.
+    */
+  def csvWithQuarantine(spark: SparkSession, path: String,
+      schemaDdl: String, idField: String): (DataFrame, DataFrame) = {
+    val schema = validatedSchema(schemaDdl, idField)
+    triage(spark.read.text(path), schema, idField, from_csv(_, _, parseOpts))
   }
 
   /** STREAMING twin of [[jsonlWithQuarantine]] — the crawl-firehose
@@ -117,19 +133,22 @@ object Ingest {
     schema
   }
 
-  /** The expression-only triage shared by the batch and streaming paths
-    * (works on any `value: STRING` frame, batch or streaming — it is
-    * pure column expressions, no shuffle).
+  private val parseOpts = Map("mode" -> "PERMISSIVE",
+    "columnNameOfCorruptRecord" -> "_corrupt_record")
+
+  /** The expression-only triage shared by the JSONL/CSV and
+    * batch/streaming paths (works on any `value: STRING` frame — it is
+    * pure column expressions, no shuffle); `parse` is the format's
+    * parser expression (from_json / from_csv with the corrupt-record
+    * channel enabled).
     */
-  private def triage(lines0: DataFrame, schema: StructType,
-      idField: String): (DataFrame, DataFrame) = {
+  private def triage(lines0: DataFrame, schema: StructType, idField: String,
+      parse: (org.apache.spark.sql.Column, StructType) => org.apache.spark.sql.Column = from_json(_, _, parseOpts)): (DataFrame, DataFrame) = {
     val parseSchema = schema.add("_corrupt_record",
       org.apache.spark.sql.types.StringType)
     val lines = lines0
       .filter(length(trim(col("value"))) > 0)
-      .withColumn("__p", from_json(col("value"), parseSchema,
-        Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .withColumn("__p", parse(col("value"), parseSchema))
     val malformed = col("__p").isNull ||
       col("__p._corrupt_record").isNotNull
     val valid = lines

@@ -47,6 +47,31 @@ object IngestQueries {
     dir
   }
 
+  /** Damaged-CSV staging twin of [[jsonlDirFor]]: headerless positional
+    * CSV; doc_id ≡ 0 (mod 50) rows truncate to the bare id (too few
+    * columns → the parser's corrupt channel fires), doc_id ≡ 25 rows
+    * render with an EMPTY key field (parses clean, id null).
+    */
+  private val stagedCsv = scala.collection.mutable.Set[String]()
+  private def csvDirFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = stagedCsv.synchronized {
+    val dir = s"$idxScratch/csv_${Integer.toHexString(d.hashCode)}"
+    if (!stagedCsv(dir)) {
+      val docs = tbl(s, d, "documents")
+      val full = to_csv(struct(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars")))
+      val noId = to_csv(struct(lit(null).cast("bigint").as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars")))
+      docs.select(
+          when(col("doc_id") % 50 === 0, col("doc_id").cast("string"))
+            .when(col("doc_id") % 50 === 25, noId)
+            .otherwise(full).as("value"))
+        .write.mode("overwrite").text(dir)
+      stagedCsv += dir
+    }
+    dir
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // JSONL quarantine ingest (x118): the valid-side typed round trip.
@@ -76,6 +101,21 @@ object IngestQueries {
         val outRoot = s"$idxScratch/x121_${Integer.toHexString(d.hashCode)}"
         val (valid, _) = Ingest.jsonlStreamWithQuarantine(s,
           jsonlDirFor(s, d), docSchemaDdl, "doc_id", outRoot)
+        valid.select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"), hash56(col("text")).as("h"))
+          .orderBy("doc_id")
+      },
+      Some(jsonlValidOracle)),
+
+    // CSV quarantine ingest (x123): the same planted-damage contract
+    // over headerless positional CSV — truncated records (too few
+    // columns) hit the parser's corrupt channel, keyless rows parse
+    // clean into missing_id. Same oracle: the valid channel must carry
+    // exactly the undamaged ids with byte-exact text.
+    QueryDef("x123_csv_quarantine",
+      (s, d) => {
+        val (valid, _) = Ingest.csvWithQuarantine(s, csvDirFor(s, d),
+          docSchemaDdl, "doc_id")
         valid.select(col("doc_id"), col("source"), col("lang"),
             col("n_chars"), hash56(col("text")).as("h"))
           .orderBy("doc_id")

@@ -38,6 +38,22 @@ class IngestSpec extends SparkSpec with Matchers {
     q(1).getString(0) shouldBe """{"text": "no primary key"}"""
   }
 
+  test("CSV triage: column-count and type damage quarantine; quote damage is salvaged (pinned)") {
+    val dir = stage(
+      "1,hello world",
+      "2", // too few columns -> malformed
+      ",keyless text", // empty key field -> missing_id
+      "x,not a number", // type error in doc_id -> malformed
+      """5,"unclosed quote""") // CSV caveat: parser salvages this as VALID
+    val (valid, quarantine) = Ingest.csvWithQuarantine(spark, dir, ddl, "doc_id")
+    valid.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq shouldBe Seq((1L, "hello world"), (5L, "unclosed quote"))
+    quarantine.orderBy("reason", "raw_line").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq shouldBe Seq(
+      ("2", "malformed"), ("x,not a number", "malformed"),
+      (",keyless text", "missing_id"))
+  }
+
   test("idField must exist in the schema") {
     an[IllegalArgumentException] should be thrownBy
       Ingest.jsonlWithQuarantine(spark, "/tmp/nowhere", ddl, "id")
