@@ -130,6 +130,10 @@ object Ingest {
     require(!schema.fieldNames.contains("_corrupt_record"),
       "jsonlWithQuarantine: the schema must not declare _corrupt_record " +
         "(reserved for the malformed-line channel)")
+    require(!schema.fieldNames.contains("batch"),
+      "jsonlWithQuarantine: the schema must not declare 'batch' — the " +
+        "streaming sink's batch=<id> partition layout would shadow the " +
+        "data column with the directory value on read-back")
     schema
   }
 

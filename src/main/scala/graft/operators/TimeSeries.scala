@@ -102,7 +102,12 @@ object TimeSeries {
     * from the corpus max timestamp), weights are powers of two
     * (`shiftleft`, no floating decay factor), and contributions multiply
     * and sum in decimal(38,0), so neither a large cents value nor corpus
-    * size can overflow them. Output per key:
+    * size can overflow the SUM. The final ×1024-rescaled output does
+    * ride a long: a key whose decayed mass exceeds Long.Max/1024 ≈
+    * 9.2×10^15 cents-at-age-zero equivalents would overflow that slot
+    * (Spark's decimal IntegralDivide nulls/wraps silently) — orders of
+    * magnitude past representable business values, but the bound is the
+    * output's, not the arithmetic's. Output per key:
     * (events, cents_total, decayed_x1024) where decayed_x1024 is the
     * score scaled so an age-zero event contributes its cents × 1024 —
     * engine-portable integer arithmetic end to end (non-negative cents
@@ -124,8 +129,8 @@ object TimeSeries {
     require(horizonHalfLives >= 10 && horizonHalfLives <= 40,
       "decayedScore: horizonHalfLives must be in [10, 40] (>= 10 so the " +
         "x1024 output scale divides out; <= 40 keeps the weight range " +
-        "sane — the product itself is computed in decimal(38,0), so no " +
-        "cents magnitude can overflow it)")
+        "sane — products and sums ride decimal(38,0); see the scaladoc " +
+        "for the long-output bound)")
     val mx = events.agg(max(col(tsUsCol)).as("__tmax"))
     events.crossJoin(broadcast(mx))
       .withColumn("__age", expr(

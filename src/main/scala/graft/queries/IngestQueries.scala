@@ -23,53 +23,65 @@ object IngestQueries {
   private val docSchemaDdl =
     "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
 
-  /** Build-once-per-(JVM, sf-dir) damaged-JSONL staging (the idxScratch
-    * pattern): repeated Verify/Bench evaluations reuse the rendered files
-    * rather than re-writing them per invocation.
+  /** Build-once-per-(JVM, sf-dir, format) damaged-file staging (the
+    * idxScratch pattern): repeated Verify/Bench evaluations reuse the
+    * rendered files rather than re-writing them per invocation. `render`
+    * produces the one-line-per-doc `value` column for the format.
     */
-  private val staged = scala.collection.mutable.Set[String]()
-  private def jsonlDirFor(s: org.apache.spark.sql.SparkSession,
-      d: String): String = staged.synchronized {
-    val dir = s"$idxScratch/jsonl_${Integer.toHexString(d.hashCode)}"
-    if (!staged(dir)) {
-      val docs = tbl(s, d, "documents")
-      val full = to_json(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars")))
-      val noId = to_json(struct(col("text"), col("lang"),
-        col("source"), col("n_chars")))
-      docs.select(
-          when(col("doc_id") % 50 === 0, substring(full, 1, 20))
-            .when(col("doc_id") % 50 === 25, noId)
-            .otherwise(full).as("value"))
-        .write.mode("overwrite").text(dir)
-      staged += dir
+  private val stagedDirs = scala.collection.mutable.Set[String]()
+  private def stageOnce(s: org.apache.spark.sql.SparkSession, d: String,
+      prefix: String)(
+      render: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column): String =
+    stagedDirs.synchronized {
+      val dir = s"$idxScratch/${prefix}_${Integer.toHexString(d.hashCode)}"
+      if (!stagedDirs(dir)) {
+        val docs = tbl(s, d, "documents")
+        docs.select(render(docs).as("value"))
+          .write.mode("overwrite").text(dir)
+        stagedDirs += dir
+      }
+      dir
     }
-    dir
+
+  private def jsonlDirFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = stageOnce(s, d, "jsonl") { docs =>
+    val full = to_json(struct(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    val noId = to_json(struct(col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    when(col("doc_id") % 50 === 0, substring(full, 1, 20))
+      .when(col("doc_id") % 50 === 25, noId)
+      .otherwise(full)
   }
 
   /** Damaged-CSV staging twin of [[jsonlDirFor]]: headerless positional
     * CSV; doc_id ≡ 0 (mod 50) rows truncate to the bare id (too few
     * columns → the parser's corrupt channel fires), doc_id ≡ 25 rows
     * render with an EMPTY key field (parses clean, id null).
+    *
+    * Unlike to_json, the CSV line rendering is NOT byte-safe for every
+    * text: a newline splits the record across read.text lines, to_csv's
+    * write-side whitespace trimming drops leading/trailing spaces, and
+    * the parser's embedded-quote handling is dialect-bound — so staging
+    * SCANS the corpus once and fails loudly if any text carries those
+    * characters, instead of shipping a silent oracle mismatch.
     */
-  private val stagedCsv = scala.collection.mutable.Set[String]()
   private def csvDirFor(s: org.apache.spark.sql.SparkSession,
-      d: String): String = stagedCsv.synchronized {
-    val dir = s"$idxScratch/csv_${Integer.toHexString(d.hashCode)}"
-    if (!stagedCsv(dir)) {
-      val docs = tbl(s, d, "documents")
-      val full = to_csv(struct(col("doc_id"), col("text"), col("lang"),
-        col("source"), col("n_chars")))
-      val noId = to_csv(struct(lit(null).cast("bigint").as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars")))
-      docs.select(
-          when(col("doc_id") % 50 === 0, col("doc_id").cast("string"))
-            .when(col("doc_id") % 50 === 25, noId)
-            .otherwise(full).as("value"))
-        .write.mode("overwrite").text(dir)
-      stagedCsv += dir
-    }
-    dir
+      d: String): String = stageOnce(s, d, "csv") { docs =>
+    val hostile = docs.filter(
+      col("text").rlike("[\\n\\r\"]") || col("text") =!= trim(col("text")))
+      .count()
+    require(hostile == 0L,
+      s"x123 CSV staging: $hostile document(s) contain newlines, quotes, " +
+        "or leading/trailing whitespace — the CSV line round trip is not " +
+        "byte-safe for them (the JSONL twin is); regenerate or filter")
+    val full = to_csv(struct(col("doc_id"), col("text"), col("lang"),
+      col("source"), col("n_chars")))
+    val noId = to_csv(struct(lit(null).cast("bigint").as("doc_id"),
+      col("text"), col("lang"), col("source"), col("n_chars")))
+    when(col("doc_id") % 50 === 0, col("doc_id").cast("string"))
+      .when(col("doc_id") % 50 === 25, noId)
+      .otherwise(full)
   }
 
   val all: Seq[QueryDef] = Seq(

@@ -54,9 +54,12 @@ class IngestSpec extends SparkSpec with Matchers {
       (",keyless text", "missing_id"))
   }
 
-  test("idField must exist in the schema") {
+  test("idField must exist in the schema; 'batch' is reserved for the sink layout") {
     an[IllegalArgumentException] should be thrownBy
       Ingest.jsonlWithQuarantine(spark, "/tmp/nowhere", ddl, "id")
+    an[IllegalArgumentException] should be thrownBy
+      Ingest.jsonlWithQuarantine(spark, "/tmp/nowhere",
+        "batch BIGINT, doc_id BIGINT, text STRING", "doc_id")
   }
 
   test("both branches are map-only: no exchange on either side") {
