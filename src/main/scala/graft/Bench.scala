@@ -54,7 +54,7 @@ object Bench {
     "x113_stream_enrich_windowed", "x114_source_overlap", "x115_lsh_recall",
     "x116_epoch_shuffle", "x117_split_leakage", "x118_jsonl_quarantine",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
-    "x122_decayed_engagement", "x123_csv_quarantine",
+    "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

@@ -213,6 +213,31 @@ object Eval {
     * sort. `repartition` on (epoch, shard) would co-locate each output
     * file's rows with its window — one shuffle, then sorted writes.
     */
+  /** Deterministic shard-ordered stream for an arbitrary weighted
+    * multiset — [[epochShuffle]]'s general form: the input already
+    * carries its copies (e.g. Curation.fractionalEpochs' mixture
+    * expansion), and every (id, copy) row gets a seeded-hash key, a
+    * contiguous-key-range shard, and a rank-within-shard position. The
+    * concatenation shard 0, 1, … read in pos order IS a global
+    * deterministic permutation of the whole weighted stream — the exact
+    * token-order replay artifact of a training run, with NO global sort
+    * (per-shard windows, executor-local). All input columns pass
+    * through.
+    */
+  def shardOrder(df: DataFrame, idCol: String, copyCol: String, shards: Int,
+      seed: String = "graft"): DataFrame = {
+    require(shards >= 1 && shards <= 127,
+      "shardOrder: 1 <= shards <= 127 (key * shards must stay below 2^63)")
+    val inputCols = df.columns.toSeq
+    df.withColumn("__key", hash56(
+        concat_ws(":", lit(seed), col(copyCol), col(idCol))))
+      .withColumn("shard", expr(s"div(__key * $shards, ${1L << 56})").cast("int"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard")
+          .orderBy(col("__key"), col(idCol), col(copyCol))).cast("long"))
+      .select((Seq(col("shard"), col("pos")) ++ inputCols.map(col)): _*)
+  }
+
   def epochShuffle(df: DataFrame, idCol: String, epochs: Int, shards: Int,
       seed: String = "graft"): DataFrame = {
     require(epochs >= 1 && shards >= 1 && shards <= 127,

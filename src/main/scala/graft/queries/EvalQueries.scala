@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Dedup, Eval}
+import graft.operators.{Curation, Dedup, Eval}
 import graft.queries.ExtensionQueries.{dkHash56, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
@@ -169,6 +169,40 @@ object EvalQueries {
            |UNION ALL
            |SELECT 'naive', pairs_total, n_cross, n_tt FROM ag
            |ORDER BY policy""".stripMargin
-      })
+      }),
+
+    // Mixture replay stream (x124): x99's fractional-epoch mixture
+    // expansion ordered by x116's contiguous-key-range shard scheme —
+    // the exact multi-epoch data stream of a training run with a
+    // mixture schedule, reproducible on any partitioning or engine,
+    // with no global sort. THE artifact a resume or ablation replays.
+    QueryDef("x124_mixture_replay",
+      (s, d) => {
+        val mixture = Curation.fractionalEpochs(tbl(s, d, "documents"),
+          "doc_id", "lang", Map("en" -> 250, "de" -> 120), defaultX100 = 100)
+          .select("doc_id", "lang", "copy")
+        Eval.shardOrder(mixture, "doc_id", "copy", shards = 8)
+          .orderBy("shard", "pos")
+      },
+      Some(s"""WITH w AS (SELECT doc_id, lang,
+             |    CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 120
+             |      ELSE 100 END AS wx,
+             |    CASE WHEN ${dkHash56("doc_id::VARCHAR")} % 100 <
+             |      (CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 120
+             |        ELSE 100 END) % 100 THEN 1 ELSE 0 END AS extra
+             |  FROM documents),
+             |m AS (SELECT doc_id, lang,
+             |    unnest(range(1, wx // 100 + extra + 1)) AS copy
+             |  FROM w WHERE wx // 100 + extra >= 1),
+             |k AS (SELECT doc_id, lang, copy,
+             |    ${dkHash56("concat_ws(':', 'graft', copy::VARCHAR, doc_id::VARCHAR)")} AS key
+             |  FROM m),
+             |s AS (SELECT doc_id, lang, copy, key,
+             |    ((key * 8) // ${1L << 56})::INT AS shard FROM k)
+             |SELECT shard,
+             |  (row_number() OVER (PARTITION BY shard
+             |    ORDER BY key, doc_id, copy))::BIGINT AS pos,
+             |  doc_id, lang, copy
+             |FROM s ORDER BY shard, pos""".stripMargin))
   )
 }

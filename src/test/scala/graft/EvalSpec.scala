@@ -132,6 +132,28 @@ class EvalSpec extends SparkSpec with Matchers {
       Eval.epochShuffle(df, "doc_id", 1, 128)
   }
 
+  test("shardOrder generalizes epochShuffle: uniform copies yield the same (shard, key-order)") {
+    import spark.implicits._
+    val ids = (1L to 30L)
+    val df = docs(ids.map(i => i -> s"doc $i"): _*)
+    // epochShuffle with 2 epochs == shardOrder over copies {0, 1}, up to
+    // the per-(epoch|shard) vs per-shard position numbering
+    val es = Eval.epochShuffle(df, "doc_id", epochs = 2, shards = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(3), r.getInt(0))).toSet
+    val copies = ids.flatMap(i => Seq((i, 0), (i, 1))).toDF("doc_id", "copy")
+    val so = Eval.shardOrder(copies, "doc_id", "copy", shards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getInt(3))).toSet
+    // same (shard, doc_id, copy/epoch) assignment for every row
+    so shouldBe es
+    // all input columns pass through, pos is dense per shard
+    val out = Eval.shardOrder(copies.withColumn("extra", lit("x")),
+      "doc_id", "copy", shards = 4)
+    out.columns.toSeq shouldBe Seq("shard", "pos", "doc_id", "copy", "extra")
+    out.groupBy("shard").agg(max("pos").as("mx"), count(lit(1)).as("n"))
+      .select("mx", "n")
+      .collect().foreach(r => r.getLong(0) shouldBe r.getLong(1))
+  }
+
   // ---- x117 splitLeakage ----
 
   test("splitLeakage: cluster policy is structurally leak-free; naive matches hand computation") {
