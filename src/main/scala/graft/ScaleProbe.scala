@@ -380,6 +380,19 @@ object ScaleProbe {
         Dedup.shingleContainment(corpus(m), "doc_id", "text",
             shingleSize = 3, thresholdPct = 50)
           .agg(sum("common")).first().getLong(0)),
+      // Winnowing fingerprints (x125): disjoint replica token namespaces
+      // keep fingerprint collisions within replicas — linearity certifies
+      // the window-min selection stays map-side and the guarded
+      // fingerprint join never goes corpus². The zipf twin measures the
+      // shared-vocabulary flood with the maxBucket guard on.
+      "winnowing" -> (m =>
+        Dedup.winnowingOverlap(corpus(m), "doc_id", "text",
+            k = 8, window = 8, minShared = 16L)
+          .agg(coalesce(sum("common"), lit(0L))).first().getLong(0)),
+      "zipf_winnowing" -> (m =>
+        Dedup.winnowingOverlap(zipfCorpus(m), "doc_id", "text",
+            k = 8, window = 8, minShared = 16L)
+          .agg(coalesce(sum("common"), lit(0L))).first().getLong(0)),
       // Edit-distance dedup (x97): 24-char replica-prefixed titles keep
       // q-gram namespaces disjoint (the replica tag is inside the first
       // gram), so candidates stay within replicas and the exponent

@@ -563,6 +563,66 @@ object Dedup {
       .filter(col("containment_pct") >= thresholdPct)
   }
 
+  /** Winnowing fingerprint overlap — the MOSS local-fingerprinting scheme
+    * (Schleimer/Wilkerson/Aiken, SIGMOD '03): hash every character
+    * `k`-gram, slide a `window`-wide window over the positional hash
+    * sequence, and keep each window's MINIMUM hash. The selected set is a
+    * ~2/(window+1) sample of positions with the guarantee mod-p content
+    * sampling (`substringDedup`'s `hash(gram) % stride == 0` anchor
+    * filter) cannot make: ANY substring shared by two documents of length
+    * ≥ window + k − 1 contributes at least one IDENTICAL fingerprint to
+    * both. Both schemes are alignment-robust (selection keys on content,
+    * not absolute position), but mod-p sampling only achieves DENSITY
+    * 1/stride in expectation — a span none of whose gram hashes happen to
+    * be ≡ 0 (mod stride) is invisible no matter how long it is, and the
+    * miss probability (1−1/stride)^spanGrams decays slowly for short
+    * spans. Winnowing converts the same sampling budget into a worst-case
+    * bound: at least one fingerprint per `window` consecutive positions,
+    * always (the MOSS paper's central trade).
+    *
+    * Pairs sharing ≥ `minShared` fingerprints are reported with exact
+    * shared counts against full per-doc fingerprint sets. Dataflow is the
+    * standard inverted-index discipline: the window-min selection is
+    * per-doc map-side work (O(chars × window) with no shuffle), candidate
+    * generation is the `maxBucket`-guarded equi-join on fingerprints
+    * (stop-fingerprints — boilerplate every doc shares — are pruned
+    * before the self-join; a true local match shares the copied span's
+    * distinctive minima), verification re-joins the full sets. Work
+    * scales with docs × fingerprints/doc + collisions, never docs².
+    *
+    * Output: (doc_a, doc_b, common, size_a, size_b) — sizes are distinct
+    * fingerprint counts, `common` the shared-fingerprint count.
+    */
+  def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 8, minShared: Long = 16L,
+      maxBucket: Long = 256L): DataFrame = {
+    require(k >= 2, "winnowingOverlap: k must be >= 2")
+    require(window >= 1, "winnowingOverlap: window must be >= 1")
+    require(minShared >= 1, "winnowingOverlap: minShared must be >= 1")
+    require(maxBucket >= 2, "winnowingOverlap: maxBucket must be >= 2")
+    val feats = featureSets(df
+      .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
+      // positional k-gram hash sequence (duplicates preserved — winnowing
+      // is positional), then per-window minima, distinct
+      .select(col("doc"),
+        expr(s"transform(sequence(1, greatest(length(t) - ${k - 1}, 1)), " +
+          s"i -> cast(conv(substring(md5(substring(t, i, $k)), 1, 14), 16, 10) as bigint))")
+          .as("gh"))
+      .select(col("doc"), explode(array_distinct(
+        expr(s"transform(sequence(1, greatest(size(gh) - ${window - 1}, 1)), " +
+          s"j -> array_min(slice(gh, j, $window)))"))).as("h")))
+    val candidates = guardedCandidates(feats, maxBucket)
+    candidates
+      .join(feats.as("fa"), col("doc_a") === col("fa.doc"))
+      .join(feats.as("fb"), col("doc_b") === col("fb.doc"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("fa.features"), col("fb.features")))
+          .cast("long").as("common"),
+        size(col("fa.features")).cast("long").as("size_a"),
+        size(col("fb.features")).cast("long").as("size_b"))
+      .filter(col("common") >= minShared)
+  }
+
   /** Blocked edit-distance dedup — entity-resolution for SHORT strings
     * (titles, names, product labels) where token/shingle similarity is
     * too coarse: candidates share at least one NON-FLOODED character

@@ -3645,7 +3645,41 @@ object ExtensionQueries {
              |  FROM w GROUP BY 1)
              |SELECT user_id, events, cents_total,
              |  (dsum::HUGEINT // 1048576)::BIGINT AS decayed_x1024
-             |FROM g ORDER BY user_id""".stripMargin))
+             |FROM g ORDER BY user_id""".stripMargin)),
+
+    // Winnowing fingerprint overlap (x125, MOSS SIGMOD '03): per-window
+    // minimum k-gram hashes — a ~2/(w+1) positional sample with the
+    // guarantee the fixed-stride sampler (x75) cannot make: any shared
+    // substring ≥ window+k−1 chars yields at least one shared
+    // fingerprint, alignment-robust because minima are chosen by hash
+    // value, not absolute position. Same maxBucket-guarded
+    // inverted-index candidate discipline as x05/x95.
+    QueryDef("x125_winnowing",
+      (s, d) => Dedup.winnowingOverlap(tbl(s, d, "documents"), "doc_id",
+          "text", k = 8, window = 8, minShared = 16L)
+        .orderBy("doc_a", "doc_b"),
+      Some(s"""WITH base AS (SELECT doc_id AS doc, lower(text) AS t FROM documents),
+             |gh AS (SELECT doc, list_transform(
+             |    range(1, greatest(length(t) - 7, 1) + 1),
+             |    i -> ${dkHash56("substr(t, i, 8)")}) AS gh FROM base),
+             |fp AS (SELECT doc, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(gh) - 7, 1) + 1),
+             |    j -> list_min(gh[j:j+7])))) AS h FROM gh),
+             |sizes AS (SELECT doc, count(*) AS sz FROM fp GROUP BY 1),
+             |hc AS (SELECT h, count(*) AS c FROM fp GROUP BY 1),
+             |hk AS (SELECT fp.doc, fp.h FROM fp JOIN hc USING (h)
+             |  WHERE hc.c <= 256),
+             |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+             |  FROM hk l JOIN hk r ON l.h = r.h AND l.doc < r.doc),
+             |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+             |  FROM cand c JOIN fp fa ON c.doc_a = fa.doc
+             |  JOIN fp fb ON c.doc_b = fb.doc AND fa.h = fb.h
+             |  GROUP BY 1, 2)
+             |SELECT com.doc_a, com.doc_b, common::BIGINT AS common,
+             |  sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b
+             |FROM com JOIN sizes sa ON com.doc_a = sa.doc
+             |JOIN sizes sb ON com.doc_b = sb.doc
+             |WHERE common >= 16 ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

@@ -180,6 +180,22 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(2)._2 shouldBe 0L
   }
 
+  test("winnowing: a shared span at different offsets yields the guaranteed fingerprint density") {
+    // span of ~37 distinctive pseudo-words (with digits so grams are rare)
+    val span = (1 to 37).map(i => s"qw${i}zx${i * 7}vb").mkString(" ")
+    val out = Dedup.winnowingOverlap(docs(
+      1L -> s"short lead. $span",
+      2L -> s"a much longer and differently sized preamble sentence here!! $span",
+      3L -> "entirely unrelated content with none of the planted span words " * 4),
+      "doc_id", "text", k = 8, window = 8, minShared = 16L)
+      .orderBy("doc_a", "doc_b").collect()
+    out.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 2L))
+    // worst-case winnowing density: >= 1 fingerprint per `window` interior
+    // positions of the shared span — with ~300 span chars that is >= ~20
+    // shared fingerprints, far above the minShared noise floor
+    out(0).getLong(2) should be >= 20L
+  }
+
   test("persisted LSH index probe matches the in-plan incremental probe") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
