@@ -220,6 +220,60 @@ object Curation {
     * 10% sample is a subset of its 20% sample. Pure filter — pushes to the
     * scan, no shuffle; the mixing knob of a 100 TB curation pipeline.
     */
+  /** URL/domain curation — the crawl-side gate every web-scale corpus
+    * runs before any text-level processing: extract the registrable
+    * domain from each document's URL, drop blocklisted domains, and cap
+    * how many documents any single domain may contribute (the
+    * Gopher/C4-style "no domain dominates the mix" rule).
+    *
+    * Registrable-domain extraction is public-suffix-list logic reduced to
+    * its load-bearing core: host = the URL authority (userinfo and port
+    * stripped, lowercased), and the registrable domain is the last TWO
+    * labels — unless the last two form a listed multi-label public suffix
+    * ("co.uk", "com.au", …), in which case it is the last THREE. Pass the
+    * suffix list that matters for your crawl; it is evaluated as a
+    * broadcast-size literal, map-only.
+    *
+    * The per-domain cap ranks docs within a domain by (`orderCol` DESC,
+    * id) — quality-first, deterministic — with ONE window trick that
+    * avoids a rank-then-join-back shuffle: blocked rows sort AFTER all
+    * unblocked rows inside their domain partition, so unblocked docs get
+    * exactly ranks 1..n_unblocked and `keep = !blocked && rank <=
+    * maxPerDomain` needs no second pass. Scale: extraction and
+    * blocklisting are map-side; the only shuffle is the domain-keyed
+    * window, and a downstream `filter(keep)` consumer that instead
+    * filters `domain_rank <= maxPerDomain` gets Spark's WindowGroupLimit
+    * pushdown (per-domain top-k in the sort buffer, never the full
+    * domain in memory — the hot-domain skew guard).
+    *
+    * Output: (doc, url, domain, blocked, domain_rank, keep), one row per
+    * input row.
+    */
+  def domainCurate(df: DataFrame, idCol: String, urlCol: String,
+      orderCol: String, multiPartSuffixes: Seq[String],
+      blockedDomains: Seq[String], maxPerDomain: Int): DataFrame = {
+    require(maxPerDomain >= 1, "domainCurate: maxPerDomain must be >= 1")
+    val host = lower(regexp_extract(
+      regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/]+)", 1),
+      "^(?:[^@]*@)?([^:]+)", 1))
+    val labels = split(host, "\\.")
+    val last2 = concat_ws(".", slice(labels, -2, 2))
+    val domain = when(size(labels) <= 2, concat_ws(".", labels))
+      .when(last2.isin(multiPartSuffixes: _*),
+        concat_ws(".", slice(labels, -3, 3)))
+      .otherwise(last2)
+    val withDomain = df.select(col(idCol).as("doc"), col(urlCol).as("url"),
+      col(orderCol).as("__ord"), domain.as("domain"))
+      .withColumn("blocked", col("domain").isin(blockedDomains: _*))
+    withDomain
+      .withColumn("domain_rank", row_number().over(
+        Window.partitionBy("domain")
+          .orderBy(col("blocked").asc, col("__ord").desc, col("doc").asc))
+        .cast("long"))
+      .withColumn("keep", !col("blocked") && col("domain_rank") <= maxPerDomain)
+      .drop("__ord")
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultRate: Int, outOf: Int = 100): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= outOf),

@@ -3679,7 +3679,64 @@ object ExtensionQueries {
              |  sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b
              |FROM com JOIN sizes sa ON com.doc_a = sa.doc
              |JOIN sizes sb ON com.doc_b = sb.doc
-             |WHERE common >= 16 ORDER BY doc_a, doc_b""".stripMargin))
+             |WHERE common >= 16 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // URL/domain curation (x126): registrable-domain extraction
+    // (public-suffix core: last 2 labels, or 3 under a listed multi-label
+    // suffix), blocklist, and a quality-ranked per-domain cap — the
+    // crawl-side "no domain dominates" gate, map-only except one
+    // domain-keyed window. URLs are synthesized deterministically from
+    // (source, lang, doc_id) with rotating subdomains/TLDs and planted
+    // ports so the host-stripping path is exercised.
+    QueryDef("x126_domain_curation",
+      (s, d) => {
+        val urls = tbl(s, d, "documents").select(col("doc_id"), col("n_chars"),
+          concat(lit("https://"),
+            element_at(array(lit(""), lit("www."), lit("cdn."), lit("m.")),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+            col("source"), lit("."),
+            // tld keyed on doc_id div 20: decorrelated from source (which
+            // tracks doc_id % 20), so every source spans all five TLDs
+            element_at(array(lit("com"), lit("org"), lit("net"),
+              lit("co.uk"), lit("com.au")),
+              (pmod(expr("doc_id div 20"), lit(5)) + 1).cast("int")),
+            when(pmod(col("doc_id"), lit(7)) === 0, lit(":8080")).otherwise(lit("")),
+            lit("/"), col("lang"), lit("/"), col("doc_id")).as("url"))
+        Curation.domainCurate(urls, "doc_id", "url", "n_chars",
+            multiPartSuffixes = Seq("co.uk", "com.au"),
+            blockedDomains = Seq("src3.com", "src7.co.uk"), maxPerDomain = 3)
+          .orderBy("doc")
+      },
+      Some("""WITH u AS (SELECT doc_id, n_chars,
+             |    'https://' ||
+             |    (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+             |      WHEN 2 THEN 'cdn.' ELSE 'm.' END) ||
+             |    source || '.' ||
+             |    (CASE (doc_id // 20) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |      WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' ELSE 'com.au' END) ||
+             |    (CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+             |    '/' || lang || '/' || doc_id AS url
+             |  FROM documents),
+             |d AS (SELECT doc_id, url, n_chars, string_split(
+             |    lower(regexp_extract(regexp_extract(url,
+             |      '^[a-zA-Z]+://([^/]+)', 1), '^(?:[^@]*@)?([^:]+)', 1)),
+             |    '.') AS labels FROM u),
+             |dom AS (SELECT doc_id AS doc, url, n_chars,
+             |    CASE WHEN len(labels) <= 2 THEN array_to_string(labels, '.')
+             |      WHEN array_to_string(labels[-2:], '.') IN ('co.uk', 'com.au')
+             |        THEN array_to_string(labels[-3:], '.')
+             |      ELSE array_to_string(labels[-2:], '.') END AS domain
+             |  FROM d),
+             |r AS (SELECT doc, url, domain,
+             |    domain IN ('src3.com', 'src7.co.uk') AS blocked,
+             |    row_number() OVER (PARTITION BY domain ORDER BY
+             |      domain IN ('src3.com', 'src7.co.uk'), n_chars DESC, doc)
+             |      AS domain_rank
+             |  FROM dom)
+             |SELECT doc, url, domain, blocked,
+             |  domain_rank::BIGINT AS domain_rank,
+             |  (NOT blocked AND domain_rank <= 3) AS keep
+             |FROM r ORDER BY doc""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

@@ -196,6 +196,34 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(0).getLong(2) should be >= 20L
   }
 
+  test("domain curation: suffix-list extraction, host stripping, blocklist, per-domain cap") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "https://www.acme.co.uk/a", 90L),     // multi-label suffix -> acme.co.uk
+      (2L, "https://cdn.acme.co.uk:443/b", 80L), // port stripped, same domain
+      (3L, "https://user:pw@acme.co.uk/c", 70L), // userinfo stripped
+      (4L, "https://acme.com/d", 60L),           // plain 2-label domain
+      (5L, "http://localhost/e", 50L),           // 1-label host stays whole
+      (6L, "https://evil.org/f", 99L),           // blocklisted
+      (7L, "https://sub.deep.acme.com/g", 40L))  // >3 labels -> last 2
+      .toDF("doc_id", "url", "quality")
+    val out = Curation.domainCurate(rows, "doc_id", "url", "quality",
+        multiPartSuffixes = Seq("co.uk"), blockedDomains = Seq("evil.org"),
+        maxPerDomain = 2)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3),
+        r.getLong(4), r.getBoolean(5)))
+    out.map(_._2).toSeq shouldBe Seq("acme.co.uk", "acme.co.uk", "acme.co.uk",
+      "acme.com", "localhost", "evil.org", "acme.com")
+    // acme.co.uk has 3 docs ranked by quality desc (1, 2, 3) — cap 2 drops doc 3
+    out.filter(_._2 == "acme.co.uk").map(t => (t._1, t._4, t._5)).toSeq shouldBe
+      Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, false))
+    out.find(_._1 == 6L).get._3 shouldBe true  // blocked
+    out.find(_._1 == 6L).get._5 shouldBe false
+    out.find(_._1 == 5L).get._5 shouldBe true  // localhost kept
+  }
+
   test("persisted LSH index probe matches the in-plan incremental probe") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
