@@ -107,4 +107,40 @@ object Layout {
       .repartitionByRange(numPartitions, col("zkey"))
       .sortWithinPartitions("zkey")
   }
+
+  /** Small-file compaction planner — the maintenance pass every
+    * long-running ingest needs (streaming sinks and per-batch appends
+    * leave thousands of KB-sized files; at 100 TB the NameNode/listing
+    * and per-file open overheads dominate scans long before the bytes
+    * do). Given a file listing (partition, file, bytes), assign each
+    * file to a rewrite group targeting `targetBytes` per output file.
+    *
+    * Assignment is STRIPE-based and fully deterministic: within each
+    * partition, files are taken in `fileCol` order and group k receives
+    * the files whose exclusive cumulative-byte prefix falls in
+    * [k·target, (k+1)·target). Properties: at most
+    * ceil(partitionBytes/target)+1 groups per partition; every group
+    * except the last holds ≥ target − (largest file − 1) bytes; a file
+    * larger than target occupies its own stripe span but is never split
+    * (compaction rewrites whole files). This is the same plan a
+    * sequential greedy packer produces whenever files are small relative
+    * to target — and unlike the greedy recurrence it is ONE window
+    * cumulative sum, no driver loop, planning 10^8 file entries as a
+    * single shuffle by partition dir.
+    *
+    * Output: one row per file — (part, file, bytes, group_id) — the
+    * rewrite manifest a compactor executes per (part, group_id).
+    */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, "compactionPlan: targetBytes must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy("file")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    files.select(col(partCol).as("part"), col(fileCol).as("file"),
+        col(bytesCol).cast("long").as("bytes"))
+      .withColumn("__pre", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("group_id", expr(s"div(__pre, ${targetBytes}L)"))
+      .drop("__pre")
+  }
 }

@@ -3736,7 +3736,34 @@ object ExtensionQueries {
              |SELECT doc, url, domain, blocked,
              |  domain_rank::BIGINT AS domain_rank,
              |  (NOT blocked AND domain_rank <= 3) AS keep
-             |FROM r ORDER BY doc""".stripMargin))
+             |FROM r ORDER BY doc""".stripMargin)),
+
+    // Small-file compaction planner (x127): stripe-assign each file of a
+    // per-partition listing to a rewrite group targeting 20 kB — one
+    // window cumulative sum, no driver loop; the rewrite manifest a
+    // compactor executes. The "files" are the documents table read as a
+    // listing (part = lang, file = doc_id, bytes = n_chars) — the
+    // small-file profile a per-batch append sink actually produces.
+    QueryDef("x127_compaction_plan",
+      (s, d) => Layout.compactionPlan(
+          tbl(s, d, "documents").select(col("lang"), col("doc_id"),
+            col("n_chars")),
+          "lang", "doc_id", "n_chars", targetBytes = 20000L)
+        .groupBy("part", "group_id")
+        .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes_total"),
+          min("file").as("file_lo"), max("file").as("file_hi"))
+        .orderBy("part", "group_id"),
+      Some("""WITH f AS (SELECT lang AS part, doc_id AS file,
+             |    n_chars::BIGINT AS bytes FROM documents),
+             |p AS (SELECT part, file, bytes,
+             |    coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS pre FROM f),
+             |g AS (SELECT part, file, bytes, pre // 20000 AS group_id FROM p)
+             |SELECT part, group_id::BIGINT AS group_id,
+             |  count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bytes_total,
+             |  min(file)::BIGINT AS file_lo, max(file)::BIGINT AS file_hi
+             |FROM g GROUP BY 1, 2 ORDER BY part, group_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

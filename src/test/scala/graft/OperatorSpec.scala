@@ -196,6 +196,24 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(0).getLong(2) should be >= 20L
   }
 
+  test("compaction plan: stripe assignment packs to target, giant files are never split") {
+    import spark.implicits._
+    import graft.operators.Layout
+    val files = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("a", 4L, 10L), ("a", 5L, 10L), ("a", 6L, 10L),
+      ("b", 1L, 5L), ("b", 2L, 100L), ("b", 3L, 5L))
+      .toDF("part", "file", "bytes")
+    val out = Layout.compactionPlan(files, "part", "file", "bytes", targetBytes = 25L)
+      .orderBy("part", "file").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    // part a: prefixes 0,10,20,30,40,50 -> stripes 0,0,0,1,1,2
+    out.filter(_._1 == "a").map(_._3).toSeq shouldBe Seq(0L, 0L, 0L, 1L, 1L, 2L)
+    // part b: the 100-byte file starts in stripe 0 and is NOT split; the
+    // next file's prefix (105) lands in stripe 4
+    out.filter(_._1 == "b").map(_._3).toSeq shouldBe Seq(0L, 0L, 4L)
+  }
+
   test("domain curation: suffix-list extraction, host stripping, blocklist, per-domain cap") {
     import spark.implicits._
     import graft.operators.Curation
