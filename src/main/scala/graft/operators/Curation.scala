@@ -274,6 +274,50 @@ object Curation {
       .drop("__ord")
   }
 
+  /** Checksum-validated payment-card audit — the PII class where a bare
+    * regex is the wrong tool: any 13–19 digit run LOOKS like a card
+    * number (ids, timestamps, hashes all collide with the pattern), so a
+    * regex-only redactor both over-fires and under-reports. Each digit-run
+    * candidate is verified with the Luhn mod-10 checksum IN-PLAN (double
+    * every second digit from the right, subtract 9 above 9, sum ≡ 0 mod
+    * 10 — the check digit every real card number carries), via
+    * transform/aggregate over the digit positions: pure codegen'd
+    * builtins, no UDF, map-only — the same per-row cost profile as the
+    * regex redactor (x37) with ~90% fewer false positives (a uniform
+    * random digit run passes Luhn 1 time in 10).
+    *
+    * Output: (id, card_candidates, cards_valid, redacted) — `redacted`
+    * masks only VERIFIED numbers, leaving benign digit runs untouched
+    * (over-redaction destroys training text too).
+    */
+  def luhnCardAudit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    // Luhn mod-10 over lambda var `c` (a digit string), positions counted
+    // from the right via reverse()
+    val luhn = "aggregate(transform(sequence(1, length(c)), i -> " +
+      "CASE WHEN i % 2 = 0 THEN " +
+      "if((ascii(substring(reverse(c), i, 1)) - 48) * 2 > 9, " +
+      "(ascii(substring(reverse(c), i, 1)) - 48) * 2 - 9, " +
+      "(ascii(substring(reverse(c), i, 1)) - 48) * 2) " +
+      "ELSE ascii(substring(reverse(c), i, 1)) - 48 END), 0, " +
+      "(a, x) -> a + x) % 10 = 0"
+    df.select(col(idCol), t.as("__t"))
+      // Column-API extract: the regex constant stays single-backslash and
+      // serves the DuckDB oracle interpolation unchanged
+      .withColumn("__cands", regexp_extract_all(col("__t"), lit(CardRe), lit(0)))
+      .withColumn("__valid", expr(s"filter(__cands, c -> $luhn)"))
+      .select(col(idCol),
+        size(col("__cands")).cast("long").as("card_candidates"),
+        size(col("__valid")).cast("long").as("cards_valid"),
+        expr("aggregate(__valid, __t, (acc, c) -> replace(acc, c, '<CARD>'))")
+          .as("redacted"))
+  }
+
+  /** 13–19 digit runs on word boundaries — the card-number candidate
+    * surface `luhnCardAudit` verifies.
+    */
+  val CardRe = "\\b[0-9]{13,19}\\b"
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultRate: Int, outOf: Int = 100): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= outOf),

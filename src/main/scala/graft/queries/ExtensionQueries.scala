@@ -3763,7 +3763,55 @@ object ExtensionQueries {
              |SELECT part, group_id::BIGINT AS group_id,
              |  count(*)::BIGINT AS n_files, sum(bytes)::BIGINT AS bytes_total,
              |  min(file)::BIGINT AS file_lo, max(file)::BIGINT AS file_hi
-             |FROM g GROUP BY 1, 2 ORDER BY part, group_id""".stripMargin))
+             |FROM g GROUP BY 1, 2 ORDER BY part, group_id""".stripMargin)),
+
+    // Luhn-verified card audit (x128): 13-19 digit runs are only REPORTED
+    // and redacted when the mod-10 check digit verifies — the PII class
+    // where a bare regex over/under-fires (every id and timestamp is a
+    // false candidate; a uniform digit run passes Luhn 1 in 10). Planted:
+    // a doc_id-varying 16-digit account string (validity decided by the
+    // in-plan checksum, different per doc), a fixed valid card, and its
+    // off-by-one invalid twin.
+    QueryDef("x128_luhn_card_audit",
+      (s, d) => {
+        val seeded = tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 7 === 0,
+              concat(lit(" acct 6011"),
+                lpad((col("doc_id") % 100000000).cast("string"), 9, "0"),
+                lit("009 on file."))).otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" card 4532015112830366 ok")).otherwise(lit("")),
+            when(col("doc_id") % 13 === 0,
+              lit(" card 4532015112830367 bad")).otherwise(lit(""))).as("text"))
+        Curation.luhnCardAudit(seeded, "doc_id", "text").orderBy("doc_id")
+      },
+      Some(s"""WITH seeded AS (SELECT doc_id, text ||
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN ' acct 6011' || lpad((doc_id % 100000000)::VARCHAR, 9, '0')
+             |        || '009 on file.' ELSE '' END ||
+             |    CASE WHEN doc_id % 11 = 0
+             |      THEN ' card 4532015112830366 ok' ELSE '' END ||
+             |    CASE WHEN doc_id % 13 = 0
+             |      THEN ' card 4532015112830367 bad' ELSE '' END AS text
+             |  FROM documents),
+             |a AS (SELECT doc_id, text,
+             |    regexp_extract_all(text, '${Curation.CardRe}') AS cands
+             |  FROM seeded),
+             |v AS (SELECT doc_id, text, cands, list_filter(cands, c ->
+             |    list_sum(list_transform(range(1, length(c) + 1), i ->
+             |      CASE WHEN i % 2 = 0
+             |        THEN CASE WHEN (ascii(substr(reverse(c), i, 1)) - 48) * 2 > 9
+             |          THEN (ascii(substr(reverse(c), i, 1)) - 48) * 2 - 9
+             |          ELSE (ascii(substr(reverse(c), i, 1)) - 48) * 2 END
+             |        ELSE ascii(substr(reverse(c), i, 1)) - 48 END)) % 10 = 0)
+             |    AS valid
+             |  FROM a)
+             |SELECT doc_id, len(cands)::BIGINT AS card_candidates,
+             |  len(valid)::BIGINT AS cards_valid,
+             |  list_reduce(list_prepend(text, valid),
+             |    (acc, cc) -> replace(acc, cc, '<CARD>')) AS redacted
+             |FROM v ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

@@ -196,6 +196,26 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(0).getLong(2) should be >= 20L
   }
 
+  test("luhn card audit: verifies the mod-10 check digit, redacts only valid numbers") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "pay 4532015112830366 now"),          // valid visa test number
+      (2L, "fake 4532015112830367 here"),        // off-by-one: fails Luhn
+      (3L, "order 123456789012 shipped"),        // 12 digits: not a candidate
+      (4L, "amex-length 371449635398431 ok"),    // valid 15-digit
+      (5L, "no digits at all"))
+      .toDF("doc_id", "text")
+    val out = Curation.luhnCardAudit(rows, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    out.map(t => (t._2, t._3)).toSeq shouldBe
+      Seq((1L, 1L), (1L, 0L), (0L, 0L), (1L, 1L), (0L, 0L))
+    out(0)._4 shouldBe "pay <CARD> now"
+    out(1)._4 shouldBe "fake 4532015112830367 here" // invalid left untouched
+    out(3)._4 shouldBe "amex-length <CARD> ok"
+  }
+
   test("compaction plan: stripe assignment packs to target, giant files are never split") {
     import spark.implicits._
     import graft.operators.Layout
