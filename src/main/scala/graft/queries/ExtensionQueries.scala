@@ -3811,7 +3811,32 @@ object ExtensionQueries {
              |  len(valid)::BIGINT AS cards_valid,
              |  list_reduce(list_prepend(text, valid),
              |    (acc, cc) -> replace(acc, cc, '<CARD>')) AS redacted
-             |FROM v ORDER BY doc_id""".stripMargin))
+             |FROM v ORDER BY doc_id""".stripMargin)),
+
+    // transformWithState event-type discovery (x129, Spark 4 state v2 +
+    // RocksDB store): one row the FIRST time a (user, event_type) pair is
+    // seen, with the user's running distinct-type count — MapState point
+    // lookups (the seen-set stays in the store, never on the heap) plus a
+    // ValueState counter, composite state the v1 GroupState can't hold
+    // natively. Oracle: rank each user's first occurrences by (ts,
+    // event_id).
+    QueryDef("x129_stream_type_discovery",
+      (s, d) => StreamOps.streamingTypeDiscovery(s, s"$d/events.parquet",
+          queryName = s"stream_discovery_${System.nanoTime()}")
+        .orderBy("user_id", "types_so_far"),
+      Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t,
+             |    event_id,
+             |    row_number() OVER (PARTITION BY user_id, event_type
+             |      ORDER BY epoch_us(ts), event_id) AS rn
+             |  FROM events),
+             |fs AS (SELECT user_id, event_type, t AS first_t_us,
+             |    event_id AS first_event_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY t, event_id)::BIGINT AS types_so_far
+             |  FROM e WHERE rn = 1)
+             |SELECT user_id, event_type, first_t_us, first_event_id,
+             |  types_so_far
+             |FROM fs ORDER BY user_id, types_so_far""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

@@ -794,4 +794,126 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Input/output rows of the `transformWithState` discovery drain. */
+  final case class DiscoveryEvent(user_id: Long, event_type: String,
+      t_us: Long, event_id: Long)
+  final case class Discovery(user_id: Long, event_type: String,
+      first_t_us: Long, first_event_id: Long, types_so_far: Long)
+
+  /** Per-user event-type discovery on the Spark 4 state-v2 API
+    * (`transformWithState` + `StatefulProcessor`): emit one row the FIRST
+    * time a (user, event_type) pair is seen, carrying the running count
+    * of distinct types that user has shown. Composite state the v1
+    * `flatMapGroupsWithState` single-value `GroupState` cannot express
+    * natively: a `MapState[type → first-seen ts]` (point lookups and
+    * per-entry updates against the store — the seen-set never
+    * materializes in executor memory, which is the difference at 100 TB
+    * between O(types-per-user-in-batch) and O(all-types-per-user) heap)
+    * plus a `ValueState` distinct-type counter. State v2 requires the
+    * RocksDB state store (set here for the query's session, restored
+    * after) — the provider built for state that exceeds heap.
+    *
+    * Determinism contract: within a batch each user's rows are folded in
+    * (t_us, event_id) order; across batches first-sight-wins. When the
+    * backlog drains in one AvailableNow pass (the gated workload — file
+    * sources default to reading the full listing), the output is exactly
+    * the batch oracle: rank first occurrences per user by (ts, event_id).
+    */
+  private final class TypeDiscoveryProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, DiscoveryEvent, Discovery] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues, ValueState}
+    @transient private var seen: MapState[String, Long] = _
+    @transient private var nTypes: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      seen = getHandle.getMapState[String, Long]("seen",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+      nTypes = getHandle.getValueState[Long]("n_types",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[DiscoveryEvent],
+        timerValues: TimerValues): Iterator[Discovery] = {
+      val sorted = rows.toArray.sortBy(e => (e.t_us, e.event_id))
+      var n = if (nTypes.exists()) nTypes.get() else 0L
+      val out = Array.newBuilder[Discovery]
+      sorted.foreach { e =>
+        if (!seen.containsKey(e.event_type)) {
+          n += 1
+          seen.updateValue(e.event_type, e.t_us)
+          out += Discovery(key, e.event_type, e.t_us, e.event_id, n)
+        }
+      }
+      nTypes.update(n)
+      out.result().iterator
+    }
+  }
+
+  /** Drain `eventsPath` through the state-v2 discovery processor into a
+    * memory sink (AvailableNow). See `TypeDiscoveryProcessor` for the
+    * semantics and the state-store requirement.
+    */
+  /** Run `body` with the RocksDB state store provider set (state v2
+    * requires it), restoring the prior provider after.
+    */
+  private def withRocksDbStore[A](spark: SparkSession)(body: => A): A = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
+
+  private def typeDiscoveryStream(spark: SparkSession, streamDir: String,
+      schema: org.apache.spark.sql.types.StructType) = {
+    import spark.implicits._
+    normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("t_us"), col("event_id"))
+      .as[DiscoveryEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeDiscoveryProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  def streamingTypeDiscovery(spark: SparkSession, eventsPath: String,
+      queryName: String): DataFrame = withRocksDbStore(spark) {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-discovery")
+    val q = typeDiscoveryStream(spark, streamDir, schema)
+      .writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Checkpointed variant: drain whatever is new in `streamDir` into a
+    * parquet discovery log at `outDir`, resuming the MapState seen-sets
+    * and ValueState counters from `checkpointDir` — run again after more
+    * files arrive and (a) already-discovered types are NOT re-emitted,
+    * (b) `types_so_far` CONTINUES from the restored counter
+    * (StreamDiscoveryRestartSpec exercises both).
+    */
+  def typeDiscoveryToDir(spark: SparkSession, streamDir: String,
+      outDir: String, checkpointDir: String): Unit = withRocksDbStore(spark) {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = typeDiscoveryStream(spark, streamDir, schema)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
 }
