@@ -729,7 +729,123 @@ object AnalyticsQueries {
              |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
              |       AND l.l_quantity BETWEEN 10 AND 20)
              |   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
-             |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin))
+             |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin)),
+
+    // TPC-H-Q20-shape supplier shortlist: IN over a HAVING-filtered
+    // correlated aggregate — the subquery aggregates lineitem per
+    // supplier over a part subset, and the planner must decorrelate it
+    // into an aggregate + semi join (no per-supplier re-scan).
+    QueryDef("b27_tpch_q20",
+      (s, d) => {
+        tbl(s, d, "supplier").createOrReplaceTempView("b27_supplier")
+        tbl(s, d, "lineitem").createOrReplaceTempView("b27_lineitem")
+        tbl(s, d, "part").createOrReplaceTempView("b27_part")
+        s.sql("""SELECT s_suppkey, s_name
+                |FROM b27_supplier
+                |WHERE s_suppkey IN (
+                |  SELECT l.l_suppkey FROM b27_lineitem l
+                |  JOIN b27_part p ON p.p_partkey = l.l_partkey
+                |  WHERE p.p_name LIKE '%ring%'
+                |  GROUP BY l.l_suppkey
+                |  HAVING sum(CAST(l.l_quantity AS BIGINT)) > 2000)
+                |ORDER BY s_suppkey""".stripMargin)
+      },
+      Some("""SELECT s_suppkey, s_name
+             |FROM supplier
+             |WHERE s_suppkey IN (
+             |  SELECT l.l_suppkey FROM lineitem l
+             |  JOIN part p ON p.p_partkey = l.l_partkey
+             |  WHERE p.p_name LIKE '%ring%'
+             |  GROUP BY l.l_suppkey
+             |  HAVING sum(l.l_quantity::BIGINT) > 2000)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H-Q21-shape sole-blamed supplier: EXISTS + NOT EXISTS against
+    // the same fact table — suppliers whose returned ('R') line sits in a
+    // finished multi-supplier order where NO other supplier's line was
+    // returned. Both subqueries must become one semi and one anti join on
+    // l_orderkey (never per-row re-scans of lineitem).
+    QueryDef("b28_tpch_q21",
+      (s, d) => {
+        tbl(s, d, "supplier").createOrReplaceTempView("b28_supplier")
+        tbl(s, d, "lineitem").createOrReplaceTempView("b28_lineitem")
+        tbl(s, d, "orders").createOrReplaceTempView("b28_orders")
+        s.sql("""SELECT s.s_name, count(*) AS numwait
+                |FROM b28_supplier s
+                |JOIN b28_lineitem l1 ON l1.l_suppkey = s.s_suppkey
+                |JOIN b28_orders o ON o.o_orderkey = l1.l_orderkey
+                |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+                |  AND EXISTS (SELECT 1 FROM b28_lineitem l2
+                |    WHERE l2.l_orderkey = l1.l_orderkey
+                |      AND l2.l_suppkey <> l1.l_suppkey)
+                |  AND NOT EXISTS (SELECT 1 FROM b28_lineitem l3
+                |    WHERE l3.l_orderkey = l1.l_orderkey
+                |      AND l3.l_suppkey <> l1.l_suppkey
+                |      AND l3.l_returnflag = 'R')
+                |GROUP BY s.s_name
+                |ORDER BY numwait DESC, s_name
+                |LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT s.s_name, count(*)::BIGINT AS numwait
+             |FROM supplier s
+             |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+             |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+             |WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+             |  AND EXISTS (SELECT 1 FROM lineitem l2
+             |    WHERE l2.l_orderkey = l1.l_orderkey
+             |      AND l2.l_suppkey <> l1.l_suppkey)
+             |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+             |    WHERE l3.l_orderkey = l1.l_orderkey
+             |      AND l3.l_suppkey <> l1.l_suppkey
+             |      AND l3.l_returnflag = 'R')
+             |GROUP BY s.s_name
+             |ORDER BY numwait DESC, s_name
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H-Q22-shape dormant rich customers: a scalar aggregate
+    // threshold plus NOT EXISTS — customers above the positive-balance
+    // average with no urgent orders, rolled up per nation. The average
+    // comparison is EXACT integer arithmetic (cents·count > total_cents,
+    // multiplied through) so no float summation-order drift can flip a
+    // boundary row between engines.
+    QueryDef("b29_tpch_q22",
+      (s, d) => {
+        tbl(s, d, "customer").createOrReplaceTempView("b29_customer")
+        tbl(s, d, "nation").createOrReplaceTempView("b29_nation")
+        tbl(s, d, "orders").createOrReplaceTempView("b29_orders")
+        s.sql("""WITH pos AS (SELECT
+                |    count(*) AS n,
+                |    sum(CAST(floor(c_acctbal*100 + 0.5) AS BIGINT)) AS total_cents
+                |  FROM b29_customer WHERE c_acctbal > 0)
+                |SELECT n.n_name AS cntry, count(*) AS numcust,
+                |  sum(CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)) AS bal_cents
+                |FROM b29_customer c
+                |JOIN b29_nation n ON n.n_nationkey = c.c_nationkey
+                |CROSS JOIN pos
+                |WHERE CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) * pos.n
+                |        > pos.total_cents
+                |  AND NOT EXISTS (SELECT 1 FROM b29_orders o
+                |    WHERE o.o_custkey = c.c_custkey
+                |      AND o.o_orderpriority = '1-URGENT')
+                |GROUP BY n.n_name
+                |ORDER BY cntry""".stripMargin)
+      },
+      Some("""WITH pos AS (SELECT
+             |    count(*)::BIGINT AS n,
+             |    sum((floor(c_acctbal*100 + 0.5))::BIGINT)::BIGINT AS total_cents
+             |  FROM customer WHERE c_acctbal > 0)
+             |SELECT n.n_name AS cntry, count(*)::BIGINT AS numcust,
+             |  sum((floor(c.c_acctbal*100 + 0.5))::BIGINT)::BIGINT AS bal_cents
+             |FROM customer c
+             |JOIN nation n ON n.n_nationkey = c.c_nationkey
+             |CROSS JOIN pos
+             |WHERE (floor(c.c_acctbal*100 + 0.5))::BIGINT * pos.n
+             |        > pos.total_cents
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |    WHERE o.o_custkey = c.c_custkey
+             |      AND o.o_orderpriority = '1-URGENT')
+             |GROUP BY n.n_name
+             |ORDER BY cntry""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

@@ -417,6 +417,14 @@ class PlanSpec extends SparkSpec with Matchers {
     plan.toLowerCase should include("partial_avg")
   }
 
+  test("b28 exists/not-exists pair becomes one semi and one anti join, no per-row re-scan") {
+    val plan = planOf(q("b28_tpch_q21"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    plan should include("LeftSemi")
+    plan should include("LeftAnti")
+  }
+
   test("x68 line dedup is map-only — array HOFs, no shuffle beyond the output sort") {
     val plan = planOf(q("x68_line_dedup"))
     (plan should not).include("HashAggregate")
