@@ -55,6 +55,9 @@ object Bench {
     "x116_epoch_shuffle", "x117_split_leakage", "x118_jsonl_quarantine",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
+    "x125_winnowing", "x126_domain_curation", "x127_compaction_plan",
+    "x128_luhn_card_audit", "x129_stream_type_discovery",
+    "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the
