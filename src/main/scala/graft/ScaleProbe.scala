@@ -297,6 +297,19 @@ object ScaleProbe {
         Quantize.ivfDotTopK(grown.filter(col("vec_id") < 10), grown,
           "vec_id", "embedding", k = 5, nlist = 64, nprobe = 4).count()
       },
+      // PQ/ADC ANN (x130): fixed queries and a fixed 8×8 codebook — the
+      // LUT is constant-size, training/encoding are broadcast joins, and
+      // scored candidates are queries × corpus — strictly linear like the
+      // other flat-scan ANN probes.
+      "ann_pq" -> { m =>
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val grown = (0 until m).map(r => emb.select(
+          (col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))).reduce(_ unionByName _)
+        Quantize.pqTopK(grown.filter(col("vec_id") < 10), grown,
+          "vec_id", "embedding", k = 5, dim = 64, subspaces = 8,
+          codebookSize = 8, trainIterations = 1).count()
+      },
       // Paragraph dedup (x57): token-prefixed replicas keep paragraph
       // namespaces disjoint, so per-digest frequency is constant; summing
       // scrubbed lengths forces the full join-back + regroup.

@@ -134,4 +134,103 @@ object Quantize {
           col("col._1").as("neighbor_id"), col("col._2").as("qdot"))
     }
   }
+
+  private val PqScale = 1L << 20
+
+  /** Exact double L2 between two equal-length arrays — sequential
+    * index-order fold, bit-identical in any engine.
+    */
+  private def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Product-quantization ANN (the FAISS PQ/ADC composition): split each
+    * `dim`-vector into `subspaces` contiguous subvectors, learn an
+    * independent `codebookSize`-centroid codebook per subspace (Lloyd
+    * iterations from a deterministic seed — the first `codebookSize`
+    * corpus vectors by id — with argmin-L2 assignment, ties to the
+    * smaller centroid id, and fixed-point means exactly like
+    * `Similarity.trainCodebook`), encode every corpus vector as
+    * `subspaces` centroid ids (the PQ code: log2(codebookSize) bits per
+    * subspace — 64-dim floats compress 256→8 bytes at 8×8), and answer
+    * queries by ASYMMETRIC DISTANCE COMPUTATION: the query precomputes a
+    * (subspace × centroid) dot-product lookup table and every corpus
+    * code is scored as the sum of `subspaces` table lookups — no float
+    * vector is ever touched at scoring time.
+    *
+    * Determinism/oracle contract: per-subspace partial dots are floored
+    * into 2^20 fixed point BEFORE the cross-subspace sum, so the ADC
+    * score (`adc_fp`) is an exact integer — summation order cannot
+    * drift between engines.
+    *
+    * Scale: codebooks are subspaces × codebookSize × (dim/subspaces)
+    * doubles — broadcast-size by construction; training and encoding are
+    * broadcast joins + one keyed aggregate each; the LUT is queries ×
+    * subspaces × codebookSize rows (broadcast). Scoring shuffles
+    * (query × corpus) pairs with map-side partial aggregation over the
+    * subspace partials — the standard flat-ADC scan; at 100 TB compose
+    * with IVF cell pruning in front (ivfDotTopK's shape) so only probed
+    * cells are scored.
+    *
+    * Returns (query_id, rank, neighbor_id, adc_fp).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+      embCol: String, k: Int, dim: Int, subspaces: Int = 8,
+      codebookSize: Int = 8, trainIterations: Int = 1): DataFrame = {
+    require(subspaces >= 1 && dim % subspaces == 0,
+      "pqTopK: dim must divide evenly into subspaces")
+    require(codebookSize >= 1 && k >= 1 && trainIterations >= 0,
+      "pqTopK: bad parameters")
+    val sd = dim / subspaces
+    def subs(df: DataFrame, id: String, out: String): DataFrame =
+      df.select(col(idCol).as(id), col(embCol).cast("array<double>").as("__v"))
+        .select(col(id), explode(expr(
+          s"transform(sequence(0, ${subspaces - 1}), s -> " +
+            s"struct(s AS sub, slice(__v, s * $sd + 1, $sd) AS sv))")).as("e"))
+        .select(col(id), col("e.sub").as("sub"), col("e.sv").as(out))
+    val csubs = subs(corpus, "vid", "sv")
+    val seedIds = corpus.select(col(idCol).as("__sid"))
+      .orderBy("__sid").limit(codebookSize)
+    var codebook = subs(
+        corpus.join(seedIds, col(idCol) === col("__sid")).drop("__sid"),
+        "cid", "centroid")
+      .select(col("sub"), col("cid"), col("centroid"))
+    def assign(v: DataFrame): DataFrame = v
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("vid"), col("sub"), col("sv"), col("cid"),
+        l2(col("sv"), col("centroid")).as("d2"))
+      .groupBy("vid", "sub")
+      .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
+        first(col("sv")).as("sv"))
+    for (_ <- 1 to trainIterations) {
+      val sums = assign(csubs)
+        .select(col("sub"), col("cell"), posexplode(col("sv")))
+        .groupBy("sub", "cell", "pos")
+        .agg(sum(floor(col("col") * PqScale)).as("s"), count(lit(1)).as("n"))
+      val next = sums.groupBy(col("sub"), col("cell").as("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+          e => e.getField("s").cast("double") /
+            (e.getField("n") * PqScale).cast("double")).as("centroid"))
+      // materialize per iteration — same rationale as trainCodebook: the
+      // codebook is subspaces × codebookSize × sd doubles, and a lazy
+      // plan would nest one corpus pass per iteration into every consumer
+      codebook = corpus.sparkSession.createDataFrame(
+        java.util.Arrays.asList(next.collect(): _*), next.schema)
+    }
+    val enc = assign(csubs).select(col("vid"), col("sub"), col("cell").as("cid"))
+    val lut = subs(queries, "qid", "qv")
+      .join(broadcast(codebook), Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        floor(Similarity.dot(col("qv"), col("centroid")) * PqScale)
+          .cast("long").as("partial_fp"))
+    val scored = enc.join(broadcast(lut), Seq("sub", "cid"))
+      .filter(col("qid") =!= col("vid"))
+      .groupBy(col("qid").as("query_id"), col("vid").as("neighbor_id"))
+      .agg(sum("partial_fp").as("adc_fp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adc_fp").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "adc_fp")
+  }
 }

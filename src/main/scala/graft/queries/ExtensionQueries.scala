@@ -198,6 +198,15 @@ object ExtensionQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** DuckDB twins of the Spark sequential double folds (aggregate over
+    * zip_with): dot product and squared L2 — same left-to-right index
+    * order, bit-identical IEEE-754.
+    */
+  private def dkDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (p,q) -> p+q)"
+  private def dkL2(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> ($a[i]-$b[i])*($a[i]-$b[i]))), (p,q) -> p+q)"
+
   /** DuckDB twin of Quantize's exact integer dot (sequential fold, BIGINT
     * accumulator). */
   private def dkIdot(a: String, b: String) =
@@ -3836,7 +3845,68 @@ object ExtensionQueries {
              |  FROM e WHERE rn = 1)
              |SELECT user_id, event_type, first_t_us, first_event_id,
              |  types_so_far
-             |FROM fs ORDER BY user_id, types_so_far""".stripMargin))
+             |FROM fs ORDER BY user_id, types_so_far""".stripMargin)),
+
+    // Product-quantization ANN (x130, Quantize.pqTopK — the FAISS PQ/ADC
+    // composition): 64-dim vectors split into 8 subspaces, an independent
+    // 8-centroid codebook per subspace (1 Lloyd iteration, argmin-L2,
+    // fixed-point means), corpus encoded as 8 centroid ids (256 → 8
+    // bytes), queries answered by asymmetric distance computation over a
+    // broadcast lookup table. Per-subspace partials floor into 2^20 fixed
+    // point BEFORE the cross-subspace sum, so the ADC score is an exact
+    // integer in both engines.
+    QueryDef("x130_pq_adc_topk",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Quantize.pqTopK(emb.filter(col("vec_id") < 10), emb, "vec_id",
+            "embedding", k = 3, dim = 64, subspaces = 8, codebookSize = 8,
+            trainIterations = 1)
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |subn AS (SELECT unnest(range(0, 8)) AS sub),
+             |sv AS (SELECT vec_id, sub, vec[sub*8+1 : sub*8+8] AS sv
+             |  FROM v CROSS JOIN subn),
+             |cb0 AS (SELECT sub, vec_id AS cid, sv AS centroid FROM sv
+             |  WHERE vec_id IN (SELECT vec_id FROM v ORDER BY vec_id LIMIT 8)),
+             |a1 AS (SELECT vec_id, sub, sv, cid,
+             |    row_number() OVER (PARTITION BY vec_id, sub
+             |      ORDER BY d2, cid) AS rn
+             |  FROM (SELECT s.vec_id, s.sub, s.sv, c.cid,
+             |      ${dkL2("s.sv", "c.centroid")} AS d2
+             |    FROM sv s JOIN cb0 c USING (sub))),
+             |e1 AS (SELECT sub, cid AS cell,
+             |    unnest(range(1, len(sv)+1)) AS pos, unnest(sv) AS x
+             |  FROM a1 WHERE rn = 1),
+             |s1 AS (SELECT sub, cell, pos,
+             |    sum(floor(x * 1048576)::BIGINT) AS s, count(*) AS n
+             |  FROM e1 GROUP BY 1, 2, 3),
+             |cb1 AS (SELECT sub, cell AS cid,
+             |    list(s::DOUBLE / (n * 1048576)::DOUBLE ORDER BY pos) AS centroid
+             |  FROM s1 GROUP BY 1, 2),
+             |enc AS (SELECT vec_id, sub, cid FROM (
+             |    SELECT s.vec_id, s.sub, c.cid,
+             |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+             |        ORDER BY ${dkL2("s.sv", "c.centroid")}, c.cid) AS rn
+             |    FROM sv s JOIN cb1 c USING (sub))
+             |  WHERE rn = 1),
+             |lut AS (SELECT q.vec_id AS qid, q.sub, c.cid,
+             |    floor(${dkDot("q.sv", "c.centroid")} * 1048576)::BIGINT
+             |      AS partial_fp
+             |  FROM sv q JOIN cb1 c USING (sub) WHERE q.vec_id < 10),
+             |scored AS (SELECT l.qid AS query_id, e.vec_id AS neighbor_id,
+             |    sum(partial_fp)::BIGINT AS adc_fp
+             |  FROM enc e JOIN lut l ON l.sub = e.sub AND l.cid = e.cid
+             |  WHERE l.qid <> e.vec_id
+             |  GROUP BY 1, 2),
+             |ranked AS (SELECT query_id, neighbor_id, adc_fp,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY adc_fp DESC, neighbor_id) AS rank
+             |  FROM scored)
+             |SELECT query_id, rank, neighbor_id, adc_fp
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

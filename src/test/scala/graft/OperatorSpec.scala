@@ -196,6 +196,28 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(0).getLong(2) should be >= 20L
   }
 
+  test("pq adc top-k: neighbors stay within the planted prototype family") {
+    import spark.implicits._
+    // 24 vectors = 4 well-separated prototypes + tiny deterministic noise;
+    // PQ (2 subspaces x 4 centroids) must rank same-family vectors first
+    val protos = Seq(
+      Seq(1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0),
+      Seq(1.0, -1.0, 1.0, -1.0, 0.0, 0.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 0.0, 0.0, 1.0, -1.0, 1.0, -1.0))
+    val vecs = (0L until 24L).map { id =>
+      val p = protos((id % 4).toInt)
+      (id, p.zipWithIndex.map { case (x, j) => x + 0.001 * ((id * 7 + j) % 5) })
+    }.toDF("vec_id", "embedding")
+    val out = Quantize.pqTopK(vecs.filter(col("vec_id") < 4), vecs, "vec_id",
+        "embedding", k = 3, dim = 8, subspaces = 2, codebookSize = 4,
+        trainIterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    out.length shouldBe 12
+    // every returned neighbor shares the query's prototype family
+    out.foreach { case (q, _, n) => (n % 4) shouldBe (q % 4) }
+  }
+
   test("luhn card audit: verifies the mod-10 check digit, redacts only valid numbers") {
     import spark.implicits._
     import graft.operators.Curation
