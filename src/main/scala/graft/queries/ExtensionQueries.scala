@@ -3906,7 +3906,71 @@ object ExtensionQueries {
              |      ORDER BY adc_fp DESC, neighbor_id) AS rank
              |  FROM scored)
              |SELECT query_id, rank, neighbor_id, adc_fp
-             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+             |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)),
+
+    // Transitive decontamination (x131): x35's direct shingle-overlap
+    // flags PROPAGATED through x03/x19's near-dup clusters — a paraphrased
+    // or lightly-edited copy of a leaked benchmark item must be dropped
+    // even when its own overlap sits below threshold, and near-dup
+    // canonicalization already knows which docs are copies of each other.
+    // The dirty-cluster set is tiny (contaminated docs' canonical ids), so
+    // the propagation join broadcasts; everything upstream is the
+    // already-certified LSH + label-propagation dataflow.
+    QueryDef("x131_transitive_decontamination",
+      (s, d) => {
+        val docs = tbl(s, d, "documents")
+        val split = Portable.hash56(col("doc_id").cast("string")) % 10
+        val corpus = docs.filter(split =!= 0)
+        val evalSet = docs.filter(split === 0)
+        val direct = Curation.decontaminate(corpus, evalSet, "doc_id", "text",
+            shingleSize = 5, thresholdPct = 20)
+          .select(col("doc_id"), col("contaminated"))
+        val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        val labels = Dedup.canonicalize(corpus, "doc_id", pairs)
+          .select(col("doc").as("doc_id"), col("canonical_id"))
+        val dirty = labels.join(direct.filter(col("contaminated")), Seq("doc_id"))
+          .select("canonical_id").distinct()
+          .withColumn("__dirty", lit(true))
+        labels.join(direct, Seq("doc_id"))
+          .join(dirty, Seq("canonical_id"), "left")
+          .select(col("doc_id"), col("canonical_id"),
+            col("contaminated").as("direct_contaminated"),
+            coalesce(col("__dirty"), lit(false)).as("cluster_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH RECURSIVE co AS (SELECT doc_id, text FROM documents
+             |    WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 0),
+             |ev AS (SELECT doc_id, text FROM documents
+             |    WHERE ${dkHash56("doc_id::VARCHAR")} % 10 = 0),
+             |${minHashPairsBodyFrom("co", "doc_id", "text")},
+             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+             |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
+             |${dkShinglesFrom("co", "doc_id", "text", 5, "c5")},
+             |${dkShinglesFrom("ev", "doc_id", "text", 5, "e5")},
+             |cd AS (SELECT DISTINCT doc, h FROM c5hs),
+             |ed AS (SELECT DISTINCT h FROM e5hs),
+             |tot AS (SELECT doc, count(*) AS total FROM cd GROUP BY 1),
+             |mat AS (SELECT cd.doc, count(*) AS matched
+             |  FROM cd JOIN ed USING (h) GROUP BY 1),
+             |direct AS (SELECT t.doc,
+             |    (100 * coalesce(matched, 0)) // greatest(total, 1) >= 20
+             |      AS contaminated
+             |  FROM tot t LEFT JOIN mat USING (doc)),
+             |dirty AS (SELECT DISTINCT canon.cid FROM canon
+             |  JOIN direct ON canon.doc = direct.doc WHERE direct.contaminated)
+             |SELECT canon.doc AS doc_id, canon.cid AS canonical_id,
+             |  d.contaminated AS direct_contaminated,
+             |  (canon.cid IN (SELECT cid FROM dirty)) AS cluster_contaminated
+             |FROM canon JOIN direct d ON canon.doc = d.doc
+             |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of TextAnalysis.bpeMergeSteps: the identical relational

@@ -46,6 +46,39 @@ class CompositionSpec extends SparkSpec with Matchers {
     out(10L)._1 should be > out(40L)._1
   }
 
+  test("x131 composition: a near-copy below direct threshold is flagged transitively") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup}
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val evalSet = Seq((100L, base)).toDF("doc_id", "text")
+    val corpus = Seq(
+      1L -> base,                                  // verbatim leak: direct
+      2L -> base.replace("iota", "changed"),       // near-copy: overlap 55% < 90
+      3L -> "completely unrelated words only here nothing shared at all")
+      .toDF("doc_id", "text")
+    val direct = Curation.decontaminate(corpus, evalSet, "doc_id", "text",
+        shingleSize = 5, thresholdPct = 90)
+      .select(col("doc_id"), col("contaminated"))
+    val pairs = Dedup.minHashLsh(corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.canonicalize(corpus, "doc_id", pairs)
+      .select(col("doc").as("doc_id"), col("canonical_id"))
+    val dirty = labels.join(direct.filter(col("contaminated")), Seq("doc_id"))
+      .select("canonical_id").distinct()
+      .withColumn("__dirty", org.apache.spark.sql.functions.lit(true))
+    val out = labels.join(direct, Seq("doc_id"))
+      .join(dirty, Seq("canonical_id"), "left")
+      .select(col("doc_id"), col("contaminated"),
+        org.apache.spark.sql.functions.coalesce(col("__dirty"),
+          org.apache.spark.sql.functions.lit(false)).as("transitive"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    out(1L) shouldBe ((true, true))   // the verbatim leak
+    out(2L) shouldBe ((false, true))  // below direct threshold, caught via cluster
+    out(3L) shouldBe ((false, false)) // clean stays clean
+  }
+
   test("x104 recall: IVF recall is bounded by 100 and the harness reports every query") {
     val rows = SparkEntry.queries("x104_ann_recall")(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("query_id"),
