@@ -400,11 +400,11 @@ object ScaleProbe {
       // shared-vocabulary flood with the maxBucket guard on.
       "winnowing" -> (m =>
         Dedup.winnowingOverlap(corpus(m), "doc_id", "text",
-            k = 8, window = 8, minShared = 16L)
+            k = 12, window = 8, minShared = 8L)
           .agg(coalesce(sum("common"), lit(0L))).first().getLong(0)),
       "zipf_winnowing" -> (m =>
         Dedup.winnowingOverlap(zipfCorpus(m), "doc_id", "text",
-            k = 8, window = 8, minShared = 16L)
+            k = 12, window = 8, minShared = 8L)
           .agg(coalesce(sum("common"), lit(0L))).first().getLong(0)),
       // Edit-distance dedup (x97): 24-char replica-prefixed titles keep
       // q-gram namespaces disjoint (the replica tag is inside the first

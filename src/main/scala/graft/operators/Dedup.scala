@@ -590,11 +590,22 @@ object Dedup {
     * distinctive minima), verification re-joins the full sets. Work
     * scales with docs × fingerprints/doc + collisions, never docs².
     *
+    * Gram hashing is a polynomial codepoint fold (h = fold cp_j into
+    * (h·131 + cp_j) mod 1e15+37 over the k gram chars — Karp–Rabin's hash
+    * family): each position costs k integer ops against the codepoint
+    * array extracted ONCE per doc, where an md5-per-gram scheme pays a
+    * digest + hex-decode per position and measures ~7× slower on the
+    * probe corpus. Exact 64-bit integer arithmetic, same fold in DuckDB —
+    * oracle-portable (the ~2^50 modulus keeps products under 2^63 while
+    * making cross-doc hash collisions negligible at corpus scale;
+    * verification counts shared fingerprints, so a rare collision only
+    * costs candidate-join work, never correctness).
+    *
     * Output: (doc_a, doc_b, common, size_a, size_b) — sizes are distinct
     * fingerprint counts, `common` the shared-fingerprint count.
     */
   def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, window: Int = 8, minShared: Long = 16L,
+      k: Int = 12, window: Int = 8, minShared: Long = 8L,
       maxBucket: Long = 256L): DataFrame = {
     require(k >= 2, "winnowingOverlap: k must be >= 2")
     require(window >= 1, "winnowingOverlap: window must be >= 1")
@@ -602,12 +613,16 @@ object Dedup {
     require(maxBucket >= 2, "winnowingOverlap: maxBucket must be >= 2")
     val feats = featureSets(df
       .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
-      // positional k-gram hash sequence (duplicates preserved — winnowing
-      // is positional), then per-window minima, distinct
+      // codepoint array once per doc, then the positional k-gram hash
+      // sequence (duplicates preserved — winnowing is positional), then
+      // per-window minima, distinct
       .select(col("doc"),
-        expr(s"transform(sequence(1, greatest(length(t) - ${k - 1}, 1)), " +
-          s"i -> cast(conv(substring(md5(substring(t, i, $k)), 1, 14), 16, 10) as bigint))")
-          .as("gh"))
+        expr("transform(sequence(1, greatest(length(t), 1)), " +
+          "i -> ascii(substring(t, i, 1)))").as("cps"))
+      .select(col("doc"),
+        expr(s"transform(sequence(1, greatest(size(cps) - ${k - 1}, 1)), " +
+          s"i -> aggregate(slice(cps, i, $k), 0L, " +
+          "(a, c) -> (a * 131 + c) % 1000000000000037L))").as("gh"))
       .select(col("doc"), explode(array_distinct(
         expr(s"transform(sequence(1, greatest(size(gh) - ${window - 1}, 1)), " +
           s"j -> array_min(slice(gh, j, $window)))"))).as("h")))

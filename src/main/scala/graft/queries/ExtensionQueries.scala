@@ -3665,12 +3665,16 @@ object ExtensionQueries {
     // inverted-index candidate discipline as x05/x95.
     QueryDef("x125_winnowing",
       (s, d) => Dedup.winnowingOverlap(tbl(s, d, "documents"), "doc_id",
-          "text", k = 8, window = 8, minShared = 16L)
+          "text", k = 12, window = 8, minShared = 8L)
         .orderBy("doc_a", "doc_b"),
       Some(s"""WITH base AS (SELECT doc_id AS doc, lower(text) AS t FROM documents),
+             |cp AS (SELECT doc, list_transform(
+             |    range(1, greatest(length(t), 1) + 1),
+             |    i -> ascii(substr(t, i, 1))::BIGINT) AS cps FROM base),
              |gh AS (SELECT doc, list_transform(
-             |    range(1, greatest(length(t) - 7, 1) + 1),
-             |    i -> ${dkHash56("substr(t, i, 8)")}) AS gh FROM base),
+             |    range(1, greatest(len(cps) - 11, 1) + 1),
+             |    i -> list_reduce(list_prepend(0::BIGINT, cps[i:i+11]),
+             |      (a, c) -> (a * 131 + c) % 1000000000000037)) AS gh FROM cp),
              |fp AS (SELECT doc, unnest(list_distinct(list_transform(
              |    range(1, greatest(len(gh) - 7, 1) + 1),
              |    j -> list_min(gh[j:j+7])))) AS h FROM gh),
@@ -3688,7 +3692,7 @@ object ExtensionQueries {
              |  sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b
              |FROM com JOIN sizes sa ON com.doc_a = sa.doc
              |JOIN sizes sb ON com.doc_b = sb.doc
-             |WHERE common >= 16 ORDER BY doc_a, doc_b""".stripMargin)),
+             |WHERE common >= 8 ORDER BY doc_a, doc_b""".stripMargin)),
 
     // URL/domain curation (x126): registrable-domain extraction
     // (public-suffix core: last 2 labels, or 3 under a listed multi-label
