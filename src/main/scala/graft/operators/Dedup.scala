@@ -606,26 +606,37 @@ object Dedup {
     */
   def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, window: Int = 8, minShared: Long = 8L,
-      maxBucket: Long = 256L): DataFrame = {
+      maxBucket: Long = 256L, nativeExpr: Boolean = false): DataFrame = {
     require(k >= 2, "winnowingOverlap: k must be >= 2")
     require(window >= 1, "winnowingOverlap: window must be >= 1")
     require(minShared >= 1, "winnowingOverlap: minShared must be >= 1")
     require(maxBucket >= 2, "winnowingOverlap: maxBucket must be >= 2")
-    val feats = featureSets(df
-      .select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
-      // codepoint array once per doc, then the positional k-gram hash
-      // sequence (duplicates preserved — winnowing is positional), then
-      // per-window minima, distinct
-      .select(col("doc"),
-        expr("transform(sequence(1, greatest(length(t), 1)), " +
-          "i -> ascii(substring(t, i, 1)))").as("cps"))
-      .select(col("doc"),
-        expr(s"transform(sequence(1, greatest(size(cps) - ${k - 1}, 1)), " +
-          s"i -> aggregate(slice(cps, i, $k), 0L, " +
-          "(a, c) -> (a * 131 + c) % 1000000000000037L))").as("gh"))
-      .select(col("doc"), explode(array_distinct(
-        expr(s"transform(sequence(1, greatest(size(gh) - ${window - 1}, 1)), " +
-          s"j -> array_min(slice(gh, j, $window)))"))).as("h")))
+    val base = df.select(col(idCol).as("doc"), lower(col(textCol)).as("t"))
+    // `nativeExpr = true` routes the extraction through the fused
+    // graft_winnow Catalyst expression (value-identical by construction —
+    // see functions.WinnowFingerprints; requires GraftExtensions): the
+    // declarative form below is three nested higher-order functions, and
+    // Spark HOFs run interpreted outside whole-stage codegen, so on long
+    // documents the map side is lambda-dispatch-bound.
+    val fps =
+      if (nativeExpr)
+        base.select(col("doc"), explode(call_function("graft_winnow",
+          col("t"), lit(k), lit(window))).as("h"))
+      else base
+        // codepoint array once per doc, then the positional k-gram hash
+        // sequence (duplicates preserved — winnowing is positional), then
+        // per-window minima, distinct
+        .select(col("doc"),
+          expr("transform(sequence(1, greatest(length(t), 1)), " +
+            "i -> ascii(substring(t, i, 1)))").as("cps"))
+        .select(col("doc"),
+          expr(s"transform(sequence(1, greatest(size(cps) - ${k - 1}, 1)), " +
+            s"i -> aggregate(slice(cps, i, $k), 0L, " +
+            "(a, c) -> (a * 131 + c) % 1000000000000037L))").as("gh"))
+        .select(col("doc"), explode(array_distinct(
+          expr(s"transform(sequence(1, greatest(size(gh) - ${window - 1}, 1)), " +
+            s"j -> array_min(slice(gh, j, $window)))"))).as("h"))
+    val feats = featureSets(fps)
     val candidates = guardedCandidates(feats, maxBucket)
     candidates
       .join(feats.as("fa"), col("doc_a") === col("fa.doc"))

@@ -198,6 +198,39 @@ object ExtensionQueries {
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
   }
 
+  /** DuckDB twin of Dedup.winnowingOverlap at the x125 parameters
+    * (k=12, window=8, minShared=8, maxBucket=256) — shared by the
+    * declarative (x125) and fused-native-Expression (x125b) queries,
+    * whose fingerprints are value-identical by construction.
+    */
+  private lazy val winnowOracle: String =
+    s"""WITH base AS (SELECT doc_id AS doc, lower(text) AS t FROM documents),
+       |cp AS (SELECT doc, list_transform(
+       |    range(1, greatest(length(t), 1) + 1),
+       |    i -> ascii(substr(t, i, 1))::BIGINT) AS cps FROM base),
+       |gh AS (SELECT doc, list_transform(
+       |    range(1, greatest(len(cps) - 11, 1) + 1),
+       |    i -> list_reduce(list_prepend(0::BIGINT, cps[i:i+11]),
+       |      (a, c) -> (a * 131 + c) % 1000000000000037)) AS gh FROM cp),
+       |fp AS (SELECT doc, unnest(list_distinct(list_transform(
+       |    range(1, greatest(len(gh) - 7, 1) + 1),
+       |    j -> list_min(gh[j:j+7])))) AS h FROM gh),
+       |sizes AS (SELECT doc, count(*) AS sz FROM fp GROUP BY 1),
+       |hc AS (SELECT h, count(*) AS c FROM fp GROUP BY 1),
+       |hk AS (SELECT fp.doc, fp.h FROM fp JOIN hc USING (h)
+       |  WHERE hc.c <= 256),
+       |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
+       |  FROM hk l JOIN hk r ON l.h = r.h AND l.doc < r.doc),
+       |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
+       |  FROM cand c JOIN fp fa ON c.doc_a = fa.doc
+       |  JOIN fp fb ON c.doc_b = fb.doc AND fa.h = fb.h
+       |  GROUP BY 1, 2)
+       |SELECT com.doc_a, com.doc_b, common::BIGINT AS common,
+       |  sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b
+       |FROM com JOIN sizes sa ON com.doc_a = sa.doc
+       |JOIN sizes sb ON com.doc_b = sb.doc
+       |WHERE common >= 8 ORDER BY doc_a, doc_b""".stripMargin
+
   /** DuckDB twins of the Spark sequential double folds (aggregate over
     * zip_with): dot product and squared L2 — same left-to-right index
     * order, bit-identical IEEE-754.
@@ -3667,32 +3700,19 @@ object ExtensionQueries {
       (s, d) => Dedup.winnowingOverlap(tbl(s, d, "documents"), "doc_id",
           "text", k = 12, window = 8, minShared = 8L)
         .orderBy("doc_a", "doc_b"),
-      Some(s"""WITH base AS (SELECT doc_id AS doc, lower(text) AS t FROM documents),
-             |cp AS (SELECT doc, list_transform(
-             |    range(1, greatest(length(t), 1) + 1),
-             |    i -> ascii(substr(t, i, 1))::BIGINT) AS cps FROM base),
-             |gh AS (SELECT doc, list_transform(
-             |    range(1, greatest(len(cps) - 11, 1) + 1),
-             |    i -> list_reduce(list_prepend(0::BIGINT, cps[i:i+11]),
-             |      (a, c) -> (a * 131 + c) % 1000000000000037)) AS gh FROM cp),
-             |fp AS (SELECT doc, unnest(list_distinct(list_transform(
-             |    range(1, greatest(len(gh) - 7, 1) + 1),
-             |    j -> list_min(gh[j:j+7])))) AS h FROM gh),
-             |sizes AS (SELECT doc, count(*) AS sz FROM fp GROUP BY 1),
-             |hc AS (SELECT h, count(*) AS c FROM fp GROUP BY 1),
-             |hk AS (SELECT fp.doc, fp.h FROM fp JOIN hc USING (h)
-             |  WHERE hc.c <= 256),
-             |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
-             |  FROM hk l JOIN hk r ON l.h = r.h AND l.doc < r.doc),
-             |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
-             |  FROM cand c JOIN fp fa ON c.doc_a = fa.doc
-             |  JOIN fp fb ON c.doc_b = fb.doc AND fa.h = fb.h
-             |  GROUP BY 1, 2)
-             |SELECT com.doc_a, com.doc_b, common::BIGINT AS common,
-             |  sa.sz::BIGINT AS size_a, sb.sz::BIGINT AS size_b
-             |FROM com JOIN sizes sa ON com.doc_a = sa.doc
-             |JOIN sizes sb ON com.doc_b = sb.doc
-             |WHERE common >= 8 ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(winnowOracle)),
+
+    // The fused-native-Expression twin of x125 (graft_winnow, registered
+    // via SparkSessionExtensions — the x07b pattern): value-identical
+    // fingerprints from ONE primitive JIT'd loop per document instead of
+    // three nested interpreted higher-order functions, so the map side
+    // leaves lambda dispatch for whole-stage codegen. Same oracle — the
+    // equivalence is pinned by OperatorSpec too.
+    QueryDef("x125b_winnowing_native",
+      (s, d) => Dedup.winnowingOverlap(tbl(s, d, "documents"), "doc_id",
+          "text", k = 12, window = 8, minShared = 8L, nativeExpr = true)
+        .orderBy("doc_a", "doc_b"),
+      Some(winnowOracle)),
 
     // URL/domain curation (x126): registrable-domain extraction
     // (public-suffix core: last 2 labels, or 3 under a listed multi-label

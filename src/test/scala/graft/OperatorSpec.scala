@@ -196,6 +196,14 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(0).getLong(2) should be >= 20L
   }
 
+  test("winnowing native expression matches the declarative pipeline bit for bit") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    def run(native: Boolean) = Dedup.winnowingOverlap(corpus, "doc_id", "text",
+        k = 12, window = 8, minShared = 2L, nativeExpr = native)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    run(false) shouldBe run(true)
+  }
+
   test("pq adc top-k: neighbors stay within the planted prototype family") {
     import spark.implicits._
     // 24 vectors = 4 well-separated prototypes + tiny deterministic noise;
