@@ -40,6 +40,7 @@ object ScaleProbe {
       .config("spark.driver.host", "127.0.0.1")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -112,6 +113,33 @@ object ScaleProbe {
     }
     def zipfBoiler(m: Int): DataFrame =
       spark.read.parquet(zipfBoilerDirs.take(m): _*)
+
+    // Cipher replicas for CHAR-GRAM operators (winnowing): the token-prefix
+    // scheme is the WRONG construction there — inserting the same "rN_"
+    // glue between every pair of words plants an identical 3-char sequence
+    // at every token boundary, and 12-char grams spanning boundaries all
+    // collide corpus-wide (measured: 20× the raw-corpus wall-clock, a
+    // corpus artifact, not the operator). A per-replica alphabet ROTATION
+    // (translate a→(a+r) mod 26) keeps every doc's length, token shape and
+    // bucket-size distribution identical while making cross-replica gram
+    // namespaces disjoint — any gram containing a letter differs between
+    // replicas. zh docs are excluded: ideographs are outside the cipher
+    // alphabet, so untranslated zh text would replicate verbatim and
+    // manufacture cross-replica near-dup clusters (m²/2 pairs per doc).
+    lazy val cipherDirs: IndexedSeq[String] = {
+      val from = "abcdefghijklmnopqrstuvwxyz"
+      (0 until maxMult).map { r =>
+        val dir = s"$stageRoot/cipher/r$r"
+        val to = from.drop(r % 26) + from.take(r % 26)
+        docs.filter(col("lang") =!= "zh")
+          .select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
+            translate(lower(col("text")), from, to).as("text"))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
+    }
+    def cipherCorpus(m: Int): DataFrame =
+      spark.read.parquet(cipherDirs.take(m): _*)
 
     // Staged outside the timed section (a parquet write inside an op would
     // bill staging to the operator): per-multiplier synthetic event files
@@ -398,13 +426,16 @@ object ScaleProbe {
       // the window-min selection stays map-side and the guarded
       // fingerprint join never goes corpus². The zipf twin measures the
       // shared-vocabulary flood with the maxBucket guard on.
+      // Probed through the fused native expression (the production path,
+      // x125b): the declarative HOF form measures the same exponents —
+      // the dataflow beyond extraction is identical — at ~4x the constant.
       "winnowing" -> (m =>
-        Dedup.winnowingOverlap(corpus(m), "doc_id", "text",
-            k = 12, window = 8, minShared = 8L)
+        Dedup.winnowingOverlap(cipherCorpus(m), "doc_id", "text",
+            k = 12, window = 8, minShared = 8L, nativeExpr = true)
           .agg(coalesce(sum("common"), lit(0L))).first().getLong(0)),
       "zipf_winnowing" -> (m =>
         Dedup.winnowingOverlap(zipfCorpus(m), "doc_id", "text",
-            k = 12, window = 8, minShared = 8L)
+            k = 12, window = 8, minShared = 8L, nativeExpr = true)
           .agg(coalesce(sum("common"), lit(0L))).first().getLong(0)),
       // Edit-distance dedup (x97): 24-char replica-prefixed titles keep
       // q-gram namespaces disjoint (the replica tag is inside the first

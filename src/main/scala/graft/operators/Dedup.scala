@@ -606,7 +606,7 @@ object Dedup {
     */
   def winnowingOverlap(df: DataFrame, idCol: String, textCol: String,
       k: Int = 12, window: Int = 8, minShared: Long = 8L,
-      maxBucket: Long = 256L, nativeExpr: Boolean = false): DataFrame = {
+      maxBucket: Long = 64L, nativeExpr: Boolean = false): DataFrame = {
     require(k >= 2, "winnowingOverlap: k must be >= 2")
     require(window >= 1, "winnowingOverlap: window must be >= 1")
     require(minShared >= 1, "winnowingOverlap: minShared must be >= 1")

@@ -199,7 +199,7 @@ object ExtensionQueries {
   }
 
   /** DuckDB twin of Dedup.winnowingOverlap at the x125 parameters
-    * (k=12, window=8, minShared=8, maxBucket=256) — shared by the
+    * (k=12, window=8, minShared=8, maxBucket=64) — shared by the
     * declarative (x125) and fused-native-Expression (x125b) queries,
     * whose fingerprints are value-identical by construction.
     */
@@ -218,7 +218,7 @@ object ExtensionQueries {
        |sizes AS (SELECT doc, count(*) AS sz FROM fp GROUP BY 1),
        |hc AS (SELECT h, count(*) AS c FROM fp GROUP BY 1),
        |hk AS (SELECT fp.doc, fp.h FROM fp JOIN hc USING (h)
-       |  WHERE hc.c <= 256),
+       |  WHERE hc.c <= 64),
        |cand AS (SELECT DISTINCT l.doc AS doc_a, r.doc AS doc_b
        |  FROM hk l JOIN hk r ON l.h = r.h AND l.doc < r.doc),
        |com AS (SELECT c.doc_a, c.doc_b, count(*) AS common
