@@ -417,6 +417,41 @@ class PlanSpec extends SparkSpec with Matchers {
     plan.toLowerCase should include("partial_avg")
   }
 
+  test("x126 domain curation is map-only plus one window — no joins") {
+    val plan = planOf(q("x126_domain_curation"))
+    (plan should not).include("Join")
+    nodeCount(plan, "Window") shouldBe 1
+  }
+
+  test("x127 compaction plan is one window cumulative sum — no joins") {
+    val plan = planOf(q("x127_compaction_plan"))
+    (plan should not).include("Join")
+    nodeCount(plan, "Window") shouldBe 1
+  }
+
+  test("x128 luhn audit is pure map-side work — no joins, no windows, no aggregates") {
+    val plan = planOf(q("x128_luhn_card_audit"))
+    (plan should not).include("Join")
+    (plan should not).include("Window")
+    (plan should not).include("HashAggregate")
+  }
+
+  test("x130 PQ trains/encodes/scores through broadcast joins — no sort-merge") {
+    val plan = planOf(q("x130_pq_adc_topk"))
+    (plan should not).include("SortMergeJoin")
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("x125b routes extraction through the fused native expression") {
+    val df = q("x125b_winnowing_native")
+    df.collect() // AQE reveals codegen stages only in the executed final plan
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("graft_winnow")
+    plan should include("*(") // WholeStageCodegen stage markers
+    // the declarative HOF chain is gone
+    (plan should not).include("aggregate(slice")
+  }
+
   test("b28 exists/not-exists pair becomes one semi and one anti join, no per-row re-scan") {
     val plan = planOf(q("b28_tpch_q21"))
     (plan should not).include("CartesianProduct")
