@@ -354,15 +354,21 @@ object Curation {
     * source). Map-only: a bounded explode, no shuffle.
     */
   def fractionalEpochs(df: DataFrame, idCol: String, stratumCol: String,
-      weightsX100: Map[String, Int], defaultX100: Int = 100): DataFrame = {
+      weightsX100: Map[String, Int], defaultX100: Int = 100,
+      salt: String = ""): DataFrame = {
     require((weightsX100.values ++ Seq(defaultX100)).forall(_ >= 0),
       "fractionalEpochs: weights must be >= 0")
     val w = weightsX100.foldLeft(lit(defaultX100)) { case (acc, (k, v)) =>
       when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
+    // `salt` varies WHICH hash slice receives the fractional extra copy
+    // (curriculum schedules salt per epoch so the same docs aren't always
+    // the repeated ones); "" reproduces the unsalted x99 slice exactly
+    // (concat with the empty string is identity).
     df.withColumn("__w", w)
       .withColumn("__extra",
-        (hash56(col(idCol).cast("string")) % 100 < col("__w") % 100).cast("int"))
+        (hash56(concat(lit(salt), col(idCol).cast("string"))) % 100
+          < col("__w") % 100).cast("int"))
       .withColumn("copy", explode(expr(
         "CASE WHEN div(__w, 100) + __extra >= 1 " +
           "THEN sequence(CAST(1 AS BIGINT), CAST(div(__w, 100) + __extra AS BIGINT)) " +

@@ -255,4 +255,32 @@ object Eval {
       .select(col("epoch"), col("shard"), col("pos").cast("long").as("pos"),
         col(idCol))
   }
+
+  /** Curriculum mixture schedule — the multi-epoch composition of
+    * [[graft.operators.Curation.fractionalEpochs]] and [[shardOrder]]
+    * with PER-EPOCH weights: real training runs anneal the mixture
+    * (epoch 1 near-uniform for coverage, later epochs leaning into
+    * curated/high-quality strata; a stratum can anneal to 0 and drop
+    * out), and the whole schedule must replay byte-identically for a
+    * resume or ablation. Each epoch gets its own fractional-extra hash
+    * slice (salted by epoch — the same docs are not always the repeated
+    * ones) and its own shard permutation (seeded by epoch, x116's
+    * property). Scale: per-epoch map-only expansion + one rank window
+    * per (epoch, shard) — no global sort, same as shardOrder.
+    *
+    * `schedule` is one weights-map per epoch (×100 fixed-point, missing
+    * strata get `defaultX100`). Output: (epoch, shard, pos, input cols).
+    */
+  def curriculumMixture(df: DataFrame, idCol: String, stratumCol: String,
+      schedule: Seq[Map[String, Int]], shards: Int,
+      defaultX100: Int = 100, seed: String = "graft"): DataFrame = {
+    require(schedule.nonEmpty, "curriculumMixture: schedule must be non-empty")
+    schedule.zipWithIndex.map { case (weights, i) =>
+      val e = i + 1
+      val mix = Curation.fractionalEpochs(df, idCol, stratumCol, weights,
+        defaultX100, salt = s"$seed-e$e:")
+      shardOrder(mix, idCol, "copy", shards, seed = s"$seed-e$e")
+        .withColumn("epoch", lit(e))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -203,6 +203,49 @@ object EvalQueries {
              |  (row_number() OVER (PARTITION BY shard
              |    ORDER BY key, doc_id, copy))::BIGINT AS pos,
              |  doc_id, lang, copy
-             |FROM s ORDER BY shard, pos""".stripMargin))
+             |FROM s ORDER BY shard, pos""".stripMargin)),
+
+    // Curriculum mixture schedule (x132): x124's mixture replay with
+    // PER-EPOCH weights — epoch 1 uniform for coverage, epoch 2 leaning
+    // into en and away from zh, epoch 3 strongly curated with zh annealed
+    // to 0 (the drop-out path) — each epoch salting its fractional-extra
+    // hash slice and reseeding its shard permutation, so the full
+    // schedule replays byte-identically with no global sort.
+    QueryDef("x132_curriculum_mixture",
+      (s, d) => Eval.curriculumMixture(
+          tbl(s, d, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          schedule = Seq(
+            Map.empty[String, Int],
+            Map("en" -> 150, "zh" -> 50),
+            Map("en" -> 250, "de" -> 120, "zh" -> 0)),
+          shards = 8)
+        .select("epoch", "shard", "pos", "doc_id", "lang", "copy")
+        .orderBy("epoch", "shard", "pos"),
+      Some {
+        def epochSql(e: Int, cases: String) =
+          s"""w$e AS (SELECT doc_id, lang, $cases AS wx,
+             |    CASE WHEN ${dkHash56(s"concat('graft-e$e:', doc_id::VARCHAR)")} % 100 <
+             |      ($cases) % 100 THEN 1 ELSE 0 END AS extra
+             |  FROM documents),
+             |m$e AS (SELECT doc_id, lang,
+             |    unnest(range(1, wx // 100 + extra + 1)) AS copy
+             |  FROM w$e WHERE wx // 100 + extra >= 1),
+             |k$e AS (SELECT doc_id, lang, copy,
+             |    ${dkHash56(s"concat_ws(':', 'graft-e$e', copy::VARCHAR, doc_id::VARCHAR)")} AS key
+             |  FROM m$e),
+             |s$e AS (SELECT $e AS epoch,
+             |    ((key * 8) // ${1L << 56})::INT AS shard,
+             |    (row_number() OVER (PARTITION BY ((key * 8) // ${1L << 56})
+             |      ORDER BY key, doc_id, copy))::BIGINT AS pos,
+             |    doc_id, lang, copy
+             |  FROM k$e)""".stripMargin
+        s"""WITH ${epochSql(1, "100")},
+           |${epochSql(2, "(CASE lang WHEN 'en' THEN 150 WHEN 'zh' THEN 50 ELSE 100 END)")},
+           |${epochSql(3, "(CASE lang WHEN 'en' THEN 250 WHEN 'de' THEN 120 WHEN 'zh' THEN 0 ELSE 100 END)")}
+           |SELECT * FROM (SELECT * FROM s1 UNION ALL
+           |  SELECT * FROM s2 UNION ALL SELECT * FROM s3)
+           |ORDER BY epoch, shard, pos""".stripMargin
+      })
   )
 }

@@ -79,6 +79,25 @@ class CompositionSpec extends SparkSpec with Matchers {
     out(3L) shouldBe ((false, false)) // clean stays clean
   }
 
+  test("x132 curriculum: anneal-to-zero drops the stratum, epochs permute independently") {
+    val rows = SparkEntry.queries("x132_curriculum_mixture")(spark, sfDir)
+      .collect().map(r => (r.getAs[Int]("epoch"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("lang"), r.getAs[Long]("copy")))
+    // epoch 3 anneals zh to 0 — no zh row survives
+    rows.filter(t => t._1 == 3 && t._5 == "zh") shouldBe empty
+    // epoch 1 is uniform: exactly one copy of every doc
+    val e1 = rows.filter(_._1 == 1)
+    e1.map(_._4).distinct.length shouldBe e1.length
+    // the shard permutation reseeds per epoch: the same (doc, copy) does
+    // not keep its (shard, pos) across epochs (byte-identical replay per
+    // epoch, different order between them)
+    val byEpoch = (1 to 2).map(e =>
+      rows.filter(_._1 == e).map(t => (t._4, t._6) -> (t._2, t._3)).toMap)
+    val common = byEpoch(0).keySet intersect byEpoch(1).keySet
+    common.count(k => byEpoch(0)(k) == byEpoch(1)(k)) should be < (common.size / 2)
+  }
+
   test("x104 recall: IVF recall is bounded by 100 and the harness reports every query") {
     val rows = SparkEntry.queries("x104_ann_recall")(spark, sfDir)
       .collect().map(r => (r.getAs[Long]("query_id"),
