@@ -246,6 +246,28 @@ object EvalQueries {
            |SELECT * FROM (SELECT * FROM s1 UNION ALL
            |  SELECT * FROM s2 UNION ALL SELECT * FROM s3)
            |ORDER BY epoch, shard, pos""".stripMargin
-      })
+      }),
+
+    // Stream-stream LEFT OUTER join (x133): x34's attribution join plus
+    // the rows it cannot produce — views with NO purchase inside the
+    // horizon, provable only once the purchase-side watermark passes
+    // view_ts + horizon (Spark withholds the null-extended row until
+    // then; the sentinel pushes the watermark past every real view so
+    // the bounded drain emits them all). Oracle: the batch left join.
+    QueryDef("x133_stream_outer_join",
+      (s, d) => graft.streaming.StreamOps.streamStreamLeftOuter(s,
+          s"$d/events.parquet", horizon = "1 HOUR",
+          queryName = s"stream_sslo_${System.nanoTime()}")
+        .orderBy(col("v_event"), col("p_event").asc_nulls_first),
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events
+             |    WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts, event_id FROM events
+             |    WHERE event_type = 'purchase')
+             |SELECT v.user_id AS v_user, v.event_id AS v_event,
+             |  epoch_us(v.ts) AS v_t_us, p.event_id AS p_event,
+             |  (epoch_us(p.ts) - epoch_us(v.ts)) AS lag_us
+             |FROM v LEFT JOIN p ON p.user_id = v.user_id
+             |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+             |ORDER BY v_event, p_event NULLS FIRST""".stripMargin))
   )
 }
