@@ -127,10 +127,15 @@ object ScaleProbe {
     // alphabet, so untranslated zh text would replicate verbatim and
     // manufacture cross-replica near-dup clusters (m²/2 pairs per doc).
     lazy val cipherDirs: IndexedSeq[String] = {
+      require(maxMult <= 26,
+        "cipher corpus: rotation alphabet supports at most 26 disjoint " +
+          "replicas — beyond that rotations repeat and replicas become " +
+          "verbatim cross-replica duplicates (the construction's failure " +
+          "mode); cap the multiplier or extend the cipher")
       val from = "abcdefghijklmnopqrstuvwxyz"
       (0 until maxMult).map { r =>
         val dir = s"$stageRoot/cipher/r$r"
-        val to = from.drop(r % 26) + from.take(r % 26)
+        val to = from.drop(r) + from.take(r)
         docs.filter(col("lang") =!= "zh")
           .select((col("doc_id") + lit(r.toLong * 10000000L)).as("doc_id"),
             translate(lower(col("text")), from, to).as("text"))

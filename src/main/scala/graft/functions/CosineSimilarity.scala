@@ -66,15 +66,23 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * `functions.call_function("graft_cosine", a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"$name requires exactly $n arguments, got ${children.length}")
+      build(children)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      arity("graft_cosine", 2)(c => CosineSimilarity(c.head, c(1)))))
     ext.injectFunction((
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
-      (children: Seq[Expression]) =>
-        WinnowFingerprints(children.head, children(1), children(2))))
+      arity("graft_winnow", 3)(c => WinnowFingerprints(c.head, c(1), c(2)))))
   }
 }

@@ -35,6 +35,26 @@ case class WinnowFingerprints(first: Expression, second: Expression,
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_winnow"
 
+  // ExpectsInputTypes is sql-package-private in Spark 4 (see
+  // CosineSimilarity), so input validation is manual: a readable analysis
+  // error instead of a runtime ClassCastException on graft_winnow(t, 12L, 8L)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (first.dataType != org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow: first argument must be STRING, got ${first.dataType.sql}")
+    else if (second.dataType != org.apache.spark.sql.types.IntegerType ||
+        third.dataType != org.apache.spark.sql.types.IntegerType)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_winnow: k and window must be INT literals, got " +
+          s"${second.dataType.sql}, ${third.dataType.sql}")
+    else if (!second.foldable || !third.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "graft_winnow: k and window must be foldable (literals)")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   override def nullSafeEval(t: Any, k: Any, w: Any): Any =
     WinnowFingerprints.compute(t.asInstanceOf[UTF8String],
       k.asInstanceOf[Int], w.asInstanceOf[Int])

@@ -253,8 +253,12 @@ object Curation {
       orderCol: String, multiPartSuffixes: Seq[String],
       blockedDomains: Seq[String], maxPerDomain: Int): DataFrame = {
     require(maxPerDomain >= 1, "domainCurate: maxPerDomain must be >= 1")
+    // authority terminates at '/', '?' or '#': a pathless URL with a
+    // query string must not leak "?utm_source=x" into the domain (and a
+    // crafted "?ref=user@evil.org" must not choose its own domain via
+    // the userinfo strip)
     val host = lower(regexp_extract(
-      regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/]+)", 1),
+      regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/?#]+)", 1),
       "^(?:[^@]*@)?([^:]+)", 1))
     val labels = split(host, "\\.")
     val last2 = concat_ws(".", slice(labels, -2, 2))
@@ -294,13 +298,13 @@ object Curation {
     val t = col(textCol)
     // Luhn mod-10 over lambda var `c` (a digit string), positions counted
     // from the right via reverse()
+    // digit i counted from the RIGHT is substring(c, length(c)-i+1, 1) —
+    // indexing from the left avoids re-reversing the whole string inside
+    // every (interpreted) lambda application
+    val d = "(ascii(substring(c, length(c) - i + 1, 1)) - 48)"
     val luhn = "aggregate(transform(sequence(1, length(c)), i -> " +
-      "CASE WHEN i % 2 = 0 THEN " +
-      "if((ascii(substring(reverse(c), i, 1)) - 48) * 2 > 9, " +
-      "(ascii(substring(reverse(c), i, 1)) - 48) * 2 - 9, " +
-      "(ascii(substring(reverse(c), i, 1)) - 48) * 2) " +
-      "ELSE ascii(substring(reverse(c), i, 1)) - 48 END), 0, " +
-      "(a, x) -> a + x) % 10 = 0"
+      s"CASE WHEN i % 2 = 0 THEN if($d * 2 > 9, $d * 2 - 9, $d * 2) " +
+      s"ELSE $d END), 0, (a, x) -> a + x) % 10 = 0"
     df.select(col(idCol), t.as("__t"))
       // Column-API extract: the regex constant stays single-backslash and
       // serves the DuckDB oracle interpolation unchanged
@@ -309,7 +313,11 @@ object Curation {
       .select(col(idCol),
         size(col("__cands")).cast("long").as("card_candidates"),
         size(col("__valid")).cast("long").as("cards_valid"),
-        expr("aggregate(__valid, __t, (acc, c) -> replace(acc, c, '<CARD>'))")
+        // boundary-anchored replace: a verified card embedded inside a
+        // LONGER benign digit run must not be masked (candidates are
+        // digit-only, so the dynamic pattern needs no quoting)
+        expr("""aggregate(__valid, __t, (acc, c) ->
+            regexp_replace(acc, concat('\\b', c, '\\b'), '<CARD>'))""")
           .as("redacted"))
   }
 

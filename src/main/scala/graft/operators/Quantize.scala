@@ -203,15 +203,11 @@ object Quantize {
       .agg(min_by(col("cid"), struct(col("d2"), col("cid"))).as("cell"),
         first(col("sv")).as("sv"))
     for (_ <- 1 to trainIterations) {
-      val sums = assign(csubs)
-        .select(col("sub"), col("cell"), posexplode(col("sv")))
-        .groupBy("sub", "cell", "pos")
-        .agg(sum(floor(col("col") * PqScale)).as("s"), count(lit(1)).as("n"))
-      val next = sums.groupBy(col("sub"), col("cell").as("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-          e => e.getField("s").cast("double") /
-            (e.getField("n") * PqScale).cast("double")).as("centroid"))
+      // the subtle fixed-point mean lives in ONE place —
+      // Similarity.fixedPointCentroids (same 2^20 scale, extra sub key)
+      val next = Similarity.fixedPointCentroids(assign(csubs), "sv",
+          Seq("sub", "cell"))
+        .withColumnRenamed("cell", "cid")
       // materialize per iteration — same rationale as trainCodebook: the
       // codebook is subspaces × codebookSize × sd doubles, and a lazy
       // plan would nest one corpus pass per iteration into every consumer

@@ -108,7 +108,27 @@ object Similarity {
     * floating-point sum. That is what makes the trained codebook
     * bit-reproducible (and therefore oracle-checkable offline).
     */
-  private val KMeansScale = 1L << 20
+  private[operators] val KMeansScale = 1L << 20
+
+  /** The fixed-point centroid mean update shared by [[trainCodebook]] and
+    * Quantize.pqTopK's per-subspace trainer: posexplode members into
+    * (keys..., pos, x), sum floor(x·2^20) longs per (keys, pos) — exact,
+    * merge-order-independent — and reassemble position-sorted centroid
+    * arrays per `keys`. `assigned` must carry `keys` plus the member
+    * vector in `vecCol`; the last key is the cell id.
+    */
+  private[operators] def fixedPointCentroids(assigned: DataFrame,
+      vecCol: String, keys: Seq[String]): DataFrame = {
+    val sums = assigned
+      .select(keys.map(col) :+ posexplode(col(vecCol)): _*)
+      .groupBy((keys :+ "pos").map(col): _*)
+      .agg(sum(floor(col("col") * KMeansScale)).as("s"), count(lit(1)).as("n"))
+    sums.groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        e => e.getField("s").cast("double") /
+          (e.getField("n") * KMeansScale).cast("double")).as("centroid"))
+  }
 
   /** Deterministic Lloyd k-means codebook trainer for IVF.
     *
@@ -140,16 +160,8 @@ object Similarity {
         .groupBy("vid")
         .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cell"),
           first(col("v")).as("v"))
-      val componentSums = assigned
-        .select(col("cell"), posexplode(col("v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(floor(col("col") * KMeansScale)).as("s"), count(lit(1)).as("n"))
-      val next = componentSums
-        .groupBy(col("cell").as("cid"))
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
-          e => e.getField("s").cast("double") /
-            (e.getField("n") * KMeansScale).cast("double")).as("centroid"))
+      val next = fixedPointCentroids(assigned, "v", Seq("cell"))
+        .withColumnRenamed("cell", "cid")
       // Materialize each iteration: the codebook is nlist × dim doubles, so
       // collect it to a LocalRelation. Without this, `codebook` is a lazy
       // plan that nests one full corpus-scan assignment subtree PER

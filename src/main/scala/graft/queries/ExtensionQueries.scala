@@ -3752,7 +3752,7 @@ object ExtensionQueries {
              |  FROM documents),
              |d AS (SELECT doc_id, url, n_chars, string_split(
              |    lower(regexp_extract(regexp_extract(url,
-             |      '^[a-zA-Z]+://([^/]+)', 1), '^(?:[^@]*@)?([^:]+)', 1)),
+             |      '^[a-zA-Z]+://([^/?#]+)', 1), '^(?:[^@]*@)?([^:]+)', 1)),
              |    '.') AS labels FROM u),
              |dom AS (SELECT doc_id AS doc, url, n_chars,
              |    CASE WHEN len(labels) <= 2 THEN array_to_string(labels, '.')
@@ -3843,7 +3843,8 @@ object ExtensionQueries {
              |SELECT doc_id, len(cands)::BIGINT AS card_candidates,
              |  len(valid)::BIGINT AS cards_valid,
              |  list_reduce(list_prepend(text, valid),
-             |    (acc, cc) -> replace(acc, cc, '<CARD>')) AS redacted
+             |    (acc, cc) -> regexp_replace(acc, '\\b' || cc || '\\b',
+             |      '<CARD>', 'g')) AS redacted
              |FROM v ORDER BY doc_id""".stripMargin)),
 
     // transformWithState event-type discovery (x129, Spark 4 state v2 +

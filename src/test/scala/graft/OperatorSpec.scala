@@ -234,16 +234,20 @@ class OperatorSpec extends SparkSpec with Matchers {
       (2L, "fake 4532015112830367 here"),        // off-by-one: fails Luhn
       (3L, "order 123456789012 shipped"),        // 12 digits: not a candidate
       (4L, "amex-length 371449635398431 ok"),    // valid 15-digit
-      (5L, "no digits at all"))
+      (5L, "no digits at all"),
+      // a benign 17-digit id CONTAINING the valid card as a substring:
+      // boundary-anchored redaction must leave it untouched
+      (6L, "ref 94532015112830366 pay 4532015112830366"))
       .toDF("doc_id", "text")
     val out = Curation.luhnCardAudit(rows, "doc_id", "text")
       .orderBy("doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
     out.map(t => (t._2, t._3)).toSeq shouldBe
-      Seq((1L, 1L), (1L, 0L), (0L, 0L), (1L, 1L), (0L, 0L))
+      Seq((1L, 1L), (1L, 0L), (0L, 0L), (1L, 1L), (0L, 0L), (2L, 1L))
     out(0)._4 shouldBe "pay <CARD> now"
     out(1)._4 shouldBe "fake 4532015112830367 here" // invalid left untouched
     out(3)._4 shouldBe "amex-length <CARD> ok"
+    out(5)._4 shouldBe "ref 94532015112830366 pay <CARD>"
   }
 
   test("compaction plan: stripe assignment packs to target, giant files are never split") {
@@ -274,7 +278,11 @@ class OperatorSpec extends SparkSpec with Matchers {
       (4L, "https://acme.com/d", 60L),           // plain 2-label domain
       (5L, "http://localhost/e", 50L),           // 1-label host stays whole
       (6L, "https://evil.org/f", 99L),           // blocklisted
-      (7L, "https://sub.deep.acme.com/g", 40L))  // >3 labels -> last 2
+      (7L, "https://sub.deep.acme.com/g", 40L),  // >3 labels -> last 2
+      // pathless URL with a query string: authority must stop at '?' —
+      // and the '@' inside the query must NOT be read as userinfo
+      // (a crafted ?ref=user@evil.org would otherwise choose its domain)
+      (8L, "https://acme.com?ref=user@evil.org", 30L))
       .toDF("doc_id", "url", "quality")
     val out = Curation.domainCurate(rows, "doc_id", "url", "quality",
         multiPartSuffixes = Seq("co.uk"), blockedDomains = Seq("evil.org"),
@@ -283,7 +291,7 @@ class OperatorSpec extends SparkSpec with Matchers {
       .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3),
         r.getLong(4), r.getBoolean(5)))
     out.map(_._2).toSeq shouldBe Seq("acme.co.uk", "acme.co.uk", "acme.co.uk",
-      "acme.com", "localhost", "evil.org", "acme.com")
+      "acme.com", "localhost", "evil.org", "acme.com", "acme.com")
     // acme.co.uk has 3 docs ranked by quality desc (1, 2, 3) — cap 2 drops doc 3
     out.filter(_._2 == "acme.co.uk").map(t => (t._1, t._4, t._5)).toSeq shouldBe
       Seq((1L, 1L, true), (2L, 2L, true), (3L, 3L, false))
