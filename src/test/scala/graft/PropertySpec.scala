@@ -31,6 +31,29 @@ class PropertySpec extends SparkSpec with Matchers {
     }
   }
 
+  test("property: winnowing guarantee — any shared span of w+k-1 chars yields a shared fingerprint") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = 12; val w = 8
+    def fps(s: String): Set[Long] = {
+      val a = graft.functions.WinnowFingerprints.compute(
+        UTF8String.fromString(s), k, w)
+      (0 until a.numElements()).map(a.getLong).toSet
+    }
+    val letters = Gen.listOfN(40, Gen.alphaLowerChar).map(_.mkString)
+    val span = Gen.choose(k + w - 1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    samples(Gen.zip(span, letters, letters), 100).foreach {
+      case (shared, pre, post) =>
+        // the MOSS theorem: the shared span contributes at least one
+        // identical fingerprint to both docs regardless of its offset
+        val a = fps(pre + shared + post.take(7))
+        val b = fps(post + pre.take(13) + shared)
+        withClue(s"span='$shared' ") {
+          (a intersect b) should not be empty
+        }
+    }
+  }
+
   test("property: full-jitter backoff is within [0, min(max, base*2^attempt)]") {
     samples(Gen.zip(Gen.chooseNum(1, 20), Gen.chooseNum(0.01, 1.0),
       Gen.chooseNum(0.1, 10.0)), 200).foreach { case (attempt, base, max) =>
