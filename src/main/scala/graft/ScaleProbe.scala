@@ -330,6 +330,50 @@ object ScaleProbe {
         Quantize.ivfDotTopK(grown.filter(col("vec_id") < 10), grown,
           "vec_id", "embedding", k = 5, nlist = 64, nprobe = 4).count()
       },
+      // Domain curation (x126): domains scale with m at ~20 docs/domain
+      // constant — extraction/blocklist are map-side, and the one
+      // domain-keyed window's partition width never grows.
+      "domain_curation" -> { m =>
+        val n = 200000L * m; val domains = n / 20L
+        val urls = spark.range(n).select(col("id").as("doc_id"),
+          (col("id") * 31L % 1000L).as("quality"),
+          concat(lit("https://www.d"), (col("id") % domains).cast("string"),
+            lit(".example.com/p/"), col("id")).as("url"))
+        Curation.domainCurate(urls, "doc_id", "url", "quality",
+            multiPartSuffixes = Seq("co.uk"),
+            blockedDomains = Seq("d7.example.com"), maxPerDomain = 10)
+          .agg(sum(when(col("keep"), 1L).otherwise(0L))).first().getLong(0)
+      },
+      // Compaction planner (x127): partitions scale with m at 100 files
+      // each — the per-partition cumulative-sum window width stays
+      // constant, so only the scan and the shuffle grow.
+      "compaction_plan" -> { m =>
+        val parts = 1000L * m
+        val files = spark.range(parts * 100).select(
+          (col("id") % parts).as("part"), col("id").as("file"),
+          ((col("id") * 97L) % 100000L + 1000L).as("bytes"))
+        Layout.compactionPlan(files, "part", "file", "bytes",
+            targetBytes = 1000000L)
+          .agg(max("group_id")).first().getLong(0)
+      },
+      // Luhn card audit (x128): pure map-side transform/aggregate over
+      // the corpus text — the exponent certifies no hidden shuffle. The
+      // sum forces the redaction projection (count() would prune it).
+      "luhn_audit" -> (m =>
+        Curation.luhnCardAudit(corpus(m), "doc_id", "text")
+          .agg(sum(length(col("redacted")))).first().getLong(0)),
+      // Curriculum mixture (x132): corpus ×m, 3 fixed epochs, shards
+      // scaling with m so per-(epoch, shard) rank windows stay constant
+      // width — the replay artifact must scale like epoch_shuffle.
+      "curriculum_mixture" -> (m =>
+        Eval.curriculumMixture(
+            corpus(m).select(col("doc_id"),
+              (col("doc_id") % 5).cast("string").as("stratum")),
+            "doc_id", "stratum",
+            schedule = Seq(Map.empty[String, Int], Map("1" -> 150, "3" -> 50),
+              Map("1" -> 250, "3" -> 0)),
+            shards = math.min(8 * m, 64))
+          .agg(sum("pos")).first().getLong(0)),
       // PQ/ADC ANN (x130): fixed queries and a fixed 8×8 codebook — the
       // LUT is constant-size, training/encoding are broadcast joins, and
       // scored candidates are queries × corpus — strictly linear like the
