@@ -268,6 +268,35 @@ object EvalQueries {
              |  (epoch_us(p.ts) - epoch_us(v.ts)) AS lag_us
              |FROM v LEFT JOIN p ON p.user_id = v.user_id
              |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
-             |ORDER BY v_event, p_event NULLS FIRST""".stripMargin))
+             |ORDER BY v_event, p_event NULLS FIRST""".stripMargin)),
+
+    // Timer-based sessionization (x134, state v2 event-time timers on
+    // RocksDB): the same 4-hour-gap sessions as x15's session_window,
+    // through the canonical timer mechanism — buffer per-user events in
+    // ListState, arm a timer at (latest event + gap), and when the
+    // watermark passes it emit every provably-closed session and re-arm
+    // for the open tail. Session boundaries depend only on event times,
+    // so the emitted set equals the batch gap-split (the oracle) however
+    // the files batch.
+    QueryDef("x134_stream_session_timers",
+      (s, d) => graft.streaming.StreamOps.streamingSessionTimers(s,
+          s"$d/events.parquet", gap = java.time.Duration.ofHours(4),
+          queryName = s"stream_sessions_${System.nanoTime()}")
+        .orderBy("user_id", "session_start_us"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+             |    (floor(value*100 + 0.5))::BIGINT AS cents FROM events),
+             |o AS (SELECT user_id, t, cents,
+             |    CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+             |      > 14400000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |s AS (SELECT user_id, t, cents,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY t
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM o)
+             |SELECT user_id, min(t) AS session_start_us,
+             |  max(t) AS session_end_us, count(*)::BIGINT AS events,
+             |  sum(cents)::BIGINT AS cents_sum
+             |FROM s GROUP BY user_id, sid
+             |ORDER BY user_id, session_start_us""".stripMargin))
   )
 }

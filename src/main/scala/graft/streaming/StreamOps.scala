@@ -910,6 +910,156 @@ object StreamOps {
     }
   }
 
+  /** Output rows of the timer-based sessionizer. */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+      session_end_us: Long, events: Long, cents_sum: Long)
+
+  /** Gap-based sessionization via state-v2 EVENT-TIME TIMERS — the same
+    * semantics as `sessionize` (the native session_window operator) and
+    * `Sequence.sessionizeBatch`, through the third mechanism: a
+    * `StatefulProcessor` that buffers each user's events in ListState and
+    * registers an event-time timer at (latest event + gap). When the
+    * watermark passes the timer, `handleExpiredTimer` fires: the buffer
+    * is sorted, split at gaps, every session provably closed (last event
+    * + gap ≤ watermark) emits and leaves state, and the open tail
+    * re-arms a timer. This is the canonical timer use — "do something
+    * when a key goes QUIET" — which neither session_window (aggregation
+    * only) nor mapGroupsWithState timeouts (processing-time or one
+    * conflated event-time timeout) expresses as directly; state v2 gives
+    * per-key timer REGISTRIES (any number, explicit delete) plus
+    * composite state alongside.
+    *
+    * Determinism: session boundaries depend only on event times, and
+    * every real session eventually closes (the staged sentinel pushes
+    * the watermark), so the emitted set equals the batch gap-split
+    * regardless of how files batch. The sentinel's own single-event
+    * session is the one state row that never closes; its -1 user is
+    * filtered from the drained table (post-sink — an in-plan filter
+    * would push below the watermark node and stall it, the x133
+    * lesson).
+    */
+  private final class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, Long), SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TTLConfig, TimeMode, TimerValues}
+    @transient private var buf: ListState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[(Long, Long)]("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, Long, Long)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var minT = Long.MaxValue
+      rows.foreach { case (_, t, cents) =>
+        buf.appendValue((t, cents)); if (t < minT) minT = t
+      }
+      // arm at the EARLIEST possible close point of this batch's events
+      // (oldest event + gap) so an old session emits as soon as the
+      // watermark proves it closed, not when the key goes fully quiet;
+      // the expiry handler re-arms at the oldest OPEN session's close
+      // point. Ceiling to ms: a truncated-down timer could fire one
+      // watermark step early and re-arm forever.
+      if (minT != Long.MaxValue)
+        getHandle.registerTimer((minT + gapUs + 999L) / 1000L)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      val events = buf.get().toArray.sortBy(_._1)
+      if (events.isEmpty) return Iterator.empty
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      // split at gaps, emit sessions provably closed by the watermark
+      val out = Array.newBuilder[SessionOut]
+      val open = Array.newBuilder[(Long, Long)]
+      var start = events.head._1; var end = start
+      var n = 0L; var cents = 0L; var cur = Array.newBuilder[(Long, Long)]
+      def flush(lastEnd: Long): Unit =
+        if (n > 0) {
+          if (lastEnd + gapUs <= wmUs)
+            out += SessionOut(key, start, lastEnd, n, cents)
+          else open ++= cur.result()
+        }
+      events.foreach { case (t, c) =>
+        if (n > 0 && t - end > gapUs) {
+          flush(end); n = 0L; cents = 0L; start = t; cur = Array.newBuilder
+        }
+        if (n == 0) start = t
+        end = t; n += 1; cents += c; cur += ((t, c))
+      }
+      flush(end)
+      val remaining = open.result()
+      buf.clear()
+      if (remaining.nonEmpty) {
+        remaining.foreach(buf.appendValue)
+        // the oldest open session's last event decides the next provable
+        // close point — sessions split at gaps, so that is the max t of
+        // the first remaining session, but min-t + gap is a safe earlier
+        // bound (an early fire just re-arms)
+        getHandle.registerTimer(
+          (remaining.map(_._1).min + gapUs + 999L) / 1000L)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Drain `eventsPath` through the timer-based sessionizer (state v2 on
+    * RocksDB, event-time mode): one row per closed session —
+    * (user_id, session_start_us, session_end_us, events, cents_sum).
+    */
+  private def sessionTimerStream(spark: SparkSession, streamDir: String,
+      schema: org.apache.spark.sql.types.StructType, gapUs: Long) = {
+    import spark.implicits._
+    normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+      .withWatermark("ts", "1 minute")
+      .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  def streamingSessionTimers(spark: SparkSession, eventsPath: String,
+      gap: java.time.Duration, queryName: String): DataFrame =
+    withRocksDbStore(spark) {
+      val schema = spark.read.parquet(eventsPath).schema
+      val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
+        "graft-stream-sessions", schema)
+      val q = sessionTimerStream(spark, streamDir, schema, gap.toNanos / 1000L)
+        .writeStream
+        .format("memory").queryName(queryName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName).filter(col("user_id") =!= -1L)
+    }
+
+  /** Checkpointed variant of the timer sessionizer: drain whatever is new
+    * in `streamDir` into a parquet session log, resuming the ListState
+    * buffers and armed timers from `checkpointDir` — run again after more
+    * files arrive and (a) a session whose events SPAN the restart still
+    * merges into one row, (b) already-emitted sessions are not re-emitted
+    * (StreamSessionRestartSpec exercises both; no sentinel staging —
+    * callers control the event horizon with their own late rows).
+    */
+  def sessionTimersToDir(spark: SparkSession, streamDir: String,
+      outDir: String, checkpointDir: String,
+      gap: java.time.Duration): Unit = withRocksDbStore(spark) {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = sessionTimerStream(spark, streamDir, schema, gap.toNanos / 1000L)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drain `eventsPath` through the state-v2 discovery processor into a
     * memory sink (AvailableNow). See `TypeDiscoveryProcessor` for the
     * semantics and the state-store requirement.
