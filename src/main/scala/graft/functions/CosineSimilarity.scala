@@ -84,5 +84,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_winnow"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "graft_winnow"),
       arity("graft_winnow", 3)(c => WinnowFingerprints(c.head, c(1), c(2)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
+      arity("graft_shingles", 2)(c => ShingleHashes(c.head, c(1)))))
   }
 }

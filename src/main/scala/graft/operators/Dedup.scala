@@ -324,22 +324,31 @@ object Dedup {
 
   /** MinHash + LSH banding near-dup detection.
     *
-    * Pipeline: word-k-shingles → 56-bit shingle hash → per-doc distinct
-    * feature array (ONE collect_set shuffle) → `numHashes` minhash values
-    * computed per-row from the array (`array_min(transform(...))`, no extra
-    * shuffle) → band buckets → inverted-index self-join on (band, band
-    * signature) → exact Jaccard on the candidates via `array_intersect` of
-    * the two feature arrays.
+    * Pipeline: per-doc distinct shingle-hash array computed MAP-SIDE in
+    * one pass (the fused `graft_shingles` native expression — no
+    * shuffle; round 8 replaced the old explode → collect_set shape,
+    * whose corpus-wide (doc, hash) exchange was the largest shuffle in
+    * every consumer and measured 7 hash exchanges in x03's executed plan
+    * vs 2 now) → `numHashes` minhash values computed per-row from the
+    * array (`array_min(transform(...))`) → band buckets →
+    * inverted-index self-join on (band, band signature) → exact Jaccard
+    * on the candidates via `array_intersect` of the two feature arrays.
     *
     * Returns (doc_a, doc_b, common, size_a, size_b, jaccard) for pairs with
     * jaccard ≥ `threshold`.
     *
-    * Scale: the only joins are equi-joins on band keys and doc ids — all
-    * shuffle-partitionable; candidate verification touches only pairs that
-    * collide in ≥1 band (expected O(docs × near-dup rate)), never all
-    * pairs. The feature-set aggregate feeds both the bucket path and the
-    * verify path with an identical exchange, so Spark's ReusedExchange
-    * computes it once.
+    * Scale: the only remaining exchanges are the equi-joins on band keys
+    * and doc ids — all shuffle-partitionable; candidate verification
+    * touches only pairs that collide in ≥1 band (expected
+    * O(docs × near-dup rate)), never all pairs. Trade vs the old shape:
+    * each consuming branch (bucket l/r, verify fa/fb) recomputes the
+    * map-side extraction against its own column-pruned scan instead of
+    * re-reading one exchange's shuffle files — storage reads for network
+    * reads, no shuffle-disk pressure, and no reliance on AQE exchange
+    * reuse; wall-clock measured equal at sf0.1. A caller composing many
+    * consumers over one corpus can still materialize `buildLshIndex` /
+    * `buildCanonicalLabels` — the write-once artifacts remain the
+    * share-across-queries answer.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
@@ -365,9 +374,17 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
 
-    val feats = featureSets(
-      shingles(df, idCol, textCol, shingleSize)
-        .select(col("doc"), hash56(col("shingle")).as("h")))
+    // MAP-SIDE feature extraction (round 8): the fused native expression
+    // computes each doc's distinct shingle-hash set in one JIT'd pass —
+    // set-identical to the old explode → collect_set path (pinned by
+    // OperatorSpec's corpus equivalence test) but WITHOUT its corpus-wide
+    // (doc, hash) shuffle, which was the largest exchange in every
+    // MinHash-LSH consumer. isNotNull keeps the old path's drop-null-text
+    // semantics (explode of no rows vs a null array).
+    val feats = df.select(col(idCol).as("doc"),
+        graft.functions.ShingleHashes.ofCol(col(textCol), shingleSize)
+          .as("features"))
+      .filter(col("features").isNotNull)
 
     val minhashCols = (0 until numHashes).map(i =>
       array_min(transform(col("features"), h => uhash(h, coeffA(i), coeffB(i)))).as(s"m$i"))

@@ -196,6 +196,26 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(0).getLong(2) should be >= 20L
   }
 
+  test("native shingle-hash sets equal the declarative explode/collect_set path on the real corpus") {
+    import org.apache.spark.sql.functions.{col, collect_set, lower, split, expr}
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (k <- Seq(1, 3, 5)) {
+      val declarative = corpus
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .select(col("doc_id"), org.apache.spark.sql.functions.explode(
+          expr(s"transform(sequence(1, greatest(size(split(t, '\\\\s+')) - ${k - 1}, 1)), " +
+            s"i -> array_join(slice(split(t, '\\\\s+'), i, $k), ' '))")).as("shingle"))
+        .select(col("doc_id"),
+          graft.functions.Portable.hash56(col("shingle")).as("h"))
+        .groupBy("doc_id").agg(collect_set(col("h")).as("fs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      val native = corpus.select(col("doc_id"),
+          graft.functions.ShingleHashes.ofCol(col("text"), k).as("fs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      withClue(s"k=$k ") { native shouldBe declarative }
+    }
+  }
+
   test("winnowing native expression matches the declarative pipeline bit for bit") {
     val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
     def run(native: Boolean) = Dedup.winnowingOverlap(corpus, "doc_id", "text",

@@ -135,16 +135,9 @@ class PlanSpec extends SparkSpec with Matchers {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
-  test("x03 minhash computes the corpus feature aggregate ONCE (AQE exchange reuse)") {
-    // The static plan shows the explode+collect_set subtree four times
-    // (bucket self-join l/r + verify fa/fb); at runtime AQE must collapse
-    // them to one computed exchange + three ReusedExchange nodes — at
-    // 100 TB the difference is one corpus read vs four.
-    val df = q("x03_dedup_minhash_lsh")
-    df.collect()
-    val plan = df.queryExecution.executedPlan.toString
-    "ReusedExchange".r.findAllIn(plan).length should be >= 3
-  }
+  // (the old "x03 computes the feature aggregate ONCE via ReusedExchange"
+  // pin is superseded: the native map-side extraction has NO feature
+  // exchange to reuse — see "x03 minhash feature extraction is map-side")
 
   test("whole-stage codegen covers the text operators (no UDF black boxes)") {
     val df = q("x10_text_quality")
@@ -216,14 +209,16 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 3 // window + orderBy + AQE margin
   }
 
-  test("x32 curation pipeline reuses the chunk-feature exchange (no re-read per stage)") {
-    // clean→chunk→minhash-dedup→quality composes WITHOUT recomputing the
-    // chunk feature sets: the minhash bucket/verify subtrees must collapse
-    // onto one computed exchange at runtime, same as x03's guarantee
+  test("x32 curation pipeline: map-side chunk features, stage exchanges stay bounded") {
+    // clean→chunk→minhash-dedup→quality: the chunk feature sets compute
+    // map-side in each consuming branch (no collect_set exchange to
+    // reuse); the remaining exchanges belong to the bucket/verify joins
+    // and the downstream stages, and must not multiply per stage
     val df = q("x32_curation_pipeline")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    "ReusedExchange".r.findAllIn(plan).length should be >= 3
+    plan should include("graft_shingles")
+    "Exchange hashpartitioning".r.findAllIn(plan).length should be <= 11
   }
 
   test("b05 rollup expands grouping sets in ONE aggregation pass") {
@@ -286,11 +281,12 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("SortMergeJoin")
   }
 
-  test("x45 source dup matrix reuses the minhash feature exchange at runtime") {
+  test("x45 source dup matrix: map-side features, exchanges bounded by the join/agg keys") {
     val df = q("x45_source_dup_matrix")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    "ReusedExchange".r.findAllIn(plan).length should be >= 3
+    plan should include("graft_shingles")
+    "Exchange hashpartitioning".r.findAllIn(plan).length should be <= 5
   }
 
   test("x47 funnel is one aggregation pass — no self-join chain, no window") {
@@ -360,14 +356,12 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("BroadcastNestedLoopJoin")
   }
 
-  test("x61 incremental near-dup reuses each side's signature exchange for its feature join") {
-    // static plan repeats the per-side explode+collect_set subtree (bucket
-    // join + verify); AQE must collapse each side to one computed exchange
-    // — at 100 TB that is one batch read + one index read, not two of each
+  test("x61 incremental near-dup: map-side features per side, no quadratic fallback") {
     val df = q("x61_incremental_neardup")
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    "ReusedExchange".r.findAllIn(plan).length should be >= 2
+    plan should include("graft_shingles")
+    "Exchange hashpartitioning".r.findAllIn(plan).length should be <= 3
     (plan should not).include("CartesianProduct")
     (plan should not).include("NestedLoop")
   }
@@ -450,6 +444,17 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("*(") // WholeStageCodegen stage markers
     // the declarative HOF chain is gone
     (plan should not).include("aggregate(slice")
+  }
+
+  test("x03 minhash feature extraction is map-side — the collect_set exchange is gone") {
+    val df = q("x03_dedup_minhash_lsh")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("graft_shingles")
+    // old shape: 7 hashpartitioning exchanges (the (doc, hash) shuffle
+    // replicated across the reused branches); native shape: only the
+    // bucket self-join + verify join remain
+    "Exchange hashpartitioning".r.findAllIn(plan).length should be <= 3
   }
 
   test("b28 exists/not-exists pair becomes one semi and one anti join, no per-row re-scan") {
