@@ -35,12 +35,11 @@ object Curation {
       textCol: String, shingleSize: Int = 5, thresholdPct: Int = 20): DataFrame = {
     require(thresholdPct >= 0 && thresholdPct <= 100,
       "decontaminate: thresholdPct must be in [0, 100]")
-    val corpusFeats = Dedup.shingles(corpus, idCol, textCol, shingleSize)
-      .select(col("doc"), hash56(col("shingle")).as("h"))
-      .groupBy("doc").agg(collect_set(col("h")).as("features"))
-    val evalHashes = broadcast(
-      Dedup.shingles(evalSet, idCol, textCol, shingleSize)
-        .select(hash56(col("shingle")).as("h")).distinct())
+    val corpusFeats = Dedup.shingleFeatureSets(corpus, idCol, textCol,
+      shingleSize)
+    val evalHashes = broadcast(evalSet.select(explode(
+        graft.functions.ShingleHashes.ofCol(col(textCol), shingleSize))
+        .as("h")).distinct())
 
     val totals = corpusFeats.select(col("doc"),
       size(col("features")).cast("long").as("total_shingles"))

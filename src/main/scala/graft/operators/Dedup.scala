@@ -301,6 +301,18 @@ object Dedup {
   private[operators] def featureSets(exploded: DataFrame): DataFrame =
     exploded.groupBy("doc").agg(collect_set(col("h")).as("features"))
 
+  /** Map-side per-doc distinct word-shingle hash sets via the fused
+    * graft_shingles native expression — set-identical to
+    * `featureSets(shingles(...) + hash56)` (corpus equivalence spec in
+    * OperatorSpec) with NO exchange; shared by every word-shingle
+    * operator. isNotNull keeps the explode path's drop-null-text rows.
+    */
+  private[operators] def shingleFeatureSets(df: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+        graft.functions.ShingleHashes.ofCol(col(textCol), k).as("features"))
+      .filter(col("features").isNotNull)
+
   /** Flood-guarded inverted-index candidate generation over a per-doc
     * feature-array table: explode the sets, drop features shared by more
     * than `maxBucket` docs (the stop-feature flood guard — see
@@ -379,12 +391,8 @@ object Dedup {
     // set-identical to the old explode → collect_set path (pinned by
     // OperatorSpec's corpus equivalence test) but WITHOUT its corpus-wide
     // (doc, hash) shuffle, which was the largest exchange in every
-    // MinHash-LSH consumer. isNotNull keeps the old path's drop-null-text
-    // semantics (explode of no rows vs a null array).
-    val feats = df.select(col(idCol).as("doc"),
-        graft.functions.ShingleHashes.ofCol(col(textCol), shingleSize)
-          .as("features"))
-      .filter(col("features").isNotNull)
+    // MinHash-LSH consumer.
+    val feats = shingleFeatureSets(df, idCol, textCol, shingleSize)
 
     val minhashCols = (0 until numHashes).map(i =>
       array_min(transform(col("features"), h => uhash(h, coeffA(i), coeffB(i)))).as(s"m$i"))
@@ -556,8 +564,7 @@ object Dedup {
     require(thresholdPct >= 0 && thresholdPct <= 100,
       "shingleContainment: thresholdPct must be in [0, 100]")
     require(maxBucket >= 2, "shingleContainment: maxBucket must be >= 2")
-    val feats = featureSets(shingles(df, idCol, textCol, shingleSize)
-      .select(col("doc"), hash56(col("shingle")).as("h")))
+    val feats = shingleFeatureSets(df, idCol, textCol, shingleSize)
     val grams = feats.select(col("doc"), explode(col("features")).as("feature"))
     val kept = grams.join(
       grams.groupBy("feature").agg(count(lit(1)).as("__fc"))

@@ -99,9 +99,7 @@ object Eval {
       shingleSize: Int = 3, threshold: Double = 0.5,
       maxBucket: Long = 256L): DataFrame = {
     require(maxBucket >= 2, "shingleJaccardExact: maxBucket must be >= 2")
-    val feats = Dedup.featureSets(
-      Dedup.shingles(df, idCol, textCol, shingleSize)
-        .select(col("doc"), hash56(col("shingle")).as("h")))
+    val feats = Dedup.shingleFeatureSets(df, idCol, textCol, shingleSize)
     Dedup.verifyJaccardArrays(
       Dedup.guardedCandidates(feats, maxBucket), feats, threshold)
   }

@@ -229,18 +229,19 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 2
   }
 
-  test("x35 decontamination broadcasts the eval shingle set and reads the corpus once") {
+  test("x35 decontamination broadcasts the eval shingle set; corpus features are map-side") {
     // eval sets are tiny next to the corpus: the membership probe must be
-    // a broadcast hash join (the corpus side never shuffles on the shingle
-    // hash), and at runtime the corpus feature aggregate — referenced by
-    // both the totals and the matched branch — must collapse onto one
-    // computed exchange (one corpus read, not two)
+    // a broadcast hash join (the corpus side never shuffles on the
+    // shingle hash), and since round 8 the corpus feature sets compute
+    // map-side (graft_shingles) — there is no feature exchange at all,
+    // only the matched-count regroup keyed on doc
     val df = q("x35_decontamination")
     val plan = planOf(df)
     nodeCount(plan, "BroadcastHashJoin") should be >= 1
+    plan should include("graft_shingles")
     df.collect()
     val executed = df.queryExecution.executedPlan.toString
-    "ReusedExchange".r.findAllIn(executed).length should be >= 1
+    "Exchange hashpartitioning".r.findAllIn(executed).length should be <= 2
   }
 
   test("x37 PII redaction is map-only — no exchange except the output ordering") {
