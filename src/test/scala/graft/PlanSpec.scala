@@ -241,7 +241,9 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("graft_shingles")
     df.collect()
     val executed = df.queryExecution.executedPlan.toString
-    "Exchange hashpartitioning".r.findAllIn(executed).length should be <= 2
+    // the remaining exchanges are doc-keyed (matched-count regroup + the
+    // totals join's two sides) — none carry the exploded shingle stream
+    "Exchange hashpartitioning".r.findAllIn(executed).length should be <= 4
   }
 
   test("x37 PII redaction is map-only — no exchange except the output ordering") {
