@@ -357,10 +357,15 @@ object Dedup {
     * map-side extraction against its own column-pruned scan instead of
     * re-reading one exchange's shuffle files — storage reads for network
     * reads, no shuffle-disk pressure, and no reliance on AQE exchange
-    * reuse; wall-clock measured equal at sf0.1. A caller composing many
-    * consumers over one corpus can still materialize `buildLshIndex` /
-    * `buildCanonicalLabels` — the write-once artifacts remain the
-    * share-across-queries answer.
+    * reuse. Measured at sf0.1 (bench min-of-warm): single-consumer
+    * shapes speed up (decontamination 0.50 → 0.24 s), multi-branch
+    * consumers pay the per-branch re-extraction (x03 1.21 → 1.64 s,
+    * where the removed exchange had been memory-resident and
+    * AQE-reused) — the regime that flips at cluster scale, where the
+    * exchange is network and the re-scan is column-pruned storage. A
+    * caller composing many consumers over one corpus materializes
+    * `buildLshIndex` / `buildCanonicalLabels` — the write-once
+    * artifacts remain the share-across-queries answer either way.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
