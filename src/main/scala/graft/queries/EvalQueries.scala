@@ -297,6 +297,46 @@ object EvalQueries {
              |  max(t) AS session_end_us, count(*)::BIGINT AS events,
              |  sum(cents)::BIGINT AS cents_sum
              |FROM s GROUP BY user_id, sid
-             |ORDER BY user_id, session_start_us""".stripMargin))
+             |ORDER BY user_id, session_start_us""".stripMargin)),
+
+    // Two-pass Misra–Gries heavy hitters (x135): every token above 1% of
+    // all token occurrences, found with (k−1)-counter partition summaries
+    // + an exact candidate recount — never shuffling the full distinct-key
+    // set (the web-scale vocabulary case hotKeys/x83 cannot survive).
+    // Exact by construction, so the oracle is the plain frequency filter.
+    QueryDef("x135_heavy_hitters",
+      (s, d) => graft.operators.Skew.heavyHitters(
+          tbl(s, d, "documents")
+            .select(explode(Portable.tokens(col("text"))).as("token")),
+          "token", k = 100)
+        .orderBy(col("cnt").desc, col("token")),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |    FROM documents),
+             |c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+             |SELECT token, cnt, (10000 * cnt) // total AS pct_x10000
+             |FROM c, t WHERE cnt * 100 > total
+             |ORDER BY cnt DESC, token""".stripMargin)),
+
+    // Stream-stream LEFT SEMI join (x136): views that converted within
+    // the horizon, one row per view regardless of how many purchases
+    // matched — the third point of the join matrix (inner x34, left
+    // outer x133). Matches emit eagerly (no sentinel needed; unmatched
+    // views never emit, by semi semantics). Oracle: the batch EXISTS.
+    QueryDef("x136_stream_semi_join",
+      (s, d) => graft.streaming.StreamOps.streamStreamLeftSemi(s,
+          s"$d/events.parquet", horizon = "1 HOUR",
+          queryName = s"stream_ssls_${System.nanoTime()}")
+        .orderBy(col("v_event")),
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events
+             |    WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts, event_id FROM events
+             |    WHERE event_type = 'purchase')
+             |SELECT v.user_id AS v_user, v.event_id AS v_event,
+             |  epoch_us(v.ts) AS v_t_us
+             |FROM v WHERE EXISTS (SELECT 1 FROM p
+             |  WHERE p.user_id = v.user_id AND p.ts >= v.ts
+             |    AND p.ts <= v.ts + INTERVAL 1 HOUR)
+             |ORDER BY v_event""".stripMargin))
   )
 }

@@ -474,6 +474,52 @@ object StreamOps {
     spark.table(queryName)
   }
 
+  /** Watermarked stream-stream LEFT SEMI join — "which views CONVERTED
+    * within the horizon", each view emitted AT MOST ONCE however many
+    * purchases follow it. This is the third point of the stream-stream
+    * join matrix (inner = `streamStreamJoin`, left outer =
+    * `streamStreamLeftOuter`): semi is the one to reach for when the
+    * downstream only needs the left event — it never multiplies output
+    * by the match count (an inner join + dropDuplicates would shuffle
+    * the multiplied rows first), and Spark's symmetric-hash semi join
+    * tracks a matched flag per buffered left row so a match emits
+    * eagerly when either side's row arrives.
+    *
+    * Unmatched views never emit (that report is the left-OUTER join), so
+    * no sentinel staging is needed: matched rows do not wait on the
+    * watermark, which here only bounds both buffers (state ≈ rate ×
+    * horizon). Output: (v_user, v_event, v_t_us).
+    */
+  def streamStreamLeftSemi(spark: SparkSession, eventsPath: String,
+      horizon: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDir(eventsPath, "graft-stream-ssls")
+    def src = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+      .withWatermark("v_ts", "1 minute")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 minute")
+    val joined = views.join(purchases,
+        col("p_user") === col("v_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+        "left_semi")
+      .select(col("v_user"), col("v_event"),
+        expr("unix_micros(v_ts)").as("v_t_us"))
+    val q = joined.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Watermarked stream-stream LEFT OUTER join — the attribution shape
     * with the rows the inner join cannot produce: views that led to NO
     * purchase within the horizon (the "lost lead" report). Outer

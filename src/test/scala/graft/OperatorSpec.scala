@@ -988,4 +988,29 @@ class OperatorSpec extends SparkSpec with Matchers {
     r.getAs[Long]("score") shouldBe 3005L
     r.getAs[Boolean]("keep") shouldBe true
   }
+
+  test("heavyHitters: exact, strictly-above-threshold, layout-independent") {
+    import spark.implicits._
+    // total = 1000 with k = 5 (threshold 200): hot 300 qualifies,
+    // edge 200 sits EXACTLY at total/k (strictly-above excludes it),
+    // warm 150 misses, 350 unique fillers stress the MG decrement path.
+    val rows = Seq.fill(300)("hot") ++ Seq.fill(200)("edge") ++
+      Seq.fill(150)("warm") ++ (0 until 350).map(i => s"f$i")
+    val layouts = Seq(
+      spark.sparkContext.parallelize(rows, 1),
+      spark.sparkContext.parallelize(rows, 8),
+      spark.sparkContext.parallelize(rows.sorted, 8), // hot packed together
+      spark.sparkContext.parallelize(rows.reverse, 16))
+    for (rdd <- layouts) {
+      val out = graft.operators.Skew.heavyHitters(rdd.toDF("tok"), "tok", k = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      out.toSeq shouldBe Seq(("hot", 300L, 3000L))
+    }
+  }
+
+  test("heavyHitters: empty input yields empty output") {
+    import spark.implicits._
+    graft.operators.Skew.heavyHitters(
+      Seq.empty[String].toDF("tok"), "tok", k = 10).count() shouldBe 0L
+  }
 }

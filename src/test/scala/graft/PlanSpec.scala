@@ -755,4 +755,17 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan.toLowerCase should not).include("batchevalpython")
     (plan should not).include("ScalaUDF")
   }
+
+  test("x135 heavy hitters: candidate filter is a broadcast join; only the" +
+      " candidate recount shuffles") {
+    val plan = planOf(q("x135_heavy_hitters"))
+    // pass 2 filters to MG candidates map-side via broadcast — the full
+    // distinct-token set must never be the shuffle key population
+    nodeCount(plan, "BroadcastHashJoin") should be >= 1
+    (plan should not).include("SortMergeJoin")
+    // exactly two keyed exchanges, neither keyed by the full token set:
+    // the distinct over the (k−1)·P-row checkpointed MG summary, and the
+    // candidate-only recount after the broadcast semi filter
+    "Arguments: hashpartitioning".r.findAllIn(plan).length shouldBe 2
+  }
 }
