@@ -60,7 +60,7 @@ object Bench {
     // native twin x125b is the production path and is what's timed.)
     "x125b_winnowing_native", "x126_domain_curation", "x127_compaction_plan",
     "x128_luhn_card_audit", "x129_stream_type_discovery",
-    "x135_heavy_hitters", "x136_stream_semi_join",
+    "x135_heavy_hitters", "x136_stream_semi_join", "x137_stream_full_outer",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 

@@ -337,6 +337,27 @@ object EvalQueries {
              |FROM v WHERE EXISTS (SELECT 1 FROM p
              |  WHERE p.user_id = v.user_id AND p.ts >= v.ts
              |    AND p.ts <= v.ts + INTERVAL 1 HOUR)
-             |ORDER BY v_event""".stripMargin))
+             |ORDER BY v_event""".stripMargin)),
+
+    // Stream-stream FULL OUTER join (x137): the complete reconciliation —
+    // matched pairs, lost leads (view, no purchase), and untracked
+    // conversions (purchase, no view in the horizon). Both extension
+    // kinds are watermark-withheld, so the sentinel rides both legs and
+    // drops post-sink null-safely. Oracle: the batch FULL JOIN.
+    QueryDef("x137_stream_full_outer",
+      (s, d) => graft.streaming.StreamOps.streamStreamFullOuter(s,
+          s"$d/events.parquet", horizon = "1 HOUR",
+          queryName = s"stream_ssfo_${System.nanoTime()}")
+        .orderBy(col("v_event").asc_nulls_last, col("p_event").asc_nulls_first),
+      Some("""WITH v AS (SELECT user_id, ts, event_id FROM events
+             |    WHERE event_type = 'view'),
+             |p AS (SELECT user_id, ts, event_id FROM events
+             |    WHERE event_type = 'purchase')
+             |SELECT v.user_id AS v_user, v.event_id AS v_event,
+             |  epoch_us(v.ts) AS v_t_us, p.user_id AS p_user,
+             |  p.event_id AS p_event, epoch_us(p.ts) AS p_t_us
+             |FROM v FULL JOIN p ON p.user_id = v.user_id
+             |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+             |ORDER BY v_event NULLS LAST, p_event NULLS FIRST""".stripMargin))
   )
 }

@@ -580,6 +580,60 @@ object StreamOps {
     spark.table(queryName).filter(col("v_user") =!= -1L)
   }
 
+  /** Watermarked stream-stream FULL OUTER join — the complete attribution
+    * reconciliation: matched view→purchase pairs, views with no purchase
+    * in the horizon (left extension), AND purchases with no view starting
+    * the horizon (right extension — the "untracked conversion" leg the
+    * left-outer report misses). Both extension kinds are
+    * watermark-withheld: a view's "no purchase" is provable when the
+    * purchase watermark passes v_ts + horizon, a purchase's "no view"
+    * when the view watermark passes p_ts (the condition bounds v_ts to
+    * [p_ts − horizon, p_ts]), so the far-future sentinel must ride BOTH
+    * legs (stageStreamDirWithSentinel) and is dropped post-sink on
+    * either key — never in-plan, where constraint propagation through
+    * the equi-join would push the filter below both watermark nodes and
+    * stall eviction (the x133 lesson; null-safe `<=>` here because
+    * extension rows carry a null on the unmatched side).
+    *
+    * Output: (v_user?, v_event?, v_t_us?, p_user?, p_event?, p_t_us?) —
+    * null view columns mean an unattributed purchase, null purchase
+    * columns a lost lead. State stays within watermark + horizon on
+    * both sides, exactly as the inner join.
+    */
+  def streamStreamFullOuter(spark: SparkSession, eventsPath: String,
+      horizon: String, queryName: String): DataFrame = {
+    val schema = spark.read.parquet(eventsPath).schema
+    val streamDir = stageStreamDirWithSentinel(spark, eventsPath,
+      "graft-stream-ssfo", schema)
+    def src = normalizeTs(
+      spark.readStream.schema(schema).parquet(streamDir), schema)
+    val views = src.filter(col("event_type").isin("view", "__sentinel"))
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+      .withWatermark("v_ts", "1 minute")
+    val purchases = src.filter(col("event_type").isin("purchase", "__sentinel"))
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 minute")
+    val joined = views.join(purchases,
+        col("p_user") === col("v_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+        "full_outer")
+      .select(col("v_user"), col("v_event"),
+        expr("unix_micros(v_ts)").as("v_t_us"),
+        col("p_user"), col("p_event"),
+        expr("unix_micros(p_ts)").as("p_t_us"))
+    val q = joined.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+      .filter(!(col("v_user") <=> -1L) && !(col("p_user") <=> -1L))
+  }
+
   /** Stream-static enrichment — the standard "join the event stream onto a
     * dimension snapshot" shape: stateless per micro-batch (no watermark, no
     * join state — each batch probes the CURRENT dim snapshot), aggregated
