@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Eval, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfJoin, Curation, Dedup, Eval, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis, TimeSeries}
 import graft.streaming.StreamOps
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
@@ -256,6 +256,16 @@ object ScaleProbe {
         Dedup.incrementalNew(corpus(1), corpus(m), "doc_id", "text").count()),
       "column_profile" -> (m =>
         Profile.columns(corpus(m), Seq("doc_id", "text")).count()),
+      // Two-pass MG heavy hitters on a corpus whose DISTINCT-token count
+      // grows linearly with m (disjoint replica namespaces) — exactly the
+      // regime the operator exists for: the candidate set stays bounded
+      // by (k−1)·partitions whatever the vocabulary does, so a ~linear
+      // exponent certifies two linear scans + a bounded recount, never a
+      // full-vocabulary keyed shuffle.
+      "heavy_hitters" -> (m =>
+        Skew.heavyHitters(
+          corpus(m).select(explode(Portable.tokens(col("text"))).as("token")),
+          "token", k = 100).count()),
       // sum(q_sum) forces the full transform (count() would prune the
       // quantization projection away — the b11 bench caveat).
       "quantize_int8" -> { m =>
