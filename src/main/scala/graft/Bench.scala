@@ -61,6 +61,7 @@ object Bench {
     "x125b_winnowing_native", "x126_domain_curation", "x127_compaction_plan",
     "x128_luhn_card_audit", "x129_stream_type_discovery",
     "x135_heavy_hitters", "x136_stream_semi_join", "x137_stream_full_outer",
+    "x138_stream_heavy_hitters",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 

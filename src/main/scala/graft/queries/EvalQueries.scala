@@ -358,6 +358,25 @@ object EvalQueries {
              |  p.event_id AS p_event, epoch_us(p.ts) AS p_t_us
              |FROM v FULL JOIN p ON p.user_id = v.user_id
              |  AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
-             |ORDER BY v_event NULLS LAST, p_event NULLS FIRST""".stripMargin))
+             |ORDER BY v_event NULLS LAST, p_event NULLS FIRST""".stripMargin)),
+
+    // Streaming Misra–Gries heavy hitters (x138): x135's guarantee held
+    // CONTINUOUSLY — per-shard MG counter sets live in state-v2 MapState
+    // across micro-batches (state bounded by shards × (k−1) whatever the
+    // vocabulary), candidates snapshot out of the checkpoint via the
+    // statestore data source, then one exact recount + strict threshold
+    // makes the output independent of sharding/batching. Oracle: the
+    // plain frequency filter, same as the batch two-pass.
+    QueryDef("x138_stream_heavy_hitters",
+      (s, d) => graft.streaming.StreamOps.streamingHeavyHitters(s,
+          s"$d/documents.parquet", k = 150, shards = 8, chunks = 4)
+        .orderBy(col("cnt").desc, col("token")),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+             |    FROM documents),
+             |c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
+             |SELECT token, cnt, (10000 * cnt) // total AS pct_x10000
+             |FROM c, t WHERE cnt * 150 > total
+             |ORDER BY cnt DESC, token""".stripMargin))
   )
 }

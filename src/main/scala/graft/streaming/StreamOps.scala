@@ -1167,6 +1167,161 @@ object StreamOps {
   /** Run `body` with the RocksDB state store provider set (state v2
     * requires it), restoring the prior provider after.
     */
+  /** Progress row of the streaming MG monitor (one per shard per batch —
+    * the observable the sink keeps; the real product is the state).
+    */
+  final case class MgTick(shard: Int, candidates: Long)
+
+  /** Per-shard Misra–Gries maintenance in state-v2 MapState: each shard
+    * key owns a ≤cap-entry counter map. A batch loads the counters into
+    * heap (bounded by cap — loading the WHOLE state is the algorithm's
+    * point, not a leak), folds the batch's tokens through classic MG,
+    * and writes the set back. Folding batch-by-batch is literally
+    * sequential MG over the shard's whole arrival stream, so the
+    * guarantee (every token above shardTotal/k survives) holds across
+    * any number of micro-batches and restarts.
+    */
+  private final class MgShardProcessor(cap: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Int, (Int, String), MgTick] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode, TimerValues}
+    @transient private var counters: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counters = getHandle.getMapState[String, Long]("mg",
+        Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+        timerValues: TimerValues): Iterator[MgTick] = {
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      counters.iterator().foreach { case (t, w) => m.update(t, w) }
+      rows.foreach { case (_, tok) =>
+        m.get(tok) match {
+          case Some(c) => m.update(tok, c + 1)
+          case None if m.size < cap => m.update(tok, 1L)
+          case None =>
+            m.keys.toArray.foreach { kk =>
+              val c = m(kk)
+              if (c == 1L) { m.remove(kk); () } else m.update(kk, c - 1L)
+            }
+        }
+      }
+      counters.clear()
+      m.foreach { case (t, w) => counters.updateValue(t, w) }
+      Iterator.single(MgTick(key, m.size.toLong))
+    }
+  }
+
+  /** Streaming heavy hitters — the continuous-vocabulary monitor: tokens
+    * arrive as files (a crawl drop folder, staged here in `chunks`
+    * micro-batches via maxFilesPerTrigger=1), each shard's Misra–Gries
+    * counter set lives in MapState (bounded: shards × (k−1) entries
+    * TOTAL, whatever the vocabulary does), and the candidate sets are
+    * read back OUT OF THE CHECKPOINT with Spark 4's statestore data
+    * source — the operational "what is this query holding" tool, used
+    * here as the snapshot API a monitoring job would poll.
+    *
+    * Sharding by token hash preserves the MG guarantee: a token above
+    * total/k globally is above shardTotal/k in its own shard (all its
+    * occurrences live there and shardTotal ≤ total), so the union of
+    * shard candidates contains every global heavy hitter after ANY
+    * batching. The final exact recount + strict threshold then makes
+    * the OUTPUT independent of sharding, batching, and restart points —
+    * identical to the batch two-pass `Skew.heavyHitters`, which is what
+    * the oracle checks.
+    */
+  def streamingHeavyHitters(spark: SparkSession, docsPath: String, k: Int,
+      shards: Int, chunks: Int): DataFrame = {
+    require(chunks > 0, "streamingHeavyHitters: chunks > 0")
+    val streamDir = stageStreamDirChunks(spark, docsPath,
+      "graft-stream-mg", chunks)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-stream-mg-ckpt")
+    heavyHittersMgDrain(spark, streamDir, s"$root/ckpt", s"$root/ticks",
+      k, shards)
+    heavyHittersFromState(spark, s"$root/ckpt",
+      spark.read.parquet(docsPath), k)
+  }
+
+  /** Drain whatever is new under `streamDir` into the per-shard MG state
+    * at `checkpointDir` (one micro-batch per file), appending per-batch
+    * candidate-count ticks to the parquet log at `outDir` (a parquet
+    * sink, because the memory sink refuses checkpoint RECOVERY and this
+    * drain is built to resume) — re-runnable as more files land; the
+    * counters resume and keep folding, which is what
+    * `StreamMgRestartSpec` pins across a restart.
+    */
+  def heavyHittersMgDrain(spark: SparkSession, streamDir: String,
+      checkpointDir: String, outDir: String, k: Int,
+      shards: Int): Unit = withRocksDbStore(spark) {
+    import spark.implicits._
+    require(k >= 2 && shards > 0,
+      "heavyHittersMgDrain: k >= 2, shards > 0")
+    val toks = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir)
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(shards)).cast("int").as("shard"),
+        col("token"))
+      .as[(Int, String)]
+    val q = toks.groupByKey(_._1)
+      .transformWithState(new MgShardProcessor(k - 1),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Snapshot the MG candidate union out of the checkpoint (statestore
+    * data source) and resolve it against `corpus` with an exact recount
+    * + the strict threshold — the output is therefore independent of
+    * sharding, batching, and restart points.
+    */
+  def heavyHittersFromState(spark: SparkSession, checkpointDir: String,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val candidates = spark.read.format("statestore")
+      .option("stateVarName", "mg")
+      .load(checkpointDir)
+      .selectExpr("user_map_key.value AS token")
+      .distinct()
+    val all = corpus
+      .select(explode(graft.functions.Portable.tokens(col("text"))).as("token"))
+    val total = all.agg(count(lit(1)).as("total"))
+    all.join(broadcast(candidates), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * k > col("total"))
+      .select(col("token"), col("cnt"),
+        expr("div(10000 * cnt, total)").as("pct_x10000"))
+  }
+
+  /** Stage a parquet file/dir as `chunks` separate parquet part files in
+    * a fresh directory, so a maxFilesPerTrigger=1 file stream drains it
+    * in `chunks` micro-batches (the multi-batch twin of stageStreamDir's
+    * single-symlink staging).
+    */
+  private def stageStreamDirChunks(spark: SparkSession, path: String,
+      prefix: String, chunks: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-w")
+    spark.read.parquet(path).repartition(chunks)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = tmp.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath,
+        dir.resolve(f"chunk-$i%04d.parquet"))
+    }
+    dir.toString
+  }
+
   private def withRocksDbStore[A](spark: SparkSession)(body: => A): A = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(providerKey)
