@@ -60,8 +60,13 @@ object Bench {
     // native twin x125b is the production path and is what's timed.)
     "x125b_winnowing_native", "x126_domain_curation", "x127_compaction_plan",
     "x128_luhn_card_audit", "x129_stream_type_discovery",
-    "x135_heavy_hitters", "x136_stream_semi_join", "x137_stream_full_outer",
-    "x138_stream_heavy_hitters",
+    // (x136/x137 are excluded like x34/x133: every stream-stream join
+    // variant measures the same ~7 s of fixed micro-batch + join-state
+    // machinery at sf0.1 (PerfProbe: x34 6.97/7.03 s warm, x136 6.52/
+    // 7.44 s), so benching three variants triples an overhead number
+    // without adding signal; x138 stays as the state-v2 multi-batch
+    // representative alongside x129's single-batch one.)
+    "x135_heavy_hitters", "x138_stream_heavy_hitters",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
