@@ -845,7 +845,87 @@ object AnalyticsQueries {
              |    WHERE o.o_custkey = c.c_custkey
              |      AND o.o_orderpriority = '1-URGENT')
              |GROUP BY n.n_name
-             |ORDER BY cntry""".stripMargin))
+             |ORDER BY cntry""".stripMargin)),
+
+    // TPC-H Q15 shape: a quarterly revenue view over the fact table, then
+    // the supplier(s) achieving its MAX — the argmax-over-an-aggregate
+    // pattern. Q15 literally defines `revenue` as a VIEW, and this plan
+    // takes that seriously: the view (one row per active supplier —
+    // dimension-sized) is materialized ONCE with an eager localCheckpoint
+    // and feeds both the 1-row max and the equality join, so the fact
+    // scan happens exactly once by construction. Leaving it declarative
+    // would run the whole aggregation subtree twice here: AQE turns the
+    // supplier join's consumer into a BroadcastExchange while the max
+    // consumes the shuffle, so ReusedExchange never fires (measured at
+    // sf0.001 AND sf0.1 — 0 reuses, two lineitem scans). Ties (two
+    // suppliers at the same max) both emit, as Q15's = (SELECT max).
+    QueryDef("b30_tpch_q15",
+      (s, d) => {
+        val revenue = tbl(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate") < lit("1996-04-01").cast("date"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")).as("total_cents"))
+          .localCheckpoint()
+        val top = revenue.agg(max(col("total_cents")).as("mx"))
+        tbl(s, d, "supplier")
+          .join(revenue, col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(top), col("total_cents") === col("mx"))
+          .select(col("s_suppkey"), col("s_name"), col("total_cents"))
+          .orderBy("s_suppkey")
+      },
+      Some("""WITH revenue AS (SELECT l_suppkey,
+             |    sum((floor(l_extendedprice*(1-l_discount)*100 + 0.5))::BIGINT)::BIGINT
+             |      AS total_cents
+             |  FROM lineitem
+             |  WHERE l_shipdate >= DATE '1996-01-01'
+             |    AND l_shipdate < DATE '1996-04-01'
+             |  GROUP BY 1)
+             |SELECT s_suppkey, s_name, total_cents
+             |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+             |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q2 shape: for each large part, the supplier(s) quoting its
+    // MINIMUM price — the per-group min join-back (Q2's correlated
+    // `= (SELECT min ...)`, decorrelated by hand into an aggregate +
+    // equality join; b23 pins that Catalyst performs the same rewrite
+    // on the correlated form). The part filter broadcasts into the fact
+    // scan, the per-part min table is dimension-sized and broadcasts
+    // back, and DISTINCT collapses equal-price repeat quotes from the
+    // same supplier. Ties across suppliers both emit, as in Q2.
+    QueryDef("b31_tpch_q2_minquote",
+      (s, d) => {
+        val pp = tbl(s, d, "part")
+          .filter(col("p_size") >= 48).select("p_partkey", "p_name")
+        val l = tbl(s, d, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"))
+        val m = l.join(broadcast(pp.select("p_partkey")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_partkey")).agg(min(col("price_cents")).as("min_cents"))
+          .select(col("l_partkey").as("m_partkey"), col("min_cents"))
+        l.join(broadcast(m),
+            col("l_partkey") === col("m_partkey") &&
+              col("price_cents") === col("min_cents"))
+          .join(broadcast(pp), col("m_partkey") === col("p_partkey"))
+          .join(tbl(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+          .select(col("p_partkey"), col("p_name"), col("s_name"), col("min_cents"))
+          .distinct()
+          .orderBy("p_partkey", "s_name")
+      },
+      Some("""WITH pp AS (SELECT p_partkey, p_name FROM part WHERE p_size >= 48),
+             |l AS (SELECT l_partkey, l_suppkey,
+             |    (floor(l_extendedprice*100 + 0.5))::BIGINT AS price_cents
+             |  FROM lineitem),
+             |m AS (SELECT l.l_partkey, min(price_cents) AS min_cents
+             |  FROM l JOIN pp ON l_partkey = p_partkey GROUP BY 1)
+             |SELECT DISTINCT pp.p_partkey, pp.p_name, s.s_name, m.min_cents
+             |FROM m
+             |JOIN l ON l.l_partkey = m.l_partkey AND l.price_cents = m.min_cents
+             |JOIN pp ON pp.p_partkey = m.l_partkey
+             |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             |ORDER BY p_partkey, s_name""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

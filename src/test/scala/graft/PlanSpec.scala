@@ -756,6 +756,25 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("ScalaUDF")
   }
 
+  test("b30 argmax-over-aggregate materializes the revenue view once — no" +
+      " second fact scan reaches the final plan") {
+    val df = q("b30_tpch_q15")
+    val plan = df.queryExecution.executedPlan.toString
+    // both the max and the join read the checkpointed revenue RDD; a
+    // lineitem scan in THIS plan would mean the view is recomputed
+    (plan should not).include("lineitem")
+    plan should include("ExistingRDD")
+    (plan should not).include("SortMergeJoin")
+  }
+
+  test("b31 per-group min join-back broadcasts the part filter and the min" +
+      " table — no shuffle joins, no cartesian") {
+    val plan = planOf(q("b31_tpch_q2_minquote"))
+    nodeCount(plan, "BroadcastHashJoin") should be >= 3
+    (plan should not).include("SortMergeJoin")
+    (plan should not).include("CartesianProduct")
+  }
+
   test("x135 heavy hitters: candidate filter is a broadcast join; only the" +
       " candidate recount shuffles") {
     val plan = planOf(q("x135_heavy_hitters"))
