@@ -149,4 +149,34 @@ object TimeSeries {
       .select(col(keyCol), col("events"), col("cents_total"),
         col("decayed_x1024"))
   }
+
+  /** Exact per-key least-squares trend over integer (x, y) points — the
+    * closed-form slope kept in its rational form:
+    *   slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * emitted as `slope_num` / `slope_den` plus `rising` = num > 0, never
+    * divided: the division sign rule (Spark `div` truncates toward zero,
+    * DuckDB `//` floors — see the object scaladoc) makes a negative-slope
+    * quotient engine-dependent, while the numerator/denominator pair and
+    * the sign are exact integers in both. Callers that need a scaled
+    * slope divide magnitudes downstream under their own rounding policy.
+    *
+    * One keyed aggregation with map-side partials over five running sums
+    * — the textbook "fit a trend per key at any scale" shape (drift
+    * detection per source, volume trend per type). Arithmetic stays in
+    * Int64: callers keep |x|,|y| small enough that n·Σxy fits (pre-scale
+    * y or re-index x if a century of microseconds would overflow).
+    */
+  def linearTrend(df: DataFrame, keyCol: String, xCol: String,
+      yCol: String): DataFrame =
+    df.select(col(keyCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col(keyCol), col("n"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).as("slope_num"),
+        (col("n") * col("__sxx") - col("__sx") * col("__sx")).as("slope_den"),
+        (col("n") * col("__sxy") - col("__sx") * col("__sy") > 0).as("rising"))
 }

@@ -377,6 +377,63 @@ object EvalQueries {
              |t AS (SELECT sum(cnt)::BIGINT AS total FROM c)
              |SELECT token, cnt, (10000 * cnt) // total AS pct_x10000
              |FROM c, t WHERE cnt * 150 > total
-             |ORDER BY cnt DESC, token""".stripMargin))
+             |ORDER BY cnt DESC, token""".stripMargin)),
+
+    // Exact per-key linear trend (x139): daily cents volume per event
+    // type fit with the closed-form least-squares slope, kept rational
+    // (slope_num/slope_den + rising sign) so no division sign rule can
+    // drift between engines. Daily rollup then five running sums — two
+    // keyed aggregations, both with map-side partials.
+    QueryDef("x139_volume_trend",
+      (s, d) => {
+        val daily = QueryDef.events(s, d)
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"), lit("1995-01-01").cast("date"))
+              .cast("long").as("x"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("x"))
+          .agg(sum(col("cents")).as("y"))
+        graft.operators.TimeSeries.linearTrend(daily, "event_type", "x", "y")
+          .orderBy("event_type")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    date_diff('day', DATE '1995-01-01', ts::DATE)::BIGINT AS x,
+             |    (floor(value*100 + 0.5))::BIGINT AS cents FROM events),
+             |d AS (SELECT event_type, x, sum(cents)::BIGINT AS y
+             |  FROM e GROUP BY 1, 2),
+             |a AS (SELECT event_type, count(*)::BIGINT AS n,
+             |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             |    sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+             |  FROM d GROUP BY 1)
+             |SELECT event_type, n,
+             |  (n*sxy - sx*sy)::BIGINT AS slope_num,
+             |  (n*sxx - sx*sx)::BIGINT AS slope_den,
+             |  (n*sxy - sx*sy) > 0 AS rising
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // Mergeable sketch artifacts (x140): per-event-type HLL sketches
+    // WRITTEN TO PARQUET (binary column — the nightly per-shard artifact)
+    // then read back and union-merged for the global distinct-user count.
+    // This is the pattern that replaces a corpus-wide count-distinct
+    // shuffle at 100 TB: each shard sketches locally once, merges are
+    // sketch-sized. Self-certifying like x23: the estimate must land
+    // within 15% of the exact count computed alongside.
+    QueryDef("x140_hll_artifact_union",
+      (s, d) => {
+        val sk = QueryDef.events(s, d).groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        val dir = java.nio.file.Files.createTempDirectory("graft-hll").toString
+        sk.write.mode("overwrite").parquet(dir)
+        val merged = s.read.parquet(dir)
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+        QueryDef.events(s, d)
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+          .crossJoin(broadcast(merged))
+          .select(col("exact_users"),
+            (abs(col("est") - col("exact_users"))
+              <= col("exact_users") * 0.15).as("users_ok"))
+      },
+      Some("""SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
+             |  TRUE AS users_ok FROM events""".stripMargin))
   )
 }
