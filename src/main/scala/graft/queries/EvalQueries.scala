@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
 import graft.operators.{Curation, Dedup, Eval}
-import graft.queries.ExtensionQueries.{dkHash56, minHashPairsBodyFrom}
+import graft.queries.ExtensionQueries.{dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
 /** Detector-quality and reproducibility audit queries (x114–x117) — the
@@ -434,6 +434,54 @@ object EvalQueries {
               <= col("exact_users") * 0.15).as("users_ok"))
       },
       Some("""SELECT count(DISTINCT user_id)::BIGINT AS exact_users,
-             |  TRUE AS users_ok FROM events""".stripMargin))
+             |  TRUE AS users_ok FROM events""".stripMargin)),
+
+    // Exact AUC of the quality model as an English-document detector
+    // (x141): the Mann–Whitney rank-sum statistic computed over the SCORE
+    // HISTOGRAM, doubled so tie-averaged ranks stay integral — never a
+    // per-document global sort. The cumulative window runs over distinct
+    // scores only (x64's histogram discipline, plan-pinnable), so the
+    // per-document work is one keyed count however large the corpus.
+    // Output: (n1, n0, two_u, auc_x10000) — all exact integers.
+    QueryDef("x141_score_auc",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pos = tbl(s, d, "documents").select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("pos"))
+        val sc = graft.operators.TextAnalysis.modelQualityScore(
+            tbl(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("score"))
+          .join(pos, "doc_id")
+        val h = sc.groupBy(col("score"))
+          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
+        val w = Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = h.withColumn("cumb",
+          coalesce(sum(col("cnt")).over(w), lit(0L)))
+        r.agg(sum(col("posc")).as("n1"), sum(col("cnt")).as("n"),
+            sum(col("posc") * (lit(2) * col("cumb") + col("cnt") + 1))
+              .as("two_r1"))
+          .select(col("n1"), (col("n") - col("n1")).as("n0"),
+            (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u"),
+            expr("div(10000 * (two_r1 - n1*(n1+1)), 2 * n1 * (n - n1))")
+              .as("auc_x10000"))
+      },
+      Some(s"""$dkQualityModelCtes,
+             |p AS (SELECT s.doc_id, s.score,
+             |    (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+             |  FROM scored s JOIN documents d USING (doc_id)),
+             |h AS (SELECT score, count(*)::BIGINT AS cnt,
+             |    sum(pos)::BIGINT AS posc FROM p GROUP BY 1),
+             |r AS (SELECT score, cnt, posc,
+             |    coalesce(sum(cnt) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |      AS cumb FROM h),
+             |a AS (SELECT sum(posc)::BIGINT AS n1, sum(cnt)::BIGINT AS n,
+             |    sum(posc * (2*cumb + cnt + 1))::BIGINT AS two_r1 FROM r)
+             |SELECT n1, (n - n1)::BIGINT AS n0,
+             |  (two_r1 - n1*(n1+1))::BIGINT AS two_u,
+             |  (10000 * (two_r1 - n1*(n1+1))) // (2 * n1 * (n - n1))
+             |    AS auc_x10000
+             |FROM a""".stripMargin))
   )
 }

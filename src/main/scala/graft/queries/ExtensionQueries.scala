@@ -4086,7 +4086,7 @@ object ExtensionQueries {
     * (default weights), ending in `scored(doc_id, features..., score)`.
     * Body has no WITH so it composes into WITH RECURSIVE lists (x60).
     */
-  private lazy val dkQualityModelCtes: String = s"WITH $dkQualityModelBody"
+  private[queries] lazy val dkQualityModelCtes: String = s"WITH $dkQualityModelBody"
 
   private lazy val dkQualityModelBody: String =
     """m AS (SELECT doc_id, length(text) AS chars,
