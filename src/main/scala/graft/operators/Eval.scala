@@ -281,4 +281,35 @@ object Eval {
         .withColumn("epoch", lit(e))
     }.reduce(_ unionByName _)
   }
+
+  /** Exact AUC of an integer score against a binary label, via the
+    * Mann–Whitney rank-sum over the SCORE HISTOGRAM: ranks are
+    * tie-averaged and DOUBLED so they stay integral, and the cumulative
+    * window runs over distinct scores only — the per-row work is one
+    * keyed count, so the corpus can be any size while the window input
+    * is bounded by score cardinality (x64's histogram discipline).
+    *
+    * Output (one row): n1 (positives), n0, `two_u` = 2·(R₁ − n1(n1+1)/2),
+    * and `auc_x10000` = div(10⁴·2U, 2·n1·n0) — exact integers; AUC is
+    * nonneg so truncating div agrees between engines. Degenerate inputs
+    * (no positives or no negatives) yield a null auc_x10000 rather than
+    * a misleading number.
+    */
+  def rankAuc(df: DataFrame, scoreCol: String, posCol: String): DataFrame = {
+    val h = df.select(col(scoreCol).cast("long").as("__s"),
+        col(posCol).cast("long").as("__p"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__p")).as("posc"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .agg(sum(col("posc")).as("n1"), sum(col("cnt")).as("n"),
+        sum(col("posc") * (lit(2) * col("cumb") + col("cnt") + 1))
+          .as("two_r1"))
+      .select(col("n1"), (col("n") - col("n1")).as("n0"),
+        (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u"),
+        when(col("n1") > 0 && col("n") > col("n1"),
+          expr("div(10000 * (two_r1 - n1*(n1+1)), 2 * n1 * (n - n1))"))
+          .as("auc_x10000"))
+  }
 }

@@ -445,26 +445,13 @@ object EvalQueries {
     // Output: (n1, n0, two_u, auc_x10000) — all exact integers.
     QueryDef("x141_score_auc",
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val pos = tbl(s, d, "documents").select(col("doc_id"),
           (col("lang") === "en").cast("long").as("pos"))
         val sc = graft.operators.TextAnalysis.modelQualityScore(
             tbl(s, d, "documents"), "doc_id", "text")
           .select(col("doc_id"), col("score"))
           .join(pos, "doc_id")
-        val h = sc.groupBy(col("score"))
-          .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("posc"))
-        val w = Window.orderBy("score")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val r = h.withColumn("cumb",
-          coalesce(sum(col("cnt")).over(w), lit(0L)))
-        r.agg(sum(col("posc")).as("n1"), sum(col("cnt")).as("n"),
-            sum(col("posc") * (lit(2) * col("cumb") + col("cnt") + 1))
-              .as("two_r1"))
-          .select(col("n1"), (col("n") - col("n1")).as("n0"),
-            (col("two_r1") - col("n1") * (col("n1") + 1)).as("two_u"),
-            expr("div(10000 * (two_r1 - n1*(n1+1)), 2 * n1 * (n - n1))")
-              .as("auc_x10000"))
+        Eval.rankAuc(sc, "score", "pos")
       },
       Some(s"""$dkQualityModelCtes,
              |p AS (SELECT s.doc_id, s.score,

@@ -190,4 +190,20 @@ class EvalSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     out.toSeq shouldBe Seq(("cluster", 0L, 0L, 0L), ("naive", 0L, 0L, 0L))
   }
+
+  test("rankAuc: perfect, inverted, tie-averaged, and degenerate inputs") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Long)]): org.apache.spark.sql.Row =
+      Eval.rankAuc(rows.toDF("score", "pos"), "score", "pos").collect().head
+    // perfect separation: every positive outranks every negative
+    val perfect = auc(Seq((10L, 1L), (11L, 1L), (1L, 0L), (2L, 0L)))
+    perfect.getLong(2) shouldBe 2L * 2 * 2 // 2U = 2·n1·n0
+    perfect.getLong(3) shouldBe 10000L
+    // inverted: every positive UNDER every negative
+    auc(Seq((1L, 1L), (2L, 1L), (10L, 0L), (11L, 0L))).getLong(3) shouldBe 0L
+    // all scores tied: average ranks give exactly 0.5
+    auc(Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L))).getLong(3) shouldBe 5000L
+    // one class absent: auc is null, not a division error
+    assert(auc(Seq((1L, 1L), (2L, 1L))).isNullAt(3))
+  }
 }

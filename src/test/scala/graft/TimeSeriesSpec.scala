@@ -112,4 +112,22 @@ class TimeSeriesSpec extends SparkSpec with Matchers {
         halfLifeDays = 1, horizonHalfLives = 40)
       .collect().head.getLong(3) shouldBe (1L << 34)
   }
+
+  test("linearTrend: rising, falling, and flat series keep the exact rational slope") {
+    import spark.implicits._
+    val pts = Seq(
+      ("up", 0L, 0L), ("up", 1L, 2L), ("up", 2L, 4L),      // slope 2
+      ("down", 0L, 4L), ("down", 1L, 2L), ("down", 2L, 0L), // slope -2
+      ("flat", 0L, 1L), ("flat", 1L, 1L))                   // slope 0
+      .toDF("k", "x", "y")
+    val out = graft.operators.TimeSeries.linearTrend(pts, "k", "x", "y")
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // (n·Σxy − Σx·Σy, n·Σx² − (Σx)²): up = (12, 6) → slope 12/6 = 2
+    out.toSeq shouldBe Seq(
+      ("down", 3L, -12L, 6L, false),
+      ("flat", 2L, 0L, 1L, false), // den = 2·1 − 1² = 1
+      ("up", 3L, 12L, 6L, true))
+  }
 }
