@@ -312,4 +312,38 @@ object Eval {
           expr("div(10000 * (two_r1 - n1*(n1+1)), 2 * n1 * (n - n1))"))
           .as("auc_x10000"))
   }
+
+  /** Score-decile lift/calibration table — `rankAuc`'s companion report:
+    * rows bin into `bins` score quantiles and each bin reports its doc
+    * count, positive count, positive rate and lift over the base rate
+    * (both ×10⁴, exact integer div). Binning is BY DISTINCT SCORE via
+    * the cumulative histogram (`bin = min(bins−1, div(bins·cum_before,
+    * n))`), so equal scores always share a bin — the tie-splitting
+    * nondeterminism of `ntile` (equal scores straddling a boundary in
+    * engine-dependent order) cannot occur, at the price of uneven bin
+    * sizes under heavy ties. Windows run over the score histogram only.
+    */
+  def liftTable(df: DataFrame, scoreCol: String, posCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "liftTable: bins must be >= 2")
+    val h = df.select(col(scoreCol).cast("long").as("__s"),
+        col(posCol).cast("long").as("__p"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__p")).as("posc"))
+    val w = Window.orderBy("__s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val totals = h.agg(sum(col("cnt")).as("n"), sum(col("posc")).as("n1"))
+    h.withColumn("cumb", coalesce(sum(col("cnt")).over(w), lit(0L)))
+      .crossJoin(broadcast(totals))
+      .withColumn("bin",
+        least(lit(bins - 1), expr(s"div($bins * cumb, n)")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(col("cnt")).as("docs"), sum(col("posc")).as("positives"),
+        first(col("n")).as("__n"), first(col("n1")).as("__n1"))
+      .select(col("bin"), col("docs"), col("positives"),
+        expr("div(10000 * positives, docs)").as("rate_x10000"),
+        when(col("__n1") > 0,
+          expr("div(10000 * positives * __n, docs * __n1)"))
+          .as("lift_x10000"))
+  }
 }

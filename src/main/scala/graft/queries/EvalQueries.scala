@@ -469,6 +469,41 @@ object EvalQueries {
              |  (two_r1 - n1*(n1+1))::BIGINT AS two_u,
              |  (10000 * (two_r1 - n1*(n1+1))) // (2 * n1 * (n - n1))
              |    AS auc_x10000
-             |FROM a""".stripMargin))
+             |FROM a""".stripMargin)),
+
+    // Score-decile lift table (x142): x141's calibration companion —
+    // each score decile's doc count, positive count, rate and lift over
+    // the base rate, binned BY DISTINCT SCORE via the cumulative
+    // histogram so equal scores share a bin (ntile's tie-splitting
+    // nondeterminism cannot occur). Exact integers throughout.
+    QueryDef("x142_score_lift",
+      (s, d) => {
+        val pos = tbl(s, d, "documents").select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("pos"))
+        val sc = graft.operators.TextAnalysis.modelQualityScore(
+            tbl(s, d, "documents"), "doc_id", "text")
+          .select(col("doc_id"), col("score"))
+          .join(pos, "doc_id")
+        Eval.liftTable(sc, "score", "pos", bins = 10).orderBy("bin")
+      },
+      Some(s"""$dkQualityModelCtes,
+             |p AS (SELECT s.doc_id, s.score,
+             |    (CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS pos
+             |  FROM scored s JOIN documents d USING (doc_id)),
+             |h AS (SELECT score, count(*)::BIGINT AS cnt,
+             |    sum(pos)::BIGINT AS posc FROM p GROUP BY 1),
+             |t AS (SELECT sum(cnt)::BIGINT AS n, sum(posc)::BIGINT AS n1 FROM h),
+             |r AS (SELECT score, cnt, posc,
+             |    coalesce(sum(cnt) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             |      AS cumb FROM h),
+             |b AS (SELECT least(9, (10 * cumb) // n)::INT AS bin, cnt, posc, n, n1
+             |  FROM r, t)
+             |SELECT bin, sum(cnt)::BIGINT AS docs,
+             |  sum(posc)::BIGINT AS positives,
+             |  (10000 * sum(posc)::BIGINT) // sum(cnt)::BIGINT AS rate_x10000,
+             |  (10000 * sum(posc)::BIGINT * any_value(n))
+             |    // (sum(cnt)::BIGINT * any_value(n1)) AS lift_x10000
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

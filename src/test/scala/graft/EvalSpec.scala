@@ -206,4 +206,20 @@ class EvalSpec extends SparkSpec with Matchers {
     // one class absent: auc is null, not a division error
     assert(auc(Seq((1L, 1L), (2L, 1L))).isNullAt(3))
   }
+
+  test("liftTable: equal scores share a bin; rate and lift are exact") {
+    import spark.implicits._
+    // 4 rows, 2 bins: scores (1,1) tie into bin 0; (5,9) fill bin 1.
+    // positives: one in each half -> rate 5000 each, lift 10000 (base
+    // rate = 1/2 matches both bins exactly)
+    val out = Eval.liftTable(
+        Seq((1L, 0L), (1L, 1L), (5L, 0L), (9L, 1L)).toDF("score", "pos"),
+        "score", "pos", bins = 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (0, 2L, 1L, 5000L, 10000L),
+      (1, 2L, 1L, 5000L, 10000L))
+  }
 }
