@@ -925,7 +925,107 @@ object AnalyticsQueries {
              |JOIN l ON l.l_partkey = m.l_partkey AND l.price_cents = m.min_cents
              |JOIN pp ON pp.p_partkey = m.l_partkey
              |JOIN supplier s ON s.s_suppkey = l.l_suppkey
-             |ORDER BY p_partkey, s_name""".stripMargin))
+             |ORDER BY p_partkey, s_name""".stripMargin)),
+
+    // TPC-H Q7 shape: bilateral volume shipping — revenue between two
+    // named nations, both directions, by ship year. Both nation dims
+    // filter to their 5-customer/supplier slivers BEFORE the fact joins
+    // (broadcast), the disjunctive pair condition runs on the joined
+    // names, and the year rollup groups a 3-part key. Classic
+    // "fact table joined through two different dimension roles".
+    QueryDef("b32_tpch_q7",
+      (s, d) => {
+        val pair = Seq("NATION_1", "NATION_2")
+        val sn = tbl(s, d, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        val cn = tbl(s, d, "nation").filter(col("n_name").isin(pair: _*))
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        tbl(s, d, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+            col("l_shipdate") < lit("1998-01-01").cast("date"))
+          .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+          .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(cn), col("c_nationkey") === col("cn_key"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+            .cast("long")).as("revenue_cents"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             |  year(l_shipdate)::INT AS l_year,
+             |  sum((floor(l_extendedprice*(1-l_discount)*100 + 0.5))::BIGINT)::BIGINT
+             |    AS revenue_cents
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  AND sn.n_name IN ('NATION_1', 'NATION_2')
+             |JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  AND cn.n_name IN ('NATION_1', 'NATION_2')
+             |WHERE sn.n_name <> cn.n_name
+             |  AND l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1998-01-01'
+             |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // TPC-H Q8 shape: market share — of all ECONOMY-part revenue sold to
+    // EUROPE customers per order year, what fraction came from NATION_3
+    // suppliers? One aggregation with a conditional sum (no self-join:
+    // numerator and denominator are two aggregates of the same rows),
+    // share as exact integer ×10⁴.
+    QueryDef("b33_tpch_q8",
+      (s, d) => {
+        val p = tbl(s, d, "part").filter(col("p_type") === "ECONOMY")
+          .select("p_partkey")
+        val eur = broadcast(tbl(s, d, "region")
+            .filter(col("r_name") === "EUROPE"))
+          .join(tbl(s, d, "nation"), col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))
+        val sn = tbl(s, d, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        tbl(s, d, "lineitem")
+          .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .join(tbl(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .filter(col("o_orderdate") >= lit("1995-01-01").cast("date") &&
+            col("o_orderdate") < lit("1997-01-01").cast("date"))
+          .join(tbl(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(eur), col("c_nationkey") === col("cn_key"))
+          .join(tbl(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(sn), col("s_nationkey") === col("sn_key"))
+          .withColumn("cents",
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+              .cast("long"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(sum(col("cents")).as("total_cents"),
+            sum(when(col("supp_nation") === "NATION_3", col("cents"))
+              .otherwise(0L)).as("nation_cents"))
+          .select(col("o_year"), col("total_cents"), col("nation_cents"),
+            expr("div(10000 * nation_cents, total_cents)").as("share_x10000"))
+          .orderBy("o_year")
+      },
+      Some("""WITH f AS (SELECT year(o_orderdate)::INT AS o_year,
+             |    (floor(l_extendedprice*(1-l_discount)*100 + 0.5))::BIGINT AS cents,
+             |    sn.n_name AS supp_nation
+             |  FROM lineitem
+             |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+             |  JOIN orders ON l_orderkey = o_orderkey
+             |  JOIN customer ON o_custkey = c_custkey
+             |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+             |  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+             |  JOIN supplier ON l_suppkey = s_suppkey
+             |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+             |  WHERE o_orderdate >= DATE '1995-01-01'
+             |    AND o_orderdate < DATE '1997-01-01')
+             |SELECT o_year, sum(cents)::BIGINT AS total_cents,
+             |  sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)::BIGINT
+             |    AS nation_cents,
+             |  (10000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)::BIGINT)
+             |    // sum(cents)::BIGINT AS share_x10000
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit
