@@ -504,6 +504,47 @@ object EvalQueries {
              |  (10000 * sum(posc)::BIGINT) // sum(cnt)::BIGINT AS rate_x10000,
              |  (10000 * sum(posc)::BIGINT * any_value(n))
              |    // (sum(cnt)::BIGINT * any_value(n1)) AS lift_x10000
-             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // Rolling distinct via daily sketch union (x143): one HLL sketch per
+    // day, then each day's trailing-7-day distinct-user count is a UNION
+    // of 7 daily sketches in a RANGE window (calendar days, not present
+    // rows) — the sliding-window payoff of mergeable artifacts: the
+    // expensive exact path re-walks every event in the window, the
+    // sketch path merges 7 fixed-size summaries however large the days
+    // are. Self-certifying: the exact rolling count rides along (daily
+    // collect_set, flattened over the same window) and the estimate
+    // must land within 15%.
+    QueryDef("x143_rolling_sketch",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = QueryDef.events(s, d)
+          .select(datediff(col("ts").cast("date"),
+            lit("1995-01-01").cast("date")).cast("long").as("day_idx"),
+            col("user_id"))
+          .groupBy(col("day_idx"))
+          .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+            collect_set(col("user_id")).as("uset"))
+        val w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+        daily
+          .withColumn("rsk", expr("hll_union_agg(sk)").over(w))
+          .withColumn("exact_rolling",
+            size(array_distinct(flatten(collect_list(col("uset")).over(w))))
+              .cast("long"))
+          .select(col("day_idx"),
+            col("exact_rolling"),
+            (abs(expr("hll_sketch_estimate(rsk)") - col("exact_rolling"))
+              <= col("exact_rolling") * 0.15).as("est_ok"))
+          .orderBy("day_idx")
+      },
+      Some("""WITH e AS (SELECT
+             |    date_diff('day', DATE '1995-01-01', ts::DATE)::BIGINT AS day_idx,
+             |    user_id FROM events),
+             |days AS (SELECT DISTINCT day_idx FROM e)
+             |SELECT d.day_idx,
+             |  count(DISTINCT e.user_id)::BIGINT AS exact_rolling,
+             |  TRUE AS est_ok
+             |FROM days d JOIN e ON e.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
