@@ -104,21 +104,25 @@ object Profile {
     * the HISTOGRAM only; never a sort of the raw rows. Two passes (values,
     * then deviations), both histogram-shaped.
     */
+  /** Keyed inverse-CDF median over the value histogram (PERCENTILE_DISC:
+    * smallest value whose cumulative count reaches ⌈n/2⌉) — shared by
+    * `madOutliers` and `madFlagged`.
+    */
+  private def histMedian(in: DataFrame, vCol: String): DataFrame = {
+    val hist = in.groupBy(col("key"), col(vCol).as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.partitionBy("key").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy("key")))
+    cum.filter(col("cum") >= expr("div(n + 1, 2)"))
+      .groupBy("key").agg(min(col("v")).as(s"${vCol}_med"))
+  }
+
   def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
       kX100: Int = 300): DataFrame = {
     require(kX100 >= 0, "madOutliers: kX100 must be >= 0")
-
-    def histMedian(in: DataFrame, vCol: String): DataFrame = {
-      val hist = in.groupBy(col("key"), col(vCol).as("v"))
-        .agg(count(lit(1)).as("cnt"))
-      val cum = hist
-        .withColumn("cum", sum(col("cnt")).over(
-          Window.partitionBy("key").orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum(col("cnt")).over(Window.partitionBy("key")))
-      cum.filter(col("cum") >= expr("div(n + 1, 2)"))
-        .groupBy("key").agg(min(col("v")).as(s"${vCol}_med"))
-    }
 
     val e = df.select(col(keyCol).as("key"), col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull) // same null discipline as exactQuantiles
@@ -132,6 +136,32 @@ object Profile {
         min(col("mad")).as("mad"),
         sum(when(col("ad") * 100 > lit(kX100.toLong) * col("mad"), 1L)
           .otherwise(0L)).as("outliers"))
+  }
+
+  /** Row-level twin of `madOutliers`: every input row back, carrying its
+    * key's (med, mad) and an `is_outlier` flag — the shape for "WHICH
+    * days were anomalous", not just how many. Same exact inverse-CDF
+    * medians, same null discipline (null values are dropped), extra
+    * input columns pass through untouched. The per-key stats table is
+    * key-cardinality-sized and broadcasts back onto the rows.
+    */
+  def madFlagged(df: DataFrame, keyCol: String, valueCol: String,
+      kX100: Int = 300): DataFrame = {
+    require(kX100 >= 0, "madFlagged: kX100 must be >= 0")
+    val e = df.select(col(keyCol).as("key"), col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+    val med = histMedian(e, "v").withColumnRenamed("v_med", "med")
+    val dev = e.join(med, Seq("key")).withColumn("ad", abs(col("v") - col("med")))
+    val mad = histMedian(dev.select(col("key"), col("ad")), "ad")
+      .withColumnRenamed("ad_med", "mad")
+    val stats = med.join(mad, Seq("key"))
+      .select(col("key").as("__mk"), col("med"), col("mad"))
+    df.filter(col(valueCol).isNotNull)
+      .join(broadcast(stats), col(keyCol) === col("__mk"))
+      .withColumn("is_outlier",
+        abs(col(valueCol).cast("long") - col("med")) * 100 >
+          lit(kX100.toLong) * col("mad"))
+      .drop("__mk")
   }
 
   /** Per-category distribution drift — the data-quality monitor that

@@ -545,6 +545,74 @@ object EvalQueries {
              |  count(DISTINCT e.user_id)::BIGINT AS exact_rolling,
              |  TRUE AS est_ok
              |FROM days d JOIN e ON e.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Spark 4 VARIANT ingestion (x144): the semi-structured props column
+    // parsed ONCE into the binary VARIANT encoding and field-extracted
+    // with variant_get — the modern replacement for per-query JSON
+    // string re-parsing (shredded access instead of regex/get_json_object
+    // per field). Aggregates prove typed extraction end to end.
+    QueryDef("x144_variant_props",
+      (s, d) => QueryDef.events(s, d)
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type, count(*)::BIGINT AS n,
+             |  sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_sum,
+             |  min(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_min,
+             |  max(json_extract(props, '$.k')::BIGINT)::BIGINT AS k_max
+             |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)),
+
+    // Volume-anomaly days (x145): Profile.madFlagged over the per-type
+    // DAILY cents series — which days' ingestion volume deviates more
+    // than 3 MAD from that type's median (the heavy-tail-safe "did the
+    // crawler break on Tuesday" monitor; x84 counts outliers per key,
+    // this names them). Exact inverse-CDF medians over the daily
+    // histogram; the 5-row stats table broadcasts back.
+    QueryDef("x145_volume_anomaly_days",
+      (s, d) => {
+        val daily = QueryDef.events(s, d)
+          .select(col("event_type"),
+            datediff(col("ts").cast("date"),
+              lit("1995-01-01").cast("date")).cast("long").as("day_idx"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("day_idx"))
+          .agg(sum(col("cents")).as("day_cents"))
+        graft.operators.Profile.madFlagged(daily, "event_type", "day_cents",
+            kX100 = 300)
+          .filter(col("is_outlier"))
+          .select(col("event_type"), col("day_idx"), col("day_cents"),
+            col("med"), col("mad"))
+          .orderBy("event_type", "day_idx")
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    date_diff('day', DATE '1995-01-01', ts::DATE)::BIGINT AS day_idx,
+             |    (floor(value*100 + 0.5))::BIGINT AS cents FROM events),
+             |d AS (SELECT event_type AS key, day_idx,
+             |    sum(cents)::BIGINT AS v FROM e GROUP BY 1, 2),
+             |h AS (SELECT key, v, count(*)::BIGINT AS cnt FROM d GROUP BY 1, 2),
+             |c AS (SELECT key, v, cnt,
+             |    sum(cnt) OVER (PARTITION BY key ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(cnt) OVER (PARTITION BY key) AS n FROM h),
+             |m AS (SELECT key, min(v)::BIGINT AS med FROM c
+             |  WHERE cum >= (n+1)//2 GROUP BY key),
+             |dev AS (SELECT d.key, d.day_idx, d.v, m.med,
+             |    abs(d.v - m.med) AS ad FROM d JOIN m USING (key)),
+             |h2 AS (SELECT key, ad, count(*)::BIGINT AS cnt FROM dev GROUP BY 1, 2),
+             |c2 AS (SELECT key, ad, cnt,
+             |    sum(cnt) OVER (PARTITION BY key ORDER BY ad
+             |      ROWS UNBOUNDED PRECEDING) AS cum,
+             |    sum(cnt) OVER (PARTITION BY key) AS n FROM h2),
+             |m2 AS (SELECT key, min(ad)::BIGINT AS mad FROM c2
+             |  WHERE cum >= (n+1)//2 GROUP BY key)
+             |SELECT dev.key AS event_type, dev.day_idx,
+             |  dev.v AS day_cents, dev.med, m2.mad
+             |FROM dev JOIN m2 USING (key)
+             |WHERE dev.ad * 100 > 300 * m2.mad
+             |ORDER BY event_type, day_idx""".stripMargin))
   )
 }
