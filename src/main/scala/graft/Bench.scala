@@ -69,7 +69,7 @@ object Bench {
     "x135_heavy_hitters", "x138_stream_heavy_hitters",
     "x139_volume_trend", "x140_hll_artifact_union", "x141_score_auc",
     "x142_score_lift", "x143_rolling_sketch", "x144_variant_props",
-    "x145_volume_anomaly_days",
+    "x145_volume_anomaly_days", "x146_coengagement",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 

@@ -143,4 +143,41 @@ object Graph {
     nodes.join(ranks, Seq("node"))
       .select(col("node"), col("rank").as("rank_x1e12"))
   }
+
+  /** Bipartite co-engagement projection — the "users who touched the same
+    * item" edge list behind co-click embeddings and collaborative
+    * filtering: distinct (user, item) incidence, items above
+    * `maxUsersPerItem` distinct users DROPPED (the standard popularity
+    * guard — a head item connects everyone to everyone, c²/2 pairs of
+    * pure noise, exactly the LSH bucket-flood shape maxBucket caps), then
+    * the per-item self-join and a pair count, cut to the strongest `topK`
+    * edges (shared_items desc, then (u1, u2) asc — deterministic).
+    *
+    * Scale: the quadratic step is bounded by construction — each
+    * surviving item contributes ≤ maxUsersPerItem²/2 pairs — and the cut
+    * is TakeOrdered, never a full sort. The guard is a cliff, not a cap:
+    * size it from a candidate-pair count (Σ c(c−1)/2 over c ≤ max), the
+    * x125 lesson.
+    */
+  def coEngagement(df: DataFrame, userCol: String, itemCol: String,
+      maxUsersPerItem: Int, topK: Int): DataFrame = {
+    require(maxUsersPerItem > 1, "coEngagement: maxUsersPerItem must be > 1")
+    require(topK > 0, "coEngagement: topK must be > 0")
+    val e = df.select(col(userCol).cast("long").as("u"),
+        col(itemCol).cast("long").as("item"))
+      .filter(col("u").isNotNull && col("item").isNotNull)
+      .distinct()
+    val kept = e.groupBy(col("item"))
+      .agg(count(lit(1)).as("cu"))
+      .filter(col("cu") <= maxUsersPerItem)
+      .select("item")
+    val g = e.join(kept, Seq("item"))
+    val pairs = g.select(col("item"), col("u").as("u1"))
+      .join(g.select(col("item"), col("u").as("u2")), Seq("item"))
+      .filter(col("u1") < col("u2"))
+    pairs.groupBy(col("u1"), col("u2"))
+      .agg(count(lit(1)).as("shared_items"))
+      .orderBy(col("shared_items").desc, col("u1"), col("u2"))
+      .limit(topK)
+  }
 }

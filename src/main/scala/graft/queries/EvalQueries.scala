@@ -613,6 +613,30 @@ object EvalQueries {
              |  dev.v AS day_cents, dev.med, m2.mad
              |FROM dev JOIN m2 USING (key)
              |WHERE dev.ad * 100 > 300 * m2.mad
-             |ORDER BY event_type, day_idx""".stripMargin))
+             |ORDER BY event_type, day_idx""".stripMargin)),
+
+    // Co-engagement projection (x146): the bipartite user–item incidence
+    // (item = the VARIANT-extracted props field) projected to its
+    // strongest user–user edges — the co-click graph behind
+    // collaborative filtering. Items touched by more than 70 distinct
+    // users are dropped first (the popularity guard: a head item
+    // connects everyone to everyone — c²/2 pairs of noise, the LSH
+    // bucket-flood shape), so the quadratic step is bounded by
+    // construction.
+    QueryDef("x146_coengagement",
+      (s, d) => graft.operators.Graph.coEngagement(
+        QueryDef.events(s, d).select(col("user_id"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("item")),
+        "user_id", "item", maxUsersPerItem = 70, topK = 50),
+      Some("""WITH e AS (SELECT DISTINCT user_id AS u,
+             |    json_extract(props, '$.k')::BIGINT AS item FROM events),
+             |c AS (SELECT item, count(*)::BIGINT AS cu FROM e GROUP BY 1),
+             |g AS (SELECT u, item FROM e
+             |  WHERE item IN (SELECT item FROM c WHERE cu <= 70)),
+             |p AS (SELECT a.u AS u1, b.u AS u2 FROM g a
+             |  JOIN g b ON a.item = b.item AND a.u < b.u)
+             |SELECT u1, u2, count(*)::BIGINT AS shared_items
+             |FROM p GROUP BY 1, 2
+             |ORDER BY shared_items DESC, u1, u2 LIMIT 50""".stripMargin))
   )
 }

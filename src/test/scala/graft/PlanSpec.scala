@@ -775,6 +775,24 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("CartesianProduct")
   }
 
+  test("b32 two-role nation joins broadcast both filtered dims — no" +
+      " cartesian, no shuffle join of a 2-row dim") {
+    val plan = planOf(q("b32_tpch_q7"))
+    nodeCount(plan, "BroadcastHashJoin") should be >= 2
+    (plan should not).include("CartesianProduct")
+  }
+
+  test("b33 market share is ONE aggregation pass — conditional sum, no" +
+      " numerator/denominator self-join") {
+    val plan = planOf(q("b33_tpch_q8"))
+    // a self-join formulation would show two separate aggregate chains
+    // joined on o_year; the conditional-sum plan has exactly one
+    // partial+final pair over the fact rows
+    nodeCount(plan, "HashAggregate") shouldBe 2
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("SortMergeJoin")
+  }
+
   test("x135 heavy hitters: candidate filter is a broadcast join; only the" +
       " candidate recount shuffles") {
     val plan = planOf(q("x135_heavy_hitters"))
