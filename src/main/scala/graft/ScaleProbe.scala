@@ -191,6 +191,22 @@ object ScaleProbe {
       p
     }
 
+    // Bipartite (user, item) incidence for the co-engagement probes: a
+    // long tail of ~2-user items plus one hot item whose audience grows
+    // with m (hot pairs grow m²; tail pairs grow linearly).
+    def coInputs(m: Int): DataFrame = {
+      val users = 10000L * m
+      // every odd user touches the hot item: hot pairs = (users/2)²/2,
+      // growing m² — 12.5M pairs at 1×, 200M at 4×, so the flood
+      // dominates the linear tail once the guard is off
+      val tail = spark.range(users * 20).select(
+        (col("id") % users).as("u"),
+        ((col("id") * 2654435761L) % (users * 10) + 100000000L).as("item"))
+      val hot = spark.range(users / 2).select(
+        (col("id") * 2 + 1).as("u"), lit(0L).as("item"))
+      tail.unionByName(hot)
+    }
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "dedup_exact" -> (m => Dedup.exact(corpus(m), "doc_id", "text").count()),
       "dedup_minhash_lsh" -> (m =>
@@ -814,7 +830,19 @@ object ScaleProbe {
           .filter(col("node") % 50 === 0)
         Graph.personalizedPageRank(edges, "src", "dst", seeds, iterations = 3)
           .agg(sum("rank_x1e12")).first().getLong(0)
-      })
+      },
+      // Bipartite co-engagement: a long tail of ~2-user items (pairs grow
+      // linearly with m) plus ONE hot item whose audience grows with m —
+      // hot pairs grow m². The guard drops the hot item at every m, so
+      // the guarded exponent certifies the linear tail; the unguarded
+      // control (prefix-isolated, run it capped: `ScaleProbe 4
+      // unguarded_`) measures the m² flood the guard exists to stop.
+      "coengagement_guarded" -> (m =>
+        Graph.coEngagement(coInputs(m), "u", "item",
+          maxUsersPerItem = 64, topK = 100).count()),
+      "unguarded_coengagement" -> (m =>
+        Graph.coEngagement(coInputs(m), "u", "item",
+          maxUsersPerItem = Int.MaxValue, topK = 100).count()))
 
     val opFilter: String => Boolean = args.lift(1) match {
       case Some(prefixes) =>

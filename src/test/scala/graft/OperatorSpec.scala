@@ -1013,4 +1013,20 @@ class OperatorSpec extends SparkSpec with Matchers {
     graft.operators.Skew.heavyHitters(
       Seq.empty[String].toDF("tok"), "tok", k = 10).count() shouldBe 0L
   }
+
+  test("coEngagement: popularity guard drops the flood item; pair counts exact") {
+    import spark.implicits._
+    // item 100 is touched by ALL 10 users (the head item) — with the
+    // guard at 5 it contributes nothing; items 1/2 build the real edges.
+    val rows =
+      (1L to 10L).map(u => (u, 100L)) ++            // flood item
+      Seq((1L, 1L), (2L, 1L), (3L, 1L),             // item 1: users 1,2,3
+        (1L, 2L), (2L, 2L),                         // item 2: users 1,2
+        (1L, 2L))                                   // duplicate event: distinct-folded
+    val out = graft.operators.Graph.coEngagement(
+        rows.toDF("u", "item"), "u", "item", maxUsersPerItem = 5, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // (1,2) share items 1 AND 2; (1,3) and (2,3) share item 1 only
+    out.toSeq shouldBe Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L))
+  }
 }
