@@ -408,4 +408,28 @@ class PropertySpec extends SparkSpec with Matchers {
       total should be <= (40L * (lo + 1))
     }
   }
+
+  test("property: two-pass MG heavy hitters equals brute force on random" +
+      " streams, any k, any layout") {
+    import spark.implicits._
+    // small alphabets force heavy collisions; skewed choice makes some
+    // symbols genuinely heavy and others hover at the threshold
+    val streamGen = for {
+      alpha <- Gen.chooseNum(2, 12)
+      n <- Gen.chooseNum(20, 300)
+      xs <- Gen.listOfN(n, Gen.frequency(
+        (4, Gen.const(0)), (2, Gen.const(1)),
+        (1, Gen.chooseNum(0, alpha - 1))))
+      k <- Gen.chooseNum(2, 8)
+      parts <- Gen.chooseNum(1, 6)
+    } yield (xs.map(i => s"t$i"), k, parts)
+    samples(streamGen, 12).foreach { case (xs, k, parts) =>
+      val brute = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .filter { case (_, c) => c * k > xs.size }
+      val out = graft.operators.Skew.heavyHitters(
+          spark.sparkContext.parallelize(xs, parts).toDF("t"), "t", k)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out shouldBe brute
+    }
+  }
 }
