@@ -341,8 +341,10 @@ object Dedup {
     * shuffle; round 8 replaced the old explode → collect_set shape,
     * whose corpus-wide (doc, hash) exchange was the largest shuffle in
     * every consumer and measured 7 hash exchanges in x03's executed plan
-    * vs 2 now) → `numHashes` minhash values computed per-row from the
-    * array (`array_min(transform(...))`) → band buckets →
+    * vs 2 now) → all `numHashes` minhash values computed per-row in ONE
+    * JIT'd array walk (the fused `graft_minhash` expression; the
+    * declarative 16 × array_min(transform(...)) ran interpreted and
+    * measured 2.09 s vs 1.35 s warm-min on x03 at sf0.1) → band buckets →
     * inverted-index self-join on (band, band signature) → exact Jaccard
     * on the candidates via `array_intersect` of the two feature arrays.
     *
@@ -399,12 +401,18 @@ object Dedup {
     // MinHash-LSH consumer.
     val feats = shingleFeatureSets(df, idCol, textCol, shingleSize)
 
-    val minhashCols = (0 until numHashes).map(i =>
-      array_min(transform(col("features"), h => uhash(h, coeffA(i), coeffB(i)))).as(s"m$i"))
-    val sigs = feats.select((col("doc") +: minhashCols): _*)
+    // All numHashes minima in ONE JIT'd walk of the feature array (the
+    // fused graft_minhash expression) — the declarative alternative is
+    // numHashes interpreted array_min(transform(...)) traversals
+    // (value-identical, pinned per-doc on the real corpus in
+    // OperatorSpec "native minhash signature...").
+    val sigs = feats.select(col("doc"),
+      graft.functions.MinHashSignature.ofCol(col("features"), numHashes)
+        .as("sigs"))
 
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}"))
+      val parts = (0 until rowsPerBand).map(r =>
+        col("sigs").getItem(b * rowsPerBand + r))
       struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
     }
     val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))

@@ -1014,6 +1014,23 @@ class OperatorSpec extends SparkSpec with Matchers {
       Seq.empty[String].toDF("tok"), "tok", k = 10).count() shouldBe 0L
   }
 
+  test("native minhash signature equals the 16 declarative columns on the real corpus") {
+    import graft.functions.Portable.{coeffA, coeffB, uhash}
+    import graft.functions.{MinHashSignature, ShingleHashes}
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    for (n <- Seq(8, 16)) {
+      val feats = corpus.select(col("doc_id"),
+        ShingleHashes.ofCol(col("text"), 3).as("features"))
+      val oldCols = (0 until n).map(i =>
+        array_min(transform(col("features"), h => uhash(h, coeffA(i), coeffB(i)))))
+      val diff = feats.select(
+          array(oldCols: _*).as("declarative"),
+          MinHashSignature.ofCol(col("features"), n).as("fused"))
+        .filter(!(col("declarative") === col("fused")))
+      diff.count() shouldBe 0L
+    }
+  }
+
   test("coEngagement: popularity guard drops the flood item; pair counts exact") {
     import spark.implicits._
     // item 100 is touched by ALL 10 users (the head item) — with the
