@@ -88,5 +88,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_shingles"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles"),
       arity("graft_shingles", 2)(c => ShingleHashes(c.head, c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      arity("graft_minhash", 2)(c => MinHashSignature(c.head, c(1)))))
   }
 }

@@ -1031,6 +1031,19 @@ class OperatorSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("graft_minhash is SQL-registered and matches the Column path") {
+    val viaSql = spark
+      .sql("SELECT graft_minhash(graft_shingles('alpha beta gamma delta', 3), 4) AS s")
+      .collect().head.getSeq[Long](0)
+    val viaCol = spark.range(1)
+      .select(graft.functions.MinHashSignature.ofCol(
+        graft.functions.ShingleHashes.ofCol(
+          org.apache.spark.sql.functions.lit("alpha beta gamma delta"), 3), 4).as("s"))
+      .collect().head.getSeq[Long](0)
+    viaSql shouldBe viaCol
+    viaSql.length shouldBe 4
+  }
+
   test("coEngagement: popularity guard drops the flood item; pair counts exact") {
     import spark.implicits._
     // item 100 is touched by ALL 10 users (the head item) — with the
