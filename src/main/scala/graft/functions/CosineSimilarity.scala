@@ -92,5 +92,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
       arity("graft_minhash", 2)(c => MinHashSignature(c.head, c(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
+      arity("graft_simhash", 1)(c => SimHashSignature(c.head))))
   }
 }

@@ -869,42 +869,16 @@ object Dedup {
     require(SimHashBits % chunks == 0, s"$SimHashBits bits must split into ${chunks} chunks")
     val chunkBits = SimHashBits / chunks
 
-    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("toks"))
-      .select(col("doc"), explode(col("toks")).as("tok"))
-      .select(col("doc"), hash56(col("tok")).as("h"))
-    // Bit-plane counting, lane-packed: bit j is set iff 2*cnt_j > total,
-    // where cnt_j counts tokens with hash-bit j set — identical to the
-    // sum(±1) > 0 formulation but branchless, and 3 planes share one
-    // BIGINT aggregate via 20-bit lanes (20 agg columns + a count instead
-    // of 60 conditional sums: 1/3 the aggregation state and shuffle
-    // width). Lane arithmetic is exact for docs < 2^20 tokens (~4 MB of
-    // text) — far above any sane document; chunk longer docs upstream.
-    val lanes = 3
-    val laneBits = 20
-    val nGroups = SimHashBits / lanes // 60 = 20 groups × 3 planes
-    val packedSums = (0 until nGroups).map { g =>
-      sum((0 until lanes).map { l =>
-        val j = g * lanes + l
-        shiftleft(shiftright(col("h"), j).bitwiseAND(lit(1L)), l * laneBits)
-      }.reduce(_ + _)).as(s"g$g")
-    }
-    // Unpack via one compact fold over the bit indices instead of 60
-    // inlined when()-trees: the signature assembly runs on ONE row per doc
-    // (5 orders of magnitude fewer rows than the agg above), so an
-    // interpreted higher-order function costs nothing at runtime while
-    // keeping the plan tree ~30× smaller — Catalyst analysis/optimization
-    // time is proportional to expression size and is pure driver latency.
-    val mask = (1L << laneBits) - 1
-    val sig = toks.groupBy("doc")
-      .agg(count(lit(1)).as("cnt"), packedSums: _*)
-      .select(col("doc"),
-        array((0 until nGroups).map(g => col(s"g$g")): _*).as("gs"), col("cnt"))
-      .select(col("doc"),
-        expr(s"""aggregate(sequence(0, ${SimHashBits - 1}), CAST(0 AS BIGINT),
-                |  (acc, j) -> acc + IF(
-                |    2 * ((element_at(gs, CAST(j div $lanes AS INT) + 1) >> ((j % $lanes) * $laneBits)) & $mask) > cnt,
-                |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
-          .as("simhash"))
+    // Signature extraction is MAP-SIDE (round 8, the graft_shingles
+    // pattern): the fused graft_simhash expression tokenizes, hashes,
+    // and counts all 60 bit planes in one JIT'd loop per row —
+    // value-identical to the previous explode → lane-packed doc-keyed
+    // aggregation (pinned per-doc on the real corpus, OperatorSpec
+    // "native simhash...") but WITHOUT its (doc, hash) explode and the
+    // doc-keyed shuffle into 21 aggregate columns: the operator's first
+    // exchange disappears from the plan.
+    val sig = df.select(col(idCol).as("doc"),
+      graft.functions.SimHashSignature.ofCol(col(textCol)).as("simhash"))
 
     val allChunked = sig.select(col("doc"), col("simhash"), explode(array(
       (0 until chunks).map(c =>

@@ -1031,6 +1031,36 @@ class OperatorSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("native simhash equals the lane-packed aggregation on the real corpus") {
+    import graft.functions.Portable.{hash56, tokens}
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+    val lanes = 3; val laneBits = 20; val nGroups = 20; val bits = 60
+    val mask = (1L << laneBits) - 1
+    val toks = corpus
+      .select(col("doc_id").as("doc"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc"), hash56(col("tok")).as("h"))
+    val packedSums = (0 until nGroups).map { g =>
+      sum((0 until lanes).map { l =>
+        val j = g * lanes + l
+        shiftleft(shiftright(col("h"), j).bitwiseAND(lit(1L)), l * laneBits)
+      }.reduce(_ + _)).as(s"g$g")
+    }
+    val declarative = toks.groupBy("doc")
+      .agg(count(lit(1)).as("cnt"), packedSums: _*)
+      .select(col("doc"),
+        array((0 until nGroups).map(g => col(s"g$g")): _*).as("gs"), col("cnt"))
+      .select(col("doc"),
+        expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+                |  (acc, j) -> acc + IF(
+                |    2 * ((element_at(gs, CAST(j div $lanes AS INT) + 1) >> ((j % $lanes) * $laneBits)) & $mask) > cnt,
+                |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+          .as("old_sig"))
+    val fused = corpus.select(col("doc_id").as("doc"),
+      graft.functions.SimHashSignature.ofCol(col("text")).as("new_sig"))
+    declarative.join(fused, Seq("doc"))
+      .filter(col("old_sig") =!= col("new_sig")).count() shouldBe 0L
+  }
+
   test("graft_minhash is SQL-registered and matches the Column path") {
     val viaSql = spark
       .sql("SELECT graft_minhash(graft_shingles('alpha beta gamma delta', 3), 4) AS s")

@@ -793,6 +793,17 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("SortMergeJoin")
   }
 
+  test("x04 simhash signature extraction is map-side — the fused native" +
+      " expression replaces the doc-keyed lane aggregation") {
+    val plan = planOf(q("x04_dedup_simhash"))
+    plan should include("graft_simhash")
+    (plan should not).include("SortMergeJoin")
+    // signatures never shuffle: the only keyed exchanges permitted are
+    // the chunk self-join's (and at gated sf the dim side broadcasts,
+    // so the measured plan has zero)
+    "Arguments: hashpartitioning".r.findAllIn(plan).length should be <= 2
+  }
+
   test("x135 heavy hitters: candidate filter is a broadcast join; only the" +
       " candidate recount shuffles") {
     val plan = planOf(q("x135_heavy_hitters"))
