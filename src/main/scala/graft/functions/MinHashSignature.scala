@@ -18,16 +18,22 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * VALUE-IDENTICAL to the declarative columns by construction: the same
   * `Portable.coeffA/coeffB/P` family and the same
   * `(a · (h mod P) + b) mod P` evaluation order, pinned per-doc against
-  * the 16-column computation on the real corpus (OperatorSpec). Callers
-  * feed `graft_shingles` output, which is never empty (the k-token
-  * shingler emits ≥ 1 shingle for any string); an empty array is a
-  * contract violation and fails loudly rather than silently diverging
-  * from `array_min`'s null.
+  * the 16-column computation on the real corpus (OperatorSpec). An EMPTY
+  * feature array yields NULL — exactly what the declarative
+  * `array_min(transform(...))` columns produce on an empty input — so the
+  * SQL-registered surface stays analyzable-in/null-out for user-supplied
+  * arrays instead of crashing tasks. Internal callers feed
+  * `graft_shingles` output, which is never empty (the k-token shingler
+  * emits ≥ 1 shingle for any string), so the null path is unreachable in
+  * the dedup family.
   */
 case class MinHashSignature(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // Null on empty input (the array_min convention), so nullable even when
+  // the child is not.
+  override def nullable: Boolean = true
   override def prettyName: String = "graft_minhash"
 
   override def checkInputDataTypes()
@@ -44,12 +50,21 @@ case class MinHashSignature(left: Expression, right: Expression)
     }
   }
 
-  override def nullSafeEval(f: Any, n: Any): Any =
-    MinHashSignature.compute(f.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+  override def nullSafeEval(f: Any, n: Any): Any = {
+    val feats = f.asInstanceOf[ArrayData]
+    if (feats.numElements() == 0) null
+    else MinHashSignature.compute(feats, n.asInstanceOf[Int])
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (f, n) =>
-      s"${ev.value} = graft.functions.MinHashSignature.compute($f, $n);")
+      s"""
+         |if ($f.numElements() == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = graft.functions.MinHashSignature.compute($f, $n);
+         |}
+       """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): MinHashSignature =
@@ -76,10 +91,12 @@ object MinHashSignature {
       (a, b)
     })
 
+  /** Core loop. Callers (eval + codegen) handle the empty-array → null
+    * case before reaching here; `m == 0` would return an all-MaxValue
+    * signature, which is never what anyone means.
+    */
   def compute(feats: ArrayData, n: Int): ArrayData = {
     val m = feats.numElements()
-    require(m > 0,
-      "graft_minhash: empty feature array (shingle sets are never empty)")
     val (a, b) = coeffs(n)
     val out = Array.fill(n)(Long.MaxValue)
     var j = 0

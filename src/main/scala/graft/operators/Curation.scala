@@ -246,7 +246,10 @@ object Curation {
     * domain in memory — the hot-domain skew guard).
     *
     * Output: (doc, url, domain, blocked, domain_rank, keep), one row per
-    * input row.
+    * input row. Bracketed IPv6 authorities keep the whole literal as their
+    * domain; URLs with no extractable host (scheme-less, relative, garbage)
+    * get domain NULL and keep=false, and are salted into per-row window
+    * partitions so dirty data can't manufacture one hot partition.
     */
   def domainCurate(df: DataFrame, idCol: String, urlCol: String,
       orderCol: String, multiPartSuffixes: Seq[String],
@@ -256,24 +259,43 @@ object Curation {
     // query string must not leak "?utm_source=x" into the domain (and a
     // crafted "?ref=user@evil.org" must not choose its own domain via
     // the userinfo strip)
-    val host = lower(regexp_extract(
-      regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/?#]+)", 1),
-      "^(?:[^@]*@)?([^:]+)", 1))
+    val rawAuth = regexp_extract(col(urlCol), "^[a-zA-Z]+://([^/?#]+)", 1)
+    // A bracketed IPv6 authority ("[::1]:8080", possibly with userinfo)
+    // keeps the whole literal as its host — the generic userinfo/port strip
+    // stops at the FIRST colon and would otherwise hand back "[".
+    val bracketHost = regexp_extract(rawAuth, "^(?:[^@/]*@)?\\[([^\\]]+)\\]", 1)
+    val host = lower(when(bracketHost =!= "", bracketHost)
+      .otherwise(regexp_extract(rawAuth, "^(?:[^@]*@)?([^:]+)", 1)))
     val labels = split(host, "\\.")
     val last2 = concat_ws(".", slice(labels, -2, 2))
-    val domain = when(size(labels) <= 2, concat_ws(".", labels))
+    // Dirty crawl data: scheme-less/relative URLs (and plain garbage) have
+    // no extractable host. They get domain NULL and keep=false instead of
+    // domain '' — '' pooled every such row into ONE window partition, a
+    // manufactured hot partition on exactly the data most likely to be
+    // dirty at scale. IP-literal hosts have no registrable domain; the
+    // literal itself is the domain (per-IP capping is the right behavior
+    // for IP-hosted crawl spam anyway).
+    val domain = when(host === "", lit(null).cast("string"))
+      .when(bracketHost =!= "", host)
+      .when(size(labels) <= 2, concat_ws(".", labels))
       .when(last2.isin(multiPartSuffixes: _*),
         concat_ws(".", slice(labels, -3, 3)))
       .otherwise(last2)
     val withDomain = df.select(col(idCol).as("doc"), col(urlCol).as("url"),
       col(orderCol).as("__ord"), domain.as("domain"))
-      .withColumn("blocked", col("domain").isin(blockedDomains: _*))
+      .withColumn("blocked",
+        coalesce(col("domain").isin(blockedDomains: _*), lit(false)))
     withDomain
       .withColumn("domain_rank", row_number().over(
-        Window.partitionBy("domain")
+        // NULL-domain rows ride a per-row partition key (doc id is unique)
+        // so they can never form a hot partition; real domains partition
+        // by domain exactly as before. One shuffle either way.
+        Window.partitionBy(coalesce(col("domain"),
+            concat(lit(" nohost:"), col("doc").cast("string"))))
           .orderBy(col("blocked").asc, col("__ord").desc, col("doc").asc))
         .cast("long"))
-      .withColumn("keep", !col("blocked") && col("domain_rank") <= maxPerDomain)
+      .withColumn("keep", col("domain").isNotNull && !col("blocked") &&
+        col("domain_rank") <= maxPerDomain)
       .drop("__ord")
   }
 

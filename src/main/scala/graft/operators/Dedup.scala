@@ -368,12 +368,27 @@ object Dedup {
     * caller composing many consumers over one corpus materializes
     * `buildLshIndex` / `buildCanonicalLabels` — the write-once
     * artifacts remain the share-across-queries answer either way.
+    *
+    * `cacheFeatures = true` eagerly `localCheckpoint`s the per-doc feature
+    * sets so the four consuming branches (bucket l/r, verify fa/fb) read
+    * them instead of re-extracting per branch — the single-machine
+    * multi-branch regime where the re-extraction trade loses (the measured
+    * 1.21 → 1.64 s above). Off by default: it pins the corpus's feature
+    * table in executor memory and hides the extraction subtree from the
+    * plan, and at cluster scale the persisted-artifact path
+    * (`buildLshIndex`) is the right lever instead.
     */
   def minHashLsh(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val (feats, buckets) = minHashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+      threshold: Double = 0.5, cacheFeatures: Boolean = false): DataFrame = {
+    val (rawFeats, rawBuckets) = minHashBuckets(df, idCol, textCol, shingleSize, numHashes, bands)
+    val (feats, buckets) =
+      if (!cacheFeatures) (rawFeats, rawBuckets)
+      else {
+        val f = rawFeats.localCheckpoint()
+        (f, bandBuckets(f, numHashes, bands))
+      }
 
     val candidates = buckets.as("l").join(buckets.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
@@ -391,7 +406,6 @@ object Dedup {
   private def minHashBuckets(df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int, numHashes: Int, bands: Int): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
 
     // MAP-SIDE feature extraction (round 8): the fused native expression
     // computes each doc's distinct shingle-hash set in one JIT'd pass —
@@ -400,24 +414,29 @@ object Dedup {
     // (doc, hash) shuffle, which was the largest exchange in every
     // MinHash-LSH consumer.
     val feats = shingleFeatureSets(df, idCol, textCol, shingleSize)
+    (feats, bandBuckets(feats, numHashes, bands))
+  }
 
-    // All numHashes minima in ONE JIT'd walk of the feature array (the
-    // fused graft_minhash expression) — the declarative alternative is
-    // numHashes interpreted array_min(transform(...)) traversals
-    // (value-identical, pinned per-doc on the real corpus in
-    // OperatorSpec "native minhash signature...").
+  /** Banded signature buckets from a (doc, features) table: all numHashes
+    * minima in ONE JIT'd walk of the feature array (the fused
+    * graft_minhash expression — the declarative alternative is numHashes
+    * interpreted array_min(transform(...)) traversals; value-identical,
+    * pinned per-doc on the real corpus in OperatorSpec "native minhash
+    * signature..."), then one row per (doc, band, band-signature).
+    */
+  private def bandBuckets(feats: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
     val sigs = feats.select(col("doc"),
       graft.functions.MinHashSignature.ofCol(col("features"), numHashes)
         .as("sigs"))
-
     val bandCols = (0 until bands).map { b =>
       val parts = (0 until rowsPerBand).map(r =>
         col("sigs").getItem(b * rowsPerBand + r))
       struct(lit(b).as("band"), concat_ws("_", parts: _*).as("sig"))
     }
-    val buckets = sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
+    sigs.select(col("doc"), explode(array(bandCols: _*)).as("bk"))
       .select(col("doc"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-    (feats, buckets)
   }
 
   /** Incremental NEAR-dup — the probe production pipelines run on every

@@ -89,15 +89,26 @@ object Skew {
     *
     * Output: (keyCol, cnt, pct_x10000 = div(10⁴·cnt, total)) for every key
     * with cnt·k > total. Keys are compared as strings (cast on entry).
+    *
+    * NULL keys are EXCLUDED — dropped on entry, before either pass, so they
+    * count toward neither the candidates nor the total (the same rows an
+    * equi-join or a non-null GROUP BY key would drop). A stream with a
+    * frequent NULL key should impute a real sentinel value upstream if that
+    * mass matters; silently folding NULL into the summary protocol is how
+    * the previous encoding (NULL key = partition-total row) made a frequent
+    * NULL unfindable by construction.
     */
   def heavyHitters(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, "heavyHitters: k must be >= 2")
     val spark = df.sparkSession
     import spark.implicits._
     val cap = k - 1
-    val keys = df.select(col(keyCol).cast("string").as("key")).as[String]
-    // Pass 1: per-partition MG summaries, plus one null-key row carrying
-    // the partition's row count (so the total needs no extra scan).
+    val keys = df.select(col(keyCol).cast("string").as("key"))
+      .filter(col("key").isNotNull).as[String]
+    // Pass 1: per-partition MG summaries, plus one flagged row carrying the
+    // partition's row count (so the total needs no extra scan). The total
+    // rides its own is_total flag — not an in-band magic key value — so the
+    // summary encoding cannot collide with any real key.
     val summary = keys.mapPartitions { it =>
       val counters = scala.collection.mutable.HashMap.empty[String, Long]
       var n = 0L
@@ -116,11 +127,12 @@ object Skew {
             }
         }
       }
-      counters.keysIterator.map(kk => (kk, 0L)) ++ Iterator((null: String, n))
-    }.toDF("key", "w").localCheckpoint()
-    val candidates = summary.filter(col("key").isNotNull)
+      counters.keysIterator.map(kk => (kk, 0L, false)) ++
+        Iterator((null: String, n, true))
+    }.toDF("key", "w", "is_total").localCheckpoint()
+    val candidates = summary.filter(!col("is_total"))
       .select("key").distinct()
-    val total = summary.filter(col("key").isNull)
+    val total = summary.filter(col("is_total"))
       .agg(sum(col("w")).as("total"))
     // Pass 2: exact recount of candidates only — the broadcast semi-side
     // filters non-candidates map-side, so the shuffle carries at most

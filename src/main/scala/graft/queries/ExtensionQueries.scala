@@ -1715,15 +1715,19 @@ object ExtensionQueries {
              |FROM b WHERE fingerprint NOT IN (SELECT fingerprint FROM i)
              |GROUP BY 1 ORDER BY fingerprint""".stripMargin)),
 
-    // Stream-static enrichment (StreamOps.streamStaticEnrich): the event
-    // stream joins the customer dimension snapshot per micro-batch
-    // (stateless — no watermark, no join state), aggregated per market
-    // segment. Batch-equivalent semantics, so plain SQL is the oracle.
+    // Stream-static enrichment: the event stream joins the customer
+    // dimension snapshot per micro-batch (stateless broadcast join),
+    // rolled up per market segment. Since round 9 the global rollup runs
+    // THROUGH the windowed append drain (watermark-finalized per-day
+    // rows, state evicted at the watermark, totals summed batch-side over
+    // the immutable appended log) — the complete-mode
+    // streamStaticEnrich's unbounded re-emitted state never enters the
+    // oracle surface. Batch-equivalent semantics, so plain SQL is the
+    // oracle.
     QueryDef("x53_stream_static_enrich",
-      (s, d) => StreamOps.streamStaticEnrich(s, s"$d/events.parquet",
+      (s, d) => StreamOps.streamStaticEnrichAppendTotals(s, s"$d/events.parquet",
           tbl(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
-          "user_id", "c_custkey", "c_mktsegment",
-          queryName = s"sse_${System.nanoTime()}")
+          "user_id", "c_custkey", "c_mktsegment")
         .orderBy("c_mktsegment"),
       Some("""SELECT c_mktsegment, count(*)::BIGINT AS events,
              |  sum((floor(value*100 + 0.5))::BIGINT)::BIGINT AS sum_cents
@@ -2790,12 +2794,17 @@ object ExtensionQueries {
              |    (SELECT tokens FROM pk)
              |) ORDER BY stage_ord""".stripMargin)),
 
-    // Streaming hot-key monitor (StreamOps.streamingHotKeys, top 20
-    // users): x83's diagnostics maintained incrementally in streaming
-    // state — the live skew dashboard. Oracle is the batch top-k count.
+    // Streaming hot-key monitor (top 20 users): x83's diagnostics
+    // maintained in streaming state — the live skew dashboard. Since
+    // round 9 the global count runs THROUGH the windowed append drain
+    // (per-(day, key) windows finalize + evict at the watermark; the
+    // global count is the batch-side sum of each key's immutable day
+    // counts — exact because count decomposes over the day partition),
+    // so no oracle query keeps one counter per key forever. Oracle is
+    // the batch top-k count.
     QueryDef("x89_stream_hot_keys",
-      (s, d) => StreamOps.streamingHotKeys(s, s"$d/events.parquet",
-          "user_id", k = 20, queryName = s"stream_hot_${System.nanoTime()}")
+      (s, d) => StreamOps.streamingHotKeysGlobalTopK(s, s"$d/events.parquet",
+          "user_id", k = 20)
         .orderBy(col("cnt").desc, col("key")),
       Some("""SELECT user_id AS key, count(*)::BIGINT AS cnt
              |FROM events GROUP BY 1

@@ -295,18 +295,44 @@ object StreamOps {
   def streamingHotKeysWindowedAppend(spark: SparkSession, eventsPath: String,
       keyCol: String, k: Int): DataFrame = {
     require(k > 0, "streamingHotKeysWindowedAppend: k must be positive")
+    val (log, _) = hotKeyWindowLogWithState(spark, eventsPath, keyCol)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(col("cnt").desc, col("key"))
+    log.withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+  }
+
+  /** The shared windowed hot-key drain: per-(day, key) counts finalized at
+    * the watermark into an append log — (bucket, key, cnt) plus the final
+    * state-row count so specs can assert eviction actually happened.
+    */
+  private[graft] def hotKeyWindowLogWithState(spark: SparkSession,
+      eventsPath: String, keyCol: String): (DataFrame, Long) = {
     val stream = sentinelStream(spark, eventsPath, "graft-stream-hotw")
     val agg = stream
       .withWatermark("ts", "1 day")
       .groupBy(window(col("ts"), "1 day").as("w"), col(keyCol).as("key"))
       .agg(count(lit(1)).as("cnt"))
-    val (out, _) = runAppendDrain(spark, agg, "graft-stream-hotw")
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy("bucket").orderBy(col("cnt").desc, col("key"))
-    out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
-        col("key"), col("cnt"))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
+    val (out, stateRows) = runAppendDrain(spark, agg, "graft-stream-hotw")
+    (out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+      col("key"), col("cnt")), stateRows)
+  }
+
+  /** GLOBAL top-`k` hot keys computed THROUGH the windowed append drain —
+    * the scale-safe replacement for `streamingHotKeys`' complete-mode
+    * global count: the streaming side holds only open (day, key) windows
+    * (evicted at the watermark), the appended per-day log is immutable,
+    * and the global count per key is the batch-side SUM of its day counts
+    * — exact, because count is decomposable over a partition of the
+    * stream by day. Same output contract as `streamingHotKeys`:
+    * (key, cnt), top k by (cnt desc, key).
+    */
+  def streamingHotKeysGlobalTopK(spark: SparkSession, eventsPath: String,
+      keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "streamingHotKeysGlobalTopK: k must be positive")
+    val (log, _) = hotKeyWindowLogWithState(spark, eventsPath, keyCol)
+    log.groupBy("key").agg(sum(col("cnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(k)
   }
 
   /** WINDOWED append-mode stream-static enrichment — the unbounded-safe
@@ -321,7 +347,14 @@ object StreamOps {
     */
   def streamStaticEnrichWindowedAppend(spark: SparkSession, eventsPath: String,
       dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value"): DataFrame =
+    streamStaticEnrichWindowedAppendWithState(spark, eventsPath, dim,
+      streamKey, dimKey, groupCol, valueCol)._1
+
+  private[graft] def streamStaticEnrichWindowedAppendWithState(
+      spark: SparkSession, eventsPath: String, dim: DataFrame,
+      streamKey: String, dimKey: String, groupCol: String,
+      valueCol: String = "value"): (DataFrame, Long) = {
     val stream = sentinelStream(spark, eventsPath, "graft-stream-ssew")
     val agg = stream
       .withWatermark("ts", "1 day")
@@ -329,9 +362,26 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 day").as("w"), col(groupCol))
       .agg(count(lit(1)).as("events"),
         sum(floor(col(valueCol) * 100 + 0.5).cast("long")).as("sum_cents"))
-    val (out, _) = runAppendDrain(spark, agg, "graft-stream-ssew")
-    out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
-      col(groupCol), col("events"), col("sum_cents"))
+    val (out, stateRows) = runAppendDrain(spark, agg, "graft-stream-ssew")
+    (out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+      col(groupCol), col("events"), col("sum_cents")), stateRows)
+  }
+
+  /** Stream-static enrichment TOTALS computed through the windowed append
+    * drain — the scale-safe replacement for `streamStaticEnrich`'s
+    * complete-mode global rollup: the per-(day, group) windows finalize
+    * and evict at the watermark, and the global per-group totals are the
+    * batch-side SUM over the appended day rollups — exact, because count
+    * and sum both decompose over the day partition. Same output contract
+    * as `streamStaticEnrich`: (groupCol, events, sum_cents).
+    */
+  def streamStaticEnrichAppendTotals(spark: SparkSession, eventsPath: String,
+      dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
+      valueCol: String = "value"): DataFrame = {
+    val (log, _) = streamStaticEnrichWindowedAppendWithState(spark,
+      eventsPath, dim, streamKey, dimKey, groupCol, valueCol)
+    log.groupBy(groupCol)
+      .agg(sum(col("events")).as("events"), sum(col("sum_cents")).as("sum_cents"))
   }
 
   /** Streaming hot-key monitor — Skew.hotKeys' real-time twin: per-key
@@ -341,9 +391,12 @@ object StreamOps {
     * have hot-spotted on it. State note: this is a GLOBAL (un-windowed)
     * count, so state is one counter per distinct key for the lifetime of
     * the query in ANY mode — bound the key domain upstream (hash-bucket
-    * raw keys if unbounded), or use `streamingHotKeysWindowedAppend`
-    * above, where per-(day, key) windows finalize and age out of the
-    * store at the watermark.
+    * raw keys if unbounded), or use `streamingHotKeysWindowedAppend` /
+    * `streamingHotKeysGlobalTopK` above, where per-(day, key) windows
+    * finalize and age out of the store at the watermark. Since round 9
+    * this complete-mode shape is a documented BOUNDED-DRAIN utility only
+    * (finite drains over key domains that fit in state); no oracle-gated
+    * query routes through it — x89 consumes the append drain.
     */
   def streamingHotKeys(spark: SparkSession, eventsPath: String,
       keyCol: String, k: Int,
@@ -640,9 +693,13 @@ object StreamOps {
     * per dim attribute in complete mode. The dim side is broadcast here
     * (dims are small next to a 100 TB stream); an oversized dim falls back
     * to a per-batch shuffle join with the same semantics. The
-    * unbounded-safe shape is `streamStaticEnrichWindowedAppend` above —
-    * the same join with a watermarked per-day rollup that finalizes and
-    * evicts instead of re-emitting a growing global aggregate.
+    * unbounded-safe shape is `streamStaticEnrichWindowedAppend` /
+    * `streamStaticEnrichAppendTotals` above — the same join with a
+    * watermarked per-day rollup that finalizes and evicts instead of
+    * re-emitting a growing global aggregate. Since round 9 this
+    * complete-mode shape is a documented BOUNDED-DRAIN utility only; no
+    * oracle-gated query routes through it — x53 consumes the append
+    * drain.
     */
   def streamStaticEnrich(spark: SparkSession, eventsPath: String,
       dim: DataFrame, streamKey: String, dimKey: String, groupCol: String,
@@ -1315,6 +1372,15 @@ object StreamOps {
     val parts = tmp.toFile.listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
       .sortBy(_.getName)
+    // repartition(chunks) only GUARANTEES `chunks` part files when every
+    // partition is non-empty; a tiny input can write fewer. The multi-batch
+    // restart/continuity specs count on draining exactly `chunks`
+    // micro-batches — fail loudly rather than let a silently smaller batch
+    // count masquerade as multi-batch coverage.
+    require(parts.length == chunks,
+      s"stageStreamDirChunks: input at $path staged ${parts.length} non-empty " +
+        s"chunks but $chunks were requested — input too small for the " +
+        "requested micro-batch count")
     parts.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(f.toPath,
         dir.resolve(f"chunk-$i%04d.parquet"))

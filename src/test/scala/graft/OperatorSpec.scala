@@ -52,6 +52,16 @@ class OperatorSpec extends SparkSpec with Matchers {
     jac should be < 1.0
   }
 
+  test("minhash LSH cacheFeatures knob is value-identical to the default path") {
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def run(cache: Boolean) = Dedup.minHashLsh(corpus, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.3,
+        cacheFeatures = cache)
+      .orderBy("doc_a", "doc_b").collect().map(_.toSeq).toSeq
+    run(cache = true) shouldBe run(cache = false)
+  }
+
   test("exact quantiles follow the inverse-CDF (PERCENTILE_DISC) definition") {
     import spark.implicits._
     import graft.operators.Profile
@@ -318,6 +328,36 @@ class OperatorSpec extends SparkSpec with Matchers {
     out.find(_._1 == 6L).get._3 shouldBe true  // blocked
     out.find(_._1 == 6L).get._5 shouldBe false
     out.find(_._1 == 5L).get._5 shouldBe true  // localhost kept
+  }
+
+  test("domain curation: IPv6 literals keep the whole address; host-less URLs get NULL domain") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "http://[::1]:8080/a", 90L),              // bracketed v6 + port
+      (2L, "http://[2001:db8::2]/b", 80L),           // bracketed v6, no port
+      (3L, "http://u:p@[2001:db8::2]:443/c", 70L),   // userinfo + v6 + port
+      (4L, "relative/path/only", 60L),               // no scheme -> no host
+      (5L, "/rooted/path", 50L),                     // relative -> no host
+      (6L, "https://acme.com/ok", 40L))              // control
+      .toDF("doc_id", "url", "quality")
+    val out = Curation.domainCurate(rows, "doc_id", "url", "quality",
+        multiPartSuffixes = Nil, blockedDomains = Nil, maxPerDomain = 10)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3), r.getBoolean(5)))
+    out.map(_._2).toSeq shouldBe Seq("::1", "2001:db8::2", "2001:db8::2",
+      null, null, "acme.com")
+    // host-less rows are flagged out, not silently pooled into one domain
+    out.filter(_._2 == null).map(_._4).toSeq shouldBe Seq(false, false)
+    out.filter(_._2 == null).map(_._3).toSeq shouldBe Seq(false, false)
+    out.find(_._1 == 6L).get._4 shouldBe true
+    // the two v6 docs share a domain partition and rank within it
+    graft.operators.Curation.domainCurate(rows, "doc_id", "url", "quality",
+        Nil, Nil, maxPerDomain = 1)
+      .filter(col("domain") === "2001:db8::2")
+      .orderBy("domain_rank").collect()
+      .map(r => (r.getLong(0), r.getBoolean(5))).toSeq shouldBe
+      Seq((2L, true), (3L, false))
   }
 
   test("persisted LSH index probe matches the in-plan incremental probe") {
@@ -1014,6 +1054,19 @@ class OperatorSpec extends SparkSpec with Matchers {
       Seq.empty[String].toDF("tok"), "tok", k = 10).count() shouldBe 0L
   }
 
+  test("heavyHitters: NULL keys are excluded from hitters AND the total") {
+    import spark.implicits._
+    // 6 nulls + 3 "a" + 1 "b". Nulls dropped on entry: total = 4 and "a"
+    // (3 of 4 > 1/2) is the only hitter — the old null-sentinel encoding
+    // both hid the nulls and was threatened by them. With nulls counted
+    // the total would be 10 and "a" (3) would MISS the k=2 threshold (5),
+    // so the expectation distinguishes the two contracts.
+    val df = (Seq.fill(6)(null: String) ++ Seq("a", "a", "a", "b")).toDF("tok")
+    val out = graft.operators.Skew.heavyHitters(df, "tok", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.toSeq shouldBe Seq(("a", 3L))
+  }
+
   test("native minhash signature equals the 16 declarative columns on the real corpus") {
     import graft.functions.Portable.{coeffA, coeffB, uhash}
     import graft.functions.{MinHashSignature, ShingleHashes}
@@ -1072,6 +1125,17 @@ class OperatorSpec extends SparkSpec with Matchers {
       .collect().head.getSeq[Long](0)
     viaSql shouldBe viaCol
     viaSql.length shouldBe 4
+  }
+
+  test("graft_minhash: empty array yields NULL on the SQL surface (array_min convention)") {
+    val rows = spark.sql(
+      """SELECT graft_minhash(CAST(array() AS ARRAY<BIGINT>), 4) AS empty,
+        |       graft_minhash(CAST(NULL AS ARRAY<BIGINT>), 4) AS nul,
+        |       graft_minhash(array(7L), 4) AS one""".stripMargin)
+      .collect().head
+    rows.isNullAt(0) shouldBe true  // empty input: null out, no task crash
+    rows.isNullAt(1) shouldBe true  // null input: null out (BinaryExpression)
+    rows.getSeq[Long](2).length shouldBe 4
   }
 
   test("coEngagement: popularity guard drops the flood item; pair counts exact") {

@@ -136,6 +136,32 @@ class StreamingPipelineSpec extends SparkSpec with Matchers {
     ohlcState should be < 5L
   }
 
+  test("x53/x89 append-drain routes: state bounded, totals match the complete-mode drains") {
+    import graft.streaming.StreamOps
+    val events = s"$sfDir/events.parquet"
+    // x89's route: the per-(day, key) window log — state must end bounded
+    // by the sentinel's open window, never one counter per key (the
+    // complete-mode shape the round-9 migration retired from the gate).
+    val (log, logState) = StreamOps.hotKeyWindowLogWithState(spark, events, "user_id")
+    logState should be >= 0L
+    logState should be < 5L
+    // global counts from the log == the complete-mode drain's counts
+    val fromLog = log.groupBy("key")
+      .agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+      .orderBy(col("cnt").desc, col("key")).limit(20).collect().toSeq
+    val complete = StreamOps.streamingHotKeys(spark, events, "user_id", 20,
+      queryName = s"spec_hotkeys_${System.nanoTime()}").collect().toSeq
+    fromLog.map(_.toSeq) shouldBe complete.map(_.toSeq)
+
+    // x53's route: per-(day, segment) enrichment log, same bound.
+    val dim = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val (_, sseState) = StreamOps.streamStaticEnrichWindowedAppendWithState(
+      spark, events, dim, "user_id", "c_custkey", "c_mktsegment")
+    sseState should be >= 0L
+    sseState should be < 10L
+  }
+
   test("silver layer runs over a streaming bronze source (typed from_json projection)") {
     val server = new MockApiServer().start()
     val bronzeDir = Files.createTempDirectory("stream-silver-bronze").toString
