@@ -50,6 +50,12 @@ object Bench {
     "x91_rolling_actives", "x95_containment", "x97_editdist_dedup",
     "x98_sorted_neighborhood", "x99_fractional_epochs",
     "x100_tokenizer_fertility", "x101_hybrid_retrieval", "x102_stream_alerts",
+    // (x88b/x105b/x111 are the stored-label consumers of the same report
+    // queries benched above them — the pair differences measure what the
+    // write-once canonical-labels artifact saves; the one-time label
+    // build cost shows up in whichever consumer runs first cold, see
+    // canonicalLabelsFor.)
+    "x88b_funnel_from_labels", "x105b_census_from_labels",
     "x103_split_manifest", "x104_ann_recall", "x105_cluster_census",
     "x106_shard_movement", "x107_personalized_pagerank", "x108_ingest_triage",
     "x109_semantic_decontamination", "x110_ingest_absorb",

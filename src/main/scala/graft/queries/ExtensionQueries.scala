@@ -83,6 +83,10 @@ object ExtensionQueries {
     path
   }
 
+  /** Spec/probe access to the per-(JVM, sf-dir) label artifact path. */
+  private[graft] def labelsPathForSpec(s: org.apache.spark.sql.SparkSession,
+      d: String): String = canonicalLabelsFor(s, d)
+
   // ---- dedup ----
 
   /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend
@@ -118,6 +122,24 @@ object ExtensionQueries {
 
   private val minHashPairsBody: String =
     minHashPairsBodyFrom("documents", "doc_id", "text")
+
+  /** Dup-cluster census oracle — shared verbatim by x105 (labels computed
+    * in-plan) and x105b (labels read from the stored artifact): the two
+    * queries are the same report by construction.
+    */
+  private lazy val censusOracle: String =
+    s"""WITH RECURSIVE $minHashPairsBody,
+       |prs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+       |  UNION SELECT doc_b, doc_a FROM prs),
+       |reach(a, b) AS (
+       |  SELECT doc, doc FROM toks
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
+       |cs AS (SELECT cid, count(*)::BIGINT AS size FROM canon GROUP BY 1)
+       |SELECT size, count(*)::BIGINT AS clusters
+       |FROM cs GROUP BY 1 ORDER BY size""".stripMargin
 
   private val minHashOracle: String =
     s"""WITH $minHashPairsBody
@@ -2719,80 +2741,19 @@ object ExtensionQueries {
     // operator; the oracle composes the same CTE bodies end to end.
     QueryDef("x88_curation_funnel",
       (s, d) => curationFunnel(tbl(s, d, "documents")),
-      Some(s"""WITH RECURSIVE
-             |rt AS (SELECT doc_id,
-             |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tk
-             |  FROM documents),
-             |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
-             |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
-             |${minHashPairsBodyFrom("s1", "doc_id", "text")},
-             |prs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
-             |edg AS (SELECT doc_a AS a, doc_b AS b FROM prs
-             |  UNION SELECT doc_b, doc_a FROM prs),
-             |reach(a, b) AS (
-             |  SELECT doc, doc FROM toks
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edg e ON r.b = e.a),
-             |canon AS (SELECT a AS doc, min(b) AS c FROM reach GROUP BY a),
-             |s2 AS (SELECT s1.doc_id, s1.text FROM s1
-             |  JOIN canon ON s1.doc_id = canon.doc WHERE canon.c = s1.doc_id),
-             |ev AS (SELECT doc_id, text FROM documents
-             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 = 0),
-             |co AS (SELECT doc_id, text FROM s2
-             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 0),
-             |ctoks AS (SELECT doc_id AS doc,
-             |    string_split_regex(lower(text), '\\s+') AS ctk FROM co),
-             |csh AS (SELECT DISTINCT doc,
-             |    unnest(list_transform(range(1, greatest(len(ctk)-4,1)+1),
-             |      i -> array_to_string(list_slice(ctk, i, i+4), ' '))) AS shingle
-             |  FROM ctoks),
-             |chs AS (SELECT DISTINCT doc, ${dkHash56("shingle")} AS h FROM csh),
-             |etoks AS (SELECT string_split_regex(lower(text), '\\s+') AS etk FROM ev),
-             |esh AS (SELECT DISTINCT
-             |    unnest(list_transform(range(1, greatest(len(etk)-4,1)+1),
-             |      i -> array_to_string(list_slice(etk, i, i+4), ' '))) AS shingle
-             |  FROM etoks),
-             |ehs AS (SELECT DISTINCT ${dkHash56("shingle")} AS h FROM esh),
-             |dtot AS (SELECT doc, count(*)::BIGINT AS ts FROM chs GROUP BY doc),
-             |dmat AS (SELECT doc, count(*)::BIGINT AS ms
-             |  FROM chs JOIN ehs USING (h) GROUP BY doc),
-             |s3 AS (SELECT co.doc_id FROM co
-             |  JOIN dtot t ON co.doc_id = t.doc
-             |  LEFT JOIN dmat mm ON co.doc_id = mm.doc
-             |  WHERE (100 * coalesce(mm.ms, 0)) // greatest(t.ts, 1) < 20),
-             |$dkQualityModelBody,
-             |s4 AS (SELECT s3.doc_id FROM s3
-             |  JOIN scored USING (doc_id) WHERE scored.score >= 2300),
-             |pb AS (SELECT s4.doc_id, rt.tk AS doc_tokens,
-             |    (${dkHash56("s4.doc_id::VARCHAR")} % 8)::INT AS shard
-             |  FROM s4 JOIN rt USING (doc_id)),
-             |pc AS (SELECT doc_id, shard, doc_tokens,
-             |    (sum(doc_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-             |      ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
-             |  FROM pb),
-             |pe AS (SELECT shard, end_off - doc_tokens AS start_off, end_off,
-             |    unnest(range((end_off - doc_tokens) // 256,
-             |      (end_off - 1) // 256 + 1)) AS seq_id
-             |  FROM pc),
-             |pk AS (SELECT count(DISTINCT (shard, seq_id))::BIGINT AS docs,
-             |    coalesce(sum(least(end_off, (seq_id + 1) * 256)
-             |      - greatest(start_off, seq_id * 256)), 0)::BIGINT AS tokens
-             |  FROM pe)
-             |SELECT * FROM (
-             |  SELECT 0 AS stage_ord, 'raw' AS stage,
-             |    (SELECT count(*) FROM documents)::BIGINT AS docs,
-             |    (SELECT sum(tk) FROM rt)::BIGINT AS tokens
-             |  UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM s1)::BIGINT,
-             |    (SELECT sum(tk) FROM s1 JOIN rt USING (doc_id))::BIGINT
-             |  UNION ALL SELECT 2, 'near_dedup', (SELECT count(*) FROM s2)::BIGINT,
-             |    (SELECT sum(tk) FROM s2 JOIN rt USING (doc_id))::BIGINT
-             |  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM s3)::BIGINT,
-             |    (SELECT sum(tk) FROM s3 JOIN rt USING (doc_id))::BIGINT
-             |  UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM s4)::BIGINT,
-             |    (SELECT sum(tk) FROM s4 JOIN rt USING (doc_id))::BIGINT
-             |  UNION ALL SELECT 5, 'packed', (SELECT docs FROM pk),
-             |    (SELECT tokens FROM pk)
-             |) ORDER BY stage_ord""".stripMargin)),
+      Some(funnelReportOracle)),
+
+    // The funnel FROM THE STORED LABEL ARTIFACT (x88b): identical report
+    // to x88 — shared oracle — with the near-dup stage consuming the
+    // write-once canonical-labels table instead of re-running the
+    // corpus-wide LSH + label propagation inline (the x111-vs-x103
+    // consumer-side drop, applied to the funnel). With x105b/x111 this
+    // makes the three most expensive report queries share ONE label build
+    // per corpus generation.
+    QueryDef("x88b_funnel_from_labels",
+      (s, d) => curationFunnel(tbl(s, d, "documents"),
+        labelsPath = Some(canonicalLabelsFor(s, d))),
+      Some(funnelReportOracle)),
 
     // Streaming hot-key monitor (top 20 users): x83's diagnostics
     // maintained in streaming state — the live skew dashboard. Since
@@ -3299,18 +3260,22 @@ object ExtensionQueries {
           .groupBy("size").agg(count(lit(1)).as("clusters"))
           .orderBy("size")
       },
-      Some(s"""WITH RECURSIVE $minHashPairsBody,
-             |prs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
-             |  UNION SELECT doc_b, doc_a FROM prs),
-             |reach(a, b) AS (
-             |  SELECT doc, doc FROM toks
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-             |canon AS (SELECT a AS doc, min(b) AS cid FROM reach GROUP BY a),
-             |cs AS (SELECT cid, count(*)::BIGINT AS size FROM canon GROUP BY 1)
-             |SELECT size, count(*)::BIGINT AS clusters
-             |FROM cs GROUP BY 1 ORDER BY size""".stripMargin)),
+      Some(censusOracle)),
+
+    // Census FROM THE STORED LABEL ARTIFACT (x105b): identical report to
+    // x105 — the oracle is shared verbatim — but the corpus-wide LSH +
+    // label propagation is replaced by a parquet scan of the write-once
+    // canonical-labels table (Dedup.buildCanonicalLabels, the same
+    // artifact x111 consumes). Two keyed aggregates over (doc,
+    // canonical_id); at 100 TB this is the report family's shape: one
+    // label build per corpus generation, every census/manifest/funnel a
+    // join-and-aggregate against it.
+    QueryDef("x105b_census_from_labels",
+      (s, d) => s.read.parquet(canonicalLabelsFor(s, d))
+        .groupBy("canonical_id").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("clusters"))
+        .orderBy("size"),
+      Some(censusOracle)),
 
     // Resharding movement report (Layout.shardMovement, 8 → 10 shards,
     // 16 vnodes): consistent-ring vs mod-hash key movement — the number
@@ -4151,7 +4116,8 @@ object ExtensionQueries {
     * "slower at sf0.1, alive at scale" trade x95's flood guard makes.
     */
   private[graft] def curationFunnel(docs: org.apache.spark.sql.DataFrame,
-      stageCheckpoints: Boolean = true): org.apache.spark.sql.DataFrame = {
+      stageCheckpoints: Boolean = true,
+      labelsPath: Option[String] = None): org.apache.spark.sql.DataFrame = {
     def cut(ids: org.apache.spark.sql.DataFrame) =
       if (stageCheckpoints) ids.localCheckpoint() else ids
     val tk = docs.select(col("doc_id"),
@@ -4165,11 +4131,27 @@ object ExtensionQueries {
     val ek = cut(Dedup.exact(docs, "doc_id", "text")
       .select(col("keeper_id").as("doc_id")))
     val s1docs = docs.join(ek, Seq("doc_id"))
-    val pairs = Dedup.minHashLsh(s1docs, "doc_id", "text",
-      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    val s2ids = cut(Dedup.canonicalize(s1docs, "doc_id", pairs)
-      .filter(col("is_keeper")).select(col("doc").as("doc_id")))
+    // Near-dup stage: either computed in-plan (corpus-wide LSH + label
+    // propagation over the exact keepers) or CONSUMED from the stored
+    // full-corpus canonical-labels artifact. The two are value-identical
+    // by construction: an exact duplicate has the SAME shingle set as its
+    // keeper, so it lands in the same LSH buckets, its edges duplicate the
+    // keeper's (adding no connectivity), and every component minimum is an
+    // exact keeper — full-corpus label keepers ARE the post-exact-dedup
+    // near-dup keepers. The ek join just makes the dependency explicit
+    // (slim id∙id join). OperatorSpec pins the equivalence on the real
+    // corpus.
+    val s2ids = labelsPath match {
+      case Some(path) => cut(docs.sparkSession.read.parquet(path)
+        .filter(col("is_keeper")).select(col("doc").as("doc_id"))
+        .join(ek, Seq("doc_id")))
+      case None =>
+        val pairs = Dedup.minHashLsh(s1docs, "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select("doc_a", "doc_b")
+        cut(Dedup.canonicalize(s1docs, "doc_id", pairs)
+          .filter(col("is_keeper")).select(col("doc").as("doc_id")))
+    }
     val s2docs = s1docs.join(s2ids, Seq("doc_id"))
     val slice = Portable.hash56(col("doc_id").cast("string")) % 10
     val evalSet = docs.filter(slice === 0)
@@ -4197,6 +4179,83 @@ object ExtensionQueries {
       .unionByName(s5)
       .orderBy("stage_ord")
   }
+
+  /** x88/x88b shared oracle — the corpus→training-set funnel report. */
+  private lazy val funnelReportOracle: String =
+    s"""WITH RECURSIVE
+             |rt AS (SELECT doc_id,
+             |    len(string_split_regex(lower(text), '\\s+'))::BIGINT AS tk
+             |  FROM documents),
+             |ek AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+             |s1 AS (SELECT d.doc_id, d.text FROM documents d JOIN ek USING (doc_id)),
+             |${minHashPairsBodyFrom("s1", "doc_id", "text")},
+             |prs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+             |edg AS (SELECT doc_a AS a, doc_b AS b FROM prs
+             |  UNION SELECT doc_b, doc_a FROM prs),
+             |reach(a, b) AS (
+             |  SELECT doc, doc FROM toks
+             |  UNION
+             |  SELECT r.a, e.b FROM reach r JOIN edg e ON r.b = e.a),
+             |canon AS (SELECT a AS doc, min(b) AS c FROM reach GROUP BY a),
+             |s2 AS (SELECT s1.doc_id, s1.text FROM s1
+             |  JOIN canon ON s1.doc_id = canon.doc WHERE canon.c = s1.doc_id),
+             |ev AS (SELECT doc_id, text FROM documents
+             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 = 0),
+             |co AS (SELECT doc_id, text FROM s2
+             |  WHERE ${dkHash56("doc_id::VARCHAR")} % 10 <> 0),
+             |ctoks AS (SELECT doc_id AS doc,
+             |    string_split_regex(lower(text), '\\s+') AS ctk FROM co),
+             |csh AS (SELECT DISTINCT doc,
+             |    unnest(list_transform(range(1, greatest(len(ctk)-4,1)+1),
+             |      i -> array_to_string(list_slice(ctk, i, i+4), ' '))) AS shingle
+             |  FROM ctoks),
+             |chs AS (SELECT DISTINCT doc, ${dkHash56("shingle")} AS h FROM csh),
+             |etoks AS (SELECT string_split_regex(lower(text), '\\s+') AS etk FROM ev),
+             |esh AS (SELECT DISTINCT
+             |    unnest(list_transform(range(1, greatest(len(etk)-4,1)+1),
+             |      i -> array_to_string(list_slice(etk, i, i+4), ' '))) AS shingle
+             |  FROM etoks),
+             |ehs AS (SELECT DISTINCT ${dkHash56("shingle")} AS h FROM esh),
+             |dtot AS (SELECT doc, count(*)::BIGINT AS ts FROM chs GROUP BY doc),
+             |dmat AS (SELECT doc, count(*)::BIGINT AS ms
+             |  FROM chs JOIN ehs USING (h) GROUP BY doc),
+             |s3 AS (SELECT co.doc_id FROM co
+             |  JOIN dtot t ON co.doc_id = t.doc
+             |  LEFT JOIN dmat mm ON co.doc_id = mm.doc
+             |  WHERE (100 * coalesce(mm.ms, 0)) // greatest(t.ts, 1) < 20),
+             |$dkQualityModelBody,
+             |s4 AS (SELECT s3.doc_id FROM s3
+             |  JOIN scored USING (doc_id) WHERE scored.score >= 2300),
+             |pb AS (SELECT s4.doc_id, rt.tk AS doc_tokens,
+             |    (${dkHash56("s4.doc_id::VARCHAR")} % 8)::INT AS shard
+             |  FROM s4 JOIN rt USING (doc_id)),
+             |pc AS (SELECT doc_id, shard, doc_tokens,
+             |    (sum(doc_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING))::BIGINT AS end_off
+             |  FROM pb),
+             |pe AS (SELECT shard, end_off - doc_tokens AS start_off, end_off,
+             |    unnest(range((end_off - doc_tokens) // 256,
+             |      (end_off - 1) // 256 + 1)) AS seq_id
+             |  FROM pc),
+             |pk AS (SELECT count(DISTINCT (shard, seq_id))::BIGINT AS docs,
+             |    coalesce(sum(least(end_off, (seq_id + 1) * 256)
+             |      - greatest(start_off, seq_id * 256)), 0)::BIGINT AS tokens
+             |  FROM pe)
+             |SELECT * FROM (
+             |  SELECT 0 AS stage_ord, 'raw' AS stage,
+             |    (SELECT count(*) FROM documents)::BIGINT AS docs,
+             |    (SELECT sum(tk) FROM rt)::BIGINT AS tokens
+             |  UNION ALL SELECT 1, 'exact_dedup', (SELECT count(*) FROM s1)::BIGINT,
+             |    (SELECT sum(tk) FROM s1 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 2, 'near_dedup', (SELECT count(*) FROM s2)::BIGINT,
+             |    (SELECT sum(tk) FROM s2 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM s3)::BIGINT,
+             |    (SELECT sum(tk) FROM s3 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 4, 'quality', (SELECT count(*) FROM s4)::BIGINT,
+             |    (SELECT sum(tk) FROM s4 JOIN rt USING (doc_id))::BIGINT
+             |  UNION ALL SELECT 5, 'packed', (SELECT docs FROM pk),
+             |    (SELECT tokens FROM pk)
+             |) ORDER BY stage_ord""".stripMargin
 
   private lazy val funnelStages: Seq[String] =
     Seq.fill(3)(Seq("view", "click", "purchase")).flatten

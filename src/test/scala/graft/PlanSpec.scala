@@ -521,6 +521,29 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("CartesianProduct")
   }
 
+  test("x105b/x88b label consumers: no LSH recompute — scan the artifact, join, aggregate") {
+    // The round-9 consumers of the shared canonical-labels artifact: like
+    // x111, neither plan may contain the minhash front end (native
+    // graft_shingles/graft_minhash or the legacy collect_set/array_min
+    // shapes) — the near-dup labels arrive as a parquet scan. x88b's plan
+    // is checkpoint-staged, so pin its stageCheckpoints=false twin (the
+    // fully-declarative shape; the staged default hides subtrees behind
+    // localCheckpoint scans — the x119 lesson).
+    val census = planOf(q("x105b_census_from_labels"))
+    census should include("labels_")
+    for (bad <- Seq("graft_shingles", "graft_minhash", "collect_set", "array_min"))
+      (census should not).include(bad)
+    val funnel = planOf(graft.queries.ExtensionQueries.curationFunnel(
+      spark.read.parquet(s"$sfDir/documents.parquet"),
+      stageCheckpoints = false,
+      labelsPath = Some(graft.queries.ExtensionQueries.labelsPathForSpec(spark, sfDir))))
+    funnel should include("labels_")
+    // graft_shingles legitimately remains (the DECONTAMINATION stage
+    // shingles corpus + eval sets); what the artifact removes is the
+    // near-dup minhash signature front end.
+    (funnel should not).include("graft_minhash")
+  }
+
   test("p18 partition filter prunes the scan to one partition directory") {
     val df = q("p18_partition_pruning")
     val plan = planOf(df)
