@@ -77,7 +77,10 @@ object Bench {
     // representative alongside x129's single-batch one.)
     "x135_heavy_hitters", "x138_stream_heavy_hitters",
     "x139_volume_trend", "x140_hll_artifact_union", "x141_score_auc",
+    // (x144b is x144's consumer over the STAGED variant table — the pair
+    // difference measures what parse-once-at-ingestion saves per query.)
     "x142_score_lift", "x143_rolling_sketch", "x144_variant_props",
+    "x144b_variant_rollup",
     "x145_volume_anomaly_days", "x146_coengagement",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")

@@ -544,6 +544,22 @@ class PlanSpec extends SparkSpec with Matchers {
     (funnel should not).include("graft_minhash")
   }
 
+  test("x144b variant consumer: field extraction with ZERO re-parse; filter precedes the agg") {
+    val plan = planOf(q("x144b_variant_rollup"))
+    // the filter and the aggregate BOTH extract '$.k' — against the stored
+    // binary VARIANT encoding, never by re-parsing the JSON string (the
+    // parse ran once, at the staged table's write time)
+    "variant_get".r.findAllIn(plan).length should be >= 2
+    (plan should not).include("parse_json")
+    // shredded access stays pre-shuffle: the variant_get predicate sits in
+    // a Filter node's condition (scan side); the only exchanges are the
+    // event_type aggregation's hash exchange + the output-order range
+    // exchange — no extraction-induced shuffle
+    "(?s)\\(\\d+\\) Filter.{0,600}?variant_get".r.findFirstIn(plan) should
+      not be empty
+    nodeCount(plan, "Exchange") should be <= 2
+  }
+
   test("p18 partition filter prunes the scan to one partition directory") {
     val df = q("p18_partition_pruning")
     val plan = planOf(df)
