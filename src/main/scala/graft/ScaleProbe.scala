@@ -207,6 +207,49 @@ object ScaleProbe {
       tail.unionByName(hot)
     }
 
+    // ---- Streaming-state staging: TIME-ORDERED day chunks ----
+    // The stateful-streaming scaling claims are about the TIME axis: state
+    // must be bounded by watermark/horizon/open-windows however long the
+    // stream runs. So these probes grow the number of DAYS with m (rate,
+    // keys and horizon fixed) and read state-row counts per batch — the
+    // claim is state FLAT in m while wall time grows ~linearly. One
+    // parquet file per day, moved into the dir in day order (the file
+    // source processes in timestamp order), so a maxFilesPerTrigger=1
+    // drain replays the stream in event-time order and the watermark
+    // advances between micro-batches — the regime where eviction is
+    // observable at all (a single-batch drain never evicts mid-batch and
+    // would report state = everything, refuting nothing).
+    lazy val streamDayDirs: Map[Int, String] = multipliers.map { m =>
+      val days = 4 * m; val users = 500L; val perDay = 20000L
+      val stepUs = 86400000000L / perDay
+      val dir = new java.io.File(s"$stageRoot/streamdays/m$m")
+      dir.mkdirs()
+      (0 until days).foreach { d =>
+        val tmp = java.nio.file.Files.createTempDirectory("graft-probe-day")
+        spark.range(perDay).select(
+            (col("id") % users).as("user_id"),
+            (lit(d.toLong * perDay) + col("id")).as("event_id"),
+            expr(s"timestamp_micros(${d}L * 86400000000L + id * ${stepUs}L)")
+              .as("ts"),
+            element_at(array(lit("view"), lit("click"), lit("purchase")),
+              (col("id") % 3 + 1).cast("int")).as("event_type"),
+            lit(1.5).as("value"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = tmp.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(part.toPath,
+          dir.toPath.resolve(f"chunk-$d%04d.parquet"))
+      }
+      m -> dir.toString
+    }.toMap
+
+    // Per-(op, multiplier) state-row counts recorded by the streaming
+    // probes (warm-up and timed runs both record; the timed run's value
+    // overwrites). Reported on a separate JSON line.
+    val stateRowsSeen = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
+    def recordState(name: String, m: Int, rows: Long): Unit =
+      stateRowsSeen((name, m)) = rows
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "dedup_exact" -> (m => Dedup.exact(corpus(m), "doc_id", "text").count()),
       "dedup_minhash_lsh" -> (m =>
@@ -842,7 +885,73 @@ object ScaleProbe {
           maxUsersPerItem = 64, topK = 100).count()),
       "unguarded_coengagement" -> (m =>
         Graph.coEngagement(coInputs(m), "u", "item",
-          maxUsersPerItem = Int.MaxValue, topK = 100).count()))
+          maxUsersPerItem = Int.MaxValue, topK = 100).count()),
+      // Windowed append-mode aggregate (x112/x113 and the x89/x53 routes):
+      // stream LENGTH grows ×m (days), rate/keys/watermark fixed — state
+      // must stay bounded by open windows × keys (flat in m, recorded on
+      // the stream_state_rows line) while wall time grows with the drained
+      // rows + per-micro-batch scheduling.
+      "stream_state_hotkeys_windowed" -> { m =>
+        val (out, st) = StreamOps.hotKeyWindowStateProbe(spark,
+          streamDayDirs(m), "user_id")
+        recordState("stream_state_hotkeys_windowed", m, st)
+        out
+      },
+      // Stream-stream join machinery (x34/x133/x136/x137 share it): fixed
+      // 1-hour horizon, stream length ×m — both side buffers must stay
+      // ≈ rate × (horizon + watermark lag), flat in m.
+      "stream_state_join_horizon" -> { m =>
+        val (out, st) = StreamOps.joinHorizonStateProbe(spark,
+          streamDayDirs(m), "1 HOUR")
+        recordState("stream_state_join_horizon", m, st)
+        out
+      },
+      // Streaming Misra–Gries (x138): the corpus — and with the disjoint
+      // replica namespaces its VOCABULARY — grows ×m; the MapState must
+      // stay ≤ shards × (k−1) rows whatever the vocabulary does (the
+      // whole point of sketch-in-state), read back through the statestore
+      // source exactly like the snapshot consumer.
+      "stream_state_mg_vocab" -> { m =>
+        val st = StreamOps.mgStateProbe(spark, corpus(m), k = 100,
+          shards = 8, chunks = 4)
+        recordState("stream_state_mg_vocab", m, st)
+        st
+      },
+      // Ingest ABSORB (x110): fixed batches, version chain v0..v(m−1)
+      // grown with m (the shared triageIdx builders), PLUS the absorb
+      // step x108's probe stops short of — admitted keepers build a NEW
+      // index version (batch-bounded work, the write included in the
+      // timing on purpose: it IS the absorb step), and a follow-up batch
+      // probes the chain INCLUDING the fresh version. Linearity in m
+      // certifies probe cost stays Σ_r (fixed batch × version r) and the
+      // admit step adds only batch-bounded work — the version chain never
+      // reintroduces index × batch growth.
+      "ingest_absorb_chain" -> { m =>
+        val b1 = corpus(1).filter(col("doc_id") % 4 === 0)
+        val idxDocs = corpus(m).filter(col("doc_id") % 4 =!= 0)
+        val exactNovel = Dedup.bloomProbeNew(b1, idxDocs, "doc_id", "text",
+          numBits = 1L << 20, numHashes = 5).localCheckpoint()
+        val keepers = corpus(1).join(
+          exactNovel.select(col("keeper_id").as("doc_id")), Seq("doc_id"))
+        val near = (0 until m).map(r =>
+          Dedup.probeLshIndex(keepers, triageIdx(r), "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5))
+          .reduce(_ unionByName _)
+        val admitted = keepers.join(
+            near.select(col("doc_a").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+        val vNew = s"$stageRoot/absorb/m${m}_${System.nanoTime()}"
+        Dedup.buildLshIndex(admitted, "doc_id", "text", vNew,
+          shingleSize = 3, numHashes = 16, bands = 4)
+        val b2 = corpus(1).filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 500000000L).as("doc_id"), col("text"))
+        ((0 until m).map(triageIdx) :+ vNew).map(p =>
+          Dedup.probeLshIndex(b2, p, "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5))
+          .reduce(_ unionByName _)
+          .count()
+      })
 
     val opFilter: String => Boolean = args.lift(1) match {
       case Some(prefixes) =>
@@ -879,6 +988,18 @@ object ScaleProbe {
       val series = times.map { case (m, t) => f""""x$m":$t%.3f""" }.mkString(",")
       f""""$name":{$series,"exponent":$exponent%.2f}"""
     }.mkString(",")
+    // State-row curves for the streaming probes (flat = the bounded-state
+    // claim holds as the stream/vocabulary grows) — their own line so the
+    // final line stays the scale_linearity object.
+    if (stateRowsSeen.nonEmpty) {
+      val byOp = stateRowsSeen.toSeq.groupBy(_._1._1)
+      val sJson = byOp.toSeq.sortBy(_._1).map { case (op, entries) =>
+        val series = entries.sortBy(_._1._2)
+          .map { case ((_, m), rows) => s""""x$m":$rows""" }.mkString(",")
+        s""""$op":{$series}"""
+      }.mkString(",")
+      println(s"""{"metric":"stream_state_rows","ops":{$sJson}}""")
+    }
     println(
       s"""{"metric":"scale_linearity","base_docs":$baseCount,""" +
         s""""multipliers":[${multipliers.mkString(",")}],"ops":{$opsJson}}""")

@@ -1364,10 +1364,14 @@ object StreamOps {
     * single-symlink staging).
     */
   private def stageStreamDirChunks(spark: SparkSession, path: String,
-      prefix: String, chunks: Int): String = {
+      prefix: String, chunks: Int): String =
+    stageStreamDirChunksDf(spark, spark.read.parquet(path), prefix, chunks)
+
+  private[graft] def stageStreamDirChunksDf(spark: SparkSession,
+      df: DataFrame, prefix: String, chunks: Int): String = {
     val dir = java.nio.file.Files.createTempDirectory(prefix)
     val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-w")
-    spark.read.parquet(path).repartition(chunks)
+    df.repartition(chunks)
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = tmp.toFile.listFiles()
       .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -1378,7 +1382,7 @@ object StreamOps {
     // micro-batches — fail loudly rather than let a silently smaller batch
     // count masquerade as multi-batch coverage.
     require(parts.length == chunks,
-      s"stageStreamDirChunks: input at $path staged ${parts.length} non-empty " +
+      s"stageStreamDirChunks: input staged ${parts.length} non-empty " +
         s"chunks but $chunks were requested — input too small for the " +
         "requested micro-batch count")
     parts.zipWithIndex.foreach { case (f, i) =>
@@ -1386,6 +1390,98 @@ object StreamOps {
         dir.resolve(f"chunk-$i%04d.parquet"))
     }
     dir.toString
+  }
+
+  // ---- ScaleProbe hooks (streaming-state exponents) ----------------------
+  //
+  // The batch operators' scaling claims are probe-measured; these hooks do
+  // the same for the STATEFUL STREAMING claims ("state bounded by
+  // watermark/horizon/shards, whatever the stream length or vocabulary
+  // does"). Each drains a TIME-ORDERED chunked stream dir with
+  // maxFilesPerTrigger=1 — one micro-batch per chunk, so the watermark
+  // advances BETWEEN batches and eviction is actually observable (a
+  // single-batch drain never evicts mid-batch and would report state =
+  // everything, refuting nothing) — and returns the MAX state-row count
+  // across all batches (the honest bound: a mid-stream spike shows; the
+  // final batch alone could understate).
+
+  private def maxStateRows(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Long = {
+    val s = q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+    if (s.isEmpty) -1L else s.max
+  }
+
+  /** Windowed append-mode aggregate (the x112/x113/x89/x53 drain shape)
+    * over a pre-staged time-ordered chunk dir: per-(day, key) counts into
+    * a parquet sink. Returns (appended rows, max state rows) — the state
+    * bound is open windows × keys, independent of stream LENGTH.
+    */
+  private[graft] def hotKeyWindowStateProbe(spark: SparkSession,
+      streamDir: String, keyCol: String): (Long, Long) = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir), schema)
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-probe-hotw-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-hotw-ckpt").toString
+    val q = agg.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    (spark.read.parquet(outDir).count(), maxStateRows(q))
+  }
+
+  /** Stream-stream left-semi join (the x34/x133/x136/x137 machinery) over
+    * a pre-staged time-ordered chunk dir, fixed `horizon`. Returns
+    * (output rows, max state rows) — the state bound is rate × horizon
+    * (+ watermark lag), independent of stream LENGTH.
+    */
+  private[graft] def joinHorizonStateProbe(spark: SparkSession,
+      streamDir: String, horizon: String): (Long, Long) = {
+    val schema = spark.read.parquet(streamDir).schema
+    def src = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir), schema)
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+      .withWatermark("v_ts", "1 minute")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_event"))
+      .withWatermark("p_ts", "1 minute")
+    val joined = views.join(purchases,
+        col("p_user") === col("v_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") <= col("v_ts") + expr(s"INTERVAL $horizon"),
+        "left_semi")
+      .select(col("v_user"), col("v_event"))
+    val qn = s"probe_ssj_${System.nanoTime()}"
+    val q = joined.writeStream.format("memory").queryName(qn)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(qn).count()
+    spark.catalog.dropTempView(qn)
+    (out, maxStateRows(q))
+  }
+
+  /** Streaming Misra–Gries drain (the x138 machinery) over `docs`, in
+    * `chunks` micro-batches. Returns the statestore row count after the
+    * drain — it must stay ≤ shards × (k−1) whatever the vocabulary does
+    * (MG counters only merge, so the final count is also the max), read
+    * through the same statestore-source path the snapshot consumer uses.
+    */
+  private[graft] def mgStateProbe(spark: SparkSession, docs: DataFrame,
+      k: Int, shards: Int, chunks: Int): Long = {
+    val streamDir = stageStreamDirChunksDf(spark, docs, "graft-probe-mg", chunks)
+    val root = java.nio.file.Files.createTempDirectory("graft-probe-mg-ckpt")
+    heavyHittersMgDrain(spark, streamDir, s"$root/ckpt", s"$root/ticks",
+      k, shards)
+    spark.read.format("statestore")
+      .option("stateVarName", "mg")
+      .load(s"$root/ckpt").count()
   }
 
   private def withRocksDbStore[A](spark: SparkSession)(body: => A): A = {
