@@ -82,6 +82,7 @@ object Bench {
     "x142_score_lift", "x143_rolling_sketch", "x144_variant_props",
     "x144b_variant_rollup",
     "x145_volume_anomaly_days", "x146_coengagement",
+    "x147_unicode_clean", "x148_token_spectrum",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 

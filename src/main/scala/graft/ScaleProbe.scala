@@ -886,6 +886,19 @@ object ScaleProbe {
       "unguarded_coengagement" -> (m =>
         Graph.coEngagement(coInputs(m), "u", "item",
           maxUsersPerItem = Int.MaxValue, topK = 100).count()),
+      // Unicode hygiene (x147): pure map-side native-expression +
+      // regexp transform — the exponent certifies no hidden shuffle; the
+      // sum forces the cleaning projection (count() would prune it).
+      "unicode_clean" -> (m =>
+        Curation.unicodeClean(corpus(m), "doc_id", "text")
+          .agg(sum(col("chars_after"))).first().getLong(0)),
+      // Token spectrum (x148): disjoint replica namespaces grow the
+      // vocabulary ×m at constant per-token counts — the keyed count and
+      // TakeOrdered cut must stay linear in the token stream; the
+      // 100-row cumulative window is constant-size by construction.
+      "token_spectrum" -> (m =>
+        TextAnalysis.tokenSpectrum(corpus(m), "text", k = 100)
+          .agg(sum(col("cum_pct_x10000"))).first().getLong(0)),
       // Windowed append-mode aggregate (x112/x113 and the x89/x53 routes):
       // stream LENGTH grows ×m (days), rate/keys/watermark fixed — state
       // must stay bounded by open windows × keys (flat in m, recorded on

@@ -96,5 +96,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashSignature].getName, "graft_simhash"),
       arity("graft_simhash", 1)(c => SimHashSignature(c.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      arity("graft_nfc", 1)(c => NfcNormalize(c.head))))
   }
 }

@@ -291,7 +291,7 @@ object Curation {
         // so they can never form a hot partition; real domains partition
         // by domain exactly as before. One shuffle either way.
         Window.partitionBy(coalesce(col("domain"),
-            concat(lit(" nohost:"), col("doc").cast("string"))))
+            concat(lit("\u0000nohost:"), col("doc").cast("string"))))
           .orderBy(col("blocked").asc, col("__ord").desc, col("doc").asc))
         .cast("long"))
       .withColumn("keep", col("domain").isNotNull && !col("blocked") &&
@@ -346,6 +346,40 @@ object Curation {
     * surface `luhnCardAudit` verifies.
     */
   val CardRe = "\\b[0-9]{13,19}\\b"
+
+  /** Unicode hygiene — the cleaning gate crawl text passes BEFORE any
+    * hashing/dedup/tokenization: NFC-normalize (the `graft_nfc` native
+    * expression — "café" precomposed and decomposed must hash alike, and
+    * a UDF here would sit on the hottest map side), then strip the C0/C1
+    * control characters that break downstream tooling (tab/newline/CR
+    * kept — they are document structure). Reported alongside: the
+    * denormalization flag and the U+FFFD replacement-character count,
+    * the standard mojibake signal (every U+FFFD is a byte sequence some
+    * earlier stage failed to decode — a high count marks a document
+    * whose TEXT is already lost and is a strong drop signal).
+    *
+    * Everything is map-side single-pass (one native expression + two
+    * codegen'd regexp/translate ops); the counts are length DIFFERENCES,
+    * so they stay exact even for non-BMP text where engines disagree on
+    * "length" (the removed characters are all BMP).
+    *
+    * Output: (id, cleaned, was_denormalized, ctrl_removed,
+    * replacement_chars, chars_after), one row per input row.
+    */
+  def unicodeClean(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__raw"),
+        graft.functions.NfcNormalize.ofCol(col(textCol)).as("__nfc"))
+      .withColumn("cleaned", regexp_replace(col("__nfc"),
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+      .select(col(idCol),
+        col("cleaned"),
+        (col("__nfc") =!= col("__raw")).as("was_denormalized"),
+        (length(col("__nfc")) - length(col("cleaned"))).cast("long")
+          .as("ctrl_removed"),
+        (length(col("cleaned")) -
+          length(translate(col("cleaned"), "\uFFFD", ""))).cast("long")
+          .as("replacement_chars"),
+        length(col("cleaned")).cast("long").as("chars_after"))
 
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultRate: Int, outOf: Int = 100): DataFrame = {

@@ -521,4 +521,42 @@ object TextAnalysis {
         size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(window)))
           .cast("long").as("chunk_tokens"))
   }
+
+  /** Rank-frequency token spectrum — the tokenizer-health report a
+    * corpus team reads next to fertility (x100) and vocab coverage
+    * (x65): the top-`k` tokens with their counts and the CUMULATIVE
+    * share of all token occurrences they cover ("the top 100 tokens are
+    * 38% of the stream" — how head-heavy the corpus is, and the direct
+    * input to stopword lists and vocab-size decisions).
+    *
+    * Scale: one keyed count with map-side partials, a TakeOrdered
+    * top-`k` cut (count desc, token asc — deterministic), a cumulative
+    * window over the k-row result (k rows, single partition — bounded
+    * by construction, never the vocabulary), and a one-row total
+    * broadcast back. Never sorts the full token-frequency table; the
+    * full-vocabulary shuffle carries (token, partial-count) rows only.
+    *
+    * Output: (rank, token, cnt, cum_pct_x10000), rank 1..k.
+    */
+  def tokenSpectrum(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "tokenSpectrum: k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    // limit-after-sort compiles to TakeOrderedAndProject — the top-k cut
+    // never materializes a global sort of the vocabulary; the windows
+    // below run over the k-row result only.
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("token"))).cast("long"))
+    val cum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("cnt"),
+        expr("div(10000 * cum, total)").as("cum_pct_x10000"))
+  }
 }

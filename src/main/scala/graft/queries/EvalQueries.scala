@@ -679,6 +679,65 @@ object EvalQueries {
              |  JOIN g b ON a.item = b.item AND a.u < b.u)
              |SELECT u1, u2, count(*)::BIGINT AS shared_items
              |FROM p GROUP BY 1, 2
-             |ORDER BY shared_items DESC, u1, u2 LIMIT 50""".stripMargin))
+             |ORDER BY shared_items DESC, u1, u2 LIMIT 50""".stripMargin)),
+
+    // Unicode hygiene (x147): NFC normalization (the graft_nfc native
+    // expression vs DuckDB's nfc_normalize — two independent Unicode
+    // implementations agreeing byte-for-byte on the cleaned text is the
+    // strongest oracle in the text family), C0/C1 control stripping, and
+    // the U+FFFD mojibake count. The corpus is planted with all three
+    // dirt classes (combining accents, control chars, replacement chars)
+    // so every path is exercised on every language's text.
+    QueryDef("x147_unicode_clean",
+      (s, d) => graft.operators.Curation.unicodeClean(
+          tbl(s, d, "documents").select(col("doc_id"),
+            concat(col("text"),
+              when(pmod(col("doc_id"), lit(4)) === 0,
+                lit(" cafe\u0301 touche\u0301"))
+              .when(pmod(col("doc_id"), lit(4)) === 1,
+                lit(" bad\u0001ctl\u0007here"))
+              .when(pmod(col("doc_id"), lit(4)) === 2,
+                lit(" mo\uFFFDji\uFFFDbake"))
+              .otherwise(lit(""))).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text ||
+             |    CASE doc_id % 4
+             |      WHEN 0 THEN ' cafe' || chr(769) || ' touche' || chr(769)
+             |      WHEN 1 THEN ' bad' || chr(1) || 'ctl' || chr(7) || 'here'
+             |      WHEN 2 THEN ' mo' || chr(65533) || 'ji' || chr(65533) || 'bake'
+             |      ELSE '' END AS text FROM documents),
+             |n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM t),
+             |c AS (SELECT doc_id, text, nfc,
+             |    regexp_replace(nfc, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+             |      AS cleaned
+             |  FROM n)
+             |SELECT doc_id, cleaned, (nfc <> text) AS was_denormalized,
+             |  (length(nfc) - length(cleaned))::BIGINT AS ctrl_removed,
+             |  (length(cleaned) - length(replace(cleaned, chr(65533), '')))::BIGINT
+             |    AS replacement_chars,
+             |  length(cleaned)::BIGINT AS chars_after
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // Rank-frequency token spectrum (x148): top-100 tokens with their
+    // cumulative share of the token stream — the head-heaviness report
+    // next to fertility (x100) and vocab coverage (x65). One keyed
+    // count + TakeOrdered cut + a 100-row cumulative window; the
+    // vocabulary is never globally sorted.
+    QueryDef("x148_token_spectrum",
+      (s, d) => graft.operators.TextAnalysis.tokenSpectrum(
+        tbl(s, d, "documents"), "text", k = 100),
+      Some("""WITH tok AS (SELECT unnest(string_split_regex(lower(text), '\s+'))
+             |    AS token FROM documents),
+             |c AS (SELECT token, count(*)::BIGINT AS cnt FROM tok GROUP BY 1),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM c),
+             |r AS (SELECT token, cnt,
+             |    row_number() OVER (ORDER BY cnt DESC, token) AS rank FROM c),
+             |k AS (SELECT * FROM r WHERE rank <= 100),
+             |s AS (SELECT token, cnt, rank,
+             |    sum(cnt) OVER (ORDER BY rank)::BIGINT AS cum FROM k)
+             |SELECT rank::BIGINT AS rank, token, cnt,
+             |  ((10000 * cum) // total)::BIGINT AS cum_pct_x10000
+             |FROM s, t ORDER BY rank""".stripMargin))
   )
 }

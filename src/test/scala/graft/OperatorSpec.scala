@@ -1127,6 +1127,39 @@ class OperatorSpec extends SparkSpec with Matchers {
     viaSql.length shouldBe 4
   }
 
+  test("unicodeClean: NFC composes, controls strip, U+FFFD counted, tab/newline kept") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "cafe\u0301"),              // decomposed -> composed, len 5 -> 4
+      (2L, "a\u0001b\u0007c"),         // controls stripped
+      (3L, "ok\uFFFDtext\uFFFD"),      // mojibake counted, kept
+      (4L, "tab\there\nline"),         // structural whitespace KEPT
+      (5L, "plain")).toDF("id", "text")
+    val out = Curation.unicodeClean(rows, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    out(0) shouldBe ((1L, "caf\u00E9", true, 0L, 0L, 4L))
+    out(1) shouldBe ((2L, "abc", false, 2L, 0L, 3L))
+    out(2) shouldBe ((3L, "ok\uFFFDtext\uFFFD", false, 0L, 2L, 8L))
+    out(3) shouldBe ((4L, "tab\there\nline", false, 0L, 0L, 13L))
+    out(4) shouldBe ((5L, "plain", false, 0L, 0L, 5L))
+  }
+
+  test("tokenSpectrum: deterministic top-k with exact cumulative coverage") {
+    import spark.implicits._
+    // 10 tokens total: a x5, b x3, c x1, d x1 -> top-3 covers 9/10 = 90%
+    val df = Seq("a a a b b", "a a b c d").toDF("text")
+    val out = graft.operators.TextAnalysis.tokenSpectrum(df, "text", k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, "a", 5L, 5000L),
+      (2L, "b", 3L, 8000L),
+      (3L, "c", 1L, 9000L)) // ties broken by token asc: c before d
+  }
+
   test("graft_minhash: empty array yields NULL on the SQL surface (array_min convention)") {
     val rows = spark.sql(
       """SELECT graft_minhash(CAST(array() AS ARRAY<BIGINT>), 4) AS empty,
