@@ -560,6 +560,22 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 2
   }
 
+  test("x147 unicode clean is map-only: native graft_nfc in-plan, zero exchanges before the sort") {
+    val plan = planOf(q("x147_unicode_clean"))
+    plan should include("graft_nfc")
+    // cleaning is one projection over the scan; the only exchange is the
+    // output-order range partitioning
+    nodeCount(plan, "Exchange") should be <= 1
+  }
+
+  test("x148 token spectrum: TakeOrdered cut, never a global sort of the vocabulary") {
+    val plan = planOf(q("x148_token_spectrum"))
+    plan should include("TakeOrderedAndProject")
+    // the windows run over the k-row result; the vocabulary-wide stages
+    // are the keyed count's partial/final pair only
+    plan.toLowerCase should include("partial_count")
+  }
+
   test("p18 partition filter prunes the scan to one partition directory") {
     val df = q("p18_partition_pruning")
     val plan = planOf(df)
