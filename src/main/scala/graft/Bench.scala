@@ -83,6 +83,10 @@ object Bench {
     "x144b_variant_rollup",
     "x145_volume_anomaly_days", "x146_coengagement",
     "x147_unicode_clean", "x148_token_spectrum",
+    // (x149 is the chained-stateful machinery class's representative —
+    // dedup + windowed agg in ONE append-mode query; the single-operator
+    // drains are covered by x112/x113/x14.)
+    "x149_stream_daily_actives", "x150_url_policy",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 

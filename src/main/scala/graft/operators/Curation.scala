@@ -347,6 +347,44 @@ object Curation {
     */
   val CardRe = "\\b[0-9]{13,19}\\b"
 
+  /** Longest-prefix URL policy gate — the robots/blocklist rule semantics
+    * a crawl pipeline applies per URL: each rule is a literal URL prefix
+    * with an allow/deny verdict, the LONGEST matching prefix wins (the
+    * robots.txt longest-match rule: "deny /a/, allow /a/public/" must
+    * admit /a/public/x), and URLs matching no rule fall through to
+    * `defaultAllow`. Complements `domainCurate` (domain-level capping)
+    * with path-level policy.
+    *
+    * Scale: the rule set is policy-sized (thousands), so it broadcasts;
+    * the match is a broadcast theta-join on `startsWith` — each URL meets
+    * each rule map-side, never a corpus shuffle against the rules — and
+    * the longest-match pick is a max_by whose PARTIAL aggregation
+    * collapses the ≤|rules| matches map-side, so the one keyed exchange
+    * carries a single slim row per URL. Rules are literal prefixes, not
+    * patterns; pattern rules belong in a pushed-down regexp filter.
+    *
+    * Output: (id, url, matched_rule — null if none, allowed), one row per
+    * input row.
+    */
+  def urlPolicyGate(df: DataFrame, idCol: String, urlCol: String,
+      rules: Seq[(String, Boolean)], defaultAllow: Boolean = true): DataFrame = {
+    require(rules.nonEmpty, "urlPolicyGate: empty rule set")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "urlPolicyGate: duplicate rule prefixes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ruleDf = broadcast(
+      rules.toDF("__rule", "__allow")
+        .withColumn("__rlen", length(col("__rule"))))
+    df.select(col(idCol), col(urlCol).as("url"))
+      .join(ruleDf, col("url").startsWith(col("__rule")), "left")
+      .groupBy(col(idCol), col("url"))
+      .agg(max_by(col("__rule"), col("__rlen")).as("matched_rule"),
+        max_by(col("__allow"), col("__rlen")).as("__ma"))
+      .select(col(idCol), col("url"), col("matched_rule"),
+        coalesce(col("__ma"), lit(defaultAllow)).as("allowed"))
+  }
+
   /** Unicode hygiene — the cleaning gate crawl text passes BEFORE any
     * hashing/dedup/tokenization: NFC-normalize (the `graft_nfc` native
     * expression — "café" precomposed and decomposed must hash alike, and

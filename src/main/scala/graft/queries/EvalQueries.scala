@@ -738,6 +738,66 @@ object EvalQueries {
              |    sum(cnt) OVER (ORDER BY rank)::BIGINT AS cum FROM k)
              |SELECT rank::BIGINT AS rank, token, cnt,
              |  ((10000 * cum) // total)::BIGINT AS cum_pct_x10000
-             |FROM s, t ORDER BY rank""".stripMargin))
+             |FROM s, t ORDER BY rank""".stripMargin)),
+
+    // Streaming daily actives (x149): TWO CHAINED STATEFUL OPERATORS in
+    // one append-mode query — event-time dedup on (user, day) within the
+    // watermark feeding a watermarked per-day count. Count-distinct is
+    // not incrementally maintainable as a windowed aggregate over raw
+    // events; dedup-then-count decomposes it exactly, and both
+    // operators' state is watermark-bounded. Oracle: the batch
+    // count(DISTINCT) per day.
+    QueryDef("x149_stream_daily_actives",
+      (s, d) => graft.streaming.StreamOps.streamingDailyActivesAppend(
+          s, s"$d/events.parquet")
+        .orderBy("bucket"),
+      Some("""SELECT epoch_us(ts) // 86400000000 AS bucket,
+             |  count(DISTINCT user_id)::BIGINT AS actives
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Longest-prefix URL policy gate (x150): robots-style allow/deny
+    // rules over x126's synthetic URL surface — "deny https://m., allow
+    // https://m.src7." must admit the src7 mobile pages (the longest
+    // matching prefix wins; two distinct equal-length strings cannot
+    // both prefix one URL, so the pick is deterministic by
+    // construction). Unmatched URLs fall through to the default.
+    QueryDef("x150_url_policy",
+      (s, d) => {
+        val urls = tbl(s, d, "documents").select(col("doc_id"),
+          concat(lit("https://"),
+            element_at(array(lit(""), lit("www."), lit("cdn."), lit("m.")),
+              (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+            col("source"), lit("."),
+            element_at(array(lit("com"), lit("org"), lit("net"),
+              lit("co.uk"), lit("com.au")),
+              (pmod(expr("doc_id div 20"), lit(5)) + 1).cast("int")),
+            lit("/"), col("lang"), lit("/"), col("doc_id")).as("url"))
+        Curation.urlPolicyGate(urls, "doc_id", "url",
+            rules = Seq("https://cdn." -> false, "https://m." -> false,
+              "https://m.src7." -> true, "https://www.src3." -> false),
+            defaultAllow = true)
+          .orderBy("doc_id")
+      },
+      Some("""WITH u AS (SELECT doc_id,
+             |    'https://' ||
+             |    (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+             |      WHEN 2 THEN 'cdn.' ELSE 'm.' END) ||
+             |    source || '.' ||
+             |    (CASE (doc_id // 20) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+             |      WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' ELSE 'com.au' END) ||
+             |    '/' || lang || '/' || doc_id AS url
+             |  FROM documents),
+             |r(rule, allow) AS (VALUES
+             |  ('https://cdn.', FALSE), ('https://m.', FALSE),
+             |  ('https://m.src7.', TRUE), ('https://www.src3.', FALSE)),
+             |m AS (SELECT doc_id, url, rule, allow FROM u
+             |  LEFT JOIN r ON starts_with(url, rule)),
+             |p AS (SELECT doc_id, url,
+             |    max_by(rule, length(rule)) AS matched_rule,
+             |    max_by(allow, length(rule)) AS ma
+             |  FROM m GROUP BY 1, 2)
+             |SELECT doc_id, url, matched_rule,
+             |  coalesce(ma, TRUE) AS allowed
+             |FROM p ORDER BY doc_id""".stripMargin))
   )
 }

@@ -209,8 +209,11 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val stateRows = q.recentProgress.toSeq
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).lastOption.getOrElse(-1L)
+    // sum over the FINAL progress entry's operators: a chained-stateful
+    // drain (x149's dedup + agg) reports one entry per operator, and the
+    // eviction claim is about their combined residue
+    val stateRows = q.recentProgress.toSeq.lastOption
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     (spark.read.parquet(outDir), stateRows)
   }
 
@@ -316,6 +319,41 @@ object StreamOps {
     val (out, stateRows) = runAppendDrain(spark, agg, "graft-stream-hotw")
     (out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
       col("key"), col("cnt")), stateRows)
+  }
+
+  /** Streaming DAILY ACTIVES — distinct users per day maintained live, in
+    * append mode, with TWO CHAINED STATEFUL OPERATORS: event-time
+    * dedup on (user, day) inside the watermark
+    * (`dropDuplicatesWithinWatermark` — state is one row per distinct
+    * (user, day) still inside the horizon, evicted as the watermark
+    * passes), feeding a watermarked per-day count that finalizes and
+    * appends each closed day exactly once. This is the shape a "daily
+    * active users" dashboard runs forever: both operators' state is
+    * bounded by the watermark, and COUNT-DISTINCT — not incrementally
+    * maintainable as a windowed aggregate on raw events — decomposes
+    * into dedup-then-count exactly.
+    *
+    * The sentinel advances the watermark to flush trailing days and
+    * never reaches the output (its own day never finalizes). Returns
+    * (bucket, actives), one row per closed day.
+    */
+  def streamingDailyActivesAppend(spark: SparkSession,
+      eventsPath: String): DataFrame =
+    streamingDailyActivesAppendWithState(spark, eventsPath)._1
+
+  private[graft] def streamingDailyActivesAppendWithState(
+      spark: SparkSession, eventsPath: String): (DataFrame, Long) = {
+    val stream = sentinelStream(spark, eventsPath, "graft-stream-dau")
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "1 day").getField("start").as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("actives"))
+    val (out, stateRows) = runAppendDrain(spark, agg, "graft-stream-dau")
+    (out.select(expr("div(unix_micros(w.start), 86400000000)").as("bucket"),
+      col("actives")), stateRows)
   }
 
   /** GLOBAL top-`k` hot keys computed THROUGH the windowed append drain —

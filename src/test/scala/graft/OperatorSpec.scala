@@ -1147,6 +1147,32 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(4) shouldBe ((5L, "plain", false, 0L, 0L, 5L))
   }
 
+  test("urlPolicyGate: longest prefix wins; unmatched fall through to default") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "https://a.com/private/secret"),   // deny /private/
+      (2L, "https://a.com/private/ok/page"),  // allow /private/ok/ (longer)
+      (3L, "https://a.com/public"),           // no rule -> default
+      (4L, "https://b.com/x")).toDF("id", "url")
+    val rules = Seq(
+      "https://a.com/private/" -> false,
+      "https://a.com/private/ok/" -> true)
+    val out = Curation.urlPolicyGate(rows, "id", "url", rules,
+        defaultAllow = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    out.toSeq shouldBe Seq(
+      (1L, "https://a.com/private/", false),
+      (2L, "https://a.com/private/ok/", true),
+      (3L, null, true),
+      (4L, null, true))
+    // default flips with the parameter for the unmatched rows only
+    Curation.urlPolicyGate(rows, "id", "url", rules, defaultAllow = false)
+      .filter(col("matched_rule").isNull)
+      .collect().map(_.getBoolean(3)).toSeq shouldBe Seq(false, false)
+  }
+
   test("tokenSpectrum: deterministic top-k with exact cumulative coverage") {
     import spark.implicits._
     // 10 tokens total: a x5, b x3, c x1, d x1 -> top-3 covers 9/10 = 90%

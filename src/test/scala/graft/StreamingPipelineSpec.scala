@@ -162,6 +162,24 @@ class StreamingPipelineSpec extends SparkSpec with Matchers {
     sseState should be < 10L
   }
 
+  test("x149 chained stateful ops: dedup + windowed count match the batch count-distinct; state bounded") {
+    import graft.streaming.StreamOps
+    val events = s"$sfDir/events.parquet"
+    val (out, stateRows) = StreamOps.streamingDailyActivesAppendWithState(
+      spark, events)
+    // batch truth: count(DISTINCT user) per day over the normalized stream
+    val truth = graft.queries.QueryDef.events(spark, sfDir)
+      .select(expr("div(unix_micros(ts), 86400000000)").as("bucket"),
+        col("user_id"))
+      .groupBy("bucket")
+      .agg(count_distinct(col("user_id")).as("actives"))
+    out.orderBy("bucket").collect().map(_.toSeq).toSeq shouldBe
+      truth.orderBy("bucket").collect().map(_.toSeq).toSeq
+    // final state: only the sentinel's open day across BOTH operators
+    stateRows should be >= 0L
+    stateRows should be < 5L
+  }
+
   test("silver layer runs over a streaming bronze source (typed from_json projection)") {
     val server = new MockApiServer().start()
     val bronzeDir = Files.createTempDirectory("stream-silver-bronze").toString
