@@ -910,6 +910,16 @@ object ScaleProbe {
         recordState("stream_state_hotkeys_windowed", m, st)
         out
       },
+      // Chained-stateful machinery (x149: dedup + windowed agg in ONE
+      // query): stream length ×m, the COMBINED two-operator state must
+      // stay bounded by open-horizon dedup keys + open windows (flat in
+      // m; sum of both operators per progress entry, max over batches).
+      "stream_state_dau_chained" -> { m =>
+        val (out, st) = StreamOps.dauChainedStateProbe(spark,
+          streamDayDirs(m))
+        recordState("stream_state_dau_chained", m, st)
+        out
+      },
       // Stream-stream join machinery (x34/x133/x136/x137 share it): fixed
       // 1-hour horizon, stream length ×m — both side buffers must stay
       // ≈ rate × (horizon + watermark lag), flat in m.

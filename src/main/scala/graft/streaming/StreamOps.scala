@@ -1472,6 +1472,36 @@ object StreamOps {
     (spark.read.parquet(outDir).count(), maxStateRows(q))
   }
 
+  /** Chained-stateful daily-actives (the x149 machinery: event-time
+    * dedup + windowed count in one query) over a pre-staged time-ordered
+    * chunk dir. Returns (appended rows, max over batches of the SUM of
+    * both operators' state rows) — the combined bound is open-horizon
+    * dedup keys + open windows, independent of stream LENGTH.
+    */
+  private[graft] def dauChainedStateProbe(spark: SparkSession,
+      streamDir: String): (Long, Long) = {
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir), schema)
+    val agg = stream
+      .withWatermark("ts", "1 day")
+      .select(col("ts"), col("user_id"),
+        window(col("ts"), "1 day").getField("start").as("day"))
+      .dropDuplicatesWithinWatermark("user_id", "day")
+      .groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(count(lit(1)).as("actives"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-probe-dau-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-probe-dau-ckpt").toString
+    val q = agg.writeStream.format("parquet").option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val combined = q.recentProgress.toSeq
+      .map(_.stateOperators.map(_.numRowsTotal).sum)
+    (spark.read.parquet(outDir).count(),
+      if (combined.isEmpty) -1L else combined.max)
+  }
+
   /** Stream-stream left-semi join (the x34/x133/x136/x137 machinery) over
     * a pre-staged time-ordered chunk dir, fixed `horizon`. Returns
     * (output rows, max state rows) — the state bound is rate × horizon
