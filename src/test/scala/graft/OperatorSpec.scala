@@ -1151,20 +1151,20 @@ class OperatorSpec extends SparkSpec with Matchers {
     import spark.implicits._
     import graft.operators.Curation
     val rows = Seq(
-      (1L, "https://a.com/private/secret"),   // deny /private/
-      (2L, "https://a.com/private/ok/page"),  // allow /private/ok/ (longer)
-      (3L, "https://a.com/public"),           // no rule -> default
-      (4L, "https://b.com/x")).toDF("id", "url")
+      (1L, "https://a.example/private/secret"),   // deny /private/
+      (2L, "https://a.example/private/ok/page"),  // allow /private/ok/ (longer)
+      (3L, "https://a.example/public"),           // no rule -> default
+      (4L, "https://b.example/x")).toDF("id", "url")
     val rules = Seq(
-      "https://a.com/private/" -> false,
-      "https://a.com/private/ok/" -> true)
+      "https://a.example/private/" -> false,
+      "https://a.example/private/ok/" -> true)
     val out = Curation.urlPolicyGate(rows, "id", "url", rules,
         defaultAllow = true)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
     out.toSeq shouldBe Seq(
-      (1L, "https://a.com/private/", false),
-      (2L, "https://a.com/private/ok/", true),
+      (1L, "https://a.example/private/", false),
+      (2L, "https://a.example/private/ok/", true),
       (3L, null, true),
       (4L, null, true))
     // default flips with the parameter for the unmatched rows only
