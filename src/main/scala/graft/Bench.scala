@@ -61,7 +61,11 @@ object Bench {
     "x109_semantic_decontamination", "x110_ingest_absorb",
     "x111_manifest_from_labels", "x112_stream_hotkeys_windowed",
     "x113_stream_enrich_windowed", "x114_source_overlap", "x115_lsh_recall",
-    "x116_epoch_shuffle", "x117_split_leakage", "x118_jsonl_quarantine",
+    // (x117b is x117's stored-pair-artifact consumer — the pair
+    // difference measures what pairsFromLshIndex saves the edge-level
+    // audit family.)
+    "x116_epoch_shuffle", "x117_split_leakage",
+    "x117b_split_leakage_from_index", "x118_jsonl_quarantine",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
     // (x125 itself is excluded like x05: a per-char-gram map side over the

@@ -514,6 +514,27 @@ object Dedup {
       s.read.parquet(s"$indexPath/buckets"), threshold)
   }
 
+  /** Corpus-wide near-dup PAIRS from a persisted index (`buildLshIndex`)
+    * — the pair-family consumer of the write-once artifact: the labels
+    * table serves the keeper/census/manifest reports (x88b/x105b/x111),
+    * but the recall and split-leakage audits need the EDGES themselves.
+    * Band-bucket self-collisions over the STORED buckets, exact Jaccard
+    * over the STORED features — identical output contract to
+    * `minHashLsh` over the indexed corpus, with zero re-shingling: the
+    * consumer's only inputs are two column-pruned parquet scans.
+    */
+  def pairsFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, threshold: Double = 0.5): DataFrame = {
+    val buckets = spark.read.parquet(s"$indexPath/buckets")
+    val feats = spark.read.parquet(s"$indexPath/features")
+    val candidates = buckets.as("l").join(buckets.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    verifyJaccardArrays(candidates, feats, threshold)
+  }
+
   /** Persist the corpus's canonical near-dup labels — the write-once,
     * read-many artifact for the report family (`buildLshIndex` pattern):
     * run MinHash-LSH + connected-component canonicalization ONCE and

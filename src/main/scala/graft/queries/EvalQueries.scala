@@ -26,6 +26,44 @@ object EvalQueries {
       s"min((${Portable.coeffA(i)} * (h % $P) + ${Portable.coeffB(i)}) % $P) AS m$i")
       .mkString(",\n    ")
 
+  /** x117/x117b shared oracle — the split-leakage audit report. */
+  private lazy val splitLeakageOracle: String = {
+
+        def split(h: String) =
+          s"""CASE WHEN ${dkHash56(h)} % 100 < 10 THEN 'test'
+             |       WHEN ${dkHash56(h)} % 100 < 15 THEN 'val'
+             |       ELSE 'train' END""".stripMargin
+        s"""WITH RECURSIVE ${minHashPairsBodyFrom("documents", "doc_id", "text")},
+           |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |reach(a, b) AS (
+           |  SELECT doc, doc FROM toks
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+           |canon AS (SELECT a AS doc, min(b) AS canonical_id FROM reach GROUP BY a),
+           |lab AS (SELECT doc,
+           |  ${split("doc::VARCHAR")} AS naive,
+           |  ${split("canonical_id::VARCHAR")} AS clus
+           |  FROM canon),
+           |ej AS (SELECT la.naive AS na, la.clus AS ca, lb.naive AS nb, lb.clus AS cb
+           |  FROM pairs p JOIN lab la ON p.doc_a = la.doc
+           |  JOIN lab lb ON p.doc_b = lb.doc),
+           |ag AS (SELECT count(*)::BIGINT AS pairs_total,
+           |    sum(CASE WHEN na <> nb THEN 1 ELSE 0 END)::BIGINT AS n_cross,
+           |    sum(CASE WHEN (na = 'train' AND nb = 'test')
+           |          OR (na = 'test' AND nb = 'train') THEN 1 ELSE 0 END)::BIGINT AS n_tt,
+           |    sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT AS c_cross,
+           |    sum(CASE WHEN (ca = 'train' AND cb = 'test')
+           |          OR (ca = 'test' AND cb = 'train') THEN 1 ELSE 0 END)::BIGINT AS c_tt
+           |  FROM ej)
+           |SELECT 'cluster' AS policy, pairs_total, c_cross AS cross_split_pairs,
+           |  c_tt AS train_test_pairs FROM ag
+           |UNION ALL
+           |SELECT 'naive', pairs_total, n_cross, n_tt FROM ag
+           |ORDER BY policy""".stripMargin
+  }
+
   /** Build-once-per-(JVM, sf-dir) shredded VARIANT table — x144's parse
     * applied at INGESTION: events with props parsed once into a stored
     * VARIANT column `v` (Spark 4 writes VariantType to parquet natively).
@@ -156,41 +194,25 @@ object EvalQueries {
           .select("doc_a", "doc_b")
         Eval.splitLeakage(docs, "doc_id", pairs, valPct = 5, testPct = 10)
       },
-      Some {
-        def split(h: String) =
-          s"""CASE WHEN ${dkHash56(h)} % 100 < 10 THEN 'test'
-             |       WHEN ${dkHash56(h)} % 100 < 15 THEN 'val'
-             |       ELSE 'train' END""".stripMargin
-        s"""WITH RECURSIVE ${minHashPairsBodyFrom("documents", "doc_id", "text")},
-           |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
-           |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           |  UNION SELECT doc_b, doc_a FROM pairs),
-           |reach(a, b) AS (
-           |  SELECT doc, doc FROM toks
-           |  UNION
-           |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-           |canon AS (SELECT a AS doc, min(b) AS canonical_id FROM reach GROUP BY a),
-           |lab AS (SELECT doc,
-           |  ${split("doc::VARCHAR")} AS naive,
-           |  ${split("canonical_id::VARCHAR")} AS clus
-           |  FROM canon),
-           |ej AS (SELECT la.naive AS na, la.clus AS ca, lb.naive AS nb, lb.clus AS cb
-           |  FROM pairs p JOIN lab la ON p.doc_a = la.doc
-           |  JOIN lab lb ON p.doc_b = lb.doc),
-           |ag AS (SELECT count(*)::BIGINT AS pairs_total,
-           |    sum(CASE WHEN na <> nb THEN 1 ELSE 0 END)::BIGINT AS n_cross,
-           |    sum(CASE WHEN (na = 'train' AND nb = 'test')
-           |          OR (na = 'test' AND nb = 'train') THEN 1 ELSE 0 END)::BIGINT AS n_tt,
-           |    sum(CASE WHEN ca <> cb THEN 1 ELSE 0 END)::BIGINT AS c_cross,
-           |    sum(CASE WHEN (ca = 'train' AND cb = 'test')
-           |          OR (ca = 'test' AND cb = 'train') THEN 1 ELSE 0 END)::BIGINT AS c_tt
-           |  FROM ej)
-           |SELECT 'cluster' AS policy, pairs_total, c_cross AS cross_split_pairs,
-           |  c_tt AS train_test_pairs FROM ag
-           |UNION ALL
-           |SELECT 'naive', pairs_total, n_cross, n_tt FROM ag
-           |ORDER BY policy""".stripMargin
-      }),
+      Some(splitLeakageOracle)),
+
+    // Split leakage FROM THE STORED PAIR ARTIFACT (x117b): identical
+    // report to x117 — shared oracle, see splitLeakageOracle — with the
+    // near-dup edges read from the persisted full-corpus LSH index
+    // (Dedup.pairsFromLshIndex over lshIndexFor's features + buckets:
+    // zero re-shingling, the audit is a bucket self-join + verify over
+    // two column-pruned scans). With x88b/x105b/x111 this closes the
+    // artifact story for BOTH consumer families: labels for the
+    // keeper/census reports, pairs for the edge-level audits.
+    QueryDef("x117b_split_leakage_from_index",
+      (s, d) => {
+        val pairs = Dedup.pairsFromLshIndex(s,
+            ExtensionQueries.lshIndexFor(s, d), threshold = 0.5)
+          .select("doc_a", "doc_b")
+        Eval.splitLeakage(tbl(s, d, "documents"), "doc_id", pairs,
+          valPct = 5, testPct = 10)
+      },
+      Some(splitLeakageOracle)),
 
     // Mixture replay stream (x124): x99's fractional-epoch mixture
     // expansion ordered by x116's contiguous-key-range shard scheme —

@@ -87,6 +87,24 @@ object ExtensionQueries {
   private[graft] def labelsPathForSpec(s: org.apache.spark.sql.SparkSession,
       d: String): String = canonicalLabelsFor(s, d)
 
+  /** Build-once-per-(JVM, sf-dir) full-corpus LSH index
+    * (Dedup.buildLshIndex, production 3/16/4 parameters) — the PAIR
+    * family's shared artifact (x117b): stored features + banded buckets,
+    * consumed by `Dedup.pairsFromLshIndex` with zero re-shingling. Same
+    * build-on-first-use contract as `canonicalLabelsFor`.
+    */
+  private val lshIdxBuilt = scala.collection.mutable.Set[String]()
+  private[queries] def lshIndexFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = lshIdxBuilt.synchronized {
+    val path = s"$idxScratch/lshidx_${Integer.toHexString(d.hashCode)}"
+    if (!lshIdxBuilt(path)) {
+      Dedup.buildLshIndex(tbl(s, d, "documents"), "doc_id", "text", path,
+        shingleSize = 3, numHashes = 16, bands = 4)
+      lshIdxBuilt += path
+    }
+    path
+  }
+
   // ---- dedup ----
 
   /** MinHash-LSH pair CTE chain (no leading WITH so callers can prepend

@@ -560,6 +560,16 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 2
   }
 
+  test("x117b stored-pair consumer: edges from the index scans, no re-shingling") {
+    // the pair-family artifact consumer: like x111/x105b, no minhash
+    // front end anywhere — candidates self-join the STORED buckets and
+    // verification reads the STORED features
+    val plan = planOf(q("x117b_split_leakage_from_index"))
+    plan should include("lshidx_")
+    for (bad <- Seq("graft_shingles", "graft_minhash", "collect_set"))
+      (plan should not).include(bad)
+  }
+
   test("x147 unicode clean is map-only: native graft_nfc in-plan, zero exchanges before the sort") {
     val plan = planOf(q("x147_unicode_clean"))
     plan should include("graft_nfc")
