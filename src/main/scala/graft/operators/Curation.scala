@@ -364,7 +364,10 @@ object Curation {
     * patterns; pattern rules belong in a pushed-down regexp filter.
     *
     * Output: (id, url, matched_rule — null if none, allowed), one row per
-    * input row.
+    * DISTINCT (id, url) input combination — the groupBy that picks the
+    * longest match collapses duplicate (id, url) rows (ids are expected
+    * unique per url, as everywhere in this module; exact duplicates gate
+    * identically, so nothing is lost).
     */
   def urlPolicyGate(df: DataFrame, idCol: String, urlCol: String,
       rules: Seq[(String, Boolean)], defaultAllow: Boolean = true): DataFrame = {
@@ -388,9 +391,12 @@ object Curation {
   /** Unicode hygiene — the cleaning gate crawl text passes BEFORE any
     * hashing/dedup/tokenization: NFC-normalize (the `graft_nfc` native
     * expression — "café" precomposed and decomposed must hash alike, and
-    * a UDF here would sit on the hottest map side), then strip the C0/C1
-    * control characters that break downstream tooling (tab/newline/CR
-    * kept — they are document structure). Reported alongside: the
+    * a UDF here would sit on the hottest map side), then strip the
+    * control characters that break downstream tooling — C0 (minus
+    * tab/newline/CR, which are document structure), DEL, and the C1
+    * block U+0080–U+009F (the classic windows-1252-misdecode residue:
+    * a NEL or an 0x85 ellipsis byte surviving a bad transcode lands
+    * here). Reported alongside: the
     * denormalization flag and the U+FFFD replacement-character count,
     * the standard mojibake signal (every U+FFFD is a byte sequence some
     * earlier stage failed to decode — a high count marks a document
@@ -408,7 +414,7 @@ object Curation {
     df.select(col(idCol), col(textCol).as("__raw"),
         graft.functions.NfcNormalize.ofCol(col(textCol)).as("__nfc"))
       .withColumn("cleaned", regexp_replace(col("__nfc"),
-        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""))
+        "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F\\x80-\\x9F]", ""))
       .select(col(idCol),
         col("cleaned"),
         (col("__nfc") =!= col("__raw")).as("was_denormalized"),

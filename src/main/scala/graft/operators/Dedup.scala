@@ -489,6 +489,14 @@ object Dedup {
     * (`probeLshIndex`) and never re-shingles the corpus. At production
     * scale, bucket the buckets table by (band, sig) and the features
     * table by doc so probes co-locate.
+    *
+    * BUILD CONTRACT: index the corpus AFTER exact dedup. Band buckets of
+    * a post-exact-dedup corpus are bounded by near-dup cluster size; a
+    * corpus with a large exact-dup cluster puts c IDENTICAL signatures
+    * in the same buckets, and any consumer that self-joins the stored
+    * buckets (`pairsFromLshIndex`) would pay c²/2 candidates for it —
+    * that consumer's `maxBucket` guard exists for indexes that break
+    * this contract.
     */
   def buildLshIndex(index: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 16,
@@ -522,12 +530,39 @@ object Dedup {
     * over the STORED features — identical output contract to
     * `minHashLsh` over the indexed corpus, with zero re-shingling: the
     * consumer's only inputs are two column-pruned parquet scans.
+    *
+    * `maxBucket` is the stored-bucket flood guard: the inline `minHashLsh`
+    * goes without one because LSH band buckets are bounded by near-dup
+    * CLUSTER size after exact dedup — but this consumer runs against ANY
+    * index built earlier, including one built from a corpus that skipped
+    * exact dedup, where a large exact-dup cluster puts c identical
+    * signatures in one bucket and the self-join pays c²/2 candidate
+    * pairs. With the guard, (band, sig) buckets holding more than
+    * `maxBucket` docs are dropped before the self-join; a pair is missed
+    * only if EVERY band the two docs agree on is flooded — at the default
+    * `None` the output is exactly `minHashLsh`'s. Mind the documented
+    * maxBucket CLIFF (verify skill notes): size a cap from the stored
+    * bucket histogram (`buckets.groupBy("band","sig").count()`), not
+    * intuition. The clean deployment contract remains: build the index
+    * AFTER exact dedup (`buildLshIndex`'s scaladoc), and the guard is
+    * belt-and-suspenders.
     */
   def pairsFromLshIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, threshold: Double = 0.5): DataFrame = {
+      indexPath: String, threshold: Double = 0.5,
+      maxBucket: Option[Long] = None): DataFrame = {
+    maxBucket.foreach(cap => require(cap >= 2,
+      "pairsFromLshIndex: maxBucket must be >= 2"))
     val buckets = spark.read.parquet(s"$indexPath/buckets")
     val feats = spark.read.parquet(s"$indexPath/features")
-    val candidates = buckets.as("l").join(buckets.as("r"),
+    val kept = maxBucket match {
+      case None => buckets
+      case Some(cap) =>
+        buckets.join(
+          buckets.groupBy("band", "sig").agg(count(lit(1)).as("__bc"))
+            .filter(col("__bc") <= cap).select("band", "sig"),
+          Seq("band", "sig"))
+    }
+    val candidates = kept.as("l").join(kept.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))

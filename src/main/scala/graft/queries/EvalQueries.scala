@@ -717,7 +717,7 @@ object EvalQueries {
               when(pmod(col("doc_id"), lit(4)) === 0,
                 lit(" cafe\u0301 touche\u0301"))
               .when(pmod(col("doc_id"), lit(4)) === 1,
-                lit(" bad\u0001ctl\u0007here"))
+                lit(" bad\u0001ctl\u0007here\u0085c1\u009Ftoo"))
               .when(pmod(col("doc_id"), lit(4)) === 2,
                 lit(" mo\uFFFDji\uFFFDbake"))
               .otherwise(lit(""))).as("text")),
@@ -727,11 +727,12 @@ object EvalQueries {
              |    CASE doc_id % 4
              |      WHEN 0 THEN ' cafe' || chr(769) || ' touche' || chr(769)
              |      WHEN 1 THEN ' bad' || chr(1) || 'ctl' || chr(7) || 'here'
+             |        || chr(133) || 'c1' || chr(159) || 'too'
              |      WHEN 2 THEN ' mo' || chr(65533) || 'ji' || chr(65533) || 'bake'
              |      ELSE '' END AS text FROM documents),
              |n AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM t),
              |c AS (SELECT doc_id, text, nfc,
-             |    regexp_replace(nfc, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')
+             |    regexp_replace(nfc, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{80}-\x{9F}]', '', 'g')
              |      AS cleaned
              |  FROM n)
              |SELECT doc_id, cleaned, (nfc <> text) AS was_denormalized,

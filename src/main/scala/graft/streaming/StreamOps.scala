@@ -209,10 +209,15 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    // sum over the FINAL progress entry's operators: a chained-stateful
-    // drain (x149's dedup + agg) reports one entry per operator, and the
-    // eviction claim is about their combined residue
-    val stateRows = q.recentProgress.toSeq.lastOption
+    // sum over the LAST progress entry that actually reports state
+    // operators: a chained-stateful drain (x149's dedup + agg) reports one
+    // entry per operator, and the eviction claim is about their combined
+    // residue. A trailing no-data commit can report an EMPTY stateOperators
+    // array — summing that entry would read 0 and let a "state < N"
+    // assertion pass vacuously, so such entries are skipped (and -1 is
+    // returned when no entry measured state at all).
+    val stateRows = q.recentProgress.toSeq.reverse
+      .find(_.stateOperators.nonEmpty)
       .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
     (spark.read.parquet(outDir), stateRows)
   }
@@ -331,7 +336,14 @@ object StreamOps {
     * active users" dashboard runs forever: both operators' state is
     * bounded by the watermark, and COUNT-DISTINCT — not incrementally
     * maintainable as a windowed aggregate on raw events — decomposes
-    * into dedup-then-count exactly.
+    * into dedup-then-count exactly. Exactness caveat: the decomposition
+    * equals batch count(DISTINCT) when duplicate (user, day) events
+    * arrive within the watermark delay of each other
+    * (dropDuplicatesWithinWatermark's contract) — a duplicate arriving
+    * after its twin's dedup row was evicted but before the day window
+    * closes would double-count. Ordered / bounded-lateness streams (and
+    * the staged drains here) satisfy this; size the delay to the
+    * duplicate horizon, not just the lateness horizon, when they differ.
     *
     * The sentinel advances the watermark to flush trailing days and
     * never reaches the output (its own day never finalizes). Returns

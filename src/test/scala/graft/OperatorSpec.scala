@@ -378,6 +378,28 @@ class OperatorSpec extends SparkSpec with Matchers {
     stored.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((10L, 1L))
   }
 
+  test("pairsFromLshIndex maxBucket guard bounds a flooded stored bucket") {
+    // An index built WITHOUT prior exact dedup: 12 byte-identical docs put
+    // 12 identical signatures in every band bucket, and the stored-bucket
+    // self-join pays C(12,2) = 66 candidate pairs for zero information.
+    // The maxBucket guard drops those flooded buckets; the genuine
+    // near-dup pair (its buckets hold 2 docs) must survive.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val flood = (1L to 12L).map(i => i -> ("copy pasta block repeated verbatim " +
+      "across the whole mirror set with no variation at all"))
+    val pair = Seq(100L -> base, 101L -> base.replace("sigma", "sigma2"))
+    val corpus = docs((flood ++ pair ++ Seq(200L -> "unrelated text island")): _*)
+    val path = java.nio.file.Files.createTempDirectory("graft-floodidx").toString
+    Dedup.buildLshIndex(corpus, "doc_id", "text", path,
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val unguarded = Dedup.pairsFromLshIndex(spark, path, threshold = 0.5)
+    unguarded.count() shouldBe 66L + 1L
+    val guarded = Dedup.pairsFromLshIndex(spark, path, threshold = 0.5,
+      maxBucket = Some(8L)).collect()
+    guarded.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((100L, 101L))
+  }
+
   test("scd2 builds validity ranges per key; last change per key is current") {
     import spark.implicits._
     import graft.operators.Sequence
