@@ -1025,7 +1025,105 @@ object AnalyticsQueries {
              |    AS nation_cents,
              |  (10000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)::BIGINT)
              |    // sum(cents)::BIGINT AS share_x10000
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // TPC-H Q4 in its literal EXISTS form — the classic semi-join
+    // decorrelation: a quarter of orders, kept when ANY lineitem shipped
+    // late (> 60 days after the order date — the testdata carries no
+    // commit/receipt dates, so lateness is measured against the order
+    // date; the correlated predicate still references the OUTER row's
+    // date inside the subquery, which is the decorrelation shape the
+    // query exists to exercise). The planner must turn the EXISTS into
+    // one left-semi join on l_orderkey with the date condition as a
+    // join-side filter — never a per-order re-scan of lineitem
+    // (PlanSpec pins LeftSemi + no cartesian).
+    QueryDef("b34_tpch_q4",
+      (s, d) => {
+        tbl(s, d, "orders").createOrReplaceTempView("b34_orders")
+        tbl(s, d, "lineitem").createOrReplaceTempView("b34_lineitem")
+        s.sql("""SELECT o.o_orderpriority, count(*) AS order_count
+                |FROM b34_orders o
+                |WHERE o.o_orderdate >= DATE '1996-07-01'
+                |  AND o.o_orderdate < DATE '1996-10-01'
+                |  AND EXISTS (SELECT 1 FROM b34_lineitem l
+                |    WHERE l.l_orderkey = o.o_orderkey
+                |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+                |GROUP BY o.o_orderpriority
+                |ORDER BY o.o_orderpriority""".stripMargin)
+      },
+      Some("""SELECT o.o_orderpriority, count(*)::BIGINT AS order_count
+             |FROM orders o
+             |WHERE o.o_orderdate >= DATE '1996-07-01'
+             |  AND o.o_orderdate < DATE '1996-10-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem l
+             |    WHERE l.l_orderkey = o.o_orderkey
+             |      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+             |GROUP BY o.o_orderpriority
+             |ORDER BY o.o_orderpriority""".stripMargin)),
+
+    // TPC-H Q17 in its literal form — the correlated SCALAR-subquery
+    // shape (b23 exercises the same decorrelation on a different
+    // report): small-lot lineitems of one brand+type, where "small" is
+    // 20% of THAT PART's average quantity. The planner must decorrelate
+    // the scalar avg into one per-partkey aggregate joined back — one
+    // pass over lineitem for the averages, not one per probe row. The
+    // avg comparison is float-safe cross-engine: quantities are small
+    // integers, so the double sum is exact in any aggregation order.
+    // avg_yearly follows TPC-H's sum/7.0, as exact integral cents //7.
+    QueryDef("b35_tpch_q17",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b35_lineitem")
+        tbl(s, d, "part").createOrReplaceTempView("b35_part")
+        s.sql("""SELECT count(*) AS small_lots,
+                |  div(sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT)), 7)
+                |    AS avg_yearly_cents
+                |FROM b35_lineitem l JOIN b35_part p ON p.p_partkey = l.l_partkey
+                |WHERE p.p_brand = 'Brand#7' AND p.p_type = 'ECONOMY'
+                |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                |    FROM b35_lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+      },
+      Some("""SELECT count(*)::BIGINT AS small_lots,
+             |  (sum((floor(l.l_extendedprice*100 + 0.5))::BIGINT)::BIGINT // 7)::BIGINT
+             |    AS avg_yearly_cents
+             |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+             |WHERE p.p_brand = 'Brand#7' AND p.p_type = 'ECONOMY'
+             |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+             |    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin)),
+
+    // TPC-H Q18 in its literal IN-over-grouped-HAVING form (b25 is the
+    // hand-decorrelated join twin): the planner must fold the IN
+    // subquery — an aggregate with a HAVING cut — into a semi join
+    // against the grouped lineitem, then aggregate the surviving
+    // orders. Threshold 290 keeps the shortlist distinct from b25's
+    // (>300) so the two plans can't share a cached subtree by accident.
+    QueryDef("b36_tpch_q18",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b36_lineitem")
+        tbl(s, d, "orders").createOrReplaceTempView("b36_orders")
+        tbl(s, d, "customer").createOrReplaceTempView("b36_customer")
+        s.sql("""SELECT c.c_name, o.o_orderkey,
+                |  sum(CAST(l.l_quantity AS BIGINT)) AS sum_qty,
+                |  CAST(floor(o.o_totalprice*100 + 0.5) AS BIGINT) AS total_cents
+                |FROM b36_customer c
+                |JOIN b36_orders o ON c.c_custkey = o.o_custkey
+                |JOIN b36_lineitem l ON o.o_orderkey = l.l_orderkey
+                |WHERE o.o_orderkey IN (
+                |  SELECT l_orderkey FROM b36_lineitem GROUP BY l_orderkey
+                |  HAVING sum(CAST(l_quantity AS BIGINT)) > 290)
+                |GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+                |ORDER BY total_cents DESC, o.o_orderkey""".stripMargin)
+      },
+      Some("""SELECT c.c_name, o.o_orderkey,
+             |  sum(l.l_quantity::BIGINT)::BIGINT AS sum_qty,
+             |  (floor(o.o_totalprice*100 + 0.5))::BIGINT AS total_cents
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE o.o_orderkey IN (
+             |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+             |  HAVING sum(l_quantity::BIGINT) > 290)
+             |GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
+             |ORDER BY total_cents DESC, o.o_orderkey""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

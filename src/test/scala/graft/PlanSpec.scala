@@ -468,6 +468,30 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("LeftAnti")
   }
 
+  test("b34/b35/b36 literal TPC-H decorrelations: semi joins + one aggregate pass, no re-scan") {
+    // Q4's EXISTS (correlated on the outer order's DATE, not just the
+    // key) must become one left-semi join with the date condition as a
+    // join filter — never a per-order lineitem re-scan
+    val p4 = planOf(q("b34_tpch_q4"))
+    (p4 should not).include("CartesianProduct")
+    (p4 should not).include("BroadcastNestedLoopJoin")
+    p4 should include("LeftSemi")
+    // Q17's correlated scalar avg decorrelates into ONE per-partkey
+    // aggregate joined back: aggregates = avg (partial+final) + the
+    // top count/sum (partial+final) + AQE variants — bounded, not
+    // one per probe row
+    val p17 = planOf(q("b35_tpch_q17"))
+    (p17 should not).include("CartesianProduct")
+    (p17 should not).include("BroadcastNestedLoopJoin")
+    nodeCount(p17, "HashAggregate") should be <= 6
+    // Q18's IN-over-grouped-HAVING folds into a semi join against the
+    // grouped lineitem (b25 is the hand-decorrelated twin)
+    val p18 = planOf(q("b36_tpch_q18"))
+    (p18 should not).include("CartesianProduct")
+    (p18 should not).include("BroadcastNestedLoopJoin")
+    p18 should include("LeftSemi")
+  }
+
   test("x68 line dedup is map-only — array HOFs, no shuffle beyond the output sort") {
     val plan = planOf(q("x68_line_dedup"))
     (plan should not).include("HashAggregate")
