@@ -100,5 +100,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
       arity("graft_nfc", 1)(c => NfcNormalize(c.head))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_nfkc"),
+      new ExpressionInfo(classOf[NfkcNormalize].getName, "graft_nfkc"),
+      arity("graft_nfkc", 1)(c => NfkcNormalize(c.head))))
   }
 }

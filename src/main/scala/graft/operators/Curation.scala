@@ -425,6 +425,56 @@ object Curation {
           .as("replacement_chars"),
         length(col("cleaned")).cast("long").as("chars_after"))
 
+  /** Invisible-character hygiene — `unicodeClean`'s sibling for the
+    * characters that render as NOTHING yet change hashing, tokenization,
+    * and (in LLM corpora) are a documented prompt-injection/watermark
+    * vector: zero-width space/non-joiner/joiner + word joiner
+    * (U+200B–U+200D, U+2060), the bidi controls (LRM/RLM U+200E–U+200F,
+    * the embedding/override block U+202A–U+202E, and the isolate block
+    * U+2066–U+2069 — the "Trojan Source" characters), and U+FEFF (a BOM
+    * that leaked into text, a.k.a. zero-width no-break space). Each
+    * class is stripped and counted separately — the class PROFILE is the
+    * signal (bidi controls inside source code ≈ attack; a lone leading
+    * U+FEFF ≈ windows tooling), so one merged count would lose it.
+    *
+    * `compatNormalize = true` additionally applies Unicode NFKC FIRST
+    * (the `graft_nfkc` native expression): fullwidth forms, ligatures,
+    * superscripts and friends collapse to their compatibility base, the
+    * canonicalization that makes "ｆｒｅｅ ｍｏｎｅｙ" hash like
+    * "free money". Off by default — NFKC is lossy by design.
+    *
+    * Everything is map-side single-pass (three codegen'd regexp passes
+    * over disjoint BMP classes + the optional native NFKC); counts are
+    * length DIFFERENCES so they are exact in any engine that counts
+    * codepoints. Output: (id, cleaned, zero_width_removed, bidi_removed,
+    * bom_removed, was_compat_changed, chars_after), one row per input
+    * row; was_compat_changed is constant false when `compatNormalize`
+    * is off.
+    */
+  def invisibleClean(df: DataFrame, idCol: String, textCol: String,
+      compatNormalize: Boolean = false): DataFrame = {
+    val base =
+      if (compatNormalize) graft.functions.NfkcNormalize.ofCol(col(textCol))
+      else col(textCol)
+    df.select(col(idCol), col(textCol).as("__raw"), base.as("__t"))
+      .withColumn("__zw",
+        regexp_replace(col("__t"), "[\\u200B-\\u200D\\u2060]", ""))
+      .withColumn("__bd",
+        regexp_replace(col("__zw"),
+          "[\\u200E\\u200F\\u202A-\\u202E\\u2066-\\u2069]", ""))
+      .withColumn("cleaned", regexp_replace(col("__bd"), "\\uFEFF", ""))
+      .select(col(idCol),
+        col("cleaned"),
+        (length(col("__t")) - length(col("__zw"))).cast("long")
+          .as("zero_width_removed"),
+        (length(col("__zw")) - length(col("__bd"))).cast("long")
+          .as("bidi_removed"),
+        (length(col("__bd")) - length(col("cleaned"))).cast("long")
+          .as("bom_removed"),
+        (col("__t") =!= col("__raw")).as("was_compat_changed"),
+        length(col("cleaned")).cast("long").as("chars_after"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultRate: Int, outOf: Int = 100): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= outOf),

@@ -821,6 +821,70 @@ object EvalQueries {
              |  FROM m GROUP BY 1, 2)
              |SELECT doc_id, url, matched_rule,
              |  coalesce(ma, TRUE) AS allowed
-             |FROM p ORDER BY doc_id""".stripMargin))
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // Invisible-character hygiene (x151): x147's sibling for the
+    // render-as-nothing classes — zero-width space/joiners + word
+    // joiner, the bidi control blocks ("Trojan Source" characters, a
+    // documented prompt-injection vector in LLM corpora), and in-text
+    // U+FEFF — planted per doc_id residue class so every strip class is
+    // exercised on every language's real text, counted separately
+    // (the class PROFILE is the signal). The compat columns run the
+    // operator's NFKC path (graft_nfkc) over a PLANTED-ONLY string
+    // (ligature + superscript + fullwidth digit + a zero-width char):
+    // DuckDB has no NFKC, so the oracle constructs the expected
+    // expansion explicitly — exact because the planted string is fully
+    // specified, and it proves stripping composes AFTER normalization.
+    QueryDef("x151_invisible_clean",
+      (s, d) => {
+        val r = pmod(col("doc_id"), lit(5))
+        val dirty = tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(r === 0, lit(" a\u200Bb\u200Cc\u200Dd\u2060e"))
+              .when(r === 1, lit(" x\u202Ay\u202Ez\u2066w\u2069v"))
+              .when(r === 2, lit("\u200E q\u200F"))
+              .when(r === 3, lit(" bom\uFEFFmid"))
+              .otherwise(lit(""))).as("text"))
+        val stripped = Curation.invisibleClean(dirty, "doc_id", "text")
+          .drop("was_compat_changed")
+        val fullwidth = element_at(
+          array((0 to 9).map(i => lit((0xFF10 + i).toChar.toString)): _*),
+          (pmod(col("doc_id"), lit(10)) + 1).cast("int"))
+        val compat = Curation.invisibleClean(
+            tbl(s, d, "documents").select(col("doc_id"),
+              concat(lit("\uFB01le \u00B2 no"), fullwidth, lit("\u200Btail"))
+                .as("ctext")),
+            "doc_id", "ctext", compatNormalize = true)
+          .select(col("doc_id"), col("cleaned").as("compat_cleaned"),
+            col("was_compat_changed"),
+            col("zero_width_removed").as("compat_zw_removed"))
+        stripped.join(compat, Seq("doc_id")).orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, text || CASE doc_id % 5
+             |    WHEN 0 THEN ' a'||chr(8203)||'b'||chr(8204)||'c'||chr(8205)
+             |      ||'d'||chr(8288)||'e'
+             |    WHEN 1 THEN ' x'||chr(8234)||'y'||chr(8238)||'z'||chr(8294)
+             |      ||'w'||chr(8297)||'v'
+             |    WHEN 2 THEN chr(8206)||' q'||chr(8207)
+             |    WHEN 3 THEN ' bom'||chr(65279)||'mid'
+             |    ELSE '' END AS text FROM documents),
+             |z AS (SELECT doc_id, text,
+             |    regexp_replace(text, '[\x{200B}-\x{200D}\x{2060}]', '', 'g')
+             |      AS zt FROM t),
+             |b AS (SELECT doc_id, text, zt,
+             |    regexp_replace(zt,
+             |      '[\x{200E}\x{200F}\x{202A}-\x{202E}\x{2066}-\x{2069}]',
+             |      '', 'g') AS bt FROM z),
+             |c AS (SELECT doc_id, text, zt, bt,
+             |    regexp_replace(bt, '\x{FEFF}', '', 'g') AS cleaned FROM b)
+             |SELECT doc_id, cleaned,
+             |  (length(text) - length(zt))::BIGINT AS zero_width_removed,
+             |  (length(zt) - length(bt))::BIGINT AS bidi_removed,
+             |  (length(bt) - length(cleaned))::BIGINT AS bom_removed,
+             |  length(cleaned)::BIGINT AS chars_after,
+             |  'file 2 no' || (doc_id % 10)::VARCHAR || 'tail' AS compat_cleaned,
+             |  TRUE AS was_compat_changed,
+             |  1::BIGINT AS compat_zw_removed
+             |FROM c ORDER BY doc_id""".stripMargin))
   )
 }

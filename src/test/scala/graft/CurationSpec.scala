@@ -158,6 +158,40 @@ class CurationSpec extends SparkSpec with Matchers {
     out(0).getAs[Long]("distinct_tokens") shouldBe 4L
   }
 
+  test("invisibleClean strips and counts the three classes separately; NFKC expands compat forms") {
+    val out = Curation.invisibleClean(docs(
+        1L -> "a\u200Bb\u200Cc",          // 2 zero-width
+        2L -> "x\u202Ay\u2069z\u200E",    // 3 bidi (override, isolate-pop, LRM)
+        3L -> "\uFEFFlead and mid\uFEFF", // 2 BOM
+        4L -> "clean text"),
+      "doc_id", "text").orderBy("doc_id").collect()
+    out.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq shouldBe
+      Seq((2L, 0L, 0L), (0L, 3L, 0L), (0L, 0L, 2L), (0L, 0L, 0L))
+    out.map(_.getString(1)).toSeq shouldBe
+      Seq("abc", "xyz", "lead and mid", "clean text")
+    out.map(_.getBoolean(5)).toSeq shouldBe Seq.fill(4)(false)
+
+    // NFKC path: ligature, superscript, fullwidth expand; zw strip runs
+    // AFTER normalization; was_compat_changed flags the rows NFKC touched
+    val k = Curation.invisibleClean(docs(
+        10L -> "\uFB03ce \u00B9\u00B2 \uFF26\uFF35\uFF2C\uFF2C\u200B",
+        11L -> "plain ascii"),
+      "doc_id", "text", compatNormalize = true).orderBy("doc_id").collect()
+    k.map(_.getString(1)).toSeq shouldBe Seq("ffice 12 FULL", "plain ascii")
+    k.map(r => (r.getLong(2), r.getBoolean(5))).toSeq shouldBe
+      Seq((1L, true), (0L, false))
+    // NFKC is idempotent: a second pass changes nothing
+    val once = Curation.invisibleClean(docs(10L -> "\uFB01\uFF11"), "doc_id",
+      "text", compatNormalize = true).select("cleaned")
+    val twice = Curation.invisibleClean(
+      once.withColumnRenamed("cleaned", "text").withColumn("doc_id", lit(10L)),
+      "doc_id", "text", compatNormalize = true).select("cleaned")
+    twice.first().getString(0) shouldBe once.first().getString(0)
+    // SQL surface: graft_nfkc is registered via GraftExtensions
+    spark.sql("SELECT graft_nfkc('\uFF41\uFB01') AS t").first()
+      .getString(0) shouldBe "afi"
+  }
+
   test("stratified sample rates nest: the 10% slice is inside the 20% slice") {
     import spark.implicits._
     val rows = (1L to 500L).map(i => (i, if (i % 2 == 0) "en" else "de"))

@@ -602,6 +602,16 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 1
   }
 
+  test("x151 invisible clean: native graft_nfkc in-plan, map-side cleaning on both join legs") {
+    val plan = planOf(q("x151_invisible_clean"))
+    plan should include("graft_nfkc")
+    (plan should not).include("CartesianProduct")
+    // both legs are projections over the documents scan; exchanges are
+    // the doc_id equi-join's two sides + the output-order partitioning
+    // (AQE may broadcast one leg and drop an exchange)
+    nodeCount(plan, "Exchange") should be <= 3
+  }
+
   test("x148 token spectrum: TakeOrdered cut, never a global sort of the vocabulary") {
     val plan = planOf(q("x148_token_spectrum"))
     plan should include("TakeOrderedAndProject")
