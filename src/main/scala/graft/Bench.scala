@@ -90,7 +90,11 @@ object Bench {
     // (x149 is the chained-stateful machinery class's representative —
     // dedup + windowed agg in ONE append-mode query; the single-operator
     // drains are covered by x112/x113/x14.)
+    // (x150b is x150's per-length hash-join twin — the pair difference
+    // measures the join-algebra trade at a config-sized rule list; the
+    // rules-x-m ScaleProbe pair measures it at robots scale.)
     "x149_stream_daily_actives", "x150_url_policy",
+    "x150b_url_policy_bylength",
     "b28_tpch_q21",
     "e01_pipeline_noauth", "e09_dsv2_http")
 

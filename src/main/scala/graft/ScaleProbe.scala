@@ -250,6 +250,28 @@ object ScaleProbe {
     def recordState(name: String, m: Int, rows: Long): Unit =
       stateRowsSeen((name, m)) = rows
 
+    // URL-gate probe fixtures: a FIXED synthetic URL per base-corpus doc;
+    // the rule list is the scaled lever — 250 site-prefix rules that can
+    // match plus 512·m−250 deeper never-matching ones (distinct by the
+    // q$i segment), spanning a handful of distinct prefix lengths like a
+    // real robots corpus.
+    // (no localCheckpoint: the probe harness unpersists ALL cached RDDs
+    // between runs, which would orphan the checkpoint blocks; the url
+    // construction is map-only and cheap to recompute per run. The ×16
+    // explode lifts the FIXED url side to ~80k rows so the theta
+    // control's urls × rules product dominates its fixed overhead and
+    // the linearity is measurable, not masked.)
+    def gateUrls: DataFrame = corpus(1)
+      .select(col("doc_id"), explode(expr("sequence(0, 15)")).as("rep"))
+      .select((col("doc_id") * 16 + col("rep")).as("doc_id"))
+      .select(col("doc_id"),
+        concat(lit("https://site"), pmod(col("doc_id"), lit(1000)),
+          lit(".example/p/"), col("doc_id")).as("url"))
+    def gateRules(m: Int): Seq[(String, Boolean)] =
+      (0 until 250).map(i => s"https://site${4 * i}.example/" -> (i % 2 == 0)) ++
+        (250 until 4096 * m).map(i =>
+          s"https://site${i % 1000}.example/q$i/" -> (i % 2 == 1))
+
     val ops: Seq[(String, Int => Long)] = Seq(
       "dedup_exact" -> (m => Dedup.exact(corpus(m), "doc_id", "text").count()),
       "dedup_minhash_lsh" -> (m =>
@@ -899,6 +921,23 @@ object ScaleProbe {
       "token_spectrum" -> (m =>
         TextAnalysis.tokenSpectrum(corpus(m), "text", k = 100)
           .agg(sum(col("cum_pct_x10000"))).first().getLong(0)),
+      // URL policy gate at robots scale (x150/x150b): URLS FIXED, RULES
+      // ×m (4096·m prefixes, ~6 distinct lengths) — the lever that kills
+      // the theta shape. The per-length hash variant's per-URL work is
+      // |distinct lengths| hash probes, ~constant in the rule count; the
+      // theta control (prefix-isolated — run capped, `ScaleProbe 4
+      // theta_`) pays urls × rules startsWith calls, linear in m by
+      // construction. The exponent PAIR is the join-algebra trade
+      // measured.
+      "urlgate_bylength_rules" -> (m =>
+        Curation.urlPolicyGateByLength(gateUrls, "doc_id", "url",
+            gateRules(m))
+          .agg(sum(when(col("allowed"), 1L).otherwise(0L)))
+          .first().getLong(0)),
+      "theta_urlgate_rules" -> (m =>
+        Curation.urlPolicyGate(gateUrls, "doc_id", "url", gateRules(m))
+          .agg(sum(when(col("allowed"), 1L).otherwise(0L)))
+          .first().getLong(0)),
       // Windowed append-mode aggregate (x112/x113 and the x89/x53 routes):
       // stream LENGTH grows ×m (days), rate/keys/watermark fixed — state
       // must stay bounded by open windows × keys (flat in m, recorded on

@@ -388,6 +388,55 @@ object Curation {
         coalesce(col("__ma"), lit(defaultAllow)).as("allowed"))
   }
 
+  /** The robots-SCALE shape of `urlPolicyGate` — same longest-prefix
+    * semantics, different join algebra for rule sets too large for a
+    * nested-loop probe: the theta variant's broadcast `startsWith` join
+    * is O(urls × rules) per task, the right plan for a config-sized list
+    * but the scale-killer at a real robots/policy corpus (10⁵–10⁶
+    * prefixes). This variant exploits that a PREFIX match of known
+    * length is an EQUALITY: group the rules by prefix length L (distinct
+    * lengths are few — bounded by max URL-prefix length, not rule
+    * count), and for each L probe `substring(url, 1, L) = rule` through
+    * a broadcast HASH join. Per URL that is |lengths| O(1) hash lookups
+    * instead of |rules| startsWith calls.
+    *
+    * The longest-match pick costs no aggregate here: equal-length
+    * distinct prefixes cannot both match one URL, so each per-length
+    * left join yields AT MOST ONE match, and `coalesce` over the
+    * per-length match columns in DESCENDING length order IS the
+    * longest-win rule — evaluated map-side in the same codegen stage.
+    * Zero exchanges end to end (plan-pinned): one pass over the URLs,
+    * every join a BroadcastHashJoin. Unlike the theta variant there is
+    * no groupBy, so the output is genuinely one row per INPUT row, with
+    * duplicate (id, url) rows preserved.
+    *
+    * Value-equivalent to `urlPolicyGate` on distinct-(id, url) input
+    * (spec-pinned on the x150 corpus). Output: (id, url, matched_rule —
+    * null if none, allowed).
+    */
+  def urlPolicyGateByLength(df: DataFrame, idCol: String, urlCol: String,
+      rules: Seq[(String, Boolean)], defaultAllow: Boolean = true): DataFrame = {
+    require(rules.nonEmpty, "urlPolicyGateByLength: empty rule set")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "urlPolicyGateByLength: duplicate rule prefixes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // descending lengths: the coalesce pick below reads them in order
+    val byLen = rules.groupBy(_._1.length).toSeq.sortBy(-_._1)
+    val urls = df.select(col(idCol), col(urlCol).as("url"))
+    val joined = byLen.zipWithIndex.foldLeft(urls) {
+      case (acc, ((l, rs), i)) =>
+        acc.join(
+          broadcast(rs.toDF(s"__r$i", s"__a$i")),
+          substring(col("url"), 1, l) === col(s"__r$i"), "left")
+    }
+    val n = byLen.size
+    joined.select(col(idCol), col("url"),
+      coalesce((0 until n).map(i => col(s"__r$i")): _*).as("matched_rule"),
+      coalesce(((0 until n).map(i => col(s"__a$i")) :+ lit(defaultAllow)): _*)
+        .as("allowed"))
+  }
+
   /** Unicode hygiene — the cleaning gate crawl text passes BEFORE any
     * hashing/dedup/tokenization: NFC-normalize (the `graft_nfc` native
     * expression — "café" precomposed and decomposed must hash alike, and

@@ -85,6 +85,49 @@ object EvalQueries {
     path
   }
 
+  /** x150/x150b shared fixture: the synthetic URL surface (x126's
+    * construction) and the policy rule list — two implementations of the
+    * same longest-prefix gate share one oracle.
+    */
+  private def policyUrls(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    tbl(s, d, "documents").select(col("doc_id"),
+      concat(lit("https://"),
+        element_at(array(lit(""), lit("www."), lit("cdn."), lit("m.")),
+          (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
+        col("source"), lit("."),
+        element_at(array(lit("com"), lit("org"), lit("net"),
+          lit("co.uk"), lit("com.au")),
+          (pmod(expr("doc_id div 20"), lit(5)) + 1).cast("int")),
+        lit("/"), col("lang"), lit("/"), col("doc_id")).as("url"))
+
+  private[graft] val policyRules: Seq[(String, Boolean)] =
+    Seq("https://cdn." -> false, "https://m." -> false,
+      "https://m.src7." -> true, "https://www.src3." -> false)
+
+  private val urlPolicyOracle: String =
+    """WITH u AS (SELECT doc_id,
+      |    'https://' ||
+      |    (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+      |      WHEN 2 THEN 'cdn.' ELSE 'm.' END) ||
+      |    source || '.' ||
+      |    (CASE (doc_id // 20) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+      |      WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' ELSE 'com.au' END) ||
+      |    '/' || lang || '/' || doc_id AS url
+      |  FROM documents),
+      |r(rule, allow) AS (VALUES
+      |  ('https://cdn.', FALSE), ('https://m.', FALSE),
+      |  ('https://m.src7.', TRUE), ('https://www.src3.', FALSE)),
+      |m AS (SELECT doc_id, url, rule, allow FROM u
+      |  LEFT JOIN r ON starts_with(url, rule)),
+      |p AS (SELECT doc_id, url,
+      |    max_by(rule, length(rule)) AS matched_rule,
+      |    max_by(allow, length(rule)) AS ma
+      |  FROM m GROUP BY 1, 2)
+      |SELECT doc_id, url, matched_rule,
+      |  coalesce(ma, TRUE) AS allowed
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val all: Seq[QueryDef] = Seq(
 
     // Source-overlap matrix (x114): pairwise shingle-set Jaccard between
@@ -785,43 +828,27 @@ object EvalQueries {
     // both prefix one URL, so the pick is deterministic by
     // construction). Unmatched URLs fall through to the default.
     QueryDef("x150_url_policy",
-      (s, d) => {
-        val urls = tbl(s, d, "documents").select(col("doc_id"),
-          concat(lit("https://"),
-            element_at(array(lit(""), lit("www."), lit("cdn."), lit("m.")),
-              (pmod(col("doc_id"), lit(4)) + 1).cast("int")),
-            col("source"), lit("."),
-            element_at(array(lit("com"), lit("org"), lit("net"),
-              lit("co.uk"), lit("com.au")),
-              (pmod(expr("doc_id div 20"), lit(5)) + 1).cast("int")),
-            lit("/"), col("lang"), lit("/"), col("doc_id")).as("url"))
-        Curation.urlPolicyGate(urls, "doc_id", "url",
-            rules = Seq("https://cdn." -> false, "https://m." -> false,
-              "https://m.src7." -> true, "https://www.src3." -> false),
-            defaultAllow = true)
-          .orderBy("doc_id")
-      },
-      Some("""WITH u AS (SELECT doc_id,
-             |    'https://' ||
-             |    (CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
-             |      WHEN 2 THEN 'cdn.' ELSE 'm.' END) ||
-             |    source || '.' ||
-             |    (CASE (doc_id // 20) % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
-             |      WHEN 2 THEN 'net' WHEN 3 THEN 'co.uk' ELSE 'com.au' END) ||
-             |    '/' || lang || '/' || doc_id AS url
-             |  FROM documents),
-             |r(rule, allow) AS (VALUES
-             |  ('https://cdn.', FALSE), ('https://m.', FALSE),
-             |  ('https://m.src7.', TRUE), ('https://www.src3.', FALSE)),
-             |m AS (SELECT doc_id, url, rule, allow FROM u
-             |  LEFT JOIN r ON starts_with(url, rule)),
-             |p AS (SELECT doc_id, url,
-             |    max_by(rule, length(rule)) AS matched_rule,
-             |    max_by(allow, length(rule)) AS ma
-             |  FROM m GROUP BY 1, 2)
-             |SELECT doc_id, url, matched_rule,
-             |  coalesce(ma, TRUE) AS allowed
-             |FROM p ORDER BY doc_id""".stripMargin)),
+      (s, d) => Curation.urlPolicyGate(policyUrls(s, d), "doc_id", "url",
+          rules = policyRules, defaultAllow = true)
+        .orderBy("doc_id"),
+      Some(urlPolicyOracle)),
+
+    // The robots-SCALE twin (x150b): identical report — the oracle is
+    // shared verbatim with x150 — through per-prefix-length broadcast
+    // HASH joins instead of the theta startsWith nested loop: per URL,
+    // |distinct lengths| O(1) hash probes instead of |rules| startsWith
+    // calls, and the longest-prefix pick is a map-side coalesce over
+    // the per-length match columns (equal-length distinct prefixes
+    // cannot both match, so each per-length join yields at most one
+    // row). The pair x150/x150b is the measured cost of the join-
+    // algebra choice; at a 10⁵–10⁶-prefix policy corpus only the hash
+    // shape survives (plan-pinned: BroadcastHashJoin only, zero
+    // pre-sort exchanges).
+    QueryDef("x150b_url_policy_bylength",
+      (s, d) => Curation.urlPolicyGateByLength(policyUrls(s, d), "doc_id",
+          "url", rules = policyRules, defaultAllow = true)
+        .orderBy("doc_id"),
+      Some(urlPolicyOracle)),
 
     // Invisible-character hygiene (x151): x147's sibling for the
     // render-as-nothing classes — zero-width space/joiners + word

@@ -1195,6 +1195,44 @@ class OperatorSpec extends SparkSpec with Matchers {
       .collect().map(_.getBoolean(3)).toSeq shouldBe Seq(false, false)
   }
 
+  test("urlPolicyGateByLength matches the theta gate; longest length wins across groups") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // three distinct prefix lengths, a chain where ALL three match one
+    // URL (longest must win), plus duplicate (id, url) rows to pin the
+    // one-row-per-INPUT-row contract the theta gate's groupBy collapses
+    val rows = Seq(
+      (1L, "https://a.example/private/ok/page"),  // all 3 chain rules match
+      (2L, "https://a.example/private/x"),        // 2 match -> middle wins
+      (3L, "https://a.example/p"),                // 1 matches (shortest)
+      (4L, "https://b.example/x"),                // none -> default
+      (1L, "https://a.example/private/ok/page")   // exact duplicate row
+    ).toDF("id", "url")
+    val rules = Seq(
+      "https://a.example/" -> false,
+      "https://a.example/private/" -> false,
+      "https://a.example/private/ok/" -> true,
+      "https://b.other/" -> false)
+    val byLen = Curation.urlPolicyGateByLength(rows, "id", "url", rules,
+        defaultAllow = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    // duplicate input rows are PRESERVED (no groupBy): 5 in, 5 out
+    byLen.toSeq shouldBe Seq(
+      (1L, "https://a.example/private/ok/", true),
+      (1L, "https://a.example/private/ok/", true),
+      (2L, "https://a.example/private/", false),
+      (3L, "https://a.example/", false),
+      (4L, null, true))
+    // value-equivalence with the theta shape, whose groupBy collapses
+    // the duplicate (id, url) row — equal on the distinct set
+    val theta = Curation.urlPolicyGate(rows, "id", "url", rules,
+        defaultAllow = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    theta.toSeq shouldBe byLen.toSeq.distinct
+  }
+
   test("tokenSpectrum: deterministic top-k with exact cumulative coverage") {
     import spark.implicits._
     // 10 tokens total: a x5, b x3, c x1, d x1 -> top-3 covers 9/10 = 90%

@@ -612,6 +612,18 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "Exchange") should be <= 3
   }
 
+  test("x150b robots-scale gate: per-length broadcast hash joins, zero pre-sort exchanges") {
+    val plan = planOf(q("x150b_url_policy_bylength"))
+    (plan should not).include("BroadcastNestedLoopJoin")
+    plan should include("BroadcastHashJoin")
+    // the whole gate is map-side: the only exchange is the output
+    // orderBy's range partitioning — no hash exchange anywhere
+    "Arguments: hashpartitioning".r.findAllIn(plan).length shouldBe 0
+    // the theta twin keeps its nested-loop shape (right for config-sized
+    // rule lists; the pair is the documented join-algebra trade)
+    planOf(q("x150_url_policy")) should include("BroadcastNestedLoopJoin")
+  }
+
   test("x148 token spectrum: TakeOrdered cut, never a global sort of the vocabulary") {
     val plan = planOf(q("x148_token_spectrum"))
     plan should include("TakeOrderedAndProject")
