@@ -66,6 +66,11 @@ object Bench {
     // audit family.)
     "x116_epoch_shuffle", "x117_split_leakage",
     "x117b_split_leakage_from_index", "x118_jsonl_quarantine",
+    // (x152 is the artifact family's WRITE path — absorbing a fresh
+    // batch into the stored labels+index; its warm runs time the absorb
+    // alone, the one-time base build sits in the cold column like the
+    // other build-once artifacts.)
+    "x152_label_absorb",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
     // (x125 itself is excluded like x05: a per-char-gram map side over the

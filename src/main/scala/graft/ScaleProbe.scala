@@ -267,6 +267,14 @@ object ScaleProbe {
       .select(col("doc_id"),
         concat(lit("https://site"), pmod(col("doc_id"), lit(1000)),
           lit(".example/p/"), col("doc_id")).as("url"))
+    // absorb-probe fixtures: the FIXED fresh batch (replica-0 %4==0
+    // slice under disjoint ids; texts are exact dups of indexed docs so
+    // the stored-index probe finds real matches), and the per-multiplier
+    // built-once base artifacts
+    val absorbBaseBuilt = scala.collection.mutable.Set[Int]()
+    def absorbBatch: DataFrame = corpus(1).filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+
     def gateRules(m: Int): Seq[(String, Boolean)] =
       (0 until 250).map(i => s"https://site${4 * i}.example/" -> (i % 2 == 0)) ++
         (250 until 4096 * m).map(i =>
@@ -929,6 +937,41 @@ object ScaleProbe {
       // theta_`) pays urls × rules startsWith calls, linear in m by
       // construction. The exponent PAIR is the join-algebra trade
       // measured.
+      // Incremental label absorb (x152): STORED corpus generation ×m
+      // (labels + LSH index built once per multiplier, OUTSIDE the
+      // timing — they are the pre-existing artifact), batch FIXED (the
+      // replica-0 %4==0 slice under offset ids — exact dups of indexed
+      // docs, so the probe finds real matches). The timed run is the
+      // absorb alone: batch front end + stored-index probe + contracted
+      // label propagation + artifact write. Sub-linearity certifies the
+      // update never re-runs corpus LSH/propagation; the full-rebuild
+      // control (prefix-isolated — run capped, `ScaleProbe 4
+      // rebuildlabels_`) pays the corpus-wide build every time, linear
+      // by construction.
+      "absorb_labels_corpus" -> { m =>
+        val root = s"$stageRoot/abs/m$m"
+        if (!absorbBaseBuilt(m)) {
+          Dedup.buildCanonicalLabels(corpus(m), "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          Dedup.buildLshIndex(corpus(m), "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4)
+          absorbBaseBuilt += m
+        }
+        Dedup.absorbIntoLabels(absorbBatch, "doc_id", "text",
+            s"$root/labels", s"$root/idx", shingleSize = 3,
+            numHashes = 16, bands = 4, threshold = 0.5,
+            outLabelsPath = Some(s"$root/outLabels"),
+            outIndexPath = Some(s"$root/outIdx"))
+          .count()
+      },
+      "rebuildlabels_corpus" -> { m =>
+        val out = s"$stageRoot/abs/rebuild_m$m"
+        Dedup.buildCanonicalLabels(corpus(m).unionByName(absorbBatch),
+          "doc_id", "text", out, shingleSize = 3, numHashes = 16,
+          bands = 4, threshold = 0.5)
+        spark.read.parquet(out).count()
+      },
       "urlgate_bylength_rules" -> (m =>
         Curation.urlPolicyGateByLength(gateUrls, "doc_id", "url",
             gateRules(m))

@@ -592,6 +592,128 @@ object Dedup {
     canonicalize(docs, idCol, pairs).write.mode("overwrite").parquet(path)
   }
 
+  /** INCREMENTAL canonical-label maintenance — the piece that makes the
+    * whole write-once artifact family (labels for x88b/x105b/x111, pairs
+    * for x117b) live-corpus-capable: a fresh `batch` is absorbed into the
+    * STORED label table (`buildCanonicalLabels`) and the STORED LSH index
+    * (`buildLshIndex`) without ever re-running corpus-wide LSH or
+    * label propagation. Result is oracle-identical to a full
+    * `buildCanonicalLabels` rebuild over corpus + batch (spec-pinned and
+    * strict-gated), at batch-bounded cost.
+    *
+    * Why batch-bounded is EXACT, not approximate: new LSH edges can only
+    * touch batch docs (batch–batch collisions and batch–index
+    * collisions — index–index edges were all found at build time and are
+    * already encoded in the stored labels). Components of the grown
+    * graph therefore merge only THROUGH batch nodes, and contracting
+    * every old component to its stored canonical preserves exactly the
+    * connectivity the update needs. Min-label propagation runs on the
+    * CONTRACTED graph — nodes are the batch ids plus the touched old
+    * canonicals, never the corpus — and since each stored canonical IS
+    * its component's minimum id, the contracted minimum equals the full
+    * rebuild's minimum. Three consequences fall out, all exercised by
+    * the spec: a batch doc can bridge two old components (their rows
+    * relabel to the joint minimum), a batch doc with a smaller id than
+    * an old canonical TAKES OVER as keeper (the old component's rows
+    * relabel), and old rows relabel through a canonical_id-keyed join
+    * against the (tiny) relabel map — never a corpus-wide recompute.
+    *
+    * Dataflow: batch MinHash front end (map-side native expressions,
+    * checkpointed once and shared by the three consumers) → batch–batch
+    * self-collisions + batch–index probe against the STORED
+    * buckets/features (column-pruned parquet scans, the probeLshIndex
+    * shape) → exact-Jaccard verify → contracted-graph label propagation
+    * (`canonicalize`, batch-sized) → canonical_id-keyed relabel join on
+    * the stored labels → write labels + append the batch's
+    * features/buckets to the index, so the NEXT batch probes a store
+    * that already contains this one. Ids must be disjoint from the
+    * indexed corpus (the `incrementalNearDup` contract); parameters must
+    * match the index build or signatures won't collide.
+    *
+    * `outLabelsPath`/`outIndexPath` default to in-place update (the
+    * production shape; the labels rewrite materializes via
+    * localCheckpoint before overwriting the path it read). Passing fresh
+    * paths leaves the base artifacts untouched — the what-if/audit mode,
+    * and what repeated evaluations of the strict gate use. Returns the
+    * merged labels read back from the written store.
+    */
+  def absorbIntoLabels(batch: DataFrame, idCol: String, textCol: String,
+      labelsPath: String, indexPath: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5,
+      outLabelsPath: Option[String] = None,
+      outIndexPath: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val outLabels = outLabelsPath.getOrElse(labelsPath)
+    val outIndex = outIndexPath.getOrElse(indexPath)
+
+    // batch front end, shared by three consumers (bb pairs, bi probe,
+    // index append) — checkpoint the per-doc feature sets once
+    val bFeats = shingleFeatureSets(batch, idCol, textCol, shingleSize)
+      .localCheckpoint()
+    val bBuckets = bandBuckets(bFeats, numHashes, bands)
+
+    val storedFeats = spark.read.parquet(s"$indexPath/features")
+    val storedBuckets = spark.read.parquet(s"$indexPath/buckets")
+    val labels = spark.read.parquet(labelsPath)
+
+    // batch-batch near-dup edges
+    val bbCand = bBuckets.as("l").join(bBuckets.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    val bbPairs = verifyJaccardArrays(bbCand, bFeats, threshold)
+      .select("doc_a", "doc_b")
+
+    // batch-index near-dup edges, index endpoint CONTRACTED to its
+    // stored canonical (labels are total over the indexed corpus)
+    val biPairs = crossSideProbe(bFeats, bBuckets, storedFeats,
+        storedBuckets, threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .join(labels.select(col("doc").as("doc_b"),
+        col("canonical_id").as("__bc")), Seq("doc_b"))
+      .select(col("doc_a"), col("__bc").as("doc_b"))
+
+    // contracted graph: batch ids + touched old canonicals
+    val edges = bbPairs.unionByName(biPairs).localCheckpoint()
+    val nodes = batch.select(col(idCol).as("doc"))
+      .unionByName(edges.select(col("doc_b").as("doc")))
+      .distinct()
+    val newLabels = canonicalize(nodes, "doc", edges).localCheckpoint()
+
+    // relabel map: old canonicals whose component minimum changed
+    val relabel = newLabels
+      .join(labels.select(col("canonical_id").as("doc")).distinct(), Seq("doc"))
+      .filter(col("doc") =!= col("canonical_id"))
+      .select(col("doc").as("__old"), col("canonical_id").as("__new"))
+    val updatedOld = labels
+      .join(broadcast(relabel), labels("canonical_id") === col("__old"), "left")
+      .select(col("doc"),
+        coalesce(col("__new"), col("canonical_id")).as("canonical_id"))
+    val batchRows = newLabels
+      .join(batch.select(col(idCol).as("doc")), Seq("doc"))
+      .select(col("doc"), col("canonical_id"))
+    val merged = updatedOld.unionByName(batchRows)
+      .select(col("doc"), col("canonical_id"),
+        (col("doc") === col("canonical_id")).as("is_keeper"))
+      // materialize before the write: in-place mode overwrites the very
+      // parquet files the plan above reads
+      .localCheckpoint()
+
+    merged.write.mode("overwrite").parquet(outLabels)
+    if (outIndex == indexPath) {
+      bFeats.write.mode("append").parquet(s"$outIndex/features")
+      bBuckets.write.mode("append").parquet(s"$outIndex/buckets")
+    } else {
+      storedFeats.unionByName(bFeats).write.mode("overwrite")
+        .parquet(s"$outIndex/features")
+      storedBuckets.unionByName(bBuckets).write.mode("overwrite")
+        .parquet(s"$outIndex/buckets")
+    }
+    spark.read.parquet(outLabels)
+  }
+
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
     * least one NON-FLOODED character-n-gram are verified exactly. For
     * corpora where every pair shares common grams, prefer `minHashLsh`;

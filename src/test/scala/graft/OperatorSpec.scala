@@ -400,6 +400,60 @@ class OperatorSpec extends SparkSpec with Matchers {
     guarded.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((100L, 101L))
   }
 
+  test("absorbIntoLabels equals a full canonical-labels rebuild over corpus+batch") {
+    def blk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val u = blk("u", 10); val v = blk("v", 10); val w = blk("w", 10)
+    val z = blk("z", 20); val y = blk("y", 20)
+    // corpus: component A {10, 20} (canonical 10), component B {30, 40}
+    // (canonical 30) — A and B share the u block (jaccard ~0.29, below
+    // threshold: LSH may candidate them, exact verify rejects) — plus
+    // singleton 50
+    val corpus = docs(
+      10L -> s"$u $v", 20L -> s"$u ${v.replace("v5 ", "v5x ")}",
+      30L -> s"$u $w", 40L -> s"$u ${w.replace("w5 ", "w5x ")}",
+      50L -> z)
+    // batch: 5 bridges A and B (jaccard ~0.64/0.53 to each side) AND
+    // takes over as keeper (5 < 10 < 30); 65 joins 50's cluster (50
+    // stays keeper); 70/71 form a batch-only cluster; 80 is novel
+    val batch = docs(
+      5L -> s"$u $v $w",
+      65L -> z.replace("z5 ", "z5x "),
+      70L -> y, 71L -> y.replace("y5 ", "y5x "),
+      80L -> "totally novel content tokens only nothing shared here at all")
+    val root = java.nio.file.Files.createTempDirectory("graft-absorb").toString
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val inc = Dedup.absorbIntoLabels(batch, "doc_id", "text",
+        s"$root/labels", s"$root/idx", shingleSize = 3, numHashes = 16,
+        bands = 8, threshold = 0.5,
+        outLabelsPath = Some(s"$root/labels2"),
+        outIndexPath = Some(s"$root/idx2"))
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    Dedup.buildCanonicalLabels(corpus.unionByName(batch), "doc_id", "text",
+      s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    val full = spark.read.parquet(s"$root/labelsFull").orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    inc.toSeq shouldBe full.toSeq
+    // the narrative cases, pinned explicitly so a both-sides-wrong
+    // regression can't hide inside the equality
+    val canon = inc.map(r => r._1 -> r._2).toMap
+    Seq(5L, 10L, 20L, 30L, 40L).map(canon) shouldBe Seq.fill(5)(5L)
+    Seq(50L, 65L).map(canon) shouldBe Seq(50L, 50L)
+    Seq(70L, 71L).map(canon) shouldBe Seq(70L, 70L)
+    canon(80L) shouldBe 80L
+    inc.filter(_._3).map(_._1).toSeq shouldBe Seq(5L, 50L, 70L, 80L)
+    // the grown index already contains the batch: a fresh probe against
+    // idx2 finds the batch-only y-cluster without any rebuild
+    Dedup.probeLshIndex(docs(900L -> y), s"$root/idx2", "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_b").collect().map(_.getLong(0)).sorted.toSeq shouldBe
+      Seq(70L, 71L)
+  }
+
   test("scd2 builds validity ranges per key; last change per key is current") {
     import spark.implicits._
     import graft.operators.Sequence
