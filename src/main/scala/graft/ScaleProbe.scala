@@ -1002,6 +1002,20 @@ object ScaleProbe {
         recordState("stream_state_dau_chained", m, st)
         out
       },
+      // Timer-based sessionizer (x134, state-v2 ListState + event-time
+      // timers): stream length ×m, 10-minute gap (shorter than the
+      // ~36-min per-user event spacing, so sessions close continuously
+      // as the watermark advances). The ListState buffer — read back
+      // through the statestore source exactly as the
+      // sessionBufferFromState consumer reads it — must hold only the
+      // not-yet-provably-closed tail (~rate × (gap + watermark lag)),
+      // flat in m, while emitted sessions grow with the stream.
+      "stream_state_session_timers" -> { m =>
+        val (out, st) = StreamOps.sessionStateProbe(spark,
+          streamDayDirs(m), java.time.Duration.ofMinutes(10))
+        recordState("stream_state_session_timers", m, st)
+        out
+      },
       // Stream-stream join machinery (x34/x133/x136/x137 share it): fixed
       // 1-hour horizon, stream length ×m — both side buffers must stay
       // ≈ rate × (horizon + watermark lag), flat in m.

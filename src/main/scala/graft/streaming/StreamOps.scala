@@ -1215,9 +1215,14 @@ object StreamOps {
     * (user_id, session_start_us, session_end_us, events, cents_sum).
     */
   private def sessionTimerStream(spark: SparkSession, streamDir: String,
-      schema: org.apache.spark.sql.types.StructType, gapUs: Long) = {
+      schema: org.apache.spark.sql.types.StructType, gapUs: Long,
+      oneFilePerBatch: Boolean = false) = {
     import spark.implicits._
-    normalizeTs(spark.readStream.schema(schema).parquet(streamDir), schema)
+    val reader = spark.readStream.schema(schema)
+    val staged =
+      if (oneFilePerBatch) reader.option("maxFilesPerTrigger", "1")
+      else reader
+    normalizeTs(staged.parquet(streamDir), schema)
       .withWatermark("ts", "1 minute")
       .select(col("user_id"), expr("unix_micros(ts)").as("t_us"),
         floor(col("value") * 100 + 0.5).cast("long").as("cents"))
@@ -1266,6 +1271,53 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  /** Read the sessionizer's LIVE per-user event buffer out of a
+    * checkpoint (statestore source over the "buf" ListState) — the
+    * mid-stream introspection the MG monitor already has
+    * (`heavyHittersFromState`): one row per BUFFERED event,
+    * (user_id, t_us, cents). The buffer holds exactly the events of
+    * sessions the watermark has not yet proven closed, so an operator
+    * dashboard can see which sessions are open — and how much each is
+    * holding — without touching the running query. ListState surfaces
+    * through the source as one row per list element (`list_element._N`
+    * for tuple fields; the grouping key rides `key.value`).
+    */
+  def sessionBufferFromState(spark: SparkSession,
+      checkpointDir: String): DataFrame =
+    spark.read.format("statestore")
+      .option("stateVarName", "buf")
+      .load(checkpointDir)
+      .selectExpr("key.value AS user_id", "list_element._1 AS t_us",
+        "list_element._2 AS cents")
+
+  /** Sessionizer drain over a pre-staged time-ordered day dir (one
+    * micro-batch per day file, so timers fire as the watermark crosses
+    * each day), returning (closed sessions emitted, events left in the
+    * ListState buffer after the drain — read through the SAME statestore
+    * path `sessionBufferFromState` uses). The buffer bound is events of
+    * not-yet-provably-closed sessions — rate × (gap + watermark lag)
+    * worth of tail — independent of stream LENGTH; the probe curve
+    * certifies it flat as the staged days grow ×m.
+    */
+  private[graft] def sessionStateProbe(spark: SparkSession,
+      streamDir: String, gap: java.time.Duration): (Long, Long) =
+    withRocksDbStore(spark) {
+      val schema = spark.read.parquet(streamDir).schema
+      val root = java.nio.file.Files.createTempDirectory("graft-probe-sess")
+      val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+      val q = sessionTimerStream(spark, streamDir, schema,
+          gap.toNanos / 1000L, oneFilePerBatch = true)
+        .writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (spark.read.parquet(outDir).count(),
+        sessionBufferFromState(spark, ckpt).count())
+    }
 
   /** Drain `eventsPath` through the state-v2 discovery processor into a
     * memory sink (AvailableNow). See `TypeDiscoveryProcessor` for the

@@ -44,6 +44,13 @@ class StreamSessionRestartSpec extends SparkSpec with Matchers {
     StreamOps.sessionTimersToDir(spark, streamDir, outDir, ckpt,
       java.time.Duration.ofHours(4))
     sessions() shouldBe Seq((1L, 1 * H, 2 * H, 2L))
+    // mid-stream statestore readback: the ListState buffer holds EXACTLY
+    // the open session's events — session A's two rows left state when
+    // it emitted; session B's single 10h event is still buffered
+    def buffer() = StreamOps.sessionBufferFromState(spark, ckpt)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    buffer() shouldBe Seq((1L, 10 * H, 1000L))
 
     // run 2 after restart: session B CONTINUES (12h is within 4h of 10h —
     // the restored ListState must merge), then a far row closes everything
@@ -55,5 +62,8 @@ class StreamSessionRestartSpec extends SparkSpec with Matchers {
     sessions() shouldBe Seq(
       (1L, 1 * H, 2 * H, 2L),                 // NOT re-emitted twice
       (1L, 10 * H, 12 * H, 2L))               // spans the restart, one row
+    // after the close: user 1's buffer is EMPTY (both sessions emitted);
+    // only user 2's watermark-pushing row is still open
+    buffer() shouldBe Seq((2L, 100 * H, 1000L))
   }
 }
