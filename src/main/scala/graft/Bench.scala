@@ -69,8 +69,9 @@ object Bench {
     // (x152 is the artifact family's WRITE path — absorbing a fresh
     // batch into the stored labels+index; its warm runs time the absorb
     // alone, the one-time base build sits in the cold column like the
-    // other build-once artifacts.)
-    "x152_label_absorb",
+    // other build-once artifacts. x153 is the in-place CHAIN twin —
+    // copy-base + two successive in-place absorbs per run.)
+    "x152_label_absorb", "x153_label_absorb_chain",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
     // (x125 itself is excluded like x05: a per-char-gram map side over the

@@ -1123,7 +1123,73 @@ object AnalyticsQueries {
              |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
              |  HAVING sum(l_quantity::BIGINT) > 290)
              |GROUP BY c.c_name, o.o_orderkey, o.o_totalprice
-             |ORDER BY total_cents DESC, o.o_orderkey""".stripMargin))
+             |ORDER BY total_cents DESC, o.o_orderkey""".stripMargin)),
+
+    // TPC-H Q10 shape — returned-item revenue report: one quarter of
+    // orders, lineitems flagged 'R', revenue aggregated per customer
+    // with the nation dimension joined in, top 20. The fact side
+    // (lineitem ⋈ orders) carries the date + returnflag filters to the
+    // scans; customer and nation are dimension-sized and must broadcast.
+    QueryDef("b37_tpch_q10",
+      (s, d) => {
+        tbl(s, d, "customer").createOrReplaceTempView("b37_customer")
+        tbl(s, d, "orders").createOrReplaceTempView("b37_orders")
+        tbl(s, d, "lineitem").createOrReplaceTempView("b37_lineitem")
+        tbl(s, d, "nation").createOrReplaceTempView("b37_nation")
+        s.sql("""SELECT c.c_custkey, c.c_name, n.n_name,
+                |  sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                |    AS BIGINT)) AS revenue_cents
+                |FROM b37_customer c
+                |JOIN b37_orders o ON c.c_custkey = o.o_custkey
+                |JOIN b37_lineitem l ON l.l_orderkey = o.o_orderkey
+                |JOIN b37_nation n ON c.c_nationkey = n.n_nationkey
+                |WHERE o.o_orderdate >= DATE '1996-01-01'
+                |  AND o.o_orderdate < DATE '1996-04-01'
+                |  AND l.l_returnflag = 'R'
+                |GROUP BY c.c_custkey, c.c_name, n.n_name
+                |ORDER BY revenue_cents DESC, c.c_custkey
+                |LIMIT 20""".stripMargin)
+      },
+      Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+             |  sum((floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT)::BIGINT
+             |    AS revenue_cents
+             |FROM customer c
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+             |JOIN nation n ON c.c_nationkey = n.n_nationkey
+             |WHERE o.o_orderdate >= DATE '1996-01-01'
+             |  AND o.o_orderdate < DATE '1996-04-01'
+             |  AND l.l_returnflag = 'R'
+             |GROUP BY c.c_custkey, c.c_name, n.n_name
+             |ORDER BY revenue_cents DESC, c.c_custkey
+             |LIMIT 20""".stripMargin)),
+
+    // TPC-H Q13 shape — customer order-count distribution: LEFT join
+    // with the filter ON THE JOIN CONDITION (pushing it to a WHERE would
+    // silently drop the zero-order customers the report exists to
+    // count), per-customer counts, then the count-of-counts histogram.
+    // Two keyed aggregates; the outer join must stay an outer hash join.
+    QueryDef("b38_tpch_q13",
+      (s, d) => {
+        tbl(s, d, "customer").createOrReplaceTempView("b38_customer")
+        tbl(s, d, "orders").createOrReplaceTempView("b38_orders")
+        s.sql("""SELECT c_count, count(*) AS custdist FROM (
+                |  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+                |  FROM b38_customer c
+                |  LEFT JOIN b38_orders o ON c.c_custkey = o.o_custkey
+                |    AND o.o_orderpriority <> '5-LOW'
+                |  GROUP BY c.c_custkey) cc
+                |GROUP BY c_count
+                |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+      },
+      Some("""SELECT c_count, count(*)::BIGINT AS custdist FROM (
+             |  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+             |  FROM customer c
+             |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+             |    AND o.o_orderpriority <> '5-LOW'
+             |  GROUP BY c.c_custkey) cc
+             |GROUP BY c_count
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

@@ -962,17 +962,78 @@ object EvalQueries {
               Some(s"${ExtensionQueries.idxScratch}/x152_idx_out"))
           .orderBy("doc")
       },
-      Some(s"""WITH RECURSIVE ${minHashPairsBodyFrom("documents", "doc_id", "text")},
-             |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
-             |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs),
-             |reach(a, b) AS (
-             |  SELECT doc, doc FROM toks
-             |  UNION
-             |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
-             |canon AS (SELECT a AS doc, min(b) AS canonical_id
-             |  FROM reach GROUP BY a)
-             |SELECT doc, canonical_id, (doc = canonical_id) AS is_keeper
-             |FROM canon ORDER BY doc""".stripMargin))
+      Some(fullLabelsOracle)),
+
+    // In-place absorb CHAIN (x153): the PRODUCTION mutation path x152's
+    // out-of-place audit mode doesn't exercise — the base artifacts are
+    // file-copied to a scratch root, then TWO successive batches
+    // (doc_id % 8 == 0, then % 8 == 4) absorb IN PLACE: each step
+    // overwrites the labels store it read (the localCheckpoint-then-
+    // overwrite discipline) and APPENDS the batch's signatures to the
+    // index, so step 2 probes a store that already contains step 1 —
+    // exactness is inductive, and the final labels must equal the full
+    // rebuild over corpus + both batches (the same oracle as x152:
+    // corpus ∪ b1 ∪ b2 = all documents).
+    QueryDef("x153_label_absorb_chain",
+      (s, d) => {
+        val (lbl, idx) = absorbBaseFor(s, d)
+        val root = s"${ExtensionQueries.idxScratch}/x153_chain"
+        rmTree(root)
+        copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+        val docs = tbl(s, d, "documents")
+        Dedup.absorbIntoLabels(docs.filter(col("doc_id") % 8 === 0),
+          "doc_id", "text", s"$root/labels", s"$root/idx",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        Dedup.absorbIntoLabels(docs.filter(col("doc_id") % 8 === 4),
+            "doc_id", "text", s"$root/labels", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .orderBy("doc")
+      },
+      Some(fullLabelsOracle))
   )
+
+  /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all
+    * documents — verified MinHash pairs at the production 3/16/4/0.5
+    * parameters, recursive connected components, min-id canonical.
+    */
+  private lazy val fullLabelsOracle: String =
+    s"""WITH RECURSIVE ${minHashPairsBodyFrom("documents", "doc_id", "text")},
+       |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc, doc FROM toks
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |canon AS (SELECT a AS doc, min(b) AS canonical_id
+       |  FROM reach GROUP BY a)
+       |SELECT doc, canonical_id, (doc = canonical_id) AS is_keeper
+       |FROM canon ORDER BY doc""".stripMargin
+
+  /** Recursive file-tree copy/delete for the in-place absorb chain's
+    * per-evaluation scratch (driver-side, artifact-sized — the same
+    * class of staging the streaming queries do with their chunk dirs).
+    */
+  private def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+  private def copyTree(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val t = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val q = t.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q)
+      else {
+        java.nio.file.Files.createDirectories(q.getParent)
+        java.nio.file.Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally walk.close()
+  }
 }

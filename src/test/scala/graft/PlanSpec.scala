@@ -492,6 +492,19 @@ class PlanSpec extends SparkSpec with Matchers {
     p18 should include("LeftSemi")
   }
 
+  test("b37/b38: Q10 broadcasts the dimensions and takes top-20 without a global sort; Q13 keeps the outer join") {
+    val p10 = planOf(q("b37_tpch_q10"))
+    (p10 should not).include("CartesianProduct")
+    p10 should include("BroadcastHashJoin")
+    p10 should include("TakeOrderedAndProject")
+    // Q13's priority filter rides the JOIN CONDITION — pushing it to a
+    // post-join WHERE would drop the zero-order customers; the plan must
+    // keep the left-outer hash join
+    val p13 = planOf(q("b38_tpch_q13"))
+    (p13 should not).include("CartesianProduct")
+    p13 should include("LeftOuter")
+  }
+
   test("x68 line dedup is map-only — array HOFs, no shuffle beyond the output sort") {
     val plan = planOf(q("x68_line_dedup"))
     (plan should not).include("HashAggregate")
