@@ -989,7 +989,37 @@ object EvalQueries {
             shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
           .orderBy("doc")
       },
-      Some(fullLabelsOracle))
+      Some(fullLabelsOracle)),
+
+    // Pair-family audit over the GROWN index (x154): after the same
+    // two-batch in-place absorb chain as x153, the stored index must
+    // serve the EDGE-level consumers exactly as a fresh full-corpus
+    // build would — `pairsFromLshIndex` over the grown store against
+    // x03's full-corpus pair oracle. This closes the live-corpus loop
+    // for BOTH artifact families: labels (x152/x153 vs the rebuild
+    // oracle) and pairs (here) stay byte-identical to from-scratch
+    // builds as batches absorb.
+    QueryDef("x154_pairs_after_absorb",
+      (s, d) => {
+        val (lbl, idx) = absorbBaseFor(s, d)
+        val root = s"${ExtensionQueries.idxScratch}/x154_chain"
+        rmTree(root)
+        copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+        val docs = tbl(s, d, "documents")
+        Seq(0, 4).foreach(r =>
+          Dedup.absorbIntoLabels(docs.filter(col("doc_id") % 8 === r),
+            "doc_id", "text", s"$root/labels", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5))
+        Dedup.pairsFromLshIndex(s, s"$root/idx", threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("common"),
+            col("size_a"), col("size_b"),
+            floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text")}
+             |SELECT doc_a, doc_b, common, size_a, size_b,
+             |  floor(jac*1000000)::BIGINT AS jaccard_x1m
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all
