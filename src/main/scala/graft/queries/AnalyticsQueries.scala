@@ -1189,7 +1189,70 @@ object AnalyticsQueries {
              |    AND o.o_orderpriority <> '5-LOW'
              |  GROUP BY c.c_custkey) cc
              |GROUP BY c_count
-             |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+             |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
+
+    // TPC-H Q14 shape — promo revenue share for one month: the
+    // conditional-aggregate ratio over a broadcast part join, in exact
+    // cents with the share as a 1e4-scaled integral division. The month
+    // filter must reach the lineitem scan; part is dimension-sized.
+    QueryDef("b39_tpch_q14",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b39_lineitem")
+        tbl(s, d, "part").createOrReplaceTempView("b39_part")
+        s.sql("""SELECT
+                |  sum(CASE WHEN p.p_type = 'PROMO'
+                |    THEN CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)
+                |    ELSE 0L END) AS promo_cents,
+                |  sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT))
+                |    AS total_cents,
+                |  div(10000 * sum(CASE WHEN p.p_type = 'PROMO'
+                |    THEN CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)
+                |    ELSE 0L END),
+                |    sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5) AS BIGINT)))
+                |    AS promo_share_x10000
+                |FROM b39_lineitem l JOIN b39_part p ON l.l_partkey = p.p_partkey
+                |WHERE l.l_shipdate >= DATE '1996-03-01'
+                |  AND l.l_shipdate < DATE '1996-04-01'""".stripMargin)
+      },
+      Some("""SELECT
+             |  sum(CASE WHEN p.p_type = 'PROMO'
+             |    THEN (floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT
+             |    ELSE 0 END)::BIGINT AS promo_cents,
+             |  sum((floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT)::BIGINT
+             |    AS total_cents,
+             |  ((10000 * sum(CASE WHEN p.p_type = 'PROMO'
+             |    THEN (floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT
+             |    ELSE 0 END)::BIGINT)
+             |    // sum((floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT)::BIGINT)
+             |    ::BIGINT AS promo_share_x10000
+             |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+             |WHERE l.l_shipdate >= DATE '1996-03-01'
+             |  AND l.l_shipdate < DATE '1996-04-01'""".stripMargin)),
+
+    // TPC-H Q6 shape — the forecasting-revenue-change scan: pure
+    // filter + aggregate, no join. Every predicate (year, discount
+    // band, quantity cap) must reach the parquet scan; at 100 TB this
+    // query IS predicate pushdown.
+    QueryDef("b40_tpch_q6",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b40_lineitem")
+        s.sql("""SELECT count(*) AS matched,
+                |  sum(CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT))
+                |    AS revenue_cents
+                |FROM b40_lineitem
+                |WHERE l_shipdate >= DATE '1996-01-01'
+                |  AND l_shipdate < DATE '1997-01-01'
+                |  AND l_discount BETWEEN 0.05 AND 0.07
+                |  AND l_quantity < 24""".stripMargin)
+      },
+      Some("""SELECT count(*)::BIGINT AS matched,
+             |  sum((floor(l_extendedprice * l_discount * 100 + 0.5))::BIGINT)::BIGINT
+             |    AS revenue_cents
+             |FROM lineitem
+             |WHERE l_shipdate >= DATE '1996-01-01'
+             |  AND l_shipdate < DATE '1997-01-01'
+             |  AND l_discount BETWEEN 0.05 AND 0.07
+             |  AND l_quantity < 24""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

@@ -505,6 +505,21 @@ class PlanSpec extends SparkSpec with Matchers {
     p13 should include("LeftOuter")
   }
 
+  test("b39/b40: Q14 broadcasts part; Q6's whole predicate set reaches the parquet scan") {
+    val p14 = planOf(q("b39_tpch_q14"))
+    (p14 should not).include("CartesianProduct")
+    p14 should include("BroadcastHashJoin")
+    // Q6 IS predicate pushdown: date range, discount band, quantity cap
+    // all land in PushedFilters on the lineitem scan
+    val p6 = planOf(q("b40_tpch_q6"))
+    (p6 should not).include("Join")
+    p6 should include("PushedFilters")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      p6.linesIterator.filter(_.contains("PushedFilters"))
+        .mkString should include(c)
+    }
+  }
+
   test("x68 line dedup is map-only — array HOFs, no shuffle beyond the output sort") {
     val plan = planOf(q("x68_line_dedup"))
     (plan should not).include("HashAggregate")
