@@ -91,7 +91,7 @@ object Bench {
     // difference measures what parse-once-at-ingestion saves per query.)
     "x142_score_lift", "x143_rolling_sketch", "x144_variant_props",
     "x144b_variant_rollup",
-    "x145_volume_anomaly_days", "x146_coengagement",
+    "x145_volume_anomaly_days", "x146_coengagement", "x155_triangle_count",
     "x147_unicode_clean", "x148_token_spectrum", "x151_invisible_clean",
     // (x149 is the chained-stateful machinery class's representative —
     // dedup + windowed agg in ONE append-mode query; the single-operator

@@ -910,6 +910,25 @@ object ScaleProbe {
       // the guarded exponent certifies the linear tail; the unguarded
       // control (prefix-isolated, run it capped: `ScaleProbe 4
       // unguarded_`) measures the m² flood the guard exists to stop.
+      // Degree-ordered triangle counting (x155): a ring with distance-2
+      // chords (n triangles, degree 4 — the linear backbone) PLUS one
+      // hub adjacent to EVERY node. Naive wedge generation pays n²/2
+      // pairs at the hub; the orientation points every hub edge INTO
+      // the hub (it has the max degree), so the hub's out-degree is 0
+      // and its wedges never exist — linearity in m IS the orientation
+      // claim, measured on the adversarial shape, with zero recall
+      // loss (the 2n hub triangles are all found from their ring-node
+      // corners).
+      "triangle_hub_nodes" -> { m =>
+        val n = 20000L * m
+        val ring = spark.range(n).select(col("id").as("a"),
+            ((col("id") + 1) % n).as("b"))
+          .unionByName(spark.range(n).select(col("id").as("a"),
+            ((col("id") + 2) % n).as("b")))
+        val hub = spark.range(n).select(col("id").as("a"), lit(n).as("b"))
+        Graph.triangleCount(ring.unionByName(hub), "a", "b")
+          .agg(sum("triangles")).first().getLong(0)
+      },
       "coengagement_guarded" -> (m =>
         Graph.coEngagement(coInputs(m), "u", "item",
           maxUsersPerItem = 64, topK = 100).count()),

@@ -180,4 +180,59 @@ object Graph {
       .orderBy(col("shared_items").desc, col("u1"), col("u2"))
       .limit(topK)
   }
+
+  /** Degree-ordered triangle counting — per-node triangle participation
+    * over an undirected edge list (self-loops and duplicates removed),
+    * the local-clustering primitive behind community/spam/bot detection
+    * on engagement graphs. Output: (node, triangles) for every node in
+    * ≥ 1 triangle; each triangle credits all three corners.
+    *
+    * Scale: the naive wedge join explodes at hubs (a degree-d node
+    * contributes d²/2 wedges — the quadratic flood every other operator
+    * here guards with a cap). Triangle counting has a better answer
+    * than a recall-trading guard: ORIENT each edge from its
+    * lower-(degree, id) endpoint to the higher one (a total order, so
+    * the orientation is acyclic and deterministic), generate wedges
+    * only between OUT-neighbors, and close them with one more join on
+    * the oriented edge set. Every node's out-degree under this
+    * orientation is O(√m) on ANY graph (a node keeps only edges toward
+    * higher-degree endpoints, and there can be at most 2√m nodes of
+    * degree ≥ √m), so wedge fan-out is bounded by m — not by the hub's
+    * d² — with NO recall loss: each triangle {x<y<z in orientation
+    * order} is generated exactly once, as the wedge (x; y, z) closed by
+    * the edge y→z. Dataflow: two keyed aggregates (dedup + degrees),
+    * three equi-joins — all shuffle-partitionable, never all-pairs.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg"))
+    // oriented edge (s → t) with t's order key carried for the wedge cut
+    val o = e
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("dv").as("d"), col("v").as("n")))
+          .otherwise(struct(col("du").as("d"), col("u").as("n")))
+          .as("kt"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.kt") < col("e2.kt"))
+      .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
+    val tri = wedges.join(o.as("e3"),
+        col("b") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b")))
+      .unionAll(tri.select(col("c")))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

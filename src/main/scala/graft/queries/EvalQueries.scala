@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Eval}
+import graft.operators.{Curation, Dedup, Eval, Graph}
 import graft.queries.ExtensionQueries.{dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
@@ -1019,7 +1019,56 @@ object EvalQueries {
       Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text")}
              |SELECT doc_a, doc_b, common, size_a, size_b,
              |  floor(jac*1000000)::BIGINT AS jaccard_x1m
-             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Degree-ordered triangle counting (x155): per-node triangle
+    // participation on the temporal-affinity graph (x77/x107's edge
+    // construction) — the local-clustering primitive. The orientation
+    // (edges directed low-(degree,id) → high) bounds every node's wedge
+    // fan-out at O(√m) with NO recall trade, unlike the maxBucket-style
+    // guards: each triangle is generated exactly once as the wedge at
+    // its orientation-smallest corner, closed by one oriented-edge
+    // probe. Oracle replays the identical orientation with DuckDB tuple
+    // comparisons.
+    QueryDef("x155_triangle_count",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(s, d)
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("user_id", 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+          .select(col("src"), col("user_id").as("dst"))
+        Graph.triangleCount(edges, "src", "dst").orderBy("node")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us,
+             |    event_id, user_id FROM events),
+             |le AS (SELECT user_id AS dst, lag(user_id) OVER (
+             |    PARTITION BY event_type ORDER BY t_us, event_id) AS src
+             |  FROM ev),
+             |raw AS (SELECT src, dst FROM le
+             |  WHERE src IS NOT NULL AND src <> dst),
+             |e AS (SELECT DISTINCT least(src, dst) AS u,
+             |    greatest(src, dst) AS v FROM raw),
+             |deg AS (SELECT node, count(*)::BIGINT AS dg FROM (
+             |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) nn
+             |  GROUP BY 1),
+             |o AS (SELECT
+             |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS s,
+             |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS t,
+             |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg END AS tdg
+             |  FROM e JOIN deg du ON e.u = du.node
+             |  JOIN deg dv ON e.v = dv.node),
+             |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+             |  FROM o e1 JOIN o e2
+             |  ON e1.s = e2.s AND (e1.tdg, e1.t) < (e2.tdg, e2.t)),
+             |tri AS (SELECT a, b, c FROM w WHERE EXISTS (
+             |  SELECT 1 FROM o e3 WHERE e3.s = w.b AND e3.t = w.c))
+             |SELECT node, count(*)::BIGINT AS triangles FROM (
+             |  SELECT a AS node FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri) nn
+             |GROUP BY 1 ORDER BY node""".stripMargin))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all

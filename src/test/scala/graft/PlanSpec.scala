@@ -505,6 +505,14 @@ class PlanSpec extends SparkSpec with Matchers {
     p13 should include("LeftOuter")
   }
 
+  test("x155 triangle count: equi-joins only, semi-join closure, no nested loop") {
+    val plan = planOf(q("x155_triangle_count"))
+    (plan should not).include("CartesianProduct")
+    (plan should not).include("BroadcastNestedLoopJoin")
+    // the wedge-closing existence check stays a semi join
+    plan should include("LeftSemi")
+  }
+
   test("b39/b40: Q14 broadcasts part; Q6's whole predicate set reaches the parquet scan") {
     val p14 = planOf(q("b39_tpch_q14"))
     (p14 should not).include("CartesianProduct")

@@ -129,6 +129,29 @@ class RankLayoutSpec extends SparkSpec with Matchers {
 
   // ---- Z-order ----
 
+  test("triangleCount: K4 corners count 3 each; stars, dups, loops contribute nothing") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, every corner in 3) + a 5-leaf star at
+    // 100 (zero triangles) + a duplicate edge, a reversed duplicate, and
+    // a self-loop — all of which the canonicalization must absorb
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (100L, 101L), (100L, 102L), (100L, 103L), (100L, 104L), (100L, 105L),
+      (2L, 1L), (1L, 2L), (7L, 7L)
+    ).toDF("a", "b")
+    val out = Graph.triangleCount(edges, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    out.toSeq shouldBe Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L)
+    // two triangles sharing an edge: {1,2,3} + {2,3,5} — the shared edge
+    // (2,3) must close both wedges, corners 2/3 count 2 each
+    val shared = Graph.triangleCount(Seq(
+        (1L, 2L), (1L, 3L), (2L, 3L), (2L, 5L), (3L, 5L)).toDF("a", "b"),
+      "a", "b").orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    shared.toSeq shouldBe Seq(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 1L)
+  }
+
   test("mortonKey: known interleavings") {
     import spark.implicits._
     val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (255L, 0L), (0L, 255L))
