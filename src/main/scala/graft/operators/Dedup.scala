@@ -504,6 +504,37 @@ object Dedup {
     val (feats, buckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
     feats.write.mode("overwrite").parquet(s"$path/features")
     buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    // persist the build parameters beside the data: a probe computed
+    // with DIFFERENT parameters doesn't fail — its signatures just never
+    // collide and every batch doc silently reads as novel, the worst
+    // kind of recall loss. Consumers that recompute signatures
+    // (probeLshIndex, absorbIntoLabels) validate against this store.
+    val s = index.sparkSession
+    import s.implicits._
+    Seq((shingleSize, numHashes, bands))
+      .toDF("shingle_size", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Validate a caller's MinHash parameters against the `meta` store a
+    * `buildLshIndex` write left beside the index. Indexes from before
+    * the meta store (no `meta` dir) skip the check — the contract is
+    * then the caller's to uphold, as it always was.
+    */
+  private def checkIndexParams(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, shingleSize: Int, numHashes: Int,
+      bands: Int): Unit = {
+    val metaDir = new java.io.File(s"$indexPath/meta")
+    if (metaDir.isDirectory) {
+      val r = spark.read.parquet(s"$indexPath/meta").head()
+      val (ss, nh, bb) = (r.getAs[Int]("shingle_size"),
+        r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
+      require(ss == shingleSize && nh == numHashes && bb == bands,
+        s"LSH index at $indexPath was built with shingleSize=$ss, " +
+          s"numHashes=$nh, bands=$bb but the probe asked for " +
+          s"$shingleSize/$numHashes/$bands — mismatched signatures never " +
+          "collide, so every probe would silently read as novel")
+    }
   }
 
   /** Probe a fresh batch against a persisted LSH index (`buildLshIndex`).
@@ -516,6 +547,7 @@ object Dedup {
       textCol: String, shingleSize: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val s = batch.sparkSession
+    checkIndexParams(s, indexPath, shingleSize, numHashes, bands)
     val (bFeats, bBuckets) = minHashBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
     crossSideProbe(bFeats, bBuckets,
       s.read.parquet(s"$indexPath/features"),
@@ -644,6 +676,7 @@ object Dedup {
       outLabelsPath: Option[String] = None,
       outIndexPath: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
+    checkIndexParams(spark, indexPath, shingleSize, numHashes, bands)
     val outLabels = outLabelsPath.getOrElse(labelsPath)
     val outIndex = outIndexPath.getOrElse(indexPath)
 
@@ -710,6 +743,10 @@ object Dedup {
         .parquet(s"$outIndex/features")
       storedBuckets.unionByName(bBuckets).write.mode("overwrite")
         .parquet(s"$outIndex/buckets")
+      // the grown copy keeps the build-parameter contract of its base
+      if (new java.io.File(s"$indexPath/meta").isDirectory)
+        spark.read.parquet(s"$indexPath/meta")
+          .write.mode("overwrite").parquet(s"$outIndex/meta")
     }
     spark.read.parquet(outLabels)
   }

@@ -376,6 +376,24 @@ class OperatorSpec extends SparkSpec with Matchers {
       .orderBy("doc_a", "doc_b").collect()
     stored.map(_.toSeq).toSeq shouldBe inPlan.map(_.toSeq).toSeq
     stored.map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((10L, 1L))
+    // parameter contract: a probe with DIFFERENT MinHash parameters
+    // wouldn't fail — its signatures would just never collide and every
+    // batch doc would silently read as novel. The meta store the build
+    // wrote turns that silent recall loss into a loud error.
+    val mismatch = intercept[IllegalArgumentException] {
+      Dedup.probeLshIndex(batch, path, "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    }
+    mismatch.getMessage should include("built with shingleSize=3, numHashes=16, bands=8")
+    // a pre-meta index (no meta dir) skips the check — the caller's
+    // contract, as before
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(s"$path/meta"))
+    Dedup.probeLshIndex(batch, path, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+      .count() // no throw
   }
 
   test("pairsFromLshIndex maxBucket guard bounds a flooded stored bucket") {
