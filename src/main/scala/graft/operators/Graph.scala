@@ -235,4 +235,32 @@ object Graph {
       .unionAll(tri.select(col("c")))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
+
+  /** Local clustering coefficient — `triangleCount` composed with the
+    * degree table: cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)), the "how
+    * cliquish is this node's neighborhood" score behind community and
+    * bot detection. Emitted ×10⁶ as exact integral division so the
+    * oracle comparison is bit-exact; nodes of degree < 2 (coefficient
+    * undefined) are excluded, zero-triangle nodes report 0. Output:
+    * (node, degree, triangles, cc_x1m), one row per node with
+    * degree ≥ 2. Same dataflow discipline as `triangleCount` plus one
+    * degree aggregate and a node-keyed left join.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCount(edges, srcCol, dstCol), Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        expr("div(1000000 * 2 * coalesce(triangles, 0), degree * (degree - 1))")
+          .as("cc_x1m"))
+  }
 }

@@ -1068,7 +1068,57 @@ object EvalQueries {
              |  SELECT a AS node FROM tri
              |  UNION ALL SELECT b FROM tri
              |  UNION ALL SELECT c FROM tri) nn
-             |GROUP BY 1 ORDER BY node""".stripMargin))
+             |GROUP BY 1 ORDER BY node""".stripMargin)),
+
+    // Local clustering coefficient (x156): x155's triangles composed
+    // with the degree table — cc = 2·tri/(deg·(deg−1)) ×10⁶ as exact
+    // integral division, the neighborhood-cliquishness score. Same
+    // graph, same orientation machinery; the oracle extends x155's with
+    // the degree join and the identical fixed-point formula.
+    QueryDef("x156_clustering_coefficient",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = QueryDef.events(s, d)
+        val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+        val edges = ev
+          .withColumn("src", lag("user_id", 1).over(w))
+          .filter(col("src").isNotNull && col("src") =!= col("user_id"))
+          .select(col("src"), col("user_id").as("dst"))
+        Graph.clusteringCoefficient(edges, "src", "dst").orderBy("node")
+      },
+      Some("""WITH ev AS (SELECT event_type, epoch_us(ts) AS t_us,
+             |    event_id, user_id FROM events),
+             |le AS (SELECT user_id AS dst, lag(user_id) OVER (
+             |    PARTITION BY event_type ORDER BY t_us, event_id) AS src
+             |  FROM ev),
+             |raw AS (SELECT src, dst FROM le
+             |  WHERE src IS NOT NULL AND src <> dst),
+             |e AS (SELECT DISTINCT least(src, dst) AS u,
+             |    greatest(src, dst) AS v FROM raw),
+             |deg AS (SELECT node, count(*)::BIGINT AS dg FROM (
+             |    SELECT u AS node FROM e UNION ALL SELECT v FROM e) nn
+             |  GROUP BY 1),
+             |o AS (SELECT
+             |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.u ELSE e.v END AS s,
+             |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN e.v ELSE e.u END AS t,
+             |    CASE WHEN (du.dg, e.u) < (dv.dg, e.v) THEN dv.dg ELSE du.dg END AS tdg
+             |  FROM e JOIN deg du ON e.u = du.node
+             |  JOIN deg dv ON e.v = dv.node),
+             |w AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+             |  FROM o e1 JOIN o e2
+             |  ON e1.s = e2.s AND (e1.tdg, e1.t) < (e2.tdg, e2.t)),
+             |tri AS (SELECT a, b, c FROM w WHERE EXISTS (
+             |  SELECT 1 FROM o e3 WHERE e3.s = w.b AND e3.t = w.c)),
+             |tc AS (SELECT node, count(*)::BIGINT AS triangles FROM (
+             |  SELECT a AS node FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri) nn GROUP BY 1)
+             |SELECT deg.node, deg.dg AS degree,
+             |  coalesce(tc.triangles, 0)::BIGINT AS triangles,
+             |  ((1000000 * 2 * coalesce(tc.triangles, 0))
+             |    // (deg.dg * (deg.dg - 1)))::BIGINT AS cc_x1m
+             |FROM deg LEFT JOIN tc USING (node)
+             |WHERE deg.dg >= 2 ORDER BY deg.node""".stripMargin))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all

@@ -152,6 +152,20 @@ class RankLayoutSpec extends SparkSpec with Matchers {
     shared.toSeq shouldBe Seq(1L -> 1L, 2L -> 2L, 3L -> 2L, 5L -> 1L)
   }
 
+  test("clusteringCoefficient: closed triangle scores 1.0, open path scores 0, deg-1 excluded") {
+    import spark.implicits._
+    // triangle {1,2,3} (cc = 1e6 each) + open path 10-11-12 (middle node
+    // deg 2, no triangle -> cc 0) + pendant 20-21 (both deg 1, excluded)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (20L, 21L)).toDF("a", "b")
+    val out = Graph.clusteringCoefficient(edges, "a", "b")
+      .orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (1L, 2L, 1L, 1000000L), (2L, 2L, 1L, 1000000L), (3L, 2L, 1L, 1000000L),
+      (11L, 2L, 0L, 0L))
+  }
+
   test("mortonKey: known interleavings") {
     import spark.implicits._
     val df = Seq((1L, 0L), (0L, 1L), (3L, 3L), (255L, 0L), (0L, 255L))
