@@ -204,14 +204,35 @@ object Graph {
     * three equi-joins — all shuffle-partitionable, never all-pairs.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = edges.select(
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    triangleCountOriented(e, degrees(e))
+  }
+
+  /** Undirected edge canonicalization shared by the graph operators:
+    * (u < v) long pairs, self-loops and duplicates removed.
+    */
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
-    val deg = e.select(col("u").as("node"))
+
+  /** Degree table (node, dg) over a canonicalized edge set. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg"))
+
+  /** `triangleCount`'s core over pre-canonicalized edges `e` (u < v,
+    * deduped) and their degree table `deg` (node, dg) — factored out so
+    * `clusteringCoefficient` can SHARE the edge dedup and degree shuffle
+    * it also needs for its own output, instead of recomputing both
+    * inside a nested `triangleCount` call (round-10 advisory: the
+    * distinct() scan and degree aggregate ran twice per x156).
+    */
+  private def triangleCountOriented(e: DataFrame, deg: DataFrame): DataFrame = {
     // oriented edge (s → t) with t's order key carried for the wedge cut
     val o = e
       .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
@@ -243,21 +264,21 @@ object Graph {
     * oracle comparison is bit-exact; nodes of degree < 2 (coefficient
     * undefined) are excluded, zero-triangle nodes report 0. Output:
     * (node, degree, triangles, cc_x1m), one row per node with
-    * degree ≥ 2. Same dataflow discipline as `triangleCount` plus one
-    * degree aggregate and a node-keyed left join.
+    * degree ≥ 2. Shares `triangleCount`'s canonicalized edge set and
+    * degree table through the factored core — both are localCheckpoint'ed
+    * once here because THREE consumers read them (the orientation joins
+    * and the output degree join); fully-lazy sharing would re-run the
+    * edge dedup and degree shuffle per consumer (AQE turns the output
+    * join's small side into a broadcast, which defeats ReusedExchange —
+    * the b30 lesson).
     */
   def clusteringCoefficient(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
-    val deg = e.select(col("u").as("node"))
-      .unionAll(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
-    deg.filter(col("degree") >= 2)
-      .join(triangleCount(edges, srcCol, dstCol), Seq("node"), "left")
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    val deg = degrees(e).localCheckpoint()
+    deg.filter(col("dg") >= 2)
+      .select(col("node"), col("dg").as("degree"))
+      .join(triangleCountOriented(e, deg), Seq("node"), "left")
       .select(col("node"), col("degree"),
         coalesce(col("triangles"), lit(0L)).as("triangles"),
         expr("div(1000000 * 2 * coalesce(triangles, 0), degree * (degree - 1))")

@@ -513,6 +513,20 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("LeftSemi")
   }
 
+  test("x156 clustering coefficient shares the edge dedup and degree shuffle with the triangle core") {
+    val plan = planOf(q("x156_clustering_coefficient"))
+    // the canonical edge set and the degree table are localCheckpoint'ed
+    // ONCE and consumed as materialized RDD scans by all three readers
+    // (two orientation joins + the output degree join) — the edge dedup
+    // aggregate and the lag() window that builds the raw edges are
+    // outside this plan entirely, so they cannot run twice (the round-10
+    // advisory: the nested triangleCount call recomputed both)
+    plan should include("Scan ExistingRDD")
+    (plan should not).include("Window")
+    (plan should not).include("CartesianProduct")
+    plan should include("LeftSemi")
+  }
+
   test("b39/b40: Q14 broadcasts part; Q6's whole predicate set reaches the parquet scan") {
     val p14 = planOf(q("b39_tpch_q14"))
     (p14 should not).include("CartesianProduct")
