@@ -386,14 +386,40 @@ class OperatorSpec extends SparkSpec with Matchers {
     }
     mismatch.getMessage should include("built with shingleSize=3, numHashes=16, bands=8")
     // a pre-meta index (no meta dir) skips the check — the caller's
-    // contract, as before
+    // contract, as before. The cache must be dropped to simulate a
+    // fresh JVM looking at this path: the build above seeded it.
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(new java.io.File(s"$path/meta"))
+    Dedup.invalidateIndexMeta(spark, path)
     Dedup.probeLshIndex(batch, path, "doc_id", "text",
       shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
       .count() // no throw
+  }
+
+  test("index meta is read at most once per (JVM, path); the build seeds the cache") {
+    val corpus = docs(1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "iota kappa lambda mu nu xi omicron pi rho sigma")
+    val path = java.nio.file.Files.createTempDirectory("graft-metacache").toString
+    Dedup.buildLshIndex(corpus, "doc_id", "text", path,
+      shingleSize = 3, numHashes = 16, bands = 8)
+    def probe(): Unit = {
+      Dedup.probeLshIndex(docs(10L -> "alpha beta gamma delta"), path,
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8)
+        .count(); ()
+    }
+    // the build knows what it wrote: consumers in the same JVM never
+    // pay a meta-read Spark job at all
+    val afterBuild = Dedup.indexMetaReads.get()
+    probe(); probe()
+    Dedup.indexMetaReads.get() shouldBe afterBuild
+    // a fresh JVM (cache dropped) pays exactly ONE read for any number
+    // of probes — the per-batch driver round-trip the production absorb
+    // loop must not pay per call
+    Dedup.invalidateIndexMeta(spark, path)
+    probe(); probe()
+    Dedup.indexMetaReads.get() shouldBe afterBuild + 1
   }
 
   test("pairsFromLshIndex maxBucket guard bounds a flooded stored bucket") {
@@ -470,6 +496,64 @@ class OperatorSpec extends SparkSpec with Matchers {
         shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
       .select("doc_b").collect().map(_.getLong(0)).sorted.toSeq shouldBe
       Seq(70L, 71L)
+  }
+
+  test("absorbIntoLabels crash recovery: a retry after the index append but before the labels swap reconverges") {
+    def blk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val u = blk("u", 10); val v = blk("v", 10); val z = blk("z", 20)
+    val corpus = docs(10L -> s"$u $v",
+      20L -> s"$u ${v.replace("v5 ", "v5x ")}", 50L -> z)
+    val batch = docs(5L -> s"$u ${v.replace("v7 ", "v7x ")}",
+      65L -> z.replace("z5 ", "z5x "))
+    val root = java.nio.file.Files.createTempDirectory("graft-absorbcrash").toString
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    copyDir(s"$root/labels", s"$root/labelsPre") // the pre-absorb state
+    def absorb(): Seq[(Long, Long, Boolean)] =
+      Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+          s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+          threshold = 0.5)
+        .orderBy("doc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val clean = absorb()
+    val featRows = spark.read.parquet(s"$root/idx/features").count()
+    val bucketRows = spark.read.parquet(s"$root/idx/buckets").count()
+    // simulate the crash window the write-ordering contract names: the
+    // index append COMMITTED but the labels swap never ran — restore the
+    // pre-absorb labels over the grown index and retry the same absorb
+    rmDir(s"$root/labels"); copyDir(s"$root/labelsPre", s"$root/labels")
+    val retried = absorb()
+    retried shouldBe clean
+    // the idempotent append skipped every already-present row: no
+    // duplicate signatures in either store
+    spark.read.parquet(s"$root/idx/features").count() shouldBe featRows
+    spark.read.parquet(s"$root/idx/buckets").count() shouldBe bucketRows
+    spark.read.parquet(s"$root/idx/features").groupBy("doc").count()
+      .agg(max("count")).head().getLong(0) shouldBe 1L
+  }
+
+  private def rmDir(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src); val t = java.nio.file.Paths.get(dst)
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val q = t.resolve(s.relativize(p).toString)
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(q)
+      else {
+        java.nio.file.Files.createDirectories(q.getParent)
+        java.nio.file.Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    } finally walk.close()
   }
 
   test("scd2 builds validity ranges per key; last change per key is current") {
