@@ -412,17 +412,41 @@ object Curation {
     *
     * Value-equivalent to `urlPolicyGate` on distinct-(id, url) input
     * (spec-pinned on the x150 corpus). Output: (id, url, matched_rule —
-    * null if none, allowed).
+    * null if none, allowed). Rule sets past `broadcastRuleLimit` hand
+    * off to `urlPolicyGateShuffle` — the per-length broadcast sides
+    * stop fitting an executor past ~10⁶ prefixes, and beyond that only
+    * the shuffle algebra survives.
     */
   def urlPolicyGateByLength(df: DataFrame, idCol: String, urlCol: String,
-      rules: Seq[(String, Boolean)], defaultAllow: Boolean = true): DataFrame = {
+      rules: Seq[(String, Boolean)], defaultAllow: Boolean = true,
+      broadcastRuleLimit: Int = 1000000): DataFrame = {
     require(rules.nonEmpty, "urlPolicyGateByLength: empty rule set")
     require(rules.map(_._1).distinct.size == rules.size,
       "urlPolicyGateByLength: duplicate rule prefixes")
     val spark = df.sparkSession
     import spark.implicits._
-    // descending lengths: the coalesce pick below reads them in order
-    val byLen = rules.groupBy(_._1.length).toSeq.sortBy(-_._1)
+    if (rules.size > broadcastRuleLimit) {
+      // beyond the broadcast cliff the per-length join sides stop
+      // fitting an executor broadcast — hand off to the shuffle shape
+      urlPolicyGateShuffle(df, idCol, urlCol,
+        rules.toDF("rule", "allow"), defaultAllow)
+    } else gateByLengthBroadcast(df, idCol, urlCol, rules, defaultAllow)
+  }
+
+  private def gateByLengthBroadcast(df: DataFrame, idCol: String,
+      urlCol: String, rules: Seq[(String, Boolean)],
+      defaultAllow: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // group key is the CODEPOINT count, because the probe side is
+    // Spark `substring`, which slices codepoints: a rule prefix with
+    // non-BMP characters (emoji in IDN paths) has String.length >
+    // codePointCount, and keying on UTF-16 units made the probe
+    // substring one codepoint LONGER than the rule — it silently never
+    // matched (round-10 advisory). Descending lengths: the coalesce
+    // pick below reads them in order.
+    val byLen = rules.groupBy(r => r._1.codePointCount(0, r._1.length))
+      .toSeq.sortBy(-_._1)
     val urls = df.select(col(idCol), col(urlCol).as("url"))
     val joined = byLen.zipWithIndex.foldLeft(urls) {
       case (acc, ((l, rs), i)) =>
@@ -435,6 +459,47 @@ object Curation {
       coalesce((0 until n).map(i => col(s"__r$i")): _*).as("matched_rule"),
       coalesce(((0 until n).map(i => col(s"__a$i")) :+ lit(defaultAllow)): _*)
         .as("allowed"))
+  }
+
+  /** The beyond-broadcast shape of the longest-prefix URL gate — for
+    * rule corpora past what an executor broadcast holds (≳10⁶ prefixes:
+    * full robots mirrors, host-level blocklists). Same semantics as
+    * `urlPolicyGate`/`urlPolicyGateByLength`; the rules arrive as a
+    * DataFrame (`rule` string, `allow` boolean — prefixes must be
+    * distinct) because a driver-side Seq is itself the bottleneck at
+    * that size.
+    *
+    * Join algebra: joining the corpus once per distinct prefix length
+    * would shuffle the URLS |lengths| times. Instead each URL explodes
+    * into its |lengths| candidate prefixes map-side (distinct prefix
+    * lengths are bounded by the max rule length — a few dozen — never
+    * by rule count; the one driver collect here reads that tiny set),
+    * and ONE equi-join on the prefix string meets the shuffled rule
+    * table, partition-pruned by the join key on both sides. The
+    * longest-prefix pick is the theta gate's max_by aggregate, whose
+    * partial collapses the ≤|lengths| matches map-side; a final left
+    * join back to the input restores the one-row-per-INPUT-row
+    * contract (duplicate (id, url) rows preserved, like the byLength
+    * variant).
+    */
+  def urlPolicyGateShuffle(df: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame, defaultAllow: Boolean = true): DataFrame = {
+    val r = rules.select(col("rule"), col("allow"),
+      length(col("rule")).as("__rlen"))
+    val lengths = r.select("__rlen").distinct().collect()
+      .map(_.getInt(0)).sorted
+    require(lengths.nonEmpty, "urlPolicyGateShuffle: empty rule set")
+    val urls = df.select(col(idCol), col(urlCol).as("url"))
+    val pref = urls.select(col(idCol), col("url"),
+      explode(array(lengths.map(l =>
+        substring(col("url"), 1, l)): _*)).as("__prefix"))
+    val matches = pref.join(r, col("__prefix") === col("rule"))
+      .groupBy(col(idCol), col("url"))
+      .agg(max_by(col("rule"), col("__rlen")).as("matched_rule"),
+        max_by(col("allow"), col("__rlen")).as("__ma"))
+    urls.join(matches, Seq(idCol, "url"), "left")
+      .select(col(idCol), col("url"), col("matched_rule"),
+        coalesce(col("__ma"), lit(defaultAllow)).as("allowed"))
   }
 
   /** Unicode hygiene — the cleaning gate crawl text passes BEFORE any

@@ -874,6 +874,23 @@ object EvalQueries {
         .orderBy("doc_id"),
       Some(urlPolicyOracle)),
 
+    // The beyond-broadcast twin (x150c): identical report — the oracle
+    // is shared verbatim with x150/x150b — through the SHUFFLE join
+    // algebra for rule corpora past the broadcast cliff (≳10⁶
+    // prefixes): each URL explodes into its |distinct prefix lengths|
+    // candidate prefixes map-side and ONE equi-join meets the shuffled
+    // rule table, instead of |lengths| corpus shuffles or a broadcast
+    // that no longer fits. Rules arrive as a DataFrame because at that
+    // scale the driver-side Seq is itself the bottleneck.
+    QueryDef("x150c_url_policy_shuffle",
+      (s, d) => {
+        import s.implicits._
+        Curation.urlPolicyGateShuffle(policyUrls(s, d), "doc_id", "url",
+            rules = policyRules.toDF("rule", "allow"), defaultAllow = true)
+          .orderBy("doc_id")
+      },
+      Some(urlPolicyOracle)),
+
     // Invisible-character hygiene (x151): x147's sibling for the
     // render-as-nothing classes — zero-width space/joiners + word
     // joiner, the bidi control blocks ("Trojan Source" characters, a

@@ -1389,6 +1389,66 @@ class OperatorSpec extends SparkSpec with Matchers {
     theta.toSeq shouldBe byLen.toSeq.distinct
   }
 
+  test("urlPolicyGateByLength: non-BMP rule prefixes match (codepoint group key)") {
+    import spark.implicits._
+    import graft.operators.Curation
+    // the fox emoji is non-BMP: String.length counts it as TWO UTF-16
+    // units but Spark substring slices ONE codepoint — keying the
+    // length groups on UTF-16 units made this rule silently never
+    // match (round-10 advisory)
+    val fox = new String(Character.toChars(0x1F98A))
+    val rows = Seq(
+      (1L, s"https://x.example/$fox/page"),
+      (2L, s"https://x.example/$fox/"),
+      (3L, "https://x.example/plain")).toDF("id", "url")
+    val rules = Seq(s"https://x.example/$fox/" -> false)
+    for (gate <- Seq(
+        Curation.urlPolicyGateByLength(rows, "id", "url", rules),
+        Curation.urlPolicyGate(rows, "id", "url", rules))) {
+      gate.orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+        .toSeq shouldBe Seq(
+          (1L, s"https://x.example/$fox/", false),
+          (2L, s"https://x.example/$fox/", false),
+          (3L, null, true))
+    }
+  }
+
+  test("urlPolicyGateShuffle matches the broadcast gates; the byLength limit hands off to it") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "https://a.example/private/ok/page"),
+      (2L, "https://a.example/private/x"),
+      (3L, "https://a.example/p"),
+      (4L, "https://b.example/x"),
+      (1L, "https://a.example/private/ok/page") // duplicate preserved
+    ).toDF("id", "url")
+    val rules = Seq(
+      "https://a.example/" -> false,
+      "https://a.example/private/" -> false,
+      "https://a.example/private/ok/" -> true,
+      "https://b.other/" -> false)
+    val want = Seq(
+      (1L, "https://a.example/private/ok/", true),
+      (1L, "https://a.example/private/ok/", true),
+      (2L, "https://a.example/private/", false),
+      (3L, "https://a.example/", false),
+      (4L, null, true))
+    val shuffled = Curation.urlPolicyGateShuffle(rows, "id", "url",
+        rules.toDF("rule", "allow"), defaultAllow = true)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    shuffled.toSeq shouldBe want
+    // past the broadcast limit the Seq API delegates to the shuffle
+    // shape — same report
+    val handedOff = Curation.urlPolicyGateByLength(rows, "id", "url",
+        rules, defaultAllow = true, broadcastRuleLimit = 2)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getBoolean(3)))
+    handedOff.toSeq shouldBe want
+  }
+
   test("tokenSpectrum: deterministic top-k with exact cumulative coverage") {
     import spark.implicits._
     // 10 tokens total: a x5, b x3, c x1, d x1 -> top-3 covers 9/10 = 90%
