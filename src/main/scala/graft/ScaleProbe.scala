@@ -275,6 +275,15 @@ object ScaleProbe {
     def absorbBatch: DataFrame = corpus(1).filter(col("doc_id") % 4 === 0)
       .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
 
+    // retract-probe fixtures: OWN base artifacts (the in-place mutation
+    // must not perturb the absorb sweep's base), plus a slice counter so
+    // every invocation — warm and timed — retracts a FRESH disjoint
+    // replica-0 slice and does real component-bounded work against an
+    // always-consistent store (a repeat of the SAME slice would be the
+    // trivial already-retracted no-op and measure nothing)
+    val retractBaseBuilt = scala.collection.mutable.Set[Int]()
+    val retractSlice = new java.util.concurrent.atomic.AtomicInteger(0)
+
     def gateRules(m: Int): Seq[(String, Boolean)] =
       (0 until 250).map(i => s"https://site${4 * i}.example/" -> (i % 2 == 0)) ++
         (250 until 4096 * m).map(i =>
@@ -990,6 +999,32 @@ object ScaleProbe {
           "doc_id", "text", out, shingleSize = 3, numHashes = 16,
           bands = 4, threshold = 0.5)
         spark.read.parquet(out).count()
+      },
+      // Retraction (x157): STORED corpus generation ×m (built once per
+      // multiplier, outside the timing), retract set FIXED (a disjoint
+      // replica-0 slice per invocation), IN PLACE — the production
+      // takedown path: tombstone append + touched-component
+      // re-canonicalization + labels swap. Sub-linearity certifies the
+      // deletion never re-runs corpus LSH/propagation (the remaining
+      // corpus term is the column-pruned labels/index scans the
+      // component lookup pays); the linear control is the same
+      // full-rebuild rebuildlabels_ family as the absorb sweep — one
+      // rebuild control serves both maintenance duals.
+      "retract_labels_corpus" -> { m =>
+        val root = s"$stageRoot/ret/m$m"
+        if (!retractBaseBuilt(m)) {
+          Dedup.buildCanonicalLabels(corpus(m), "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          Dedup.buildLshIndex(corpus(m), "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4)
+          retractBaseBuilt += m
+        }
+        val k = retractSlice.getAndIncrement() % 32
+        Dedup.retractFromLabels(
+          corpus(1).filter(col("doc_id") % 32 === k).select("doc_id"),
+          "doc_id", s"$root/labels", s"$root/idx", threshold = 0.5)
+          .count()
       },
       "urlgate_bylength_rules" -> (m =>
         Curation.urlPolicyGateByLength(gateUrls, "doc_id", "url",

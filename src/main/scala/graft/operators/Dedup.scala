@@ -603,8 +603,25 @@ object Dedup {
     checkIndexParams(s, indexPath, shingleSize, numHashes, bands)
     val (bFeats, bBuckets) = minHashBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
     crossSideProbe(bFeats, bBuckets,
-      s.read.parquet(s"$indexPath/features"),
-      s.read.parquet(s"$indexPath/buckets"), threshold)
+      indexStore(s, indexPath, "features"),
+      indexStore(s, indexPath, "buckets"), threshold)
+  }
+
+  /** Read one of the index's row stores, with retracted docs filtered
+    * out: `retractFromLabels` records deletions as a tombstone doc set
+    * beside the index (the deletion-vector pattern) instead of
+    * rewriting the corpus-sized stores, so EVERY consumer of the stored
+    * features/buckets reads through this anti-join. Tombstone sets are
+    * takedown-sized (broadcast); `compactLshIndex` folds them into the
+    * stores physically when they grow.
+    */
+  private def indexStore(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, which: String): DataFrame = {
+    val df = spark.read.parquet(s"$indexPath/$which")
+    if (hadoopExists(spark, s"$indexPath/tombstones"))
+      df.join(broadcast(spark.read.parquet(s"$indexPath/tombstones")
+        .select("doc")), Seq("doc"), "left_anti")
+    else df
   }
 
   /** Corpus-wide near-dup PAIRS from a persisted index (`buildLshIndex`)
@@ -637,8 +654,8 @@ object Dedup {
       maxBucket: Option[Long] = None): DataFrame = {
     maxBucket.foreach(cap => require(cap >= 2,
       "pairsFromLshIndex: maxBucket must be >= 2"))
-    val buckets = spark.read.parquet(s"$indexPath/buckets")
-    val feats = spark.read.parquet(s"$indexPath/features")
+    val buckets = indexStore(spark, indexPath, "buckets")
+    val feats = indexStore(spark, indexPath, "features")
     val kept = maxBucket match {
       case None => buckets
       case Some(cap) =>
@@ -742,8 +759,20 @@ object Dedup {
       .localCheckpoint()
     val bBuckets = bandBuckets(bFeats, numHashes, bands)
 
-    val storedFeats = spark.read.parquet(s"$indexPath/features")
-    val storedBuckets = spark.read.parquet(s"$indexPath/buckets")
+    // a batch id colliding with a TOMBSTONED id would resurrect rows the
+    // tombstone filter hides (the index append is raw): re-ingesting a
+    // retracted id (re-crawl supersede) requires compactLshIndex first,
+    // or a fresh id — fail loud, not silently inconsistent
+    if (hadoopExists(spark, s"$indexPath/tombstones")) {
+      val clash = spark.read.parquet(s"$indexPath/tombstones").select("doc")
+        .join(broadcast(bFeats.select("doc")), Seq("doc"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"absorbIntoLabels: batch contains ids tombstoned in $indexPath — " +
+          "run compactLshIndex before re-ingesting a retracted id")
+    }
+    val storedFeats = indexStore(spark, indexPath, "features")
+    val storedBuckets = indexStore(spark, indexPath, "buckets")
     val labels = spark.read.parquet(labelsPath)
 
     // batch-batch near-dup edges
@@ -866,6 +895,165 @@ object Dedup {
         s"(previous store intact at $old)")
     fs.delete(old, true)
     ()
+  }
+
+  /** RETRACTION — the deletion dual of `absorbIntoLabels`, and the last
+    * edge of the artifact family's build → consume → maintain loop:
+    * remove `retract`'s docs (takedown, right-to-be-forgotten, re-crawl
+    * supersede) from the stored label table and LSH index so every
+    * consumer afterwards behaves as if the docs were never indexed.
+    * Result is oracle-identical to a full `buildCanonicalLabels` rebuild
+    * over corpus − retracted (spec-pinned and strict-gated), at
+    * COMPONENT-BOUNDED cost — never a corpus-wide recompute.
+    *
+    * Why component-bounded is EXACT: deleting nodes only removes edges,
+    * so components can SPLIT or SHRINK but never merge — a component
+    * containing no retracted doc keeps exactly its members and its
+    * canonical (its minimum id is untouched). Only components that
+    * contained a retracted doc need work, and their surviving members'
+    * edges are RECOVERABLE FROM THE STORED INDEX (band-bucket
+    * self-collisions + exact-Jaccard verify over the stored
+    * features — the same signatures the full rebuild would compute, so
+    * the recovered edge set is identical, x154's equivalence). Two hard
+    * cases fall out, both spec-planted: a retracted KEEPER hands
+    * canonical-ship to the next-smallest surviving member, and a
+    * retracted BRIDGE doc SPLITS its component — the case pure label
+    * propagation cannot fix without re-deriving that component's edges,
+    * which is exactly what the restricted pair derivation does.
+    *
+    * Dataflow: retracted ids → touched canonicals (semi-join on the
+    * stored labels; takedown-sized, broadcast) → member/survivor doc
+    * sets of the touched components → stored buckets/features restricted
+    * to survivors (two column-pruned scans; the self-join is bounded by
+    * the touched components, with the `maxBucket` flood guard available
+    * for indexes that broke the post-exact-dedup build contract) →
+    * `canonicalize` over the survivors → union with the untouched
+    * components' unchanged rows.
+    *
+    * The index mutation is a TOMBSTONE append (`<index>/tombstones`, a
+    * doc set every consumer anti-joins — the deletion-vector pattern),
+    * NOT a rewrite of the corpus-sized stores: retraction cost stays
+    * flat in the stored-corpus size (probe-measured), and
+    * `compactLshIndex` folds tombstones into the stores physically as
+    * periodic maintenance. Write ordering mirrors `absorbIntoLabels`:
+    * tombstones first (idempotent — an anti-join skips already-present
+    * ids), labels swap last (`writeParquetStaged`); a crash anywhere is
+    * recovered by re-running the same retraction (the tombstone filter
+    * changes nothing the retry reads: it re-derives edges among
+    * SURVIVORS only).
+    *
+    * In-place by default (the production shape); `outLabelsPath`/
+    * `outIndexPath` write an untouched-base audit copy instead — the
+    * out-of-place index copy is written PHYSICALLY compacted (retracted
+    * rows dropped, no tombstones dir). Signature parameters are not
+    * needed: nothing is re-shingled. Returns the merged labels read
+    * back from the written store.
+    */
+  def retractFromLabels(retract: DataFrame, idCol: String,
+      labelsPath: String, indexPath: String, threshold: Double = 0.5,
+      outLabelsPath: Option[String] = None,
+      outIndexPath: Option[String] = None,
+      maxBucket: Option[Long] = None): DataFrame = {
+    val spark = retract.sparkSession
+    maxBucket.foreach(cap => require(cap >= 2,
+      "retractFromLabels: maxBucket must be >= 2"))
+    val outLabels = outLabelsPath.getOrElse(labelsPath)
+    val outIndex = outIndexPath.getOrElse(indexPath)
+    val labels = spark.read.parquet(labelsPath)
+    val rids = retract.select(col(idCol).as("doc")).distinct()
+      .localCheckpoint()
+
+    // touched components and their member/survivor doc sets — all
+    // takedown-component-sized, checkpointed once for their consumers
+    val affCanon = labels.join(broadcast(rids), Seq("doc"), "left_semi")
+      .select("canonical_id").distinct().localCheckpoint()
+    val survivors = labels
+      .join(broadcast(affCanon), Seq("canonical_id"), "left_semi")
+      .select("doc")
+      .join(broadcast(rids), Seq("doc"), "left_anti")
+      .localCheckpoint()
+
+    // re-derive the touched components' surviving edges from the STORED
+    // index — the pairsFromLshIndex shape restricted to the survivors
+    val bk = indexStore(spark, indexPath, "buckets")
+      .join(broadcast(survivors), Seq("doc"), "left_semi")
+    val kept = maxBucket match {
+      case None => bk
+      case Some(cap) =>
+        bk.join(bk.groupBy("band", "sig").agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= cap).select("band", "sig"),
+          Seq("band", "sig"))
+    }
+    val cand = kept.as("l").join(kept.as("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.doc") < col("r.doc"))
+      .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
+      .distinct()
+    val ft = indexStore(spark, indexPath, "features")
+      .join(broadcast(survivors), Seq("doc"), "left_semi")
+    val pairs = verifyJaccardArrays(cand, ft, threshold)
+      .select("doc_a", "doc_b")
+    val relabeled = canonicalize(survivors, "doc", pairs)
+
+    val merged = labels
+      .join(broadcast(affCanon), Seq("canonical_id"), "left_anti")
+      .select(col("doc"), col("canonical_id"), col("is_keeper"))
+      .unionByName(relabeled)
+      .localCheckpoint()
+
+    // index mutation first (idempotent), labels swap last — the same
+    // recovery-by-retry contract as absorbIntoLabels' write phase
+    if (outIndex == indexPath) {
+      val existing =
+        if (hadoopExists(spark, s"$indexPath/tombstones"))
+          spark.read.parquet(s"$indexPath/tombstones").select("doc")
+            .join(broadcast(rids), Seq("doc"), "left_semi")
+            .distinct().localCheckpoint()
+        else spark.emptyDataFrame
+      val fresh =
+        if (existing.isEmpty) rids
+        else rids.join(broadcast(existing), Seq("doc"), "left_anti")
+      fresh.write.mode("append").parquet(s"$outIndex/tombstones")
+    } else {
+      // audit copy: physically compacted, base untouched
+      val drop = broadcast(rids)
+      indexStore(spark, indexPath, "features")
+        .join(drop, Seq("doc"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outIndex/features")
+      indexStore(spark, indexPath, "buckets")
+        .join(drop, Seq("doc"), "left_anti")
+        .write.mode("overwrite").parquet(s"$outIndex/buckets")
+      if (hadoopExists(spark, s"$indexPath/meta")) {
+        spark.read.parquet(s"$indexPath/meta")
+          .write.mode("overwrite").parquet(s"$outIndex/meta")
+        invalidateIndexMeta(spark, outIndex)
+      }
+    }
+    writeParquetStaged(spark, merged, outLabels)
+    spark.read.parquet(outLabels)
+  }
+
+  /** Fold the tombstone set into the index stores physically — the
+    * periodic maintenance dual of `retractFromLabels`'s flat-cost
+    * tombstone append: one corpus-sized rewrite amortizes any number of
+    * retractions, after which consumers stop paying the anti-join and
+    * retracted ids may be re-ingested. Idempotent and crash-safe by the
+    * same staged-swap discipline: each store swaps independently (a
+    * half-compacted index still filters correctly — the tombstones dir
+    * is deleted LAST, only after both stores no longer contain the
+    * rows), and a retry completes whatever a crash left undone.
+    */
+  def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Unit = {
+    if (hadoopExists(spark, s"$indexPath/tombstones")) {
+      writeParquetStaged(spark, indexStore(spark, indexPath, "features"),
+        s"$indexPath/features")
+      writeParquetStaged(spark, indexStore(spark, indexPath, "buckets"),
+        s"$indexPath/buckets")
+      val t = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
+      t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
+      ()
+    }
   }
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at

@@ -1135,7 +1135,58 @@ object EvalQueries {
              |  ((1000000 * 2 * coalesce(tc.triangles, 0))
              |    // (deg.dg * (deg.dg - 1)))::BIGINT AS cc_x1m
              |FROM deg LEFT JOIN tc USING (node)
-             |WHERE deg.dg >= 2 ORDER BY deg.node""".stripMargin))
+             |WHERE deg.dg >= 2 ORDER BY deg.node""".stripMargin)),
+
+    // RETRACTION (x157): the deletion dual of x152/x153 and the last
+    // edge of the artifact family's build → consume → maintain loop —
+    // the doc_id % 7 == 3 slice is retracted IN PLACE from a scratch
+    // copy of the full-corpus label + index artifacts
+    // (Dedup.retractFromLabels): tombstone append on the index, touched
+    // components re-canonicalized from the STORED buckets/features
+    // (component-bounded — deletions can only split or shrink
+    // components, never merge them), labels swapped. The result must be
+    // oracle-identical to a FULL canonical-labels rebuild over
+    // corpus − retracted — including the hard cases: retracted keepers
+    // hand canonical-ship to the next-smallest survivor, and retracted
+    // bridge docs SPLIT their components.
+    QueryDef("x157_label_retract",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x157_retract"
+        rmTree(root)
+        copyTree(ExtensionQueries.labelsPathForSpec(s, d), s"$root/labels")
+        copyTree(ExtensionQueries.lshIndexFor(s, d), s"$root/idx")
+        Dedup.retractFromLabels(
+            tbl(s, d, "documents").filter(col("doc_id") % 7 === 3)
+              .select("doc_id"),
+            "doc_id", s"$root/labels", s"$root/idx", threshold = 0.5)
+          .orderBy("doc")
+      },
+      Some(retractLabelsOracle)),
+
+    // Pair-family audit after retraction (x157b): after the same
+    // in-place retraction as x157, the tombstoned index must serve the
+    // EDGE-level consumers exactly as a fresh build over
+    // corpus − retracted would — `pairsFromLshIndex` reads through the
+    // tombstone anti-join and must emit not one pair touching a
+    // retracted doc. x154's dual for deletions: the live-corpus loop is
+    // closed in BOTH directions for both artifact families.
+    QueryDef("x157b_pairs_after_retract",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x157b_retract"
+        rmTree(root)
+        copyTree(ExtensionQueries.labelsPathForSpec(s, d), s"$root/labels")
+        copyTree(ExtensionQueries.lshIndexFor(s, d), s"$root/idx")
+        Dedup.retractFromLabels(
+          tbl(s, d, "documents").filter(col("doc_id") % 7 === 3)
+            .select("doc_id"),
+          "doc_id", s"$root/labels", s"$root/idx", threshold = 0.5)
+        Dedup.pairsFromLshIndex(s, s"$root/idx", threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("common"),
+            col("size_a"), col("size_b"),
+            floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(pairsAfterRetractOracle))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all
@@ -1155,6 +1206,35 @@ object EvalQueries {
        |  FROM reach GROUP BY a)
        |SELECT doc, canonical_id, (doc = canonical_id) AS is_keeper
        |FROM canon ORDER BY doc""".stripMargin
+
+  /** x157/x157b shared oracle source: the corpus with the retracted
+    * slice removed — the full rebuild the component-bounded retraction
+    * must be indistinguishable from.
+    */
+  // a def, not a val: the lazy oracles below evaluate during `all`'s
+  // initialization, which runs BEFORE vals declared after it
+  private def retractedSrc =
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3)"
+
+  private lazy val retractLabelsOracle: String =
+    s"""WITH RECURSIVE ${minHashPairsBodyFrom(retractedSrc, "doc_id", "text")},
+       |pairs AS (SELECT doc_a, doc_b FROM res WHERE jac >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT doc, doc FROM toks
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+       |canon AS (SELECT a AS doc, min(b) AS canonical_id
+       |  FROM reach GROUP BY a)
+       |SELECT doc, canonical_id, (doc = canonical_id) AS is_keeper
+       |FROM canon ORDER BY doc""".stripMargin
+
+  private lazy val pairsAfterRetractOracle: String =
+    s"""WITH ${minHashPairsBodyFrom(retractedSrc, "doc_id", "text")}
+       |SELECT doc_a, doc_b, common, size_a, size_b,
+       |  floor(jac*1000000)::BIGINT AS jaccard_x1m
+       |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin
 
   /** Recursive file-tree copy/delete for the in-place absorb chain's
     * per-evaluation scratch (driver-side, artifact-sized — the same

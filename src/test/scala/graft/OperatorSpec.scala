@@ -534,6 +534,116 @@ class OperatorSpec extends SparkSpec with Matchers {
       .agg(max("count")).head().getLong(0) shouldBe 1L
   }
 
+  test("retractFromLabels equals a full rebuild over corpus minus retracted: keeper hand-off, bridge split, untouched rows") {
+    def blk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val a = blk("a", 10); val b = blk("b", 10); val c = blk("c", 10)
+    val w = blk("w", 20); val z = blk("z", 20); val y = blk("y", 20)
+    // component {5,10,20}: 5 is BOTH the keeper and the only bridge —
+    // 10 and 20 share just the a-block (jaccard ~0.29, below threshold)
+    // and connect only through 5 (~0.64/~0.53). {30,40}: retract the
+    // non-keeper. {50,65}: retract keeper 50 — 65 must take over.
+    // {70,71}: untouched. 80: retracted singleton.
+    val corpus = docs(
+      5L -> s"$a $b $c",
+      10L -> s"$a $b", 20L -> s"$a $c",
+      30L -> w, 40L -> w.replace("w5 ", "w5x "),
+      50L -> z, 65L -> z.replace("z5 ", "z5x "),
+      70L -> y, 71L -> y.replace("y5 ", "y5x "),
+      80L -> "lonely island tokens shared with nothing else at all here")
+    val retractIds = Seq(5L, 40L, 50L, 80L)
+    val retract = corpus.filter(col("doc_id").isin(retractIds: _*))
+      .select("doc_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-retract").toString
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    // the base component really is {5,10,20} — the split below is real
+    spark.read.parquet(s"$root/labels").orderBy("doc").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(kv => Seq(5L, 10L, 20L).contains(kv._1)) shouldBe
+      Map(5L -> 5L, 10L -> 5L, 20L -> 5L)
+    val out = Dedup.retractFromLabels(retract, "doc_id", s"$root/labels",
+        s"$root/idx", threshold = 0.5,
+        outLabelsPath = Some(s"$root/labels2"),
+        outIndexPath = Some(s"$root/idx2"))
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    Dedup.buildCanonicalLabels(
+      corpus.filter(!col("doc_id").isin(retractIds: _*)), "doc_id", "text",
+      s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    val full = spark.read.parquet(s"$root/labelsFull").orderBy("doc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    out.toSeq shouldBe full.toSeq
+    // narrative pins: bridge retraction SPLITS {10,20}; keeper 50 hands
+    // off to 65; untouched component keeps its rows; retracted rows gone
+    val canon = out.map(r => r._1 -> r._2).toMap
+    canon shouldBe Map(10L -> 10L, 20L -> 20L, 30L -> 30L, 65L -> 65L,
+      70L -> 70L, 71L -> 70L)
+    // the out-of-place index copy is PHYSICALLY compacted
+    spark.read.parquet(s"$root/idx2/features").select("doc").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(10L, 20L, 30L, 65L, 70L, 71L)
+    Dedup.probeLshIndex(docs(900L -> z), s"$root/idx2", "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_b").collect().map(_.getLong(0)).toSeq shouldBe Seq(65L)
+  }
+
+  test("in-place retraction: tombstone-filtered consumers, absorb clash guard, crash retry, compaction") {
+    def blk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val z = blk("z", 20); val y = blk("y", 20)
+    val corpus = docs(50L -> z, 65L -> z.replace("z5 ", "z5x "),
+      70L -> y, 71L -> y.replace("y5 ", "y5x "))
+    val retract = corpus.filter(col("doc_id") === 50L).select("doc_id")
+    val root = java.nio.file.Files.createTempDirectory("graft-retractip").toString
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    copyDir(s"$root/labels", s"$root/labelsPre")
+    def run() = Dedup.retractFromLabels(retract, "doc_id",
+        s"$root/labels", s"$root/idx", threshold = 0.5)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    val first = run()
+    first shouldBe Seq((65L, 65L, true), (70L, 70L, true), (71L, 70L, false))
+    new java.io.File(s"$root/idx/tombstones").isDirectory shouldBe true
+    // every index consumer reads through the tombstone filter
+    Dedup.probeLshIndex(docs(900L -> z), s"$root/idx", "doc_id", "text",
+        shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .select("doc_b").collect().map(_.getLong(0)).toSeq shouldBe Seq(65L)
+    Dedup.pairsFromLshIndex(spark, s"$root/idx", threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((70L, 71L))
+    // re-ingesting a tombstoned id without compaction is a loud error
+    val clash = intercept[IllegalArgumentException] {
+      Dedup.absorbIntoLabels(docs(50L -> z), "doc_id", "text",
+        s"$root/labels", s"$root/idx", shingleSize = 3, numHashes = 16,
+        bands = 8, threshold = 0.5)
+    }
+    clash.getMessage should include("tombstoned")
+    // crash window: tombstones appended but the labels swap never ran —
+    // a plain retry reconverges
+    rmDir(s"$root/labels"); copyDir(s"$root/labelsPre", s"$root/labels")
+    run() shouldBe first
+    // compaction folds the tombstones physically; consumers unchanged
+    Dedup.compactLshIndex(spark, s"$root/idx")
+    new java.io.File(s"$root/idx/tombstones").exists() shouldBe false
+    spark.read.parquet(s"$root/idx/features").select("doc").collect()
+      .map(_.getLong(0)).sorted.toSeq shouldBe Seq(65L, 70L, 71L)
+    Dedup.pairsFromLshIndex(spark, s"$root/idx", threshold = 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((70L, 71L))
+    // after compaction the id is free for re-ingest (re-crawl
+    // supersede): 50 rejoins 65's component and takes the keeper seat
+    val back = Dedup.absorbIntoLabels(docs(50L -> z), "doc_id", "text",
+        s"$root/labels", s"$root/idx", shingleSize = 3, numHashes = 16,
+        bands = 8, threshold = 0.5)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
+  }
+
   private def rmDir(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
