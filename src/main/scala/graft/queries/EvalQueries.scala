@@ -1186,7 +1186,34 @@ object EvalQueries {
             floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
           .orderBy("doc_a", "doc_b")
       },
-      Some(pairsAfterRetractOracle))
+      Some(pairsAfterRetractOracle)),
+
+    // STREAMING absorb (x158): the x152/x153 maintenance path wired
+    // into a foreachBatch ingest drain (StreamOps.labelAbsorbDrain) —
+    // the crawl-firehose shape. The % 4 == 0 batch is staged as THREE
+    // parquet files and drained one micro-batch per file
+    // (maxFilesPerTrigger=1) into a scratch copy of the base artifacts;
+    // each micro-batch anti-joins the stored labels' doc set first
+    // (replay safety — the reference's own idempotency pattern) and
+    // absorbs in place, so batch 3 probes a store already holding
+    // batches 1–2. Final labels must equal the full rebuild over
+    // corpus + batch — the SAME oracle as x152/x153: the loop is closed
+    // batch-wise, chain-wise, and now stream-wise.
+    QueryDef("x158_stream_label_absorb",
+      (s, d) => {
+        val (lbl, idx) = absorbBaseFor(s, d)
+        val root = s"${ExtensionQueries.idxScratch}/x158_stream"
+        rmTree(root)
+        copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+        val streamDir = graft.streaming.StreamOps.stageStreamDirChunksDf(s,
+          tbl(s, d, "documents").filter(col("doc_id") % 4 === 0),
+          "graft-x158", chunks = 3)
+        graft.streaming.StreamOps.labelAbsorbDrain(s, streamDir,
+          s"$root/ckpt", s"$root/labels", s"$root/idx", "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        s.read.parquet(s"$root/labels").orderBy("doc")
+      },
+      Some(fullLabelsOracle))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all

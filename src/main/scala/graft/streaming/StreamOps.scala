@@ -854,6 +854,77 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming label maintenance — `Dedup.absorbIntoLabels` wired into a
+    * foreachBatch drain: the crawl-firehose shape that keeps the
+    * write-once canonical-label artifact (and its LSH index) live
+    * CONTINUOUSLY instead of per hand-invoked batch. New doc files
+    * landing under `streamDir` become micro-batches
+    * (`maxFilesPerTrigger=1` — one file, one absorb), each absorbed
+    * in place; re-invoking the drain with the same checkpoint picks up
+    * only files not yet committed, so the drain is re-runnable as the
+    * crawl appends (the heavyHittersMgDrain contract).
+    *
+    * REPLAY SAFETY is the interesting part: a restarted micro-batch
+    * re-enters foreachBatch with rows the previous attempt may have
+    * fully or partially absorbed, and the absorb's index append is not
+    * idempotent against a COMPLETED absorb (the batch's docs are then
+    * in the labels, violating the id-disjointness contract). The
+    * per-batch body therefore anti-joins the batch against the STORED
+    * labels' doc set first — the reference pipeline's own anti-join
+    * idempotency pattern (ref: src/orchestration/batch_processor.py:36-40)
+    * — so fully-absorbed docs are skipped exactly, while a batch that
+    * crashed MID-absorb (docs in the index but not yet in the labels)
+    * re-enters through `absorbIntoLabels`' own retry-recovery contract.
+    * Both replay classes are spec-pinned (`StreamAbsorbRestartSpec`).
+    */
+  def labelAbsorbDrain(spark: SparkSession, streamDir: String,
+      checkpointDir: String, labelsPath: String, indexPath: String,
+      idCol: String, textCol: String, shingleSize: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .writeStream
+      .queryName("graft_label_absorb")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorbLabelBatch(batch, labelsPath, indexPath, idCol, textCol,
+          shingleSize, numHashes, bands, threshold)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the label-absorb drain (the foreachBatch body,
+    * exposed for direct replay tests): drop the docs the stored labels
+    * already contain, absorb the rest in place. Calling this twice with
+    * the same batch (= a replayed micro-batch after a crash) is a no-op
+    * the second time.
+    */
+  def absorbLabelBatch(batch: DataFrame, labelsPath: String,
+      indexPath: String, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): Unit = {
+    val s = batch.sparkSession
+    val ids = batch.select(col(idCol)).distinct()
+    // labels-side scan with the batch ids broadcast into it, then the
+    // (tiny) present set broadcast back — never a corpus shuffle; the
+    // checkpoint materializes the read BEFORE the absorb swaps the
+    // labels store it came from
+    val present = s.read.parquet(labelsPath)
+      .select(col("doc").as(idCol))
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val fresh = batch.join(broadcast(present), Seq(idCol), "left_anti")
+    if (fresh.limit(1).count() > 0) {
+      graft.operators.Dedup.absorbIntoLabels(fresh, idCol, textCol,
+        labelsPath, indexPath, shingleSize, numHashes, bands, threshold)
+      ()
+    }
+  }
+
   /** One dedup-ingest micro-batch (the foreachBatch body, exposed for
     * direct replay tests): fingerprint the batch, keep min-id-per-novel-
     * fingerprint against the committed index below `batchId`, write the
