@@ -1252,7 +1252,185 @@ object AnalyticsQueries {
              |WHERE l_shipdate >= DATE '1996-01-01'
              |  AND l_shipdate < DATE '1997-01-01'
              |  AND l_discount BETWEEN 0.05 AND 0.07
-             |  AND l_quantity < 24""".stripMargin))
+             |  AND l_quantity < 24""".stripMargin)),
+
+    // TPC-H Q1 shape — the pricing summary report: ONE pass over the
+    // fact, grouped on a 6-value key, eight aggregates at once (sums,
+    // counts, and div-based exact averages). The canonical map-side-
+    // combine showcase: the partial aggregation collapses everything
+    // before the one tiny exchange, so at 100 TB this is scan-bound by
+    // construction. All money in exact cents, discounts ×10⁴, averages
+    // as integral division.
+    QueryDef("b41_tpch_q1",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b41_lineitem")
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                |  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS sum_qty,
+                |  sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT))
+                |    AS sum_base_cents,
+                |  sum(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+                |    AS BIGINT)) AS sum_disc_cents,
+                |  sum(CAST(floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100
+                |    + 0.5) AS BIGINT)) AS sum_charge_cents,
+                |  div(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) * 100,
+                |    count(*)) AS avg_qty_x100,
+                |  div(sum(CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT)),
+                |    count(*)) AS avg_price_cents,
+                |  div(sum(CAST(floor(l_discount*10000 + 0.5) AS BIGINT)),
+                |    count(*)) AS avg_disc_x10000,
+                |  count(*) AS count_order
+                |FROM b41_lineitem
+                |WHERE l_shipdate <= DATE '2001-09-01'
+                |GROUP BY l_returnflag, l_linestatus
+                |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  sum((floor(l_quantity + 0.5))::BIGINT)::BIGINT AS sum_qty,
+             |  sum((floor(l_extendedprice*100 + 0.5))::BIGINT)::BIGINT
+             |    AS sum_base_cents,
+             |  sum((floor(l_extendedprice*(1-l_discount)*100 + 0.5))::BIGINT)
+             |    ::BIGINT AS sum_disc_cents,
+             |  sum((floor(l_extendedprice*(1-l_discount)*(1+l_tax)*100
+             |    + 0.5))::BIGINT)::BIGINT AS sum_charge_cents,
+             |  ((sum((floor(l_quantity + 0.5))::BIGINT)::BIGINT * 100)
+             |    // count(*)::BIGINT)::BIGINT AS avg_qty_x100,
+             |  (sum((floor(l_extendedprice*100 + 0.5))::BIGINT)::BIGINT
+             |    // count(*)::BIGINT)::BIGINT AS avg_price_cents,
+             |  (sum((floor(l_discount*10000 + 0.5))::BIGINT)::BIGINT
+             |    // count(*)::BIGINT)::BIGINT AS avg_disc_x10000,
+             |  count(*)::BIGINT AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= DATE '2001-09-01'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // TPC-H Q9 shape — product-line profit by nation and year: the
+    // LIKE-filtered five-table join with a COMPUTED measure per line.
+    // The testdata carries no partsupp table, so supply cost is proxied
+    // at 10% of the part's retail price × quantity (same computed-
+    // measure shape: revenue minus a join-sourced cost, exact cents).
+    // part filters through the LIKE before joining (dimension
+    // broadcast); nation arrives via supplier.
+    QueryDef("b42_tpch_q9",
+      (s, d) => {
+        tbl(s, d, "part").createOrReplaceTempView("b42_part")
+        tbl(s, d, "lineitem").createOrReplaceTempView("b42_lineitem")
+        tbl(s, d, "supplier").createOrReplaceTempView("b42_supplier")
+        tbl(s, d, "orders").createOrReplaceTempView("b42_orders")
+        tbl(s, d, "nation").createOrReplaceTempView("b42_nation")
+        s.sql("""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+                |  sum(CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                |      AS BIGINT)
+                |    - CAST(floor(p.p_retailprice * l.l_quantity * 10 + 0.5)
+                |      AS BIGINT)) AS profit_cents
+                |FROM b42_part p
+                |JOIN b42_lineitem l ON p.p_partkey = l.l_partkey
+                |JOIN b42_supplier s ON l.l_suppkey = s.s_suppkey
+                |JOIN b42_orders o ON l.l_orderkey = o.o_orderkey
+                |JOIN b42_nation n ON s.s_nationkey = n.n_nationkey
+                |WHERE p.p_name LIKE '%red%'
+                |GROUP BY n.n_name, year(o.o_orderdate)
+                |ORDER BY nation, o_year DESC""".stripMargin)
+      },
+      Some("""SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             |  sum((floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT
+             |    - (floor(p.p_retailprice * l.l_quantity * 10 + 0.5))::BIGINT)
+             |    ::BIGINT AS profit_cents
+             |FROM part p
+             |JOIN lineitem l ON p.p_partkey = l.l_partkey
+             |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |JOIN orders o ON l.l_orderkey = o.o_orderkey
+             |JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |WHERE p.p_name LIKE '%red%'
+             |GROUP BY n.n_name, year(o.o_orderdate)
+             |ORDER BY nation, o_year DESC""".stripMargin)),
+
+    // TPC-H Q11 shape — group HAVING against a GLOBAL scalar subquery:
+    // the one decorrelation class the b-family hadn't exercised. Value
+    // per part from one nation's suppliers, kept only when it exceeds
+    // a fixed fraction of the SAME filtered set's total. The testdata
+    // carries no partsupp, so "value" is lineitem revenue through the
+    // supplier→nation restriction (identical decorrelation structure:
+    // an uncorrelated scalar aggregate consumed by every group's
+    // HAVING). The filtered fact is localCheckpoint'ed ONCE and both
+    // consumers — the per-part aggregate and the global total — read
+    // the materialized blocks: the b30 lesson, since AQE's broadcast
+    // choice defeats ReusedExchange and would otherwise scan lineitem
+    // twice (plan-pinned: no parquet scan in the final plan).
+    QueryDef("b43_tpch_q11",
+      (s, d) => {
+        tbl(s, d, "lineitem").createOrReplaceTempView("b43_lineitem")
+        tbl(s, d, "supplier").createOrReplaceTempView("b43_supplier")
+        tbl(s, d, "nation").createOrReplaceTempView("b43_nation")
+        s.sql("""SELECT l.l_partkey,
+                |  CAST(floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5)
+                |    AS BIGINT) AS v
+                |FROM b43_lineitem l
+                |JOIN b43_supplier s ON l.l_suppkey = s.s_suppkey
+                |JOIN b43_nation n ON s.s_nationkey = n.n_nationkey
+                |WHERE n.n_name = 'NATION_9'""".stripMargin)
+          .localCheckpoint()
+          .createOrReplaceTempView("b43_flt")
+        // the kept-fraction threshold is 3x the MEAN per-part value, so
+        // the report stays selective-but-nonempty at every SF (TPC-H's
+        // own Q11 scales its fraction by SF for the same reason)
+        s.sql("""SELECT l_partkey, sum(v) AS value_cents
+                |FROM b43_flt
+                |GROUP BY l_partkey
+                |HAVING sum(v) > (SELECT div(3 * sum(v),
+                |  count(DISTINCT l_partkey)) FROM b43_flt)
+                |ORDER BY value_cents DESC, l_partkey""".stripMargin)
+      },
+      Some("""WITH flt AS (
+             |  SELECT l.l_partkey,
+             |    (floor(l.l_extendedprice*(1-l.l_discount)*100 + 0.5))::BIGINT AS v
+             |  FROM lineitem l
+             |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+             |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+             |  WHERE n.n_name = 'NATION_9')
+             |SELECT l_partkey, sum(v)::BIGINT AS value_cents
+             |FROM flt
+             |GROUP BY l_partkey
+             |HAVING sum(v)::BIGINT >
+             |  (SELECT (3 * sum(v)::BIGINT
+             |    // count(DISTINCT l_partkey)::BIGINT)::BIGINT FROM flt)
+             |ORDER BY value_cents DESC, l_partkey""".stripMargin)),
+
+    // TPC-H Q12 shape — the late-shipment priority audit: fact-fact
+    // join with an IN filter and CASE-split priority counts. The
+    // testdata carries no l_shipmode/commitdate, so the IN rides the
+    // return flag and the year filter stands in for the receipt-date
+    // window — the shape (join + IN + two conditional counts on the
+    // OTHER table's column) is Q12's.
+    QueryDef("b44_tpch_q12",
+      (s, d) => {
+        tbl(s, d, "orders").createOrReplaceTempView("b44_orders")
+        tbl(s, d, "lineitem").createOrReplaceTempView("b44_lineitem")
+        s.sql("""SELECT l.l_returnflag,
+                |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                |    THEN 1L ELSE 0L END) AS high_line_count,
+                |  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                |    THEN 1L ELSE 0L END) AS low_line_count
+                |FROM b44_orders o
+                |JOIN b44_lineitem l ON o.o_orderkey = l.l_orderkey
+                |WHERE l.l_returnflag IN ('R', 'A')
+                |  AND l.l_shipdate >= DATE '1996-01-01'
+                |  AND l.l_shipdate < DATE '1997-01-01'
+                |GROUP BY l.l_returnflag
+                |ORDER BY l.l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l.l_returnflag,
+             |  sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+             |  sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             |    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+             |FROM orders o
+             |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             |WHERE l.l_returnflag IN ('R', 'A')
+             |  AND l.l_shipdate >= DATE '1996-01-01'
+             |  AND l.l_shipdate < DATE '1997-01-01'
+             |GROUP BY l.l_returnflag
+             |ORDER BY l.l_returnflag""".stripMargin))
   )
 
   /** Write orders to a temp dir as `format`, read back with the explicit

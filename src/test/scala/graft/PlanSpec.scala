@@ -542,6 +542,33 @@ class PlanSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("b41-b44: Q1 one scan + map-side partials; Q9 broadcasts dims; Q11 never re-scans the fact; Q12 equi-joins") {
+    // Q1: no join at all; the eight aggregates collapse map-side, the
+    // one keyed exchange carries 6 slim rows, plus the output sort
+    val p1 = planOf(q("b41_tpch_q1"))
+    (p1 should not).include("Join")
+    p1.toLowerCase should include("partial")
+    nodeCount(p1, "Exchange") should be <= 2
+    // Q9: five-table join — every dimension side a broadcast, never a
+    // cartesian, and the LIKE filter rides the part scan
+    val p9 = planOf(q("b42_tpch_q9"))
+    (p9 should not).include("CartesianProduct")
+    (p9 should not).include("BroadcastNestedLoopJoin")
+    p9 should include("BroadcastHashJoin")
+    // Q11: the global scalar subquery and the per-part aggregate BOTH
+    // consume the one materialized filtered fact — no parquet scan
+    // survives in the final plan (AQE defeats ReusedExchange here; the
+    // b30 checkpoint discipline is the fix)
+    val p11 = planOf(q("b43_tpch_q11"))
+    (p11 should not).include("Scan parquet")
+    p11 should include("Scan ExistingRDD")
+    p11 should include("Subquery")
+    // Q12: fact-fact equi-join, no nested loop
+    val p12 = planOf(q("b44_tpch_q12"))
+    (p12 should not).include("CartesianProduct")
+    (p12 should not).include("BroadcastNestedLoopJoin")
+  }
+
   test("x68 line dedup is map-only — array HOFs, no shuffle beyond the output sort") {
     val plan = planOf(q("x68_line_dedup"))
     (plan should not).include("HashAggregate")
