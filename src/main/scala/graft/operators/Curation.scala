@@ -487,7 +487,7 @@ object Curation {
     val r = rules.select(col("rule"), col("allow"),
       length(col("rule")).as("__rlen"))
     val lengths = r.select("__rlen").distinct().collect()
-      .map(_.getInt(0)).sorted
+      .map(_.getInt(0)).sorted.toSeq
     require(lengths.nonEmpty, "urlPolicyGateShuffle: empty rule set")
     val urls = df.select(col(idCol), col(urlCol).as("url"))
     val pref = urls.select(col(idCol), col("url"),

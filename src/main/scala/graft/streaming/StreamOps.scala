@@ -1746,4 +1746,56 @@ object StreamOps {
       .start()
     q.awaitTermination()
   }
+
+  // ---- statestore readback: "what is this stream holding right now" ----
+  // Every stateful operator on the query surface has its state readable
+  // through the statestore source; the typed consumers below plus
+  // sessionBufferFromState/heavyHittersFromState cover the custom
+  // state-v2 processors, and `stateStoreRows` is the uniform entry for
+  // the BUILT-IN stateful operators (windowed aggregates, streaming
+  // dedup, stream-stream joins), whose state the source exposes without
+  // a stateVarName — joins additionally take the side, chained stateful
+  // queries the operator id. README carries the full op → state →
+  // consumer table; StreamStateReadbackSpec pins one live checkpoint
+  // per machinery class.
+
+  /** Uniform statestore read over any operator's checkpoint: built-in
+    * stateful operators need no `stateVar`; `joinSide` ("left"/"right")
+    * selects a stream-stream join's buffer; `operatorId` disambiguates
+    * queries chaining several stateful operators. Identify which id is
+    * which by the KEY SCHEMA, not by assuming an order — in the
+    * dedup→window-agg chain the aggregate surfaced as id 0 and the
+    * dedup as id 1 (schema-dumped against a live checkpoint;
+    * StreamStateReadbackSpec does the schema-based dispatch).
+    */
+  def stateStoreRows(spark: SparkSession, checkpointDir: String,
+      stateVar: Option[String] = None, joinSide: Option[String] = None,
+      operatorId: Option[Long] = None): DataFrame = {
+    var r = spark.read.format("statestore")
+    stateVar.foreach(v => r = r.option("stateVarName", v))
+    joinSide.foreach(v => r = r.option("joinSide", v))
+    operatorId.foreach(v => r = r.option("operatorId", v))
+    r.load(checkpointDir)
+  }
+
+  /** x129 discovery readback, MapState "seen": one row per (user,
+    * discovered type) with its first-seen event time — the full
+    * discovery memory, straight from the checkpoint.
+    */
+  def discoverySeenFromState(spark: SparkSession,
+      checkpointDir: String): DataFrame =
+    stateStoreRows(spark, checkpointDir, stateVar = Some("seen"))
+      .selectExpr("key.value AS user_id",
+        "user_map_key.value AS event_type",
+        // MapState VALUES ride `user_map_value` (the plain `value`
+        // column belongs to ValueState/ListState reads)
+        "user_map_value.value AS first_t_us")
+
+  /** x129 discovery readback, ValueState "n_types": the per-user
+    * distinct-type counter the next emission will continue from.
+    */
+  def discoveryTypeCountFromState(spark: SparkSession,
+      checkpointDir: String): DataFrame =
+    stateStoreRows(spark, checkpointDir, stateVar = Some("n_types"))
+      .selectExpr("key.value AS user_id", "value.value AS types_so_far")
 }
