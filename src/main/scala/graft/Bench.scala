@@ -72,6 +72,13 @@ object Bench {
     // other build-once artifacts. x153 is the in-place CHAIN twin —
     // copy-base + two successive in-place absorbs per run.)
     "x152_label_absorb", "x153_label_absorb_chain",
+    // (x157 is the family's DELETE path — copy-base + in-place
+    // retraction per run, component-bounded by construction; x157b the
+    // pair consumer over the tombstoned index is excluded like other
+    // consumers. x158 is the STREAMING absorb drain — three real
+    // micro-batches through foreachBatch, so its number is mostly the
+    // fixed micro-batch machinery on top of x153's absorb cost.)
+    "x157_label_retract", "x158_stream_label_absorb",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
     // (x125 itself is excluded like x05: a per-char-gram map side over the
@@ -101,7 +108,14 @@ object Bench {
     // rules-x-m ScaleProbe pair measures it at robots scale.)
     "x149_stream_daily_actives", "x150_url_policy",
     "x150b_url_policy_bylength",
-    "b28_tpch_q21",
+    // (x150c the shuffle twin is excluded at the config-sized rule
+    // list — it would time shuffle overhead the broadcast shapes don't
+    // pay; the rules-×m ScaleProbe is where its algebra wins.)
+    // (b41 is the one-pass scan+partial-agg class, b43 the
+    // global-scalar-subquery decorrelation class; b42/b44 are excluded
+    // as instances of the already-benched multi-join and join-agg
+    // classes.)
+    "b28_tpch_q21", "b41_tpch_q1", "b43_tpch_q11",
     "e01_pipeline_noauth", "e09_dsv2_http")
 
   /** Bench-only twin of x23 with the exact aggregates stripped: times the

@@ -513,6 +513,18 @@ class PlanSpec extends SparkSpec with Matchers {
     plan should include("LeftSemi")
   }
 
+  test("x150c shuffle URL gate: equi-joins only — no nested loop reaches the rule table") {
+    val plan = planOf(q("x150c_url_policy_shuffle"))
+    // the whole point of the shuffle shape: the rule probe is an
+    // EQUALITY on the exploded prefix, never a startsWith theta join
+    (plan should not).include("BroadcastNestedLoopJoin")
+    (plan should not).include("CartesianProduct")
+    // formatted mode writes the explode as a Generate node with the
+    // function in its Arguments line
+    nodeCount(plan, "Generate") should be >= 1
+    plan should include("explode")
+  }
+
   test("x156 clustering coefficient shares the edge dedup and degree shuffle with the triangle core") {
     val plan = planOf(q("x156_clustering_coefficient"))
     // the canonical edge set and the degree table are localCheckpoint'ed
