@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -587,6 +587,49 @@ object Curation {
           .as("bom_removed"),
         (col("__t") =!= col("__raw")).as("was_compat_changed"),
         length(col("cleaned")).cast("long").as("chars_after"))
+  }
+
+  /** Mixed-script confusable audit — the VISIBLE half of the Trojan-
+    * Source surface `invisibleClean` covers for invisibles: a token
+    * mixing Latin with Cyrillic or Greek letters renders identically to
+    * a pure-Latin word ("pаypal" with a Cyrillic а) yet hashes,
+    * tokenizes, and matches differently — the homograph trick behind
+    * phishing domains, dedup evasion, and poisoned training text. A
+    * token using ONE script is never flagged (Russian text is not
+    * suspicious; a Cyrillic letter INSIDE a Latin word is). Scripts are
+    * fixed BMP ranges — ASCII Latin [A-Za-z], Cyrillic U+0400–U+04FF,
+    * Greek U+0370–U+03FF — so the check is engine-portable and exact.
+    *
+    * Map-side single-pass: whitespace split, per-token regex membership
+    * per script, pairwise-mix counts. Output: (id, tokens,
+    * latin_cyrillic, latin_greek, cyrillic_greek, mixed_script_tokens,
+    * flagged), one row per input row; `mixed_script_tokens` counts
+    * tokens in ≥ 2 of the three scripts (each such token once).
+    */
+  def mixedScriptAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val latin = "[A-Za-z]"
+    val cyr = "[\\u0400-\\u04FF]"
+    val greek = "[\\u0370-\\u03FF]"
+    def has(t: Column, pat: String) = t.rlike(pat)
+    val toks = split(col(textCol), "\\s+")
+    df.select(col(idCol), toks.as("__toks"))
+      .select(col(idCol),
+        size(col("__toks")).cast("long").as("tokens"),
+        size(filter(col("__toks"),
+          t => has(t, latin) && has(t, cyr))).cast("long")
+          .as("latin_cyrillic"),
+        size(filter(col("__toks"),
+          t => has(t, latin) && has(t, greek))).cast("long")
+          .as("latin_greek"),
+        size(filter(col("__toks"),
+          t => has(t, cyr) && has(t, greek))).cast("long")
+          .as("cyrillic_greek"),
+        size(filter(col("__toks"), t =>
+          (has(t, latin) && has(t, cyr)) || (has(t, latin) && has(t, greek)) ||
+            (has(t, cyr) && has(t, greek)))).cast("long")
+          .as("mixed_script_tokens"))
+      .withColumn("flagged", col("mixed_script_tokens") > 0)
   }
 
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,

@@ -215,4 +215,38 @@ object Profile {
         min(when(col("dev") === col("mdev"), col("bucket"))).as("worst_bucket"),
         min(col("mdev")).as("max_dev_x10000"))
   }
+
+  /** k-anonymity / l-diversity audit — the privacy-governance pass a
+    * training-data pipeline runs BEFORE releasing a table with
+    * quasi-identifiers (the complement of x37's redaction and x128's
+    * card audit: those find direct identifiers, this measures
+    * RE-IDENTIFICATION risk from column combinations). Rows are grouped
+    * into equivalence classes over `quasiCols`; a class smaller than
+    * `k` re-identifies its members by linkage (k-anonymity violation),
+    * and a class whose `sensitiveCol` takes fewer than `l` distinct
+    * values leaks the sensitive attribute even WITHOUT re-identification
+    * (homogeneity attack — the reason l-diversity exists). Output: one
+    * row per equivalence class — quasi columns, class_size,
+    * sensitive_diversity (exact distinct), k_violation, l_violation.
+    *
+    * Scale: ONE keyed aggregate with map-side partials over the quasi
+    * key — the same shape as any groupBy-count, so 100 TB posture is
+    * scan + one exchange; the exact countDistinct adds a second
+    * aggregation pass over (quasi, sensitive) pairs, still
+    * shuffle-partitionable, never all-pairs. Suppression/generalization
+    * decisions consume this table (filter k_violation, join back).
+    */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Long, l: Long = 2L): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityAudit: empty quasi-identifier set")
+    require(k >= 2 && l >= 1, "kAnonymityAudit: k must be >= 2, l >= 1")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("sensitive_diversity"))
+      .select(quasiCols.map(col) ++ Seq(
+        col("class_size"),
+        col("sensitive_diversity"),
+        (col("class_size") < k).as("k_violation"),
+        (col("sensitive_diversity") < l).as("l_violation")): _*)
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Eval, Graph}
+import graft.operators.{Curation, Dedup, Eval, Graph, Profile}
 import graft.queries.ExtensionQueries.{dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
@@ -1213,7 +1213,132 @@ object EvalQueries {
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
         s.read.parquet(s"$root/labels").orderBy("doc")
       },
-      Some(fullLabelsOracle))
+      Some(fullLabelsOracle)),
+
+    // STREAMING retraction (x159): x158's deletion dual — a takedown
+    // FEED (files of doc ids) drains one micro-batch per file through
+    // retractFromLabels (StreamOps.labelRetractDrain; no replay guard
+    // needed — retraction is idempotent by construction), with a
+    // PHYSICAL COMPACTION in the middle that the final answer depends
+    // on: files 1–2 retract via tombstones, compactLshIndex folds them
+    // into the stores, then file 3's retraction re-derives its touched
+    // components' edges from the COMPACTED index. The three files
+    // partition the doc_id % 7 == 3 slice (% 21 ∈ {3, 10, 17}), so the
+    // final labels share x157's corpus-minus-slice rebuild oracle —
+    // takedown-by-batch, takedown-by-stream, and compaction all land on
+    // the same answer.
+    QueryDef("x159_stream_label_retract",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x159_stream"
+        rmTree(root)
+        copyTree(ExtensionQueries.labelsPathForSpec(s, d), s"$root/labels")
+        copyTree(ExtensionQueries.lshIndexFor(s, d), s"$root/idx")
+        val streamDir = s"$root/in"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(streamDir))
+        def stage(name: String, rem: Int): Unit = {
+          val tmp = s"$root/scratch-$name"
+          tbl(s, d, "documents").filter(col("doc_id") % 21 === rem)
+            .select("doc_id").coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath,
+            java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+          ()
+        }
+        def drain(): Unit = graft.streaming.StreamOps.labelRetractDrain(
+          s, streamDir, s"$root/ckpt", s"$root/labels", s"$root/idx",
+          "doc_id", threshold = 0.5)
+        stage("f1", 3); stage("f2", 10)
+        drain()
+        Dedup.compactLshIndex(s, s"$root/idx")
+        stage("f3", 17)
+        drain()
+        s.read.parquet(s"$root/labels").orderBy("doc")
+      },
+      Some(retractLabelsOracle)),
+
+    // k-anonymity / l-diversity audit (x160): the privacy-governance
+    // pass before releasing a table with quasi-identifiers — the
+    // complement of x37 (direct-identifier redaction) and x128 (card
+    // audit): RE-IDENTIFICATION risk from column COMBINATIONS. Each
+    // (mktsegment, nationkey) equivalence class reports its size (< k
+    // re-identifies members by linkage) and its sensitive-attribute
+    // diversity (< l leaks the attribute even without
+    // re-identification — the homogeneity attack). One keyed aggregate
+    // with map-side partials; suppression plans consume this table.
+    QueryDef("x160_k_anonymity",
+      (s, d) => Profile.kAnonymityAudit(tbl(s, d, "customer"),
+          Seq("c_mktsegment", "c_nationkey"), "c_acctbal", k = 5L, l = 3L)
+        .orderBy("c_mktsegment", "c_nationkey"),
+      Some("""SELECT c_mktsegment, c_nationkey,
+             |  count(*)::BIGINT AS class_size,
+             |  count(DISTINCT c_acctbal)::BIGINT AS sensitive_diversity,
+             |  (count(*) < 5) AS k_violation,
+             |  (count(DISTINCT c_acctbal) < 3) AS l_violation
+             |FROM customer GROUP BY 1, 2
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Mixed-script confusable audit (x161): the VISIBLE half of the
+    // Trojan-Source surface x151 covers for invisibles — tokens mixing
+    // Latin with Cyrillic/Greek render as ordinary words but hash,
+    // tokenize and match differently (homograph phishing, dedup
+    // evasion, poisoned text). Confusable tokens are PLANTED per
+    // doc_id residue class via codepoint construction (no raw
+    // lookalike chars in source): a Cyrillic а inside "paypal", a
+    // Greek α fronting "pple", and a three-script token — single-script
+    // tokens (including whole Cyrillic/Greek words) are never flagged.
+    QueryDef("x161_mixed_script_audit",
+      (s, d) => {
+        val cyrA = new String(Character.toChars(0x0430))   // Cyrillic а
+        val grkA = new String(Character.toChars(0x03B1))   // Greek α
+        val dirty = tbl(s, d, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(pmod(col("doc_id"), lit(10)) === 1, lit(s" p${cyrA}ypal"))
+              .when(pmod(col("doc_id"), lit(10)) === 2, lit(s" ${grkA}pple"))
+              .when(pmod(col("doc_id"), lit(10)) === 3,
+                lit(s" b${cyrA}nk$grkA ${cyrA}${cyrA} $grkA$grkA"))
+              .otherwise(lit(""))).as("text"))
+        Curation.mixedScriptAudit(dirty, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH dirty AS (SELECT doc_id, text ||
+             |    CASE doc_id % 10
+             |      WHEN 1 THEN ' p' || chr(1072) || 'ypal'
+             |      WHEN 2 THEN ' ' || chr(945) || 'pple'
+             |      WHEN 3 THEN ' b' || chr(1072) || 'nk' || chr(945) ||
+             |        ' ' || chr(1072) || chr(1072) ||
+             |        ' ' || chr(945) || chr(945)
+             |      ELSE '' END AS text
+             |  FROM documents),
+             |tk AS (SELECT doc_id,
+             |    string_split_regex(text, '\s+') AS toks FROM dirty),
+             |m AS (SELECT doc_id,
+             |    len(toks)::BIGINT AS tokens,
+             |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')
+             |      AND regexp_matches(t, '[\x{0400}-\x{04FF}]')))::BIGINT
+             |      AS latin_cyrillic,
+             |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')
+             |      AND regexp_matches(t, '[\x{0370}-\x{03FF}]')))::BIGINT
+             |      AS latin_greek,
+             |    len(list_filter(toks,
+             |      t -> regexp_matches(t, '[\x{0400}-\x{04FF}]')
+             |      AND regexp_matches(t, '[\x{0370}-\x{03FF}]')))::BIGINT
+             |      AS cyrillic_greek,
+             |    len(list_filter(toks, t ->
+             |      (regexp_matches(t, '[A-Za-z]')
+             |        AND regexp_matches(t, '[\x{0400}-\x{04FF}]'))
+             |      OR (regexp_matches(t, '[A-Za-z]')
+             |        AND regexp_matches(t, '[\x{0370}-\x{03FF}]'))
+             |      OR (regexp_matches(t, '[\x{0400}-\x{04FF}]')
+             |        AND regexp_matches(t, '[\x{0370}-\x{03FF}]'))))::BIGINT
+             |      AS mixed_script_tokens
+             |  FROM tk)
+             |SELECT doc_id, tokens, latin_cyrillic, latin_greek,
+             |  cyrillic_greek, mixed_script_tokens,
+             |  (mixed_script_tokens > 0) AS flagged
+             |FROM m ORDER BY doc_id""".stripMargin))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all

@@ -925,6 +925,37 @@ object StreamOps {
     }
   }
 
+  /** Streaming RETRACTION — `labelAbsorbDrain`'s deletion dual: a
+    * takedown feed (files of doc ids landing under `streamDir`) drains
+    * one micro-batch per file through `Dedup.retractFromLabels`,
+    * keeping the label artifact live for deletions exactly as the
+    * absorb drain keeps it live for additions. Unlike the absorb
+    * drain, NO extra replay guard is needed: retraction is idempotent
+    * by construction — a replayed micro-batch's ids are already absent
+    * from the labels (so no component is touched) and already in the
+    * tombstone store (so the append's anti-join skips them); the
+    * spec pins the double-retract no-op. Re-runnable as more takedown
+    * files land.
+    */
+  def labelRetractDrain(spark: SparkSession, streamDir: String,
+      checkpointDir: String, labelsPath: String, indexPath: String,
+      idCol: String, threshold: Double = 0.5): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .writeStream
+      .queryName("graft_label_retract")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.retractFromLabels(batch, idCol,
+          labelsPath, indexPath, threshold)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One dedup-ingest micro-batch (the foreachBatch body, exposed for
     * direct replay tests): fingerprint the batch, keep min-id-per-novel-
     * fingerprint against the committed index below `batchId`, write the

@@ -626,6 +626,12 @@ class OperatorSpec extends SparkSpec with Matchers {
     // a plain retry reconverges
     rmDir(s"$root/labels"); copyDir(s"$root/labelsPre", s"$root/labels")
     run() shouldBe first
+    // a replayed COMPLETED retraction is a no-op by construction: its
+    // ids are absent from the labels (no component touched) and already
+    // tombstoned (the append skips them) — the streaming takedown drain
+    // (x159) needs no replay guard because of exactly this
+    run() shouldBe first
+    spark.read.parquet(s"$root/idx/tombstones").count() shouldBe 1L
     // compaction folds the tombstones physically; consumers unchanged
     Dedup.compactLshIndex(spark, s"$root/idx")
     new java.io.File(s"$root/idx/tombstones").exists() shouldBe false
@@ -642,6 +648,58 @@ class OperatorSpec extends SparkSpec with Matchers {
       .orderBy("doc").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
+  }
+
+  test("kAnonymityAudit: small classes and homogeneous sensitive values are flagged") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // class (A, 1): 3 members, 3 distinct values -> k-violation only
+    // class (A, 2): 5 members, 1 distinct value  -> l-violation only
+    // class (B, 1): 5 members, 3 distinct values -> clean
+    val rows = Seq(
+      ("A", 1, 10.0), ("A", 1, 20.0), ("A", 1, 30.0),
+      ("A", 2, 7.0), ("A", 2, 7.0), ("A", 2, 7.0), ("A", 2, 7.0), ("A", 2, 7.0),
+      ("B", 1, 1.0), ("B", 1, 2.0), ("B", 1, 3.0), ("B", 1, 1.0), ("B", 1, 2.0)
+    ).toDF("seg", "nat", "bal")
+    val out = Profile.kAnonymityAudit(rows, Seq("seg", "nat"), "bal",
+        k = 5L, l = 2L)
+      .orderBy("seg", "nat").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5)))
+    out.toSeq shouldBe Seq(
+      ("A", 1, 3L, 3L, true, false),
+      ("A", 2, 5L, 1L, false, true),
+      ("B", 1, 5L, 3L, false, false))
+    intercept[IllegalArgumentException] {
+      Profile.kAnonymityAudit(rows, Seq.empty, "bal", k = 5L)
+    }
+  }
+
+  test("mixedScriptAudit: cross-script tokens flag; pure-script tokens never do") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val cyrA = new String(Character.toChars(0x0430))  // Cyrillic а
+    val cyrWord = new String(Character.toChars(0x043C)) +
+      new String(Character.toChars(0x0438)) +
+      new String(Character.toChars(0x0440))           // мир — pure Cyrillic
+    val grkA = new String(Character.toChars(0x03B1))  // Greek α
+    val rows = Seq(
+      (1L, s"hello p${cyrA}ypal world"),      // one Latin+Cyrillic token
+      (2L, s"plain latin text only"),         // clean
+      (3L, s"$cyrWord $cyrWord latin"),       // pure Cyrillic + pure Latin: clean
+      (4L, s"${grkA}pple b${cyrA}nk$grkA"),   // Latin+Greek and a 3-script token
+      (5L, s"$cyrA$grkA")                     // Cyrillic+Greek, no Latin
+    ).toDF("id", "text")
+    val out = Curation.mixedScriptAudit(rows, "id", "text")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 0L, 0L, 1L, true),
+      (2L, 0L, 0L, 0L, 0L, false),
+      (3L, 0L, 0L, 0L, 0L, false),
+      (4L, 1L, 2L, 1L, 2L, true),
+      (5L, 0L, 0L, 1L, 1L, true))
   }
 
   private def rmDir(path: String): Unit = {
