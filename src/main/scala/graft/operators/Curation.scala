@@ -632,6 +632,48 @@ object Curation {
       .withColumn("flagged", col("mixed_script_tokens") > 0)
   }
 
+  /** HTML text extraction — the crawl pipeline's very first transform:
+    * strip script/style blocks, drop tags, decode the six ubiquitous
+    * entities, collapse whitespace, and report the structural signals a
+    * boilerplate classifier feeds on (tag count, anchor count). This is
+    * the DETERMINISTIC heuristic core of the extraction stage (the
+    * trafilatura/jusText class of tools adds learned block scoring on
+    * top — their block features are exactly these counts per block):
+    * every step is a regex or literal replace with identical semantics
+    * in any RE2/Java-regex engine, so the whole transform is
+    * oracle-portable and exact.
+    *
+    * Order matters twice, so it is fixed and documented: script/style
+    * bodies are removed BEFORE tag stripping (their content is code,
+    * not text — and may itself contain markup inside string literals),
+    * and `&amp;` decodes LAST so "&amp;lt;" yields the literal "&lt;"
+    * rather than double-decoding to "<". Map-side single-pass per row;
+    * at 100 TB this is the scan-bound transform it should be. Output:
+    * (id, text, tag_count, link_count, chars), one row per input row.
+    */
+  def htmlExtract(df: DataFrame, idCol: String, htmlCol: String): DataFrame = {
+    val noScript = regexp_replace(
+      regexp_replace(col(htmlCol), "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    df.select(col(idCol),
+        noScript.as("__ns"),
+        regexp_count(col(htmlCol), lit("<[^>]+>")).cast("long")
+          .as("tag_count"),
+        regexp_count(col(htmlCol), lit("(?i)<a[\\s>]")).cast("long")
+          .as("link_count"))
+      .withColumn("__t", regexp_replace(col("__ns"), "<[^>]+>", " "))
+      .withColumn("__d",
+        // literal entity decode; ampersand LAST (see scaladoc)
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(col("__t"),
+            "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"),
+          "&quot;", "\""), "&#39;", "'"), "&amp;", "&"))
+      .select(col(idCol),
+        trim(regexp_replace(col("__d"), "\\s+", " ")).as("text"),
+        col("tag_count"), col("link_count"))
+      .withColumn("chars", length(col("text")).cast("long"))
+  }
+
   def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
       rates: Map[String, Int], defaultRate: Int, outOf: Int = 100): DataFrame = {
     require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= outOf),

@@ -1338,7 +1338,71 @@ object EvalQueries {
              |SELECT doc_id, tokens, latin_cyrillic, latin_greek,
              |  cyrillic_greek, mixed_script_tokens,
              |  (mixed_script_tokens > 0) AS flagged
-             |FROM m ORDER BY doc_id""".stripMargin))
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    // HTML text extraction (x162): the crawl pipeline's FIRST transform
+    // (Curation.htmlExtract) — strip script/style bodies, drop tags,
+    // decode the six ubiquitous entities (ampersand LAST so &amp;lt;
+    // yields a literal &lt;), collapse whitespace, and report the
+    // tag/anchor counts a boilerplate classifier feeds on. The corpus
+    // text is wrapped in planted HTML per doc_id residue class —
+    // anchors, a script whose STRING LITERAL contains markup (must not
+    // leak into the text), an entity gauntlet, and a list — built
+    // identically in both engines.
+    QueryDef("x162_html_extract",
+      (s, d) => {
+        val html = concat(
+          lit("<html><head><title>T</title><style>p{color:red}</style>" +
+            "</head><body><p>"),
+          col("text"), lit("</p>"),
+          when(pmod(col("doc_id"), lit(5)) === 1,
+            lit("<a href=\"#\">read more</a><a href=\"#\">next</a>"))
+            .when(pmod(col("doc_id"), lit(5)) === 2,
+              lit("<script type=\"text/javascript\">var x = " +
+                "\"<p>not text</p>\";</script>"))
+            .when(pmod(col("doc_id"), lit(5)) === 3,
+              lit("<div>&amp;lt; &lt;b&gt; &nbsp;&quot;q&quot; &#39;s</div>"))
+            .when(pmod(col("doc_id"), lit(5)) === 4,
+              lit("<ul><li>alpha</li><li>beta</li></ul>"))
+            .otherwise(lit("")),
+          lit("</body></html>"))
+        Curation.htmlExtract(
+            tbl(s, d, "documents").select(col("doc_id"), html.as("html")),
+            "doc_id", "html")
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (SELECT doc_id,
+             |    '<html><head><title>T</title><style>p{color:red}</style>' ||
+             |    '</head><body><p>' || text || '</p>' ||
+             |    CASE doc_id % 5
+             |      WHEN 1 THEN '<a href="#">read more</a><a href="#">next</a>'
+             |      WHEN 2 THEN '<script type="text/javascript">var x = ' ||
+             |        '"<p>not text</p>";</script>'
+             |      WHEN 3 THEN
+             |        '<div>&amp;lt; &lt;b&gt; &nbsp;&quot;q&quot; &#39;s</div>'
+             |      WHEN 4 THEN '<ul><li>alpha</li><li>beta</li></ul>'
+             |      ELSE '' END || '</body></html>' AS html
+             |  FROM documents),
+             |s1 AS (SELECT doc_id,
+             |    regexp_replace(regexp_replace(html,
+             |      '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |      '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS ns,
+             |    len(regexp_extract_all(html, '<[^>]+>'))::BIGINT AS tag_count,
+             |    len(regexp_extract_all(html, '(?i)<a[\s>]'))::BIGINT
+             |      AS link_count
+             |  FROM h),
+             |s2 AS (SELECT doc_id, tag_count, link_count,
+             |    replace(replace(replace(replace(replace(replace(
+             |      regexp_replace(ns, '<[^>]+>', ' ', 'g'),
+             |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             |      '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS d
+             |  FROM s1)
+             |SELECT doc_id,
+             |  trim(regexp_replace(d, '\s+', ' ', 'g')) AS text,
+             |  tag_count, link_count,
+             |  length(trim(regexp_replace(d, '\s+', ' ', 'g')))::BIGINT
+             |    AS chars
+             |FROM s2 ORDER BY doc_id""".stripMargin))
   )
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all

@@ -650,6 +650,30 @@ class OperatorSpec extends SparkSpec with Matchers {
     back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
   }
 
+  test("htmlExtract: script bodies never leak, entities decode once, counts are structural") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val rows = Seq(
+      (1L, "<html><body><p>Hello  world</p><a href=\"x\">more</a></body></html>"),
+      // the script STRING LITERAL contains markup — none of it is text
+      (2L, "<body><script>var a = \"<p>sneaky</p>\";</script><p>kept</p></body>"),
+      // &amp;lt; must decode to the LITERAL &lt; (single decode pass)
+      (3L, "<p>&amp;lt; &lt;tag&gt; &quot;q&quot; &#39;s &nbsp;end</p>"),
+      (4L, "<STYLE>p{}</STYLE><P>Upper case tags</P>")
+    ).toDF("id", "html")
+    val out = Curation.htmlExtract(rows, "id", "html")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // tag_count is STRUCTURAL on the raw html — it counts the markup in
+    // the script's string literal too (8 in row 2), while the TEXT
+    // never sees it
+    out.toSeq shouldBe Seq(
+      (1L, "Hello world more", 8L, 1L),
+      (2L, "kept", 8L, 0L),
+      (3L, "&lt; <tag> \"q\" 's end", 2L, 0L),
+      (4L, "Upper case tags", 4L, 0L))
+  }
+
   test("kAnonymityAudit: small classes and homogeneous sensitive values are flagged") {
     import spark.implicits._
     import graft.operators.Profile
