@@ -45,6 +45,49 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Truncated-dimension recall audit — the measurement behind
+    * matryoshka-style embedding deployment: serve ANN from a PREFIX of
+    * each vector (8/16/32 of 64 dims — index shrinks proportionally)
+    * and quantify what the truncation costs against the full-dimension
+    * exact top-k. One row per candidate dim: (dim, hits, total,
+    * recall_x10000) aggregated across the query set — the table a team
+    * reads to pick the serving dimension. Self-certifying like x104's
+    * IVF recall: both legs are exact brute force, just at different
+    * dims, so the report is deterministic end to end (ties broken by
+    * neighbor id).
+    *
+    * Scale: each leg is the bruteForceTopK shape — queries broadcast,
+    * corpus streamed once per dim; the full-dim exact leg is computed
+    * ONCE (checkpointed) and joined by every dim's hit count.
+    */
+  def truncatedDimRecall(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dims: Seq[Int],
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
+    require(dims.nonEmpty, "truncatedDimRecall: empty dim list")
+    require(dims.forall(_ >= 1), "truncatedDimRecall: dims must be >= 1")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val exact = bruteForceTopK(queries, corpus, idCol, vecCol, k, scorer)
+      .select("query_id", "neighbor_id").localCheckpoint()
+    val perDim = dims.map { d =>
+      val qd = queries.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      val cd = corpus.select(col(idCol),
+        slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(qd, cd, idCol, vecCol, k, scorer)
+        .select(col("query_id"), col("neighbor_id"), lit(d).as("dim"))
+    }.reduce(_ unionByName _)
+    val hits = perDim.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy("dim").agg(count(lit(1)).as("hits"))
+    val total = exact.agg(count(lit(1)).as("total"))
+    dims.toDF("dim")
+      .join(hits, Seq("dim"), "left")
+      .na.fill(0L, Seq("hits"))
+      .crossJoin(broadcast(total))
+      .withColumn("recall_x10000", expr("div(10000 * hits, total)"))
+      .orderBy("dim")
+  }
+
   /** Sign-bit LSH bucket over the first `bits` dimensions: bit j set when
     * vec[j] > 0. A deterministic random-hyperplane sketch that needs no
     * stored hyperplanes — the scale path for bucketed ANN and the blocking

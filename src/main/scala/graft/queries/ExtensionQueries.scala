@@ -3263,6 +3263,56 @@ object ExtensionQueries {
              |  (100 * coalesce(h.hits, 0)) // 10 AS recall_x100
              |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)),
 
+    // Truncated-dimension (matryoshka) recall (x163): serve ANN from a
+    // PREFIX of each embedding (8/16/32 of 64 dims — the index shrinks
+    // proportionally) and measure what the truncation costs against the
+    // full-dimension exact top-5 — the table a team reads to pick the
+    // serving dimension. Both legs are exact brute force (x104's
+    // self-certifying discipline), so the report is deterministic end
+    // to end; ties break by neighbor id in both engines.
+    QueryDef("x163_matryoshka_recall",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.truncatedDimRecall(emb.filter(col("vec_id") < 10), emb,
+          "vec_id", "embedding", k = 5, dims = Seq(8, 16, 32))
+      },
+      Some {
+        def dimBlock(dm: Int): String =
+          s"""t$dm AS (SELECT query_id, neighbor_id FROM (
+             |  SELECT query_id, c.vec_id AS neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY
+             |      ${dkCosine(s"list_slice(qv, 1, $dm)", s"list_slice(c.vec, 1, $dm)")} DESC,
+             |      c.vec_id) AS rank
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id)
+             |  WHERE rank <= 5)""".stripMargin
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> x::DOUBLE) AS vec
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS query_id, vec AS qv FROM v WHERE vec_id < 10),
+           |ex AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, c.vec_id AS neighbor_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      ${dkCosine("qv", "c.vec")} DESC, c.vec_id) AS rank
+           |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id)
+           |  WHERE rank <= 5),
+           |tot AS (SELECT count(*)::BIGINT AS total FROM ex),
+           |${dimBlock(8)},
+           |${dimBlock(16)},
+           |${dimBlock(32)},
+           |hits AS (
+           |  SELECT 8 AS dim, count(*)::BIGINT AS hits
+           |    FROM t8 JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 16, count(*)::BIGINT
+           |    FROM t16 JOIN ex USING (query_id, neighbor_id)
+           |  UNION ALL
+           |  SELECT 32, count(*)::BIGINT
+           |    FROM t32 JOIN ex USING (query_id, neighbor_id))
+           |SELECT dim, hits, total,
+           |  ((10000 * hits)::BIGINT // total)::BIGINT AS recall_x10000
+           |FROM hits CROSS JOIN tot ORDER BY dim""".stripMargin
+      }),
+
     // Dup-cluster census (x105): the dedup-audit histogram — how many
     // near-dup clusters of each size exist (size 1 = unique docs). Two
     // keyed aggregates over the canonical labels; the census is what a

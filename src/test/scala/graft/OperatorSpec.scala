@@ -650,6 +650,23 @@ class OperatorSpec extends SparkSpec with Matchers {
     back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
   }
 
+  test("truncatedDimRecall: a prefix-collinear decoy costs recall at the low dim, full dim is exact") {
+    import spark.implicits._
+    // query 0 = (1,0,0,1). Neighbor 1's 2-dim PREFIX is exactly
+    // collinear with the query's (cosine 1) but its full vector is
+    // orthogonal; neighbor 2 is the true full-dim top-1. So dim 2
+    // picks 1 (recall 0), dim 4 picks 2 (recall 1).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(1.0f, 0.0f, -1.0f, -1.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f, 0.93f))).toDF("vec_id", "embedding")
+    val out = Similarity.truncatedDimRecall(vecs.filter($"vec_id" === 0L),
+        vecs, "vec_id", "embedding", k = 1, dims = Seq(2, 4))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq((2, 0L, 1L, 0L), (4, 1L, 1L, 10000L))
+  }
+
   test("htmlExtract: script bodies never leak, entities decode once, counts are structural") {
     import spark.implicits._
     import graft.operators.Curation
