@@ -511,77 +511,37 @@ object Dedup {
     // (probeLshIndex, absorbIntoLabels) validate against this store.
     val s = index.sparkSession
     import s.implicits._
-    Seq((shingleSize, numHashes, bands))
+    val meta = Seq((shingleSize, numHashes, bands))
       .toDF("shingle_size", "num_hashes", "bands")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
     // the build knows the parameters it just wrote — seed the JVM-local
-    // cache so the FIRST consumer already skips the meta-read job
-    indexMetaCache.put(qualifiedPath(s, path),
-      Some((shingleSize, numHashes, bands)))
-    ()
+    // cache so the FIRST consumer already skips the meta-read job (the
+    // head() is a LocalTableScan, not a file read)
+    ArtifactStore.seedMeta(s, path, meta.head())
   }
-
-  /** JVM-local cache of index build parameters, keyed by the QUALIFIED
-    * index path: the meta store is write-once per build, but the naive
-    * validation ran one uncached Spark job per probe/absorb call — a
-    * fixed driver round-trip per batch, exactly the per-batch overhead
-    * class a many-small-batches production absorb loop must avoid
-    * (round-10 verdict: most of x110's bench residue was 5 of these).
-    * `None` caches "index predates the meta store". `buildLshIndex`
-    * repopulates the entry it writes; paths mutated OUTSIDE these APIs
-    * (a raw file copy over an existing index) are on the caller —
-    * `invalidateIndexMeta` is the escape hatch.
-    */
-  private val indexMetaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[(Int, Int, Int)]]()
 
   /** Count of actual meta-store reads (Spark jobs), exposed so the spec
-    * can pin "at most one read per (JVM, path)". */
-  private[graft] val indexMetaReads = new java.util.concurrent.atomic.AtomicLong(0)
+    * can pin "at most one read per (JVM, path)". The cache itself lives
+    * in `ArtifactStore` (round 11: the store discipline is shared with
+    * the IVF vector-index family). */
+  private[graft] val indexMetaReads = ArtifactStore.metaReads
 
   private[graft] def invalidateIndexMeta(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    indexMetaCache.remove(qualifiedPath(spark, indexPath)); ()
-  }
-
-  /** Qualify a path against its Hadoop filesystem so cache keys are
-    * canonical across `file:/`-vs-bare spellings. */
-  private def qualifiedPath(spark: org.apache.spark.sql.SparkSession,
-      path: String): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
-  }
-
-  /** Existence probe through the Hadoop FileSystem API — `java.io.File`
-    * here silently answered "no" for every hdfs:///s3:// URI, skipping
-    * parameter validation exactly where a production index lives
-    * (round-10 advisory). */
-  private def hadoopExists(spark: org.apache.spark.sql.SparkSession,
-      path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+      indexPath: String): Unit = ArtifactStore.invalidateMeta(spark, indexPath)
 
   /** Validate a caller's MinHash parameters against the `meta` store a
     * `buildLshIndex` write left beside the index. Indexes from before
     * the meta store (no `meta` dir) skip the check — the contract is
     * then the caller's to uphold, as it always was. The stored
-    * parameters are read ONCE per (JVM, path) and served from
-    * `indexMetaCache` after that.
+    * parameters are read ONCE per (JVM, path) and served from the
+    * `ArtifactStore` meta cache after that.
     */
   private def checkIndexParams(spark: org.apache.spark.sql.SparkSession,
       indexPath: String, shingleSize: Int, numHashes: Int,
       bands: Int): Unit = {
-    val stored = indexMetaCache.computeIfAbsent(
-      qualifiedPath(spark, indexPath),
-      _ => if (!hadoopExists(spark, s"$indexPath/meta")) None
-      else {
-        indexMetaReads.incrementAndGet()
-        val r = spark.read.parquet(s"$indexPath/meta").head()
-        Some((r.getAs[Int]("shingle_size"), r.getAs[Int]("num_hashes"),
-          r.getAs[Int]("bands")))
-      })
-    stored.foreach { case (ss, nh, bb) =>
+    ArtifactStore.cachedMeta(spark, indexPath).foreach { r =>
+      val (ss, nh, bb) = (r.getAs[Int]("shingle_size"),
+        r.getAs[Int]("num_hashes"), r.getAs[Int]("bands"))
       require(ss == shingleSize && nh == numHashes && bb == bands,
         s"LSH index at $indexPath was built with shingleSize=$ss, " +
           s"numHashes=$nh, bands=$bb but the probe asked for " +
@@ -616,13 +576,8 @@ object Dedup {
     * stores physically when they grow.
     */
   private def indexStore(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String, which: String): DataFrame = {
-    val df = spark.read.parquet(s"$indexPath/$which")
-    if (hadoopExists(spark, s"$indexPath/tombstones"))
-      df.join(broadcast(spark.read.parquet(s"$indexPath/tombstones")
-        .select("doc")), Seq("doc"), "left_anti")
-    else df
-  }
+      indexPath: String, which: String): DataFrame =
+    ArtifactStore.readStore(spark, indexPath, which, "doc")
 
   /** Corpus-wide near-dup PAIRS from a persisted index (`buildLshIndex`)
     * — the pair-family consumer of the write-once artifact: the labels
@@ -763,8 +718,8 @@ object Dedup {
     // tombstone filter hides (the index append is raw): re-ingesting a
     // retracted id (re-crawl supersede) requires compactLshIndex first,
     // or a fresh id — fail loud, not silently inconsistent
-    if (hadoopExists(spark, s"$indexPath/tombstones")) {
-      val clash = spark.read.parquet(s"$indexPath/tombstones").select("doc")
+    if (ArtifactStore.hasTombstones(spark, indexPath)) {
+      val clash = ArtifactStore.tombstoneKeys(spark, indexPath, "doc")
         .join(broadcast(bFeats.select("doc")), Seq("doc"), "left_semi")
         .limit(1).count()
       require(clash == 0L,
@@ -839,62 +794,28 @@ object Dedup {
     // a retry found nothing to do and the index silently missed the
     // batch's near-dup edges forever (round-10 advisory).
     if (outIndex == indexPath) {
-      // idempotent append: drop batch rows each store already holds —
-      // `present` is checkpointed (eager) so the store scan completes
-      // before the append job mutates the directory it scanned
+      // idempotent append: drop batch rows each store already holds
+      // (ArtifactStore.appendMissing — the store scan checkpoints
+      // before the append job mutates the directory it scanned)
       val batchDocs = bFeats.select("doc").distinct().localCheckpoint()
-      def appendMissing(store: DataFrame, rows: DataFrame, path: String): Unit = {
-        val present = store.select("doc")
-          .join(broadcast(batchDocs), Seq("doc"), "left_semi")
-          .distinct().localCheckpoint()
-        rows.join(broadcast(present), Seq("doc"), "left_anti")
-          .write.mode("append").parquet(path)
-      }
-      appendMissing(storedFeats, bFeats, s"$outIndex/features")
-      appendMissing(storedBuckets, bBuckets, s"$outIndex/buckets")
+      ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
+        batchDocs, bFeats)
+      ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
+        batchDocs, bBuckets)
     } else {
       storedFeats.unionByName(bFeats).write.mode("overwrite")
         .parquet(s"$outIndex/features")
       storedBuckets.unionByName(bBuckets).write.mode("overwrite")
         .parquet(s"$outIndex/buckets")
       // the grown copy keeps the build-parameter contract of its base
-      if (hadoopExists(spark, s"$indexPath/meta")) {
+      if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
         spark.read.parquet(s"$indexPath/meta")
           .write.mode("overwrite").parquet(s"$outIndex/meta")
         invalidateIndexMeta(spark, outIndex)
       }
     }
-    writeParquetStaged(spark, merged, outLabels)
+    ArtifactStore.writeParquetStaged(spark, merged, outLabels)
     spark.read.parquet(outLabels)
-  }
-
-  /** Swap-style parquet rewrite for the label-store mutations: plain
-    * `mode("overwrite")` DELETES the target before the job runs, so a
-    * mid-job crash loses the store outright. Here the new data lands
-    * complete at `<path>.__staging` first, then two renames swap it in
-    * (old store parked at `<path>.__old` until the swap commits). At
-    * every instant a COMPLETE store exists under some path; the one
-    * crash window between the renames leaves the previous store intact
-    * at `<path>.__old` — recovery is renaming it back. Stale staging/
-    * old dirs from a crashed run are cleared on entry.
-    */
-  private[operators] def writeParquetStaged(
-      spark: org.apache.spark.sql.SparkSession,
-      df: DataFrame, path: String): Unit = {
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-    val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
-    val old = new org.apache.hadoop.fs.Path(path + ".__old")
-    fs.delete(staging, true)
-    fs.delete(old, true)
-    df.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) require(fs.rename(target, old),
-      s"writeParquetStaged: could not park $target at $old")
-    require(fs.rename(staging, target),
-      s"writeParquetStaged: could not swap $staging into $target " +
-        s"(previous store intact at $old)")
-    fs.delete(old, true)
-    ()
   }
 
   /** RETRACTION — the deletion dual of `absorbIntoLabels`, and the last
@@ -1004,16 +925,7 @@ object Dedup {
     // index mutation first (idempotent), labels swap last — the same
     // recovery-by-retry contract as absorbIntoLabels' write phase
     if (outIndex == indexPath) {
-      val existing =
-        if (hadoopExists(spark, s"$indexPath/tombstones"))
-          spark.read.parquet(s"$indexPath/tombstones").select("doc")
-            .join(broadcast(rids), Seq("doc"), "left_semi")
-            .distinct().localCheckpoint()
-        else spark.emptyDataFrame
-      val fresh =
-        if (existing.isEmpty) rids
-        else rids.join(broadcast(existing), Seq("doc"), "left_anti")
-      fresh.write.mode("append").parquet(s"$outIndex/tombstones")
+      ArtifactStore.appendTombstones(spark, outIndex, "doc", rids)
     } else {
       // audit copy: physically compacted, base untouched
       val drop = broadcast(rids)
@@ -1023,13 +935,13 @@ object Dedup {
       indexStore(spark, indexPath, "buckets")
         .join(drop, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/buckets")
-      if (hadoopExists(spark, s"$indexPath/meta")) {
+      if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
         spark.read.parquet(s"$indexPath/meta")
           .write.mode("overwrite").parquet(s"$outIndex/meta")
         invalidateIndexMeta(spark, outIndex)
       }
     }
-    writeParquetStaged(spark, merged, outLabels)
+    ArtifactStore.writeParquetStaged(spark, merged, outLabels)
     spark.read.parquet(outLabels)
   }
 
@@ -1044,17 +956,8 @@ object Dedup {
     * rows), and a retry completes whatever a crash left undone.
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
-      indexPath: String): Unit = {
-    if (hadoopExists(spark, s"$indexPath/tombstones")) {
-      writeParquetStaged(spark, indexStore(spark, indexPath, "features"),
-        s"$indexPath/features")
-      writeParquetStaged(spark, indexStore(spark, indexPath, "buckets"),
-        s"$indexPath/buckets")
-      val t = new org.apache.hadoop.fs.Path(s"$indexPath/tombstones")
-      t.getFileSystem(spark.sessionState.newHadoopConf()).delete(t, true)
-      ()
-    }
-  }
+      indexPath: String): Unit =
+    ArtifactStore.compact(spark, indexPath, Seq("features", "buckets"), "doc")
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
     * least one NON-FLOODED character-n-gram are verified exactly. For

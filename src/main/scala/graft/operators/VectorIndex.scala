@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF vector index — the ANN counterpart of the LSH
+  * label/index artifact family, with the SAME full lifecycle:
+  * build once per corpus generation, probe per query batch, ABSORB new
+  * vectors as the crawl embeds them, RETRACT on takedown, compact
+  * periodically. Built on `ArtifactStore`'s shared discipline
+  * (staged swaps, tombstone deletion vectors, idempotent appends,
+  * cached meta).
+  *
+  * Layout under `path`:
+  *   `centroids`  (cid, centroid)            — the frozen codebook
+  *   `vectors`    (vec_id, vec, cell)        — corpus vectors + cell
+  *   `meta`       (nlist, train_iterations)  — build-parameter contract
+  *   `tombstones` (vec_id)                   — retracted, until compact
+  *
+  * FROZEN-CODEBOOK contract: `absorbIntoIvfIndex` assigns new vectors
+  * to the STORED centroids and never moves them — the codebook is a set
+  * of k-means PARAMETERS, not corpus members, so retraction also leaves
+  * it untouched (a retracted vector that seeded a centroid stops being
+  * searchable; its geometry persists). That is what keeps both
+  * maintenance operations batch-bounded and the probe answers
+  * well-defined at every point in time; codebook drift under a shifted
+  * ingest distribution is handled by a periodic REBUILD, exactly as
+  * tombstone growth is handled by `compactIvfIndex`. (FAISS's IVF has
+  * the same contract: `add()` never retrains the quantizer.)
+  */
+object VectorIndex {
+
+  private def nonZero(df: DataFrame, vecCol: String): DataFrame =
+    df.filter(exists(col(vecCol).cast("array<double>"), v => v =!= 0.0))
+
+  /** Argmax-cosine cell per vector against a broadcast codebook (ties →
+    * smaller cid) — `Similarity.ivfTopK`'s assignment shape. */
+  private def assign(vecs: DataFrame, codebook: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(codebook))
+      .select(col("vec_id"), col("vec"), col("cid"),
+        Similarity.cosine(col("vec"), col("centroid")).as("cc"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cc"), -col("cid"))).as("cell"),
+        first(col("vec")).as("vec"))
+      .select("vec_id", "vec", "cell")
+
+  /** Build the index: codebook (the deterministic first-`nlist`-by-id
+    * sample quantizer, optionally Lloyd-refined) + cell-assigned corpus
+    * vectors + the parameter meta row. Zero-norm vectors are dropped
+    * (their cosine is undefined), as in `ivfTopK`.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16, trainIterations: Int = 0): Unit = {
+    require(nlist >= 1, "buildIvfIndex: nlist must be >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = nonZero(corpus, vecCol).select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val codebook =
+      if (trainIterations > 0)
+        Similarity.trainCodebook(nonZero(corpus, vecCol), idCol, vecCol,
+          nlist, trainIterations)
+      else vecs.orderBy("vec_id").limit(nlist)
+        .select(col("vec_id").as("cid"), col("vec").as("centroid"))
+    codebook.write.mode("overwrite").parquet(s"$path/centroids")
+    assign(vecs, spark.read.parquet(s"$path/centroids"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    val meta = Seq((nlist, trainIterations))
+      .toDF("nlist", "train_iterations")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    ArtifactStore.seedMeta(spark, path, meta.head())
+  }
+
+  /** Probe the stored index: queries rank the stored centroids, visit
+    * their `nprobe` nearest cells, and score exactly against the
+    * (tombstone-filtered) stored vectors in those cells. Identical
+    * output contract to `Similarity.ivfTopK` — (query_id, rank,
+    * neighbor_id, cosine) — with the index side two column-pruned
+    * parquet scans instead of an in-plan corpus re-assignment.
+    */
+  def probeIvfIndex(queries: DataFrame, indexPath: String, idCol: String,
+      vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    ArtifactStore.cachedMeta(spark, indexPath).foreach { m =>
+      require(nprobe <= m.getAs[Int]("nlist"),
+        s"probeIvfIndex: nprobe=$nprobe exceeds the stored nlist=" +
+          s"${m.getAs[Int]("nlist")} at $indexPath")
+    }
+    val codebook = spark.read.parquet(s"$indexPath/centroids")
+    val vectors = ArtifactStore.readStore(spark, indexPath, "vectors",
+      "vec_id")
+    val q = nonZero(queries, vecCol).select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("qc").desc, col("cid"))
+    val probes = q.crossJoin(broadcast(codebook))
+      .select(col("query_id"), col("qv"), col("cid"),
+        Similarity.cosine(col("qv"), col("centroid")).as("qc"))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val scored = broadcast(probes).join(vectors, Seq("cell"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        Similarity.cosine(col("qv"), col("vec")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Absorb a fresh vector batch: assign to the STORED (frozen)
+    * centroids, append to the vectors store idempotently — a retry
+    * after a partial failure skips the committed rows, so the crawl's
+    * embed-and-absorb loop is replay-safe. Ids must be disjoint from
+    * the indexed corpus; a batch id colliding with a TOMBSTONED id
+    * fails loud (compact first — the re-crawl supersede path), exactly
+    * like `Dedup.absorbIntoLabels`.
+    */
+  def absorbIntoIvfIndex(batch: DataFrame, idCol: String, vecCol: String,
+      indexPath: String): Unit = {
+    val spark = batch.sparkSession
+    val vecs = nonZero(batch, vecCol).select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    if (ArtifactStore.hasTombstones(spark, indexPath)) {
+      val clash = ArtifactStore.tombstoneKeys(spark, indexPath, "vec_id")
+        .join(broadcast(vecs.select("vec_id")), Seq("vec_id"), "left_semi")
+        .limit(1).count()
+      require(clash == 0L,
+        s"absorbIntoIvfIndex: batch contains ids tombstoned in $indexPath " +
+          "— run compactIvfIndex before re-ingesting a retracted id")
+    }
+    val assigned = assign(vecs,
+      spark.read.parquet(s"$indexPath/centroids")).localCheckpoint()
+    ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
+      assigned.select("vec_id"), assigned)
+  }
+
+  /** Retract vectors (takedown): a tombstone append — every consumer
+    * reads through the anti-join, so the cost is takedown-sized and
+    * flat in the corpus; `compactIvfIndex` is the periodic physical
+    * fold. The frozen codebook is untouched (see the object scaladoc).
+    * Idempotent: a replayed retraction appends nothing.
+    */
+  def retractFromIvfIndex(retract: DataFrame, idCol: String,
+      indexPath: String): Unit = {
+    val spark = retract.sparkSession
+    ArtifactStore.appendTombstones(spark, indexPath, "vec_id",
+      retract.select(col(idCol).as("vec_id")).distinct().localCheckpoint())
+  }
+
+  /** Fold tombstones into the vectors store physically; after it,
+    * retracted ids may be re-ingested. */
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit =
+    ArtifactStore.compact(spark, indexPath, Seq("vectors"), "vec_id")
+}

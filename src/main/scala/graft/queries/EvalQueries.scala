@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Eval, Graph, Profile}
-import graft.queries.ExtensionQueries.{dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
+import graft.operators.{Curation, Dedup, Eval, Graph, Profile, VectorIndex}
+import graft.queries.ExtensionQueries.{dkCosine, dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
 /** Detector-quality and reproducibility audit queries (x114–x117) — the
@@ -1402,8 +1402,103 @@ object EvalQueries {
              |  tag_count, link_count,
              |  length(trim(regexp_replace(d, '\s+', ' ', 'g')))::BIGINT
              |    AS chars
-             |FROM s2 ORDER BY doc_id""".stripMargin))
+             |FROM s2 ORDER BY doc_id""".stripMargin)),
+
+    // IVF vector-index LIFECYCLE (x164): the ANN artifact family gets
+    // the same build → probe → absorb loop the LSH label/index family
+    // has (VectorIndex, on the shared ArtifactStore discipline): the
+    // index is built over the vec_id % 4 != 0 slice (frozen first-8
+    // sample codebook), the % 4 == 0 batch is ABSORBED (assigned to the
+    // STORED centroids — the frozen-codebook contract, FAISS's own
+    // add() semantics), and the queries probe the grown store. The
+    // oracle recomputes the whole lifecycle declaratively: centroids
+    // from the base slice, every vector (base and absorbed alike)
+    // assigned to them, nprobe=2 cells scanned exactly.
+    QueryDef("x164_ivf_index_lifecycle",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x164_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", root, nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", root)
+        VectorIndex.probeIvfIndex(emb.filter(col("vec_id") < 10), root,
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfLifecycleOracle("TRUE"))),
+
+    // IVF retraction (x165): the DELETE edge of the same lifecycle —
+    // after the x164 build + absorb, the vec_id % 7 == 3 slice is
+    // retracted (tombstones; the frozen codebook keeps even a centroid
+    // whose seed vector was retracted — centroids are k-means
+    // parameters, not corpus members) and the probe must behave as if
+    // those vectors were never indexed. Same oracle with the searchable
+    // set filtered; the codebook subquery is NOT filtered.
+    QueryDef("x165_ivf_index_retract",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x165_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", root, nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", root)
+        VectorIndex.retractFromIvfIndex(
+          emb.filter(col("vec_id") % 7 === 3).select("vec_id"),
+          "vec_id", root)
+        VectorIndex.probeIvfIndex(emb.filter(col("vec_id") < 10), root,
+            "vec_id", "embedding", k = 10, nprobe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfLifecycleOracle("c.vec_id % 7 <> 3")))
   )
+
+  /** x164/x165 shared oracle: the full IVF lifecycle recomputed
+    * declaratively — frozen codebook from the base (% 4 != 0) slice,
+    * EVERY vector assigned to it (base and absorbed alike), queries
+    * probing their 2 nearest cells, exact cosine top-10 over the cells'
+    * vectors restricted to `searchableCond` (x165 filters out the
+    * retracted slice; the codebook is never filtered).
+    */
+  private def ivfLifecycleOracle(searchableCond: String): String =
+    s"""WITH v AS (SELECT vec_id,
+       |    list_transform(embedding, x -> x::DOUBLE) AS vec
+       |  FROM embeddings),
+       |cb AS (SELECT vec_id AS cid, vec AS centroid FROM v
+       |  WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
+       |cells AS (SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell
+       |  FROM (SELECT c.vec_id, c.vec, cb.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${dkCosine("c.vec", "cb.centroid")} DESC, cb.cid)
+       |        AS rn
+       |    FROM v c CROSS JOIN cb WHERE $searchableCond) a
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, vec AS qv FROM v
+       |  WHERE vec_id < 10),
+       |probes AS (SELECT query_id, qv, cell FROM (
+       |    SELECT q.query_id, q.qv, cb.cid AS cell,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${dkCosine("q.qv", "cb.centroid")} DESC, cb.cid)
+       |        AS pr
+       |    FROM q CROSS JOIN cb) p
+       |  WHERE pr <= 2)
+       |SELECT query_id, rank, neighbor_id, cosine_x1m FROM (
+       |  SELECT query_id, neighbor_id,
+       |    floor(${dkCosine("p.qv", "c.cv")} * 1000000)::BIGINT
+       |      AS cosine_x1m,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${dkCosine("p.qv", "c.cv")} DESC, c.neighbor_id)
+       |      AS rank
+       |  FROM probes p JOIN cells c USING (cell)
+       |  WHERE p.query_id <> c.neighbor_id) r
+       |WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
 
   /** x152/x153 shared oracle: the FULL canonical-labels rebuild over all
     * documents — verified MinHash pairs at the production 3/16/4/0.5

@@ -232,7 +232,7 @@ object ExtensionQueries {
   }
 
   /** DuckDB twin of Similarity.cosine: sequential folds with a 0.0 seed. */
-  private def dkCosine(a: String, b: String) = {
+  private[queries] def dkCosine(a: String, b: String) = {
     def dot(x: String, y: String) =
       s"list_reduce(list_prepend(0.0, list_transform(range(1, len($x)+1), i -> $x[i]*$y[i])), (p,q) -> p+q)"
     s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"

@@ -650,6 +650,58 @@ class OperatorSpec extends SparkSpec with Matchers {
     back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
   }
 
+  test("VectorIndex lifecycle: frozen-codebook absorb, tombstone retract, compaction, clash guard") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-vecidx").toString + "/idx"
+    VectorIndex.buildIvfIndex(base, "vec_id", "embedding", root, nlist = 2)
+    val q0 = Seq((100L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    def probe() = VectorIndex.probeIvfIndex(q0, root, "vec_id",
+        "embedding", k = 2, nprobe = 1)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    // nprobe=1: only centroid 1's cell is visited -> {1, 3}
+    probe() shouldBe Seq(1L, 3L)
+    // absorb assigns to the FROZEN codebook; the new exact-match vector
+    // takes rank 1
+    val batch = Seq((4L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    VectorIndex.absorbIntoIvfIndex(batch, "vec_id", "embedding", root)
+    probe() shouldBe Seq(4L, 1L)
+    // a replayed absorb appends nothing (idempotent per-store anti-join)
+    VectorIndex.absorbIntoIvfIndex(batch, "vec_id", "embedding", root)
+    spark.read.parquet(s"$root/vectors").groupBy("vec_id").count()
+      .agg(max("count")).head().getLong(0) shouldBe 1L
+    // retraction hides the vector from every probe; the codebook keeps
+    // centroid 1's geometry even though its seed vector is retracted
+    VectorIndex.retractFromIvfIndex(Seq(1L).toDF("vec_id"), "vec_id", root)
+    probe() shouldBe Seq(4L, 3L)
+    // re-ingesting a tombstoned id without compaction is a loud error
+    val clash = intercept[IllegalArgumentException] {
+      VectorIndex.absorbIntoIvfIndex(
+        Seq((1L, Array(0.8f, 0.0f))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", root)
+    }
+    clash.getMessage should include("tombstoned")
+    // compaction folds the tombstones physically; answers unchanged,
+    // and the id is free for re-ingest
+    VectorIndex.compactIvfIndex(spark, root)
+    new java.io.File(s"$root/tombstones").exists() shouldBe false
+    probe() shouldBe Seq(4L, 3L)
+    VectorIndex.absorbIntoIvfIndex(
+      Seq((1L, Array(0.8f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    probe() shouldBe Seq(4L, 1L)
+    // parameter contract: probing more cells than the stored nlist is
+    // a loud error, not a silent partial answer
+    val bad = intercept[IllegalArgumentException] {
+      VectorIndex.probeIvfIndex(q0, root, "vec_id", "embedding",
+        k = 2, nprobe = 3)
+    }
+    bad.getMessage should include("nlist")
+  }
+
   test("truncatedDimRecall: a prefix-collinear decoy costs recall at the low dim, full dim is exact") {
     import spark.implicits._
     // query 0 = (1,0,0,1). Neighbor 1's 2-dim PREFIX is exactly
