@@ -440,6 +440,14 @@ object TextAnalysis {
       checkpoint: Boolean = true): DataFrame = {
     val syms = bpeLoop(df, textCol, steps, checkpoint, applyLast = true)._2
     val wlen = syms.groupBy("w").agg(count(lit(1)).as("sym_count"))
+    bpeEncodeReport(df, idCol, textCol, wlen)
+  }
+
+  /** The per-doc encode report over a per-word encoded-length table —
+    * shared by the train-and-encode path (`bpeEncode`) and the
+    * stored-vocabulary consumer (`bpeEncodeFromVocab`). */
+  private def bpeEncodeReport(df: DataFrame, idCol: String,
+      textCol: String, wlen: DataFrame): DataFrame = {
     val docToks = df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
     val agg = docToks.join(wlen, Seq("w"))
@@ -449,6 +457,65 @@ object TextAnalysis {
       .na.fill(0L, Seq("words", "bpe_tokens"))
       .withColumn("avg_symbols_x100",
         expr("div(100 * bpe_tokens, greatest(words, 1))"))
+  }
+
+  /** Persist the trained BPE vocabulary — the TOKENIZER member of the
+    * write-once artifact family (labels/LSH index, IVF vector index,
+    * and now the merge table): train once per corpus generation, store
+    * the ordered merge list (+ the step-count meta, `ArtifactStore`
+    * discipline), and every later batch encodes from the STORE without
+    * retraining. The merge table is steps rows — the artifact is tiny;
+    * what it saves is the training loop's corpus pass per consumer.
+    */
+  def buildBpeVocab(df: DataFrame, textCol: String, steps: Int,
+      path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeLoop(df, textCol, steps, checkpoint = true, applyLast = false)._1
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    val meta = Seq(Tuple1(steps)).toDF("steps")
+    meta.write.mode("overwrite").parquet(s"$path/meta")
+    graft.operators.ArtifactStore.seedMeta(spark, path, meta.head())
+  }
+
+  /** Encode ANY batch with a STORED merge sequence (`buildBpeVocab`) —
+    * the artifact consumer: each stored merge is applied in training
+    * order to the batch's word set (the same relational greedy
+    * application as the trainer, each merge a broadcast 1-row join — no
+    * driver collect), so words the trainer never saw still encode
+    * correctly through whatever merges apply to their character
+    * sequences. Identical output contract to `bpeEncode`; on the
+    * training corpus itself the two are value-identical (spec-pinned).
+    */
+  def bpeEncodeFromVocab(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val spark = df.sparkSession
+    val steps = graft.operators.ArtifactStore.cachedMeta(spark, path)
+      .map(_.getAs[Int]("steps"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bpeEncodeFromVocab: no vocab meta at $path — build with buildBpeVocab"))
+    import org.apache.spark.sql.expressions.Window
+    val wWin = Window.partitionBy("w").orderBy("pos")
+    val merges = spark.read.parquet(s"$path/merges")
+    // batch word set → character symbol state (freq carried as 1: the
+    // merge APPLICATION is frequency-agnostic; freq only matters when
+    // training picks the merges, which already happened)
+    var syms = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$")).distinct()
+      .select(col("w"), lit(1L).as("freq"),
+        posexplode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")))
+      .select(col("w"), col("freq"), (col("pos") + 1).as("pos"),
+        col("col").as("sym"))
+      .localCheckpoint()
+    (1 to steps).foreach { t =>
+      val b = broadcast(merges.filter(col("step") === t)
+        .select(col("left_sym").as("__a"), col("right_sym").as("__b")))
+      syms = applyBpeMerge(syms, b, wWin).localCheckpoint()
+    }
+    bpeEncodeReport(df, idCol, textCol,
+      syms.groupBy("w").agg(count(lit(1)).as("sym_count")))
   }
 
   /** The shared BPE training loop: returns (per-step best-pair frames,
@@ -481,27 +548,42 @@ object TextAnalysis {
       if (t < steps || applyLast) {
         val b = broadcast(best.select(col("left_sym").as("__a"),
           col("right_sym").as("__b")))
-        val accepted = withNext.crossJoin(b)
-          .filter(col("sym") === col("__a") && col("nxt") === col("__b"))
-          .withColumn("rn", row_number().over(wWin))
-          .withColumn("rg", row_number().over(
-            Window.partitionBy(col("w"), col("pos") - col("rn")).orderBy("pos")))
-          .filter(col("rg") % 2 === 1)
-          .select(col("w"), col("pos"))
-        syms = cp(syms.crossJoin(b)
-          .join(accepted.withColumn("__acc", lit(true)), Seq("w", "pos"), "left")
-          .join(accepted.select(col("w"), (col("pos") + 1).as("pos"))
-            .withColumn("__cons", lit(true)), Seq("w", "pos"), "left")
-          .filter(col("__cons").isNull)
-          .select(col("w"), col("freq"),
-            row_number().over(wWin).as("pos"),
-            when(col("__acc"), concat(col("__a"), col("__b")))
-              .otherwise(col("sym")).as("sym")))
+        syms = cp(applyBpeMerge(syms, b, wWin))
       }
       best.select(lit(t).as("step"), col("left_sym"), col("right_sym"),
         col("pair_count"))
     }
     (out, syms)
+  }
+
+  /** One greedy merge application over a (w, freq, pos, sym) symbol
+    * state: matched adjacent positions group into consecutive runs
+    * (pos − row_number) and every odd-ranked match in a run is accepted
+    * — BPE's non-overlapping left-to-right scan, relationally. `b` is
+    * the 1-row (__a, __b) merge-pair frame, broadcast in-plan (both the
+    * trainer's per-step winner and a STORED merge row arrive this way —
+    * no driver collect on either path).
+    */
+  private def applyBpeMerge(syms: DataFrame, b: DataFrame,
+      wWin: org.apache.spark.sql.expressions.WindowSpec): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withNext = syms.withColumn("nxt", lead("sym", 1).over(wWin))
+    val accepted = withNext.crossJoin(b)
+      .filter(col("sym") === col("__a") && col("nxt") === col("__b"))
+      .withColumn("rn", row_number().over(wWin))
+      .withColumn("rg", row_number().over(
+        Window.partitionBy(col("w"), col("pos") - col("rn")).orderBy("pos")))
+      .filter(col("rg") % 2 === 1)
+      .select(col("w"), col("pos"))
+    syms.crossJoin(b)
+      .join(accepted.withColumn("__acc", lit(true)), Seq("w", "pos"), "left")
+      .join(accepted.select(col("w"), (col("pos") + 1).as("pos"))
+        .withColumn("__cons", lit(true)), Seq("w", "pos"), "left")
+      .filter(col("__cons").isNull)
+      .select(col("w"), col("freq"),
+        row_number().over(wWin).as("pos"),
+        when(col("__acc"), concat(col("__a"), col("__b")))
+          .otherwise(col("sym")).as("sym"))
   }
 
   def chunk(df: DataFrame, idCol: String, textCol: String,

@@ -3686,21 +3686,27 @@ object ExtensionQueries {
       (s, d) => TextAnalysis.bpeEncode(tbl(s, d, "documents"), "doc_id",
           "text", steps = 3)
         .orderBy("doc_id"),
-      Some(s"""WITH ${dkBpeCtes(3, applyLast = true)},
-             |wlen AS (SELECT w, count(*)::BIGINT AS sym_count FROM s4 GROUP BY w),
-             |dt AS (SELECT doc_id, tok AS w FROM (
-             |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
-             |    FROM documents)
-             |  WHERE regexp_full_match(tok, '[a-z]+')),
-             |agg AS (SELECT doc_id, count(*)::BIGINT AS words,
-             |    sum(sym_count)::BIGINT AS bpe_tokens
-             |  FROM dt JOIN wlen USING (w) GROUP BY 1)
-             |SELECT d.doc_id, coalesce(words, 0)::BIGINT AS words,
-             |  coalesce(bpe_tokens, 0)::BIGINT AS bpe_tokens,
-             |  ((100 * coalesce(bpe_tokens, 0)) //
-             |    greatest(coalesce(words, 0), 1))::BIGINT AS avg_symbols_x100
-             |FROM documents d LEFT JOIN agg USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      Some(bpeEncodeOracle)),
+
+    // BPE vocabulary ARTIFACT (x120b): the tokenizer member of the
+    // write-once artifact family — the trainer's ordered merge table is
+    // stored once (TextAnalysis.buildBpeVocab, ArtifactStore meta
+    // discipline) and the encode runs from the STORE
+    // (bpeEncodeFromVocab): each stored merge replays through the same
+    // relational greedy application as the trainer, broadcast in-plan,
+    // so unseen words still encode correctly and no consumer ever pays
+    // the training loop again. On the training corpus the report is
+    // byte-identical to x120's — the oracle is shared verbatim.
+    QueryDef("x120b_bpe_encode_from_vocab",
+      (s, d) => {
+        val root = s"$idxScratch/x120b_vocab"
+        TextAnalysis.buildBpeVocab(tbl(s, d, "documents"), "text",
+          steps = 3, path = root)
+        TextAnalysis.bpeEncodeFromVocab(tbl(s, d, "documents"), "doc_id",
+            "text", root)
+          .orderBy("doc_id")
+      },
+      Some(bpeEncodeOracle)),
 
     // Recency-weighted engagement (x122): per-user exponentially decayed
     // value rollup in exact fixed-point — whole-half-life ages, power-of-
@@ -4048,6 +4054,27 @@ object ExtensionQueries {
     * positions take the merged symbol, their right neighbors drop, and
     * positions re-rank dense for the next step's adjacency join.
     */
+  /** x120/x120b shared oracle: the per-doc encode report after 3
+    * trained merges — storing and reloading the vocabulary must be
+    * invisible to the result. (A def: `all` initializes before later
+    * vals.) */
+  private def bpeEncodeOracle: String =
+    s"""WITH ${dkBpeCtes(3, applyLast = true)},
+       |wlen AS (SELECT w, count(*)::BIGINT AS sym_count FROM s4 GROUP BY w),
+       |dt AS (SELECT doc_id, tok AS w FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS tok
+       |    FROM documents)
+       |  WHERE regexp_full_match(tok, '[a-z]+')),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS words,
+       |    sum(sym_count)::BIGINT AS bpe_tokens
+       |  FROM dt JOIN wlen USING (w) GROUP BY 1)
+       |SELECT d.doc_id, coalesce(words, 0)::BIGINT AS words,
+       |  coalesce(bpe_tokens, 0)::BIGINT AS bpe_tokens,
+       |  ((100 * coalesce(bpe_tokens, 0)) //
+       |    greatest(coalesce(words, 0), 1))::BIGINT AS avg_symbols_x100
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   private def dkBpeOracle(steps: Int): String = {
     val sel = (1 to steps).map(t =>
       s"SELECT $t AS step, a AS left_sym, b AS right_sym, cnt AS pair_count FROM b$t")

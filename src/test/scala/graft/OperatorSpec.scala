@@ -650,6 +650,30 @@ class OperatorSpec extends SparkSpec with Matchers {
     back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
   }
 
+  test("bpeEncodeFromVocab equals train-and-encode; unseen words encode through applicable merges") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // merges learned here: step 1 (a,a) [6 pair occurrences], step 2 (a,b)
+    val corpus = Seq((1L, "aaaa abab"), (2L, "abab bb aaaa")).toDF("id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-bpev").toString + "/vocab"
+    TextAnalysis.buildBpeVocab(corpus, "text", steps = 2, path = root)
+    def report(df: org.apache.spark.sql.DataFrame) = df.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    report(TextAnalysis.bpeEncodeFromVocab(corpus, "id", "text", root)) shouldBe
+      report(TextAnalysis.bpeEncode(corpus, "id", "text", steps = 2))
+    // a batch the trainer never saw: (a,a) finds nothing in "abababab",
+    // (a,b) compresses it 8 -> 4 symbols; "zz" passes through untouched
+    report(TextAnalysis.bpeEncodeFromVocab(
+      Seq((10L, "abababab zz")).toDF("id", "text"), "id", "text",
+      root)) shouldBe Seq((10L, 2L, 6L, 300L))
+    // no meta -> loud error, not a silent empty vocabulary
+    val bad = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeFromVocab(corpus, "id", "text",
+        root + "-nowhere")
+    }
+    bad.getMessage should include("vocab meta")
+  }
+
   test("VectorIndex lifecycle: frozen-codebook absorb, tombstone retract, compaction, clash guard") {
     import spark.implicits._
     import graft.operators.VectorIndex
