@@ -79,6 +79,16 @@ object Bench {
     // micro-batches through foreachBatch, so its number is mostly the
     // fixed micro-batch machinery on top of x153's absorb cost.)
     "x157_label_retract", "x158_stream_label_absorb",
+    // (x164 is the vector family's lifecycle — per-run build + absorb +
+    // probe over the embeddings table; x165's retraction adds only a
+    // tombstone append on top and is excluded. x120b pairs with x120 —
+    // honestly: on the TRAINING corpus the merge APPLICATION dominates
+    // and both pay it, so the stored vocab saves only the per-step
+    // pair-count aggregates and the pair difference is small; the
+    // artifact's real value is encoding a SMALL later batch without the
+    // corpus-scale training pass, which the corpus-sized bench shape
+    // cannot show.)
+    "x164_ivf_index_lifecycle", "x120b_bpe_encode_from_vocab",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",
     // (x125 itself is excluded like x05: a per-char-gram map side over the

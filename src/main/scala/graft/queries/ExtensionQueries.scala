@@ -93,6 +93,25 @@ object ExtensionQueries {
     * consumed by `Dedup.pairsFromLshIndex` with zero re-shingling. Same
     * build-on-first-use contract as `canonicalLabelsFor`.
     */
+  /** Build-once-per-(JVM, sf-dir) BPE vocabulary artifact
+    * (TextAnalysis.buildBpeVocab, 3 merges) — same contract as
+    * `canonicalLabelsFor`: the first evaluation pays the training
+    * loop + store write, every later one encodes from the store, which
+    * is the deployment shape the artifact exists for. Bench warm runs
+    * therefore time the CONSUMER, with the build in the cold column.
+    */
+  private val bpeVocabBuilt = scala.collection.mutable.Set[String]()
+  private def bpeVocabFor(s: org.apache.spark.sql.SparkSession,
+      d: String): String = bpeVocabBuilt.synchronized {
+    val path = s"$idxScratch/bpevocab_${Integer.toHexString(d.hashCode)}"
+    if (!bpeVocabBuilt(path)) {
+      TextAnalysis.buildBpeVocab(tbl(s, d, "documents"), "text",
+        steps = 3, path = path)
+      bpeVocabBuilt += path
+    }
+    path
+  }
+
   private val lshIdxBuilt = scala.collection.mutable.Set[String]()
   private[queries] def lshIndexFor(s: org.apache.spark.sql.SparkSession,
       d: String): String = lshIdxBuilt.synchronized {
@@ -3698,14 +3717,9 @@ object ExtensionQueries {
     // the training loop again. On the training corpus the report is
     // byte-identical to x120's — the oracle is shared verbatim.
     QueryDef("x120b_bpe_encode_from_vocab",
-      (s, d) => {
-        val root = s"$idxScratch/x120b_vocab"
-        TextAnalysis.buildBpeVocab(tbl(s, d, "documents"), "text",
-          steps = 3, path = root)
-        TextAnalysis.bpeEncodeFromVocab(tbl(s, d, "documents"), "doc_id",
-            "text", root)
-          .orderBy("doc_id")
-      },
+      (s, d) => TextAnalysis.bpeEncodeFromVocab(tbl(s, d, "documents"),
+          "doc_id", "text", bpeVocabFor(s, d))
+        .orderBy("doc_id"),
       Some(bpeEncodeOracle)),
 
     // Recency-weighted engagement (x122): per-user exponentially decayed
