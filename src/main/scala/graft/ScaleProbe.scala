@@ -1031,6 +1031,20 @@ object ScaleProbe {
             gateRules(m))
           .agg(sum(when(col("allowed"), 1L).otherwise(0L)))
           .first().getLong(0)),
+      // The beyond-broadcast SHUFFLE algebra (x150c) on the same lever:
+      // rules ×m as a DataFrame, URLs exploded into their |distinct
+      // lengths| prefixes, ONE equi-join against the shuffled rule
+      // table. Expected near-flat in the rule count like the bylength
+      // sweep (the join probes, not scans, the rules); the shuffle
+      // constant is what the broadcast shapes avoid below the cliff.
+      "urlgateshuffle_rules" -> { m =>
+        val s2 = spark
+        import s2.implicits._
+        Curation.urlPolicyGateShuffle(gateUrls, "doc_id", "url",
+            gateRules(m).toDF("rule", "allow"))
+          .agg(sum(when(col("allowed"), 1L).otherwise(0L)))
+          .first().getLong(0)
+      },
       "theta_urlgate_rules" -> (m =>
         Curation.urlPolicyGate(gateUrls, "doc_id", "url", gateRules(m))
           .agg(sum(when(col("allowed"), 1L).otherwise(0L)))
