@@ -88,6 +88,42 @@ object Similarity {
       .orderBy("dim")
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor, the `k` MOST similar corpus vectors that are NOT
+    * near-duplicates. The exclusion band matters as much as the
+    * ranking: the highest-cosine neighbors of an anchor are usually its
+    * crops/paraphrases/exact dups, and training against those as
+    * "negatives" teaches the model to separate a pair that should
+    * attract (false negatives, the classic contrastive-data bug) — so
+    * anything at or above `dupThreshold` is dropped BEFORE the top-k,
+    * and what remains is the hardest genuine negative set. Output:
+    * (query_id, rank, neighbor_id, cosine), rank 1..k over the kept
+    * band, ties broken by neighbor id.
+    *
+    * Scale: the bruteForceTopK shape — anchors broadcast, corpus
+    * streamed; swap the corpus side for an ANN candidate set
+    * (lshTopK/ivfTopK with a larger k, then this band filter) when the
+    * anchor set itself is corpus-sized.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int, dupThreshold: Double,
+      scorer: (Column, Column) => Column = cosine): DataFrame = {
+    require(k >= 1, "hardNegatives: k must be >= 1")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = broadcast(q).crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        scorer(col("qv"), col("cv")).as("cosine"))
+      .filter(col("cosine") < dupThreshold)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Sign-bit LSH bucket over the first `bits` dimensions: bit j set when
     * vec[j] > 0. A deterministic random-hyperplane sketch that needs no
     * stored hyperplanes — the scale path for bucketed ANN and the blocking

@@ -3332,6 +3332,41 @@ object ExtensionQueries {
            |FROM hits CROSS JOIN tot ORDER BY dim""".stripMargin
       }),
 
+    // Hard-negative mining (x166): the contrastive-training data op —
+    // per anchor, the 5 MOST similar vectors that are NOT in the
+    // near-duplicate band (those are positives in disguise; training
+    // against them is the classic false-negative bug). The threshold
+    // sits at 0.35, inside this synthetic corpus's similarity range, so
+    // the exclusion band is genuinely exercised by the gate (real
+    // embedding deployments run it at ~0.9+ where crops/paraphrases
+    // live); the band filter applies BEFORE the top-k, which is what
+    // makes the kept set differ from a plain top-k.
+    QueryDef("x166_hard_negatives",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Similarity.hardNegatives(emb.filter(col("vec_id") < 10), emb,
+            "vec_id", "embedding", k = 5, dupThreshold = 0.35)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v
+             |  WHERE vec_id < 10),
+             |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+             |kept AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM s WHERE cosine < 0.35)
+             |SELECT query_id, rank, neighbor_id,
+             |  floor(cosine * 1000000)::BIGINT AS cosine_x1m
+             |FROM kept WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
     // Dup-cluster census (x105): the dedup-audit histogram — how many
     // near-dup clusters of each size exist (size 1 = unique docs). Two
     // keyed aggregates over the canonical labels; the census is what a

@@ -650,6 +650,25 @@ class OperatorSpec extends SparkSpec with Matchers {
     back shouldBe Seq((50L, 50L), (65L, 50L), (70L, 70L), (71L, 70L))
   }
 
+  test("hardNegatives: the near-dup band is excluded BEFORE the top-k; the hardest genuine negative leads") {
+    import spark.implicits._
+    // anchor 0's nearest vector (1) is a near-dup (cos ~0.999) and must
+    // NOT appear as a negative; 2 is the hardest genuine negative, 3
+    // next, 4 near-orthogonal
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.02f, 0.0f)),   // dup band
+      (2L, Array(0.8f, 0.6f, 0.0f)),    // cos 0.8
+      (3L, Array(0.5f, 0.866f, 0.0f)),  // cos 0.5
+      (4L, Array(0.0f, 0.0f, 1.0f))     // cos 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vecs.filter($"vec_id" === 0L),
+        vecs, "vec_id", "embedding", k = 2, dupThreshold = 0.95)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    out.toSeq shouldBe Seq((1, 2L), (2, 3L))
+  }
+
   test("bpeEncodeFromVocab equals train-and-encode; unseen words encode through applicable merges") {
     import spark.implicits._
     import graft.operators.TextAnalysis
