@@ -249,6 +249,13 @@ object ScaleProbe {
     val stateRowsSeen = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
     def recordState(name: String, m: Int, rows: Long): Unit =
       stateRowsSeen((name, m)) = rows
+    // staged-store bytes written per mutation (round-12: the labels
+    // O(touched) evidence is BYTES, not wall time — wall time at probe
+    // scale is job-overhead-bound); last write per (op, m) wins, i.e.
+    // the timed run
+    val bytesSeen = scala.collection.mutable.LinkedHashMap[(String, Int), Long]()
+    def recordBytes(name: String, m: Int, bytes: Long): Unit =
+      bytesSeen((name, m)) = bytes
 
     // URL-gate probe fixtures: a FIXED synthetic URL per base-corpus doc;
     // the rule list is the scaled lever — 250 site-prefix rules that can
@@ -283,6 +290,17 @@ object ScaleProbe {
     // trivial already-retracted no-op and measure nothing)
     val retractBaseBuilt = scala.collection.mutable.Set[Int]()
     val retractSlice = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    // bytes-probe fixtures: per-multiplier bucketed base artifacts with
+    // N ∝ corpus rows (constant ~512-row bucket target, the geometry
+    // under which O(touched) means bytes-flat), plus a fresh-id counter
+    // so warm and timed runs both absorb a REAL disjoint batch
+    val absorbBytesBuilt = scala.collection.mutable.Set[Int]()
+    val absorbBytesSlice = new java.util.concurrent.atomic.AtomicInteger(0)
+    def absorbBytesBatch(k: Int): DataFrame = corpus(1).orderBy("doc_id")
+      .limit(16)
+      .select((col("doc_id") + 900000000L + k.toLong * 1000000L).as("doc_id"),
+        col("text"))
 
     def gateRules(m: Int): Seq[(String, Boolean)] =
       (0 until 250).map(i => s"https://site${4 * i}.example/" -> (i % 2 == 0)) ++
@@ -993,12 +1011,62 @@ object ScaleProbe {
             outIndexPath = Some(s"$root/outIdx"))
           .count()
       },
+      // BYTES written per absorb vs corpus size (round-12: the labels
+      // store is hash-bucketed, so an absorb stages only the touched
+      // buckets). Base ×m with N ∝ rows (≈512-row buckets) and a FIXED
+      // 16-doc batch under fresh ids per invocation: staged bytes =
+      // touched buckets × bucket bytes — flat in m (the recorded
+      // absorb_bytes_written series is the evidence; the wall-time
+      // exponent of this op is job-overhead-bound and not the claim).
+      // The flat control (prefix-isolated: numBuckets=1 degenerates the
+      // layout to one bucket) stages the WHOLE store per absorb — bytes
+      // linear in m by construction.
+      "absorbbytes_labels" -> { m =>
+        val root = s"$stageRoot/absbytes/m$m"
+        if (!absorbBytesBuilt(m)) {
+          val base = corpus(m)
+          val n = math.max(16L, base.count() / 512L).toInt
+          Dedup.buildCanonicalLabels(base, "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5, numBuckets = n)
+          Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4)
+          absorbBytesBuilt += m
+        }
+        val before = graft.operators.ArtifactStore.stagedBytesWritten.get()
+        Dedup.absorbIntoLabels(absorbBytesBatch(absorbBytesSlice.getAndIncrement()),
+          "doc_id", "text", s"$root/labels", s"$root/idx",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        val bytes = graft.operators.ArtifactStore.stagedBytesWritten.get() - before
+        recordBytes("absorbbytes_labels", m, bytes)
+        bytes
+      },
+      "flatbytes_labels_control" -> { m =>
+        val root = s"$stageRoot/flatbytes/m$m"
+        if (!absorbBytesBuilt(-m)) {
+          val base = corpus(m)
+          Dedup.buildCanonicalLabels(base, "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5, numBuckets = 1)
+          Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4)
+          absorbBytesBuilt += -m
+        }
+        val before = graft.operators.ArtifactStore.stagedBytesWritten.get()
+        Dedup.absorbIntoLabels(absorbBytesBatch(
+            1000 + absorbBytesSlice.getAndIncrement()),
+          "doc_id", "text", s"$root/labels", s"$root/idx",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        val bytes = graft.operators.ArtifactStore.stagedBytesWritten.get() - before
+        recordBytes("flatbytes_labels_control", m, bytes)
+        bytes
+      },
       "rebuildlabels_corpus" -> { m =>
         val out = s"$stageRoot/abs/rebuild_m$m"
         Dedup.buildCanonicalLabels(corpus(m).unionByName(absorbBatch),
           "doc_id", "text", out, shingleSize = 3, numHashes = 16,
           bands = 4, threshold = 0.5)
-        spark.read.parquet(out).count()
+        Dedup.readLabels(spark, out).count()
       },
       // Retraction (x157): STORED corpus generation ×m (built once per
       // multiplier, outside the timing), retract set FIXED (a disjoint
@@ -1186,6 +1254,25 @@ object ScaleProbe {
         s""""$op":{$series}"""
       }.mkString(",")
       println(s"""{"metric":"stream_state_rows","ops":{$sJson}}""")
+    }
+    // Staged-bytes curves (flat = the O(touched) labels-mutation claim
+    // holds as the stored corpus grows; the numBuckets=1 control is
+    // linear by construction) — own line, same shape as the state rows.
+    if (bytesSeen.nonEmpty) {
+      val byOp = bytesSeen.toSeq.groupBy(_._1._1)
+      val bJson = byOp.toSeq.sortBy(_._1).map { case (op, entries) =>
+        val sorted = entries.sortBy(_._1._2)
+        val series = sorted.map { case ((_, m), b) => s""""x$m":$b""" }
+          .mkString(",")
+        val b1 = sorted.head._2.toDouble
+        val bMax = sorted.last._2.toDouble
+        val mMax = sorted.last._1._2
+        val expo =
+          if (mMax > 1 && b1 > 0) math.log(bMax / b1) / math.log(mMax.toDouble)
+          else 0.0
+        f""""$op":{$series,"exponent":$expo%.2f}"""
+      }.mkString(",")
+      println(s"""{"metric":"absorb_bytes_written","ops":{$bJson}}""")
     }
     println(
       s"""{"metric":"scale_linearity","base_docs":$baseCount,""" +

@@ -23,11 +23,27 @@ import org.apache.spark.sql.functions._
   *    a per-batch driver job here is exactly the per-batch overhead a
   *    many-small-batches maintenance loop must not pay.
   */
-private[operators] object ArtifactStore {
+private[graft] object ArtifactStore {
+
+  /** Test-only crash injection for the two-phase bucket mutation: 0 =
+    * off; 1 = die right after the `__COMMIT` marker lands (staging
+    * complete, nothing applied); 2 = die after the first bucket
+    * applies (mixed live state). Specs use it to drive `repairStore`
+    * through every crash window. */
+  @volatile private[graft] var testCrashPoint: Int = 0
 
   /** Count of actual meta-store read JOBS, for specs pinning "at most
     * one per (JVM, path)". */
   val metaReads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Bytes written through the STAGED store writers (`writeParquetStaged`,
+    * `writeBucketedStore`, `mutateBuckets`) — the store-rewrite I/O a
+    * mutation pays, exposed so the scale probe can measure "bytes
+    * written per absorb batch" directly instead of inferring it from
+    * wall time. Idempotent appends are excluded on purpose: they are
+    * batch-bounded by construction; the corpus-rewrite risk lives in
+    * the staged writers. */
+  val stagedBytesWritten = new java.util.concurrent.atomic.AtomicLong(0)
 
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]()
@@ -51,6 +67,18 @@ private[operators] object ArtifactStore {
 
   def invalidateMeta(spark: SparkSession, root: String): Unit = {
     metaCache.remove(qualifiedPath(spark, root)); ()
+  }
+
+  /** Entry discipline for every artifact REBUILD (round-11 advisory): a
+    * build at a root that carries tombstones from a previous generation
+    * must not inherit them — `readStore`'s anti-join would silently hide
+    * freshly built rows whose ids were ever retracted, the same
+    * "silently inconsistent" state the absorb clash guard exists to
+    * prevent. Deletes the deletion vector and drops the (now stale)
+    * cached meta; the build seeds the fresh meta when it writes it. */
+  def resetForRebuild(spark: SparkSession, root: String): Unit = {
+    if (hasTombstones(spark, root)) deletePath(spark, s"$root/tombstones")
+    invalidateMeta(spark, root)
   }
 
   /** Seed the cache with the meta row a build just wrote — its first
@@ -80,20 +108,58 @@ private[operators] object ArtifactStore {
     * between the renames leaves the previous store intact at
     * `<path>.__old` — recovery is renaming it back. Stale staging/old
     * dirs from a crashed run are cleared on entry.
+    *
+    * ATOMIC-RENAME ASSUMPTION (round-11 advisory): the crash-safety
+    * claim holds on filesystems where `FileSystem.rename` is an atomic
+    * metadata operation — local FS and HDFS. On S3A a rename is a
+    * non-atomic copy+delete, so the swap window can expose a partially
+    * renamed target; deploy object-store-backed artifacts behind a
+    * rename-atomic layer (HDFS, a table format's commit protocol, or
+    * S3-on-EMRFS with a consistent commit) rather than raw S3A paths.
     */
   def writeParquetStaged(spark: SparkSession, df: DataFrame,
       path: String): Unit = {
+    val fs = fileSystem(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
+    fs.delete(staging, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".__old"), true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    stagedBytesWritten.addAndGet(dirBytes(fs, staging))
+    swapRootStaged(fs, path)
+  }
+
+  private def fileSystem(spark: SparkSession,
+      path: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Total bytes of data files under a directory (recursive). */
+  private def dirBytes(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Long = {
+    if (!fs.exists(dir)) 0L
+    else {
+      var total = 0L
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) total += it.next().getLen
+      total
+    }
+  }
+
+  /** The rename half of the staged swap, factored so callers that stage
+    * a whole ROOT themselves (meta + partition dirs) share the exact
+    * crash discipline: park the live store at `<path>.__old`, rename
+    * `<path>.__staging` in, drop the parked copy. The staging dir must
+    * be COMPLETE before this is called (its `_SUCCESS` marker is what
+    * `repairStore` keys roll-forward on). */
+  private def swapRootStaged(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Unit = {
     val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
     val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
     val old = new org.apache.hadoop.fs.Path(path + ".__old")
-    fs.delete(staging, true)
-    fs.delete(old, true)
-    df.write.mode("overwrite").parquet(staging.toString)
     if (fs.exists(target)) require(fs.rename(target, old),
-      s"writeParquetStaged: could not park $target at $old")
+      s"staged swap: could not park $target at $old")
     require(fs.rename(staging, target),
-      s"writeParquetStaged: could not swap $staging into $target " +
+      s"staged swap: could not swap $staging into $target " +
         s"(previous store intact at $old)")
     fs.delete(old, true)
     ()
@@ -124,6 +190,17 @@ private[operators] object ArtifactStore {
     * corpus shuffle; the checkpoint materializes the scan BEFORE the
     * append mutates the directory it scanned). A retry after a partial
     * failure therefore never duplicates rows.
+    *
+    * PER-KEY COMMIT-ATOMICITY ASSUMPTION (round-11 advisory): the
+    * idempotency is all-or-nothing per key — it relies on the write
+    * committing either all or none of a key's rows, which Spark's
+    * default FileOutputCommitter v1 (task-then-job rename commit)
+    * provides. Under a committer that exposes partial output on crash
+    * (FileOutputCommitter v2 mid-job, direct-write/magic committers), a
+    * crashed append could commit only some of a key's feature/bucket
+    * rows and the retry would see the key as present and never complete
+    * it. Keep v1 semantics for artifact roots, or extend the presence
+    * check to per-key row counts before trusting recovery-by-retry.
     */
   def appendMissing(spark: SparkSession, root: String, sub: String,
       keyCol: String, batchKeys: DataFrame, rows: DataFrame): Unit = {
@@ -162,6 +239,216 @@ private[operators] object ArtifactStore {
           s"$root/$sub")
       }
       deletePath(spark, s"$root/tombstones")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // HASH-BUCKETED row store (round-11 verdict #1): a store whose rows
+  // live in N fixed hash buckets (`b=<k>` partition dirs, k =
+  // pmod(hash(key), N)) so a mutation REWRITES ONLY THE BUCKETS HOLDING
+  // A TOUCHED ROW instead of swapping the corpus-sized store per batch.
+  // N is fixed at build time (stored in the root's meta); bytes written
+  // per mutation = touchedBuckets × bucketBytes ≤ min(|touched|, N) ×
+  // corpusBytes/N — independent of the corpus for N ∝ corpus with a
+  // constant bucket-byte target. Readers take the explicit bucket-dir
+  // list (one directory listing, never partition discovery — a naive
+  // spark.read of the root fails loudly on the meta dir instead of
+  // silently mis-reading).
+  // ---------------------------------------------------------------------
+
+  private val BucketDir = "^b=(\\d+)$".r
+
+  /** Live bucket dirs under a bucketed root, by one directory listing.
+    * Staging (`.__bstaging`), parked roots, and the meta dir never
+    * match the `b=<k>` pattern, so a half-finished mutation is
+    * invisible to readers. */
+  def listBucketDirs(spark: SparkSession, root: String): Seq[String] = {
+    val fs = fileSystem(spark, root)
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory &&
+        BucketDir.findFirstIn(st.getPath.getName).isDefined)
+      .map(_.getPath.toString)
+  }
+
+  /** Full write of a bucketed store (build / out-of-place copy): meta
+    * first, then the `b=<k>` partition dirs appended beside it, all
+    * inside `<path>.__staging`, then one root swap. The bucket job runs
+    * LAST so the staging root's `_SUCCESS` marker implies the whole
+    * staging tree (meta included) is complete — what `repairStore`
+    * keys roll-forward on. `bucketed` must already carry the bucket
+    * column `b`. */
+  def writeBucketedStore(spark: SparkSession, bucketed: DataFrame,
+      path: String, meta: DataFrame): Unit = {
+    val fs = fileSystem(spark, path)
+    val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
+    fs.delete(staging, true)
+    fs.delete(new org.apache.hadoop.fs.Path(path + ".__old"), true)
+    meta.write.mode("overwrite").parquet(s"$path.__staging/meta")
+    bucketed.write.mode("append").partitionBy("b")
+      .parquet(path + ".__staging")
+    stagedBytesWritten.addAndGet(dirBytes(fs, staging))
+    swapRootStaged(fs, path)
+    seedMeta(spark, path, meta.head())
+  }
+
+  /** O(touched) mutation of a bucketed store: every row whose key is in
+    * `touchedKeys` is dropped, every `upserts` row is added, and ONLY
+    * the buckets containing a touched key are rewritten. Two phases
+    * with a commit marker between them, so a crash ANYWHERE is repaired
+    * by `repairStore` (roll-forward once the marker exists, rollback —
+    * store untouched — before it):
+    *
+    *  1. STAGE: one job writes the touched buckets' new content
+    *     (old rows anti-joined against `touchedKeys` ∪ `upserts`) as
+    *     `b=<k>` dirs under `<root>/.__bstaging`, then the touched
+    *     bucket list (with a `kept` flag — a bucket whose new content
+    *     is empty produces no staging dir and must be DELETED, not
+    *     left stale) lands at `.__bstaging/_touched`, then the
+    *     `__COMMIT` marker file. Nothing live has changed yet.
+    *  2. APPLY: per touched bucket, delete the live dir and rename the
+    *     staged dir in (nothing to rename for `kept = false`). Every
+    *     step is idempotent given the staging tree, which is exactly
+    *     how `repairStore` replays it.
+    *
+    * `touchedKeys`/`upserts` must be localCheckpointed by the caller
+    * (they are read again during the staging job) and `touchedKeys`
+    * must cover every `upserts` key. `touchedHint` is the join-side
+    * frame for the anti-join (the caller applies its broadcast
+    * size-guard policy). Returns the staged byte count it added to
+    * `stagedBytesWritten`. */
+  def mutateBuckets(spark: SparkSession, root: String, keyCol: String,
+      numBuckets: Int, touchedKeys: DataFrame, touchedHint: DataFrame,
+      upserts: DataFrame): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fileSystem(spark, root)
+    val staging = s"$root/.__bstaging"
+    // a marked staging from a crashed predecessor is completed first
+    // (defense in depth — the mutating operators repair before they
+    // READ the store; this guards direct callers)
+    completeStagedMutation(spark, fs, root)
+    fs.delete(new Path(staging), true)
+    val bOf = (df: DataFrame) =>
+      df.withColumn("b", pmod(hash(col(keyCol)), lit(numBuckets)))
+    val touched = bOf(touchedKeys).select("b").distinct()
+      .collect().map(_.getInt(0)).sorted
+    if (touched.isEmpty) return 0L
+    val livePaths = {
+      val live = listBucketDirs(spark, root).flatMap { p =>
+        new Path(p).getName match {
+          case BucketDir(k) => Some(k.toInt -> p)
+          case _ => None
+        }
+      }.toMap
+      touched.flatMap(live.get).toSeq
+    }
+    val remaining =
+      if (livePaths.isEmpty) upserts.limit(0)
+      else spark.read.parquet(livePaths: _*)
+        .join(touchedHint, Seq(keyCol), "left_anti")
+    bOf(remaining.unionByName(upserts))
+      .write.mode("overwrite").partitionBy("b").parquet(staging)
+    val staged = fs.listStatus(new Path(staging)).toSeq
+      .flatMap(st => st.getPath.getName match {
+        case BucketDir(k) => Some(k.toInt)
+        case _ => None
+      }).toSet
+    val s2 = spark
+    import s2.implicits._
+    touched.toSeq.map(k => (k, staged(k))).toDF("b", "kept")
+      .coalesce(1).write.mode("overwrite").parquet(s"$staging/_touched")
+    fs.create(new Path(s"$staging/__COMMIT"), true).close()
+    if (testCrashPoint == 1)
+      throw new IllegalStateException("testCrashPoint=1: crash after commit marker")
+    val bytes = dirBytes(fs, new Path(staging))
+    stagedBytesWritten.addAndGet(bytes)
+    applyBucketStaging(fs, root, touched.toSeq.map(k => (k, staged(k))))
+    fs.delete(new Path(staging), true)
+    bytes
+  }
+
+  private def applyBucketStaging(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, touched: Seq[(Int, Boolean)]): Unit = {
+    import org.apache.hadoop.fs.Path
+    var applied = 0
+    touched.foreach { case (k, kept) =>
+      if (testCrashPoint == 2 && applied == 1)
+        throw new IllegalStateException("testCrashPoint=2: crash mid-apply")
+      val target = new Path(s"$root/b=$k")
+      val stagedDir = new Path(s"$root/.__bstaging/b=$k")
+      if (kept) {
+        if (fs.exists(stagedDir)) {
+          fs.delete(target, true)
+          require(fs.rename(stagedDir, target),
+            s"mutateBuckets: could not swap $stagedDir into $target")
+        } // else: already applied (repair replay)
+      } else fs.delete(target, true)
+      applied += 1
+    }
+    ()
+  }
+
+  /** Crash repair for a store root: completes or rolls back whatever a
+    * killed mutation left behind, after which the store is consistent
+    * and the interrupted operation can simply be re-run.
+    *
+    *  - `.__bstaging` WITH its `__COMMIT` marker → roll FORWARD: the
+    *    staging tree is complete, so re-applying the per-bucket swap
+    *    (idempotent) finishes the mutation exactly.
+    *  - `.__bstaging` without the marker → the staging write itself
+    *    died; the live store was never touched. Delete the debris.
+    *  - root missing but `<root>.__staging` complete (`_SUCCESS`) →
+    *    roll the root swap forward; with only `<root>.__old` present →
+    *    roll it back. Leftover staging/old beside a LIVE root is
+    *    debris from a completed swap — deleted.
+    */
+  def repairStore(spark: SparkSession, root: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fileSystem(spark, root)
+    var changed = completeStagedMutation(spark, fs, root)
+    val bstaging = new Path(s"$root/.__bstaging")
+    if (fs.exists(bstaging)) {
+      // unmarked staging: the staging write itself died; the live
+      // store was never touched — delete the debris
+      fs.delete(bstaging, true)
+      changed = true
+    }
+    val rootP = new Path(root)
+    val rootStaging = new Path(s"$root.__staging")
+    val rootOld = new Path(s"$root.__old")
+    if (!fs.exists(rootP)) {
+      if (fs.exists(new Path(s"$root.__staging/_SUCCESS"))) {
+        require(fs.rename(rootStaging, rootP),
+          s"repairStore: could not roll $rootStaging forward")
+        changed = true
+      } else if (fs.exists(rootOld)) {
+        require(fs.rename(rootOld, rootP),
+          s"repairStore: could not roll $rootOld back")
+        changed = true
+      }
+    }
+    if (fs.exists(rootStaging)) { fs.delete(rootStaging, true); () }
+    if (fs.exists(rootOld)) { fs.delete(rootOld, true); () }
+    // only a repair that actually moved data can stale the cached meta —
+    // the no-op fast path must not re-trigger a meta read per mutation
+    if (changed) invalidateMeta(spark, root)
+  }
+
+  /** Roll a MARKED bucket staging forward (the staging tree is complete
+    * once `__COMMIT` exists — re-applying the per-bucket swap finishes
+    * the crashed mutation exactly). Returns whether anything was done. */
+  private def completeStagedMutation(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, root: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(new Path(s"$root/.__bstaging/__COMMIT"))) false
+    else {
+      val touched = spark.read.parquet(s"$root/.__bstaging/_touched")
+        .collect().map(r => (r.getAs[Int]("b"), r.getAs[Boolean]("kept")))
+        .toSeq.sortBy(_._1)
+      applyBucketStaging(fs, root, touched)
+      fs.delete(new Path(s"$root/.__bstaging"), true)
+      true
     }
   }
 }

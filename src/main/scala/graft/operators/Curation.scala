@@ -481,6 +481,15 @@ object Curation {
     * join back to the input restores the one-row-per-INPUT-row
     * contract (duplicate (id, url) rows preserved, like the byLength
     * variant).
+    *
+    * Lengths LONGER than the URL are pruned map-side before the explode
+    * (round-11 advisory): `substring(url, 1, l)` with l > |url| returns
+    * the whole URL, and a rule of length l can never string-equal a
+    * shorter prefix — those rows could never match but were still
+    * exploded and shuffled. On a short-URL corpus against deep rule
+    * trees the prune cuts the exploded row count to exactly
+    * Σ_urls |{l : l ≤ |url|}| (spec-pinned via the Generate node's
+    * numOutputRows).
     */
   def urlPolicyGateShuffle(df: DataFrame, idCol: String, urlCol: String,
       rules: DataFrame, defaultAllow: Boolean = true): DataFrame = {
@@ -491,8 +500,9 @@ object Curation {
     require(lengths.nonEmpty, "urlPolicyGateShuffle: empty rule set")
     val urls = df.select(col(idCol), col(urlCol).as("url"))
     val pref = urls.select(col(idCol), col("url"),
-      explode(array(lengths.map(l =>
-        substring(col("url"), 1, l)): _*)).as("__prefix"))
+      explode(filter(array(lengths.map(l =>
+        when(length(col("url")) >= l, substring(col("url"), 1, l))): _*),
+        p => p.isNotNull)).as("__prefix"))
     val matches = pref.join(r, col("__prefix") === col("rule"))
       .groupBy(col(idCol), col("url"))
       .agg(max_by(col("rule"), col("__rlen")).as("matched_rule"),

@@ -501,6 +501,12 @@ object Dedup {
   def buildLshIndex(index: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 16,
       bands: Int = 4): Unit = {
+    // a REBUILD at a root carrying tombstones must not inherit them
+    // (round-11 advisory): readStore's anti-join would silently hide
+    // freshly indexed docs whose ids were ever retracted. A build is a
+    // fresh store — clear the deletion vector and the stale meta cache
+    // before writing.
+    ArtifactStore.resetForRebuild(index.sparkSession, path)
     val (feats, buckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
     feats.write.mode("overwrite").parquet(s"$path/features")
     buckets.write.mode("overwrite").parquet(s"$path/buckets")
@@ -579,6 +585,22 @@ object Dedup {
       indexPath: String, which: String): DataFrame =
     ArtifactStore.readStore(spark, indexPath, which, "doc")
 
+  /** Hint broadcast only below a row bound — the graceful-degradation
+    * wrapper for sets that are *typically* takedown-sized but unbounded
+    * when an upstream contract is broken. Caller must pass a
+    * localCheckpointed frame: the guard count is then a block scan, and
+    * the frame is not recomputed by its consumers. Above the limit the
+    * plain frame is returned (AQE still broadcasts when the actual
+    * bytes are small — only the unconditional driver-side hint is
+    * dropped). */
+  private def maybeBroadcast(df: DataFrame, rowLimit: Long): DataFrame =
+    if (df.count() <= rowLimit) broadcast(df) else df
+
+  /** Default `maybeBroadcast` bound where no caller knob exists: 4M
+    * slim rows ≈ 32 MB of packed longs per executor — comfortably
+    * broadcastable, far above any takedown/batch-component set. */
+  private val DefaultBroadcastRowLimit = 4000000L
+
   /** Corpus-wide near-dup PAIRS from a persisted index (`buildLshIndex`)
     * — the pair-family consumer of the write-once artifact: the labels
     * table serves the keeper/census/manifest reports (x88b/x105b/x111),
@@ -636,17 +658,73 @@ object Dedup {
     * it — and at 100 TB the label table is THE shared artifact: build it
     * per corpus generation, then every report (split manifests, cluster
     * censuses, keeper joins) is a join-and-aggregate against the stored
-    * labels instead of a corpus-wide LSH + label-propagation rerun. At
-    * production scale, bucket the table by doc so consumer joins
-    * co-locate.
+    * labels instead of a corpus-wide LSH + label-propagation rerun.
+    *
+    * LAYOUT (round-12): the store is HASH-BUCKETED — `numBuckets` fixed
+    * `b=<k>` dirs under `path` (k = pmod(hash(doc), N)) plus a
+    * single-row `meta` (num_buckets), so `absorbIntoLabels`/
+    * `retractFromLabels` rewrite ONLY the buckets holding a touched row
+    * instead of swapping the corpus-sized table per batch (round-11's
+    * one scale flag). Read it through `readLabels` — never a naive
+    * spark.read of the root. `numBuckets = 0` (default) sizes N as
+    * ceil(rows / 65536) with a floor of 8; at production scale pick N
+    * so a bucket is ~100 MB AND N well exceeds the typical maintenance
+    * batch's distinct-doc count — bytes written per mutation are
+    * min(|touched|, N) × bucketBytes, flat in the corpus when both
+    * hold (probe-measured: `absorb_labels_bytes`). Flat single-dir
+    * stores written by earlier generations stay readable and mutable
+    * (full-swap fallback).
     */
   def buildCanonicalLabels(docs: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, threshold: Double = 0.5): Unit = {
+      bands: Int = 4, threshold: Double = 0.5,
+      numBuckets: Int = 0): Unit = {
+    val spark = docs.sparkSession
+    ArtifactStore.resetForRebuild(spark, path)
     val pairs = minHashLsh(docs, idCol, textCol, shingleSize, numHashes,
         bands, threshold)
       .select("doc_a", "doc_b")
-    canonicalize(docs, idCol, pairs).write.mode("overwrite").parquet(path)
+    val labels = canonicalize(docs, idCol, pairs).localCheckpoint()
+    val n =
+      if (numBuckets > 0) numBuckets
+      else math.max(8L, (labels.count() + 65535L) / 65536L).toInt
+    writeLabelsBucketed(spark, labels, path, n)
+  }
+
+  /** Read a canonical-labels store: bucketed roots (num_buckets meta —
+    * the `buildCanonicalLabels` layout) via the explicit bucket-dir
+    * list, pre-bucketing flat roots via a plain read. Every labels
+    * consumer goes through here. */
+  def readLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    labelsNumBuckets(spark, path) match {
+      case Some(_) =>
+        val dirs = ArtifactStore.listBucketDirs(spark, path)
+        require(dirs.nonEmpty, s"readLabels: bucketed store at $path has " +
+          "no bucket dirs (crashed mutation? run ArtifactStore.repairStore)")
+        spark.read.parquet(dirs: _*)
+          .select("doc", "canonical_id", "is_keeper")
+      case None => spark.read.parquet(path)
+    }
+
+  /** The labels store's bucket count — `Some(n)` marks the bucketed
+    * layout, `None` a pre-bucketing flat store (the meta row is cached
+    * per (JVM, path) like every artifact meta). */
+  private def labelsNumBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] =
+    ArtifactStore.cachedMeta(spark, path).flatMap(r =>
+      if (r.schema.fieldNames.contains("num_buckets"))
+        Some(r.getAs[Int]("num_buckets"))
+      else None)
+
+  /** Full bucketed-store write (build and out-of-place merge copies):
+    * meta + `b=<k>` dirs staged as one root, swapped in atomically. */
+  private def writeLabelsBucketed(spark: org.apache.spark.sql.SparkSession,
+      labels: DataFrame, path: String, n: Int): Unit = {
+    import spark.implicits._
+    ArtifactStore.writeBucketedStore(spark,
+      labels.withColumn("b", pmod(hash(col("doc")), lit(n))),
+      path, Seq(n).toDF("num_buckets"))
   }
 
   /** INCREMENTAL canonical-label maintenance — the piece that makes the
@@ -707,6 +785,10 @@ object Dedup {
     checkIndexParams(spark, indexPath, shingleSize, numHashes, bands)
     val outLabels = outLabelsPath.getOrElse(labelsPath)
     val outIndex = outIndexPath.getOrElse(indexPath)
+    // heal any crashed predecessor BEFORE reading the store: a killed
+    // bucket mutation can leave a mixed live state whose marked staging
+    // rolls forward here (no-op fast path: a few FS existence checks)
+    ArtifactStore.repairStore(spark, labelsPath)
 
     // batch front end, shared by three consumers (bb pairs, bi probe,
     // index append) — checkpoint the per-doc feature sets once
@@ -728,7 +810,7 @@ object Dedup {
     }
     val storedFeats = indexStore(spark, indexPath, "features")
     val storedBuckets = indexStore(spark, indexPath, "buckets")
-    val labels = spark.read.parquet(labelsPath)
+    val labels = readLabels(spark, labelsPath)
 
     // batch-batch near-dup edges
     val bbCand = bBuckets.as("l").join(bBuckets.as("r"),
@@ -760,18 +842,37 @@ object Dedup {
       .join(labels.select(col("canonical_id").as("doc")).distinct(), Seq("doc"))
       .filter(col("doc") =!= col("canonical_id"))
       .select(col("doc").as("__old"), col("canonical_id").as("__new"))
-    val updatedOld = labels
-      .join(broadcast(relabel), labels("canonical_id") === col("__old"), "left")
-      .select(col("doc"),
-        coalesce(col("__new"), col("canonical_id")).as("canonical_id"))
+    val batchIds = batch.select(col(idCol).as("doc")).distinct()
+      .localCheckpoint()
     val batchRows = newLabels
-      .join(batch.select(col(idCol).as("doc")), Seq("doc"))
+      .join(broadcast(batchIds), Seq("doc"))
       .select(col("doc"), col("canonical_id"))
-    val merged = updatedOld.unionByName(batchRows)
+    // O(touched) upsert set for the bucketed store: the batch's rows
+    // plus ONLY the old rows whose canonical changed (inner join on the
+    // batch-component-sized relabel map). The anti-join against the
+    // batch ids is the partial-replay guard: a crashed mutation that
+    // committed some buckets leaves batch docs in the store, and a
+    // retry must not emit them twice.
+    lazy val touchedUpserts = labels
+      .join(broadcast(relabel), labels("canonical_id") === col("__old"))
+      .select(col("doc"), col("__new").as("canonical_id"))
+      .join(broadcast(batchIds), Seq("doc"), "left_anti")
+      .unionByName(batchRows)
       .select(col("doc"), col("canonical_id"),
         (col("doc") === col("canonical_id")).as("is_keeper"))
       // materialize before any store mutation below: every read of the
-      // stored labels/index the merge needs is complete at this point
+      // stored labels/index the upsert set needs is complete here
+      .localCheckpoint()
+    // full merged table — only the flat-store and out-of-place paths
+    // pay this corpus-sized materialization
+    lazy val merged = labels
+      .join(broadcast(batchIds), Seq("doc"), "left_anti")
+      .join(broadcast(relabel), labels("canonical_id") === col("__old"), "left")
+      .select(col("doc"),
+        coalesce(col("__new"), col("canonical_id")).as("canonical_id"))
+      .unionByName(batchRows)
+      .select(col("doc"), col("canonical_id"),
+        (col("doc") === col("canonical_id")).as("is_keeper"))
       .localCheckpoint()
 
     // WRITE ORDERING (crash recovery contract): the index grows FIRST
@@ -786,9 +887,15 @@ object Dedup {
     //    stored-label row, so their probe hits drop out of the
     //    batch–index edge set (the labels join) and the merge recomputes
     //    exactly as if the partial append had not happened;
-    //  - the labels swap itself is two renames via writeParquetStaged:
-    //    if `<labels>` is missing after a crash, the previous store is
-    //    intact at `<labels>.__old` (rename it back, then retry).
+    //  - the labels write last: flat stores swap via writeParquetStaged
+    //    (if `<labels>` is missing after a crash the previous store is
+    //    intact at `<labels>.__old` — rename back, retry); bucketed
+    //    stores mutate through the two-phase commit-marker protocol
+    //    (ArtifactStore.mutateBuckets) whose repair —
+    //    ArtifactStore.repairStore — rolls an interrupted apply forward
+    //    (or discards an unmarked staging), after which re-running the
+    //    absorb is exact: its batch-id anti-join skips rows committed
+    //    buckets already hold.
     // The OLD ordering (labels first, index second) was unrecoverable:
     // a failure between the writes left labels CONTAINING the batch, so
     // a retry found nothing to do and the index silently missed the
@@ -814,8 +921,23 @@ object Dedup {
         invalidateIndexMeta(spark, outIndex)
       }
     }
-    ArtifactStore.writeParquetStaged(spark, merged, outLabels)
-    spark.read.parquet(outLabels)
+    labelsNumBuckets(spark, labelsPath) match {
+      case Some(n) if outLabels == labelsPath =>
+        // O(touched) path: rewrite only the buckets holding a batch row
+        // or a relabeled old row (two-phase commit-marker mutation —
+        // crash recovery is ArtifactStore.repairStore + re-run)
+        val touchedDocs = touchedUpserts.select("doc").localCheckpoint()
+        ArtifactStore.mutateBuckets(spark, outLabels, "doc", n,
+          touchedDocs, maybeBroadcast(touchedDocs, DefaultBroadcastRowLimit),
+          touchedUpserts)
+        ()
+      case Some(n) =>
+        // out-of-place copy keeps the base's bucket geometry
+        writeLabelsBucketed(spark, merged, outLabels, n)
+      case None =>
+        ArtifactStore.writeParquetStaged(spark, merged, outLabels)
+    }
+    readLabels(spark, outLabels)
   }
 
   /** RETRACTION — the deletion dual of `absorbIntoLabels`, and the last
@@ -869,35 +991,57 @@ object Dedup {
     * rows dropped, no tombstones dir). Signature parameters are not
     * needed: nothing is re-shingled. Returns the merged labels read
     * back from the written store.
+    *
+    * `broadcastRowLimit` degrades the takedown-sized broadcasts
+    * gracefully (round-11 verdict #2): the rid/touched-canonical/
+    * survivor sets are bounded by the touched COMPONENTS' size, which
+    * the documented post-exact-dedup build contract keeps tiny — but a
+    * retraction touching one mega-component of an index built without
+    * exact dedup would force-broadcast an unbounded set and OOM the
+    * driver. Each set is checkpointed first, so the guard count is a
+    * cheap block scan; past the limit the hint is dropped and the join
+    * plans as a plain shuffle (AQE still broadcasts if the bytes turn
+    * out small).
     */
   def retractFromLabels(retract: DataFrame, idCol: String,
       labelsPath: String, indexPath: String, threshold: Double = 0.5,
       outLabelsPath: Option[String] = None,
       outIndexPath: Option[String] = None,
-      maxBucket: Option[Long] = None): DataFrame = {
+      maxBucket: Option[Long] = None,
+      broadcastRowLimit: Long = 4000000L): DataFrame = {
     val spark = retract.sparkSession
     maxBucket.foreach(cap => require(cap >= 2,
       "retractFromLabels: maxBucket must be >= 2"))
     val outLabels = outLabelsPath.getOrElse(labelsPath)
     val outIndex = outIndexPath.getOrElse(indexPath)
-    val labels = spark.read.parquet(labelsPath)
-    val rids = retract.select(col(idCol).as("doc")).distinct()
+    // heal any crashed predecessor BEFORE reading the store (see
+    // absorbIntoLabels' entry repair)
+    ArtifactStore.repairStore(spark, labelsPath)
+    val labels = readLabels(spark, labelsPath)
+    val rids0 = retract.select(col(idCol).as("doc")).distinct()
       .localCheckpoint()
+    val rids = maybeBroadcast(rids0, broadcastRowLimit)
 
     // touched components and their member/survivor doc sets — all
     // takedown-component-sized, checkpointed once for their consumers
-    val affCanon = labels.join(broadcast(rids), Seq("doc"), "left_semi")
+    val affCanon0 = labels.join(rids, Seq("doc"), "left_semi")
       .select("canonical_id").distinct().localCheckpoint()
-    val survivors = labels
-      .join(broadcast(affCanon), Seq("canonical_id"), "left_semi")
+    val affCanon = maybeBroadcast(affCanon0, broadcastRowLimit)
+    // every row of a touched component — retracted AND surviving; the
+    // bucketed write rewrites exactly the buckets holding one of these
+    val members0 = labels
+      .join(affCanon, Seq("canonical_id"), "left_semi")
       .select("doc")
-      .join(broadcast(rids), Seq("doc"), "left_anti")
       .localCheckpoint()
+    val survivors0 = members0
+      .join(rids, Seq("doc"), "left_anti")
+      .localCheckpoint()
+    val survivors = maybeBroadcast(survivors0, broadcastRowLimit)
 
     // re-derive the touched components' surviving edges from the STORED
     // index — the pairsFromLshIndex shape restricted to the survivors
     val bk = indexStore(spark, indexPath, "buckets")
-      .join(broadcast(survivors), Seq("doc"), "left_semi")
+      .join(survivors, Seq("doc"), "left_semi")
     val kept = maxBucket match {
       case None => bk
       case Some(cap) =>
@@ -911,13 +1055,18 @@ object Dedup {
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
     val ft = indexStore(spark, indexPath, "features")
-      .join(broadcast(survivors), Seq("doc"), "left_semi")
+      .join(survivors, Seq("doc"), "left_semi")
     val pairs = verifyJaccardArrays(cand, ft, threshold)
       .select("doc_a", "doc_b")
-    val relabeled = canonicalize(survivors, "doc", pairs)
+    // materialized before any store mutation below — it reads the
+    // stored index, which the tombstone append is about to grow
+    val relabeled = canonicalize(survivors0, "doc", pairs)
+      .localCheckpoint()
 
-    val merged = labels
-      .join(broadcast(affCanon), Seq("canonical_id"), "left_anti")
+    // full merged table — only the flat-store and out-of-place paths
+    // pay this corpus-sized materialization
+    lazy val merged = labels
+      .join(affCanon, Seq("canonical_id"), "left_anti")
       .select(col("doc"), col("canonical_id"), col("is_keeper"))
       .unionByName(relabeled)
       .localCheckpoint()
@@ -925,15 +1074,23 @@ object Dedup {
     // index mutation first (idempotent), labels swap last — the same
     // recovery-by-retry contract as absorbIntoLabels' write phase
     if (outIndex == indexPath) {
-      ArtifactStore.appendTombstones(spark, outIndex, "doc", rids)
+      // tombstone only ids the index actually HOLDS (round-11 advisory):
+      // an id never indexed (null-text doc, or a takedown for a doc that
+      // was never crawled) would otherwise sit in the tombstone store
+      // forever and fail a future absorb's clash guard for a genuinely
+      // new doc reusing the id — forcing a corpus-sized compact for a
+      // retraction that never touched the index
+      val indexedRids = spark.read.parquet(s"$indexPath/features")
+        .select("doc").join(rids, Seq("doc"), "left_semi")
+        .distinct().localCheckpoint()
+      ArtifactStore.appendTombstones(spark, outIndex, "doc", indexedRids)
     } else {
       // audit copy: physically compacted, base untouched
-      val drop = broadcast(rids)
       indexStore(spark, indexPath, "features")
-        .join(drop, Seq("doc"), "left_anti")
+        .join(rids, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/features")
       indexStore(spark, indexPath, "buckets")
-        .join(drop, Seq("doc"), "left_anti")
+        .join(rids, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/buckets")
       if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
         spark.read.parquet(s"$indexPath/meta")
@@ -941,8 +1098,23 @@ object Dedup {
         invalidateIndexMeta(spark, outIndex)
       }
     }
-    ArtifactStore.writeParquetStaged(spark, merged, outLabels)
-    spark.read.parquet(outLabels)
+    labelsNumBuckets(spark, labelsPath) match {
+      case Some(n) if outLabels == labelsPath =>
+        // O(touched) path: drop every touched component's rows from
+        // exactly the buckets that hold one, re-insert the survivors
+        // under their new canonicals — retracted docs simply have no
+        // upsert row. Idempotent under replay: a second pass finds the
+        // rids gone from the labels, so no component is touched.
+        ArtifactStore.mutateBuckets(spark, outLabels, "doc", n,
+          members0, maybeBroadcast(members0, broadcastRowLimit),
+          relabeled)
+        ()
+      case Some(n) =>
+        writeLabelsBucketed(spark, merged, outLabels, n)
+      case None =>
+        ArtifactStore.writeParquetStaged(spark, merged, outLabels)
+    }
+    readLabels(spark, outLabels)
   }
 
   /** Fold the tombstone set into the index stores physically — the

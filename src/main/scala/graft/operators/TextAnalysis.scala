@@ -471,6 +471,10 @@ object TextAnalysis {
       path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    // rebuild discipline shared with the LSH/IVF builds (round-11
+    // advisory): clear any tombstones a foreign store left at this root
+    // and the stale meta cache before writing the fresh generation
+    graft.operators.ArtifactStore.resetForRebuild(spark, path)
     bpeLoop(df, textCol, steps, checkpoint = true, applyLast = false)._1
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$path/merges")

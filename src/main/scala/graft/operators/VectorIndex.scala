@@ -55,6 +55,11 @@ object VectorIndex {
     require(nlist >= 1, "buildIvfIndex: nlist must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild (the codebook-drift remedy the frozen contract defers
+    // to) must not inherit a previous generation's tombstones — they
+    // would silently hide freshly indexed vectors whose ids were ever
+    // retracted (round-11 advisory)
+    ArtifactStore.resetForRebuild(spark, path)
     val vecs = nonZero(corpus, vecCol).select(col(idCol).as("vec_id"),
       col(vecCol).cast("array<double>").as("vec"))
     val codebook =

@@ -1211,7 +1211,7 @@ object EvalQueries {
         graft.streaming.StreamOps.labelAbsorbDrain(s, streamDir,
           s"$root/ckpt", s"$root/labels", s"$root/idx", "doc_id", "text",
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
-        s.read.parquet(s"$root/labels").orderBy("doc")
+        Dedup.readLabels(s, s"$root/labels").orderBy("doc")
       },
       Some(fullLabelsOracle)),
 
@@ -1255,7 +1255,7 @@ object EvalQueries {
         Dedup.compactLshIndex(s, s"$root/idx")
         stage("f3", 17)
         drain()
-        s.read.parquet(s"$root/labels").orderBy("doc")
+        Dedup.readLabels(s, s"$root/labels").orderBy("doc")
       },
       Some(retractLabelsOracle)),
 

@@ -3393,7 +3393,7 @@ object ExtensionQueries {
     // label build per corpus generation, every census/manifest/funnel a
     // join-and-aggregate against it.
     QueryDef("x105b_census_from_labels",
-      (s, d) => s.read.parquet(canonicalLabelsFor(s, d))
+      (s, d) => Dedup.readLabels(s, canonicalLabelsFor(s, d))
         .groupBy("canonical_id").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("clusters"))
         .orderBy("size"),
@@ -3669,7 +3669,7 @@ object ExtensionQueries {
     // is a parquet-scan join + one grouped aggregate.
     QueryDef("x111_manifest_from_labels",
       (s, d) => {
-        val labels = s.read.parquet(canonicalLabelsFor(s, d))
+        val labels = Dedup.readLabels(s, canonicalLabelsFor(s, d))
         val split = labels
           .withColumn("slice",
             Portable.hash56(col("canonical_id").cast("string")) % 100)
@@ -4286,7 +4286,7 @@ object ExtensionQueries {
     // (slim id∙id join). OperatorSpec pins the equivalence on the real
     // corpus.
     val s2ids = labelsPath match {
-      case Some(path) => cut(docs.sparkSession.read.parquet(path)
+      case Some(path) => cut(Dedup.readLabels(docs.sparkSession, path)
         .filter(col("is_keeper")).select(col("doc").as("doc_id"))
         .join(ek, Seq("doc_id")))
       case None =>

@@ -911,9 +911,9 @@ object StreamOps {
     val ids = batch.select(col(idCol)).distinct()
     // labels-side scan with the batch ids broadcast into it, then the
     // (tiny) present set broadcast back — never a corpus shuffle; the
-    // checkpoint materializes the read BEFORE the absorb swaps the
+    // checkpoint materializes the read BEFORE the absorb mutates the
     // labels store it came from
-    val present = s.read.parquet(labelsPath)
+    val present = graft.operators.Dedup.readLabels(s, labelsPath)
       .select(col("doc").as(idCol))
       .join(broadcast(ids), Seq(idCol), "left_semi")
       .localCheckpoint()

@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.matchers.should.Matchers
+
+import graft.operators.{ArtifactStore, Curation, Dedup}
+
+/** The round-12 labels-store contract: hash-bucketed layout, O(touched)
+  * mutation (only buckets holding a touched row are rewritten), the
+  * two-phase commit-marker crash protocol with `repairStore`, the
+  * graceful broadcast degradation on mega-components, and the two
+  * round-11 tombstone advisories (builds clear stale tombstones; only
+  * indexed ids are tombstoned).
+  */
+class LabelsBucketSpec extends SparkSpec with Matchers {
+
+  private def docs(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+  private def blk(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+
+  private def labelMap(path: String): Map[Long, (Long, Boolean)] =
+    Dedup.readLabels(spark, path).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+
+  /** Per-bucket file-name sets — the "which buckets were rewritten"
+    * observable. Local paths only (tests). */
+  private def bucketFiles(root: String): Map[String, Set[String]] =
+    ArtifactStore.listBucketDirs(spark, root).map { p =>
+      val dir = new java.io.File(p.stripPrefix("file:"))
+      val names = Option(dir.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.startsWith("part-")).toSet
+      dir.getName -> names
+    }.toMap
+
+  private def freshRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+
+  // distinct-token singleton docs so every doc is its own component and
+  // lands in a hash-determined bucket; u50/u65 are the one near-dup pair
+  private def spreadCorpus: DataFrame = docs(
+    (1L to 12L).map(i => i -> blk(s"s${i}t", 12)) ++ Seq(
+      50L -> blk("z", 20), 65L -> blk("z", 20).replace("z5 ", "z5x ")): _*)
+
+  test("bucketed absorb rewrites only the buckets holding a touched row") {
+    val root = freshRoot("babs")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val before = bucketFiles(s"$root/labels")
+    before.size should be > 4 // the 14 docs spread over several of 16 buckets
+
+    // batch: one brand-new near-dup of doc 50 (smaller id takes over as
+    // keeper → docs 50 and 65 relabel) and one novel singleton
+    val batch = docs(20L -> blk("z", 20).replace("z6 ", "z6y "),
+      90L -> blk("q", 15))
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+
+    // oracle: full rebuild over corpus + batch
+    Dedup.buildCanonicalLabels(spreadCorpus.unionByName(batch), "doc_id",
+      "text", s"$root/labelsFull", shingleSize = 3, numHashes = 16,
+      bands = 8, threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+
+    // O(touched): touched docs are {20, 90, 50, 65} → at most 4 buckets
+    // rewritten, and every untouched bucket's files are byte-identical
+    val after = bucketFiles(s"$root/labels")
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    changed.size should be <= 4
+    (after.keySet -- changed) should not be empty
+  }
+
+  test("crash after commit marker: store untouched until repair; re-running the absorb converges") {
+    val root = freshRoot("bcrash1")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val pre = labelMap(s"$root/labels")
+    val batch = docs(20L -> blk("z", 20).replace("z6 ", "z6y "))
+
+    ArtifactStore.testCrashPoint = 1
+    try {
+      an[IllegalStateException] should be thrownBy
+        Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+          s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+          threshold = 0.5)
+    } finally ArtifactStore.testCrashPoint = 0
+
+    // marker written but nothing applied: live store still reads PRE
+    labelMap(s"$root/labels") shouldBe pre
+
+    // recovery is re-running the same absorb: its entry repair rolls the
+    // marked staging forward, then the absorb itself is a no-op merge
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    Dedup.buildCanonicalLabels(spreadCorpus.unionByName(batch), "doc_id",
+      "text", s"$root/labelsFull", shingleSize = 3, numHashes = 16,
+      bands = 8, threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+    // and the grown index holds no duplicate signatures
+    spark.read.parquet(s"$root/idx/features").groupBy("doc").count()
+      .agg(max("count")).head().getLong(0) shouldBe 1L
+  }
+
+  test("crash mid-apply leaves a mixed store; repairStore rolls it forward exactly") {
+    val root = freshRoot("bcrash2")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    // retract six singletons — spread over ≥ 2 of the 16 hash buckets
+    // with near-certainty, so crash point 2 really leaves a mixed state
+    val rids = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val retract = docs(rids.map(i => i -> ""): _*).select("doc_id")
+
+    ArtifactStore.testCrashPoint = 2
+    try {
+      an[IllegalStateException] should be thrownBy
+        Dedup.retractFromLabels(retract, "doc_id", s"$root/labels",
+          s"$root/idx", threshold = 0.5)
+    } finally ArtifactStore.testCrashPoint = 0
+
+    ArtifactStore.repairStore(spark, s"$root/labels")
+    Dedup.buildCanonicalLabels(
+      spreadCorpus.filter(!col("doc_id").isin(rids: _*)), "doc_id", "text",
+      s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+  }
+
+  test("unmarked staging debris is rolled back by repairStore; store unchanged") {
+    val root = freshRoot("bdebris")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    val pre = labelMap(s"$root/labels")
+    val debris = new java.io.File(s"$root/labels/.__bstaging/b=3")
+    debris.mkdirs() shouldBe true
+    ArtifactStore.repairStore(spark, s"$root/labels")
+    new java.io.File(s"$root/labels/.__bstaging").exists() shouldBe false
+    labelMap(s"$root/labels") shouldBe pre
+  }
+
+  test("mega-component retraction with a tiny broadcastRowLimit still matches the rebuild") {
+    // 40 exact copies = one LSH mega-component (the index deliberately
+    // breaks the post-exact-dedup build contract), plus two bystanders
+    val mega = (100L until 140L).map(i => i -> blk("m", 18))
+    val corpus = docs(mega ++ Seq(50L -> blk("z", 20), 70L -> blk("y", 20)): _*)
+    val root = freshRoot("bmega")
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5,
+      numBuckets = 8)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val retract = docs(100L -> "", 101L -> "").select("doc_id")
+    // limit 2 < every takedown set (rids=2 is at the boundary; affCanon,
+    // members, survivors all exceed it) → the unconditional hints are
+    // dropped and the joins plan without a forced driver broadcast
+    Dedup.retractFromLabels(retract, "doc_id", s"$root/labels",
+      s"$root/idx", threshold = 0.5, broadcastRowLimit = 1L)
+    Dedup.buildCanonicalLabels(
+      corpus.filter(!col("doc_id").isin(100L, 101L)), "doc_id", "text",
+      s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+  }
+
+  test("only INDEXED ids are tombstoned; a never-indexed id can be re-ingested without compact") {
+    val corpus = docs(50L -> blk("z", 20), 65L -> blk("z", 20).replace("z5 ", "z5x "),
+      70L -> blk("y", 20), 99L -> null.asInstanceOf[String])
+    val root = freshRoot("btomb")
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5,
+      numBuckets = 8)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    // doc 99 has null text → in the labels (singleton) but NOT indexed
+    labelMap(s"$root/labels").keySet should contain(99L)
+    spark.read.parquet(s"$root/idx/features")
+      .filter(col("doc") === 99L).count() shouldBe 0L
+
+    Dedup.retractFromLabels(docs(99L -> "", 50L -> "").select("doc_id"),
+      "doc_id", s"$root/labels", s"$root/idx", threshold = 0.5)
+    // round-11 advisory: the tombstone store holds ONLY the indexed id
+    spark.read.parquet(s"$root/idx/tombstones").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(50L)
+    labelMap(s"$root/labels").keySet should contain noneOf(50L, 99L)
+
+    // a genuinely new doc re-using the never-indexed id 99 absorbs
+    // WITHOUT a compact — the clash guard no longer fires for it
+    Dedup.absorbIntoLabels(docs(99L -> blk("fresh", 15)), "doc_id",
+      "text", s"$root/labels", s"$root/idx", shingleSize = 3,
+      numHashes = 16, bands = 8, threshold = 0.5)
+    labelMap(s"$root/labels")(99L) shouldBe ((99L, true))
+  }
+
+  test("a rebuild at a tombstoned root clears the stale deletion vector") {
+    val corpus = docs(50L -> blk("z", 20), 65L -> blk("z", 20).replace("z5 ", "z5x "),
+      70L -> blk("y", 20))
+    val root = freshRoot("brebuild")
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    Dedup.retractFromLabels(docs(50L -> "").select("doc_id"), "doc_id",
+      s"$root/labels", s"$root/idx", threshold = 0.5)
+    ArtifactStore.hasTombstones(spark, s"$root/idx") shouldBe true
+
+    // periodic REBUILD over the full corpus at the same root (round-11
+    // advisory): the fresh index must not inherit the tombstone — doc 50
+    // is searchable again
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    ArtifactStore.hasTombstones(spark, s"$root/idx") shouldBe false
+    Dedup.probeLshIndex(docs(900L -> blk("z", 20)), s"$root/idx",
+        "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 8,
+        threshold = 0.5)
+      .select("doc_b").collect().map(_.getLong(0)).toSet should contain(50L)
+  }
+
+  test("urlPolicyGateShuffle prunes impossible prefix lengths; result unchanged") {
+    import spark.implicits._
+    val rules = Seq(
+      ("https://a.example/", true),
+      ("https://a.example/blocked/", false),
+      ("https://a.example/blocked/deeper/and/deeper/still/", true)
+    ).toDF("rule", "allow")
+    // short-URL corpus: most URLs are shorter than the deepest rule
+    val urls = Seq(
+      (1L, "https://a.example/x"),
+      (2L, "https://a.example/blocked/page"),
+      (3L, "https://b.example/"),
+      (4L, "https://a.exam")
+    ).toDF("id", "url")
+    val gated = Curation.urlPolicyGateShuffle(urls, "id", "url", rules)
+    // one collect only: the Generate metric below reads THIS execution
+    val got = gated.collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)), r.getBoolean(3)))
+      .sortBy(_._1)
+    got.toSeq shouldBe Seq(
+      (1L, Some("https://a.example/"), true),
+      (2L, Some("https://a.example/blocked/"), false),
+      (3L, None, true),
+      (4L, None, true))
+
+    // exploded rows == Σ_urls |{rule lengths ≤ |url|}|: lengths are
+    // {18, 26, 50}; urls of length 19, 30, 18, 14 → 1 + 2 + 1 + 0 = 4
+    // (unpruned: 4 urls × 3 lengths = 12)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val generated = flatten(gated.queryExecution.executedPlan)
+      .collect { case g: org.apache.spark.sql.execution.GenerateExec => g }
+      .map(_.metrics("numOutputRows").value).sum
+    generated shouldBe 4L
+  }
+}

@@ -479,7 +479,7 @@ class OperatorSpec extends SparkSpec with Matchers {
     Dedup.buildCanonicalLabels(corpus.unionByName(batch), "doc_id", "text",
       s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
       threshold = 0.5)
-    val full = spark.read.parquet(s"$root/labelsFull").orderBy("doc")
+    val full = Dedup.readLabels(spark, s"$root/labelsFull").orderBy("doc")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     inc.toSeq shouldBe full.toSeq
     // the narrative cases, pinned explicitly so a both-sides-wrong
@@ -559,7 +559,7 @@ class OperatorSpec extends SparkSpec with Matchers {
     Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
       shingleSize = 3, numHashes = 16, bands = 8)
     // the base component really is {5,10,20} — the split below is real
-    spark.read.parquet(s"$root/labels").orderBy("doc").collect()
+    Dedup.readLabels(spark, s"$root/labels").orderBy("doc").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
       .filter(kv => Seq(5L, 10L, 20L).contains(kv._1)) shouldBe
       Map(5L -> 5L, 10L -> 5L, 20L -> 5L)
@@ -573,7 +573,7 @@ class OperatorSpec extends SparkSpec with Matchers {
       corpus.filter(!col("doc_id").isin(retractIds: _*)), "doc_id", "text",
       s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
       threshold = 0.5)
-    val full = spark.read.parquet(s"$root/labelsFull").orderBy("doc")
+    val full = Dedup.readLabels(spark, s"$root/labelsFull").orderBy("doc")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
     out.toSeq shouldBe full.toSeq
     // narrative pins: bridge retraction SPLITS {10,20}; keeper 50 hands

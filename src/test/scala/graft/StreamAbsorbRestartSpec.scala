@@ -53,7 +53,7 @@ class StreamAbsorbRestartSpec extends SparkSpec with Matchers {
     def drain(): Unit = StreamOps.labelAbsorbDrain(spark, streamDir,
       s"$root/ckpt", s"$root/labels", s"$root/idx", "doc_id", "text",
       shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
-    def labels() = spark.read.parquet(s"$root/labels").orderBy("doc")
+    def labels() = Dedup.readLabels(spark, s"$root/labels").orderBy("doc")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
 
     // run 1: only f1 exists — the drain absorbs it and stops
@@ -87,7 +87,7 @@ class StreamAbsorbRestartSpec extends SparkSpec with Matchers {
       corpus.unionByName(f1).unionByName(f2), "doc_id", "text",
       s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
       threshold = 0.5)
-    spark.read.parquet(s"$root/labelsFull").orderBy("doc").collect()
+    Dedup.readLabels(spark, s"$root/labelsFull").orderBy("doc").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       .toSeq shouldBe afterAll
   }
