@@ -435,6 +435,54 @@ private[graft] object ArtifactStore {
     if (changed) invalidateMeta(spark, root)
   }
 
+  /** Artifact CENSUS (round-11 verdict #6) — "what is this store
+    * holding right now", the operational twin of the statestore table
+    * for persisted artifacts: one report row per (artifact, substore)
+    * with its live row count, plus the artifact's tombstone debt (rows
+    * readers are still anti-joining — compact when it grows) and its
+    * crash evidence (staging/`.__old` leftovers a killed mutation
+    * parked — `repairStore` clears them). Bucketed stores collapse
+    * their `b=<k>` dirs into one `b=*` substore. Row counts are
+    * column-pruned parquet count scans; everything else is directory
+    * listings.
+    */
+  def census(spark: SparkSession,
+      artifacts: Seq[(String, String)]): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val out = artifacts.flatMap { case (alias, root) =>
+      val fs = fileSystem(spark, root)
+      val rootP = new Path(root)
+      val children =
+        if (fs.exists(rootP)) fs.listStatus(rootP).toSeq.filter(_.isDirectory)
+        else Seq.empty
+      val names = children.map(_.getPath.getName)
+      val leftovers = (names.count(n => n == ".__bstaging" ||
+          n.endsWith(".__staging") || n.endsWith(".__old")) +
+        Seq(s"$root.__staging", s"$root.__old")
+          .count(p => fs.exists(new Path(p)))).toLong
+      val tombRows =
+        if (names.contains("tombstones"))
+          spark.read.parquet(s"$root/tombstones").count()
+        else 0L
+      val live = children.filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith(".") && !n.startsWith("_") && n != "tombstones" &&
+          !n.endsWith(".__staging") && !n.endsWith(".__old")
+      }
+      live.groupBy(st => st.getPath.getName match {
+        case BucketDir(_) => "b=*"
+        case n => n
+      }).toSeq.map { case (sub, sts) =>
+        val rows = spark.read.parquet(sts.map(_.getPath.toString): _*).count()
+        (alias, sub, rows, tombRows, leftovers)
+      }
+    }
+    out.toDF("artifact", "substore", "rows", "tombstone_rows",
+        "crash_leftovers")
+      .orderBy("artifact", "substore")
+  }
+
   /** Roll a MARKED bucket staging forward (the staging tree is complete
     * once `__COMMIT` exists — re-applying the per-bucket swap finishes
     * the crashed mutation exactly). Returns whether anything was done. */

@@ -69,7 +69,10 @@ object VectorIndex {
       else vecs.orderBy("vec_id").limit(nlist)
         .select(col("vec_id").as("cid"), col("vec").as("centroid"))
     codebook.write.mode("overwrite").parquet(s"$path/centroids")
+    // epoch 0 = the build generation; each absorb stamps the next epoch,
+    // which is what the codebook-drift audit trends over
     assign(vecs, spark.read.parquet(s"$path/centroids"))
+      .withColumn("epoch", lit(0))
       .write.mode("overwrite").parquet(s"$path/vectors")
     val meta = Seq((nlist, trainIterations))
       .toDF("nlist", "train_iterations")
@@ -85,7 +88,15 @@ object VectorIndex {
     * parquet scans instead of an in-plan corpus re-assignment.
     */
   def probeIvfIndex(queries: DataFrame, indexPath: String, idCol: String,
-      vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+      vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
+    topKByQuery(probeScored(queries, indexPath, idCol, vecCol, nprobe), k)
+
+  /** Every (query, candidate) cosine within the queries' `nprobe`
+    * nearest stored cells — the shared exact-scoring core of
+    * `probeIvfIndex` (top-k over it) and `hardNegativesFromIvfIndex`
+    * (dup-band filter, THEN top-k). */
+  private def probeScored(queries: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
     ArtifactStore.cachedMeta(spark, indexPath).foreach { m =>
       require(nprobe <= m.getAs[Int]("nlist"),
@@ -105,14 +116,40 @@ object VectorIndex {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val scored = broadcast(probes).join(vectors, Seq("cell"))
+    broadcast(probes).join(vectors, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Similarity.cosine(col("qv"), col("vec")).as("cosine"))
+  }
+
+  private def topKByQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
+  /** Hard-negative mining from the PERSISTED index (round-11 verdict
+    * #4) — `Similarity.hardNegatives`' corpus-scale shape: candidates
+    * come from the anchors' `nprobe` nearest stored cells instead of a
+    * full corpus stream, the near-duplicate band (cosine ≥
+    * `dupThreshold`) is excluded BEFORE the top-k (its members are
+    * positives in disguise — the classic contrastive false-negative
+    * bug), and what survives ranks 1..k. All candidates of the visited
+    * cells are scored exactly — no early top-k can starve the kept
+    * band — so at `nprobe = nlist` the output is pin-equal to
+    * `Similarity.hardNegatives` over the index's searchable vectors
+    * (x169), and at small nprobe the x104-style recall audit (x170)
+    * prices the approximation.
+    */
+  def hardNegativesFromIvfIndex(queries: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, k: Int, dupThreshold: Double,
+      nprobe: Int = 2): DataFrame = {
+    require(k >= 1, "hardNegativesFromIvfIndex: k must be >= 1")
+    topKByQuery(
+      probeScored(queries, indexPath, idCol, vecCol, nprobe)
+        .filter(col("cosine") < dupThreshold),
+      k)
   }
 
   /** Absorb a fresh vector batch: assign to the STORED (frozen)
@@ -136,10 +173,58 @@ object VectorIndex {
         s"absorbIntoIvfIndex: batch contains ids tombstoned in $indexPath " +
           "— run compactIvfIndex before re-ingesting a retracted id")
     }
-    val assigned = assign(vecs,
-      spark.read.parquet(s"$indexPath/centroids")).localCheckpoint()
+    // absorb-epoch stamp: one column-pruned max scan of the stored
+    // vectors; indexes written before the epoch column stay absorbable
+    // (no stamp — the audit folds them into epoch 0)
+    val stored = spark.read.parquet(s"$indexPath/vectors")
+    val assigned0 = assign(vecs,
+      spark.read.parquet(s"$indexPath/centroids"))
+    val assigned =
+      (if (stored.schema.fieldNames.contains("epoch"))
+        assigned0.withColumn("epoch",
+          lit(stored.agg(coalesce(max("epoch"), lit(0)).cast("int"))
+            .head().getInt(0) + 1))
+      else assigned0).localCheckpoint()
     ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
       assigned.select("vec_id"), assigned)
+  }
+
+  /** Codebook DRIFT audit (round-11 verdict #5) — the retrain trigger
+    * the frozen-codebook contract defers, computed from the stored
+    * index alone (two column-pruned scans, no corpus access): per
+    * absorb epoch, the mean quantization error (fixed-point
+    * `1 − cosine(vec, its centroid)`, floored per vector BEFORE the
+    * cross-vector mean so aggregation order cannot drift it) and the
+    * cell-occupancy concentration (largest cell's share of the epoch's
+    * vectors). A stationary ingest holds both flat across epochs; a
+    * shifted ingest distribution raises the error trend and piles its
+    * vectors into the few cells nearest the shift — the two curves a
+    * maintenance loop alarms on to schedule `buildIvfIndex` anew
+    * (spec-planted both ways; strict-gated as x171). Pre-epoch stores
+    * read as one epoch-0 generation. Returns (epoch, vectors,
+    * avg_err_x1m, max_cell_rows, max_cell_share_x10000).
+    */
+  def auditIvfDrift(spark: SparkSession, indexPath: String): DataFrame = {
+    val vectors = ArtifactStore.readStore(spark, indexPath, "vectors",
+      "vec_id")
+    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val withEpoch =
+      if (vectors.schema.fieldNames.contains("epoch")) vectors
+      else vectors.withColumn("epoch", lit(0))
+    val err = withEpoch
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .select(col("epoch"), col("cell"),
+        floor((lit(1.0) - Similarity.cosine(col("vec"), col("centroid")))
+          * 1000000).cast("long").as("err_x1m"))
+    err.groupBy("epoch", "cell")
+      .agg(count(lit(1)).as("cn"), sum("err_x1m").as("se"))
+      .groupBy("epoch")
+      .agg(sum("cn").cast("long").as("vectors"),
+        expr("div(sum(se), sum(cn))").as("avg_err_x1m"),
+        max("cn").cast("long").as("max_cell_rows"))
+      .withColumn("max_cell_share_x10000",
+        expr("div(10000 * max_cell_rows, vectors)"))
+      .orderBy("epoch")
   }
 
   /** Retract vectors (takedown): a tombstone append — every consumer

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{Curation, Dedup, Eval, Graph, Profile, VectorIndex}
+import graft.operators.{ArtifactStore, Curation, Dedup, Eval, Graph, Profile, TextAnalysis, VectorIndex}
 import graft.queries.ExtensionQueries.{dkCosine, dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
@@ -1456,7 +1456,199 @@ object EvalQueries {
             floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
           .orderBy("query_id", "rank")
       },
-      Some(ivfLifecycleOracle("c.vec_id % 7 <> 3")))
+      Some(ivfLifecycleOracle("c.vec_id % 7 <> 3"))),
+
+    // STREAMING vector absorb (x167): x164's maintenance path wired
+    // into a foreachBatch ingest drain (StreamOps.vectorAbsorbDrain) —
+    // the embedding-firehose shape, x158's symmetry for the IVF
+    // artifact. The % 4 == 0 embedding slice is staged as THREE parquet
+    // files and drained one micro-batch per file into the stored index
+    // (frozen codebook; each micro-batch anti-joins the stored vector
+    // ids first, and the append itself is idempotent row-exactly).
+    // The probe over the grown store must equal x164's batch-absorbed
+    // answer — the SAME oracle: batch-wise and stream-wise absorption
+    // land on one result.
+    QueryDef("x167_stream_vector_absorb",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x167_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", s"$root/idx", nlist = 8)
+        val streamDir = graft.streaming.StreamOps.stageStreamDirChunksDf(s,
+          emb.filter(col("vec_id") % 4 === 0).select("vec_id", "embedding"),
+          "graft-x167", chunks = 3)
+        graft.streaming.StreamOps.vectorAbsorbDrain(s, streamDir,
+          s"$root/ckpt", s"$root/idx", "vec_id", "embedding")
+        VectorIndex.probeIvfIndex(emb.filter(col("vec_id") < 10),
+            s"$root/idx", "vec_id", "embedding", k = 10, nprobe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfLifecycleOracle("TRUE"))),
+
+    // STREAMING vector retraction (x168): x167's deletion dual and
+    // x159's IVF symmetry — a takedown feed (files of vec_ids) drains
+    // one micro-batch per file through retractFromIvfIndex (idempotent
+    // tombstone appends, no replay guard needed), with a PHYSICAL
+    // compaction mid-stream: files 1–2 tombstone, compactIvfIndex folds
+    // them into the vectors store, file 3 retracts against the
+    // compacted store. The three files partition the vec_id % 7 == 3
+    // slice (% 21 ∈ {3, 10, 17}), so the probe shares x165's oracle —
+    // takedown-by-batch, takedown-by-stream, and compaction all land on
+    // the same answer.
+    QueryDef("x168_stream_vector_retract",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x168_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", s"$root/idx", nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", s"$root/idx")
+        val streamDir = s"$root/in"
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(streamDir))
+        def stage(name: String, rem: Int): Unit = {
+          val tmp = s"$root/scratch-$name"
+          emb.filter(col("vec_id") % 21 === rem)
+            .select("vec_id").coalesce(1).write.parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(f => f.getName.startsWith("part-") &&
+              f.getName.endsWith(".parquet")).get
+          java.nio.file.Files.copy(part.toPath,
+            java.nio.file.Paths.get(s"$streamDir/$name.parquet"))
+          ()
+        }
+        def drain(): Unit = graft.streaming.StreamOps.vectorRetractDrain(
+          s, streamDir, s"$root/ckpt", s"$root/idx", "vec_id")
+        stage("f1", 3); stage("f2", 10)
+        drain()
+        VectorIndex.compactIvfIndex(s, s"$root/idx")
+        stage("f3", 17)
+        drain()
+        VectorIndex.probeIvfIndex(emb.filter(col("vec_id") < 10),
+            s"$root/idx", "vec_id", "embedding", k = 10, nprobe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(ivfLifecycleOracle("c.vec_id % 7 <> 3"))),
+
+    // Codebook DRIFT audit (x171): the retrain trigger the frozen-
+    // codebook contract defers, from the stored index alone. Three
+    // epochs: the build (% 4 != 0), a STATIONARY absorb (% 4 == 0 —
+    // same distribution, the error trend must hold flat), and a PLANTED
+    // DRIFT absorb (the % 4 == 1 slice shifted by +2 per component
+    // under fresh ids — quantization error must jump and the shifted
+    // mass must pile into few cells). Per-vector errors are floored
+    // into fixed point BEFORE the mean, so the trend is deterministic;
+    // the oracle replays assignment + epochs declaratively.
+    QueryDef("x171_codebook_drift",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x171_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", root, nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", root)
+        VectorIndex.absorbIntoIvfIndex(
+          emb.filter(col("vec_id") % 4 === 1)
+            .select((col("vec_id") + 100000L).as("vec_id"),
+              transform(col("embedding"),
+                x => x.cast("double") + lit(2.0)).as("embedding")),
+          "vec_id", "embedding", root)
+        VectorIndex.auditIvfDrift(s, root)
+      },
+      Some(s"""WITH base AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |allv AS (
+             |  SELECT vec_id, vec, 0 AS epoch FROM base WHERE vec_id % 4 <> 0
+             |  UNION ALL
+             |  SELECT vec_id, vec, 1 FROM base WHERE vec_id % 4 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 100000,
+             |    list_transform(vec, x -> x + 2.0), 2
+             |  FROM base WHERE vec_id % 4 = 1),
+             |cb AS (SELECT vec_id AS cid, vec AS centroid FROM base
+             |  WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
+             |asg AS (SELECT epoch, cell, err FROM (
+             |    SELECT a.epoch, cb.cid AS cell,
+             |      floor((1.0 - ${dkCosine("a.vec", "cb.centroid")})
+             |        * 1000000)::BIGINT AS err,
+             |      row_number() OVER (PARTITION BY a.vec_id, a.epoch
+             |        ORDER BY ${dkCosine("a.vec", "cb.centroid")} DESC,
+             |          cb.cid) AS rn
+             |    FROM allv a CROSS JOIN cb) x
+             |  WHERE rn = 1),
+             |pc AS (SELECT epoch, cell, count(*)::BIGINT AS cn,
+             |    sum(err)::BIGINT AS se
+             |  FROM asg GROUP BY 1, 2)
+             |SELECT epoch, sum(cn)::BIGINT AS vectors,
+             |  (sum(se)::BIGINT // sum(cn)::BIGINT) AS avg_err_x1m,
+             |  max(cn)::BIGINT AS max_cell_rows,
+             |  ((10000 * max(cn)::BIGINT) // sum(cn)::BIGINT)
+             |    AS max_cell_share_x10000
+             |FROM pc GROUP BY epoch ORDER BY epoch""".stripMargin)),
+
+    // Artifact CENSUS (x172): the "what is this store holding right
+    // now" operational report over a trio of persisted artifacts — the
+    // LSH index (with a planted parked `.__old`, crash evidence a
+    // killed swap leaves), the IVF index (with live tombstone debt from
+    // a takedown), and the BPE vocab. One row per (artifact, substore):
+    // live rows, the artifact's tombstone debt, its crash-leftover
+    // count. The oracle derives every count from the base tables plus
+    // the artifacts' structural constants (nlist centroids, 1-row
+    // metas, bands × docs buckets, steps merges).
+    QueryDef("x172_artifact_census",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x172_census"
+        rmTree(root)
+        val docs = tbl(s, d, "documents")
+        val emb = tbl(s, d, "embeddings")
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", s"$root/lsh",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", s"$root/ivf", nlist = 4)
+        VectorIndex.retractFromIvfIndex(
+          emb.filter(col("vec_id") % 16 === 2).select("vec_id"),
+          "vec_id", s"$root/ivf")
+        TextAnalysis.buildBpeVocab(docs, "text", steps = 3,
+          s"$root/vocab")
+        val planted = new java.io.File(s"$root/lsh/features.__old")
+        require(planted.mkdirs(), s"could not plant $planted")
+        ArtifactStore.census(s, Seq(("lsh", s"$root/lsh"),
+          ("ivf", s"$root/ivf"), ("vocab", s"$root/vocab")))
+      },
+      Some("""WITH lshn AS (SELECT count(*)::BIGINT AS n FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |ivfn AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 2 = 0),
+             |tomb AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 16 = 2)
+             |SELECT * FROM (
+             |  SELECT 'ivf' AS artifact, 'centroids' AS substore,
+             |    4::BIGINT AS "rows", tomb.n AS tombstone_rows,
+             |    0::BIGINT AS crash_leftovers FROM tomb
+             |  UNION ALL SELECT 'ivf', 'meta', 1::BIGINT, tomb.n,
+             |    0::BIGINT FROM tomb
+             |  UNION ALL SELECT 'ivf', 'vectors', ivfn.n, tomb.n,
+             |    0::BIGINT FROM ivfn, tomb
+             |  UNION ALL SELECT 'lsh', 'buckets', lshn.n * 4, 0::BIGINT,
+             |    1::BIGINT FROM lshn
+             |  UNION ALL SELECT 'lsh', 'features', lshn.n, 0::BIGINT,
+             |    1::BIGINT FROM lshn
+             |  UNION ALL SELECT 'lsh', 'meta', 1::BIGINT, 0::BIGINT,
+             |    1::BIGINT
+             |  UNION ALL SELECT 'vocab', 'merges', 3::BIGINT, 0::BIGINT,
+             |    0::BIGINT
+             |  UNION ALL SELECT 'vocab', 'meta', 1::BIGINT, 0::BIGINT,
+             |    0::BIGINT
+             |) ORDER BY artifact, substore""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed
@@ -1551,7 +1743,7 @@ object EvalQueries {
     * per-evaluation scratch (driver-side, artifact-sized — the same
     * class of staging the streaming queries do with their chunk dirs).
     */
-  private def rmTree(path: String): Unit = {
+  private[queries] def rmTree(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }

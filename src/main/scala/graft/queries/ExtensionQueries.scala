@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Multimodal, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfJoin, Curation, Dedup, Graph, Layout, Multimodal, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis, TimeSeries, VectorIndex}
 import graft.queries.QueryDef.tbl
 import graft.streaming.StreamOps
 
@@ -3366,6 +3366,119 @@ object ExtensionQueries {
              |  floor(cosine * 1000000)::BIGINT AS cosine_x1m
              |FROM kept WHERE rank <= 5
              |ORDER BY query_id, rank""".stripMargin)),
+
+    // Hard negatives FROM THE PERSISTED IVF INDEX (x169): x166's
+    // corpus-scale shape — candidates from the anchors' probed cells of
+    // the stored index (built over the % 4 != 0 slice, % 4 == 0
+    // absorbed, so the searchable set is the whole corpus), dup band
+    // excluded BEFORE the top-k. At nprobe = nlist every cell is
+    // visited and the result is PIN-EQUAL to the brute-force x166 —
+    // the oracle is x166's verbatim.
+    QueryDef("x169_hard_negatives_from_index",
+      (s, d) => {
+        val root = s"$idxScratch/x169_vec"
+        EvalQueries.rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", root, nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", root)
+        VectorIndex.hardNegativesFromIvfIndex(
+            emb.filter(col("vec_id") < 10), root, "vec_id", "embedding",
+            k = 5, dupThreshold = 0.35, nprobe = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v
+             |  WHERE vec_id < 10),
+             |s AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+             |kept AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM s WHERE cosine < 0.35)
+             |SELECT query_id, rank, neighbor_id,
+             |  floor(cosine * 1000000)::BIGINT AS cosine_x1m
+             |FROM kept WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // Hard-negative recall at serving nprobe (x170): what does mining
+    // negatives from only 2 of the 8 stored cells cost against the
+    // brute-force kept-band top-5 — the x104 self-certifying audit
+    // applied to the x169 pipeline. Both legs replayed exactly by the
+    // oracle (band filter BEFORE rank on both sides).
+    QueryDef("x170_hard_negative_recall",
+      (s, d) => {
+        val root = s"$idxScratch/x170_vec"
+        EvalQueries.rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+          "vec_id", "embedding", root, nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(emb.filter(col("vec_id") % 4 === 0),
+          "vec_id", "embedding", root)
+        val qs = emb.filter(col("vec_id") < 10)
+        val exact = Similarity.hardNegatives(qs, emb, "vec_id",
+            "embedding", k = 5, dupThreshold = 0.35)
+          .select("query_id", "neighbor_id")
+        val approx = VectorIndex.hardNegativesFromIvfIndex(qs, root,
+            "vec_id", "embedding", k = 5, dupThreshold = 0.35, nprobe = 2)
+          .select("query_id", "neighbor_id")
+        val hits = exact.join(approx, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        qs.select(col("vec_id").as("query_id"))
+          .join(hits, Seq("query_id"), "left")
+          .na.fill(0L, Seq("hits"))
+          .withColumn("recall_x100", expr("div(100 * hits, 5)"))
+          .orderBy("query_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |cb AS (SELECT vec_id AS cid, vec AS centroid FROM v
+             |  WHERE vec_id % 4 <> 0 ORDER BY vec_id LIMIT 8),
+             |cells AS (SELECT vec_id AS neighbor_id, vec AS cv, cid AS cell
+             |  FROM (SELECT c.vec_id, c.vec, cb.cid,
+             |      row_number() OVER (PARTITION BY c.vec_id
+             |        ORDER BY ${dkCosine("c.vec", "cb.centroid")} DESC, cb.cid)
+             |        AS rn
+             |    FROM v c CROSS JOIN cb) a
+             |  WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v
+             |  WHERE vec_id < 10),
+             |esc AS (SELECT query_id, c.vec_id AS neighbor_id,
+             |    ${dkCosine("qv", "c.vec")} AS cosine
+             |  FROM q CROSS JOIN v c WHERE query_id <> c.vec_id),
+             |er AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM esc WHERE cosine < 0.35),
+             |probes AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.query_id, q.qv, cb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${dkCosine("q.qv", "cb.centroid")} DESC, cb.cid)
+             |        AS pr
+             |    FROM q CROSS JOIN cb) p
+             |  WHERE pr <= 2),
+             |isc AS (SELECT query_id, c.neighbor_id,
+             |    ${dkCosine("p.qv", "c.cv")} AS cosine
+             |  FROM probes p JOIN cells c USING (cell)
+             |  WHERE p.query_id <> c.neighbor_id),
+             |ir AS (SELECT query_id, neighbor_id,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM isc WHERE cosine < 0.35),
+             |h AS (SELECT e.query_id, count(*)::BIGINT AS hits
+             |  FROM er e JOIN ir i ON e.query_id = i.query_id
+             |    AND e.neighbor_id = i.neighbor_id
+             |  WHERE e.rank <= 5 AND i.rank <= 5 GROUP BY 1)
+             |SELECT q.query_id, coalesce(h.hits, 0)::BIGINT AS hits,
+             |  (100 * coalesce(h.hits, 0)) // 5 AS recall_x100
+             |FROM q LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin)),
 
     // Dup-cluster census (x105): the dedup-audit histogram — how many
     // near-dup clusters of each size exist (size 1 = unique docs). Two

@@ -956,6 +956,82 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming IVF-index maintenance — the embedding-firehose symmetry
+    * of `labelAbsorbDrain` (round-11 verdict #3): vector files landing
+    * under `streamDir` absorb one micro-batch per file into the
+    * persisted IVF index (`VectorIndex.absorbIntoIvfIndex`, frozen
+    * codebook). Replay safety is CHEAPER here than for labels because
+    * the index mutation is a pure idempotent append (no swap): a
+    * replayed micro-batch's vectors are skipped row-exactly by
+    * `appendMissing`'s per-store anti-join even mid-batch. The guard
+    * below still anti-joins the batch against the stored vector ids
+    * first so a FULLY absorbed replay skips the cell-assignment work
+    * (and the tombstone clash guard) entirely — the same stored-state
+    * anti-join idempotency pattern as the label drain
+    * (ref: src/orchestration/batch_processor.py:36-40).
+    */
+  def vectorAbsorbDrain(spark: SparkSession, streamDir: String,
+      checkpointDir: String, indexPath: String, idCol: String,
+      vecCol: String): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .writeStream
+      .queryName("graft_vector_absorb")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        absorbVectorBatch(batch, indexPath, idCol, vecCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** One micro-batch of the vector-absorb drain (the foreachBatch body,
+    * exposed for direct replay tests): drop the vectors the stored
+    * index already holds, absorb the rest. Calling this twice with the
+    * same batch is a no-op the second time.
+    */
+  def absorbVectorBatch(batch: DataFrame, indexPath: String,
+      idCol: String, vecCol: String): Unit = {
+    val s = batch.sparkSession
+    val ids = batch.select(col(idCol)).distinct()
+    val present = s.read.parquet(s"$indexPath/vectors")
+      .select(col("vec_id").as(idCol))
+      .join(broadcast(ids), Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val fresh = batch.join(broadcast(present), Seq(idCol), "left_anti")
+    if (fresh.limit(1).count() > 0) {
+      graft.operators.VectorIndex.absorbIntoIvfIndex(fresh, idCol,
+        vecCol, indexPath)
+    }
+  }
+
+  /** Streaming vector RETRACTION — `vectorAbsorbDrain`'s deletion dual
+    * (a takedown feed of vec_ids, one micro-batch per file through
+    * `VectorIndex.retractFromIvfIndex`). No replay guard at all:
+    * retraction is a tombstone append whose anti-join skips
+    * already-present ids, so a replayed micro-batch appends nothing.
+    * Interleaves with `compactIvfIndex` exactly like the label drain
+    * (the x168 entry folds mid-stream).
+    */
+  def vectorRetractDrain(spark: SparkSession, streamDir: String,
+      checkpointDir: String, indexPath: String, idCol: String): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .writeStream
+      .queryName("graft_vector_retract")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.VectorIndex.retractFromIvfIndex(batch, idCol,
+          indexPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One dedup-ingest micro-batch (the foreachBatch body, exposed for
     * direct replay tests): fingerprint the batch, keep min-id-per-novel-
     * fingerprint against the committed index below `batchId`, write the

@@ -745,6 +745,36 @@ class OperatorSpec extends SparkSpec with Matchers {
     bad.getMessage should include("nlist")
   }
 
+  test("auditIvfDrift: stationary absorb holds the error trend flat; a planted shift raises it and concentrates cells") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    def ring(i: Int): Array[Float] = {
+      val a = i * 0.15
+      Array(math.cos(a).toFloat, math.sin(a).toFloat)
+    }
+    val base = (0 until 12).map(i => (i.toLong, ring(i))).toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-drift").toString + "/idx"
+    VectorIndex.buildIvfIndex(base, "vec_id", "embedding", root, nlist = 4)
+    // epoch 1: the SAME ring distribution, fresh ids — stationary
+    val stat = (0 until 12).map(i => (100L + i, ring(i))).toDF("vec_id", "embedding")
+    VectorIndex.absorbIntoIvfIndex(stat, "vec_id", "embedding", root)
+    // epoch 2: all mass shifted to one far direction — drift
+    val drift = (0 until 12).map(i =>
+      (200L + i, Array(-1.0f, (-1.0f + i * 0.01f)))).toDF("vec_id", "embedding")
+    VectorIndex.absorbIntoIvfIndex(drift, "vec_id", "embedding", root)
+    val out = VectorIndex.auditIvfDrift(spark, root).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(2), r.getLong(4)))).toMap
+    val (e0, s0) = out(0); val (e1, s1) = out(1); val (e2, s2) = out(2)
+    // stationary: same error and spread as the build generation
+    e1 shouldBe e0
+    s1 shouldBe s0
+    // drift: the mean quantization error jumps and the shifted mass
+    // piles into few cells (share strictly above the stationary epoch)
+    e2 should be > e1
+    s2 should be > s1
+  }
+
   test("truncatedDimRecall: a prefix-collinear decoy costs recall at the low dim, full dim is exact") {
     import spark.implicits._
     // query 0 = (1,0,0,1). Neighbor 1's 2-dim PREFIX is exactly
