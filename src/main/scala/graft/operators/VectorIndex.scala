@@ -236,8 +236,16 @@ object VectorIndex {
   def retractFromIvfIndex(retract: DataFrame, idCol: String,
       indexPath: String): Unit = {
     val spark = retract.sparkSession
-    ArtifactStore.appendTombstones(spark, indexPath, "vec_id",
-      retract.select(col(idCol).as("vec_id")).distinct().localCheckpoint())
+    val rids = retract.select(col(idCol).as("vec_id")).distinct()
+      .localCheckpoint()
+    // tombstone only ids the index actually HOLDS (the round-11 labels
+    // advisory, applied to the vector family): a takedown for a vector
+    // that was never embedded must not poison a future absorb's clash
+    // guard for a genuinely new vector reusing the id
+    val indexed = spark.read.parquet(s"$indexPath/vectors")
+      .select("vec_id").join(broadcast(rids), Seq("vec_id"), "left_semi")
+      .distinct().localCheckpoint()
+    ArtifactStore.appendTombstones(spark, indexPath, "vec_id", indexed)
   }
 
   /** Fold tombstones into the vectors store physically; after it,

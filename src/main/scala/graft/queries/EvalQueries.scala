@@ -1595,14 +1595,16 @@ object EvalQueries {
              |FROM pc GROUP BY epoch ORDER BY epoch""".stripMargin)),
 
     // Artifact CENSUS (x172): the "what is this store holding right
-    // now" operational report over a trio of persisted artifacts — the
-    // LSH index (with a planted parked `.__old`, crash evidence a
-    // killed swap leaves), the IVF index (with live tombstone debt from
-    // a takedown), and the BPE vocab. One row per (artifact, substore):
-    // live rows, the artifact's tombstone debt, its crash-leftover
-    // count. The oracle derives every count from the base tables plus
-    // the artifacts' structural constants (nlist centroids, 1-row
-    // metas, bands × docs buckets, steps merges).
+    // now" operational report over the four persisted artifact
+    // families — the LSH index (with a planted parked `.__old`, crash
+    // evidence a killed swap leaves), the BUCKETED labels store (its
+    // b=<k> dirs collapse into one `b=*` substore), the IVF index
+    // (with live tombstone debt from a takedown), and the BPE vocab.
+    // One row per (artifact, substore): live rows, the artifact's
+    // tombstone debt, its crash-leftover count. The oracle derives
+    // every count from the base tables plus the artifacts' structural
+    // constants (nlist centroids, 1-row metas, bands × docs buckets,
+    // steps merges).
     QueryDef("x172_artifact_census",
       (s, d) => {
         val root = s"${ExtensionQueries.idxScratch}/x172_census"
@@ -1612,6 +1614,10 @@ object EvalQueries {
         Dedup.buildLshIndex(docs.filter(col("doc_id") % 3 === 0),
           "doc_id", "text", s"$root/lsh",
           shingleSize = 3, numHashes = 16, bands = 4)
+        Dedup.buildCanonicalLabels(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", s"$root/labels",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5,
+          numBuckets = 4)
         VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
           "vec_id", "embedding", s"$root/ivf", nlist = 4)
         VectorIndex.retractFromIvfIndex(
@@ -1622,7 +1628,8 @@ object EvalQueries {
         val planted = new java.io.File(s"$root/lsh/features.__old")
         require(planted.mkdirs(), s"could not plant $planted")
         ArtifactStore.census(s, Seq(("lsh", s"$root/lsh"),
-          ("ivf", s"$root/ivf"), ("vocab", s"$root/vocab")))
+          ("labels", s"$root/labels"), ("ivf", s"$root/ivf"),
+          ("vocab", s"$root/vocab")))
       },
       Some("""WITH lshn AS (SELECT count(*)::BIGINT AS n FROM documents
              |  WHERE doc_id % 3 = 0),
@@ -1644,6 +1651,10 @@ object EvalQueries {
              |    1::BIGINT FROM lshn
              |  UNION ALL SELECT 'lsh', 'meta', 1::BIGINT, 0::BIGINT,
              |    1::BIGINT
+             |  UNION ALL SELECT 'labels', 'b=*', lshn.n, 0::BIGINT,
+             |    0::BIGINT FROM lshn
+             |  UNION ALL SELECT 'labels', 'meta', 1::BIGINT, 0::BIGINT,
+             |    0::BIGINT
              |  UNION ALL SELECT 'vocab', 'merges', 3::BIGINT, 0::BIGINT,
              |    0::BIGINT
              |  UNION ALL SELECT 'vocab', 'meta', 1::BIGINT, 0::BIGINT,

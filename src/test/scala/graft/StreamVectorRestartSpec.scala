@@ -114,5 +114,16 @@ class StreamVectorRestartSpec extends SparkSpec with Matchers {
       s"$root/idx")
     spark.read.parquet(s"$root/idx/tombstones").count() shouldBe 1L
     searchable() shouldBe Seq(1L, 2L, 4L, 6L)
+
+    // a takedown for a NEVER-INDEXED id is not tombstoned (the round-11
+    // labels advisory applied to vectors): the id stays free for a
+    // genuinely new vector without a compact
+    VectorIndex.retractFromIvfIndex(Seq(999L).toDF("vec_id"), "vec_id",
+      s"$root/idx")
+    spark.read.parquet(s"$root/idx/tombstones").collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(5L)
+    VectorIndex.absorbIntoIvfIndex(
+      vecs(999L -> Array(0.5f, 0.5f)), "vec_id", "embedding", s"$root/idx")
+    searchable() shouldBe Seq(1L, 2L, 4L, 6L, 999L)
   }
 }
