@@ -88,6 +88,13 @@ object Bench {
     // artifact's real value is encoding a SMALL later batch without the
     // corpus-scale training pass, which the corpus-sized bench shape
     // cannot show.)
+    // (Round-12 additions stay off the headline list by the same
+    // one-representative-per-class rule: x167/x168 are artifact drains —
+    // x158 already times that micro-batch machinery; x169/x170 share
+    // x164's probe shape over a 500-row corpus where per-run build
+    // dominates; x171/x172 are per-run-build + count-scan reports. The
+    // round's perf evidence is the absorbbytes_labels ScaleProbe pair,
+    // not a wall-clock headliner.)
     "x164_ivf_index_lifecycle", "x120b_bpe_encode_from_vocab",
     "x119_bpe_merges", "x120_bpe_encode", "x121_jsonl_stream_quarantine",
     "x122_decayed_engagement", "x123_csv_quarantine", "x124_mixture_replay",

@@ -286,7 +286,11 @@ private[graft] object ArtifactStore {
     fs.delete(staging, true)
     fs.delete(new org.apache.hadoop.fs.Path(path + ".__old"), true)
     meta.write.mode("overwrite").parquet(s"$path.__staging/meta")
-    bucketed.write.mode("append").partitionBy("b")
+    // repartition by the bucket column so each bucket dir lands as ~one
+    // file instead of tasks × buckets small files — consumers pay file
+    // listings and footer reads on EVERY query, the writer pays the one
+    // shuffle once
+    bucketed.repartition(col("b")).write.mode("append").partitionBy("b")
       .parquet(path + ".__staging")
     stagedBytesWritten.addAndGet(dirBytes(fs, staging))
     swapRootStaged(fs, path)
@@ -302,11 +306,12 @@ private[graft] object ArtifactStore {
     *
     *  1. STAGE: one job writes the touched buckets' new content
     *     (old rows anti-joined against `touchedKeys` ∪ `upserts`) as
-    *     `b=<k>` dirs under `<root>/.__bstaging`, then the touched
-    *     bucket list (with a `kept` flag — a bucket whose new content
-    *     is empty produces no staging dir and must be DELETED, not
-    *     left stale) lands at `.__bstaging/_touched`, then the
-    *     `__COMMIT` marker file. Nothing live has changed yet.
+    *     `b=<k>` dirs under `<root>/.__bstaging`, then the `__COMMIT`
+    *     marker file lands CARRYING the touched-bucket manifest as its
+    *     content (one `k,kept` line per bucket — `kept = false` marks
+    *     a bucket whose new content is empty and must be DELETED, not
+    *     left stale; a plain FS write, not a Spark job). Nothing live
+    *     has changed yet.
     *  2. APPLY: per touched bucket, delete the live dir and rename the
     *     staged dir in (nothing to rename for `kept = false`). Every
     *     step is idempotent given the staging tree, which is exactly
@@ -348,17 +353,17 @@ private[graft] object ArtifactStore {
       else spark.read.parquet(livePaths: _*)
         .join(touchedHint, Seq(keyCol), "left_anti")
     bOf(remaining.unionByName(upserts))
+      .repartition(col("b"))
       .write.mode("overwrite").partitionBy("b").parquet(staging)
     val staged = fs.listStatus(new Path(staging)).toSeq
       .flatMap(st => st.getPath.getName match {
         case BucketDir(k) => Some(k.toInt)
         case _ => None
       }).toSet
-    val s2 = spark
-    import s2.implicits._
-    touched.toSeq.map(k => (k, staged(k))).toDF("b", "kept")
-      .coalesce(1).write.mode("overwrite").parquet(s"$staging/_touched")
-    fs.create(new Path(s"$staging/__COMMIT"), true).close()
+    val commit = fs.create(new Path(s"$staging/__COMMIT"), true)
+    commit.write(touched.toSeq.map(k => s"$k,${staged(k)}")
+      .mkString("\n").getBytes("UTF-8"))
+    commit.close()
     if (testCrashPoint == 1)
       throw new IllegalStateException("testCrashPoint=1: crash after commit marker")
     val bytes = dirBytes(fs, new Path(staging))
@@ -489,11 +494,17 @@ private[graft] object ArtifactStore {
   private def completeStagedMutation(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, root: String): Boolean = {
     import org.apache.hadoop.fs.Path
-    if (!fs.exists(new Path(s"$root/.__bstaging/__COMMIT"))) false
+    val marker = new Path(s"$root/.__bstaging/__COMMIT")
+    if (!fs.exists(marker)) false
     else {
-      val touched = spark.read.parquet(s"$root/.__bstaging/_touched")
-        .collect().map(r => (r.getAs[Int]("b"), r.getAs[Boolean]("kept")))
-        .toSeq.sortBy(_._1)
+      val in = fs.open(marker)
+      val body = try {
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      } finally in.close()
+      val touched = body.linesIterator.filter(_.nonEmpty).map { line =>
+        val Array(k, kept) = line.split(",", 2)
+        (k.toInt, kept.toBoolean)
+      }.toSeq.sortBy(_._1)
       applyBucketStaging(fs, root, touched)
       fs.delete(new Path(s"$root/.__bstaging"), true)
       true

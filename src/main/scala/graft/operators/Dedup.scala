@@ -593,10 +593,31 @@ object Dedup {
     * plain frame is returned (AQE still broadcasts when the actual
     * bytes are small — only the unconditional driver-side hint is
     * dropped). */
-  private def maybeBroadcast(df: DataFrame, rowLimit: Long): DataFrame =
-    if (df.count() <= rowLimit) broadcast(df) else df
+  /** localCheckpoint + row count in ONE action: the broadcast guards
+    * below need the checkpointed sets' counts, and a separate count()
+    * job per guarded set is exactly the per-batch overhead a
+    * many-small-batches maintenance loop must not pay — the Observation
+    * rides the checkpoint job (the `canonicalize` convergence-counter
+    * pattern). */
+  private def checkpointWithCount(df: DataFrame,
+      tag: String): (DataFrame, Long) = {
+    val obs = org.apache.spark.sql.Observation(
+      tag + "_" + java.util.UUID.randomUUID().toString.take(8))
+    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+    val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    (ck, n)
+  }
 
-  /** Default `maybeBroadcast` bound where no caller knob exists: 4M
+  /** Hint broadcast only below a row bound — graceful degradation for
+    * sets that are *typically* takedown-sized but unbounded when an
+    * upstream contract is broken. Above the limit the plain frame is
+    * returned (AQE still broadcasts when the actual bytes are small —
+    * only the unconditional driver-side hint is dropped). */
+  private def hintIfSmall(df: DataFrame, rows: Long,
+      rowLimit: Long): DataFrame =
+    if (rows <= rowLimit) broadcast(df) else df
+
+  /** Default broadcast-guard bound where no caller knob exists: 4M
     * slim rows ≈ 32 MB of packed longs per executor — comfortably
     * broadcastable, far above any takedown/batch-component set. */
   private val DefaultBroadcastRowLimit = 4000000L
@@ -853,16 +874,17 @@ object Dedup {
     // batch ids is the partial-replay guard: a crashed mutation that
     // committed some buckets leaves batch docs in the store, and a
     // retry must not emit them twice.
-    lazy val touchedUpserts = labels
+    // materialized (with its row count, one action) before any store
+    // mutation below: every read of the stored labels/index the upsert
+    // set needs is complete here
+    lazy val (touchedUpserts, nUpserts) = checkpointWithCount(labels
       .join(broadcast(relabel), labels("canonical_id") === col("__old"))
       .select(col("doc"), col("__new").as("canonical_id"))
       .join(broadcast(batchIds), Seq("doc"), "left_anti")
       .unionByName(batchRows)
       .select(col("doc"), col("canonical_id"),
-        (col("doc") === col("canonical_id")).as("is_keeper"))
-      // materialize before any store mutation below: every read of the
-      // stored labels/index the upsert set needs is complete here
-      .localCheckpoint()
+        (col("doc") === col("canonical_id")).as("is_keeper")),
+      "absorb_upserts")
     // full merged table — only the flat-store and out-of-place paths
     // pay this corpus-sized materialization
     lazy val merged = labels
@@ -925,10 +947,13 @@ object Dedup {
       case Some(n) if outLabels == labelsPath =>
         // O(touched) path: rewrite only the buckets holding a batch row
         // or a relabeled old row (two-phase commit-marker mutation —
-        // crash recovery is ArtifactStore.repairStore + re-run)
-        val touchedDocs = touchedUpserts.select("doc").localCheckpoint()
+        // crash recovery is ArtifactStore.repairStore + re-run).
+        // touchedDocs derives from the CHECKPOINTED upserts — absorb
+        // never deletes, so the touched keys ARE the upsert keys
+        val touchedDocs = touchedUpserts.select("doc")
         ArtifactStore.mutateBuckets(spark, outLabels, "doc", n,
-          touchedDocs, maybeBroadcast(touchedDocs, DefaultBroadcastRowLimit),
+          touchedDocs,
+          hintIfSmall(touchedDocs, nUpserts, DefaultBroadcastRowLimit),
           touchedUpserts)
         ()
       case Some(n) =>
@@ -998,10 +1023,10 @@ object Dedup {
     * the documented post-exact-dedup build contract keeps tiny — but a
     * retraction touching one mega-component of an index built without
     * exact dedup would force-broadcast an unbounded set and OOM the
-    * driver. Each set is checkpointed first, so the guard count is a
-    * cheap block scan; past the limit the hint is dropped and the join
-    * plans as a plain shuffle (AQE still broadcasts if the bytes turn
-    * out small).
+    * driver. Each set's guard count rides its checkpoint action as an
+    * Observation (zero extra jobs); past the limit the hint is dropped
+    * and the join plans as a plain shuffle (AQE still broadcasts if the
+    * bytes turn out small).
     */
   def retractFromLabels(retract: DataFrame, idCol: String,
       labelsPath: String, indexPath: String, threshold: Double = 0.5,
@@ -1018,25 +1043,25 @@ object Dedup {
     // absorbIntoLabels' entry repair)
     ArtifactStore.repairStore(spark, labelsPath)
     val labels = readLabels(spark, labelsPath)
-    val rids0 = retract.select(col(idCol).as("doc")).distinct()
-      .localCheckpoint()
-    val rids = maybeBroadcast(rids0, broadcastRowLimit)
+    val (rids0, nRids) = checkpointWithCount(
+      retract.select(col(idCol).as("doc")).distinct(), "retract_rids")
+    val rids = hintIfSmall(rids0, nRids, broadcastRowLimit)
 
     // touched components and their member/survivor doc sets — all
     // takedown-component-sized, checkpointed once for their consumers
-    val affCanon0 = labels.join(rids, Seq("doc"), "left_semi")
-      .select("canonical_id").distinct().localCheckpoint()
-    val affCanon = maybeBroadcast(affCanon0, broadcastRowLimit)
+    // (each checkpoint carries its guard count — no separate count jobs)
+    val (affCanon0, nAff) = checkpointWithCount(
+      labels.join(rids, Seq("doc"), "left_semi")
+        .select("canonical_id").distinct(), "retract_canon")
+    val affCanon = hintIfSmall(affCanon0, nAff, broadcastRowLimit)
     // every row of a touched component — retracted AND surviving; the
     // bucketed write rewrites exactly the buckets holding one of these
-    val members0 = labels
-      .join(affCanon, Seq("canonical_id"), "left_semi")
-      .select("doc")
-      .localCheckpoint()
-    val survivors0 = members0
-      .join(rids, Seq("doc"), "left_anti")
-      .localCheckpoint()
-    val survivors = maybeBroadcast(survivors0, broadcastRowLimit)
+    val (members0, nMembers) = checkpointWithCount(
+      labels.join(affCanon, Seq("canonical_id"), "left_semi")
+        .select("doc"), "retract_members")
+    val (survivors0, nSurv) = checkpointWithCount(
+      members0.join(rids, Seq("doc"), "left_anti"), "retract_survivors")
+    val survivors = hintIfSmall(survivors0, nSurv, broadcastRowLimit)
 
     // re-derive the touched components' surviving edges from the STORED
     // index — the pairsFromLshIndex shape restricted to the survivors
@@ -1106,7 +1131,7 @@ object Dedup {
         // upsert row. Idempotent under replay: a second pass finds the
         // rids gone from the labels, so no component is touched.
         ArtifactStore.mutateBuckets(spark, outLabels, "doc", n,
-          members0, maybeBroadcast(members0, broadcastRowLimit),
+          members0, hintIfSmall(members0, nMembers, broadcastRowLimit),
           relabeled)
         ()
       case Some(n) =>
