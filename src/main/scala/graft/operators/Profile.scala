@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -87,6 +87,57 @@ object Profile {
       .filter(col("cum") >= col("t.target"))
       .groupBy(col("t.q_x10k").as("q_x10k"))
       .agg(min(col("v")).as("value"))
+  }
+
+  /** MERGEABLE histogram artifact, build side — the quantile twin of the
+    * x140 HLL-sketch artifact: each shard folds its values into exact
+    * fixed-width INTEGER buckets once (`bucket = div(cents, widthCents)` —
+    * integer arithmetic end to end, so shard histograms computed by
+    * different runs/engines are bit-identical and union-merge by plain
+    * bucket-sum) and the (shard, bucket, cnt) table is written as the
+    * nightly per-shard artifact. At 100 TB this replaces a corpus-wide
+    * sort/exact-quantile shuffle with shard-local folds plus a
+    * bucket-domain-sized merge; precision is the fixed bucket width, a
+    * bound that holds under ANY merge order (unlike sampled sketches).
+    * `exactQuantiles` stays the exact single-corpus path; this is the
+    * shard-and-merge-forever path.
+    */
+  def histogramShard(df: DataFrame, shardCol: String, cents: Column,
+      widthCents: Long): DataFrame = {
+    require(widthCents >= 1, "histogramShard: widthCents must be >= 1")
+    df.select(col(shardCol).as("shard"), cents.cast("long").as("__c"))
+      .filter(col("__c").isNotNull)
+      .groupBy(col("shard"), expr(s"div(__c, ${widthCents}L)").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantiles from a union of shard histograms (`histogramShard`): sum
+    * the shards per bucket, one cumulative window over the (tiny)
+    * distinct-bucket table — never the raw rows — and answer each
+    * per-ten-thousand quantile as the first bucket whose cumulative
+    * count reaches q·total/10000, reported with its exclusive UPPER
+    * bound in cents (the deterministic width-bounded overestimate a
+    * fixed-width histogram guarantees). Returns
+    * (q_x10000, bucket, upper_cents).
+    */
+  def quantilesFromHistogram(shards: DataFrame, widthCents: Long,
+      qsX10000: Seq[Int]): DataFrame = {
+    require(qsX10000.nonEmpty &&
+      qsX10000.forall(q => q > 0 && q <= 10000),
+      "quantiles are per-ten-thousand in (0, 10000]")
+    val spark = shards.sparkSession
+    import spark.implicits._
+    val merged = shards.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = merged
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    qsX10000.toDF("q_x10000")
+      .join(cum, col("cum") * 10000L >= col("q_x10000") * col("total"))
+      .groupBy("q_x10000")
+      .agg(min(col("bucket")).as("bucket"))
+      .withColumn("upper_cents", (col("bucket") + 1L) * lit(widthCents))
   }
 
   /** Robust per-key outlier stats via median / MAD (median absolute

@@ -27,6 +27,46 @@ object Similarity {
     */
   def cosineNative(a: Column, b: Column): Column = call_function("graft_cosine", a, b)
 
+  /** Two-stage MATRYOSHKA retrieval: coarse candidates from a persisted
+    * IVF index built over the first `dims` dimensions of each embedding
+    * (the matryoshka serving trick x163 prices — a dims/64 fraction of
+    * the index bytes and of the stage-1 dot-product work), then an
+    * EXACT full-dimension rerank of only the `candK` candidates per
+    * query. This is the standard production ANN shape: the truncated
+    * index bounds stage-1 cost; the rerank touches candK · |Q| full
+    * vectors, never the corpus. Recall is bounded by stage 1's
+    * (x163's measured truncation curve at the index dims, times the
+    * x104-style nprobe recall); the rerank ORDERING within the
+    * candidate set is exact. Returns (query_id, rank, neighbor_id,
+    * cosine) with full-dimension cosines, rank 1..k, ties by neighbor
+    * id.
+    */
+  def truncatedIndexRerank(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, indexPath: String, dims: Int,
+      candK: Int, k: Int, nprobe: Int = 2): DataFrame = {
+    require(dims >= 1, "truncatedIndexRerank: dims must be >= 1")
+    require(candK >= k, "truncatedIndexRerank: candK must be >= k")
+    val cand = VectorIndex.probeIvfIndex(
+        queries.select(col(idCol),
+          slice(col(vecCol).cast("array<double>"), 1, dims).as(vecCol)),
+        indexPath, idCol, vecCol, k = candK, nprobe = nprobe)
+      .select("query_id", "neighbor_id")
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    // candidates are |Q| × candK — broadcast into the corpus-side join;
+    // full vectors are fetched for candidates only
+    val scored = broadcast(cand).join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+  }
+
   /** Brute-force cosine top-k: every query against the whole corpus.
     * The exact baseline — O(|Q|·|C|) comparisons. Correct at any scale when
     * |Q| is small (the broadcast side); the corpus side streams.

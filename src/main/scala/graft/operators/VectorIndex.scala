@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Layout under `path`:
   *   `centroids`  (cid, centroid)            — the frozen codebook
-  *   `vectors`    (vec_id, vec, cell)        — corpus vectors + cell
+  *   `vectors`    (vec_id, vec, cell, epoch) — corpus vectors + cell +
+  *                                             the absorb generation
+  *   `epochs`     (epoch)                    — absorb-count-sized epoch
+  *                                             counter (audit trend axis)
   *   `meta`       (nlist, train_iterations)  — build-parameter contract
   *   `tombstones` (vec_id)                   — retracted, until compact
   *
@@ -70,10 +73,15 @@ object VectorIndex {
         .select(col("vec_id").as("cid"), col("vec").as("centroid"))
     codebook.write.mode("overwrite").parquet(s"$path/centroids")
     // epoch 0 = the build generation; each absorb stamps the next epoch,
-    // which is what the codebook-drift audit trends over
+    // which is what the codebook-drift audit trends over. The epoch
+    // COUNTER lives in its own absorb-count-sized `epochs` store so the
+    // next absorb never scans the corpus-sized vectors store for
+    // max(epoch) — a per-batch corpus read is exactly the overhead the
+    // meta-cache discipline exists to avoid.
     assign(vecs, spark.read.parquet(s"$path/centroids"))
       .withColumn("epoch", lit(0))
       .write.mode("overwrite").parquet(s"$path/vectors")
+    Seq(0).toDF("epoch").write.mode("overwrite").parquet(s"$path/epochs")
     val meta = Seq((nlist, trainIterations))
       .toDF("nlist", "train_iterations")
     meta.write.mode("overwrite").parquet(s"$path/meta")
@@ -173,20 +181,33 @@ object VectorIndex {
         s"absorbIntoIvfIndex: batch contains ids tombstoned in $indexPath " +
           "— run compactIvfIndex before re-ingesting a retracted id")
     }
-    // absorb-epoch stamp: one column-pruned max scan of the stored
-    // vectors; indexes written before the epoch column stay absorbable
-    // (no stamp — the audit folds them into epoch 0)
-    val stored = spark.read.parquet(s"$indexPath/vectors")
+    // absorb-epoch stamp from the absorb-count-sized `epochs` store —
+    // never a scan of the corpus-sized vectors store. WRITE ORDER:
+    // vectors first (idempotent anti-join append), the epoch marker
+    // last — a crash between them makes the retry reuse the same epoch
+    // number for the rows its anti-join skips plus the remainder, so
+    // the batch stays ONE epoch; a replay after both writes appends no
+    // vectors and at worst burns an unused epoch number, which the
+    // audit (grouping by the VECTORS' epochs) never shows. Indexes
+    // written before the epoch machinery stay absorbable (no stamp —
+    // the audit folds them into epoch 0).
     val assigned0 = assign(vecs,
       spark.read.parquet(s"$indexPath/centroids"))
-    val assigned =
-      (if (stored.schema.fieldNames.contains("epoch"))
-        assigned0.withColumn("epoch",
-          lit(stored.agg(coalesce(max("epoch"), lit(0)).cast("int"))
-            .head().getInt(0) + 1))
-      else assigned0).localCheckpoint()
+    val nextEpoch =
+      if (ArtifactStore.exists(spark, s"$indexPath/epochs"))
+        Some(spark.read.parquet(s"$indexPath/epochs")
+          .agg(coalesce(max("epoch"), lit(0)).cast("int"))
+          .head().getInt(0) + 1)
+      else None
+    val assigned = nextEpoch.fold(assigned0)(e =>
+      assigned0.withColumn("epoch", lit(e))).localCheckpoint()
     ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
       assigned.select("vec_id"), assigned)
+    nextEpoch.foreach { e =>
+      import spark.implicits._
+      Seq(e).toDF("epoch").write.mode("append")
+        .parquet(s"$indexPath/epochs")
+    }
   }
 
   /** Codebook DRIFT audit (round-11 verdict #5) — the retrain trigger

@@ -1641,6 +1641,8 @@ object EvalQueries {
              |  SELECT 'ivf' AS artifact, 'centroids' AS substore,
              |    4::BIGINT AS "rows", tomb.n AS tombstone_rows,
              |    0::BIGINT AS crash_leftovers FROM tomb
+             |  UNION ALL SELECT 'ivf', 'epochs', 1::BIGINT, tomb.n,
+             |    0::BIGINT FROM tomb
              |  UNION ALL SELECT 'ivf', 'meta', 1::BIGINT, tomb.n,
              |    0::BIGINT FROM tomb
              |  UNION ALL SELECT 'ivf', 'vectors', ivfn.n, tomb.n,
@@ -1659,7 +1661,108 @@ object EvalQueries {
              |    0::BIGINT
              |  UNION ALL SELECT 'vocab', 'meta', 1::BIGINT, 0::BIGINT,
              |    0::BIGINT
-             |) ORDER BY artifact, substore""".stripMargin))
+             |) ORDER BY artifact, substore""".stripMargin)),
+
+    // Mergeable HISTOGRAM artifact + quantile union (x173): the
+    // quantile twin of x140's HLL artifact — each shard folds its order
+    // totals into exact fixed-width integer cent-buckets once
+    // (Profile.histogramShard), the (shard, bucket, cnt) table is
+    // WRITTEN TO PARQUET as the nightly per-shard artifact, and the
+    // reader answers p50/p90/p99/p100 from the bucket-sum union with
+    // one cumulative window over the ~50-bucket domain — never a
+    // corpus-wide sort, and unlike sampled sketches the fixed bucket
+    // width bounds the error under ANY merge order. Integer arithmetic
+    // end to end, so the oracle replays it exactly.
+    QueryDef("x173_histogram_artifact_quantiles",
+      (s, d) => {
+        val dir = s"${ExtensionQueries.idxScratch}/x173_hist"
+        rmTree(dir)
+        val shards = Profile.histogramShard(
+          tbl(s, d, "orders")
+            .withColumn("shard", pmod(col("o_orderkey"), lit(4))),
+          "shard", (col("o_totalprice") * 100).cast("long"),
+          widthCents = 1L << 20)
+        shards.write.mode("overwrite").parquet(dir)
+        Profile.quantilesFromHistogram(s.read.parquet(dir),
+            widthCents = 1L << 20, qsX10000 = Seq(5000, 9000, 9900, 10000))
+          .orderBy("q_x10000")
+      },
+      Some("""WITH h AS (SELECT (o_totalprice*100)::BIGINT // 1048576
+             |    AS bucket, count(*)::BIGINT AS cnt
+             |  FROM orders GROUP BY 1),
+             |c AS (SELECT bucket, cnt,
+             |    (sum(cnt) OVER (ORDER BY bucket))::BIGINT AS cum FROM h),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM h),
+             |q(q_x10000) AS (VALUES (5000), (9000), (9900), (10000))
+             |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
+             |  (min(bucket) + 1) * 1048576 AS upper_cents
+             |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin)),
+
+    // Two-stage MATRYOSHKA retrieval (x174): coarse candidates from a
+    // persisted IVF index built over the FIRST 16 of 64 dimensions
+    // (x163's matryoshka serving trick — a quarter of the index bytes
+    // and stage-1 dot-product work), exact full-dimension rerank of the
+    // 20 candidates per anchor, top-5 emitted with full-dim cosines
+    // (Similarity.truncatedIndexRerank). The oracle replays both
+    // stages declaratively: truncated codebook/cells/probes, truncated-
+    // cosine candidate top-20, full-vector rerank.
+    QueryDef("x174_matryoshka_rerank",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x174_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(
+          emb.select(col("vec_id"),
+            slice(col("embedding").cast("array<double>"), 1, 16)
+              .as("embedding")),
+          "vec_id", "embedding", root, nlist = 8)
+        graft.operators.Similarity.truncatedIndexRerank(
+            emb.filter(col("vec_id") < 10), emb, "vec_id", "embedding",
+            root, dims = 16, candK = 20, k = 5, nprobe = 2)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |sv AS (SELECT vec_id, vec[1:16] AS tv FROM v),
+             |cb AS (SELECT vec_id AS cid, tv AS centroid FROM sv
+             |  ORDER BY vec_id LIMIT 8),
+             |cells AS (SELECT vec_id AS neighbor_id, tv, cid AS cell
+             |  FROM (SELECT s.vec_id, s.tv, cb.cid,
+             |      row_number() OVER (PARTITION BY s.vec_id
+             |        ORDER BY ${dkCosine("s.tv", "cb.centroid")} DESC, cb.cid)
+             |        AS rn
+             |    FROM sv s CROSS JOIN cb) a
+             |  WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, vec[1:16] AS qtv, vec AS qv
+             |  FROM v WHERE vec_id < 10),
+             |probes AS (SELECT query_id, qtv, qv, cell FROM (
+             |    SELECT q.query_id, q.qtv, q.qv, cb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${dkCosine("q.qtv", "cb.centroid")} DESC, cb.cid)
+             |        AS pr
+             |    FROM q CROSS JOIN cb) p
+             |  WHERE pr <= 2),
+             |cand AS (SELECT query_id, neighbor_id, qv FROM (
+             |    SELECT p.query_id, c.neighbor_id, p.qv,
+             |      row_number() OVER (PARTITION BY p.query_id
+             |        ORDER BY ${dkCosine("p.qtv", "c.tv")} DESC,
+             |          c.neighbor_id) AS cr
+             |    FROM probes p JOIN cells c USING (cell)
+             |    WHERE p.query_id <> c.neighbor_id) x
+             |  WHERE cr <= 20)
+             |SELECT query_id, rank, neighbor_id, cosine_x1m FROM (
+             |  SELECT cand.query_id, v.vec_id AS neighbor_id,
+             |    floor(${dkCosine("cand.qv", "v.vec")} * 1000000)::BIGINT
+             |      AS cosine_x1m,
+             |    row_number() OVER (PARTITION BY cand.query_id
+             |      ORDER BY ${dkCosine("cand.qv", "v.vec")} DESC, v.vec_id)
+             |      AS rank
+             |  FROM cand JOIN v ON cand.neighbor_id = v.vec_id) r
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

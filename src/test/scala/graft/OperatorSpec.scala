@@ -745,6 +745,27 @@ class OperatorSpec extends SparkSpec with Matchers {
     bad.getMessage should include("nlist")
   }
 
+  test("histogram artifact: quantiles are shard-split invariant; upper bound covers the quantile") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val vals = (1 to 1000).map(i => (i.toLong, (i * i).toLong))
+      .toDF("id", "cents")
+    def quant(shards: Int) = Profile.quantilesFromHistogram(
+        Profile.histogramShard(
+          vals.withColumn("shard", pmod(col("id"), lit(shards))),
+          "shard", col("cents"), widthCents = 10000L),
+        widthCents = 10000L, qsX10000 = Seq(5000, 9900, 10000))
+      .orderBy("q_x10000").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // the merge is a plain bucket-sum: any shard split lands on the
+    // same histogram, so the quantiles cannot move
+    quant(1) shouldBe quant(7)
+    // p50 of i² over 1..1000: value 500² = 250000 -> bucket 25, upper
+    // bound 260000 covers it; p100 sits in 1000²'s bucket
+    quant(4) shouldBe Seq((5000, 25L, 260000L), (9900, 98L, 990000L),
+      (10000, 100L, 1010000L))
+  }
+
   test("auditIvfDrift: stationary absorb holds the error trend flat; a planted shift raises it and concentrates cells") {
     import spark.implicits._
     import graft.operators.VectorIndex
