@@ -1016,4 +1016,28 @@ class PlanSpec extends SparkSpec with Matchers {
     // candidate-only recount after the broadcast semi filter
     "Arguments: hashpartitioning".r.findAllIn(plan).length shouldBe 2
   }
+
+  test("x173 histogram quantiles: windows run over the bucket table only —" +
+      " raw rows hit one bucket-keyed aggregate, never a sort or window") {
+    val plan = planOf(q("x173_histogram_artifact_quantiles"))
+    // two-phase fold into (shard, bucket) map-side, then bucket-domain
+    // work: the raw 15k order rows must never feed a Window or a Sort
+    plan should include("HashAggregate")
+    plan.toLowerCase should include("partial")
+    // both windows (cumulative sum, total) sit ABOVE the bucket
+    // aggregate; the single-partition exchange they need carries the
+    // ~50-bucket table, so SinglePartition appears but no raw-row sort
+    nodeCount(plan, "Window") should be >= 1
+    (plan should not).include("SortMergeJoin")
+  }
+
+  test("x174 matryoshka rerank: stage-2 joins broadcast the candidate and" +
+      " anchor sides — the full-vector corpus is probed, never shuffled") {
+    val plan = planOf(q("x174_matryoshka_rerank"))
+    // candidates (|Q| x candK) and anchors broadcast into the corpus
+    // scan; a SortMergeJoin here would mean the 64-dim corpus was
+    // shuffled to rerank 200 candidate rows
+    nodeCount(plan, "BroadcastHashJoin") should be >= 2
+    (plan should not).include("SortMergeJoin")
+  }
 }
