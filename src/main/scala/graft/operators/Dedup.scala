@@ -715,16 +715,31 @@ object Dedup {
   /** Read a canonical-labels store: bucketed roots (num_buckets meta —
     * the `buildCanonicalLabels` layout) via the explicit bucket-dir
     * list, pre-bucketing flat roots via a plain read. Every labels
-    * consumer goes through here. */
+    * consumer goes through here. A store whose every row was retracted
+    * has NO bucket dirs (deleted-bucket mutations) — it reads as an
+    * empty frame typed from the meta's recorded doc type, so a total
+    * takedown followed by a fresh absorb is a legal lifecycle. */
   def readLabels(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     labelsNumBuckets(spark, path) match {
       case Some(_) =>
         val dirs = ArtifactStore.listBucketDirs(spark, path)
-        require(dirs.nonEmpty, s"readLabels: bucketed store at $path has " +
-          "no bucket dirs (crashed mutation? run ArtifactStore.repairStore)")
-        spark.read.parquet(dirs: _*)
-          .select("doc", "canonical_id", "is_keeper")
+        if (dirs.nonEmpty)
+          spark.read.parquet(dirs: _*)
+            .select("doc", "canonical_id", "is_keeper")
+        else {
+          val docType = ArtifactStore.cachedMeta(spark, path)
+            .filter(_.schema.fieldNames.contains("doc_type"))
+            .map(_.getAs[String]("doc_type"))
+            .getOrElse(throw new IllegalStateException(
+              s"readLabels: bucketed store at $path has no bucket dirs " +
+                "and its meta predates the doc_type field — crashed " +
+                "mutation? run ArtifactStore.repairStore"))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType.fromDDL(
+              s"doc $docType, canonical_id $docType, is_keeper boolean"))
+        }
       case None => spark.read.parquet(path)
     }
 
@@ -739,13 +754,18 @@ object Dedup {
       else None)
 
   /** Full bucketed-store write (build and out-of-place merge copies):
-    * meta + `b=<k>` dirs staged as one root, swapped in atomically. */
+    * meta + `b=<k>` dirs staged as one root, swapped in atomically. The
+    * meta records the doc column's type so a store whose every bucket
+    * was later deleted (total takedown) still reads as a TYPED empty
+    * frame. */
   private def writeLabelsBucketed(spark: org.apache.spark.sql.SparkSession,
       labels: DataFrame, path: String, n: Int): Unit = {
     import spark.implicits._
     ArtifactStore.writeBucketedStore(spark,
       labels.withColumn("b", pmod(hash(col("doc")), lit(n))),
-      path, Seq(n).toDF("num_buckets"))
+      path,
+      Seq((n, labels.schema("doc").dataType.catalogString))
+        .toDF("num_buckets", "doc_type"))
   }
 
   /** INCREMENTAL canonical-label maintenance — the piece that makes the

@@ -205,6 +205,32 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
     labelMap(s"$root/labels")(99L) shouldBe ((99L, true))
   }
 
+  test("total takedown empties the store; readLabels stays typed; a fresh absorb restarts the lifecycle") {
+    val corpus = docs(1L -> blk("a", 12), 2L -> blk("c", 12),
+      3L -> blk("e", 12))
+    val root = freshRoot("bempty")
+    Dedup.buildCanonicalLabels(corpus, "doc_id", "text", s"$root/labels",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5,
+      numBuckets = 8)
+    Dedup.buildLshIndex(corpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    Dedup.retractFromLabels(corpus.select("doc_id"), "doc_id",
+      s"$root/labels", s"$root/idx", threshold = 0.5)
+    // every bucket deleted — the store reads as a TYPED empty frame
+    val empty = Dedup.readLabels(spark, s"$root/labels")
+    empty.count() shouldBe 0L
+    empty.schema.fieldNames.toSeq shouldBe Seq("doc", "canonical_id",
+      "is_keeper")
+    // the lifecycle restarts: a fresh batch absorbs into the empty store
+    val batch = docs(10L -> blk("z", 20),
+      11L -> blk("z", 20).replace("z5 ", "z5x "))
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe Map(10L -> ((10L, true)),
+      11L -> ((10L, false)))
+  }
+
   test("a rebuild at a tombstoned root clears the stale deletion vector") {
     val corpus = docs(50L -> blk("z", 20), 65L -> blk("z", 20).replace("z5 ", "z5x "),
       70L -> blk("y", 20))
