@@ -743,6 +743,26 @@ object Dedup {
       case None => spark.read.parquet(path)
     }
 
+  /** Re-bucket a labels store to a new bucket count — the periodic
+    * maintenance dual of the O(touched) mutations for when the corpus
+    * outgrows the build-time N: bucket bytes grow with the corpus at
+    * fixed N (mutation cost is touchedBuckets × bucketBytes), so N
+    * should track corpus size the way `compactLshIndex` tracks
+    * tombstone debt. One corpus-sized staged rewrite (read the whole
+    * store, re-hash, root swap — the store is complete under some path
+    * at every instant); consumers and mutators pick the new geometry up
+    * from the refreshed meta. Amortize it like any compaction: rebalance
+    * when bucketBytes drifts ~4× past target, not per batch. */
+  def rebalanceLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBuckets: Int): Unit = {
+    require(numBuckets >= 1, "rebalanceLabels: numBuckets must be >= 1")
+    require(labelsNumBuckets(spark, path).isDefined,
+      s"rebalanceLabels: $path is not a bucketed labels store")
+    // materialize before the root swap deletes the dirs the plan read
+    val labels = readLabels(spark, path).localCheckpoint()
+    writeLabelsBucketed(spark, labels, path, numBuckets)
+  }
+
   /** The labels store's bucket count — `Some(n)` marks the bucketed
     * layout, `None` a pre-bucketing flat store (the meta row is cached
     * per (JVM, path) like every artifact meta). */

@@ -205,6 +205,38 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
     labelMap(s"$root/labels")(99L) shouldBe ((99L, true))
   }
 
+  test("rebalanceLabels re-buckets the store: rows identical, new geometry live, later mutations exact") {
+    val root = freshRoot("brebal")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 4)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val b1 = docs(20L -> blk("z", 20).replace("z6 ", "z6y "))
+    Dedup.absorbIntoLabels(b1, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    val pre = labelMap(s"$root/labels")
+    val preDirs = ArtifactStore.listBucketDirs(spark, s"$root/labels").size
+    preDirs should be <= 4
+
+    Dedup.rebalanceLabels(spark, s"$root/labels", 32)
+    labelMap(s"$root/labels") shouldBe pre
+    ArtifactStore.listBucketDirs(spark, s"$root/labels").size should
+      be > preDirs
+
+    // the refreshed geometry serves the NEXT mutation exactly
+    val b2 = docs(90L -> blk("q", 15))
+    Dedup.absorbIntoLabels(b2, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    Dedup.buildCanonicalLabels(
+      spreadCorpus.unionByName(b1).unionByName(b2), "doc_id", "text",
+      s"$root/labelsFull", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+  }
+
   test("total takedown empties the store; readLabels stays typed; a fresh absorb restarts the lifecycle") {
     val corpus = docs(1L -> blk("a", 12), 2L -> blk("c", 12),
       3L -> blk("e", 12))
