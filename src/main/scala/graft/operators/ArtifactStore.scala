@@ -118,14 +118,32 @@ private[graft] object ArtifactStore {
     * S3-on-EMRFS with a consistent commit) rather than raw S3A paths.
     */
   def writeParquetStaged(spark: SparkSession, df: DataFrame,
-      path: String): Unit = {
+      path: String, partitionCols: Seq[String] = Nil): Unit = {
     val fs = fileSystem(spark, path)
     val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
     fs.delete(staging, true)
     fs.delete(new org.apache.hadoop.fs.Path(path + ".__old"), true)
-    df.write.mode("overwrite").parquet(staging.toString)
+    if (partitionCols.isEmpty)
+      df.write.mode("overwrite").parquet(staging.toString)
+    else
+      // repartition on the partition key first, or the write fans out
+      // tasks × partitions small files (consumers pay the listing on
+      // every read)
+      df.repartition(partitionCols.map(col): _*).write.mode("overwrite")
+        .partitionBy(partitionCols: _*).parquet(staging.toString)
     stagedBytesWritten.addAndGet(dirBytes(fs, staging))
     swapRootStaged(fs, path)
+  }
+
+  /** Whether `dir` holds `<colName>=<value>` partition dirs — the layout
+    * probe consumers use to pick the pruned read path (stores written
+    * before a substore was partition-laid-out read flat forever). */
+  def hasPartitionDirs(spark: SparkSession, dir: String,
+      colName: String): Boolean = {
+    val fs = fileSystem(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(colName + "="))
   }
 
   private def fileSystem(spark: SparkSession,
@@ -203,12 +221,17 @@ private[graft] object ArtifactStore {
     * check to per-key row counts before trusting recovery-by-retry.
     */
   def appendMissing(spark: SparkSession, root: String, sub: String,
-      keyCol: String, batchKeys: DataFrame, rows: DataFrame): Unit = {
+      keyCol: String, batchKeys: DataFrame, rows: DataFrame,
+      partitionCols: Seq[String] = Nil): Unit = {
     val present = spark.read.parquet(s"$root/$sub").select(keyCol)
       .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
       .distinct().localCheckpoint()
-    rows.join(broadcast(present), Seq(keyCol), "left_anti")
-      .write.mode("append").parquet(s"$root/$sub")
+    val fresh = rows.join(broadcast(present), Seq(keyCol), "left_anti")
+    if (partitionCols.isEmpty)
+      fresh.write.mode("append").parquet(s"$root/$sub")
+    else
+      fresh.repartition(partitionCols.map(col): _*).write.mode("append")
+        .partitionBy(partitionCols: _*).parquet(s"$root/$sub")
   }
 
   /** Idempotent tombstone append (keys already tombstoned are skipped —
@@ -232,11 +255,12 @@ private[graft] object ArtifactStore {
     * undone.
     */
   def compact(spark: SparkSession, root: String, subs: Seq[String],
-      keyCol: String): Unit = {
+      keyCol: String, partitionCols: Map[String, Seq[String]] = Map.empty)
+      : Unit = {
     if (hasTombstones(spark, root)) {
       subs.foreach { sub =>
         writeParquetStaged(spark, readStore(spark, root, sub, keyCol),
-          s"$root/$sub")
+          s"$root/$sub", partitionCols.getOrElse(sub, Nil))
       }
       deletePath(spark, s"$root/tombstones")
     }

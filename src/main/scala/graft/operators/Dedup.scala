@@ -756,6 +756,13 @@ object Dedup {
   def rebalanceLabels(spark: org.apache.spark.sql.SparkSession,
       path: String, numBuckets: Int): Unit = {
     require(numBuckets >= 1, "rebalanceLabels: numBuckets must be >= 1")
+    // heal any crashed predecessor BEFORE reading (round-12 advisory —
+    // the mutators' entry discipline): without it, a marked .__bstaging
+    // that repair would roll forward is silently baked into the new
+    // geometry as the MIXED live state, and the root swap then discards
+    // the committed staging — the marker evidence gone, the
+    // inconsistency permanent
+    ArtifactStore.repairStore(spark, path)
     require(labelsNumBuckets(spark, path).isDefined,
       s"rebalanceLabels: $path is not a bucketed labels store")
     // materialize before the root swap deletes the dirs the plan read

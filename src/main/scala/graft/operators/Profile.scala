@@ -105,9 +105,18 @@ object Profile {
   def histogramShard(df: DataFrame, shardCol: String, cents: Column,
       widthCents: Long): DataFrame = {
     require(widthCents >= 1, "histogramShard: widthCents must be >= 1")
+    // FLOOR division (round-12 advisory): SQL div truncates toward
+    // zero, which would collapse (-width, 0) and [0, width) into one
+    // double-width bucket 0 — the fixed-width error bound and the
+    // exclusive upper_cents claim break for corpora with negative
+    // values (refunds, adjustments). `__c - pmod(__c, w)` is the
+    // largest multiple of w ≤ __c, so div is exact — floor semantics
+    // in pure 64-bit integer arithmetic (oracle-portable).
     df.select(col(shardCol).as("shard"), cents.cast("long").as("__c"))
       .filter(col("__c").isNotNull)
-      .groupBy(col("shard"), expr(s"div(__c, ${widthCents}L)").as("bucket"))
+      .groupBy(col("shard"),
+        expr(s"div(__c - pmod(__c, ${widthCents}L), ${widthCents}L)")
+          .as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
 

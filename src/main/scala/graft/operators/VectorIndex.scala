@@ -78,9 +78,16 @@ object VectorIndex {
     // next absorb never scans the corpus-sized vectors store for
     // max(epoch) — a per-batch corpus read is exactly the overhead the
     // meta-cache discipline exists to avoid.
+    // vectors live in cell=<k> partition dirs — the cells ARE the
+    // store's buckets, so a probe's nprobe cell set becomes PARTITION
+    // PRUNING (round-12 verdict #1): at 100 TB an IVF probe must read
+    // nprobe/nlist of the corpus, not all of it. repartition(cell)
+    // first so each cell lands as ~one file, not tasks × cells.
     assign(vecs, spark.read.parquet(s"$path/centroids"))
       .withColumn("epoch", lit(0))
-      .write.mode("overwrite").parquet(s"$path/vectors")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
     Seq(0).toDF("epoch").write.mode("overwrite").parquet(s"$path/epochs")
     val meta = Seq((nlist, trainIterations))
       .toDF("nlist", "train_iterations")
@@ -103,6 +110,14 @@ object VectorIndex {
     * nearest stored cells — the shared exact-scoring core of
     * `probeIvfIndex` (top-k over it) and `hardNegativesFromIvfIndex`
     * (dup-band filter, THEN top-k). */
+  /** Whether the index's vectors substore is laid out in cell=<k>
+    * partition dirs (every store built/retrained since the pruning
+    * round). Flat stores from earlier generations keep the full-scan
+    * read path. */
+  private def cellPartitioned(spark: SparkSession,
+      indexPath: String): Boolean =
+    ArtifactStore.hasPartitionDirs(spark, s"$indexPath/vectors", "cell")
+
   private def probeScored(queries: DataFrame, indexPath: String,
       idCol: String, vecCol: String, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -112,18 +127,40 @@ object VectorIndex {
           s"${m.getAs[Int]("nlist")} at $indexPath")
     }
     val codebook = spark.read.parquet(s"$indexPath/centroids")
-    val vectors = ArtifactStore.readStore(spark, indexPath, "vectors",
-      "vec_id")
     val q = nonZero(queries, vecCol).select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("qc").desc, col("cid"))
-    val probes = q.crossJoin(broadcast(codebook))
+    val probes0 = q.crossJoin(broadcast(codebook))
       .select(col("query_id"), col("qv"), col("cid"),
         Similarity.cosine(col("qv"), col("centroid")).as("qc"))
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    // pruned read (round-12 verdict #1): the queries' nprobe cell union
+    // is known DRIVER-SIDE after ranking the broadcast codebook —
+    // nlist-bounded, one tiny job against the checkpointed probes — and
+    // becomes a static partition filter on the cell-partitioned vectors
+    // store, so a probe reads ≤ |cells| of the corpus's cell dirs
+    // instead of all of them. The nprobe restriction used to be applied
+    // INSIDE the join, after a full corpus-sized scan.
+    val (probes, vectors) =
+      if (cellPartitioned(spark, indexPath)) {
+        val p = probes0.localCheckpoint()
+        val cells = p.select("cell").distinct().collect().map(_.get(0))
+        val cellType = codebook.schema("cid").dataType
+        val pruned = spark.read.parquet(s"$indexPath/vectors")
+          .filter(col("cell").isin(cells.toIndexedSeq: _*))
+          .withColumn("cell", col("cell").cast(cellType))
+        val filtered =
+          if (ArtifactStore.hasTombstones(spark, indexPath))
+            pruned.join(broadcast(ArtifactStore.tombstoneKeys(spark,
+              indexPath, "vec_id")), Seq("vec_id"), "left_anti")
+          else pruned
+        (p, filtered)
+      } else
+        (probes0,
+          ArtifactStore.readStore(spark, indexPath, "vectors", "vec_id"))
     broadcast(probes).join(vectors, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -201,8 +238,13 @@ object VectorIndex {
       else None
     val assigned = nextEpoch.fold(assigned0)(e =>
       assigned0.withColumn("epoch", lit(e))).localCheckpoint()
+    // layout-preserving append: a cell-partitioned store grows new
+    // part-files inside the batch's cell dirs (probe pruning stays
+    // valid); pre-partitioning flat stores keep appending flat
     ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
-      assigned.select("vec_id"), assigned)
+      assigned.select("vec_id"), assigned,
+      partitionCols =
+        if (cellPartitioned(spark, indexPath)) Seq("cell") else Nil)
     nextEpoch.foreach { e =>
       import spark.implicits._
       Seq(e).toDF("epoch").write.mode("append")
@@ -269,8 +311,68 @@ object VectorIndex {
     ArtifactStore.appendTombstones(spark, indexPath, "vec_id", indexed)
   }
 
-  /** Fold tombstones into the vectors store physically; after it,
-    * retracted ids may be re-ingested. */
+  /** Fold tombstones into the vectors store physically (layout-
+    * preserving: a cell-partitioned store compacts back into cell
+    * dirs); after it, retracted ids may be re-ingested. */
   def compactIvfIndex(spark: SparkSession, indexPath: String): Unit =
-    ArtifactStore.compact(spark, indexPath, Seq("vectors"), "vec_id")
+    ArtifactStore.compact(spark, indexPath, Seq("vectors"), "vec_id",
+      partitionCols =
+        if (cellPartitioned(spark, indexPath)) Map("vectors" -> Seq("cell"))
+        else Map.empty)
+
+  /** RETRAIN — what consumes `auditIvfDrift`'s alarm (round-12 verdict
+    * #4): rebuild the codebook FROM THE STORED VECTORS (no corpus
+    * access — the index is self-contained), reassign every live vector
+    * to the new centroids, and reset the epoch clock, closing the
+    * frozen-codebook contract's deferred loop: absorb freezes, the
+    * audit trends, retrain adapts. Tombstoned vectors are NOT retrained
+    * — the rewrite is the physical fold `compactIvfIndex` would have
+    * done, so the tombstone store is cleared and retracted ids may be
+    * re-ingested afterwards (same post-state as compact).
+    *
+    * Training is the build's deterministic Lloyd refinement
+    * (first-`nlist`-by-id seed + `trainIterations` assignment passes)
+    * over the STORED vectors, so a stationary corpus retrains to the
+    * geometry the build chose (consumers see identical probe answers at
+    * nprobe = nlist — spec-pinned), while a drifted corpus pulls
+    * centroids toward its new mass and mean quantization error drops
+    * (x175's strict pin). Crash recovery is RE-RUN: the stored vectors
+    * are checkpointed before any write, each store swaps via
+    * `writeParquetStaged` (complete under some path at every instant),
+    * and the one inconsistent window — new centroids live, old cell
+    * assignments still in vectors — is closed by re-running the retrain,
+    * exactly `buildIvfIndex`'s own discipline.
+    */
+  def retrainIvfIndex(spark: SparkSession, indexPath: String,
+      trainIterations: Int = 4): Unit = {
+    require(trainIterations >= 1,
+      "retrainIvfIndex: trainIterations must be >= 1")
+    val nlist = ArtifactStore.cachedMeta(spark, indexPath)
+      .map(_.getAs[Int]("nlist"))
+      .getOrElse(throw new IllegalStateException(
+        s"retrainIvfIndex: no meta store at $indexPath — retrain needs " +
+          "the build-parameter contract (nlist)"))
+    import spark.implicits._
+    // live vectors only (tombstone-filtered), materialized BEFORE the
+    // swaps delete the files this plan reads
+    val stored = ArtifactStore.readStore(spark, indexPath, "vectors",
+        "vec_id")
+      .select(col("vec_id"), col("vec")).localCheckpoint()
+    val codebook = Similarity.trainCodebook(stored, "vec_id", "vec",
+      nlist, trainIterations)
+    ArtifactStore.writeParquetStaged(spark, codebook,
+      s"$indexPath/centroids")
+    ArtifactStore.writeParquetStaged(spark,
+      assign(stored, spark.read.parquet(s"$indexPath/centroids"))
+        .withColumn("epoch", lit(0)),
+      s"$indexPath/vectors", partitionCols = Seq("cell"))
+    ArtifactStore.writeParquetStaged(spark, Seq(0).toDF("epoch"),
+      s"$indexPath/epochs")
+    if (ArtifactStore.hasTombstones(spark, indexPath))
+      ArtifactStore.deletePath(spark, s"$indexPath/tombstones")
+    val meta = Seq((nlist, trainIterations))
+      .toDF("nlist", "train_iterations")
+    ArtifactStore.writeParquetStaged(spark, meta, s"$indexPath/meta")
+    ArtifactStore.seedMeta(spark, indexPath, meta.head())
+  }
 }

@@ -1762,7 +1762,154 @@ object EvalQueries {
              |      ORDER BY ${dkCosine("cand.qv", "v.vec")} DESC, v.vec_id)
              |      AS rank
              |  FROM cand JOIN v ON cand.neighbor_id = v.vec_id) r
-             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF RETRAIN (x175): the consumer of x171's drift alarm — rebuild
+    // the codebook FROM THE STORED VECTORS (no corpus access), reassign
+    // cells, reset the epoch clock (VectorIndex.retrainIvfIndex). Build
+    // on the even half, absorb the odd half shifted +0.5/component
+    // under fresh ids (planted drift), measure BEFORE/AFTER: mean
+    // quantization error (fixed-point, floored per vector) and probe
+    // recall@5 (nprobe=2) against exact brute force over the searchable
+    // set for 20 drifted queries. The output carries the improvement
+    // CLAIMS as booleans, so the strict gate itself certifies "error
+    // drops, recall rises" (measured here: 818711 -> 385499 err,
+    // 8100 -> 10000 recall at sf0.01). The oracle replays retraining's
+    // two Lloyd iterations declaratively (x08d's fixed-point-mean CTE
+    // blocks) — the retrain seed (first 8 stored ids) equals the build
+    // codebook because drifted ids sit above 100000.
+    QueryDef("x175_ivf_retrain",
+      (s, d) => {
+        import s.implicits._
+        val root = s"${ExtensionQueries.idxScratch}/x175_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        val even = emb.filter(col("vec_id") % 2 === 0)
+        val drifted = emb.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"), x => x.cast("double") + lit(0.5))
+              .as("embedding"))
+        VectorIndex.buildIvfIndex(even, "vec_id", "embedding", root,
+          nlist = 8)
+        VectorIndex.absorbIntoIvfIndex(drifted, "vec_id", "embedding",
+          root)
+        val qs = drifted.filter(col("vec_id") < 100040L)
+        val nq = qs.count()
+        val searchable = even.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"))
+          .unionByName(drifted)
+        def avgErr(): Long = ArtifactStore
+          .readStore(s, root, "vectors", "vec_id")
+          .join(broadcast(s.read.parquet(s"$root/centroids")),
+            col("cell") === col("cid"))
+          .select(floor((lit(1.0) - graft.operators.Similarity
+            .cosine(col("vec"), col("centroid"))) * 1000000)
+            .cast("long").as("e"))
+          .agg(expr("div(sum(e), count(1))")).head().getLong(0)
+        def recall(): Long = {
+          val ann = VectorIndex.probeIvfIndex(qs, root, "vec_id",
+            "embedding", k = 5, nprobe = 2).select("query_id", "neighbor_id")
+          val exact = graft.operators.Similarity.bruteForceTopK(qs,
+            searchable, "vec_id", "embedding", k = 5)
+            .select("query_id", "neighbor_id")
+          10000L * ann.join(exact, Seq("query_id", "neighbor_id")).count() /
+            (5L * nq)
+        }
+        val (preErr, preRec) = (avgErr(), recall())
+        VectorIndex.retrainIvfIndex(s, root, trainIterations = 2)
+        val (postErr, postRec) = (avgErr(), recall())
+        Seq(("avg_err_x1m", preErr, postErr, postErr < preErr),
+          ("recall_x10000", preRec, postRec, postRec > preRec))
+          .toDF("metric", "pre", "post", "improved")
+          .orderBy("metric")
+      },
+      Some {
+        def lloyd(i: Int, prev: String) =
+          s"""a$i AS (SELECT vec_id, vec, cid,
+             |    row_number() OVER (PARTITION BY vec_id
+             |      ORDER BY cc DESC, cid) AS rn
+             |  FROM (SELECT av.vec_id, av.vec, $prev.cid,
+             |      ${dkCosine("av.vec", s"$prev.centroid")} AS cc
+             |    FROM allv av CROSS JOIN $prev)),
+             |e$i AS (SELECT cid AS cell,
+             |    unnest(range(1, len(vec)+1)) AS pos, unnest(vec) AS x
+             |  FROM a$i WHERE rn = 1),
+             |s$i AS (SELECT cell, pos,
+             |    sum(floor(x * 1048576)::BIGINT) AS s, count(*) AS n
+             |  FROM e$i GROUP BY 1, 2),
+             |cb$i AS (SELECT cell AS cid,
+             |    list(s::DOUBLE / (n * 1048576)::DOUBLE ORDER BY pos)
+             |      AS centroid
+             |  FROM s$i GROUP BY cell)""".stripMargin
+        def phase(p: String, cb: String) =
+          s"""asg_$p AS (SELECT vec_id AS neighbor_id, vec AS cv, cell,
+             |    err FROM (
+             |    SELECT av.vec_id, av.vec, $cb.cid AS cell,
+             |      floor((1.0 - ${dkCosine("av.vec", s"$cb.centroid")})
+             |        * 1000000)::BIGINT AS err,
+             |      row_number() OVER (PARTITION BY av.vec_id
+             |        ORDER BY ${dkCosine("av.vec", s"$cb.centroid")} DESC,
+             |          $cb.cid) AS rn
+             |    FROM allv av CROSS JOIN $cb) x
+             |  WHERE rn = 1),
+             |err_$p AS (SELECT (sum(err)::BIGINT // count(*)::BIGINT)
+             |    AS e FROM asg_$p),
+             |probes_$p AS (SELECT query_id, qv, cell FROM (
+             |    SELECT q.query_id, q.qv, $cb.cid AS cell,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${dkCosine("q.qv", s"$cb.centroid")} DESC,
+             |          $cb.cid) AS pr
+             |    FROM q CROSS JOIN $cb) x
+             |  WHERE pr <= 2),
+             |ann_$p AS (SELECT query_id, neighbor_id FROM (
+             |    SELECT p.query_id, c.neighbor_id,
+             |      row_number() OVER (PARTITION BY p.query_id
+             |        ORDER BY ${dkCosine("p.qv", "c.cv")} DESC,
+             |          c.neighbor_id) AS rank
+             |    FROM probes_$p p JOIN asg_$p c USING (cell)
+             |    WHERE p.query_id <> c.neighbor_id) x
+             |  WHERE rank <= 5),
+             |rec_$p AS (SELECT ((10000 * count(*))::BIGINT //
+             |      (5 * (SELECT n FROM nq))::BIGINT) AS r
+             |  FROM ann_$p JOIN exact USING (query_id, neighbor_id))"""
+            .stripMargin
+        s"""WITH v AS (SELECT vec_id,
+           |    list_transform(embedding, x -> x::DOUBLE) AS vec
+           |  FROM embeddings),
+           |allv AS (
+           |  SELECT vec_id, vec FROM v WHERE vec_id % 2 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 100000,
+           |    list_transform(vec, x -> x + 0.5)
+           |  FROM v WHERE vec_id % 2 = 1),
+           |cb0 AS (SELECT vec_id AS cid, vec AS centroid FROM v
+           |  WHERE vec_id % 2 = 0 ORDER BY vec_id LIMIT 8),
+           |${lloyd(1, "cb0")},
+           |${lloyd(2, "cb1")},
+           |q AS (SELECT vec_id AS query_id, vec AS qv FROM allv
+           |  WHERE vec_id > 100000 AND vec_id < 100040),
+           |nq AS (SELECT count(*)::BIGINT AS n FROM q),
+           |exact AS (SELECT query_id, neighbor_id FROM (
+           |    SELECT q.query_id, av.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.query_id
+           |        ORDER BY ${dkCosine("q.qv", "av.vec")} DESC,
+           |          av.vec_id) AS rank
+           |    FROM q CROSS JOIN allv av
+           |    WHERE q.query_id <> av.vec_id) x
+           |  WHERE rank <= 5),
+           |${phase("pre", "cb0")},
+           |${phase("post", "cb2")}
+           |SELECT 'avg_err_x1m' AS metric,
+           |  (SELECT e FROM err_pre) AS pre,
+           |  (SELECT e FROM err_post) AS post,
+           |  (SELECT e FROM err_post) < (SELECT e FROM err_pre)
+           |    AS improved
+           |UNION ALL
+           |SELECT 'recall_x10000',
+           |  (SELECT r FROM rec_pre), (SELECT r FROM rec_post),
+           |  (SELECT r FROM rec_post) > (SELECT r FROM rec_pre)
+           |ORDER BY metric""".stripMargin
+      })
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

@@ -996,7 +996,15 @@ object StreamOps {
       idCol: String, vecCol: String): Unit = {
     val s = batch.sparkSession
     val ids = batch.select(col(idCol)).distinct()
-    val present = s.read.parquet(s"$indexPath/vectors")
+    // TOMBSTONE-FILTERED presence (round-12 advisory): a raw read of
+    // $indexPath/vectors still physically holds retracted ids before
+    // compaction, so a genuinely new vector re-using a tombstoned id
+    // would read as "already present" and be SILENTLY dropped — the
+    // exact silently-inconsistent state absorbIntoIvfIndex's clash
+    // guard fails loud on. Reading through the store's anti-join lets
+    // the re-ingest reach the batch API and trip that guard instead.
+    val present = graft.operators.ArtifactStore
+      .readStore(s, indexPath, "vectors", "vec_id")
       .select(col("vec_id").as(idCol))
       .join(broadcast(ids), Seq(idCol), "left_semi")
       .localCheckpoint()

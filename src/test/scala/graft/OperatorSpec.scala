@@ -796,6 +796,67 @@ class OperatorSpec extends SparkSpec with Matchers {
     s2 should be > s1
   }
 
+  test("retrainIvfIndex: stationary retrain is consumer-invisible; drifted retrain cuts error, resets epochs, folds tombstones") {
+    import spark.implicits._
+    import graft.operators.{ArtifactStore, VectorIndex}
+    def avgErr(root: String): Long = {
+      val vectors = ArtifactStore.readStore(spark, root, "vectors", "vec_id")
+      val centroids = spark.read.parquet(s"$root/centroids")
+      vectors.join(broadcast(centroids), col("cell") === col("cid"))
+        .select(floor((lit(1.0) -
+          Similarity.cosine(col("vec"), col("centroid"))) * 1000000)
+          .cast("long").as("e"))
+        .agg(expr("div(sum(e), count(1))")).head().getLong(0)
+    }
+    // two tight clusters; trainIterations=2 converges the codebook
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.95f, 0.05f)),
+      (3L, Array(0.9f, -0.05f)), (4L, Array(0.97f, 0.02f)),
+      (5L, Array(0.0f, 1.0f)), (6L, Array(0.05f, 0.95f)),
+      (7L, Array(-0.05f, 0.9f)), (8L, Array(0.02f, 0.97f)))
+      .toDF("vec_id", "embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-retrain")
+      .toString + "/idx"
+    VectorIndex.buildIvfIndex(base, "vec_id", "embedding", root,
+      nlist = 2, trainIterations = 2)
+    val q0 = Seq((100L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    def probe() = VectorIndex.probeIvfIndex(q0, root, "vec_id",
+        "embedding", k = 3, nprobe = 1)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val pre = probe()
+    // STATIONARY retrain: the Lloyd seed and the stored vectors are the
+    // build's own, so the retrained codebook converges identically —
+    // consumers see the exact same answers
+    VectorIndex.retrainIvfIndex(spark, root, trainIterations = 2)
+    probe() shouldBe pre
+    // DRIFT: new mass in a direction the codebook never saw, plus a
+    // takedown — retrain must adapt the centroids (error drops), reset
+    // the epoch clock, and fold the tombstones (compact post-state)
+    val drift = Seq(
+      (10L, Array(-1.0f, 0.0f)), (11L, Array(-0.95f, 0.05f)),
+      (12L, Array(-0.9f, -0.05f)), (13L, Array(-0.97f, 0.02f)))
+      .toDF("vec_id", "embedding")
+    VectorIndex.absorbIntoIvfIndex(drift, "vec_id", "embedding", root)
+    VectorIndex.retractFromIvfIndex(Seq(10L).toDF("vec_id"), "vec_id", root)
+    val preErr = avgErr(root)
+    VectorIndex.retrainIvfIndex(spark, root, trainIterations = 2)
+    avgErr(root) should be < preErr
+    // epoch clock reset: one generation, all live vectors in it
+    val audit = VectorIndex.auditIvfDrift(spark, root).collect()
+    audit.length shouldBe 1
+    audit.head.getInt(0) shouldBe 0
+    audit.head.getLong(1) shouldBe 11L // 8 base + 4 drift - 1 retracted
+    // tombstones folded: the retracted id is re-ingestable, and stays
+    // invisible until then
+    new java.io.File(s"$root/tombstones").exists() shouldBe false
+    VectorIndex.absorbIntoIvfIndex(
+      Seq((10L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", root)
+    ArtifactStore.readStore(spark, root, "vectors", "vec_id")
+      .filter(col("vec_id") === 10L).count() shouldBe 1L
+  }
+
   test("truncatedDimRecall: a prefix-collinear decoy costs recall at the low dim, full dim is exact") {
     import spark.implicits._
     // query 0 = (1,0,0,1). Neighbor 1's 2-dim PREFIX is exactly

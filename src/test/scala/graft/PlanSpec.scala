@@ -1040,4 +1040,19 @@ class PlanSpec extends SparkSpec with Matchers {
     nodeCount(plan, "BroadcastHashJoin") should be >= 2
     (plan should not).include("SortMergeJoin")
   }
+
+  test("x164 IVF probe reads ONLY the nprobe cell dirs — the nprobe cell" +
+      " set is a static partition filter on the vectors store") {
+    val plan = planOf(q("x164_ivf_index_lifecycle"))
+    // the queries' cell union is collected driver-side from the ranked
+    // broadcast codebook and pruned at the scan — never applied inside
+    // the join after a full corpus read (round-12 verdict #1)
+    plan should include regex "PartitionFilters: \\[cell#\\d+L? IN"
+    // the probe's nprobe=2 over 10 queries covers at most min(2·10,
+    // nlist) distinct cells; pin the IN-list is a bounded literal set
+    val inList = "PartitionFilters: \\[cell#\\d+L? IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan)
+    inList should not be None
+    inList.get.group(1).split(",").length should be <= 16
+  }
 }
