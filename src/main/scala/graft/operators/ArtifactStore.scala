@@ -282,41 +282,71 @@ private[graft] object ArtifactStore {
 
   private val BucketDir = "^b=(\\d+)$".r
 
-  /** Live bucket dirs under a bucketed root, by one directory listing.
-    * Staging (`.__bstaging`), parked roots, and the meta dir never
-    * match the `b=<k>` pattern, so a half-finished mutation is
-    * invisible to readers. */
-  def listBucketDirs(spark: SparkSession, root: String): Seq[String] = {
+  private def bucketDirRe(prefix: String) =
+    ("^" + java.util.regex.Pattern.quote(prefix) + "=(\\d+)$").r
+
+  /** Live bucket dirs of one GEOMETRY under a bucketed root, by one
+    * directory listing. A root can hold several geometries side by side
+    * (`b=<k>` doc-keyed, `c=<k>` canonical-keyed — the round-13
+    * secondary-index twin); staging (`.__bstaging`), parked roots, the
+    * meta dir, and the other geometries never match `<prefix>=<k>`, so
+    * a half-finished mutation is invisible to readers. */
+  def listBucketDirs(spark: SparkSession, root: String,
+      prefix: String = "b"): Seq[String] = {
     val fs = fileSystem(spark, root)
     val p = new org.apache.hadoop.fs.Path(root)
+    val re = bucketDirRe(prefix)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(st => st.isDirectory &&
-        BucketDir.findFirstIn(st.getPath.getName).isDefined)
+        re.findFirstIn(st.getPath.getName).isDefined)
       .map(_.getPath.toString)
   }
 
-  /** Full write of a bucketed store (build / out-of-place copy): meta
-    * first, then the `b=<k>` partition dirs appended beside it, all
-    * inside `<path>.__staging`, then one root swap. The bucket job runs
-    * LAST so the staging root's `_SUCCESS` marker implies the whole
-    * staging tree (meta included) is complete — what `repairStore`
-    * keys roll-forward on. `bucketed` must already carry the bucket
-    * column `b`. */
-  def writeBucketedStore(spark: SparkSession, bucketed: DataFrame,
-      path: String, meta: DataFrame): Unit = {
+  /** Data bytes per live bucket dir of one geometry — one recursive FS
+    * listing per dir, no Spark job; what the auto-rebalance trigger and
+    * build-time target measurement read. */
+  def bucketDirBytes(spark: SparkSession, root: String,
+      prefix: String): Seq[Long] = {
+    val fs = fileSystem(spark, root)
+    listBucketDirs(spark, root, prefix)
+      .map(p => dirBytes(fs, new org.apache.hadoop.fs.Path(p)))
+  }
+
+  /** One bucket geometry of a multi-geometry mutation: rows bucket by
+    * `pmod(hash(bucketCol), numBuckets)` into `<prefix>=<k>` dirs;
+    * `bucketKeys` carries the bucketCol VALUES whose buckets this
+    * mutation touches (rows removed or added there). */
+  case class BucketGeom(prefix: String, bucketCol: String,
+      numBuckets: Int, bucketKeys: DataFrame)
+
+  /** Full write of a bucketed store (build / rebalance / out-of-place
+    * copy): meta first, then each geometry's `<prefix>=<k>` partition
+    * dirs appended beside it, all inside `<path>.__staging`, then one
+    * root swap. Each `parts` entry is (frame CARRYING its partition
+    * column, that column's name); the frames repartition on the bucket
+    * column so a bucket lands as ~one file, not tasks × buckets small
+    * files. The root-level `_SUCCESS` marker — what `repairStore` keys
+    * roll-forward on — is DRIVER-WRITTEN as the last act before the
+    * swap: with several part jobs, the first job's own marker would
+    * otherwise declare a staging complete that is still missing the
+    * later geometries. */
+  def writeBucketedStore(spark: SparkSession,
+      parts: Seq[(DataFrame, String)], path: String,
+      meta: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
     val fs = fileSystem(spark, path)
-    val staging = new org.apache.hadoop.fs.Path(path + ".__staging")
+    val staging = new Path(path + ".__staging")
     fs.delete(staging, true)
-    fs.delete(new org.apache.hadoop.fs.Path(path + ".__old"), true)
+    fs.delete(new Path(path + ".__old"), true)
     meta.write.mode("overwrite").parquet(s"$path.__staging/meta")
-    // repartition by the bucket column so each bucket dir lands as ~one
-    // file instead of tasks × buckets small files — consumers pay file
-    // listings and footer reads on EVERY query, the writer pays the one
-    // shuffle once
-    bucketed.repartition(col("b")).write.mode("append").partitionBy("b")
-      .parquet(path + ".__staging")
+    parts.foreach { case (df, c) =>
+      df.repartition(col(c)).write.mode("append").partitionBy(c)
+        .parquet(path + ".__staging")
+      fs.delete(new Path(s"$path.__staging/_SUCCESS"), false)
+    }
     stagedBytesWritten.addAndGet(dirBytes(fs, staging))
+    fs.create(new Path(s"$path.__staging/_SUCCESS"), true).close()
     swapRootStaged(fs, path)
     seedMeta(spark, path, meta.head())
   }
@@ -349,8 +379,41 @@ private[graft] object ArtifactStore {
     * `stagedBytesWritten`. */
   def mutateBuckets(spark: SparkSession, root: String, keyCol: String,
       numBuckets: Int, touchedKeys: DataFrame, touchedHint: DataFrame,
+      upserts: DataFrame): Long =
+    mutateBucketsMulti(spark, root, keyCol,
+      Seq(BucketGeom("b", keyCol, numBuckets, touchedKeys)),
+      touchedHint, upserts)
+
+  /** Multi-GEOMETRY O(touched) mutation (round-13): one mutation keeps
+    * every bucket geometry of the store consistent under ONE commit
+    * marker — the labels store holds its rows twice, doc-keyed (`b=`)
+    * for point lookups by doc and canonical-keyed (`c=`) for member
+    * lookups by component (the secondary index that lets retraction and
+    * relabeling read O(touched buckets) instead of the corpus). All
+    * geometries stage in ONE Spark job: each geometry's touched buckets
+    * are re-derived (remaining = touched-bucket rows anti-joined
+    * against `dropHint` on `keyCol`, plus `upserts`), tagged with
+    * (g = prefix, k = bucket), and written `partitionBy(g, k)` under
+    * `.__bstaging` — so adding the twin costs bytes, not jobs. The
+    * marker carries `prefix,k,kept` lines; apply renames
+    * `.__bstaging/g=<p>/k=<k>` over `<root>/<p>=<k>`. Crash anywhere is
+    * repaired by `repairStore` exactly as before (roll a MARKED staging
+    * forward, discard an unmarked one) — geometries cannot diverge
+    * because they commit together.
+    *
+    * Correctness contract per geometry: every row that must be REMOVED
+    * (matches `dropHint` on `keyCol`) must live in a touched bucket of
+    * that geometry — `bucketKeys` must cover the removed rows' OLD
+    * bucket-column values as well as the upserts' new ones. Rows in
+    * touched buckets not matching `dropHint` are preserved verbatim.
+    * `dropHint`/`upserts`/`bucketKeys` must be localCheckpointed by the
+    * caller (they are read again during the staging job).
+    */
+  def mutateBucketsMulti(spark: SparkSession, root: String,
+      keyCol: String, geoms: Seq[BucketGeom], dropHint: DataFrame,
       upserts: DataFrame): Long = {
     import org.apache.hadoop.fs.Path
+    require(geoms.nonEmpty, "mutateBucketsMulti: no geometries")
     val fs = fileSystem(spark, root)
     val staging = s"$root/.__bstaging"
     // a marked staging from a crashed predecessor is completed first
@@ -358,54 +421,90 @@ private[graft] object ArtifactStore {
     // READ the store; this guards direct callers)
     completeStagedMutation(spark, fs, root)
     fs.delete(new Path(staging), true)
-    val bOf = (df: DataFrame) =>
-      df.withColumn("b", pmod(hash(col(keyCol)), lit(numBuckets)))
-    val touched = bOf(touchedKeys).select("b").distinct()
-      .collect().map(_.getInt(0)).sorted
-    if (touched.isEmpty) return 0L
-    val livePaths = {
-      val live = listBucketDirs(spark, root).flatMap { p =>
-        new Path(p).getName match {
-          case BucketDir(k) => Some(k.toInt -> p)
-          case _ => None
-        }
-      }.toMap
-      touched.flatMap(live.get).toSeq
+    // touched buckets of EVERY geometry in one driver job (bounded by
+    // Σ numBuckets)
+    val touchedAll = geoms.map(g =>
+        g.bucketKeys.select(lit(g.prefix).as("g"),
+          pmod(hash(col(g.bucketCol)), lit(g.numBuckets)).as("k")))
+      .reduce(_ unionByName _).distinct().collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val touchedBy = touchedAll.groupBy(_._1).map { case (p, ks) =>
+      p -> ks.map(_._2).sorted.toSeq
     }
-    val remaining =
-      if (livePaths.isEmpty) upserts.limit(0)
-      else spark.read.parquet(livePaths: _*)
-        .join(touchedHint, Seq(keyCol), "left_anti")
-    bOf(remaining.unionByName(upserts))
-      .repartition(col("b"))
-      .write.mode("overwrite").partitionBy("b").parquet(staging)
-    val staged = fs.listStatus(new Path(staging)).toSeq
-      .flatMap(st => st.getPath.getName match {
-        case BucketDir(k) => Some(k.toInt)
-        case _ => None
-      }).toSet
+    if (touchedAll.isEmpty) return 0L
+    // one staging job across geometries: remaining(touched dirs) minus
+    // dropHint, plus upserts, each row tagged with its (g, k)
+    val stagedFrames = geoms.flatMap { g =>
+      val touched = touchedBy.getOrElse(g.prefix, Seq.empty)
+      if (touched.isEmpty) None
+      else {
+        val re = bucketDirRe(g.prefix)
+        val live = listBucketDirs(spark, root, g.prefix).flatMap { p =>
+          new Path(p).getName match {
+            case re(k) => Some(k.toInt -> p)
+            case _ => None
+          }
+        }.toMap
+        val livePaths = touched.flatMap(live.get)
+        val remaining =
+          if (livePaths.isEmpty) upserts.limit(0)
+          else spark.read.parquet(livePaths: _*)
+            .join(dropHint, Seq(keyCol), "left_anti")
+        Some(remaining.unionByName(upserts)
+          .withColumn("g", lit(g.prefix))
+          .withColumn("k", pmod(hash(col(g.bucketCol)),
+            lit(g.numBuckets))))
+      }
+    }
+    stagedFrames.reduce(_ unionByName _)
+      .repartition(col("g"), col("k"))
+      .write.mode("overwrite").partitionBy("g", "k").parquet(staging)
+    // which (geometry, bucket) combos actually produced rows → kept
+    val staged = geoms.flatMap { g =>
+      val gDir = new Path(s"$staging/g=${g.prefix}")
+      if (!fs.exists(gDir)) Seq.empty
+      else fs.listStatus(gDir).toSeq.flatMap(st =>
+        st.getPath.getName match {
+          case s if s.startsWith("k=") =>
+            Some((g.prefix, s.stripPrefix("k=").toInt))
+          case _ => None
+        })
+    }.toSet
+    val entries = geoms.flatMap(g =>
+      touchedBy.getOrElse(g.prefix, Seq.empty).map(k =>
+        (g.prefix, k, staged((g.prefix, k)))))
     val commit = fs.create(new Path(s"$staging/__COMMIT"), true)
-    commit.write(touched.toSeq.map(k => s"$k,${staged(k)}")
+    commit.write(entries.map { case (p, k, kept) => s"$p,$k,$kept" }
       .mkString("\n").getBytes("UTF-8"))
     commit.close()
     if (testCrashPoint == 1)
       throw new IllegalStateException("testCrashPoint=1: crash after commit marker")
     val bytes = dirBytes(fs, new Path(staging))
     stagedBytesWritten.addAndGet(bytes)
-    applyBucketStaging(fs, root, touched.toSeq.map(k => (k, staged(k))))
+    applyBucketStaging(fs, root, entries)
     fs.delete(new Path(staging), true)
     bytes
   }
 
+  /** Apply one (prefix, k, kept) entry set: rename each staged bucket
+    * dir over its live twin (kept = false deletes the live dir — the
+    * bucket's new content is empty). Staged dirs are looked up in the
+    * round-13 layout (`.__bstaging/g=<p>/k=<k>`) first, then the
+    * round-12 single-geometry layout (`.__bstaging/b=<k>`), so a
+    * marker written by either generation replays. Every step is
+    * idempotent given the staging tree — `repairStore` re-runs it
+    * verbatim. */
   private def applyBucketStaging(fs: org.apache.hadoop.fs.FileSystem,
-      root: String, touched: Seq[(Int, Boolean)]): Unit = {
+      root: String, touched: Seq[(String, Int, Boolean)]): Unit = {
     import org.apache.hadoop.fs.Path
     var applied = 0
-    touched.foreach { case (k, kept) =>
+    touched.foreach { case (p, k, kept) =>
       if (testCrashPoint == 2 && applied == 1)
         throw new IllegalStateException("testCrashPoint=2: crash mid-apply")
-      val target = new Path(s"$root/b=$k")
-      val stagedDir = new Path(s"$root/.__bstaging/b=$k")
+      val target = new Path(s"$root/$p=$k")
+      val stagedNew = new Path(s"$root/.__bstaging/g=$p/k=$k")
+      val stagedOld = new Path(s"$root/.__bstaging/$p=$k")
+      val stagedDir = if (fs.exists(stagedNew)) stagedNew else stagedOld
       if (kept) {
         if (fs.exists(stagedDir)) {
           fs.delete(target, true)
@@ -499,8 +598,9 @@ private[graft] object ArtifactStore {
         !n.startsWith(".") && !n.startsWith("_") && n != "tombstones" &&
           !n.endsWith(".__staging") && !n.endsWith(".__old")
       }
+      val AnyBucketDir = "^([a-z])=(\\d+)$".r
       live.groupBy(st => st.getPath.getName match {
-        case BucketDir(_) => "b=*"
+        case AnyBucketDir(p, _) => s"$p=*"
         case n => n
       }).toSeq.map { case (sub, sts) =>
         val rows = spark.read.parquet(sts.map(_.getPath.toString): _*).count()
@@ -526,9 +626,15 @@ private[graft] object ArtifactStore {
         scala.io.Source.fromInputStream(in, "UTF-8").mkString
       } finally in.close()
       val touched = body.linesIterator.filter(_.nonEmpty).map { line =>
-        val Array(k, kept) = line.split(",", 2)
-        (k.toInt, kept.toBoolean)
-      }.toSeq.sortBy(_._1)
+        line.split(",") match {
+          // round-13 format: prefix,k,kept
+          case Array(p, k, kept) => (p, k.toInt, kept.toBoolean)
+          // round-12 single-geometry format: k,kept
+          case Array(k, kept) => ("b", k.toInt, kept.toBoolean)
+          case _ => throw new IllegalStateException(
+            s"repairStore: unparseable __COMMIT line '$line' at $root")
+        }
+      }.toSeq.sortBy(e => (e._1, e._2))
       applyBucketStaging(fs, root, touched)
       fs.delete(new Path(s"$root/.__bstaging"), true)
       true

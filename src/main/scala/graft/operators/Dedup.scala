@@ -608,6 +608,34 @@ object Dedup {
     (ck, n)
   }
 
+  /** `checkpointWithCount` plus the keys' BUCKET-ID set, all riding the
+    * one checkpoint action (round-13): the pruned point-readers need
+    * pmod(hash(key), n) of the frame they are about to look up, and a
+    * separate distinct-collect per lookup is exactly the per-batch job
+    * overhead the Observation trick exists to avoid. `buckets = None`
+    * when the store isn't bucketed (nBuckets None) — callers fall back
+    * to full reads. */
+  private def checkpointWithCountAndBuckets(df: DataFrame, tag: String,
+      keyCol: String, nBuckets: Option[Int])
+      : (DataFrame, Long, Option[Seq[Int]]) =
+    nBuckets match {
+      case None =>
+        val (ck, n) = checkpointWithCount(df, tag)
+        (ck, n, None)
+      case Some(nb) =>
+        val obs = org.apache.spark.sql.Observation(
+          tag + "_" + java.util.UUID.randomUUID().toString.take(8))
+        val ck = df.observe(obs, count(lit(1)).as("n"),
+          collect_set(pmod(hash(col(keyCol)), lit(nb))).as("bk"))
+          .localCheckpoint()
+        val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+        val bk = Option(obs.get("bk"))
+          .map(_.asInstanceOf[scala.collection.Seq[Any]]
+            .map(_.asInstanceOf[Int]).toSeq)
+          .getOrElse(Seq.empty)
+        (ck, n, Some(bk))
+    }
+
   /** Hint broadcast only below a row bound — graceful degradation for
     * sets that are *typically* takedown-sized but unbounded when an
     * upstream contract is broken. Above the limit the plain frame is
@@ -699,7 +727,7 @@ object Dedup {
   def buildCanonicalLabels(docs: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 16,
       bands: Int = 4, threshold: Double = 0.5,
-      numBuckets: Int = 0): Unit = {
+      numBuckets: Int = 0, bucketTargetBytes: Long = 0L): Unit = {
     val spark = docs.sparkSession
     ArtifactStore.resetForRebuild(spark, path)
     val pairs = minHashLsh(docs, idCol, textCol, shingleSize, numHashes,
@@ -709,7 +737,7 @@ object Dedup {
     val n =
       if (numBuckets > 0) numBuckets
       else math.max(8L, (labels.count() + 65535L) / 65536L).toInt
-    writeLabelsBucketed(spark, labels, path, n)
+    writeLabelsBucketed(spark, labels, path, n, bucketTargetBytes)
   }
 
   /** Read a canonical-labels store: bucketed roots (num_buckets meta —
@@ -723,24 +751,87 @@ object Dedup {
       path: String): DataFrame =
     labelsNumBuckets(spark, path) match {
       case Some(_) =>
-        val dirs = ArtifactStore.listBucketDirs(spark, path)
-        if (dirs.nonEmpty)
-          spark.read.parquet(dirs: _*)
-            .select("doc", "canonical_id", "is_keeper")
-        else {
-          val docType = ArtifactStore.cachedMeta(spark, path)
-            .filter(_.schema.fieldNames.contains("doc_type"))
-            .map(_.getAs[String]("doc_type"))
-            .getOrElse(throw new IllegalStateException(
-              s"readLabels: bucketed store at $path has no bucket dirs " +
-                "and its meta predates the doc_type field — crashed " +
-                "mutation? run ArtifactStore.repairStore"))
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType.fromDDL(
-              s"doc $docType, canonical_id $docType, is_keeper boolean"))
-        }
+        readLabelDirs(spark, path,
+          ArtifactStore.listBucketDirs(spark, path))
       case None => spark.read.parquet(path)
+    }
+
+  /** Read an explicit bucket-dir subset of a labels store; an empty
+    * list reads as the TYPED empty frame (the doc type is in the meta),
+    * so total takedowns and fully-pruned lookups stay well-typed. */
+  private def readLabelDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String, dirs: Seq[String]): DataFrame =
+    if (dirs.nonEmpty)
+      spark.read.parquet(dirs: _*)
+        .select("doc", "canonical_id", "is_keeper")
+    else {
+      val docType = ArtifactStore.cachedMeta(spark, path)
+        .filter(_.schema.fieldNames.contains("doc_type"))
+        .map(_.getAs[String]("doc_type"))
+        .getOrElse(throw new IllegalStateException(
+          s"readLabels: bucketed store at $path has no bucket dirs " +
+            "and its meta predates the doc_type field — crashed " +
+            "mutation? run ArtifactStore.repairStore"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"doc $docType, canonical_id $docType, is_keeper boolean"))
+    }
+
+  /** The live dirs of one geometry holding the given bucket ids — the
+    * `mutateBuckets` livePaths derivation, shared by the pruned
+    * point-readers. */
+  private def bucketDirsFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String, ids: Seq[Int]): Seq[String] = {
+    val want = ids.map(k => s"$prefix=$k").toSet
+    ArtifactStore.listBucketDirs(spark, path, prefix)
+      .filter(p => want(new org.apache.hadoop.fs.Path(p).getName))
+  }
+
+  /** The bucket ids a key set occupies under pmod(hash(key), n) — one
+    * tiny distinct-collect job, bounded by n. Callers that already run
+    * an action on the keys fold this in via
+    * `checkpointWithCountAndBuckets` instead. */
+  private def bucketIdsOf(keys: DataFrame, keyCol: String,
+      n: Int): Seq[Int] =
+    keys.select(pmod(hash(col(keyCol)), lit(n)).as("__k")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
+  /** POINT READ by doc (round-12 verdict #2): rows of the buckets the
+    * given doc keys occupy — O(touched buckets) bytes instead of the
+    * corpus. The returned frame is a SUPERSET restricted to those
+    * buckets (hash co-residents included); callers apply their joins
+    * exactly as they would against the full table. Flat stores fall
+    * back to the full read. `bucketIds`, when supplied, must be the
+    * keys' pmod(hash(doc), num_buckets) set (piggybacked off an
+    * existing action); otherwise one tiny distinct-collect derives it.
+    */
+  def readLabelsForDocs(spark: org.apache.spark.sql.SparkSession,
+      path: String, docKeys: DataFrame,
+      bucketIds: Option[Seq[Int]] = None): DataFrame =
+    labelsNumBuckets(spark, path) match {
+      case Some(n) =>
+        val ids = bucketIds.getOrElse(bucketIdsOf(docKeys, "doc", n))
+        readLabelDirs(spark, path, bucketDirsFor(spark, path, "b", ids))
+      case None => readLabels(spark, path)
+    }
+
+  /** POINT READ by canonical — all label rows of the given components,
+    * from the canonical-keyed `c=<k>` twin geometry (the secondary
+    * index that makes retraction's member lookup and absorb's relabel
+    * derivation O(touched buckets); a doc-hash layout cannot serve a
+    * by-component read because members scatter across doc buckets).
+    * Superset semantics as `readLabelsForDocs`. Stores without the twin
+    * (flat, or bucketed before round 13) fall back to the full read. */
+  private[graft] def membersOfCanonicals(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      canonKeys: DataFrame, bucketIds: Option[Seq[Int]] = None): DataFrame =
+    labelsCanonBuckets(spark, path) match {
+      case Some(n) =>
+        val ids = bucketIds.getOrElse(
+          bucketIdsOf(canonKeys, canonKeys.columns.head, n))
+        readLabelDirs(spark, path, bucketDirsFor(spark, path, "c", ids))
+      case None => readLabels(spark, path)
     }
 
   /** Re-bucket a labels store to a new bucket count — the periodic
@@ -780,19 +871,59 @@ object Dedup {
         Some(r.getAs[Int]("num_buckets"))
       else None)
 
-  /** Full bucketed-store write (build and out-of-place merge copies):
-    * meta + `b=<k>` dirs staged as one root, swapped in atomically. The
-    * meta records the doc column's type so a store whose every bucket
-    * was later deleted (total takedown) still reads as a TYPED empty
-    * frame. */
+  /** Bucket count of the CANONICAL-keyed twin geometry (`c=<k>` dirs) —
+    * present on stores written since round 13; `None` on earlier
+    * bucketed stores, whose member lookups fall back to a full read. */
+  private def labelsCanonBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Int] =
+    ArtifactStore.cachedMeta(spark, path).flatMap(r =>
+      if (r.schema.fieldNames.contains("canon_buckets"))
+        Some(r.getAs[Int]("canon_buckets"))
+      else None)
+
+  /** The store's bucket-byte sizing target (round-13 auto-rebalance
+    * hook): builds record the avg live-bucket bytes they produced;
+    * `absorbIntoLabels` compares the current average against it and
+    * triggers `rebalanceLabels` on ~4× drift. Absent on older stores —
+    * the hook stays off. */
+  private def labelsTargetBytes(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[Long] =
+    ArtifactStore.cachedMeta(spark, path).flatMap(r =>
+      if (r.schema.fieldNames.contains("bucket_target_bytes"))
+        Some(r.getAs[Long]("bucket_target_bytes"))
+      else None)
+
+  /** Full bucketed-store write (build, rebalance, out-of-place merge
+    * copies): meta + BOTH geometries — `b=<k>` doc-keyed and `c=<k>`
+    * canonical-keyed (the member-lookup secondary index) — staged as
+    * one root, swapped in atomically. The meta records the doc column's
+    * type (so a store whose every bucket was later deleted still reads
+    * as a TYPED empty frame) and the avg bucket bytes this geometry was
+    * sized for (`bucketTargetBytes = 0` measures it post-swap — the
+    * auto-rebalance hook's reference point). */
   private def writeLabelsBucketed(spark: org.apache.spark.sql.SparkSession,
-      labels: DataFrame, path: String, n: Int): Unit = {
+      labels: DataFrame, path: String, n: Int,
+      bucketTargetBytes: Long = 0L): Unit = {
     import spark.implicits._
+    def meta(target: Long) =
+      Seq((n, labels.schema("doc").dataType.catalogString, n, target))
+        .toDF("num_buckets", "doc_type", "canon_buckets",
+          "bucket_target_bytes")
     ArtifactStore.writeBucketedStore(spark,
-      labels.withColumn("b", pmod(hash(col("doc")), lit(n))),
-      path,
-      Seq((n, labels.schema("doc").dataType.catalogString))
-        .toDF("num_buckets", "doc_type"))
+      Seq(
+        (labels.withColumn("b", pmod(hash(col("doc")), lit(n))), "b"),
+        (labels.withColumn("c",
+          pmod(hash(col("canonical_id")), lit(n))), "c")),
+      path, meta(bucketTargetBytes))
+    if (bucketTargetBytes == 0L) {
+      val sizes = ArtifactStore.bucketDirBytes(spark, path, "b")
+      val measured = if (sizes.isEmpty) 0L else sizes.sum / n
+      if (measured > 0L) {
+        val m = meta(measured)
+        ArtifactStore.writeParquetStaged(spark, m, s"$path/meta")
+        ArtifactStore.seedMeta(spark, path, m.head())
+      }
+    }
   }
 
   /** INCREMENTAL canonical-label maintenance — the piece that makes the
@@ -878,7 +1009,13 @@ object Dedup {
     }
     val storedFeats = indexStore(spark, indexPath, "features")
     val storedBuckets = indexStore(spark, indexPath, "buckets")
-    val labels = readLabels(spark, labelsPath)
+    val nb = labelsNumBuckets(spark, labelsPath)
+    val cb = labelsCanonBuckets(spark, labelsPath)
+    // full-table handle: ONLY the flat-store fallback and the
+    // out-of-place merged copy force this corpus-sized read — every
+    // lookup on the bucketed in-place path below is bucket-pruned
+    // (round-12 verdict #2)
+    lazy val labels = readLabels(spark, labelsPath)
 
     // batch-batch near-dup edges
     val bbCand = bBuckets.as("l").join(bBuckets.as("r"),
@@ -889,13 +1026,21 @@ object Dedup {
     val bbPairs = verifyJaccardArrays(bbCand, bFeats, threshold)
       .select("doc_a", "doc_b")
 
+    // batch-index probe hits, checkpointed WITH their doc_b bucket ids
+    // (one Observation riding the checkpoint — no extra job) so the
+    // canonical contraction below reads ONLY the label buckets holding
+    // a hit doc instead of the corpus
+    val (biRaw, _, biBk) = checkpointWithCountAndBuckets(
+      crossSideProbe(bFeats, bBuckets, storedFeats, storedBuckets,
+        threshold).select(col("doc_a"), col("doc_b")),
+      "absorb_bihits", "doc_b", nb)
     // batch-index near-dup edges, index endpoint CONTRACTED to its
     // stored canonical (labels are total over the indexed corpus)
-    val biPairs = crossSideProbe(bFeats, bBuckets, storedFeats,
-        storedBuckets, threshold)
-      .select(col("doc_a"), col("doc_b"))
-      .join(labels.select(col("doc").as("doc_b"),
-        col("canonical_id").as("__bc")), Seq("doc_b"))
+    val biPairs = biRaw
+      .join(readLabelsForDocs(spark, labelsPath,
+          biRaw.select(col("doc_b").as("doc")), biBk)
+        .select(col("doc").as("doc_b"), col("canonical_id").as("__bc")),
+        Seq("doc_b"))
       .select(col("doc_a"), col("__bc").as("doc_b"))
 
     // contracted graph: batch ids + touched old canonicals
@@ -905,38 +1050,56 @@ object Dedup {
       .distinct()
     val newLabels = canonicalize(nodes, "doc", edges).localCheckpoint()
 
-    // relabel map: old canonicals whose component minimum changed
-    val relabel = newLabels
-      .join(labels.select(col("canonical_id").as("doc")).distinct(), Seq("doc"))
-      .filter(col("doc") =!= col("canonical_id"))
-      .select(col("doc").as("__old"), col("canonical_id").as("__new"))
+    // which of the merge's nodes are STORED canonicals: every stored
+    // canonical keeps a SELF-ROW (doc == canonical_id — the build and
+    // both mutators preserve the invariant), so a doc-keyed pruned read
+    // answers "is this doc an old canonical" from the nodes' own
+    // buckets, never a corpus-wide distinct over canonical_id
+    val oldCanon = readLabelsForDocs(spark, labelsPath,
+        newLabels.select("doc"),
+        nb.map(n => bucketIdsOf(newLabels, "doc", n)))
+      .filter(col("doc") === col("canonical_id")).select("doc")
+    // relabel map: old canonicals whose component minimum changed —
+    // checkpointed with its __old bucket ids under the CANONICAL-keyed
+    // twin geometry (the member lookup below prunes on them)
+    val (relabel, nRelabel, relBk) = checkpointWithCountAndBuckets(
+      newLabels.join(oldCanon, Seq("doc"))
+        .filter(col("doc") =!= col("canonical_id"))
+        .select(col("doc").as("__old"), col("canonical_id").as("__new")),
+      "absorb_relabel", "__old", cb)
+    val relabelH = hintIfSmall(relabel, nRelabel, DefaultBroadcastRowLimit)
     val batchIds = batch.select(col(idCol).as("doc")).distinct()
       .localCheckpoint()
     val batchRows = newLabels
       .join(broadcast(batchIds), Seq("doc"))
       .select(col("doc"), col("canonical_id"))
     // O(touched) upsert set for the bucketed store: the batch's rows
-    // plus ONLY the old rows whose canonical changed (inner join on the
-    // batch-component-sized relabel map). The anti-join against the
-    // batch ids is the partial-replay guard: a crashed mutation that
-    // committed some buckets leaves batch docs in the store, and a
-    // retry must not emit them twice.
+    // plus ONLY the old rows whose canonical changed — and those
+    // RELABELED MEMBERS are looked up in the canonical-keyed twin
+    // geometry (membersOfCanonicals), the secondary index that exists
+    // precisely because a doc-hash layout scatters a component's
+    // members across buckets. The anti-join against the batch ids is
+    // the partial-replay guard: a crashed mutation that committed some
+    // buckets leaves batch docs in the store, and a retry must not emit
+    // them twice.
     // materialized (with its row count, one action) before any store
     // mutation below: every read of the stored labels/index the upsert
     // set needs is complete here
-    lazy val (touchedUpserts, nUpserts) = checkpointWithCount(labels
-      .join(broadcast(relabel), labels("canonical_id") === col("__old"))
-      .select(col("doc"), col("__new").as("canonical_id"))
-      .join(broadcast(batchIds), Seq("doc"), "left_anti")
-      .unionByName(batchRows)
-      .select(col("doc"), col("canonical_id"),
-        (col("doc") === col("canonical_id")).as("is_keeper")),
+    lazy val (touchedUpserts, nUpserts) = checkpointWithCount(
+      membersOfCanonicals(spark, labelsPath,
+          relabel.select(col("__old")), relBk)
+        .join(relabelH, col("canonical_id") === col("__old"))
+        .select(col("doc"), col("__new").as("canonical_id"))
+        .join(broadcast(batchIds), Seq("doc"), "left_anti")
+        .unionByName(batchRows)
+        .select(col("doc"), col("canonical_id"),
+          (col("doc") === col("canonical_id")).as("is_keeper")),
       "absorb_upserts")
     // full merged table — only the flat-store and out-of-place paths
     // pay this corpus-sized materialization
     lazy val merged = labels
       .join(broadcast(batchIds), Seq("doc"), "left_anti")
-      .join(broadcast(relabel), labels("canonical_id") === col("__old"), "left")
+      .join(relabelH, labels("canonical_id") === col("__old"), "left")
       .select(col("doc"),
         coalesce(col("__new"), col("canonical_id")).as("canonical_id"))
       .unionByName(batchRows)
@@ -990,19 +1153,39 @@ object Dedup {
         invalidateIndexMeta(spark, outIndex)
       }
     }
-    labelsNumBuckets(spark, labelsPath) match {
+    nb match {
       case Some(n) if outLabels == labelsPath =>
         // O(touched) path: rewrite only the buckets holding a batch row
         // or a relabeled old row (two-phase commit-marker mutation —
         // crash recovery is ArtifactStore.repairStore + re-run).
         // touchedDocs derives from the CHECKPOINTED upserts — absorb
-        // never deletes, so the touched keys ARE the upsert keys
+        // never deletes, so the touched keys ARE the upsert keys. Both
+        // geometries mutate under ONE marker: the canonical-keyed
+        // twin's touched buckets are the upserts' new canonicals plus
+        // the relabeled OLD canonicals (where moved rows leave from).
         val touchedDocs = touchedUpserts.select("doc")
-        ArtifactStore.mutateBuckets(spark, outLabels, "doc", n,
-          touchedDocs,
+        val geoms = ArtifactStore.BucketGeom("b", "doc", n, touchedDocs) +:
+          cb.map(m => ArtifactStore.BucketGeom("c", "canonical_id", m,
+            touchedUpserts.select(col("canonical_id")).unionByName(
+              relabel.select(col("__old").as("canonical_id"))))).toSeq
+        ArtifactStore.mutateBucketsMulti(spark, outLabels, "doc", geoms,
           hintIfSmall(touchedDocs, nUpserts, DefaultBroadcastRowLimit),
           touchedUpserts)
-        ()
+        // AUTO-REBALANCE hook (round-12 verdict #5): bucket bytes grow
+        // with the corpus at fixed N, so the absorb that pushed the avg
+        // live-bucket bytes ~4x past the build's recorded target
+        // triggers the re-bucketing the operator would otherwise wait
+        // for a human to schedule. Pure FS listings — no Spark job on
+        // the no-trigger path.
+        labelsTargetBytes(spark, labelsPath).foreach { target =>
+          if (target > 0L) {
+            val total = ArtifactStore.bucketDirBytes(spark, outLabels,
+              "b").sum
+            if (total / n > 4L * target)
+              rebalanceLabels(spark, outLabels,
+                math.max(n + 1, math.ceil(total.toDouble / target).toInt))
+          }
+        }
       case Some(n) =>
         // out-of-place copy keeps the base's bucket geometry
         writeLabelsBucketed(spark, merged, outLabels, n)
@@ -1089,22 +1272,39 @@ object Dedup {
     // heal any crashed predecessor BEFORE reading the store (see
     // absorbIntoLabels' entry repair)
     ArtifactStore.repairStore(spark, labelsPath)
-    val labels = readLabels(spark, labelsPath)
-    val (rids0, nRids) = checkpointWithCount(
-      retract.select(col(idCol).as("doc")).distinct(), "retract_rids")
+    val nb = labelsNumBuckets(spark, labelsPath)
+    val cb = labelsCanonBuckets(spark, labelsPath)
+    // full-table handle — only the flat-store fallback and the
+    // out-of-place merged copy force a corpus read; the point lookups
+    // below are bucket-pruned (round-12 verdict #2)
+    lazy val labels = readLabels(spark, labelsPath)
+    // the rids checkpoint carries their doc-bucket ids (Observation —
+    // no extra job) so the touched-canonical lookup reads only the
+    // buckets holding a retracted id
+    val (rids0, nRids, ridBk) = checkpointWithCountAndBuckets(
+      retract.select(col(idCol).as("doc")).distinct(), "retract_rids",
+      "doc", nb)
     val rids = hintIfSmall(rids0, nRids, broadcastRowLimit)
 
     // touched components and their member/survivor doc sets — all
     // takedown-component-sized, checkpointed once for their consumers
-    // (each checkpoint carries its guard count — no separate count jobs)
-    val (affCanon0, nAff) = checkpointWithCount(
-      labels.join(rids, Seq("doc"), "left_semi")
-        .select("canonical_id").distinct(), "retract_canon")
+    // (each checkpoint carries its guard count — no separate count
+    // jobs). The affected-canonical checkpoint also carries the
+    // canonical-bucket ids the MEMBER lookup prunes on.
+    val (affCanon0, nAff, affBk) = checkpointWithCountAndBuckets(
+      readLabelsForDocs(spark, labelsPath, rids0, ridBk)
+        .join(rids, Seq("doc"), "left_semi")
+        .select("canonical_id").distinct(), "retract_canon",
+      "canonical_id", cb)
     val affCanon = hintIfSmall(affCanon0, nAff, broadcastRowLimit)
     // every row of a touched component — retracted AND surviving; the
-    // bucketed write rewrites exactly the buckets holding one of these
+    // bucketed write rewrites exactly the buckets holding one of these.
+    // The member lookup reads the CANONICAL-keyed twin geometry — the
+    // secondary index that makes a by-component read O(touched buckets)
+    // where the doc-hash layout scatters members corpus-wide.
     val (members0, nMembers) = checkpointWithCount(
-      labels.join(affCanon, Seq("canonical_id"), "left_semi")
+      membersOfCanonicals(spark, labelsPath, affCanon0, affBk)
+        .join(affCanon, Seq("canonical_id"), "left_semi")
         .select("doc"), "retract_members")
     val (survivors0, nSurv) = checkpointWithCount(
       members0.join(rids, Seq("doc"), "left_anti"), "retract_survivors")
@@ -1170,16 +1370,22 @@ object Dedup {
         invalidateIndexMeta(spark, outIndex)
       }
     }
-    labelsNumBuckets(spark, labelsPath) match {
+    nb match {
       case Some(n) if outLabels == labelsPath =>
         // O(touched) path: drop every touched component's rows from
         // exactly the buckets that hold one, re-insert the survivors
         // under their new canonicals — retracted docs simply have no
         // upsert row. Idempotent under replay: a second pass finds the
-        // rids gone from the labels, so no component is touched.
-        ArtifactStore.mutateBuckets(spark, outLabels, "doc", n,
-          members0, hintIfSmall(members0, nMembers, broadcastRowLimit),
-          relabeled)
+        // rids gone from the labels, so no component is touched. Both
+        // geometries mutate under ONE marker: the canonical-keyed
+        // twin's touched buckets are the affected OLD canonicals (all
+        // member rows leave them) plus the survivors' new canonicals.
+        val geoms = ArtifactStore.BucketGeom("b", "doc", n, members0) +:
+          cb.map(m => ArtifactStore.BucketGeom("c", "canonical_id", m,
+            affCanon0.unionByName(
+              relabeled.select(col("canonical_id"))))).toSeq
+        ArtifactStore.mutateBucketsMulti(spark, outLabels, "doc", geoms,
+          hintIfSmall(members0, nMembers, broadcastRowLimit), relabeled)
         ()
       case Some(n) =>
         writeLabelsBucketed(spark, merged, outLabels, n)

@@ -1655,6 +1655,8 @@ object EvalQueries {
              |    1::BIGINT
              |  UNION ALL SELECT 'labels', 'b=*', lshn.n, 0::BIGINT,
              |    0::BIGINT FROM lshn
+             |  UNION ALL SELECT 'labels', 'c=*', lshn.n, 0::BIGINT,
+             |    0::BIGINT FROM lshn
              |  UNION ALL SELECT 'labels', 'meta', 1::BIGINT, 0::BIGINT,
              |    0::BIGINT
              |  UNION ALL SELECT 'vocab', 'merges', 3::BIGINT, 0::BIGINT,

@@ -909,11 +909,14 @@ object StreamOps {
       threshold: Double = 0.5): Unit = {
     val s = batch.sparkSession
     val ids = batch.select(col(idCol)).distinct()
-    // labels-side scan with the batch ids broadcast into it, then the
-    // (tiny) present set broadcast back — never a corpus shuffle; the
-    // checkpoint materializes the read BEFORE the absorb mutates the
-    // labels store it came from
-    val present = graft.operators.Dedup.readLabels(s, labelsPath)
+    // BUCKET-PRUNED point lookup (round-12 verdict #2): the replay
+    // guard reads only the label buckets the batch ids hash into —
+    // O(touched buckets) bytes per micro-batch instead of a full labels
+    // scan per drained file. The (tiny) present set broadcasts back;
+    // the checkpoint materializes the read BEFORE the absorb mutates
+    // the labels store it came from.
+    val present = graft.operators.Dedup.readLabelsForDocs(s, labelsPath,
+        ids.select(col(idCol).as("doc")))
       .select(col("doc").as(idCol))
       .join(broadcast(ids), Seq(idCol), "left_semi")
       .localCheckpoint()

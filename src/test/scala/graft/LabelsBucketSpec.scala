@@ -287,6 +287,115 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
       .select("doc_b").collect().map(_.getLong(0)).toSet should contain(50L)
   }
 
+  /** The canonical-keyed twin's content, read raw from the c=<k> dirs. */
+  private def twinMap(path: String): Map[Long, (Long, Boolean)] = {
+    val dirs = ArtifactStore.listBucketDirs(spark, path, "c")
+    if (dirs.isEmpty) Map.empty
+    else spark.read.parquet(dirs: _*)
+      .select("doc", "canonical_id", "is_keeper").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+  }
+
+  test("canonical-keyed twin stays row-identical to the doc-keyed geometry through absorb, retract, rebalance") {
+    val root = freshRoot("btwin")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    twinMap(s"$root/labels") shouldBe labelMap(s"$root/labels")
+
+    // absorb with a RELABEL (doc 20 takes keeper-ship of the {50, 65}
+    // component) — the moved rows must leave their old canonical's
+    // c-bucket and land in the new one
+    val batch = docs(20L -> blk("z", 20).replace("z6 ", "z6y "),
+      90L -> blk("q", 15))
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    twinMap(s"$root/labels") shouldBe labelMap(s"$root/labels")
+
+    // retraction of the keeper hands canonical-ship on; both geometries
+    // must agree afterwards
+    Dedup.retractFromLabels(docs(20L -> "").select("doc_id"), "doc_id",
+      s"$root/labels", s"$root/idx", threshold = 0.5)
+    twinMap(s"$root/labels") shouldBe labelMap(s"$root/labels")
+
+    Dedup.rebalanceLabels(spark, s"$root/labels", 32)
+    twinMap(s"$root/labels") shouldBe labelMap(s"$root/labels")
+  }
+
+  test("point reads are bucket-pruned: only the keys' dirs are scanned, rows exact") {
+    import spark.implicits._
+    val root = freshRoot("bprune")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    val full = labelMap(s"$root/labels")
+    val bDirs = ArtifactStore.listBucketDirs(spark, s"$root/labels").size
+
+    // doc-keyed point read: the pruned frame's files come from at most
+    // |keys| bucket dirs, and semi-joining the keys recovers exactly
+    // the full table's rows for them
+    val keys = Seq(50L, 65L).toDF("doc")
+    val pruned = Dedup.readLabelsForDocs(spark, s"$root/labels", keys)
+    val prunedDirs = pruned.inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    prunedDirs.length should be <= 2
+    prunedDirs.length should be < bDirs
+    pruned.join(keys, Seq("doc"), "left_semi").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+      .shouldBe(full.view.filterKeys(Set(50L, 65L)).toMap)
+
+    // canonical-keyed member read: one component key reads at most one
+    // c-bucket dir and yields the full member list
+    val canon = Seq(50L).toDF("canonical_id")
+    val members = Dedup.membersOfCanonicals(spark, s"$root/labels", canon)
+    members.inputFiles
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+      .length should be <= 1
+    members.filter(col("canonical_id") === 50L).collect()
+      .map(_.getLong(0)).toSet shouldBe
+      full.collect { case (d, (c, _)) if c == 50L => d }.toSet
+  }
+
+  test("absorb auto-rebalances when avg bucket bytes drift past 4x the build target") {
+    val root = freshRoot("bauto")
+    // pass 1: measure the store's natural size at N=2
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 2)
+    val total = ArtifactStore.bucketDirBytes(spark, s"$root/labels", "b").sum
+    total should be > 0L
+    // pass 2: rebuild with a target the CURRENT store already exceeds
+    // 4x — the next absorb must trigger the re-bucketing
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 2, bucketTargetBytes = total / 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val batch = docs(90L -> blk("q", 15))
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    // N grew past the build's 2, and the rows are exactly the rebuild's
+    ArtifactStore.listBucketDirs(spark, s"$root/labels").size should be > 2
+    Dedup.buildCanonicalLabels(spreadCorpus.unionByName(batch), "doc_id",
+      "text", s"$root/labelsFull", shingleSize = 3, numHashes = 16,
+      bands = 8, threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+    // the refreshed geometry serves the NEXT mutation exactly
+    val b2 = docs(91L -> blk("r", 15))
+    Dedup.absorbIntoLabels(b2, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    Dedup.buildCanonicalLabels(
+      spreadCorpus.unionByName(batch).unionByName(b2), "doc_id", "text",
+      s"$root/labelsFull2", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull2")
+  }
+
   test("urlPolicyGateShuffle prunes impossible prefix lengths; result unchanged") {
     import spark.implicits._
     val rules = Seq(
