@@ -1911,7 +1911,55 @@ object EvalQueries {
            |  (SELECT r FROM rec_pre), (SELECT r FROM rec_post),
            |  (SELECT r FROM rec_post) > (SELECT r FROM rec_pre)
            |ORDER BY metric""".stripMargin
-      })
+      }),
+
+    // HISTOGRAM ARTIFACT LIFECYCLE (x176): the fourth full-lifecycle
+    // family — x173's per-shard histograms become a persisted,
+    // incrementally-maintained artifact: build on shards {0,1}, absorb
+    // shard 2, RE-absorb shard 2 (a re-delivered feed file — the
+    // ledger makes it a no-op), compact (bucket-sum pre-merge; shard
+    // identity moves to the ledger), absorb shard 3 AFTER the compact
+    // (the post-compact idempotency case), then answer quantiles from
+    // the stored buckets. Integer buckets make the pin exact: the
+    // incremental union must equal a batch computation over all four
+    // shards bit for bit. Cents are shifted NEGATIVE for a third of
+    // the orders, exercising the floor-division bucketing (round-12
+    // advisory: SQL div truncation would fold (-w, 0) and [0, w) into
+    // one double-width bucket and break the width-bounded error).
+    QueryDef("x176_histogram_artifact_lifecycle",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x176_hist"
+        rmTree(root)
+        val cents = (col("o_totalprice") * 100).cast("long") -
+          lit(10000000L)
+        val orders = tbl(s, d, "orders")
+          .withColumn("shard", pmod(col("o_orderkey"), lit(4)))
+        Profile.buildHistogramArtifact(orders.filter(col("shard") < 2),
+          "shard", cents, widthCents = 1L << 20, root)
+        Profile.absorbIntoHistogram(orders.filter(col("shard") === 2),
+          "shard", cents, root)
+        Profile.absorbIntoHistogram(orders.filter(col("shard") === 2),
+          "shard", cents, root)
+        Profile.compactHistogram(s, root)
+        Profile.absorbIntoHistogram(orders.filter(col("shard") === 3),
+          "shard", cents, root)
+        Profile.quantilesFromHistogramArtifact(s, root,
+            qsX10000 = Seq(2500, 5000, 9900, 10000))
+          .orderBy("q_x10000")
+      },
+      Some("""WITH h AS (SELECT
+             |    ((c - ((c % 1048576) + 1048576) % 1048576) // 1048576)
+             |      AS bucket, count(*)::BIGINT AS cnt
+             |  FROM (SELECT (o_totalprice*100)::BIGINT - 10000000 AS c
+             |    FROM orders) GROUP BY 1),
+             |c AS (SELECT bucket, cnt,
+             |    (sum(cnt) OVER (ORDER BY bucket))::BIGINT AS cum FROM h),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM h),
+             |q(q_x10000) AS (VALUES (2500), (5000), (9900), (10000))
+             |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
+             |  (min(bucket) + 1) * 1048576 AS upper_cents
+             |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

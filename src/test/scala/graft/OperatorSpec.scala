@@ -766,6 +766,48 @@ class OperatorSpec extends SparkSpec with Matchers {
       (10000, 100L, 1010000L))
   }
 
+  test("histogram lifecycle: ledger makes re-delivered shards no-ops across compaction; floor division keeps negative buckets half-open") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // planted values straddling zero: floor bucketing must put (-w, 0)
+    // in bucket -1 and [0, w) in bucket 0 — truncation would fold both
+    // into a double-width bucket 0 (round-12 advisory)
+    val vals = Seq((1L, -5L), (2L, -10000L), (3L, 5L), (4L, 9999L),
+      (5L, 10000L), (6L, -10001L)).toDF("id", "cents")
+      .withColumn("shard", pmod(col("id"), lit(2)))
+    val h = Profile.histogramShard(vals, "shard", col("cents"), 10000L)
+      .groupBy("bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    h shouldBe Map(-2L -> 1L, -1L -> 2L, 0L -> 2L, 1L -> 1L)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-hist")
+      .toString + "/hist"
+    def quants() = Profile.quantilesFromHistogramArtifact(spark, root,
+        Seq(5000, 10000)).orderBy("q_x10000").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    Profile.buildHistogramArtifact(vals.filter(col("shard") === 0),
+      "shard", col("cents"), 10000L, root)
+    Profile.absorbIntoHistogram(vals.filter(col("shard") === 1), "shard",
+      col("cents"), root)
+    val full = quants()
+    // re-delivered shard: no-op before AND after a compact (the ledger
+    // outlives the merged rows' shard identity)
+    Profile.absorbIntoHistogram(vals.filter(col("shard") === 1), "shard",
+      col("cents"), root)
+    quants() shouldBe full
+    Profile.compactHistogram(spark, root)
+    quants() shouldBe full
+    spark.read.parquet(s"$root/shards").count() shouldBe 4L // merged
+    Profile.absorbIntoHistogram(vals.filter(col("shard") === 1), "shard",
+      col("cents"), root)
+    quants() shouldBe full
+    // a genuinely NEW shard after the compact still absorbs
+    Profile.absorbIntoHistogram(
+      Seq((7L, 25000L)).toDF("id", "cents")
+        .withColumn("shard", lit(7L)), "shard", col("cents"), root)
+    quants() should not be full
+  }
+
   test("auditIvfDrift: stationary absorb holds the error trend flat; a planted shift raises it and concentrates cells") {
     import spark.implicits._
     import graft.operators.VectorIndex
