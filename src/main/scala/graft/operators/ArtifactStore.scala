@@ -187,13 +187,19 @@ private[graft] object ArtifactStore {
     * keys are invisible to every consumer (the deletion-vector
     * pattern). Tombstone sets are takedown-sized — broadcast. */
   def readStore(spark: SparkSession, root: String, sub: String,
-      keyCol: String): DataFrame = {
-    val df = spark.read.parquet(s"$root/$sub")
+      keyCol: String): DataFrame =
+    tombstoneFiltered(spark, root, keyCol,
+      spark.read.parquet(s"$root/$sub"))
+
+  /** Apply the root's deletion vector to an arbitrary frame — what the
+    * PRUNED readers (partition-filtered scans that bypass `readStore`)
+    * share with it. */
+  def tombstoneFiltered(spark: SparkSession, root: String,
+      keyCol: String, df: DataFrame): DataFrame =
     if (exists(spark, s"$root/tombstones"))
       df.join(broadcast(spark.read.parquet(s"$root/tombstones")
         .select(keyCol)), Seq(keyCol), "left_anti")
     else df
-  }
 
   def hasTombstones(spark: SparkSession, root: String): Boolean =
     exists(spark, s"$root/tombstones")

@@ -500,7 +500,7 @@ object Dedup {
     */
   def buildLshIndex(index: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 16,
-      bands: Int = 4): Unit = {
+      bands: Int = 4, numBucketParts: Int = 0): Unit = {
     // a REBUILD at a root carrying tombstones must not inherit them
     // (round-11 advisory): readStore's anti-join would silently hide
     // freshly indexed docs whose ids were ever retracted. A build is a
@@ -509,22 +509,75 @@ object Dedup {
     ArtifactStore.resetForRebuild(index.sparkSession, path)
     val (feats, buckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
     feats.write.mode("overwrite").parquet(s"$path/features")
-    buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    val s = index.sparkSession
+    // the buckets substore is PARTITIONED by h = pmod(hash(band, sig),
+    // M) (round-12 verdict #7): a batch probe's own band-sigs become a
+    // partition filter, so at 100 TB the probe reads the batch's h
+    // dirs, never the corpus's whole signature table. M auto-sizes off
+    // the indexed doc count (footer-count of the features store just
+    // written — no data scan) toward ~64k-row parts; production builds
+    // pick M so a part is ~100 MB and M well exceeds a probe batch's
+    // distinct band-sig count.
+    val m =
+      if (numBucketParts > 0) numBucketParts
+      else {
+        val nDocs = s.read.parquet(s"$path/features").count()
+        math.max(32L, (nDocs * bands + 65535L) / 65536L).toInt
+      }
+    buckets.withColumn("h", lshPartOf(m))
+      .repartition(col("h"))
+      .write.mode("overwrite").partitionBy("h").parquet(s"$path/buckets")
     // persist the build parameters beside the data: a probe computed
     // with DIFFERENT parameters doesn't fail — its signatures just never
     // collide and every batch doc silently reads as novel, the worst
     // kind of recall loss. Consumers that recompute signatures
     // (probeLshIndex, absorbIntoLabels) validate against this store.
-    val s = index.sparkSession
     import s.implicits._
-    val meta = Seq((shingleSize, numHashes, bands))
-      .toDF("shingle_size", "num_hashes", "bands")
+    val meta = Seq((shingleSize, numHashes, bands, m))
+      .toDF("shingle_size", "num_hashes", "bands", "bucket_parts")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     // the build knows the parameters it just wrote — seed the JVM-local
     // cache so the FIRST consumer already skips the meta-read job (the
     // head() is a LocalTableScan, not a file read)
     ArtifactStore.seedMeta(s, path, meta.head())
   }
+
+  /** The buckets substore's partition key: band-sig hash mod the
+    * build-time part count. */
+  private def lshPartOf(m: Int) =
+    pmod(hash(col("band"), col("sig")), lit(m))
+
+  /** The index's bucket-part count — `Some(m)` on stores partitioned by
+    * band-sig hash (builds since round 13); `None` on earlier flat
+    * stores, which keep the full-scan probe path. */
+  private def lshBucketParts(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[Int] =
+    ArtifactStore.cachedMeta(spark, indexPath).flatMap(r =>
+      if (r.schema.fieldNames.contains("bucket_parts"))
+        Some(r.getAs[Int]("bucket_parts"))
+      else None)
+
+  /** The stored buckets RESTRICTED to the partitions a probe batch's
+    * own band-sigs occupy — the pruned read every cross-side probe
+    * (probeLshIndex, absorbIntoLabels) uses: the batch's distinct h
+    * set is collected driver-side (bounded by min(|batch|·bands, M))
+    * and becomes a static partition filter; tombstones are applied
+    * exactly as `readStore` would. `bBuckets` must be cheap to
+    * recompute or checkpointed by the caller (it is read once for the
+    * h set and again in the probe join).
+    */
+  private def storedBucketsForProbe(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      bBuckets: DataFrame): DataFrame =
+    lshBucketParts(spark, indexPath) match {
+      case Some(m) =>
+        val hs = bBuckets.select(lshPartOf(m).as("h")).distinct()
+          .collect().map(_.getInt(0)).toIndexedSeq
+        ArtifactStore.tombstoneFiltered(spark, indexPath, "doc",
+          spark.read.parquet(s"$indexPath/buckets")
+            .filter(col("h").isin(hs: _*)))
+      case None => indexStore(spark, indexPath, "buckets")
+    }
 
   /** Count of actual meta-store reads (Spark jobs), exposed so the spec
     * can pin "at most one read per (JVM, path)". The cache itself lives
@@ -567,10 +620,15 @@ object Dedup {
       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val s = batch.sparkSession
     checkIndexParams(s, indexPath, shingleSize, numHashes, bands)
-    val (bFeats, bBuckets) = minHashBuckets(batch, idCol, textCol, shingleSize, numHashes, bands)
+    // checkpoint the batch front end: the pruned stored-buckets read
+    // derives the batch's partition set from bBuckets before the probe
+    // join consumes it again
+    val bFeats = shingleFeatureSets(batch, idCol, textCol, shingleSize)
+      .localCheckpoint()
+    val bBuckets = bandBuckets(bFeats, numHashes, bands)
     crossSideProbe(bFeats, bBuckets,
       indexStore(s, indexPath, "features"),
-      indexStore(s, indexPath, "buckets"), threshold)
+      storedBucketsForProbe(s, indexPath, bBuckets), threshold)
   }
 
   /** Read one of the index's row stores, with retracted docs filtered
@@ -1008,7 +1066,10 @@ object Dedup {
           "run compactLshIndex before re-ingesting a retracted id")
     }
     val storedFeats = indexStore(spark, indexPath, "features")
-    val storedBuckets = indexStore(spark, indexPath, "buckets")
+    // the probe side reads ONLY the bucket partitions the batch's own
+    // band-sigs occupy (round-12 verdict #7); the out-of-place copy
+    // below is the one consumer that still needs the full table
+    val storedBuckets = storedBucketsForProbe(spark, indexPath, bBuckets)
     val nb = labelsNumBuckets(spark, labelsPath)
     val cb = labelsCanonBuckets(spark, labelsPath)
     // full-table handle: ONLY the flat-store fallback and the
@@ -1135,16 +1196,28 @@ object Dedup {
     if (outIndex == indexPath) {
       // idempotent append: drop batch rows each store already holds
       // (ArtifactStore.appendMissing — the store scan checkpoints
-      // before the append job mutates the directory it scanned)
+      // before the append job mutates the directory it scanned).
+      // Partitioned buckets stores grow inside their h dirs so probe
+      // pruning stays valid.
       val batchDocs = bFeats.select("doc").distinct().localCheckpoint()
       ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
         batchDocs, bFeats)
-      ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
-        batchDocs, bBuckets)
+      lshBucketParts(spark, indexPath) match {
+        case Some(m) =>
+          ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
+            batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
+            partitionCols = Seq("h"))
+        case None =>
+          ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
+            batchDocs, bBuckets)
+      }
     } else {
       storedFeats.unionByName(bFeats).write.mode("overwrite")
         .parquet(s"$outIndex/features")
-      storedBuckets.unionByName(bBuckets).write.mode("overwrite")
+      // the audit copy is written FLAT (h is a physical layout of the
+      // base, not part of the row contract)
+      indexStore(spark, indexPath, "buckets").drop("h")
+        .unionByName(bBuckets).write.mode("overwrite")
         .parquet(s"$outIndex/buckets")
       // the grown copy keeps the build-parameter contract of its base
       if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
@@ -1361,7 +1434,7 @@ object Dedup {
       indexStore(spark, indexPath, "features")
         .join(rids, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/features")
-      indexStore(spark, indexPath, "buckets")
+      indexStore(spark, indexPath, "buckets").drop("h")
         .join(rids, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/buckets")
       if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
@@ -1407,7 +1480,10 @@ object Dedup {
     */
   def compactLshIndex(spark: org.apache.spark.sql.SparkSession,
       indexPath: String): Unit =
-    ArtifactStore.compact(spark, indexPath, Seq("features", "buckets"), "doc")
+    ArtifactStore.compact(spark, indexPath, Seq("features", "buckets"),
+      "doc",
+      partitionCols = lshBucketParts(spark, indexPath)
+        .map(_ => Map("buckets" -> Seq("h"))).getOrElse(Map.empty))
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
     * least one NON-FLOODED character-n-gram are verified exactly. For

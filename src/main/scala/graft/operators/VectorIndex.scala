@@ -152,12 +152,8 @@ object VectorIndex {
         val pruned = spark.read.parquet(s"$indexPath/vectors")
           .filter(col("cell").isin(cells.toIndexedSeq: _*))
           .withColumn("cell", col("cell").cast(cellType))
-        val filtered =
-          if (ArtifactStore.hasTombstones(spark, indexPath))
-            pruned.join(broadcast(ArtifactStore.tombstoneKeys(spark,
-              indexPath, "vec_id")), Seq("vec_id"), "left_anti")
-          else pruned
-        (p, filtered)
+        (p, ArtifactStore.tombstoneFiltered(spark, indexPath, "vec_id",
+          pruned))
       } else
         (probes0,
           ArtifactStore.readStore(spark, indexPath, "vectors", "vec_id"))
