@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{AsOfJoin, Curation, Dedup, Eval, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis, TimeSeries}
+import graft.operators.{AsOfJoin, Curation, Dedup, Eval, Graph, Layout, Profile, Quantize, RangeJoin, Retrieval, Sequence, Similarity, Skew, TextAnalysis, TimeSeries, VectorIndex}
 import graft.streaming.StreamOps
+import org.apache.spark.sql.graft.InputBytesMeter
 
 /** Scale-linearity probe: times the dedup/text operators on 1×/2×/4×/8×
   * replications of the documents corpus and reports the growth exponent —
@@ -301,6 +302,38 @@ object ScaleProbe {
       .limit(16)
       .select((col("doc_id") + 900000000L + k.toLong * 1000000L).as("doc_id"),
         col("text"))
+
+    // bytes-READ probe fixtures (round-13, the read twins of
+    // absorbbytes_labels): per-multiplier stores whose GEOMETRY scales
+    // with the corpus (labels buckets, index parts, IVF cells all ∝ m —
+    // the production sizing rule), a tiny STAGED batch/query file per
+    // invocation so the fixed input's own file read doesn't mask the
+    // store reads, and the degenerate single-part controls whose every
+    // read is the whole store.
+    val readBytesBuilt = scala.collection.mutable.Set[Int]()
+    def stagedTinyBatch(k: Int): DataFrame = {
+      val p = s"$stageRoot/rdbatch/k$k"
+      absorbBytesBatch(k).coalesce(1).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
+    lazy val vecDirs: IndexedSeq[String] = (0 until maxMult).map { r =>
+      val dir = s"$stageRoot/vec/r$r"
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select((col("vec_id") + lit(r.toLong * 10000000L)).as("vec_id"),
+          col("embedding"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def vecCorpus(m: Int): DataFrame =
+      spark.read.parquet(vecDirs.take(m): _*)
+    lazy val vecQueriesPath: String = {
+      val p = s"$stageRoot/vecq"
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") < 10).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    val probeBytesBuilt = scala.collection.mutable.Set[Int]()
 
     def gateRules(m: Int): Seq[(String, Boolean)] =
       (0 until 250).map(i => s"https://site${4 * i}.example/" -> (i % 2 == 0)) ++
@@ -1061,6 +1094,92 @@ object ScaleProbe {
         recordBytes("flatbytes_labels_control", m, bytes)
         bytes
       },
+      // BYTES READ per drained micro-batch vs stored-corpus size
+      // (round-13: every labels point-read is bucket-pruned and the
+      // index probe reads only the batch's bucket/feature partitions).
+      // Store geometry ∝ m (labels N = 8m, index parts = 64m) with a
+      // FIXED staged 16-doc batch: the recorded bytes-read series must
+      // stay ~flat; the single-part control reads the whole labels
+      // table + index per batch — linear by construction.
+      "readbytes_labels_drain" -> { m =>
+        val root = s"$stageRoot/rdbytes/m$m"
+        if (!readBytesBuilt(m)) {
+          val base = corpus(m)
+          Dedup.buildCanonicalLabels(base, "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5, numBuckets = 8 * m)
+          Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4,
+            numBucketParts = 64 * m)
+          readBytesBuilt += m
+        }
+        val batch = stagedTinyBatch(2000 + absorbBytesSlice.getAndIncrement())
+        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+          StreamOps.absorbLabelBatch(batch, s"$root/labels", s"$root/idx",
+            "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+        }
+        recordBytes("readbytes_labels_drain", m, bytes)
+        bytes
+      },
+      "readbytes_drain_control" -> { m =>
+        val root = s"$stageRoot/rdbytesc/m$m"
+        if (!readBytesBuilt(-m)) {
+          val base = corpus(m)
+          Dedup.buildCanonicalLabels(base, "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5, numBuckets = 1)
+          Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4,
+            numBucketParts = 1)
+          readBytesBuilt += -m
+        }
+        val batch = stagedTinyBatch(4000 + absorbBytesSlice.getAndIncrement())
+        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+          StreamOps.absorbLabelBatch(batch, s"$root/labels", s"$root/idx",
+            "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+        }
+        recordBytes("readbytes_drain_control", m, bytes)
+        bytes
+      },
+      // BYTES READ per IVF probe vs stored-corpus size (round-13: the
+      // vectors store is cell-partitioned and the probe prunes to its
+      // nprobe cells). nlist ∝ m keeps cell bytes constant — the
+      // production sizing rule — so probe bytes stay ~flat (the
+      // codebook read grows with nlist but is dim×nlist tiny); the
+      // fixed-nlist control's cells grow with the corpus, so its probe
+      // bytes are linear even WITH pruning.
+      "probebytes_ivf" -> { m =>
+        val root = s"$stageRoot/pvbytes/m$m/idx"
+        if (!probeBytesBuilt(m)) {
+          VectorIndex.buildIvfIndex(vecCorpus(m), "vec_id", "embedding",
+            root, nlist = 16 * m)
+          probeBytesBuilt += m
+        }
+        val q = spark.read.parquet(vecQueriesPath)
+        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+          VectorIndex.probeIvfIndex(q, root, "vec_id", "embedding",
+            k = 10, nprobe = 2).count()
+        }
+        recordBytes("probebytes_ivf", m, bytes)
+        bytes
+      },
+      "probebytes_ivf_control" -> { m =>
+        val root = s"$stageRoot/pvbytesc/m$m/idx"
+        if (!probeBytesBuilt(-m)) {
+          VectorIndex.buildIvfIndex(vecCorpus(m), "vec_id", "embedding",
+            root, nlist = 16)
+          probeBytesBuilt += -m
+        }
+        val q = spark.read.parquet(vecQueriesPath)
+        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+          VectorIndex.probeIvfIndex(q, root, "vec_id", "embedding",
+            k = 10, nprobe = 2).count()
+        }
+        recordBytes("probebytes_ivf_control", m, bytes)
+        bytes
+      },
       "rebuildlabels_corpus" -> { m =>
         val out = s"$stageRoot/abs/rebuild_m$m"
         Dedup.buildCanonicalLabels(corpus(m).unionByName(absorbBatch),
@@ -1255,25 +1374,34 @@ object ScaleProbe {
       }.mkString(",")
       println(s"""{"metric":"stream_state_rows","ops":{$sJson}}""")
     }
-    // Staged-bytes curves (flat = the O(touched) labels-mutation claim
-    // holds as the stored corpus grows; the numBuckets=1 control is
-    // linear by construction) — own line, same shape as the state rows.
-    if (bytesSeen.nonEmpty) {
-      val byOp = bytesSeen.toSeq.groupBy(_._1._1)
-      val bJson = byOp.toSeq.sortBy(_._1).map { case (op, entries) =>
-        val sorted = entries.sortBy(_._1._2)
-        val series = sorted.map { case ((_, m), b) => s""""x$m":$b""" }
-          .mkString(",")
-        val b1 = sorted.head._2.toDouble
-        val bMax = sorted.last._2.toDouble
-        val mMax = sorted.last._1._2
-        val expo =
-          if (mMax > 1 && b1 > 0) math.log(bMax / b1) / math.log(mMax.toDouble)
-          else 0.0
-        f""""$op":{$series,"exponent":$expo%.2f}"""
-      }.mkString(",")
-      println(s"""{"metric":"absorb_bytes_written","ops":{$bJson}}""")
-    }
+    // Byte curves (flat = the O(touched) claim holds as the stored
+    // corpus grows; the single-part controls are linear by
+    // construction): absorbbytes_/flatbytes_ ops record STAGED BYTES
+    // WRITTEN per mutation, readbytes_/probebytes_ ops record INPUT
+    // BYTES READ per drained micro-batch / index probe — two lines so
+    // each claim keeps its own metric name.
+    def printBytesLine(metric: String,
+        entries: Seq[((String, Int), Long)]): Unit =
+      if (entries.nonEmpty) {
+        val byOp = entries.groupBy(_._1._1)
+        val bJson = byOp.toSeq.sortBy(_._1).map { case (op, es) =>
+          val sorted = es.sortBy(_._1._2)
+          val series = sorted.map { case ((_, m), b) => s""""x$m":$b""" }
+            .mkString(",")
+          val b1 = sorted.head._2.toDouble
+          val bMax = sorted.last._2.toDouble
+          val mMax = sorted.last._1._2
+          val expo =
+            if (mMax > 1 && b1 > 0) math.log(bMax / b1) / math.log(mMax.toDouble)
+            else 0.0
+          f""""$op":{$series,"exponent":$expo%.2f}"""
+        }.mkString(",")
+        println(s"""{"metric":"$metric","ops":{$bJson}}""")
+      }
+    val (readBytes, writeBytes) = bytesSeen.toSeq.partition(e =>
+      e._1._1.startsWith("readbytes_") || e._1._1.startsWith("probebytes_"))
+    printBytesLine("absorb_bytes_written", writeBytes)
+    printBytesLine("probe_bytes_read", readBytes)
     println(
       s"""{"metric":"scale_linearity","base_docs":$baseCount,""" +
         s""""multipliers":[${multipliers.mkString(",")}],"ops":{$opsJson}}""")

@@ -463,11 +463,19 @@ object Dedup {
     * persisted store): band-bucket collisions → exact Jaccard verify.
     */
   private def crossSideProbe(bFeats: DataFrame, bBuckets: DataFrame,
-      iFeats: DataFrame, iBuckets: DataFrame, threshold: Double): DataFrame = {
-    val candidates = bBuckets.as("l").join(iBuckets.as("r"),
+      iFeats: DataFrame, iBuckets: DataFrame, threshold: Double): DataFrame =
+    verifyCrossJaccard(crossSideCandidates(bBuckets, iBuckets), bFeats,
+      iFeats, threshold)
+
+  private def crossSideCandidates(bBuckets: DataFrame,
+      iBuckets: DataFrame): DataFrame =
+    bBuckets.as("l").join(iBuckets.as("r"),
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
+
+  private def verifyCrossJaccard(candidates: DataFrame, bFeats: DataFrame,
+      iFeats: DataFrame, threshold: Double): DataFrame =
     candidates
       .join(bFeats.as("fa"), col("doc_a") === col("fa.doc"))
       .join(iFeats.as("fb"), col("doc_b") === col("fb.doc"))
@@ -479,7 +487,6 @@ object Dedup {
         col("common").cast("double") /
           (col("size_a") + col("size_b") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Persist the LSH index — the scaladoc claim "at 100 TB the index side
     * is a pre-materialized table" as working code: write the per-doc
@@ -507,24 +514,30 @@ object Dedup {
     // fresh store — clear the deletion vector and the stale meta cache
     // before writing.
     ArtifactStore.resetForRebuild(index.sparkSession, path)
-    val (feats, buckets) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
-    feats.write.mode("overwrite").parquet(s"$path/features")
     val s = index.sparkSession
-    // the buckets substore is PARTITIONED by h = pmod(hash(band, sig),
-    // M) (round-12 verdict #7): a batch probe's own band-sigs become a
-    // partition filter, so at 100 TB the probe reads the batch's h
-    // dirs, never the corpus's whole signature table. M auto-sizes off
-    // the indexed doc count (footer-count of the features store just
-    // written — no data scan) toward ~64k-row parts; production builds
-    // pick M so a part is ~100 MB and M well exceeds a probe batch's
-    // distinct band-sig count.
+    val (feats0, _) = minHashBuckets(index, idCol, textCol, shingleSize, numHashes, bands)
+    // one materialization serves both substore writes AND the doc count
+    // the partition geometry auto-sizes on
+    val (feats, nDocs) = checkpointWithCount(feats0, "lsh_build_feats")
+    // BOTH substores are PARTITIONED (round-12 verdict #7): buckets by
+    // h = pmod(hash(band, sig), M) so a batch probe's own band-sigs
+    // become a partition filter on candidate generation, and features
+    // by f = pmod(hash(doc), Mf) so the exact-Jaccard verify fetches
+    // ONLY the candidate docs' partitions — at 100 TB a probe touches
+    // the batch's dirs of each substore, never a corpus-wide scan of
+    // either. Part counts auto-size toward ~64k-row parts; production
+    // builds pick them so a part is ~100 MB and M well exceeds a probe
+    // batch's distinct band-sig / candidate-doc spread.
     val m =
       if (numBucketParts > 0) numBucketParts
-      else {
-        val nDocs = s.read.parquet(s"$path/features").count()
-        math.max(32L, (nDocs * bands + 65535L) / 65536L).toInt
-      }
-    buckets.withColumn("h", lshPartOf(m))
+      else math.max(32L, (nDocs * bands + 65535L) / 65536L).toInt
+    val mf =
+      if (numBucketParts > 0) numBucketParts
+      else math.max(32L, (nDocs + 65535L) / 65536L).toInt
+    feats.withColumn("f", lshFeatPartOf(mf))
+      .repartition(col("f"))
+      .write.mode("overwrite").partitionBy("f").parquet(s"$path/features")
+    bandBuckets(feats, numHashes, bands).withColumn("h", lshPartOf(m))
       .repartition(col("h"))
       .write.mode("overwrite").partitionBy("h").parquet(s"$path/buckets")
     // persist the build parameters beside the data: a probe computed
@@ -533,8 +546,9 @@ object Dedup {
     // kind of recall loss. Consumers that recompute signatures
     // (probeLshIndex, absorbIntoLabels) validate against this store.
     import s.implicits._
-    val meta = Seq((shingleSize, numHashes, bands, m))
-      .toDF("shingle_size", "num_hashes", "bands", "bucket_parts")
+    val meta = Seq((shingleSize, numHashes, bands, m, mf))
+      .toDF("shingle_size", "num_hashes", "bands", "bucket_parts",
+        "feature_parts")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     // the build knows the parameters it just wrote — seed the JVM-local
     // cache so the FIRST consumer already skips the meta-read job (the
@@ -547,6 +561,10 @@ object Dedup {
   private def lshPartOf(m: Int) =
     pmod(hash(col("band"), col("sig")), lit(m))
 
+  /** The features substore's partition key: doc hash mod the build-time
+    * part count. */
+  private def lshFeatPartOf(m: Int) = pmod(hash(col("doc")), lit(m))
+
   /** The index's bucket-part count — `Some(m)` on stores partitioned by
     * band-sig hash (builds since round 13); `None` on earlier flat
     * stores, which keep the full-scan probe path. */
@@ -557,14 +575,22 @@ object Dedup {
         Some(r.getAs[Int]("bucket_parts"))
       else None)
 
+  /** The index's feature-part count (doc-hash partitioning of the
+    * features substore) — absent on earlier flat stores. */
+  private def lshFeatureParts(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String): Option[Int] =
+    ArtifactStore.cachedMeta(spark, indexPath).flatMap(r =>
+      if (r.schema.fieldNames.contains("feature_parts"))
+        Some(r.getAs[Int]("feature_parts"))
+      else None)
+
   /** The stored buckets RESTRICTED to the partitions a probe batch's
-    * own band-sigs occupy — the pruned read every cross-side probe
-    * (probeLshIndex, absorbIntoLabels) uses: the batch's distinct h
-    * set is collected driver-side (bounded by min(|batch|·bands, M))
-    * and becomes a static partition filter; tombstones are applied
-    * exactly as `readStore` would. `bBuckets` must be cheap to
-    * recompute or checkpointed by the caller (it is read once for the
-    * h set and again in the probe join).
+    * own band-sigs occupy: the batch's distinct h set is collected
+    * driver-side (bounded by min(|batch|·bands, M)) and becomes a
+    * static partition filter; tombstones are applied exactly as
+    * `readStore` would. `bBuckets` must be cheap to recompute or
+    * checkpointed by the caller (it is read once for the h set and
+    * again in the probe join).
     */
   private def storedBucketsForProbe(
       spark: org.apache.spark.sql.SparkSession, indexPath: String,
@@ -578,6 +604,76 @@ object Dedup {
             .filter(col("h").isin(hs: _*)))
       case None => indexStore(spark, indexPath, "buckets")
     }
+
+  /** The stored features RESTRICTED to the given doc-hash partitions
+    * (`None` ids = the full tombstone-filtered store — flat-layout
+    * fallback). An empty id set reads as the typed empty frame. */
+  private def storedFeaturesForDocs(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      fIds: Option[Seq[Int]]): DataFrame =
+    fIds match {
+      case Some(ids) =>
+        val base = spark.read.parquet(s"$indexPath/features")
+        val pruned =
+          if (ids.isEmpty) base.limit(0)
+          else base.filter(col("f").isin(ids.toIndexedSeq: _*))
+        ArtifactStore.tombstoneFiltered(spark, indexPath, "doc", pruned)
+      case None => indexStore(spark, indexPath, "features")
+    }
+
+  /** Checkpoint with any number of collect_set bucket metrics riding
+    * the one action — the multi-set sibling of
+    * `checkpointWithCountAndBuckets` for the stored-probe path (which
+    * needs the candidates' FEATURE partitions and LABEL buckets at
+    * once). */
+  private def checkpointWithBucketSets(df: DataFrame, tag: String,
+      sets: Seq[(String, org.apache.spark.sql.Column)])
+      : (DataFrame, Long, Map[String, Seq[Int]]) = {
+    val obs = org.apache.spark.sql.Observation(
+      tag + "_" + java.util.UUID.randomUUID().toString.take(8))
+    val metrics = count(lit(1)).as("__n") +:
+      sets.map { case (n, c) => collect_set(c).as(n) }
+    val ck = df.observe(obs, metrics.head, metrics.tail: _*)
+      .localCheckpoint()
+    val n = Option(obs.get("__n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val out = sets.map { case (s, _) =>
+      s -> Option(obs.get(s))
+        .map(_.asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Int]).toSeq)
+        .getOrElse(Seq.empty)
+    }.toMap
+    (ck, n, out)
+  }
+
+  /** The full stored-index probe (candidates from the batch's bucket
+    * partitions, exact-Jaccard verify against the candidates' feature
+    * partitions) — shared by `probeLshIndex` and `absorbIntoLabels`.
+    * The candidate set is checkpointed ONCE and its observation carries
+    * the partition/bucket id sets every downstream pruned read needs:
+    * the candidates' feature partitions (verify fetch) and, when
+    * `labelBucketsN` is given, the candidate docs' LABEL bucket ids
+    * (absorb's canonical contraction — a superset of the verified
+    * hits', which is all pruning needs). Returns the verified pairs
+    * (lazy) and the label bucket ids. */
+  private def probeStored(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, bFeats: DataFrame, bBuckets: DataFrame,
+      threshold: Double,
+      labelBucketsN: Option[Int] = None)
+      : (DataFrame, Option[Seq[Int]]) = {
+    val storedB = storedBucketsForProbe(spark, indexPath, bBuckets)
+    val sets =
+      lshFeatureParts(spark, indexPath).map(mf =>
+        "fbk" -> pmod(hash(col("doc_b")), lit(mf))).toSeq ++
+      labelBucketsN.map(n =>
+        "lbk" -> pmod(hash(col("doc_b")), lit(n))).toSeq
+    val (cand, _, bks) = checkpointWithBucketSets(
+      crossSideCandidates(bBuckets, storedB), "lsh_probe_cand", sets)
+    val iFeats = storedFeaturesForDocs(spark, indexPath,
+      if (lshFeatureParts(spark, indexPath).isDefined) bks.get("fbk")
+      else None)
+    (verifyCrossJaccard(cand, bFeats, iFeats, threshold),
+      bks.get("lbk"))
+  }
 
   /** Count of actual meta-store reads (Spark jobs), exposed so the spec
     * can pin "at most one read per (JVM, path)". The cache itself lives
@@ -626,9 +722,7 @@ object Dedup {
     val bFeats = shingleFeatureSets(batch, idCol, textCol, shingleSize)
       .localCheckpoint()
     val bBuckets = bandBuckets(bFeats, numHashes, bands)
-    crossSideProbe(bFeats, bBuckets,
-      indexStore(s, indexPath, "features"),
-      storedBucketsForProbe(s, indexPath, bBuckets), threshold)
+    probeStored(s, indexPath, bFeats, bBuckets, threshold)._1
   }
 
   /** Read one of the index's row stores, with retracted docs filtered
@@ -1065,11 +1159,6 @@ object Dedup {
         s"absorbIntoLabels: batch contains ids tombstoned in $indexPath — " +
           "run compactLshIndex before re-ingesting a retracted id")
     }
-    val storedFeats = indexStore(spark, indexPath, "features")
-    // the probe side reads ONLY the bucket partitions the batch's own
-    // band-sigs occupy (round-12 verdict #7); the out-of-place copy
-    // below is the one consumer that still needs the full table
-    val storedBuckets = storedBucketsForProbe(spark, indexPath, bBuckets)
     val nb = labelsNumBuckets(spark, labelsPath)
     val cb = labelsCanonBuckets(spark, labelsPath)
     // full-table handle: ONLY the flat-store fallback and the
@@ -1087,14 +1176,15 @@ object Dedup {
     val bbPairs = verifyJaccardArrays(bbCand, bFeats, threshold)
       .select("doc_a", "doc_b")
 
-    // batch-index probe hits, checkpointed WITH their doc_b bucket ids
-    // (one Observation riding the checkpoint — no extra job) so the
-    // canonical contraction below reads ONLY the label buckets holding
-    // a hit doc instead of the corpus
-    val (biRaw, _, biBk) = checkpointWithCountAndBuckets(
-      crossSideProbe(bFeats, bBuckets, storedFeats, storedBuckets,
-        threshold).select(col("doc_a"), col("doc_b")),
-      "absorb_bihits", "doc_b", nb)
+    // batch-index probe against the STORED index, fully pruned: the
+    // candidate checkpoint's observation carries the candidates'
+    // feature-partition set (the exact-Jaccard verify fetches only
+    // those dirs) and their label-bucket set (the canonical contraction
+    // below reads only the label buckets holding a hit doc) — one
+    // action, zero corpus-wide scans (round-12 verdict #2/#7)
+    val (biRaw0, biBk) = probeStored(spark, indexPath, bFeats, bBuckets,
+      threshold, labelBucketsN = nb)
+    val biRaw = biRaw0.select(col("doc_a"), col("doc_b"))
     // batch-index near-dup edges, index endpoint CONTRACTED to its
     // stored canonical (labels are total over the indexed corpus)
     val biPairs = biRaw
@@ -1109,7 +1199,10 @@ object Dedup {
     val nodes = batch.select(col(idCol).as("doc"))
       .unionByName(edges.select(col("doc_b").as("doc")))
       .distinct()
-    val newLabels = canonicalize(nodes, "doc", edges).localCheckpoint()
+    // the merge checkpoint also carries the nodes' label-bucket ids —
+    // the is-old-canonical lookup below prunes on them (zero extra jobs)
+    val (newLabels, _, nlBk) = checkpointWithCountAndBuckets(
+      canonicalize(nodes, "doc", edges), "absorb_merge", "doc", nb)
 
     // which of the merge's nodes are STORED canonicals: every stored
     // canonical keeps a SELF-ROW (doc == canonical_id — the build and
@@ -1117,8 +1210,7 @@ object Dedup {
     // answers "is this doc an old canonical" from the nodes' own
     // buckets, never a corpus-wide distinct over canonical_id
     val oldCanon = readLabelsForDocs(spark, labelsPath,
-        newLabels.select("doc"),
-        nb.map(n => bucketIdsOf(newLabels, "doc", n)))
+        newLabels.select("doc"), nlBk)
       .filter(col("doc") === col("canonical_id")).select("doc")
     // relabel map: old canonicals whose component minimum changed —
     // checkpointed with its __old bucket ids under the CANONICAL-keyed
@@ -1200,8 +1292,15 @@ object Dedup {
       // Partitioned buckets stores grow inside their h dirs so probe
       // pruning stays valid.
       val batchDocs = bFeats.select("doc").distinct().localCheckpoint()
-      ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
-        batchDocs, bFeats)
+      lshFeatureParts(spark, indexPath) match {
+        case Some(mf) =>
+          ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
+            batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
+            partitionCols = Seq("f"))
+        case None =>
+          ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
+            batchDocs, bFeats)
+      }
       lshBucketParts(spark, indexPath) match {
         case Some(m) =>
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
@@ -1212,10 +1311,11 @@ object Dedup {
             batchDocs, bBuckets)
       }
     } else {
-      storedFeats.unionByName(bFeats).write.mode("overwrite")
+      // the audit copies are written FLAT (f/h are physical layouts of
+      // the base, not part of the row contract)
+      indexStore(spark, indexPath, "features").drop("f")
+        .unionByName(bFeats).write.mode("overwrite")
         .parquet(s"$outIndex/features")
-      // the audit copy is written FLAT (h is a physical layout of the
-      // base, not part of the row contract)
       indexStore(spark, indexPath, "buckets").drop("h")
         .unionByName(bBuckets).write.mode("overwrite")
         .parquet(s"$outIndex/buckets")
@@ -1351,12 +1451,17 @@ object Dedup {
     // out-of-place merged copy force a corpus read; the point lookups
     // below are bucket-pruned (round-12 verdict #2)
     lazy val labels = readLabels(spark, labelsPath)
-    // the rids checkpoint carries their doc-bucket ids (Observation —
-    // no extra job) so the touched-canonical lookup reads only the
-    // buckets holding a retracted id
-    val (rids0, nRids, ridBk) = checkpointWithCountAndBuckets(
+    // the rids checkpoint carries their LABEL-bucket ids (the
+    // touched-canonical lookup reads only the buckets holding a
+    // retracted id) and their FEATURE-partition ids (the indexed-rid
+    // check reads only those dirs of the stored features) — one
+    // Observation riding the one action
+    val (rids0, nRids, ridSets) = checkpointWithBucketSets(
       retract.select(col(idCol).as("doc")).distinct(), "retract_rids",
-      "doc", nb)
+      nb.map(n => "lbk" -> pmod(hash(col("doc")), lit(n))).toSeq ++
+        lshFeatureParts(spark, indexPath).map(mf =>
+          "fbk" -> pmod(hash(col("doc")), lit(mf))).toSeq)
+    val ridBk = if (nb.isDefined) ridSets.get("lbk") else None
     val rids = hintIfSmall(rids0, nRids, broadcastRowLimit)
 
     // touched components and their member/survivor doc sets — all
@@ -1379,8 +1484,12 @@ object Dedup {
       membersOfCanonicals(spark, labelsPath, affCanon0, affBk)
         .join(affCanon, Seq("canonical_id"), "left_semi")
         .select("doc"), "retract_members")
-    val (survivors0, nSurv) = checkpointWithCount(
-      members0.join(rids, Seq("doc"), "left_anti"), "retract_survivors")
+    // the survivor checkpoint also carries the survivors' FEATURE
+    // partition ids — the exact-Jaccard re-derivation below fetches
+    // only those dirs of the stored features
+    val (survivors0, nSurv, survFBk) = checkpointWithCountAndBuckets(
+      members0.join(rids, Seq("doc"), "left_anti"), "retract_survivors",
+      "doc", lshFeatureParts(spark, indexPath))
     val survivors = hintIfSmall(survivors0, nSurv, broadcastRowLimit)
 
     // re-derive the touched components' surviving edges from the STORED
@@ -1399,7 +1508,7 @@ object Dedup {
           col("l.doc") < col("r.doc"))
       .select(col("l.doc").as("doc_a"), col("r.doc").as("doc_b"))
       .distinct()
-    val ft = indexStore(spark, indexPath, "features")
+    val ft = storedFeaturesForDocs(spark, indexPath, survFBk)
       .join(survivors, Seq("doc"), "left_semi")
     val pairs = verifyJaccardArrays(cand, ft, threshold)
       .select("doc_a", "doc_b")
@@ -1425,13 +1534,16 @@ object Dedup {
       // forever and fail a future absorb's clash guard for a genuinely
       // new doc reusing the id — forcing a corpus-sized compact for a
       // retraction that never touched the index
-      val indexedRids = spark.read.parquet(s"$indexPath/features")
+      val indexedRids = storedFeaturesForDocs(spark, indexPath,
+          if (lshFeatureParts(spark, indexPath).isDefined)
+            ridSets.get("fbk")
+          else None)
         .select("doc").join(rids, Seq("doc"), "left_semi")
         .distinct().localCheckpoint()
       ArtifactStore.appendTombstones(spark, outIndex, "doc", indexedRids)
     } else {
       // audit copy: physically compacted, base untouched
-      indexStore(spark, indexPath, "features")
+      indexStore(spark, indexPath, "features").drop("f")
         .join(rids, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/features")
       indexStore(spark, indexPath, "buckets").drop("h")
@@ -1482,8 +1594,11 @@ object Dedup {
       indexPath: String): Unit =
     ArtifactStore.compact(spark, indexPath, Seq("features", "buckets"),
       "doc",
-      partitionCols = lshBucketParts(spark, indexPath)
-        .map(_ => Map("buckets" -> Seq("h"))).getOrElse(Map.empty))
+      partitionCols =
+        lshBucketParts(spark, indexPath)
+          .map(_ => Map("buckets" -> Seq("h"))).getOrElse(Map.empty) ++
+        lshFeatureParts(spark, indexPath)
+          .map(_ => Map("features" -> Seq("f"))).getOrElse(Map.empty))
 
   /** Exact n-gram Jaccard dedup via inverted-index join: docs sharing at
     * least one NON-FLOODED character-n-gram are verified exactly. For

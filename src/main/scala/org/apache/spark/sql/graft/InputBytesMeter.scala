@@ -1,0 +1,34 @@
+package org.apache.spark.sql.graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.SparkContext
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
+/** Task-level input-bytes meter for the scale probes: sums
+  * `taskMetrics.inputMetrics.bytesRead` (datasource/file reads — shuffle
+  * and block-manager traffic excluded) across every task that completes
+  * while `body` runs. Lives in a child package of `org.apache.spark`
+  * because draining the listener bus before reading the counter
+  * (`listenerBus.waitUntilEmpty`) is `private[spark]` — without the
+  * drain, late task-end events would race the read and the probe would
+  * under-count nondeterministically.
+  */
+object InputBytesMeter {
+
+  def measure[T](sc: SparkContext)(body: => T): (T, Long) = {
+    val bytes = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) { bytes.addAndGet(m.inputMetrics.bytesRead); () }
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val result = body
+      sc.listenerBus.waitUntilEmpty()
+      (result, bytes.get())
+    } finally sc.removeSparkListener(listener)
+  }
+}

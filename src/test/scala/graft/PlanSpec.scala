@@ -610,11 +610,15 @@ class PlanSpec extends SparkSpec with Matchers {
     val plan = planOf(q("x110_ingest_absorb"))
     // every index generation — including v2, built from batch 1's
     // admitted docs INSIDE the query — is probed via its persisted
-    // buckets/features store, never re-shingled in-plan: the only
-    // feature-set aggregates belong to the batch-2 keepers (statically
-    // duplicated per probe: bucket side + verify side × 3 versions)
+    // stores, never re-shingled in-plan. Since round 13 the probe's
+    // candidate stage (batch signatures × pruned stored buckets) is
+    // checkpointed so the verify fetch can prune the features
+    // partitions — the final plan therefore scans each version's
+    // FEATURES dirs (partition-pruned to the candidates' f set) plus
+    // the checkpointed candidate RDDs; the buckets scans live inside
+    // the checkpoint stage, and NO feature-set aggregate remains (the
+    // batch front end is checkpointed too)
     Seq("v0", "v1", "v2").foreach { v =>
-      plan should include(s"$v/buckets")
       plan should include(s"$v/features")
     }
     "partial_collect_set".r.findAllIn(plan).length should be <= 6
