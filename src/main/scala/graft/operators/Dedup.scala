@@ -1319,9 +1319,14 @@ object Dedup {
       indexStore(spark, indexPath, "buckets").drop("h")
         .unionByName(bBuckets).write.mode("overwrite")
         .parquet(s"$outIndex/buckets")
-      // the grown copy keeps the build-parameter contract of its base
+      // the grown copy keeps the build-parameter contract of its base —
+      // but NOT the base's partition-layout fields (bucket_parts /
+      // feature_parts): the copy was just written FLAT, and a meta
+      // claiming a pruned layout the dirs don't have would make the
+      // copy's probes filter on a nonexistent h/f column
       if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
         spark.read.parquet(s"$indexPath/meta")
+          .drop("bucket_parts", "feature_parts")
           .write.mode("overwrite").parquet(s"$outIndex/meta")
         invalidateIndexMeta(spark, outIndex)
       }
@@ -1549,8 +1554,11 @@ object Dedup {
       indexStore(spark, indexPath, "buckets").drop("h")
         .join(rids, Seq("doc"), "left_anti")
         .write.mode("overwrite").parquet(s"$outIndex/buckets")
+      // layout fields stripped for the same reason as absorb's audit
+      // copy: this copy is flat
       if (ArtifactStore.exists(spark, s"$indexPath/meta")) {
         spark.read.parquet(s"$indexPath/meta")
+          .drop("bucket_parts", "feature_parts")
           .write.mode("overwrite").parquet(s"$outIndex/meta")
         invalidateIndexMeta(spark, outIndex)
       }
