@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -345,5 +345,40 @@ object Eval {
         when(col("__n1") > 0,
           expr("div(10000 * positives * __n, docs * __n1)"))
           .as("lift_x10000"))
+  }
+
+  /** Preference-PAIR construction — the RLHF/DPO data shape: within each
+    * candidate group (all responses to one prompt; here any grouping the
+    * caller chooses), pick the best- and worst-scored members as the
+    * (chosen, rejected) pair and keep pairs whose score margin clears
+    * `minMargin` (near-tie pairs teach a preference model noise — the
+    * standard margin filter). Deterministic under ties both ways:
+    * chosen = highest score then SMALLEST id, rejected = lowest score
+    * then smallest id, so replays and engines agree row-for-row.
+    *
+    * Scale: ONE map-side-combined groupBy over the corpus — `max_by`/
+    * `min_by` on (score, id) structs are partial-aggregable, so the
+    * shuffle carries one row per group, never the group's members
+    * (a window formulation would shuffle the corpus and hold whole
+    * groups in the sorter). Groups of one collapse to chosen == rejected
+    * and are dropped by the margin/identity filter.
+    *
+    * Output: (group cols…, chosen_id, rejected_id, chosen_score,
+    * rejected_score, margin), margin ≥ minMargin, chosen ≠ rejected.
+    */
+  def preferencePairs(df: DataFrame, groupCols: Seq[String], idCol: String,
+      score: Column, minMargin: Long = 1L): DataFrame = {
+    require(groupCols.nonEmpty, "preferencePairs: groupCols must be non-empty")
+    df.select(groupCols.map(col) :+ col(idCol).cast("long").as("__id")
+        :+ score.cast("long").as("__s"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        max_by(col("__id"), struct(col("__s"), -col("__id"))).as("chosen_id"),
+        max(col("__s")).as("chosen_score"),
+        min_by(col("__id"), struct(col("__s"), col("__id"))).as("rejected_id"),
+        min(col("__s")).as("rejected_score"))
+      .withColumn("margin", col("chosen_score") - col("rejected_score"))
+      .filter(col("margin") >= minMargin &&
+        col("chosen_id") =!= col("rejected_id"))
   }
 }

@@ -245,6 +245,57 @@ object Profile {
       qsX10000)
   }
 
+  /** Distribution DRIFT between two histogram generations (the monitor
+    * that consumes the histogram artifact family): per shared bucket
+    * domain, each side's per-million share (floored integer — exact in
+    * both engines, no ln() whose libm rounding drifts cross-engine) and
+    * the absolute share delta. The total-variation distance is
+    * div(Σ delta, 2) over this table — one window-free aggregate the
+    * caller folds. Inputs are (…, bucket, cnt) histogram tables (shard
+    * identity irrelevant — both sides bucket-sum first), so the compare
+    * runs over the ~bucket-domain, never raw rows: the 100 TB drift
+    * check costs two artifact reads of O(shards × buckets).
+    * Missing buckets on one side read as count 0 (full outer).
+    * Output: (bucket, cnt_a, cnt_b, share_a_x1m, share_b_x1m,
+    * delta_x1m), ordered by bucket.
+    */
+  def histogramDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def fold(df: DataFrame, cn: String) =
+      df.groupBy("bucket").agg(sum(col("cnt")).as(cn))
+    val fa = fold(a, "cnt_a")
+    val fb = fold(b, "cnt_b")
+    val joined = fa.join(fb, Seq("bucket"), "full_outer")
+      .select(col("bucket"), coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("__ta"),
+      sum(col("cnt_b")).as("__tb"))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("cnt_a"), col("cnt_b"),
+        expr("div(1000000 * cnt_a, __ta)").as("share_a_x1m"),
+        expr("div(1000000 * cnt_b, __tb)").as("share_b_x1m"))
+      .withColumn("delta_x1m",
+        abs(col("share_a_x1m") - col("share_b_x1m")))
+      .orderBy("bucket")
+  }
+
+  /** `histogramDrift` over two PERSISTED artifacts — the scheduled
+    * "did yesterday's ingest shift the value distribution" report.
+    * Refuses mismatched bucket widths (shares over different widths
+    * compare nothing). */
+  def histogramDriftFromArtifacts(
+      spark: org.apache.spark.sql.SparkSession, pathA: String,
+      pathB: String): DataFrame = {
+    def width(p: String): Long = ArtifactStore.cachedMeta(spark, p)
+      .map(_.getAs[Long]("width_cents"))
+      .getOrElse(throw new IllegalStateException(
+        s"histogramDriftFromArtifacts: no meta store at $p"))
+    val (wa, wb) = (width(pathA), width(pathB))
+    require(wa == wb, "histogramDriftFromArtifacts: bucket widths differ " +
+      s"($wa vs $wb) — rebuild one side on the shared width contract")
+    histogramDrift(spark.read.parquet(s"$pathA/shards"),
+      spark.read.parquet(s"$pathB/shards"))
+  }
+
   /** Robust per-key outlier stats via median / MAD (median absolute
     * deviation) — the outlier filter that survives heavy tails where
     * mean/stddev z-scores break (one giant value drags the mean toward
@@ -404,5 +455,81 @@ object Profile {
         col("sensitive_diversity"),
         (col("class_size") < k).as("k_violation"),
         (col("sensitive_diversity") < l).as("l_violation")): _*)
+  }
+
+  /** One declarative data-quality expectation over a table — the
+    * config-driven contract suite (null-rate gates, range checks, key
+    * uniqueness, referential integrity) a pipeline asserts before
+    * promoting a load, mirroring the reference's validate-before-write
+    * ethos at the ROW level instead of the schema level. */
+  sealed trait Expectation { def name: String }
+  /** Violation = rows where `violation` evaluates true (nulls in the
+    * predicate count as NOT violating — express null gates explicitly
+    * with isNull). */
+  final case class RowExpectation(name: String, violation: Column)
+    extends Expectation
+  /** Violation = surplus rows beyond one per distinct key tuple. */
+  final case class UniqueExpectation(name: String, cols: Seq[String])
+    extends Expectation
+  /** Violation = rows whose (non-null) foreign key has no match in
+    * `dim`'s `pkCols` — the orphan count. Null FKs are not orphans
+    * (gate them with a RowExpectation if the column is mandatory). */
+  final case class RefExpectation(name: String, fkCols: Seq[String],
+      dim: DataFrame, pkCols: Seq[String]) extends Expectation
+
+  /** Evaluate an expectation suite: one report row per expectation —
+    * (expectation, violations, total_rows, pass). Scale shape: every
+    * RowExpectation and UniqueExpectation folds into a SINGLE global
+    * aggregate pass over the table (sums of when(); uniqueness as
+    * count − countDistinct in the same agg — Catalyst's multi-distinct
+    * Expand keeps partials map-side), so N row rules cost one scan, not
+    * N. Each RefExpectation is one additional left-anti probe with the
+    * dimension side broadcast when small — the orphan check you cannot
+    * fold into a scan. Output is deterministic (ordered by the suite's
+    * declaration order via the name sort the caller controls).
+    */
+  def expectations(df: DataFrame, rules: Seq[Expectation]): DataFrame = {
+    require(rules.nonEmpty, "expectations: empty rule suite")
+    require(rules.map(_.name).distinct.size == rules.size,
+      "expectations: duplicate expectation names")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowish = rules.collect {
+      case r: RowExpectation =>
+        r.name -> sum(when(r.violation, 1L).otherwise(0L))
+      case u: UniqueExpectation =>
+        u.name -> (count(lit(1)) -
+          countDistinct(struct(u.cols.map(col): _*)))
+    }
+    val aggs = (Seq("__rows" -> count(lit(1))) ++ rowish)
+      .map { case (n, c) => c.as(n) }
+    val one =
+      if (rowish.isEmpty) df.agg(count(lit(1)).as("__rows"))
+      else df.agg(aggs.head, aggs.tail: _*)
+    val base = one.head()
+    val total = base.getAs[Long]("__rows")
+    val scanRows = rowish.map { case (n, _) =>
+      (n, base.getAs[Long](n), total)
+    }
+    val refRows = rules.collect { case r: RefExpectation =>
+      require(r.fkCols.size == r.pkCols.size,
+        s"expectations: ${r.name} fk/pk arity mismatch")
+      val probe = df.select(r.fkCols.map(col): _*)
+        .filter(r.fkCols.map(col(_).isNotNull).reduce(_ && _))
+      val dimKeys = r.dim.select(
+        r.pkCols.zip(r.fkCols).map { case (p, f) => col(p).as(f) }: _*)
+      // no forced broadcast: the dim side's size is caller data, so the
+      // size-estimate threshold / AQE picks the strategy (a forced hint
+      // on an unexpectedly large dim is the OOM the labels family's
+      // hintIfSmall guard exists to prevent)
+      val orphans = probe.join(dimKeys.distinct(), r.fkCols, "left_anti")
+        .count()
+      (r.name, orphans, total)
+    }
+    // report in declaration order
+    val byName = (scanRows ++ refRows).map(r => r._1 -> r).toMap
+    rules.map(r => byName(r.name))
+      .toDF("expectation", "violations", "total_rows")
+      .withColumn("pass", col("violations") === 0L)
   }
 }

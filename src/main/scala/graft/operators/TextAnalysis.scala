@@ -645,4 +645,47 @@ object TextAnalysis {
       .select(col("rank"), col("token"), col("cnt"),
         expr("div(10000 * cum, total)").as("cum_pct_x10000"))
   }
+
+  /** DSIR-style importance scoring: rank source documents by how much
+    * their hashed-unigram profile resembles a TARGET slice (the
+    * data-selection move behind "select pretraining data that looks like
+    * the high-quality seed set"). Token occurrences hash into `buckets`
+    * feature buckets ([[Portable.hash56]] — engine-portable); each
+    * bucket's importance ratio is the smoothed target/corpus count ratio
+    * in ×10⁶ fixed point (`div(10⁶·(target_cnt+1), corpus_cnt+1)` —
+    * add-one smoothing keeps never-in-target buckets finite); a
+    * document's score is the SUM of its token occurrences' bucket
+    * ratios divided by its token count (mean ratio, ×10⁶). The ratio-SUM
+    * is the exact-integer surrogate for DSIR's log-ratio sum (per-token
+    * monotone transform; no ln(), whose libm rounding drifts across
+    * engines — the x49 rule).
+    *
+    * Scale: two passes over the exploded token stream, both
+    * map-side-combinable groupBys (bucket counts are bounded by
+    * `buckets`, per-doc sums by the corpus), one broadcast join of the
+    * `buckets`-row ratio table. Nothing is all-pairs; nothing collects.
+    * `isTarget` marks the in-plan target slice (a column, so the target
+    * can be a predicate, a join flag, or a sampled slice).
+    * Output: (doc column, n_tokens, score_x1m) — select data by
+    * `score_x1m` descending.
+    */
+  def importanceScores(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, "importanceScores: buckets must be >= 2")
+    val toks = df.select(col(idCol).as("doc"), isTarget.as("__t"),
+        explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .withColumn("b", hash56(col("token")) % buckets)
+    val ratios = toks.groupBy("b")
+      .agg(count(lit(1)).as("corpus_cnt"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("target_cnt"))
+      .select(col("b"),
+        expr("div(1000000 * (target_cnt + 1), corpus_cnt + 1)")
+          .as("ratio_x1m"))
+    toks.join(broadcast(ratios), Seq("b"))
+      .groupBy("doc")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("ratio_x1m")).as("__s"))
+      .select(col("doc"), col("n_tokens"),
+        expr("div(__s, n_tokens)").as("score_x1m"))
+  }
 }

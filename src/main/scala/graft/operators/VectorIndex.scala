@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -106,6 +106,29 @@ object VectorIndex {
       vecCol: String, k: Int, nprobe: Int = 2): DataFrame =
     topKByQuery(probeScored(queries, indexPath, idCol, vecCol, nprobe), k)
 
+  /** FILTERED vector search — the metadata-predicate variant every
+    * production vector store exposes ("nearest neighbors among docs
+    * matching WHERE …"): `keep` is a predicate over the stored vector
+    * rows (`vec_id`, `cell`, `epoch`) applied BEFORE scoring, so the
+    * top-k ranks only the predicate's survivors — post-filtering a
+    * plain top-k instead would return < k rows whenever the filter
+    * bites, the classic filtered-ANN bug. The predicate composes with
+    * the read-path prunings rather than replacing them: cell pruning
+    * still restricts the scan to the queries' nprobe cells, the
+    * tombstone anti-join still hides retracted ids, and a predicate on
+    * stored columns pushes into the pruned parquet scan. At
+    * `nprobe = nlist` the answer is pin-exact to a brute-force top-k
+    * over the filtered corpus (x181's strict gate); at small nprobe the
+    * usual IVF recall trade applies per filtered cell.
+    */
+  def probeIvfIndexWhere(queries: DataFrame, indexPath: String,
+      idCol: String, vecCol: String, keep: Column, k: Int,
+      nprobe: Int = 2): DataFrame =
+    topKByQuery(
+      probeScored(queries, indexPath, idCol, vecCol, nprobe,
+        keep = Some(keep)),
+      k)
+
   /** Every (query, candidate) cosine within the queries' `nprobe`
     * nearest stored cells — the shared exact-scoring core of
     * `probeIvfIndex` (top-k over it) and `hardNegativesFromIvfIndex`
@@ -119,7 +142,8 @@ object VectorIndex {
     ArtifactStore.hasPartitionDirs(spark, s"$indexPath/vectors", "cell")
 
   private def probeScored(queries: DataFrame, indexPath: String,
-      idCol: String, vecCol: String, nprobe: Int): DataFrame = {
+      idCol: String, vecCol: String, nprobe: Int,
+      keep: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = queries.sparkSession
     ArtifactStore.cachedMeta(spark, indexPath).foreach { m =>
       require(nprobe <= m.getAs[Int]("nlist"),
@@ -157,7 +181,11 @@ object VectorIndex {
       } else
         (probes0,
           ArtifactStore.readStore(spark, indexPath, "vectors", "vec_id"))
-    broadcast(probes).join(vectors, Seq("cell"))
+    // metadata predicate (filtered search): on the STORED columns, ahead
+    // of the join — Catalyst pushes stored-column conjuncts into the
+    // (already cell-pruned) parquet scan
+    val searchable = keep.fold(vectors)(vectors.filter)
+    broadcast(probes).join(searchable, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         Similarity.cosine(col("qv"), col("vec")).as("cosine"))

@@ -1959,7 +1959,240 @@ object EvalQueries {
              |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
              |  (min(bucket) + 1) * 1048576 AS upper_cents
              |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
-             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin))
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin)),
+
+    // PREFERENCE PAIRS (x177): the RLHF/DPO data shape — within each
+    // (source, lang) candidate group, the best- and worst-scored docs
+    // become the (chosen, rejected) pair, near-ties dropped by the
+    // margin filter (Eval.preferencePairs). Score = whitespace token
+    // count (x11's convention). ONE map-side-combined groupBy: the
+    // shuffle carries a row per group, never the group's members.
+    QueryDef("x177_preference_pairs",
+      (s, d) => Eval.preferencePairs(tbl(s, d, "documents"),
+          Seq("source", "lang"), "doc_id",
+          score = size(Portable.tokens(col("text"))).cast("long"),
+          minMargin = 5L)
+        .orderBy("source", "lang"),
+      Some("""WITH sc AS (SELECT source, lang, doc_id,
+             |    len(string_split_regex(lower(text), '\s+'))::BIGINT AS s
+             |  FROM documents),
+             |r AS (SELECT source, lang, doc_id, s,
+             |    row_number() OVER (PARTITION BY source, lang
+             |      ORDER BY s DESC, doc_id) AS rt,
+             |    row_number() OVER (PARTITION BY source, lang
+             |      ORDER BY s ASC, doc_id) AS rb
+             |  FROM sc),
+             |g AS (SELECT source, lang,
+             |    max(CASE WHEN rt = 1 THEN doc_id END)::BIGINT AS chosen_id,
+             |    max(CASE WHEN rt = 1 THEN s END)::BIGINT AS chosen_score,
+             |    max(CASE WHEN rb = 1 THEN doc_id END)::BIGINT AS rejected_id,
+             |    max(CASE WHEN rb = 1 THEN s END)::BIGINT AS rejected_score
+             |  FROM r GROUP BY source, lang)
+             |SELECT source, lang, chosen_id, chosen_score, rejected_id,
+             |  rejected_score, (chosen_score - rejected_score) AS margin
+             |FROM g
+             |WHERE chosen_score - rejected_score >= 5
+             |  AND chosen_id <> rejected_id
+             |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin)),
+
+    // IMPORTANCE SCORING (x178): DSIR-style data selection — rank the
+    // corpus by hashed-unigram resemblance to the English slice
+    // (TextAnalysis.importanceScores, 512 buckets). Exact-integer
+    // ratio-sum surrogate for the log-ratio sum (no ln(): the x49
+    // libm rule); the oracle replays the same hash, smoothing, and
+    // floors.
+    QueryDef("x178_importance_scores",
+      (s, d) => TextAnalysis.importanceScores(tbl(s, d, "documents"),
+          "doc_id", "text", isTarget = col("lang") === "en",
+          buckets = 512)
+        .orderBy("doc"),
+      Some(s"""WITH tk AS (SELECT doc_id AS doc, (lang = 'en') AS t,
+             |    unnest(string_split_regex(lower(text), '\\s+')) AS token
+             |  FROM documents),
+             |bk AS (SELECT doc, t, ${dkHash56("token")} % 512 AS b
+             |  FROM tk WHERE len(token) > 0),
+             |rat AS (SELECT b,
+             |    (1000000 * (sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT + 1))
+             |      // (count(*)::BIGINT + 1) AS ratio_x1m
+             |  FROM bk GROUP BY b)
+             |SELECT doc, count(*)::BIGINT AS n_tokens,
+             |  (sum(ratio_x1m)::BIGINT // count(*)::BIGINT) AS score_x1m
+             |FROM bk JOIN rat USING (b)
+             |GROUP BY doc ORDER BY doc""".stripMargin)),
+
+    // EXPECTATIONS AUDIT (x179): the declarative data-quality contract
+    // suite (Profile.expectations) — null gates, range checks, domain
+    // membership, key uniqueness, referential integrity — evaluated as
+    // ONE aggregate pass over the fact table plus one anti-join probe
+    // per FK rule. The price-cap rule is planted to FAIL so the report
+    // proves violations are counted, not just asserted zero.
+    QueryDef("x179_expectations_audit",
+      (s, d) => Profile.expectations(tbl(s, d, "orders"), Seq(
+          Profile.RowExpectation("r1_totalprice_nonneg",
+            col("o_totalprice") < 0),
+          Profile.RowExpectation("r2_status_domain",
+            !col("o_orderstatus").isin("O", "F", "P")),
+          Profile.RowExpectation("r3_orderdate_notnull",
+            col("o_orderdate").isNull),
+          Profile.RowExpectation("r4_price_under_300k",
+            col("o_totalprice") >= 300000),
+          Profile.UniqueExpectation("r5_orderkey_unique",
+            Seq("o_orderkey")),
+          Profile.RefExpectation("r6_custkey_in_customer",
+            Seq("o_custkey"), tbl(s, d, "customer"), Seq("c_custkey"))))
+        .orderBy("expectation"),
+      Some("""WITH t AS (SELECT count(*)::BIGINT AS n FROM orders),
+             |v AS (
+             |  SELECT 'r1_totalprice_nonneg' AS expectation,
+             |    (SELECT count(*) FROM orders WHERE o_totalprice < 0)::BIGINT
+             |      AS violations
+             |  UNION ALL SELECT 'r2_status_domain',
+             |    (SELECT count(*) FROM orders
+             |      WHERE o_orderstatus NOT IN ('O', 'F', 'P'))::BIGINT
+             |  UNION ALL SELECT 'r3_orderdate_notnull',
+             |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)::BIGINT
+             |  UNION ALL SELECT 'r4_price_under_300k',
+             |    (SELECT count(*) FROM orders
+             |      WHERE o_totalprice >= 300000)::BIGINT
+             |  UNION ALL SELECT 'r5_orderkey_unique',
+             |    (SELECT (count(*) - count(DISTINCT o_orderkey)) FROM orders)::BIGINT
+             |  UNION ALL SELECT 'r6_custkey_in_customer',
+             |    (SELECT count(*) FROM orders
+             |      WHERE o_custkey IS NOT NULL AND o_custkey NOT IN
+             |        (SELECT c_custkey FROM customer))::BIGINT)
+             |SELECT expectation, violations, (SELECT n FROM t) AS total_rows,
+             |  violations = 0 AS pass
+             |FROM v ORDER BY expectation""".stripMargin)),
+
+    // FORGET CASCADE (x180): right-to-be-forgotten across artifact
+    // FAMILIES — one takedown set retracted from the canonical-labels
+    // store (+ its LSH index tombstones) AND the IVF vector index in
+    // one orchestrated pass, then each store is re-read to certify the
+    // keys are gone. live_rows are REAL post-retract store reads;
+    // forgotten_remaining are semi-join counts that must be zero. The
+    // oracle derives both from the base tables (counts are
+    // canonical-assignment-independent).
+    QueryDef("x180_forget_cascade",
+      (s, d) => {
+        import s.implicits._
+        val root = s"${ExtensionQueries.idxScratch}/x180_forget"
+        rmTree(root)
+        copyTree(ExtensionQueries.labelsPathForSpec(s, d), s"$root/labels")
+        copyTree(ExtensionQueries.lshIndexFor(s, d), s"$root/idx")
+        VectorIndex.buildIvfIndex(tbl(s, d, "embeddings"), "vec_id",
+          "embedding", s"$root/ivf", nlist = 8)
+        val forgetDocs = tbl(s, d, "documents")
+          .filter(col("doc_id") % 11 === 7).select("doc_id")
+          .localCheckpoint()
+        Dedup.retractFromLabels(forgetDocs, "doc_id", s"$root/labels",
+          s"$root/idx", threshold = 0.5)
+        VectorIndex.retractFromIvfIndex(
+          tbl(s, d, "embeddings").filter(col("vec_id") % 11 === 7),
+          "vec_id", s"$root/ivf")
+        val labels = Dedup.readLabels(s, s"$root/labels")
+          .localCheckpoint()
+        val vectors = ArtifactStore.readStore(s, s"$root/ivf", "vectors",
+          "vec_id").localCheckpoint()
+        val labLive = labels.count()
+        val labLeft = labels.join(broadcast(forgetDocs),
+          labels("doc") === forgetDocs("doc_id"), "left_semi").count()
+        val vecLive = vectors.count()
+        val vecLeft = vectors.filter(pmod(col("vec_id"), lit(11)) === 7)
+          .count()
+        Seq(("labels", labLive, labLeft), ("vectors", vecLive, vecLeft))
+          .toDF("artifact", "live_rows", "forgotten_remaining")
+          .orderBy("artifact")
+      },
+      Some("""WITH dl AS (SELECT count(*)::BIGINT AS n FROM documents),
+             |df AS (SELECT count(*)::BIGINT AS n FROM documents
+             |  WHERE doc_id % 11 = 7),
+             |el AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+             |ef AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 11 = 7)
+             |SELECT 'labels' AS artifact,
+             |  (SELECT dl.n - df.n FROM dl, df) AS live_rows,
+             |  0::BIGINT AS forgotten_remaining
+             |UNION ALL
+             |SELECT 'vectors', (SELECT el.n - ef.n FROM el, ef), 0::BIGINT
+             |ORDER BY artifact""".stripMargin)),
+
+    // FILTERED VECTOR SEARCH (x181): metadata-predicate ANN through the
+    // stored IVF index (VectorIndex.probeIvfIndexWhere) — top-5 among
+    // the vec_id % 3 == 0 slice only, predicate applied BEFORE the
+    // top-k (post-filtering would under-fill k — the classic filtered-
+    // ANN bug) and pushed into the cell-pruned parquet scan. At
+    // nprobe = nlist the answer is pin-exact to filtered brute force.
+    QueryDef("x181_filtered_ann",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x181_vec"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        VectorIndex.buildIvfIndex(emb, "vec_id", "embedding", root,
+          nlist = 8)
+        VectorIndex.probeIvfIndexWhere(emb.filter(col("vec_id") < 10),
+            root, "vec_id", "embedding",
+            keep = pmod(col("vec_id"), lit(3)) === 0, k = 5, nprobe = 8)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v
+             |  WHERE vec_id < 10),
+             |c AS (SELECT vec_id, vec FROM v WHERE vec_id % 3 = 0),
+             |ranked AS (SELECT query_id, neighbor_id, cosine,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY cosine DESC, neighbor_id) AS rank
+             |  FROM (SELECT query_id, c.vec_id AS neighbor_id,
+             |      ${dkCosine("qv", "c.vec")} AS cosine
+             |    FROM q CROSS JOIN c WHERE query_id <> c.vec_id) s)
+             |SELECT query_id, rank, neighbor_id,
+             |  floor(cosine * 1000000)::BIGINT AS cosine_x1m
+             |FROM ranked WHERE rank <= 5
+             |ORDER BY query_id, rank""".stripMargin)),
+
+    // HISTOGRAM-ARTIFACT DRIFT (x182): the monitoring consumer of the
+    // x176 family — two persisted histogram generations (epoch B's
+    // cents planted +5000: a uniform shift) compared bucket-by-bucket
+    // in exact per-million shares (Profile.histogramDriftFromArtifacts;
+    // total variation = div(Σ delta, 2) folds over this table). The
+    // compare reads two bucket-domain-sized artifacts — never raw rows.
+    QueryDef("x182_histogram_drift",
+      (s, d) => {
+        val rootA = s"${ExtensionQueries.idxScratch}/x182_hist_a"
+        val rootB = s"${ExtensionQueries.idxScratch}/x182_hist_b"
+        rmTree(rootA); rmTree(rootB)
+        val ev = QueryDef.events(s, d)
+          .withColumn("shard", col("event_type"))
+        val cents = floor(col("value") * 100 + 0.5).cast("long")
+        Profile.buildHistogramArtifact(ev, "shard", cents,
+          widthCents = 1000L, rootA)
+        Profile.buildHistogramArtifact(ev, "shard", cents + 5000L,
+          widthCents = 1000L, rootB)
+        Profile.histogramDriftFromArtifacts(s, rootA, rootB)
+      },
+      Some("""WITH c0 AS (SELECT floor(value*100 + 0.5)::BIGINT AS c
+             |  FROM events),
+             |a AS (SELECT ((c - ((c % 1000) + 1000) % 1000) // 1000)
+             |    AS bucket, count(*)::BIGINT AS cnt
+             |  FROM c0 GROUP BY 1),
+             |b AS (SELECT ((c - ((c % 1000) + 1000) % 1000) // 1000)
+             |    AS bucket, count(*)::BIGINT AS cnt
+             |  FROM (SELECT c + 5000 AS c FROM c0) GROUP BY 1),
+             |j AS (SELECT coalesce(a.bucket, b.bucket) AS bucket,
+             |    coalesce(a.cnt, 0)::BIGINT AS cnt_a,
+             |    coalesce(b.cnt, 0)::BIGINT AS cnt_b
+             |  FROM a FULL OUTER JOIN b ON a.bucket = b.bucket),
+             |t AS (SELECT sum(cnt_a)::BIGINT AS ta, sum(cnt_b)::BIGINT AS tb
+             |  FROM j)
+             |SELECT bucket, cnt_a, cnt_b,
+             |  (1000000 * cnt_a) // ta AS share_a_x1m,
+             |  (1000000 * cnt_b) // tb AS share_b_x1m,
+             |  abs((1000000 * cnt_a) // ta - (1000000 * cnt_b) // tb)
+             |    AS delta_x1m
+             |FROM j, t ORDER BY bucket""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.matchers.should.Matchers
 
-import graft.operators.{Dedup, Multimodal, Quantize, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Eval, Multimodal, Profile, Quantize, Similarity, TextAnalysis, VectorIndex}
 
 /** Behavioral tests for the training-data extension operators on planted
   * inputs (small, exact expectations — the sf-level hash checks live in the
@@ -1945,5 +1945,125 @@ class OperatorSpec extends SparkSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     // (1,2) share items 1 AND 2; (1,3) and (2,3) share item 1 only
     out.toSeq shouldBe Seq((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 1L))
+  }
+
+  test("preferencePairs: margin filter, tie-breaks to smallest id, singleton and near-tie groups dropped") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: ties at BOTH ends — chosen and rejected must each resolve to
+      // the smallest id of the tied set
+      ("g1", 1L, 10L), ("g1", 2L, 10L), ("g1", 3L, 2L), ("g1", 4L, 2L),
+      ("g2", 5L, 7L), ("g2", 6L, 5L), // margin 2 < 5 → dropped
+      ("g3", 7L, 9L) // singleton: chosen == rejected → dropped
+    ).toDF("grp", "id", "s")
+    val out = Eval.preferencePairs(df, Seq("grp"), "id", col("s"),
+      minMargin = 5L).collect()
+    out.length shouldBe 1
+    val r = out.head
+    r.getAs[String]("grp") shouldBe "g1"
+    r.getAs[Long]("chosen_id") shouldBe 1L
+    r.getAs[Long]("rejected_id") shouldBe 3L
+    r.getAs[Long]("chosen_score") shouldBe 10L
+    r.getAs[Long]("rejected_score") shouldBe 2L
+    r.getAs[Long]("margin") shouldBe 8L
+  }
+
+  test("expectations: row/unique/referential rules count planted violations; report in declaration order") {
+    import spark.implicits._
+    // k=1 duplicated (1 uniqueness violation), one negative v, fk=99 has
+    // no dim row (1 orphan)
+    val fact = Seq((1L, 10L, 5L), (1L, 10L, -1L), (2L, 11L, 7L),
+      (3L, 99L, 8L)).toDF("k", "fk", "v")
+    val dim = Seq(10L, 11L).toDF("pk")
+    val out = Profile.expectations(fact, Seq(
+        Profile.RowExpectation("a_v_nonneg", col("v") < 0),
+        Profile.UniqueExpectation("b_k_unique", Seq("k")),
+        Profile.RefExpectation("c_fk_in_dim", Seq("fk"), dim, Seq("pk"))))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    out.toSeq shouldBe Seq(
+      ("a_v_nonneg", 1L, 4L, false),
+      ("b_k_unique", 1L, 4L, false),
+      ("c_fk_in_dim", 1L, 4L, false))
+    // a clean suite passes
+    val clean = Profile.expectations(fact, Seq(
+        Profile.RowExpectation("v_bound", col("v") > 100)))
+      .head()
+    clean.getAs[Long]("violations") shouldBe 0L
+    clean.getAs[Boolean]("pass") shouldBe true
+    // duplicate rule names refuse loudly
+    intercept[IllegalArgumentException] {
+      Profile.expectations(fact, Seq(
+        Profile.RowExpectation("dup", col("v") < 0),
+        Profile.RowExpectation("dup", col("v") > 0)))
+    }
+  }
+
+  test("importanceScores: target-resembling docs outrank off-target; smoothing keeps unseen buckets finite") {
+    val out = TextAnalysis.importanceScores(docs(
+        1L -> "aa bb cc", 2L -> "aa bb cc", 3L -> "xx yy zz"),
+        "doc_id", "text", isTarget = col("doc_id") === 1L,
+        buckets = 4096)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // aa/bb/cc buckets: corpus 2, target 1 → div(1e6·2, 3) = 666666;
+    // xx/yy/zz: corpus 1, target 0 → div(1e6·1, 2) = 500000
+    out.toSeq shouldBe Seq((1L, 3L, 666666L), (2L, 3L, 666666L),
+      (3L, 3L, 500000L))
+  }
+
+  test("histogramDrift: identical sides all-zero; planted shift moves share mass; width mismatch refuses") {
+    import spark.implicits._
+    val a = Profile.histogramShard(
+      Seq((0L, 100L), (0L, 1100L), (1L, 100L), (1L, 2100L))
+        .toDF("shard", "c"), "shard", col("c"), widthCents = 1000L)
+    val same = Profile.histogramDrift(a, a).collect()
+    same.map(_.getAs[Long]("delta_x1m")).sum shouldBe 0L
+    same.map(r => (r.getAs[Long]("share_a_x1m"),
+      r.getAs[Long]("share_b_x1m"))).foreach { case (sa, sb) =>
+      sa shouldBe sb
+    }
+    val b = Profile.histogramShard(
+      Seq((0L, 100L), (0L, 1100L), (1L, 1100L), (1L, 2100L))
+        .toDF("shard", "c"), "shard", col("c"), widthCents = 1000L)
+    val drift = Profile.histogramDrift(a, b).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("delta_x1m")))
+      .toMap
+    // a: buckets 0,1,2 hold 2,1,1 of 4; b: 1,2,1 — bucket 0 loses 25pts,
+    // bucket 1 gains 25pts, bucket 2 flat
+    drift(0L) shouldBe 250000L
+    drift(1L) shouldBe 250000L
+    drift(2L) shouldBe 0L
+    // width contract: mismatched artifacts refuse
+    val rootA = java.nio.file.Files.createTempDirectory("drift-a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("drift-b").toString
+    val df = Seq((0L, 100L)).toDF("shard", "c")
+    Profile.buildHistogramArtifact(df, "shard", col("c"), 1000L, s"$rootA/h")
+    Profile.buildHistogramArtifact(df, "shard", col("c"), 500L, s"$rootB/h")
+    intercept[IllegalArgumentException] {
+      Profile.histogramDriftFromArtifacts(spark, s"$rootA/h", s"$rootB/h")
+    }
+  }
+
+  test("probeIvfIndexWhere: predicate applies before top-k (full k among survivors); pin-equal to filtered brute force at nprobe=nlist") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-fann").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb, "vec_id", "embedding", root, nlist = 4)
+    val qs = emb.filter(col("vec_id") < 5)
+    val keepEven = pmod(col("vec_id"), lit(2)) === 0
+    val ann = VectorIndex.probeIvfIndexWhere(qs, root, "vec_id",
+        "embedding", keep = keepEven, k = 5, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // every neighbor satisfies the predicate, and the filter never
+    // under-fills k (post-filtering a plain top-5 would)
+    ann.foreach { case (_, _, n) => n % 2 shouldBe 0L }
+    ann.groupBy(_._1).values.foreach(_.length shouldBe 5)
+    val exact = Similarity.bruteForceTopK(qs,
+        emb.filter(keepEven), "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    ann.sortBy(t => (t._1, t._2)).toSeq shouldBe
+      exact.sortBy(t => (t._1, t._2)).toSeq
   }
 }
