@@ -1294,18 +1294,35 @@ object Dedup {
       val batchDocs = bFeats.select("doc").distinct().localCheckpoint()
       lshFeatureParts(spark, indexPath) match {
         case Some(mf) =>
+          // present-check pruned to the batch docs' own f partitions
+          // (deterministic doc hash — any committed row for a batch doc
+          // lives there); the collect is bounded by |batch| and runs on
+          // the checkpointed batch, not a store read
+          val fIds = batchDocs.select(lshFeatPartOf(mf).as("f"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
           ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
             batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
-            partitionCols = Seq("f"))
+            partitionCols = Seq("f"),
+            presentSource = Some(
+              spark.read.parquet(s"$outIndex/features")
+                .filter(col("f").isin(fIds: _*))))
         case None =>
           ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
             batchDocs, bFeats)
       }
       lshBucketParts(spark, indexPath) match {
         case Some(m) =>
+          // same pruning via the batch's own band-sig partitions: a
+          // batch doc's committed bucket rows carry ITS band-sigs
+          // (deterministic from the text), so they live in these h dirs
+          val hIds = bBuckets.select(lshPartOf(m).as("h"))
+            .distinct().collect().map(_.getInt(0)).toIndexedSeq
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
             batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
-            partitionCols = Seq("h"))
+            partitionCols = Seq("h"),
+            presentSource = Some(
+              spark.read.parquet(s"$outIndex/buckets")
+                .filter(col("h").isin(hIds: _*))))
         case None =>
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
             batchDocs, bBuckets)

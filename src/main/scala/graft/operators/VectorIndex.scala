@@ -264,11 +264,22 @@ object VectorIndex {
       assigned0.withColumn("epoch", lit(e))).localCheckpoint()
     // layout-preserving append: a cell-partitioned store grows new
     // part-files inside the batch's cell dirs (probe pruning stays
-    // valid); pre-partitioning flat stores keep appending flat
-    ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
-      assigned.select("vec_id"), assigned,
-      partitionCols =
-        if (cellPartitioned(spark, indexPath)) Seq("cell") else Nil)
+    // valid); pre-partitioning flat stores keep appending flat.
+    // The present-check prunes to the batch's own cells: the codebook
+    // is FROZEN, so a previously-committed row for a batch id was
+    // assigned to the same cell this batch just computed.
+    if (cellPartitioned(spark, indexPath)) {
+      val cells = assigned.select("cell").distinct().collect()
+        .map(_.get(0)).toIndexedSeq
+      ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
+        assigned.select("vec_id"), assigned,
+        partitionCols = Seq("cell"),
+        presentSource = Some(
+          spark.read.parquet(s"$indexPath/vectors")
+            .filter(col("cell").isin(cells: _*))))
+    } else
+      ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
+        assigned.select("vec_id"), assigned)
     nextEpoch.foreach { e =>
       import spark.implicits._
       Seq(e).toDF("epoch").write.mode("append")
