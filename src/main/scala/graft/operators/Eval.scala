@@ -381,4 +381,67 @@ object Eval {
       .filter(col("margin") >= minMargin &&
         col("chosen_id") =!= col("rejected_id"))
   }
+
+  /** First-relevant rank / reciprocal rank per query — the MRR eval of a
+    * retrieval run (the metric behind "is the embedding+index stack
+    * finding the right documents", complementing x104's recall: recall
+    * counts hits anywhere in the top-k, MRR prices WHERE the first hit
+    * landed). `topk` is any ranked result table (query_id, rank,
+    * neighbor_id); `labels` maps ids to relevance classes; a neighbor is
+    * relevant when its class equals the query's. Output per query:
+    * (query_id, first_rel_rank — null when no relevant neighbor
+    * surfaced, rr_x1m = div(10⁶, first_rel_rank), 0 on a miss). The
+    * corpus-level MRR is div(Σ rr_x1m, #queries) — one fold the caller
+    * runs; exact integers end to end (reciprocals of small integer
+    * ranks — no float mean).
+    *
+    * Scale: two broadcast joins of the (small) label table against the
+    * top-k result (|Q|·k rows), one min-aggregate keyed by query.
+    */
+  def firstRelevantRank(topk: DataFrame, labels: DataFrame,
+      idCol: String, labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"),
+      col(labelCol).as("__lab"))
+    val qLab = lab.withColumnRenamed("__id", "query_id")
+      .withColumnRenamed("__lab", "__qlab")
+    val nLab = lab.withColumnRenamed("__id", "neighbor_id")
+      .withColumnRenamed("__lab", "__nlab")
+    topk.join(broadcast(qLab), Seq("query_id"))
+      .join(broadcast(nLab), Seq("neighbor_id"))
+      .groupBy("query_id")
+      .agg(min(when(col("__qlab") === col("__nlab"), col("rank")))
+        .as("first_rel_rank"))
+      .withColumn("rr_x1m",
+        coalesce(expr("div(1000000, first_rel_rank)"), lit(0L)))
+  }
+
+  /** kNN label-vote classification over a retrieval run — the standard
+    * "do my embeddings cluster by class" eval: each query's top-k
+    * neighbors vote with their class label, majority wins (ties → the
+    * smaller label, deterministic), and the prediction is scored
+    * against the query's own label. Output per query: (query_id,
+    * true_label, predicted_label, votes, correct); corpus accuracy is
+    * one avg over `correct` the caller folds. Same join shape as
+    * [[firstRelevantRank]]; the vote is a (query, label)-keyed count —
+    * map-side combinable, never holds a neighbor list.
+    */
+  def knnLabelVote(topk: DataFrame, labels: DataFrame, idCol: String,
+      labelCol: String): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"),
+      col(labelCol).as("__lab"))
+    val qLab = lab.withColumnRenamed("__id", "query_id")
+      .withColumnRenamed("__lab", "true_label")
+    val nLab = lab.withColumnRenamed("__id", "neighbor_id")
+      .withColumnRenamed("__lab", "__nlab")
+    topk.join(broadcast(qLab), Seq("query_id"))
+      .join(broadcast(nLab), Seq("neighbor_id"))
+      .groupBy(col("query_id"), col("true_label"), col("__nlab"))
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(
+        max_by(col("__nlab"), struct(col("votes"), -col("__nlab")))
+          .as("predicted_label"),
+        max(col("votes")).as("votes"))
+      .withColumn("correct", col("predicted_label") === col("true_label"))
+  }
 }

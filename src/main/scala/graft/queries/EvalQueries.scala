@@ -2192,7 +2192,79 @@ object EvalQueries {
              |  (1000000 * cnt_b) // tb AS share_b_x1m,
              |  abs((1000000 * cnt_a) // ta - (1000000 * cnt_b) // tb)
              |    AS delta_x1m
-             |FROM j, t ORDER BY bucket""".stripMargin))
+             |FROM j, t ORDER BY bucket""".stripMargin)),
+
+    // RETRIEVAL MRR (x183): first-relevant rank + reciprocal rank per
+    // query (Eval.firstRelevantRank) over an exact top-10 — relevance =
+    // same stored class label as the query. x104 prices recall
+    // (hits anywhere in k); this prices WHERE the first hit landed —
+    // exact integer reciprocals, no float mean.
+    QueryDef("x183_retrieval_mrr",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Eval.firstRelevantRank(
+            graft.operators.Similarity.bruteForceTopK(
+              emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+              k = 10),
+            emb, "vec_id", "label")
+          .orderBy("query_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, label AS qlab, vec AS qv
+             |  FROM v WHERE vec_id < 50),
+             |ranked AS (SELECT query_id, qlab, nlab, rank FROM (
+             |    SELECT q.query_id, q.qlab, c.label AS nlab,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${dkCosine("q.qv", "c.vec")} DESC, c.vec_id)
+             |        AS rank
+             |    FROM q CROSS JOIN v c WHERE q.query_id <> c.vec_id) s
+             |  WHERE rank <= 10)
+             |SELECT query_id,
+             |  min(CASE WHEN qlab = nlab THEN rank END) AS first_rel_rank,
+             |  coalesce(1000000 // min(CASE WHEN qlab = nlab THEN rank END),
+             |    0)::BIGINT AS rr_x1m
+             |FROM ranked GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
+    // kNN LABEL-VOTE ACCURACY (x184): the classic embedding-quality
+    // eval (Eval.knnLabelVote) — each query's top-10 neighbors vote
+    // with their class, majority wins (ties → smaller label), scored
+    // against the query's own label. Complements x46's centroid
+    // confusion with the instance-level kNN view.
+    QueryDef("x184_knn_label_accuracy",
+      (s, d) => {
+        val emb = tbl(s, d, "embeddings")
+        Eval.knnLabelVote(
+            graft.operators.Similarity.bruteForceTopK(
+              emb.filter(col("vec_id") < 50), emb, "vec_id", "embedding",
+              k = 10),
+            emb, "vec_id", "label")
+          .orderBy("query_id")
+      },
+      Some(s"""WITH v AS (SELECT vec_id, label,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, label AS qlab, vec AS qv
+             |  FROM v WHERE vec_id < 50),
+             |ranked AS (SELECT query_id, qlab, nlab FROM (
+             |    SELECT q.query_id, q.qlab, c.label AS nlab,
+             |      row_number() OVER (PARTITION BY q.query_id
+             |        ORDER BY ${dkCosine("q.qv", "c.vec")} DESC, c.vec_id)
+             |        AS rank
+             |    FROM q CROSS JOIN v c WHERE q.query_id <> c.vec_id) s
+             |  WHERE rank <= 10),
+             |votes AS (SELECT query_id, qlab AS true_label, nlab,
+             |    count(*)::BIGINT AS votes
+             |  FROM ranked GROUP BY 1, 2, 3),
+             |win AS (SELECT query_id, true_label, nlab AS predicted_label,
+             |    votes,
+             |    row_number() OVER (PARTITION BY query_id
+             |      ORDER BY votes DESC, nlab ASC) AS rn
+             |  FROM votes)
+             |SELECT query_id, true_label, predicted_label, votes,
+             |  predicted_label = true_label AS correct
+             |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

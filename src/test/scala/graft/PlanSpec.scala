@@ -1059,4 +1059,18 @@ class PlanSpec extends SparkSpec with Matchers {
     inList should not be None
     inList.get.group(1).split(",").length should be <= 16
   }
+
+  test("x181 filtered ANN: the metadata predicate pushes into the pruned" +
+      " vectors scan — filtered BEFORE the probe join, and cell pruning" +
+      " still applies") {
+    val plan = planOf(q("x181_filtered_ann"))
+    // the keep predicate is on a stored column, so it rides the parquet
+    // scan (PushedFilters or a Filter directly over the scan), never a
+    // post-top-k filter that would under-fill k
+    plan should include regex "PartitionFilters: \\[cell#\\d+L? IN"
+    plan.toLowerCase should include("pmod")
+    // scoring joins stay broadcast — the corpus-side vectors are probed
+    // in place, never shuffled to meet 10 query rows
+    (plan should not).include("SortMergeJoin")
+  }
 }
