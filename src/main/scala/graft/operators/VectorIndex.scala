@@ -221,6 +221,37 @@ object VectorIndex {
       k)
   }
 
+  /** The subset of a batch's ids the index already holds SEARCHABLE
+    * (tombstone-filtered — a retracted id reads as absent, so its
+    * re-ingest reaches `absorbIntoIvfIndex`'s fail-loud clash guard),
+    * read CELL-PRUNED: the frozen codebook assigns the batch's vectors
+    * deterministically, so a previously-committed row for a batch id
+    * can only live in the cell this batch just computed — the presence
+    * check reads those dirs, not the corpus. The drain replay guard's
+    * per-micro-batch read (the vector twin of the labels drain's
+    * `readLabelsForDocs` guard). Flat stores fall back to the full
+    * tombstone-filtered read.
+    */
+  def searchablePresentIds(batch: DataFrame, idCol: String,
+      vecCol: String, indexPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val vecs = nonZero(batch, vecCol).select(col(idCol).as("vec_id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val ids = vecs.select("vec_id").distinct()
+    val stored =
+      if (cellPartitioned(spark, indexPath)) {
+        val cells = assign(vecs,
+            spark.read.parquet(s"$indexPath/centroids"))
+          .select("cell").distinct().collect().map(_.get(0)).toIndexedSeq
+        ArtifactStore.tombstoneFiltered(spark, indexPath, "vec_id",
+          spark.read.parquet(s"$indexPath/vectors")
+            .filter(col("cell").isin(cells: _*)))
+      } else ArtifactStore.readStore(spark, indexPath, "vectors",
+        "vec_id")
+    stored.select("vec_id")
+      .join(broadcast(ids), Seq("vec_id"), "left_semi")
+  }
+
   /** Absorb a fresh vector batch: assign to the STORED (frozen)
     * centroids, append to the vectors store idempotently — a retry
     * after a partial failure skips the committed rows, so the crawl's

@@ -998,7 +998,6 @@ object StreamOps {
   def absorbVectorBatch(batch: DataFrame, indexPath: String,
       idCol: String, vecCol: String): Unit = {
     val s = batch.sparkSession
-    val ids = batch.select(col(idCol)).distinct()
     // TOMBSTONE-FILTERED presence (round-12 advisory): a raw read of
     // $indexPath/vectors still physically holds retracted ids before
     // compaction, so a genuinely new vector re-using a tombstoned id
@@ -1006,10 +1005,14 @@ object StreamOps {
     // exact silently-inconsistent state absorbIntoIvfIndex's clash
     // guard fails loud on. Reading through the store's anti-join lets
     // the re-ingest reach the batch API and trip that guard instead.
-    val present = graft.operators.ArtifactStore
-      .readStore(s, indexPath, "vectors", "vec_id")
+    // CELL-PRUNED since round 13 (searchablePresentIds): the frozen
+    // codebook makes the batch ids' possible home cells computable
+    // batch-side, so the per-micro-batch presence read is O(touched
+    // cells), not a corpus scan — the vector twin of the label drain's
+    // readLabelsForDocs guard.
+    val present = graft.operators.VectorIndex
+      .searchablePresentIds(batch, idCol, vecCol, indexPath)
       .select(col("vec_id").as(idCol))
-      .join(broadcast(ids), Seq(idCol), "left_semi")
       .localCheckpoint()
     val fresh = batch.join(broadcast(present), Seq(idCol), "left_anti")
     if (fresh.limit(1).count() > 0) {
