@@ -2264,7 +2264,53 @@ object EvalQueries {
              |  FROM votes)
              |SELECT query_id, true_label, predicted_label, votes,
              |  predicted_label = true_label AS correct
-             |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin))
+             |FROM win WHERE rn = 1 ORDER BY query_id""".stripMargin)),
+
+    // STREAMING histogram absorb (x185): the fourth artifact family's
+    // drain (StreamOps.histogramAbsorbDrain), completing the per-family
+    // streaming symmetry (labels x158, vectors x167). Build on shards
+    // {0,1}, stage shards 2 and 3 as SHARD-ALIGNED files
+    // (stageStreamDirByKey — the ledger's idempotency unit is the
+    // shard, so file boundaries must not split one), drain one
+    // micro-batch per file, compact, then answer quantiles from the
+    // store. Integer buckets make the pin exact: the streamed union
+    // must equal a batch computation over all four shards bit for bit —
+    // x176's oracle, reached stream-wise.
+    QueryDef("x185_stream_histogram_absorb",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x185_hist"
+        rmTree(root)
+        val cents = (col("o_totalprice") * 100).cast("long") -
+          lit(10000000L)
+        val orders = tbl(s, d, "orders")
+          .withColumn("shard", pmod(col("o_orderkey"), lit(4)))
+        Profile.buildHistogramArtifact(orders.filter(col("shard") < 2),
+          "shard", cents, widthCents = 1L << 20, s"$root/hist")
+        val streamDir = graft.streaming.StreamOps.stageStreamDirByKey(s,
+          orders.filter(col("shard") >= 2)
+            .select(col("shard"), col("o_totalprice")),
+          "graft-x185", "shard")
+        graft.streaming.StreamOps.histogramAbsorbDrain(s, streamDir,
+          s"$root/ckpt", s"$root/hist", "shard",
+          (col("o_totalprice") * 100).cast("long") - lit(10000000L))
+        Profile.compactHistogram(s, s"$root/hist")
+        Profile.quantilesFromHistogramArtifact(s, s"$root/hist",
+            qsX10000 = Seq(2500, 5000, 9900, 10000))
+          .orderBy("q_x10000")
+      },
+      Some("""WITH h AS (SELECT
+             |    ((c - ((c % 1048576) + 1048576) % 1048576) // 1048576)
+             |      AS bucket, count(*)::BIGINT AS cnt
+             |  FROM (SELECT (o_totalprice*100)::BIGINT - 10000000 AS c
+             |    FROM orders) GROUP BY 1),
+             |c AS (SELECT bucket, cnt,
+             |    (sum(cnt) OVER (ORDER BY bucket))::BIGINT AS cum FROM h),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM h),
+             |q(q_x10000) AS (VALUES (2500), (5000), (9900), (10000))
+             |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
+             |  (min(bucket) + 1) * 1048576 AS upper_cents
+             |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

@@ -1046,6 +1046,35 @@ object StreamOps {
     q.awaitTermination()
   }
 
+  /** Streaming HISTOGRAM maintenance — the fourth artifact family's
+    * drain, completing the per-family symmetry (labels x158/x159,
+    * vectors x167/x168): shard files (nightly feeds, crawl segments)
+    * land under `streamDir` and fold one micro-batch per file through
+    * `Profile.absorbIntoHistogram`. No extra replay guard: the
+    * `absorbed` shard LEDGER makes a replayed shard a no-op even after
+    * a compact erased its rows' identity. FILE-BOUNDARY CONTRACT: each
+    * staged file must hold WHOLE shards (`stageStreamDirByKey`) — a
+    * shard split across files would half-absorb in one micro-batch and
+    * the ledger would block the remainder.
+    */
+  def histogramAbsorbDrain(spark: SparkSession, streamDir: String,
+      checkpointDir: String, path: String, shardCol: String,
+      cents: org.apache.spark.sql.Column): Unit = {
+    val schema = spark.read.parquet(streamDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir)
+      .writeStream
+      .queryName("graft_histogram_absorb")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Profile.absorbIntoHistogram(batch, shardCol,
+          cents, path)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** One dedup-ingest micro-batch (the foreachBatch body, exposed for
     * direct replay tests): fingerprint the batch, keep min-id-per-novel-
     * fingerprint against the committed index below `batchId`, write the
@@ -1682,6 +1711,36 @@ object StreamOps {
     parts.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.move(f.toPath,
         dir.resolve(f"chunk-$i%04d.parquet"))
+    }
+    dir.toString
+  }
+
+  /** Stage one parquet file PER DISTINCT KEY VALUE (key order) — for
+    * drains whose absorb idempotency is keyed on a unit larger than a
+    * row (the histogram family's shard ledger): a key split across
+    * files would half-absorb in one micro-batch and the ledger would
+    * block the remainder forever, so file boundaries must align with
+    * key boundaries. Key count is collected driver-side — callers
+    * stage feed-sized key sets (days, sources), never a corpus.
+    */
+  private[graft] def stageStreamDirByKey(spark: SparkSession,
+      df: DataFrame, prefix: String, keyCol: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    val keys = df.select(keyCol).distinct().orderBy(keyCol).collect()
+      .map(_.get(0))
+    require(keys.nonEmpty, "stageStreamDirByKey: no keys to stage")
+    keys.zipWithIndex.foreach { case (k, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-w$i")
+      df.filter(col(keyCol) === k).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      require(part.length == 1,
+        s"stageStreamDirByKey: key $k staged ${part.length} part files")
+      java.nio.file.Files.move(part.head.toPath,
+        dir.resolve(f"chunk-$i%04d.parquet"))
+      ()
     }
     dir.toString
   }
