@@ -1114,12 +1114,13 @@ object ScaleProbe {
           readBytesBuilt += m
         }
         val batch = stagedTinyBatch(2000 + absorbBytesSlice.getAndIncrement())
-        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+        val (_, bytes, rows) = InputBytesMeter.measureIO(spark.sparkContext) {
           StreamOps.absorbLabelBatch(batch, s"$root/labels", s"$root/idx",
             "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
             threshold = 0.5)
         }
         recordBytes("readbytes_labels_drain", m, bytes)
+        recordBytes("readbytes_labels_drain_rows", m, rows)
         bytes
       },
       "readbytes_drain_control" -> { m =>
@@ -1135,21 +1136,24 @@ object ScaleProbe {
           readBytesBuilt += -m
         }
         val batch = stagedTinyBatch(4000 + absorbBytesSlice.getAndIncrement())
-        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+        val (_, bytes, rows) = InputBytesMeter.measureIO(spark.sparkContext) {
           StreamOps.absorbLabelBatch(batch, s"$root/labels", s"$root/idx",
             "doc_id", "text", shingleSize = 3, numHashes = 16, bands = 4,
             threshold = 0.5)
         }
         recordBytes("readbytes_drain_control", m, bytes)
+        recordBytes("readbytes_drain_control_rows", m, rows)
         bytes
       },
       // BYTES READ per IVF probe vs stored-corpus size (round-13: the
       // vectors store is cell-partitioned and the probe prunes to its
       // nprobe cells). nlist ∝ m keeps cell bytes constant — the
       // production sizing rule — so probe bytes stay ~flat (the
-      // codebook read grows with nlist but is dim×nlist tiny); the
-      // fixed-nlist control's cells grow with the corpus, so its probe
-      // bytes are linear even WITH pruning.
+      // codebook read grows with nlist but is dim×nlist tiny). The
+      // control is the TRUE A/B of the round-13 change: the SAME index
+      // geometry with its vectors store flattened post-build, which
+      // routes the probe down the pre-round-13 full-scan path
+      // (cellPartitioned = false) — bytes ∝ corpus by construction.
       "probebytes_ivf" -> { m =>
         val root = s"$stageRoot/pvbytes/m$m/idx"
         if (!probeBytesBuilt(m)) {
@@ -1158,26 +1162,37 @@ object ScaleProbe {
           probeBytesBuilt += m
         }
         val q = spark.read.parquet(vecQueriesPath)
-        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+        val (_, bytes, rows) = InputBytesMeter.measureIO(spark.sparkContext) {
           VectorIndex.probeIvfIndex(q, root, "vec_id", "embedding",
             k = 10, nprobe = 2).count()
         }
         recordBytes("probebytes_ivf", m, bytes)
+        recordBytes("probebytes_ivf_rows", m, rows)
         bytes
       },
       "probebytes_ivf_control" -> { m =>
         val root = s"$stageRoot/pvbytesc/m$m/idx"
         if (!probeBytesBuilt(-m)) {
           VectorIndex.buildIvfIndex(vecCorpus(m), "vec_id", "embedding",
-            root, nlist = 16)
+            root, nlist = 16 * m)
+          // flatten the vectors store: the cell column stays a data
+          // column but no cell=<k> dirs remain, so probeIvfIndex takes
+          // the flat-store fallback (the pre-pruning full scan) over
+          // byte-identical content
+          val flat = spark.read.parquet(s"$root/vectors")
+            .localCheckpoint()
+          graft.operators.ArtifactStore.deletePath(spark,
+            s"$root/vectors")
+          flat.write.parquet(s"$root/vectors")
           probeBytesBuilt += -m
         }
         val q = spark.read.parquet(vecQueriesPath)
-        val (_, bytes) = InputBytesMeter.measure(spark.sparkContext) {
+        val (_, bytes, rows) = InputBytesMeter.measureIO(spark.sparkContext) {
           VectorIndex.probeIvfIndex(q, root, "vec_id", "embedding",
             k = 10, nprobe = 2).count()
         }
         recordBytes("probebytes_ivf_control", m, bytes)
+        recordBytes("probebytes_ivf_control_rows", m, rows)
         bytes
       },
       "rebuildlabels_corpus" -> { m =>
@@ -1398,10 +1413,15 @@ object ScaleProbe {
         }.mkString(",")
         println(s"""{"metric":"$metric","ops":{$bJson}}""")
       }
-    val (readBytes, writeBytes) = bytesSeen.toSeq.partition(e =>
+    val (readSide, writeBytes) = bytesSeen.toSeq.partition(e =>
       e._1._1.startsWith("readbytes_") || e._1._1.startsWith("probebytes_"))
+    // rows-read is the exact local-FS scale proxy (see InputBytesMeter:
+    // the vectorized reader's bytesRead misses column-chunk payload on
+    // file://); both series are emitted so either axis can be judged
+    val (readRows, readBytes) = readSide.partition(_._1._1.endsWith("_rows"))
     printBytesLine("absorb_bytes_written", writeBytes)
     printBytesLine("probe_bytes_read", readBytes)
+    printBytesLine("probe_rows_read", readRows)
     println(
       s"""{"metric":"scale_linearity","base_docs":$baseCount,""" +
         s""""multipliers":[${multipliers.mkString(",")}],"ops":{$opsJson}}""")

@@ -17,18 +17,36 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 object InputBytesMeter {
 
   def measure[T](sc: SparkContext)(body: => T): (T, Long) = {
+    val (r, b, _) = measureIO(sc)(body)
+    (r, b)
+  }
+
+  /** Bytes AND records. CAVEAT measured in-repo: on a LOCAL filesystem
+    * the vectorized parquet reader's `bytesRead` captures footer/
+    * metadata I/O but not the column-chunk payload (a full aggregate
+    * over a 3.4 MB store registered 387 KB), so bytesRead there tracks
+    * FILE COUNT more than data volume. `recordsRead` is exact — the
+    * honest scale proxy for "how much of the store did this read touch"
+    * on local runs; on HDFS/object stores bytesRead is the real number.
+    */
+  def measureIO[T](sc: SparkContext)(body: => T): (T, Long, Long) = {
     val bytes = new AtomicLong(0L)
+    val records = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
-        if (m != null) { bytes.addAndGet(m.inputMetrics.bytesRead); () }
+        if (m != null) {
+          bytes.addAndGet(m.inputMetrics.bytesRead)
+          records.addAndGet(m.inputMetrics.recordsRead)
+          ()
+        }
       }
     }
     sc.addSparkListener(listener)
     try {
       val result = body
       sc.listenerBus.waitUntilEmpty()
-      (result, bytes.get())
+      (result, bytes.get(), records.get())
     } finally sc.removeSparkListener(listener)
   }
 }
