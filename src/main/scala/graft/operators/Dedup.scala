@@ -528,12 +528,16 @@ object Dedup {
     // either. Part counts auto-size toward ~64k-row parts; production
     // builds pick them so a part is ~100 MB and M well exceeds a probe
     // batch's distinct band-sig / candidate-doc spread.
+    // floor 8 (was 32): a sub-65k-doc store got 64 near-empty dirs per
+    // build, and per-run scratch builds (x110/x108 build indexes per
+    // invocation) paid the file-count constant with nothing to amortize
+    // it; the auto-size term takes over long before pruning matters
     val m =
       if (numBucketParts > 0) numBucketParts
-      else math.max(32L, (nDocs * bands + 65535L) / 65536L).toInt
+      else math.max(8L, (nDocs * bands + 65535L) / 65536L).toInt
     val mf =
       if (numBucketParts > 0) numBucketParts
-      else math.max(32L, (nDocs + 65535L) / 65536L).toInt
+      else math.max(8L, (nDocs + 65535L) / 65536L).toInt
     feats.withColumn("f", lshFeatPartOf(mf))
       .repartition(col("f"))
       .write.mode("overwrite").partitionBy("f").parquet(s"$path/features")
@@ -1291,15 +1295,36 @@ object Dedup {
       // before the append job mutates the directory it scanned).
       // Partitioned buckets stores grow inside their h dirs so probe
       // pruning stays valid.
-      val batchDocs = bFeats.select("doc").distinct().localCheckpoint()
-      lshFeatureParts(spark, indexPath) match {
+      // the (already checkpointed) batchIds stand in for the appends'
+      // key set: bFeats' docs are a subset (null-text docs filtered),
+      // and a SUPERSET of keys is harmless to the present-check — one
+      // fewer checkpoint job per absorb
+      val batchDocs = batchIds
+      val mfOpt = lshFeatureParts(spark, indexPath)
+      val mOpt = lshBucketParts(spark, indexPath)
+      // present-check pruning sets for BOTH substores in ONE tiny job
+      // over the checkpointed batch derivation (never a store read):
+      // a batch doc's committed feature rows live in its f =
+      // pmod(hash(doc)) dir and its committed bucket rows carry ITS
+      // band-sigs (deterministic from the text) — h = pmod(hash(band,
+      // sig)) — so the pruned present-checks cannot miss a committed
+      // key (round-13: appendMissing's full-substore key scan was the
+      // drain path's last corpus-sized read)
+      val (fIds, hIds) = (mfOpt, mOpt) match {
+        case (None, None) => (Seq.empty[Int], Seq.empty[Int])
+        case _ =>
+          val aggs = Seq(
+            mfOpt.map(mf => collect_set(lshFeatPartOf(mf)).as("__f")),
+            mOpt.map(m => collect_set(lshPartOf(m)).as("__h"))).flatten
+          val row = bBuckets.agg(aggs.head, aggs.drop(1): _*).head()
+          // collect_set materializes as mutable.ArraySeq — convert, don't cast
+          def seqOf(n: String): Seq[Int] =
+            row.getAs[scala.collection.Seq[Int]](n).toSeq
+          (mfOpt.map(_ => seqOf("__f")).getOrElse(Seq.empty),
+            mOpt.map(_ => seqOf("__h")).getOrElse(Seq.empty))
+      }
+      mfOpt match {
         case Some(mf) =>
-          // present-check pruned to the batch docs' own f partitions
-          // (deterministic doc hash — any committed row for a batch doc
-          // lives there); the collect is bounded by |batch| and runs on
-          // the checkpointed batch, not a store read
-          val fIds = batchDocs.select(lshFeatPartOf(mf).as("f"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
           ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
             batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
             partitionCols = Seq("f"),
@@ -1310,13 +1335,8 @@ object Dedup {
           ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
             batchDocs, bFeats)
       }
-      lshBucketParts(spark, indexPath) match {
+      mOpt match {
         case Some(m) =>
-          // same pruning via the batch's own band-sig partitions: a
-          // batch doc's committed bucket rows carry ITS band-sigs
-          // (deterministic from the text), so they live in these h dirs
-          val hIds = bBuckets.select(lshPartOf(m).as("h"))
-            .distinct().collect().map(_.getInt(0)).toIndexedSeq
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
             batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
             partitionCols = Seq("h"),

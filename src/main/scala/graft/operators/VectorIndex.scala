@@ -291,8 +291,20 @@ object VectorIndex {
           .agg(coalesce(max("epoch"), lit(0)).cast("int"))
           .head().getInt(0) + 1)
       else None
+    // the batch's cell set rides the checkpoint action via an
+    // Observation (zero extra jobs — the checkpointWithBucketSets
+    // pattern); it prunes the present-check below
+    val obs = org.apache.spark.sql.Observation(
+      "ivf_absorb_" + java.util.UUID.randomUUID().toString.take(8))
     val assigned = nextEpoch.fold(assigned0)(e =>
-      assigned0.withColumn("epoch", lit(e))).localCheckpoint()
+        assigned0.withColumn("epoch", lit(e)))
+      .observe(obs, collect_set(col("cell")).as("__cells"))
+      .localCheckpoint()
+    // collect_set materializes as mutable.ArraySeq — convert, don't
+    // cast to the immutable default Seq
+    val cells = Option(obs.get("__cells"))
+      .map(_.asInstanceOf[scala.collection.Seq[Any]].toIndexedSeq)
+      .getOrElse(IndexedSeq())
     // layout-preserving append: a cell-partitioned store grows new
     // part-files inside the batch's cell dirs (probe pruning stays
     // valid); pre-partitioning flat stores keep appending flat.
@@ -300,8 +312,6 @@ object VectorIndex {
     // is FROZEN, so a previously-committed row for a batch id was
     // assigned to the same cell this batch just computed.
     if (cellPartitioned(spark, indexPath)) {
-      val cells = assigned.select("cell").distinct().collect()
-        .map(_.get(0)).toIndexedSeq
       ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
         assigned.select("vec_id"), assigned,
         partitionCols = Seq("cell"),
