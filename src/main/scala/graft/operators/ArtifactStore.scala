@@ -658,6 +658,40 @@ private[graft] object ArtifactStore {
       .orderBy("artifact", "substore")
   }
 
+  /** Maintenance ADVISOR over a census report — what closes the
+    * artifact-ops loop end to end: `census` measures, this decides,
+    * `repairStore`/`compact*`/`rebalance*` act. One row per artifact
+    * with its totals and the action, priority-ordered:
+    *
+    *  - `repair`  — crash leftovers present (a killed mutation parked
+    *                staging/`.__old` debris); heal before anything
+    *                else touches the store.
+    *  - `compact` — tombstone debt exceeds `debtX10000` per-ten-
+    *                thousand of the artifact's live rows: readers are
+    *                paying the anti-join on every access and retracted
+    *                keys stay un-reingestable until the fold.
+    *  - `ok`      — neither.
+    *
+    * Pure transformation over the (artifact, substore, rows,
+    * tombstone_rows, crash_leftovers) census frame — exact integers,
+    * no FS access, so the nightly advisor run costs exactly one census.
+    */
+  def maintenanceAdvice(census: DataFrame,
+      debtX10000: Long = 1000L): DataFrame = {
+    require(debtX10000 >= 0, "maintenanceAdvice: debtX10000 must be >= 0")
+    census.groupBy("artifact")
+      .agg(sum(col("rows")).as("total_rows"),
+        // per-artifact constants repeated on every substore row
+        max(col("tombstone_rows")).as("tombstone_rows"),
+        max(col("crash_leftovers")).as("crash_leftovers"))
+      .withColumn("action",
+        when(col("crash_leftovers") > 0, "repair")
+          .when(col("tombstone_rows") * 10000 >
+            lit(debtX10000) * col("total_rows"), "compact")
+          .otherwise("ok"))
+      .orderBy("artifact")
+  }
+
   /** Roll a MARKED bucket staging forward (the staging tree is complete
     * once `__COMMIT` exists — re-applying the per-bucket swap finishes
     * the crashed mutation exactly). Returns whether anything was done. */

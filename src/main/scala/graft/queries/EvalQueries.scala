@@ -2310,7 +2310,63 @@ object EvalQueries {
              |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
              |  (min(bucket) + 1) * 1048576 AS upper_cents
              |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
-             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin))
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin)),
+
+    // MAINTENANCE ADVISOR (x186): what closes the artifact-ops loop —
+    // x172's census MEASURES, ArtifactStore.maintenanceAdvice DECIDES,
+    // and repairStore/compact*/rebalance* act. Same staged quartet as
+    // x172 (planted `.__old` debris on the LSH index, live tombstone
+    // debt on the IVF index at ~12% of its rows vs the 5% threshold):
+    // the advisor must order repair above compact and leave the clean
+    // stores alone. Exact integers over the census frame — the advisor
+    // itself runs zero FS access.
+    QueryDef("x186_maintenance_advisor",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x186_advisor"
+        rmTree(root)
+        val docs = tbl(s, d, "documents")
+        val emb = tbl(s, d, "embeddings")
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", s"$root/lsh",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        Dedup.buildCanonicalLabels(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", s"$root/labels",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5,
+          numBuckets = 4)
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", s"$root/ivf", nlist = 4)
+        VectorIndex.retractFromIvfIndex(
+          emb.filter(col("vec_id") % 16 === 2).select("vec_id"),
+          "vec_id", s"$root/ivf")
+        TextAnalysis.buildBpeVocab(docs, "text", steps = 3,
+          s"$root/vocab")
+        val planted = new java.io.File(s"$root/lsh/features.__old")
+        require(planted.mkdirs(), s"could not plant $planted")
+        ArtifactStore.maintenanceAdvice(
+          ArtifactStore.census(s, Seq(("lsh", s"$root/lsh"),
+            ("labels", s"$root/labels"), ("ivf", s"$root/ivf"),
+            ("vocab", s"$root/vocab"))),
+          debtX10000 = 500L)
+      },
+      Some("""WITH lshn AS (SELECT count(*)::BIGINT AS n FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |ivfn AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 2 = 0),
+             |tomb AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 16 = 2)
+             |SELECT * FROM (
+             |  SELECT 'ivf' AS artifact, (ivfn.n + 6)::BIGINT AS total_rows,
+             |    tomb.n AS tombstone_rows, 0::BIGINT AS crash_leftovers,
+             |    CASE WHEN tomb.n * 10000 > 500 * (ivfn.n + 6)
+             |      THEN 'compact' ELSE 'ok' END AS action
+             |  FROM ivfn, tomb
+             |  UNION ALL SELECT 'labels', (2 * lshn.n + 1)::BIGINT,
+             |    0::BIGINT, 0::BIGINT, 'ok' FROM lshn
+             |  UNION ALL SELECT 'lsh', (5 * lshn.n + 1)::BIGINT,
+             |    0::BIGINT, 1::BIGINT, 'repair' FROM lshn
+             |  UNION ALL SELECT 'vocab', 4::BIGINT, 0::BIGINT,
+             |    0::BIGINT, 'ok'
+             |) ORDER BY artifact""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed
