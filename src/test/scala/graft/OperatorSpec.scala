@@ -2046,6 +2046,28 @@ class OperatorSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("maintenanceAdvice: repair outranks compact; debt threshold is a strict inequality") {
+    import spark.implicits._
+    val census = Seq(
+      // both debris AND debt: repair wins (heal before fold)
+      ("a", "rows", 100L, 50L, 2L),
+      ("a", "meta", 1L, 50L, 2L),
+      // debt exactly AT the 10% threshold: 10 * 10000 == 1000 * 100 —
+      // strict inequality keeps it ok
+      ("b", "rows", 100L, 10L, 0L),
+      // debt just past it
+      ("c", "rows", 100L, 11L, 0L),
+      ("d", "rows", 100L, 0L, 0L)
+    ).toDF("artifact", "substore", "rows", "tombstone_rows",
+      "crash_leftovers")
+    val out = graft.operators.ArtifactStore
+      .maintenanceAdvice(census, debtX10000 = 1000L)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("action"))
+      .toMap
+    out shouldBe Map("a" -> "repair", "b" -> "ok", "c" -> "compact",
+      "d" -> "ok")
+  }
+
   test("probeIvfIndexWhere: predicate applies before top-k (full k among survivors); pin-equal to filtered brute force at nprobe=nlist") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val root = java.nio.file.Files
