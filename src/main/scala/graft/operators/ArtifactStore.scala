@@ -645,13 +645,21 @@ private[graft] object ArtifactStore {
           !n.endsWith(".__staging") && !n.endsWith(".__old")
       }
       val AnyBucketDir = "^([a-z])=(\\d+)$".r
-      live.groupBy(st => st.getPath.getName match {
+      val liveRows = live.groupBy(st => st.getPath.getName match {
         case AnyBucketDir(p, _) => s"$p=*"
         case n => n
       }).toSeq.map { case (sub, sts) =>
         val rows = spark.read.parquet(sts.map(_.getPath.toString): _*).count()
         (alias, sub, rows, tombRows, leftovers)
       }
+      // an artifact whose root holds ONLY crash debris or tombstones
+      // (a mutation died before any live substore landed) must still
+      // surface — it is the exact state the repair advice exists for;
+      // with zero live substores the groupBy above would emit nothing
+      // and the advisor would stay silent (round-13 advisory)
+      if (liveRows.isEmpty && (leftovers > 0 || tombRows > 0))
+        Seq((alias, "(none)", 0L, tombRows, leftovers))
+      else liveRows
     }
     out.toDF("artifact", "substore", "rows", "tombstone_rows",
         "crash_leftovers")

@@ -369,6 +369,18 @@ object Eval {
   def preferencePairs(df: DataFrame, groupCols: Seq[String], idCol: String,
       score: Column, minMargin: Long = 1L): DataFrame = {
     require(groupCols.nonEmpty, "preferencePairs: groupCols must be non-empty")
+    // fail loud on non-numeric ids/scores (round-13 advisory): the long
+    // casts below turn a string id into NULL silently, and a null id
+    // corrupts the chosen/rejected selection instead of erroring
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"preferencePairs: id column '$idCol' must be numeric " +
+        s"(got ${df.schema(idCol).dataType.catalogString}) — a non-numeric " +
+        "id would cast to NULL and silently corrupt the pair selection")
+    require(df.select(score.as("__s")).schema("__s").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      "preferencePairs: score must be numeric — a non-numeric score " +
+        "would cast to NULL and silently corrupt the pair selection")
     df.select(groupCols.map(col) :+ col(idCol).cast("long").as("__id")
         :+ score.cast("long").as("__s"): _*)
       .groupBy(groupCols.map(col): _*)
@@ -439,7 +451,13 @@ object Eval {
       .agg(count(lit(1)).as("votes"))
       .groupBy(col("query_id"), col("true_label"))
       .agg(
-        max_by(col("__nlab"), struct(col("votes"), -col("__nlab")))
+        // tie-break WITHOUT negating the label (round-13 verdict #3):
+        // unary minus on a string label silently casts to double → null
+        // and the documented "ties → smaller label" determinism is lost.
+        // Negate `votes` (always numeric) instead: min over
+        // (-votes, label) = max votes, then the SMALLEST label — string
+        // labels order lexicographically, exactly the documented contract.
+        min_by(col("__nlab"), struct(-col("votes"), col("__nlab")))
           .as("predicted_label"),
         max(col("votes")).as("votes"))
       .withColumn("correct", col("predicted_label") === col("true_label"))

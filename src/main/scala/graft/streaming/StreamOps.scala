@@ -1729,6 +1729,13 @@ object StreamOps {
     val keys = df.select(keyCol).distinct().orderBy(keyCol).collect()
       .map(_.get(0))
     require(keys.nonEmpty, "stageStreamDirByKey: no keys to stage")
+    // a null key would never match the `=== k` filter below — its rows
+    // would silently vanish while an empty chunk file staged in their
+    // place (round-13 advisory). Fail loud: a shard feed with a null
+    // shard id is an upstream bug, not a drainable unit.
+    require(!keys.contains(null),
+      s"stageStreamDirByKey: null value in key column '$keyCol' — " +
+        "null keys cannot name a shard; fix the feed or filter it out")
     keys.zipWithIndex.foreach { case (k, i) =>
       val tmp = java.nio.file.Files.createTempDirectory(s"$prefix-w$i")
       df.filter(col(keyCol) === k).coalesce(1)
