@@ -334,6 +334,18 @@ object ScaleProbe {
       p
     }
     val probeBytesBuilt = scala.collection.mutable.Set[Int]()
+    val retractBytesBuilt = scala.collection.mutable.Set[Int]()
+    // a FIXED-SIZE takedown (4 replica-0 ids, fresh slice per call so a
+    // replay is a real retraction of not-yet-tombstoned ids), staged as
+    // a tiny one-file parquet so the input's own read is constant
+    def stagedTakedown(k: Int): DataFrame = {
+      val p = s"$stageRoot/rvtd/k$k"
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select("vec_id").orderBy("vec_id")
+        .limit(4 * (k + 1)).orderBy(col("vec_id").desc).limit(4)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      spark.read.parquet(p)
+    }
 
     def gateRules(m: Int): Seq[(String, Boolean)] =
       (0 until 250).map(i => s"https://site${4 * i}.example/" -> (i % 2 == 0)) ++
@@ -1193,6 +1205,57 @@ object ScaleProbe {
         }
         recordBytes("probebytes_ivf_control", m, bytes)
         recordBytes("probebytes_ivf_control_rows", m, rows)
+        bytes
+      },
+      // ROWS READ per IVF RETRACTION vs stored-corpus size (round-14:
+      // takedown scoping routes through the id-hash (vec_id, cell)
+      // sidecar — a takedown gives only ids, the cell is content-
+      // derived, so only an id-keyed geometry can prune this read).
+      // Sidecar parts ∝ m (the production sizing rule), takedown FIXED
+      // at 4 staged ids per invocation (fresh slice each call so warm
+      // and timed runs both do real work — tombstone appends are
+      // idempotent but the scoping read is what's measured): rows read
+      // must stay ~flat. The control is the TRUE A/B: the same store
+      // with its sidecar stripped and id_parts dropped from the meta,
+      // which routes scoping down the legacy full vec_id column scan —
+      // rows ∝ corpus by construction.
+      "retractbytes_ivf" -> { m =>
+        val root = s"$stageRoot/rvbytes/m$m/idx"
+        if (!retractBytesBuilt(m)) {
+          VectorIndex.buildIvfIndex(vecCorpus(m), "vec_id", "embedding",
+            root, nlist = 16 * m, numIdParts = 8 * m)
+          retractBytesBuilt += m
+        }
+        val td = stagedTakedown(absorbBytesSlice.getAndIncrement())
+        val (_, bytes, rows) = InputBytesMeter.measureIO(spark.sparkContext) {
+          VectorIndex.retractFromIvfIndex(td, "vec_id", root)
+        }
+        recordBytes("retractbytes_ivf", m, bytes)
+        recordBytes("retractbytes_ivf_rows", m, rows)
+        bytes
+      },
+      "retractbytes_ivf_control" -> { m =>
+        val root = s"$stageRoot/rvbytesc/m$m/idx"
+        if (!retractBytesBuilt(-m)) {
+          VectorIndex.buildIvfIndex(vecCorpus(m), "vec_id", "embedding",
+            root, nlist = 16 * m, numIdParts = 8 * m)
+          // strip the sidecar + its meta field: scoping falls back to
+          // the pre-round-14 full vec_id scan over byte-identical
+          // vectors content
+          graft.operators.ArtifactStore.deletePath(spark, s"$root/ids")
+          val m2 = spark.read.parquet(s"$root/meta").drop("id_parts")
+            .localCheckpoint()
+          graft.operators.ArtifactStore.deletePath(spark, s"$root/meta")
+          m2.write.parquet(s"$root/meta")
+          Dedup.invalidateIndexMeta(spark, root)
+          retractBytesBuilt += -m
+        }
+        val td = stagedTakedown(absorbBytesSlice.getAndIncrement())
+        val (_, bytes, rows) = InputBytesMeter.measureIO(spark.sparkContext) {
+          VectorIndex.retractFromIvfIndex(td, "vec_id", root)
+        }
+        recordBytes("retractbytes_ivf_control", m, bytes)
+        recordBytes("retractbytes_ivf_control_rows", m, rows)
         bytes
       },
       "rebuildlabels_corpus" -> { m =>

@@ -229,7 +229,8 @@ private[graft] object ArtifactStore {
   def appendMissing(spark: SparkSession, root: String, sub: String,
       keyCol: String, batchKeys: DataFrame, rows: DataFrame,
       partitionCols: Seq[String] = Nil,
-      presentSource: Option[DataFrame] = None): Unit = {
+      presentSource: Option[DataFrame] = None,
+      presentKeys: Option[DataFrame] = None): Unit = {
     // present-check source: by default the whole substore (key column
     // only), which is a corpus-sized read PER ABSORB — the readbytes
     // probe measured it at exponent 0.67 across a ×16 corpus. Callers
@@ -238,11 +239,19 @@ private[graft] object ArtifactStore {
     // pmod(hash(band, sig)), vectors cell = frozen-codebook argmax)
     // pass the store pre-filtered to the batch's own partitions: any
     // previously-committed row for a batch key lives in exactly those
-    // dirs, so the pruned check cannot miss a present key.
-    val store = presentSource.getOrElse(spark.read.parquet(s"$root/$sub"))
-    val present = store.select(keyCol)
-      .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
-      .distinct().localCheckpoint()
+    // dirs, so the pruned check cannot miss a present key. A pruned
+    // check on CONTENT-derived partitions is sound for crash-retry
+    // replay (same content → same partitions) but not against an
+    // out-of-contract re-ingest of a committed key with NEW content —
+    // callers with an id-keyed sidecar pass `presentKeys` (the already-
+    // materialized present key set from a content-INDEPENDENT read)
+    // instead, which closes that hole (round-13 advisory).
+    val present = presentKeys.getOrElse {
+      val store = presentSource.getOrElse(spark.read.parquet(s"$root/$sub"))
+      store.select(keyCol)
+        .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
+        .distinct().localCheckpoint()
+    }
     val fresh = rows.join(broadcast(present), Seq(keyCol), "left_anti")
     if (partitionCols.isEmpty)
       fresh.write.mode("append").parquet(s"$root/$sub")

@@ -16,9 +16,27 @@ import org.apache.spark.sql.functions._
   *   `centroids`  (cid, centroid)            — the frozen codebook
   *   `vectors`    (vec_id, vec, cell, epoch) — corpus vectors + cell +
   *                                             the absorb generation
+  *   `ids`        (vec_id, cell)             — id-hash-partitioned
+  *                                             (`i=<k>` dirs, k =
+  *                                             pmod(hash(vec_id), Mi))
+  *                                             sidecar: the twin-geometry
+  *                                             secondary index for every
+  *                                             BY-ID read (round-13
+  *                                             verdict #1 / advisory) —
+  *                                             retraction scoping and the
+  *                                             absorb present-check read
+  *                                             the takedown/batch ids'
+  *                                             partitions, never a
+  *                                             corpus-wide vec_id scan,
+  *                                             and the check is content-
+  *                                             INDEPENDENT (the cell is
+  *                                             the codebook's argmax over
+  *                                             the VECTOR, so cell
+  *                                             pruning can't serve an
+  *                                             id-keyed question)
   *   `epochs`     (epoch)                    — absorb-count-sized epoch
   *                                             counter (audit trend axis)
-  *   `meta`       (nlist, train_iterations)  — build-parameter contract
+  *   `meta`       (nlist, train_iterations, id_parts) — build contract
   *   `tombstones` (vec_id)                   — retracted, until compact
   *
   * FROZEN-CODEBOOK contract: `absorbIntoIvfIndex` assigns new vectors
@@ -54,7 +72,8 @@ object VectorIndex {
     * (their cosine is undefined), as in `ivfTopK`.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      path: String, nlist: Int = 16, trainIterations: Int = 0): Unit = {
+      path: String, nlist: Int = 16, trainIterations: Int = 0,
+      numIdParts: Int = 0): Unit = {
     require(nlist >= 1, "buildIvfIndex: nlist must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -83,16 +102,77 @@ object VectorIndex {
     // PRUNING (round-12 verdict #1): at 100 TB an IVF probe must read
     // nprobe/nlist of the corpus, not all of it. repartition(cell)
     // first so each cell lands as ~one file, not tasks × cells.
+    // the row count rides the write action as an Observation (no
+    // separate count job) — it sizes the sidecar's part count below
+    val bObs = org.apache.spark.sql.Observation(
+      "ivf_build_" + java.util.UUID.randomUUID().toString.take(8))
     assign(vecs, spark.read.parquet(s"$path/centroids"))
       .withColumn("epoch", lit(0))
+      .observe(bObs, count(lit(1)).as("__n"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
+    // the (vec_id, cell) sidecar — id-hash partitioned so every by-id
+    // read (retract scoping, absorb present-check) prunes to the ids'
+    // own dirs; Mi auto-sizes toward ~64k-row parts like the LSH
+    // substores (floor 8). Production builds pick numIdParts so a part
+    // is ~100 MB and Mi well exceeds a takedown batch's id spread.
+    val nVecs = Option(bObs.get("__n")).map(_.asInstanceOf[Long])
+      .getOrElse(0L)
+    val mi =
+      if (numIdParts > 0) numIdParts
+      else math.max(8L, (nVecs + 65535L) / 65536L).toInt
+    // partition discovery reads cell=<k> dir values back as int — cast
+    // to the codebook's cid type so later absorb appends (whose cell
+    // carries the cid type) stay parquet-type-consistent in the sidecar
+    val cidType = spark.read.parquet(s"$path/centroids")
+      .schema("cid").dataType
+    writeIdsSidecar(spark, path,
+      spark.read.parquet(s"$path/vectors")
+        .select(col("vec_id"), col("cell").cast(cidType).as("cell")), mi,
+      overwrite = true)
     Seq(0).toDF("epoch").write.mode("overwrite").parquet(s"$path/epochs")
-    val meta = Seq((nlist, trainIterations))
-      .toDF("nlist", "train_iterations")
+    val meta = Seq((nlist, trainIterations, mi))
+      .toDF("nlist", "train_iterations", "id_parts")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     ArtifactStore.seedMeta(spark, path, meta.head())
+  }
+
+  /** The sidecar's partition key. */
+  private def idPartOf(mi: Int) = pmod(hash(col("vec_id")), lit(mi))
+
+  /** The sidecar's part count — `Some(mi)` on stores built/retrained
+    * since the sidecar round; `None` on earlier stores, whose by-id
+    * reads keep the full-scan fallback. */
+  private def idParts(spark: SparkSession,
+      indexPath: String): Option[Int] =
+    ArtifactStore.cachedMeta(spark, indexPath).flatMap(r =>
+      if (r.schema.fieldNames.contains("id_parts"))
+        Some(r.getAs[Int]("id_parts"))
+      else None)
+
+  private def writeIdsSidecar(spark: SparkSession, path: String,
+      rows: DataFrame, mi: Int, overwrite: Boolean): Unit = {
+    val w = rows.select(col("vec_id"), col("cell"))
+      .withColumn("i", idPartOf(mi))
+      .repartition(col("i"))
+      .write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("i")
+    w.parquet(s"$path/ids")
+  }
+
+  /** The sidecar rows holding any of the given ids — RAW (not
+    * tombstone-filtered; callers choose) and pruned to the ids' own
+    * `i=<k>` dirs: one tiny distinct-collect bounded by Mi, then a
+    * static partition filter. `ids` must be cheap to recompute or
+    * checkpointed by the caller. */
+  private def sidecarForIds(spark: SparkSession, indexPath: String,
+      mi: Int, ids: DataFrame): DataFrame = {
+    val iSet = ids.select(idPartOf(mi).as("__i")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val base = spark.read.parquet(s"$indexPath/ids")
+    if (iSet.isEmpty) base.limit(0)
+    else base.filter(col("i").isin(iSet: _*))
   }
 
   /** Probe the stored index: queries rank the stored centroids, visit
@@ -293,7 +373,7 @@ object VectorIndex {
       else None
     // the batch's cell set rides the checkpoint action via an
     // Observation (zero extra jobs — the checkpointWithBucketSets
-    // pattern); it prunes the present-check below
+    // pattern); it prunes the legacy (no-sidecar) present-check below
     val obs = org.apache.spark.sql.Observation(
       "ivf_absorb_" + java.util.UUID.randomUUID().toString.take(8))
     val assigned = nextEpoch.fold(assigned0)(e =>
@@ -305,22 +385,82 @@ object VectorIndex {
     val cells = Option(obs.get("__cells"))
       .map(_.asInstanceOf[scala.collection.Seq[Any]].toIndexedSeq)
       .getOrElse(IndexedSeq())
-    // layout-preserving append: a cell-partitioned store grows new
-    // part-files inside the batch's cell dirs (probe pruning stays
-    // valid); pre-partitioning flat stores keep appending flat.
-    // The present-check prunes to the batch's own cells: the codebook
-    // is FROZEN, so a previously-committed row for a batch id was
-    // assigned to the same cell this batch just computed.
-    if (cellPartitioned(spark, indexPath)) {
-      ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
-        assigned.select("vec_id"), assigned,
-        partitionCols = Seq("cell"),
-        presentSource = Some(
-          spark.read.parquet(s"$indexPath/vectors")
-            .filter(col("cell").isin(cells: _*))))
-    } else
-      ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
-        assigned.select("vec_id"), assigned)
+    val miOpt = idParts(spark, indexPath)
+      .filter(_ => ArtifactStore.exists(spark, s"$indexPath/ids"))
+    miOpt match {
+      case Some(mi) =>
+        // CONTENT-INDEPENDENT present check (round-13 advisory): the
+        // sidecar is keyed by id hash, so an out-of-contract re-ingest
+        // of a committed id with NEW vector content (whose cell differs
+        // — the cell-pruned check would miss it) is still caught and
+        // skipped, the benign pre-pruning behavior. One pruned read of
+        // the batch ids' own i=<k> dirs; the present row set rides a
+        // checkpoint with its count as an Observation.
+        val pObs = org.apache.spark.sql.Observation(
+          "ivf_present_" + java.util.UUID.randomUUID().toString.take(8))
+        val presentRows = sidecarForIds(spark, indexPath, mi,
+            assigned.select("vec_id"))
+          .join(broadcast(assigned.select("vec_id").distinct()),
+            Seq("vec_id"), "left_semi")
+          .select("vec_id", "cell")
+          .observe(pObs, count(lit(1)).as("__n"))
+          .localCheckpoint()
+        val nPresent = Option(pObs.get("__n"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val present = presentRows.select("vec_id").distinct()
+        // WRITE ORDER: sidecar FIRST, vectors second. The sidecar is
+        // the id-keyed truth the present check reads, so a crash
+        // between the two appends leaves the retry's present set
+        // CONTAINING the batch — and the vectors append below derives
+        // its own present set from the sidecar's committed CELLS, so it
+        // still completes the missing vector rows. (The drain replay
+        // guard deliberately reads the vectors store, written LAST —
+        // a sidecar-only id must read as not-yet-searchable.)
+        ArtifactStore.appendMissing(spark, indexPath, "ids", "vec_id",
+          assigned.select("vec_id"),
+          assigned.select(col("vec_id"), col("cell"))
+            .withColumn("i", idPartOf(mi)),
+          partitionCols = Seq("i"), presentKeys = Some(present))
+        // vectors present set: a committed batch row can only exist for
+        // an id the sidecar held BEFORE this absorb (the sidecar commits
+        // in one atomic job), and its committed cell is IN the present
+        // sidecar rows — so the normal path (nothing present) pays ZERO
+        // extra reads, and the crash-retry path reads only the present
+        // ids' committed cell dirs.
+        val vecPresent =
+          if (nPresent == 0L) present
+          else {
+            val pCells = presentRows.select("cell").distinct()
+              .collect().map(_.get(0)).toIndexedSeq
+            spark.read.parquet(s"$indexPath/vectors")
+              .filter(col("cell").isin(pCells: _*))
+              .select("vec_id")
+              .join(broadcast(present), Seq("vec_id"), "left_semi")
+              .distinct().localCheckpoint()
+          }
+        ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
+          assigned.select("vec_id"), assigned,
+          partitionCols = Seq("cell"), presentKeys = Some(vecPresent))
+      case None =>
+        // layout-preserving append: a cell-partitioned store grows new
+        // part-files inside the batch's cell dirs (probe pruning stays
+        // valid); pre-partitioning flat stores keep appending flat.
+        // The present-check prunes to the batch's own cells: the
+        // codebook is FROZEN, so a previously-committed row for a batch
+        // id was assigned to the same cell this batch just computed
+        // (sound for crash-retry replay; the sidecar path above is what
+        // closes the content-dependence hole for newer stores).
+        if (cellPartitioned(spark, indexPath)) {
+          ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
+            assigned.select("vec_id"), assigned,
+            partitionCols = Seq("cell"),
+            presentSource = Some(
+              spark.read.parquet(s"$indexPath/vectors")
+                .filter(col("cell").isin(cells: _*))))
+        } else
+          ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
+            assigned.select("vec_id"), assigned)
+    }
     nextEpoch.foreach { e =>
       import spark.implicits._
       Seq(e).toDF("epoch").write.mode("append")
@@ -380,8 +520,18 @@ object VectorIndex {
     // tombstone only ids the index actually HOLDS (the round-11 labels
     // advisory, applied to the vector family): a takedown for a vector
     // that was never embedded must not poison a future absorb's clash
-    // guard for a genuinely new vector reusing the id
-    val indexed = spark.read.parquet(s"$indexPath/vectors")
+    // guard for a genuinely new vector reusing the id. The scoping read
+    // is PRUNED via the id-hash sidecar (round-13 verdict #1): a
+    // takedown gives only ids, the cell is the frozen codebook's argmax
+    // over the VECTOR, so cell pruning can't apply — the sidecar's
+    // i = pmod(hash(vec_id)) dirs can, making the per-takedown read
+    // O(takedown × bucketBytes) instead of a full vec_id column scan of
+    // the corpus. Sidecar-less legacy stores keep the full scan.
+    val held = idParts(spark, indexPath)
+      .filter(_ => ArtifactStore.exists(spark, s"$indexPath/ids"))
+      .map(mi => sidecarForIds(spark, indexPath, mi, rids))
+      .getOrElse(spark.read.parquet(s"$indexPath/vectors"))
+    val indexed = held
       .select("vec_id").join(broadcast(rids), Seq("vec_id"), "left_semi")
       .distinct().localCheckpoint()
     ArtifactStore.appendTombstones(spark, indexPath, "vec_id", indexed)
@@ -390,11 +540,19 @@ object VectorIndex {
   /** Fold tombstones into the vectors store physically (layout-
     * preserving: a cell-partitioned store compacts back into cell
     * dirs); after it, retracted ids may be re-ingested. */
-  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit =
-    ArtifactStore.compact(spark, indexPath, Seq("vectors"), "vec_id",
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val subs =
+      if (ArtifactStore.exists(spark, s"$indexPath/ids"))
+        Seq("vectors", "ids")
+      else Seq("vectors")
+    ArtifactStore.compact(spark, indexPath, subs, "vec_id",
       partitionCols =
-        if (cellPartitioned(spark, indexPath)) Map("vectors" -> Seq("cell"))
-        else Map.empty)
+        (if (cellPartitioned(spark, indexPath))
+          Map("vectors" -> Seq("cell"))
+        else Map.empty[String, Seq[String]]) ++
+        (if (subs.contains("ids")) Map("ids" -> Seq("i"))
+        else Map.empty[String, Seq[String]]))
+  }
 
   /** RETRAIN — what consumes `auditIvfDrift`'s alarm (round-12 verdict
     * #4): rebuild the codebook FROM THE STORED VECTORS (no corpus
@@ -442,12 +600,25 @@ object VectorIndex {
       assign(stored, spark.read.parquet(s"$indexPath/centroids"))
         .withColumn("epoch", lit(0)),
       s"$indexPath/vectors", partitionCols = Seq("cell"))
+    // the (vec_id, cell) sidecar is rebuilt from the reassigned store —
+    // a retrain moves cells, and a stale sidecar would route the absorb
+    // present-check and retract scoping at the OLD geometry. Mi resizes
+    // to the live (post-tombstone-fold) corpus.
+    val nLive = spark.read.parquet(s"$indexPath/vectors").count()
+    val mi = math.max(8L, (nLive + 65535L) / 65536L).toInt
+    val cidType = spark.read.parquet(s"$indexPath/centroids")
+      .schema("cid").dataType
+    ArtifactStore.writeParquetStaged(spark,
+      spark.read.parquet(s"$indexPath/vectors")
+        .select(col("vec_id"), col("cell").cast(cidType).as("cell"))
+        .withColumn("i", idPartOf(mi)),
+      s"$indexPath/ids", partitionCols = Seq("i"))
     ArtifactStore.writeParquetStaged(spark, Seq(0).toDF("epoch"),
       s"$indexPath/epochs")
     if (ArtifactStore.hasTombstones(spark, indexPath))
       ArtifactStore.deletePath(spark, s"$indexPath/tombstones")
-    val meta = Seq((nlist, trainIterations))
-      .toDF("nlist", "train_iterations")
+    val meta = Seq((nlist, trainIterations, mi))
+      .toDF("nlist", "train_iterations", "id_parts")
     ArtifactStore.writeParquetStaged(spark, meta, s"$indexPath/meta")
     ArtifactStore.seedMeta(spark, indexPath, meta.head())
   }

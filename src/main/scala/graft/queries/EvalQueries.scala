@@ -1643,6 +1643,8 @@ object EvalQueries {
              |    0::BIGINT AS crash_leftovers FROM tomb
              |  UNION ALL SELECT 'ivf', 'epochs', 1::BIGINT, tomb.n,
              |    0::BIGINT FROM tomb
+             |  UNION ALL SELECT 'ivf', 'ids', ivfn.n, tomb.n,
+             |    0::BIGINT FROM ivfn, tomb
              |  UNION ALL SELECT 'ivf', 'meta', 1::BIGINT, tomb.n,
              |    0::BIGINT FROM tomb
              |  UNION ALL SELECT 'ivf', 'vectors', ivfn.n, tomb.n,
@@ -2355,9 +2357,10 @@ object EvalQueries {
              |tomb AS (SELECT count(*)::BIGINT AS n FROM embeddings
              |  WHERE vec_id % 16 = 2)
              |SELECT * FROM (
-             |  SELECT 'ivf' AS artifact, (ivfn.n + 6)::BIGINT AS total_rows,
+             |  SELECT 'ivf' AS artifact,
+             |    (2 * ivfn.n + 6)::BIGINT AS total_rows,
              |    tomb.n AS tombstone_rows, 0::BIGINT AS crash_leftovers,
-             |    CASE WHEN tomb.n * 10000 > 500 * (ivfn.n + 6)
+             |    CASE WHEN tomb.n * 10000 > 500 * (2 * ivfn.n + 6)
              |      THEN 'compact' ELSE 'ok' END AS action
              |  FROM ivfn, tomb
              |  UNION ALL SELECT 'labels', (2 * lshn.n + 1)::BIGINT,

@@ -745,6 +745,80 @@ class OperatorSpec extends SparkSpec with Matchers {
     bad.getMessage should include("nlist")
   }
 
+  test("IVF ids sidecar: content-independent absorb skip, id-pruned retract scoping, lifecycle consistency") {
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-sidecar").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", root, nlist = 4)
+    // the sidecar exists, is id-hash partitioned, and mirrors the
+    // vectors store row for row
+    val sidecarIds = spark.read.parquet(s"$root/ids")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val vecIds = spark.read.parquet(s"$root/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    sidecarIds shouldBe vecIds
+    graft.operators.ArtifactStore.hasPartitionDirs(spark, s"$root/ids", "i") shouldBe true
+    // OUT-OF-CONTRACT re-ingest: a committed id arrives again with NEW
+    // vector content (different cell). The id-keyed present check must
+    // skip it — benign, like the pre-pruning full-scan check — instead
+    // of appending a duplicate key (round-13 advisory: the cell-pruned
+    // check missed this, because new content lands in different dirs)
+    val committed = vecIds.head
+    val origVec = spark.read.parquet(s"$root/vectors")
+      .filter(col("vec_id") === committed)
+      .head().getAs[scala.collection.Seq[Double]]("vec")
+    val mutated = Seq((committed,
+        origVec.map(v => (-v).toFloat).reverse.toArray))
+      .toDF("vec_id", "embedding")
+    VectorIndex.absorbIntoIvfIndex(mutated, "vec_id", "embedding", root)
+    val after = spark.read.parquet(s"$root/vectors")
+      .filter(col("vec_id") === committed).collect()
+    after.length shouldBe 1
+    after.head.getAs[scala.collection.Seq[Double]]("vec") shouldBe origVec
+    spark.read.parquet(s"$root/ids")
+      .filter(col("vec_id") === committed).count() shouldBe 1L
+    // RETRACT SCOPING reads the takedown ids' sidecar partitions, not a
+    // corpus-wide vec_id scan — A/B against the same store with the
+    // sidecar removed (the legacy fallback path)
+    val legacy = java.nio.file.Files
+      .createTempDirectory("graft-sidecarc").toString + "/idx"
+    VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 4 =!= 0),
+      "vec_id", "embedding", legacy, nlist = 4)
+    graft.operators.ArtifactStore.deletePath(spark, s"$legacy/ids")
+    spark.read.parquet(s"$legacy/meta").drop("id_parts")
+      .write.mode("overwrite").parquet(s"$legacy/meta2")
+    graft.operators.ArtifactStore.deletePath(spark, s"$legacy/meta")
+    new java.io.File(s"$legacy/meta2")
+      .renameTo(new java.io.File(s"$legacy/meta")) shouldBe true
+    graft.operators.Dedup.invalidateIndexMeta(spark, legacy)
+    val takedown = vecIds.takeRight(2).toSeq.toDF("vec_id")
+    val (_, _, prunedRows) = org.apache.spark.sql.graft.InputBytesMeter
+      .measureIO(spark.sparkContext) {
+        VectorIndex.retractFromIvfIndex(takedown, "vec_id", root)
+      }
+    val (_, _, controlRows) = org.apache.spark.sql.graft.InputBytesMeter
+      .measureIO(spark.sparkContext) {
+        VectorIndex.retractFromIvfIndex(takedown, "vec_id", legacy)
+      }
+    assert(prunedRows < controlRows,
+      s"pruned retract scoping read $prunedRows rows, " +
+        s"legacy full scan read $controlRows")
+    // both stores tombstoned exactly the 2 held ids
+    spark.read.parquet(s"$root/tombstones").count() shouldBe 2L
+    // compact folds the tombstones out of the SIDECAR too — the
+    // retracted ids must be re-ingestable with the id-keyed check clean
+    VectorIndex.compactIvfIndex(spark, root)
+    val postIds = spark.read.parquet(s"$root/ids")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    val postVecs = spark.read.parquet(s"$root/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    postIds shouldBe postVecs
+    postIds should not contain vecIds.last
+  }
+
   test("histogram artifact: quantiles are shard-split invariant; upper bound covers the quantile") {
     import spark.implicits._
     import graft.operators.Profile
