@@ -1323,29 +1323,91 @@ object Dedup {
           (mfOpt.map(_ => seqOf("__f")).getOrElse(Seq.empty),
             mOpt.map(_ => seqOf("__h")).getOrElse(Seq.empty))
       }
-      mfOpt match {
-        case Some(mf) =>
+      (mfOpt, mOpt) match {
+        case (Some(mf), Some(m)) =>
+          // CONTENT-INDEPENDENT present check (round-13 advisory): the
+          // features substore's f = pmod(hash(doc)) depends only on the
+          // id, so ONE pruned read of the batch docs' own f dirs gives
+          // the committed-doc set that gates BOTH substores — an
+          // out-of-contract re-ingest of a committed doc with NEW text
+          // (whose band-sigs land in different h dirs, which the old
+          // h-pruned buckets check missed) is caught and skipped, the
+          // benign full-scan behavior. Features append first, buckets
+          // second: a crash between them leaves the retry's presentDocs
+          // CONTAINING the batch, and the buckets check below derives
+          // the committed docs' h dirs from their STORED feature sets,
+          // so it still completes the missing bucket rows. Normal path
+          // (nothing present): one checkpoint job total — one FEWER
+          // than the old two per-substore checks — and the buckets
+          // store isn't read at all.
+          val pObs = org.apache.spark.sql.Observation(
+            "lsh_present_" + java.util.UUID.randomUUID().toString.take(8))
+          val presentDocs = spark.read.parquet(s"$outIndex/features")
+            .filter(col("f").isin(fIds: _*)).select("doc")
+            .join(broadcast(batchDocs), Seq("doc"), "left_semi")
+            .distinct()
+            .observe(pObs, count(lit(1)).as("__n"))
+            .localCheckpoint()
+          val nPresentDocs = Option(pObs.get("__n"))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
           ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
             batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
-            partitionCols = Seq("f"),
-            presentSource = Some(
-              spark.read.parquet(s"$outIndex/features")
-                .filter(col("f").isin(fIds: _*))))
-        case None =>
-          ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
-            batchDocs, bFeats)
-      }
-      mOpt match {
-        case Some(m) =>
+            partitionCols = Seq("f"), presentKeys = Some(presentDocs))
+          val bucketsPresent =
+            if (nPresentDocs == 0L) presentDocs // empty, typed (doc)
+            else {
+              // rare path (crash retry / out-of-contract re-ingest):
+              // the committed docs' bucket rows carry band-sigs derived
+              // from their STORED feature sets — recompute those sigs
+              // from the features substore (map-side, present-set-
+              // sized) so the h pruning covers the committed dirs even
+              // when the batch's own text changed
+              val committedSigs = bandBuckets(
+                spark.read.parquet(s"$outIndex/features")
+                  .filter(col("f").isin(fIds: _*))
+                  .join(broadcast(presentDocs), Seq("doc"), "left_semi")
+                  .select("doc", "features"),
+                numHashes, bands)
+              val committedH = committedSigs
+                .select(lshPartOf(m).as("h")).distinct()
+                .collect().map(_.getInt(0))
+              val hsAll = (hIds ++ committedH).distinct.toIndexedSeq
+              spark.read.parquet(s"$outIndex/buckets")
+                .filter(col("h").isin(hsAll: _*)).select("doc")
+                .join(broadcast(presentDocs), Seq("doc"), "left_semi")
+                .distinct().localCheckpoint()
+            }
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
             batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
-            partitionCols = Seq("h"),
-            presentSource = Some(
-              spark.read.parquet(s"$outIndex/buckets")
-                .filter(col("h").isin(hIds: _*))))
-        case None =>
-          ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
-            batchDocs, bBuckets)
+            partitionCols = Seq("h"), presentKeys = Some(bucketsPresent))
+        case _ =>
+          // legacy layouts (flat, or single-substore partitioning from
+          // interim generations): the default full-substore key checks
+          // are content-independent already
+          mfOpt match {
+            case Some(mf) =>
+              ArtifactStore.appendMissing(spark, outIndex, "features",
+                "doc", batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
+                partitionCols = Seq("f"),
+                presentSource = Some(
+                  spark.read.parquet(s"$outIndex/features")
+                    .filter(col("f").isin(fIds: _*))))
+            case None =>
+              ArtifactStore.appendMissing(spark, outIndex, "features",
+                "doc", batchDocs, bFeats)
+          }
+          mOpt match {
+            case Some(m) =>
+              ArtifactStore.appendMissing(spark, outIndex, "buckets",
+                "doc", batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
+                partitionCols = Seq("h"),
+                presentSource = Some(
+                  spark.read.parquet(s"$outIndex/buckets")
+                    .filter(col("h").isin(hIds: _*))))
+            case None =>
+              ArtifactStore.appendMissing(spark, outIndex, "buckets",
+                "doc", batchDocs, bBuckets)
+          }
       }
     } else {
       // the audit copies are written FLAT (f/h are physical layouts of

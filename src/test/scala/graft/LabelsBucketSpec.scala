@@ -77,6 +77,37 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
     (after.keySet -- changed) should not be empty
   }
 
+  test("out-of-contract re-ingest with NEW text is a benign skip in BOTH index substores (no mixed signatures)") {
+    val root = freshRoot("bcontract")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    def featRows = spark.read.parquet(s"$root/idx/features")
+      .filter(col("doc") === 3L)
+    def bucketRows = spark.read.parquet(s"$root/idx/buckets")
+      .filter(col("doc") === 3L)
+    val origFeats = featRows.head().getAs[scala.collection.Seq[Long]]("features").toSet
+    val origSigs = bucketRows.collect()
+      .map(r => (r.getAs[Int]("band"), r.getAs[String]("sig"))).toSet
+    origSigs.size shouldBe 8
+    // doc 3 arrives AGAIN with completely different text (ids-disjoint
+    // contract broken). Its new band-sigs land in different h dirs — an
+    // h-pruned present check misses them and would append a SECOND
+    // signature generation for one doc (round-13 advisory); the
+    // features-side id-keyed check must catch it and skip both appends.
+    Dedup.absorbIntoLabels(docs(3L -> blk("totallynew", 14)), "doc_id",
+      "text", s"$root/labels", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    featRows.count() shouldBe 1L
+    featRows.head().getAs[scala.collection.Seq[Long]]("features").toSet shouldBe origFeats
+    bucketRows.count() shouldBe 8L
+    bucketRows.collect()
+      .map(r => (r.getAs[Int]("band"), r.getAs[String]("sig")))
+      .toSet shouldBe origSigs
+  }
+
   test("crash after commit marker: store untouched until repair; re-running the absorb converges") {
     val root = freshRoot("bcrash1")
     Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
