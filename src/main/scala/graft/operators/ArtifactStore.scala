@@ -183,6 +183,36 @@ private[graft] object ArtifactStore {
     ()
   }
 
+  /** Stage a whole artifact ROOT and swap it in atomically — for
+    * maintenance rewrites that must change SEVERAL substores together
+    * (a histogram retraction's shards + ledger, an LSH rebalance's
+    * features + buckets + meta): per-substore staged swaps would leave
+    * a crash window where one substore reflects the rewrite and another
+    * doesn't, which for a ledgered mutation means double-apply on
+    * retry. `write` receives the staging root and writes every substore
+    * under it; the root-level `_SUCCESS` marker (what `repairStore`
+    * keys roll-forward on) is driver-written LAST, then the two-rename
+    * swap runs. Crash anywhere: before the marker the live root is
+    * untouched (debris cleared on the next entry/repair); after it,
+    * `repairStore` rolls the complete staging forward. Callers refresh
+    * the meta cache themselves (`invalidateMeta`/`seedMeta`).
+    */
+  def stageRootSwap(spark: SparkSession, root: String)(
+      write: String => Unit): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fileSystem(spark, root)
+    val staging = new Path(root + ".__staging")
+    fs.delete(staging, true)
+    fs.delete(new Path(root + ".__old"), true)
+    write(staging.toString)
+    stagedBytesWritten.addAndGet(dirBytes(fs, staging))
+    // the parquet jobs above each left a _SUCCESS inside their SUBdirs;
+    // the root-level marker means "every substore landed" and must be
+    // the last write before the swap
+    fs.create(new Path(s"$root.__staging/_SUCCESS"), true).close()
+    swapRootStaged(fs, root)
+  }
+
   /** Tombstone-filtered read of one of the root's row stores: retracted
     * keys are invisible to every consumer (the deletion-vector
     * pattern). Tombstone sets are takedown-sized — broadcast. */

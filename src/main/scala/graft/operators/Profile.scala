@@ -214,6 +214,72 @@ object Profile {
       fresh)
   }
 
+  /** RETRACT shards from the histogram artifact (round-13 verdict #6 —
+    * the one lifecycle edge the fourth family lacked): remove the given
+    * shards' contribution exactly and free their ids in the ledger so a
+    * later re-absorb is legal. `df` carries the retracted shards' RAW
+    * rows (the takedown feed has the data being removed) — needed
+    * because a compact may have folded the shard's rows into the
+    * NULL-shard merged histogram, erasing the per-shard identity.
+    * Integer buckets make the subtraction LOSSLESS: re-fold the rows
+    * with the STORED width, then per ledgered retract shard either drop
+    * its physically-present rows or append its exact NEGATIVE counts as
+    * NULL-shard rows (they cancel against the merged histogram under
+    * the reader's bucket-sum; the next compact folds them away
+    * physically). Every read after equals a rebuild without the shard —
+    * bit for bit, under any absorb/compact interleaving.
+    *
+    * Shards NOT in the ledger are ignored, which is also what makes a
+    * REPLAY a no-op: the whole rewrite — shards, ledger — lands in ONE
+    * root swap (`stageRootSwap`), so a crash can never leave the ledger
+    * disagreeing with the rows (per-substore swaps would open a
+    * double-subtract window on retry). The store is bucket-domain-sized
+    * by design, so the root rewrite is the family's cheapest operation,
+    * not a corpus scan.
+    */
+  def retractFromHistogram(df: DataFrame, shardCol: String,
+      cents: Column, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val width = ArtifactStore.cachedMeta(spark, path)
+      .map(_.getAs[Long]("width_cents"))
+      .getOrElse(throw new IllegalStateException(
+        s"retractFromHistogram: no meta store at $path — retraction " +
+          "needs the stored bucket width"))
+    val h = histogramShard(df, shardCol, cents, width).localCheckpoint()
+    val ledger = spark.read.parquet(s"$path/absorbed")
+    val inLedger = h.select("shard").distinct()
+      .join(broadcast(ledger), Seq("shard"), "left_semi")
+      .localCheckpoint()
+    if (inLedger.isEmpty) return
+    val stored = spark.read.parquet(s"$path/shards")
+    // shards whose rows still sit under their own id → drop the rows;
+    // shards compacted into the NULL-shard histogram → append exact
+    // negatives (NULL shard, like the merged rows they cancel)
+    val phys = stored.select("shard").distinct()
+      .join(broadcast(inLedger), Seq("shard"), "left_semi")
+    val gone = inLedger.join(phys, Seq("shard"), "left_anti")
+    val shardType = stored.schema("shard").dataType
+    val newShards = stored
+      .join(broadcast(inLedger), Seq("shard"), "left_anti")
+      .unionByName(
+        h.join(broadcast(gone), Seq("shard"), "left_semi")
+          .select(lit(null).cast(shardType).as("shard"), col("bucket"),
+            (-col("cnt")).as("cnt")))
+      .localCheckpoint()
+    val newLedger = ledger
+      .join(broadcast(inLedger), Seq("shard"), "left_anti")
+      .localCheckpoint()
+    val meta = Seq(width).toDF("width_cents")
+    ArtifactStore.stageRootSwap(spark, path) { staging =>
+      newShards.write.mode("overwrite").parquet(s"$staging/shards")
+      newLedger.write.mode("overwrite").parquet(s"$staging/absorbed")
+      meta.write.mode("overwrite").parquet(s"$staging/meta")
+    }
+    ArtifactStore.invalidateMeta(spark, path)
+    ArtifactStore.seedMeta(spark, path, meta.head())
+  }
+
   /** Pre-merge the stored shard histograms into one bucket-summed
     * histogram (rows carry a NULL shard — identity lives in the
     * ledger): reads after it pay O(buckets) instead of
@@ -227,6 +293,9 @@ object Profile {
     val shardType = cur.schema("shard").dataType
     ArtifactStore.writeParquetStaged(spark,
       cur.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+        // a retraction's negative rows can cancel a bucket exactly —
+        // the folded row would be pure noise (cnt 0)
+        .filter(col("cnt") =!= 0)
         .select(lit(null).cast(shardType).as("shard"), col("bucket"),
           col("cnt")),
       s"$path/shards")

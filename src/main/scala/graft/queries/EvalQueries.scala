@@ -2369,7 +2369,58 @@ object EvalQueries {
              |    0::BIGINT, 1::BIGINT, 'repair' FROM lshn
              |  UNION ALL SELECT 'vocab', 4::BIGINT, 0::BIGINT,
              |    0::BIGINT, 'ok'
-             |) ORDER BY artifact""".stripMargin))
+             |) ORDER BY artifact""".stripMargin)),
+
+    // HISTOGRAM RETRACTION (x187): the lifecycle edge the fourth
+    // artifact family lacked (labels and vectors retract; histograms
+    // only absorbed + compacted). Build on shards {0,1,2}, COMPACT
+    // (shard identities fold into NULL-shard merged rows — the hard
+    // case), absorb shard 3, then retract shard 1 (compacted away →
+    // exact NEGATIVE counts appended), replay the same retraction
+    // (no-op — the ledger was freed in the same root swap as the
+    // rows), retract shard 3 (physically present → rows dropped) and
+    // RE-ABSORB it (the freed ledger makes re-ingest legal). Integer
+    // buckets make every step lossless: the final quantiles must equal
+    // a batch build over shards {0,2,3} bit for bit.
+    QueryDef("x187_histogram_retract",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x187_hist"
+        rmTree(root)
+        val cents = (col("o_totalprice") * 100).cast("long") -
+          lit(10000000L)
+        val orders = tbl(s, d, "orders")
+          .withColumn("shard", pmod(col("o_orderkey"), lit(4)))
+        Profile.buildHistogramArtifact(orders.filter(col("shard") < 3),
+          "shard", cents, widthCents = 1L << 20, s"$root/hist")
+        Profile.compactHistogram(s, s"$root/hist")
+        Profile.absorbIntoHistogram(orders.filter(col("shard") === 3),
+          "shard", cents, s"$root/hist")
+        val takedown = orders.filter(col("shard") === 1)
+        Profile.retractFromHistogram(takedown, "shard", cents,
+          s"$root/hist")
+        Profile.retractFromHistogram(takedown, "shard", cents,
+          s"$root/hist")
+        Profile.retractFromHistogram(orders.filter(col("shard") === 3),
+          "shard", cents, s"$root/hist")
+        Profile.absorbIntoHistogram(orders.filter(col("shard") === 3),
+          "shard", cents, s"$root/hist")
+        Profile.quantilesFromHistogramArtifact(s, s"$root/hist",
+            qsX10000 = Seq(2500, 5000, 9900, 10000))
+          .orderBy("q_x10000")
+      },
+      Some("""WITH h AS (SELECT
+             |    ((c - ((c % 1048576) + 1048576) % 1048576) // 1048576)
+             |      AS bucket, count(*)::BIGINT AS cnt
+             |  FROM (SELECT (o_totalprice*100)::BIGINT - 10000000 AS c
+             |    FROM orders WHERE o_orderkey % 4 <> 1) GROUP BY 1),
+             |c AS (SELECT bucket, cnt,
+             |    (sum(cnt) OVER (ORDER BY bucket))::BIGINT AS cum FROM h),
+             |t AS (SELECT sum(cnt)::BIGINT AS total FROM h),
+             |q(q_x10000) AS (VALUES (2500), (5000), (9900), (10000))
+             |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
+             |  (min(bucket) + 1) * 1048576 AS upper_cents
+             |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

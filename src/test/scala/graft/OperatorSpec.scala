@@ -840,6 +840,54 @@ class OperatorSpec extends SparkSpec with Matchers {
       (10000, 100L, 1010000L))
   }
 
+  test("histogram retraction: compacted-away shard subtracts exactly; unknown shard no-op; compact folds negatives away") {
+    import spark.implicits._
+    import graft.operators.Profile
+    // range-split shards so dropping shard 1 MOVES the quantiles (a
+    // parity split leaves p50/p100 in the same buckets either way)
+    val vals = (1 to 200).map(i =>
+        (if (i <= 100) 0L else 1L, (i * 37).toLong))
+      .toDF("shard", "cents")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-hretract").toString + "/hist"
+    Profile.buildHistogramArtifact(vals, "shard", col("cents"),
+      widthCents = 500L, root)
+    // compact folds shard identity away — the hard retraction case
+    Profile.compactHistogram(spark, root)
+    def quants = Profile.quantilesFromHistogramArtifact(spark, root,
+        qsX10000 = Seq(5000, 10000)).orderBy("q_x10000").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val shard1 = vals.filter(col("shard") === 1L)
+    Profile.retractFromHistogram(shard1, "shard", col("cents"), root)
+    // equals a batch build without shard 1
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft-href").toString + "/hist"
+    Profile.buildHistogramArtifact(vals.filter(col("shard") === 0L),
+      "shard", col("cents"), widthCents = 500L, ref)
+    val refQuants = Profile.quantilesFromHistogramArtifact(spark, ref,
+        qsX10000 = Seq(5000, 10000)).orderBy("q_x10000").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    quants shouldBe refQuants
+    // a shard the ledger never held is a no-op (and so is a replay)
+    Profile.retractFromHistogram(
+      Seq((7L, 123L)).toDF("shard", "cents"), "shard", col("cents"), root)
+    Profile.retractFromHistogram(shard1, "shard", col("cents"), root)
+    quants shouldBe refQuants
+    // the negatives are physically present until compact folds them
+    spark.read.parquet(s"$root/shards").filter(col("cnt") < 0)
+      .count() should be > 0L
+    Profile.compactHistogram(spark, root)
+    spark.read.parquet(s"$root/shards").filter(col("cnt") <= 0)
+      .count() shouldBe 0L
+    quants shouldBe refQuants
+    // the freed ledger makes re-absorb legal; the store converges back
+    Profile.absorbIntoHistogram(shard1, "shard", col("cents"), root)
+    Profile.quantilesFromHistogramArtifact(spark, root,
+        qsX10000 = Seq(5000, 10000)).orderBy("q_x10000").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .toSeq should not be refQuants
+  }
+
   test("histogram lifecycle: ledger makes re-delivered shards no-ops across compaction; floor division keeps negative buckets half-open") {
     import spark.implicits._
     import graft.operators.Profile
