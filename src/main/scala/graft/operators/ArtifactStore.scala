@@ -643,6 +643,37 @@ private[graft] object ArtifactStore {
     }
     if (fs.exists(rootStaging)) { fs.delete(rootStaging, true); () }
     if (fs.exists(rootOld)) { fs.delete(rootOld, true); () }
+    // SUBSTORE-level debris: a killed writeParquetStaged on one of the
+    // root's substores parks `<sub>.__staging` / `<sub>.__old` INSIDE
+    // the root — the same three cases as the root swap, one level down
+    // (substore missing + marked staging → roll forward; missing + old
+    // → roll back; debris beside a live substore → delete). One listing
+    // of the root; no recursion past the first level (the suffixed
+    // names can only be swap artifacts).
+    if (fs.exists(rootP)) {
+      fs.listStatus(rootP).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory &&
+            (n.endsWith(".__staging") || n.endsWith(".__old"))) {
+          val base = new Path(rootP,
+            n.stripSuffix(".__staging").stripSuffix(".__old"))
+          if (!fs.exists(base)) {
+            val stg = new Path(rootP, base.getName + ".__staging")
+            val old = new Path(rootP, base.getName + ".__old")
+            if (fs.exists(new Path(stg, "_SUCCESS"))) {
+              require(fs.rename(stg, base),
+                s"repairStore: could not roll $stg forward")
+            } else if (fs.exists(old)) {
+              require(fs.rename(old, base),
+                s"repairStore: could not roll $old back")
+            }
+          }
+          // whatever remains with the suffix is completed-swap debris
+          if (fs.exists(st.getPath)) fs.delete(st.getPath, true)
+          changed = true
+        }
+      }
+    }
     // only a repair that actually moved data can stale the cached meta —
     // the no-op fast path must not re-trigger a meta read per mutation
     if (changed) invalidateMeta(spark, root)
@@ -663,6 +694,7 @@ private[graft] object ArtifactStore {
       artifacts: Seq[(String, String)]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
+    val PartDir = "^[a-z]+=\\d+$".r
     val out = artifacts.flatMap { case (alias, root) =>
       val fs = fileSystem(spark, root)
       val rootP = new Path(root)
@@ -678,6 +710,11 @@ private[graft] object ArtifactStore {
         if (names.contains("tombstones"))
           spark.read.parquet(s"$root/tombstones").count()
         else 0L
+      // the artifact's recorded bucket-byte sizing target (labels and
+      // LSH builds record one) — the advisor's rebalance reference
+      val target = cachedMeta(spark, root)
+        .filter(_.schema.fieldNames.contains("bucket_target_bytes"))
+        .map(_.getAs[Long]("bucket_target_bytes")).getOrElse(0L)
       val live = children.filter { st =>
         val n = st.getPath.getName
         !n.startsWith(".") && !n.startsWith("_") && n != "tombstones" &&
@@ -689,7 +726,20 @@ private[graft] object ArtifactStore {
         case n => n
       }).toSeq.map { case (sub, sts) =>
         val rows = spark.read.parquet(sts.map(_.getPath.toString): _*).count()
-        (alias, sub, rows, tombRows, leftovers)
+        // geometry observables (FS listings only): total data bytes of
+        // the group's dirs, and the bucket-dir count — root-level
+        // `x=*` groups count their own dirs; a substore child holding
+        // `<c>=<k>` partition dirs inside (LSH buckets/features, IVF
+        // vectors/ids) counts those
+        val bytes = sts.map(st => dirBytes(fs, st.getPath)).sum
+        val dirs =
+          if (sub.endsWith("=*")) sts.size.toLong
+          else if (sts.size == 1)
+            fs.listStatus(sts.head.getPath).count(c =>
+              c.isDirectory && PartDir.findFirstIn(c.getPath.getName)
+                .isDefined).toLong
+          else 0L
+        (alias, sub, rows, tombRows, leftovers, bytes, dirs, target)
       }
       // an artifact whose root holds ONLY crash debris or tombstones
       // (a mutation died before any live substore landed) must still
@@ -697,11 +747,12 @@ private[graft] object ArtifactStore {
       // with zero live substores the groupBy above would emit nothing
       // and the advisor would stay silent (round-13 advisory)
       if (liveRows.isEmpty && (leftovers > 0 || tombRows > 0))
-        Seq((alias, "(none)", 0L, tombRows, leftovers))
+        Seq((alias, "(none)", 0L, tombRows, leftovers, 0L, 0L, target))
       else liveRows
     }
     out.toDF("artifact", "substore", "rows", "tombstone_rows",
-        "crash_leftovers")
+        "crash_leftovers", "live_bytes", "bucket_dirs",
+        "target_bucket_bytes")
       .orderBy("artifact", "substore")
   }
 
@@ -717,7 +768,11 @@ private[graft] object ArtifactStore {
     *                thousand of the artifact's live rows: readers are
     *                paying the anti-join on every access and retracted
     *                keys stay un-reingestable until the fold.
-    *  - `ok`      — neither.
+    *  - `rebalance` — a bucketed geometry's avg dir bytes drifted past
+    *                4× the build-time target recorded in the meta
+    *                (labels `b=*`, LSH `buckets`): mutations rewrite
+    *                ever-fatter buckets and probe pruning's win decays.
+    *  - `ok`      — none of the above.
     *
     * Pure transformation over the (artifact, substore, rows,
     * tombstone_rows, crash_leftovers) census frame — exact integers,
@@ -726,16 +781,32 @@ private[graft] object ArtifactStore {
   def maintenanceAdvice(census: DataFrame,
       debtX10000: Long = 1000L): DataFrame = {
     require(debtX10000 >= 0, "maintenanceAdvice: debtX10000 must be >= 0")
+    // geometry drift: some substore's avg bucket-dir bytes exceed 4× the
+    // artifact's recorded sizing target (the labels/LSH auto-rebalance
+    // rule, decided centrally). Exact integers: bytes > 4·target·dirs.
+    // Census frames from before the geometry columns (hand-built spec
+    // fixtures) simply never advise rebalance.
+    val hasGeom = census.columns.contains("live_bytes")
+    val overgrown =
+      if (hasGeom)
+        max(when(col("bucket_dirs") > 0 && col("target_bucket_bytes") > 0 &&
+          col("live_bytes") >
+            lit(4L) * col("target_bucket_bytes") * col("bucket_dirs"),
+          lit(1L)).otherwise(lit(0L)))
+      else max(lit(0L))
     census.groupBy("artifact")
       .agg(sum(col("rows")).as("total_rows"),
         // per-artifact constants repeated on every substore row
         max(col("tombstone_rows")).as("tombstone_rows"),
-        max(col("crash_leftovers")).as("crash_leftovers"))
+        max(col("crash_leftovers")).as("crash_leftovers"),
+        overgrown.as("__overgrown"))
       .withColumn("action",
         when(col("crash_leftovers") > 0, "repair")
           .when(col("tombstone_rows") * 10000 >
             lit(debtX10000) * col("total_rows"), "compact")
+          .when(col("__overgrown") > 0, "rebalance")
           .otherwise("ok"))
+      .drop("__overgrown")
       .orderBy("artifact")
   }
 

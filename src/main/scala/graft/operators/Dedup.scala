@@ -507,7 +507,8 @@ object Dedup {
     */
   def buildLshIndex(index: DataFrame, idCol: String, textCol: String,
       path: String, shingleSize: Int = 3, numHashes: Int = 16,
-      bands: Int = 4, numBucketParts: Int = 0): Unit = {
+      bands: Int = 4, numBucketParts: Int = 0,
+      bucketTargetBytes: Long = 0L): Unit = {
     // a REBUILD at a root carrying tombstones must not inherit them
     // (round-11 advisory): readStore's anti-join would silently hide
     // freshly indexed docs whose ids were ever retracted. A build is a
@@ -550,14 +551,86 @@ object Dedup {
     // kind of recall loss. Consumers that recompute signatures
     // (probeLshIndex, absorbIntoLabels) validate against this store.
     import s.implicits._
-    val meta = Seq((shingleSize, numHashes, bands, m, mf))
+    // the avg bucket-dir bytes this geometry was sized for — the
+    // advisor's rebalance reference point (round-13 verdict #5), the
+    // labels store's bucket_target_bytes discipline applied to the LSH
+    // family. 0 = measure what the build just wrote (FS listings only).
+    val target =
+      if (bucketTargetBytes > 0L) bucketTargetBytes
+      else {
+        val sizes = ArtifactStore.bucketDirBytes(s, s"$path/buckets", "h")
+        if (sizes.isEmpty) 0L else sizes.sum / m
+      }
+    val meta = Seq((shingleSize, numHashes, bands, m, mf, target))
       .toDF("shingle_size", "num_hashes", "bands", "bucket_parts",
-        "feature_parts")
+        "feature_parts", "bucket_target_bytes")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     // the build knows the parameters it just wrote — seed the JVM-local
     // cache so the FIRST consumer already skips the meta-read job (the
     // head() is a LocalTableScan, not a file read)
     ArtifactStore.seedMeta(s, path, meta.head())
+  }
+
+  /** Re-partition an LSH index to new substore part counts — the
+    * periodic maintenance dual of the partitioned appends, for when the
+    * corpus outgrows the build-time M/Mf (part bytes grow with the
+    * corpus at fixed counts; probe pruning's win is part bytes, so the
+    * counts should track corpus size exactly as the labels store's N
+    * does). One staged rewrite of the WHOLE root (`stageRootSwap`):
+    * features re-hashed to the new `f=` dirs, buckets to the new `h=`
+    * dirs, the meta's part counts and measured bucket-byte target
+    * refreshed together — per-substore swaps would open a crash window
+    * where the meta's counts disagree with one substore's dirs and
+    * every pruned probe silently misses. Tombstones are FOLDED (the
+    * rewrite is a free compact; retracted ids become re-ingestable),
+    * exactly like `compactLshIndex`. Consumers are untouched: probe
+    * answers are pinned strict-identical across a rebalance (x189).
+    * `numBucketParts = 0` auto-sizes both counts from the live doc
+    * count, the build's own sizing rule. */
+  def rebalanceLshIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numBucketParts: Int = 0): Unit = {
+    ArtifactStore.repairStore(spark, path)
+    val meta = ArtifactStore.cachedMeta(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"rebalanceLshIndex: no meta store at $path"))
+    require(lshBucketParts(spark, path).isDefined &&
+      lshFeatureParts(spark, path).isDefined,
+      s"rebalanceLshIndex: $path predates the partitioned layout — " +
+        "rebuild it instead")
+    val bands = meta.getAs[Int]("bands")
+    // live (tombstone-folded) substores; reads stay valid through the
+    // staging writes because the live root is untouched until the swap
+    val feats = indexStore(spark, path, "features").drop("f")
+    val buckets = indexStore(spark, path, "buckets").drop("h")
+    val (featsCk, nDocs) = checkpointWithCount(feats, "lsh_rebalance")
+    val m =
+      if (numBucketParts > 0) numBucketParts
+      else math.max(8L, (nDocs * bands + 65535L) / 65536L).toInt
+    val mf =
+      if (numBucketParts > 0) numBucketParts
+      else math.max(8L, (nDocs + 65535L) / 65536L).toInt
+    import spark.implicits._
+    ArtifactStore.stageRootSwap(spark, path) { staging =>
+      featsCk.withColumn("f", lshFeatPartOf(mf))
+        .repartition(col("f"))
+        .write.mode("overwrite").partitionBy("f")
+        .parquet(s"$staging/features")
+      buckets.withColumn("h", lshPartOf(m))
+        .repartition(col("h"))
+        .write.mode("overwrite").partitionBy("h")
+        .parquet(s"$staging/buckets")
+      // measure the NEW geometry's bucket-byte target on the staged
+      // dirs — the meta lands beside them in the same swap
+      val sizes = ArtifactStore.bucketDirBytes(spark,
+        s"$staging/buckets", "h")
+      val target = if (sizes.isEmpty) 0L else sizes.sum / m
+      Seq((meta.getAs[Int]("shingle_size"), meta.getAs[Int]("num_hashes"),
+          bands, m, mf, target))
+        .toDF("shingle_size", "num_hashes", "bands", "bucket_parts",
+          "feature_parts", "bucket_target_bytes")
+        .write.mode("overwrite").parquet(s"$staging/meta")
+    }
+    ArtifactStore.invalidateMeta(spark, path)
   }
 
   /** The buckets substore's partition key: band-sig hash mod the

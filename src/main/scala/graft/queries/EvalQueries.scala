@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
-import graft.operators.{ArtifactStore, Curation, Dedup, Eval, Graph, Profile, TextAnalysis, VectorIndex}
+import graft.operators.{ArtifactStore, Curation, Dedup, Eval, Graph, Maintenance, Profile, TextAnalysis, VectorIndex}
 import graft.queries.ExtensionQueries.{dkCosine, dkHash56, dkQualityModelCtes, minHashPairsBodyFrom}
 import graft.queries.QueryDef.tbl
 
@@ -1627,9 +1627,14 @@ object EvalQueries {
           s"$root/vocab")
         val planted = new java.io.File(s"$root/lsh/features.__old")
         require(planted.mkdirs(), s"could not plant $planted")
+        // the geometry columns (live_bytes / bucket_dirs / target) are
+        // parquet-encoding-dependent — the strict gate pins the stable
+        // observables
         ArtifactStore.census(s, Seq(("lsh", s"$root/lsh"),
-          ("labels", s"$root/labels"), ("ivf", s"$root/ivf"),
-          ("vocab", s"$root/vocab")))
+            ("labels", s"$root/labels"), ("ivf", s"$root/ivf"),
+            ("vocab", s"$root/vocab")))
+          .select("artifact", "substore", "rows", "tombstone_rows",
+            "crash_leftovers")
       },
       Some("""WITH lshn AS (SELECT count(*)::BIGINT AS n FROM documents
              |  WHERE doc_id % 3 = 0),
@@ -2420,7 +2425,115 @@ object EvalQueries {
              |SELECT q_x10000, min(bucket)::BIGINT AS bucket,
              |  (min(bucket) + 1) * 1048576 AS upper_cents
              |FROM q, c, t WHERE cum * 10000 >= q_x10000 * total
-             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin))
+             |GROUP BY q_x10000 ORDER BY q_x10000""".stripMargin)),
+
+    // MAINTENANCE EXECUTOR (x188): x186's advisor DECIDES; this runs
+    // the decisions — census → advice → per-artifact dispatch (repair →
+    // repairStore; compact → the family's compactor, picked from the
+    // root's substore shape) in one call. Same planted quartet as
+    // x172/x186 (crash debris on the LSH index, ~12% tombstone debt on
+    // the IVF index at the 5% threshold, clean labels + vocab): the
+    // executor must repair the LSH store and compact the IVF store —
+    // and the POST-run advice over a fresh census must read all-ok
+    // with the compacted row counts (vectors AND the ids sidecar both
+    // shrink by the tombstone fold). Exec rows joined with post-advice
+    // so the gate pins both what ran and what state it left.
+    QueryDef("x188_maintenance_execute",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x188_exec"
+        rmTree(root)
+        val docs = tbl(s, d, "documents")
+        val emb = tbl(s, d, "embeddings")
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", s"$root/lsh",
+          shingleSize = 3, numHashes = 16, bands = 4)
+        Dedup.buildCanonicalLabels(docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", s"$root/labels",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5,
+          numBuckets = 4)
+        VectorIndex.buildIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", s"$root/ivf", nlist = 4)
+        VectorIndex.retractFromIvfIndex(
+          emb.filter(col("vec_id") % 16 === 2).select("vec_id"),
+          "vec_id", s"$root/ivf")
+        TextAnalysis.buildBpeVocab(docs, "text", steps = 3,
+          s"$root/vocab")
+        val planted = new java.io.File(s"$root/lsh/features.__old")
+        require(planted.mkdirs(), s"could not plant $planted")
+        val arts = Seq(("lsh", s"$root/lsh"), ("labels", s"$root/labels"),
+          ("ivf", s"$root/ivf"), ("vocab", s"$root/vocab"))
+        val exec = Maintenance.executeMaintenance(s, arts,
+          debtX10000 = 500L)
+        val post = ArtifactStore.maintenanceAdvice(
+            ArtifactStore.census(s, arts), debtX10000 = 500L)
+          .select(col("artifact"), col("action").as("post_action"),
+            col("total_rows"), col("tombstone_rows"),
+            col("crash_leftovers"))
+        exec.join(post, Seq("artifact")).orderBy("artifact")
+      },
+      Some("""WITH lshn AS (SELECT count(*)::BIGINT AS n FROM documents
+             |  WHERE doc_id % 3 = 0),
+             |ivfn AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 2 = 0),
+             |tomb AS (SELECT count(*)::BIGINT AS n FROM embeddings
+             |  WHERE vec_id % 16 = 2)
+             |SELECT * FROM (
+             |  SELECT 'ivf' AS artifact, 'compact' AS action,
+             |    TRUE AS executed, 'compactIvfIndex' AS detail,
+             |    'ok' AS post_action,
+             |    (2 * (ivfn.n - tomb.n) + 6)::BIGINT AS total_rows,
+             |    0::BIGINT AS tombstone_rows,
+             |    0::BIGINT AS crash_leftovers
+             |  FROM ivfn, tomb
+             |  UNION ALL SELECT 'labels', 'ok', FALSE, 'clean', 'ok',
+             |    (2 * lshn.n + 1)::BIGINT, 0::BIGINT, 0::BIGINT FROM lshn
+             |  UNION ALL SELECT 'lsh', 'repair', TRUE, 'repairStore',
+             |    'ok', (5 * lshn.n + 1)::BIGINT, 0::BIGINT, 0::BIGINT
+             |  FROM lshn
+             |  UNION ALL SELECT 'vocab', 'ok', FALSE, 'clean', 'ok',
+             |    4::BIGINT, 0::BIGINT, 0::BIGINT
+             |) ORDER BY artifact""".stripMargin)),
+
+    // ADVISOR-DRIVEN LSH REBALANCE (x189, round-13 verdict #5): the LSH
+    // index gets the labels store's geometry-maintenance loop — the
+    // build records its avg bucket-dir bytes in the meta, the census
+    // reads the live geometry (FS listings), the advisor emits
+    // `rebalance` on 4× drift, and the executor runs
+    // `Dedup.rebalanceLshIndex` (both substores re-hashed to auto-sized
+    // part counts + meta refreshed, ONE root swap). The build here
+    // plants a 1-byte target so the drift rule trips deterministically;
+    // the strict pin is the CONSUMER contract: a probe against the
+    // REBALANCED store must answer exactly the x61/x70 verified-pair
+    // oracle — re-partitioning moved every row and the pruned read path
+    // must still find all of them.
+    QueryDef("x189_lsh_rebalance",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x189_reb"
+        rmTree(root)
+        val docs = tbl(s, d, "documents")
+        Dedup.buildLshIndex(docs.filter(col("doc_id") % 5 =!= 0),
+          "doc_id", "text", s"$root/idx",
+          shingleSize = 3, numHashes = 16, bands = 4,
+          bucketTargetBytes = 1L)
+        val arts = Seq(("idx", s"$root/idx"))
+        val exec = Maintenance.executeMaintenance(s, arts)
+          .head()
+        require(exec.getAs[String]("action") == "rebalance" &&
+          exec.getAs[Boolean]("executed"),
+          s"x189: expected an executed rebalance, got $exec")
+        Dedup.probeLshIndex(docs.filter(col("doc_id") % 5 === 0),
+            s"$root/idx", "doc_id", "text",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+          .select(col("doc_a"), col("doc_b"), col("common"),
+            col("size_a"), col("size_b"),
+            floor(col("jaccard") * 1000000).cast("long").as("jaccard_x1m"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(s"""WITH ${minHashPairsBodyFrom("documents", "doc_id", "text",
+                 candCond = "l.doc % 5 = 0 AND r.doc % 5 <> 0")}
+             |SELECT doc_a, doc_b, common, size_a, size_b,
+             |  floor(jac*1000000)::BIGINT AS jaccard_x1m
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

@@ -2190,6 +2190,56 @@ class OperatorSpec extends SparkSpec with Matchers {
       "d" -> "ok")
   }
 
+  test("maintenanceAdvice: rebalance on 4x bucket-byte drift, below compact in priority; exact-4x stays ok") {
+    import spark.implicits._
+    val census = Seq(
+      // overgrown only: bytes > 4 * target * dirs (81 > 80)
+      ("a", "buckets", 100L, 0L, 0L, 81L, 4L, 5L),
+      // exactly AT 4x: strict inequality keeps it ok
+      ("b", "buckets", 100L, 0L, 0L, 80L, 4L, 5L),
+      // overgrown AND tombstone debt: compact outranks rebalance
+      ("c", "buckets", 100L, 50L, 0L, 81L, 4L, 5L),
+      // no recorded target: never advises rebalance
+      ("d", "buckets", 100L, 0L, 0L, 999999L, 4L, 0L)
+    ).toDF("artifact", "substore", "rows", "tombstone_rows",
+      "crash_leftovers", "live_bytes", "bucket_dirs",
+      "target_bucket_bytes")
+    val out = graft.operators.ArtifactStore
+      .maintenanceAdvice(census, debtX10000 = 1000L)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("action"))
+      .toMap
+    out shouldBe Map("a" -> "rebalance", "b" -> "ok", "c" -> "compact",
+      "d" -> "ok")
+  }
+
+  test("executeMaintenance: dry-run plans but never acts; acted stores read back clean") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-exec").toString
+    graft.operators.VectorIndex.buildIvfIndex(emb, "vec_id", "embedding",
+      s"$root/ivf", nlist = 4)
+    graft.operators.VectorIndex.retractFromIvfIndex(
+      emb.filter(col("vec_id") % 4 === 1).select("vec_id"), "vec_id",
+      s"$root/ivf")
+    val arts = Seq(("ivf", s"$root/ivf"))
+    val dry = graft.operators.Maintenance
+      .executeMaintenance(spark, arts, debtX10000 = 500L, dryRun = true)
+      .head()
+    dry.getAs[String]("action") shouldBe "compact"
+    dry.getAs[Boolean]("executed") shouldBe false
+    // dry-run touched nothing: tombstones still there
+    new java.io.File(s"$root/ivf/tombstones").exists() shouldBe true
+    val wet = graft.operators.Maintenance
+      .executeMaintenance(spark, arts, debtX10000 = 500L)
+      .head()
+    wet.getAs[String]("detail") shouldBe "compactIvfIndex"
+    new java.io.File(s"$root/ivf/tombstones").exists() shouldBe false
+    graft.operators.Maintenance
+      .executeMaintenance(spark, arts, debtX10000 = 500L)
+      .head().getAs[String]("action") shouldBe "ok"
+  }
+
   test("probeIvfIndexWhere: predicate applies before top-k (full k among survivors); pin-equal to filtered brute force at nprobe=nlist") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val root = java.nio.file.Files
