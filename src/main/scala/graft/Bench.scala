@@ -70,8 +70,14 @@ object Bench {
     // batch into the stored labels+index; its warm runs time the absorb
     // alone, the one-time base build sits in the cold column like the
     // other build-once artifacts. x153 is the in-place CHAIN twin —
-    // copy-base + two successive in-place absorbs per run.)
-    "x152_label_absorb", "x153_label_absorb_chain",
+    // copy-base + two successive in-place absorbs per run. x152b is the
+    // PRODUCTION-geometry headliner (round-13 verdict #1): batch ≈
+    // corpus/512 into an N = 512 store, touched ≪ N — the regime the
+    // twin-geometry mutation design targets, where the insert-append
+    // fast path writes O(batch); x152/x153/x158 grade the same
+    // machinery at the adversarial batch ≈ corpus/4 geometry.)
+    "x152_label_absorb", "x152b_label_absorb_prod",
+    "x153_label_absorb_chain",
     // (x157 is the family's DELETE path — copy-base + in-place
     // retraction per run, component-bounded by construction; x157b the
     // pair consumer over the tombstoned index is excluded like other

@@ -335,6 +335,7 @@ object ScaleProbe {
     }
     val probeBytesBuilt = scala.collection.mutable.Set[Int]()
     val retractBytesBuilt = scala.collection.mutable.Set[Int]()
+    val prodAbsorbBuilt = scala.collection.mutable.Set[Int]()
     // a FIXED-SIZE takedown (4 replica-0 ids, fresh slice per call so a
     // replay is a real retraction of not-yet-tombstoned ids), staged as
     // a tiny one-file parquet so the input's own read is constant
@@ -1056,16 +1057,20 @@ object ScaleProbe {
             outIndexPath = Some(s"$root/outIdx"))
           .count()
       },
-      // BYTES written per absorb vs corpus size (round-12: the labels
-      // store is hash-bucketed, so an absorb stages only the touched
-      // buckets). Base ×m with N ∝ rows (≈512-row buckets) and a FIXED
-      // 16-doc batch under fresh ids per invocation: staged bytes =
-      // touched buckets × bucket bytes — flat in m (the recorded
+      // BYTES WRITTEN per absorb vs corpus size (round-12, re-based in
+      // round 14 on task outputMetrics.bytesWritten — the insert-append
+      // fast path bypasses the staged writers entirely, so the old
+      // stagedBytesWritten counter would read a flattering 0; output
+      // metrics count every datasource file the absorb commits, append
+      // or staged swap alike). Base ×m with N ∝ rows (≈512-row buckets)
+      // and a FIXED 16-doc batch under fresh ids per invocation:
+      // written bytes = O(batch) — flat in m (the recorded
       // absorb_bytes_written series is the evidence; the wall-time
       // exponent of this op is job-overhead-bound and not the claim).
-      // The flat control (prefix-isolated: numBuckets=1 degenerates the
-      // layout to one bucket) stages the WHOLE store per absorb — bytes
-      // linear in m by construction.
+      // The control (prefix-isolated) is a PRE-BUCKETING flat labels
+      // store (no meta → the legacy staged-swap mutation path), which
+      // rewrites the WHOLE store per absorb — bytes linear in m by
+      // construction.
       "absorbbytes_labels" -> { m =>
         val root = s"$stageRoot/absbytes/m$m"
         if (!absorbBytesBuilt(m)) {
@@ -1078,33 +1083,37 @@ object ScaleProbe {
             shingleSize = 3, numHashes = 16, bands = 4)
           absorbBytesBuilt += m
         }
-        val before = graft.operators.ArtifactStore.stagedBytesWritten.get()
-        Dedup.absorbIntoLabels(absorbBytesBatch(absorbBytesSlice.getAndIncrement()),
-          "doc_id", "text", s"$root/labels", s"$root/idx",
-          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
-        val bytes = graft.operators.ArtifactStore.stagedBytesWritten.get() - before
-        recordBytes("absorbbytes_labels", m, bytes)
-        bytes
+        val (_, _, _, outBytes) = InputBytesMeter.measureRW(spark.sparkContext) {
+          Dedup.absorbIntoLabels(absorbBytesBatch(absorbBytesSlice.getAndIncrement()),
+            "doc_id", "text", s"$root/labels", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        }
+        recordBytes("absorbbytes_labels", m, outBytes)
+        outBytes
       },
       "flatbytes_labels_control" -> { m =>
         val root = s"$stageRoot/flatbytes/m$m"
         if (!absorbBytesBuilt(-m)) {
           val base = corpus(m)
+          // pre-bucketing FLAT store (no meta): absorb takes the legacy
+          // corpus-sized staged-swap path over identical content
           Dedup.buildCanonicalLabels(base, "doc_id", "text",
-            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
-            threshold = 0.5, numBuckets = 1)
+            s"$root/lbuck", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          Dedup.readLabels(spark, s"$root/lbuck").localCheckpoint()
+            .write.mode("overwrite").parquet(s"$root/labels")
           Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
             shingleSize = 3, numHashes = 16, bands = 4)
           absorbBytesBuilt += -m
         }
-        val before = graft.operators.ArtifactStore.stagedBytesWritten.get()
-        Dedup.absorbIntoLabels(absorbBytesBatch(
-            1000 + absorbBytesSlice.getAndIncrement()),
-          "doc_id", "text", s"$root/labels", s"$root/idx",
-          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
-        val bytes = graft.operators.ArtifactStore.stagedBytesWritten.get() - before
-        recordBytes("flatbytes_labels_control", m, bytes)
-        bytes
+        val (_, _, _, outBytes) = InputBytesMeter.measureRW(spark.sparkContext) {
+          Dedup.absorbIntoLabels(absorbBytesBatch(
+              1000 + absorbBytesSlice.getAndIncrement()),
+            "doc_id", "text", s"$root/labels", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        }
+        recordBytes("flatbytes_labels_control", m, outBytes)
+        outBytes
       },
       // BYTES READ per drained micro-batch vs stored-corpus size
       // (round-13: every labels point-read is bucket-pruned and the
@@ -1257,6 +1266,80 @@ object ScaleProbe {
         recordBytes("retractbytes_ivf_control", m, bytes)
         recordBytes("retractbytes_ivf_control_rows", m, rows)
         bytes
+      },
+      // PRODUCTION-GEOMETRY absorb I/O (round-14): a FIXED 16-doc
+      // novel batch absorbed IN PLACE into a stored generation whose
+      // labels geometry scales with the corpus (N = 8m — the production
+      // sizing rule). The insert-append fast path makes the labels
+      // write O(batch): the recorded OUT-BYTES and ROWS-READ series
+      // must stay ~flat across m (wall at this data scale is
+      // job-overhead-bound and ambient-noisy — measured swings of ±5 s
+      // on an idle-looking machine; bytes/rows are the deterministic
+      // axes, the repo's standing probe discipline). The control is a
+      // PRE-BUCKETING flat labels store (no meta → the legacy full
+      // staged-swap mutation path) over the same corpus — its written
+      // bytes ∝ corpus by construction. The INDEX side is held at a
+      // FIXED geometry in BOTH variants so the pair isolates the one
+      // term that differs (a first cut scaled index parts with m too,
+      // and the shared per-read partition-discovery listings of 64m
+      // dirs drowned the labels signal in both variants). This grades
+      // the mutation family in the regime it targets (batch ≪ corpus),
+      // the complement of the bench quartet's adversarial
+      // batch ≈ corpus/4.
+      "absorbwall_prod_bucketed" -> { m =>
+        val root = s"$stageRoot/prodabs/m$m"
+        if (!prodAbsorbBuilt(m)) {
+          val base = corpus(m)
+          Dedup.buildCanonicalLabels(base, "doc_id", "text",
+            s"$root/labels", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5, numBuckets = 8 * m)
+          Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4,
+            numBucketParts = 64)
+          prodAbsorbBuilt += m
+        }
+        val (_, _, rows, outBytes) =
+          InputBytesMeter.measureRW(spark.sparkContext) {
+            Dedup.absorbIntoLabels(
+              absorbBytesBatch(6000 + absorbBytesSlice.getAndIncrement()),
+              "doc_id", "text", s"$root/labels", s"$root/idx",
+              shingleSize = 3, numHashes = 16, bands = 4,
+              threshold = 0.5)
+          }
+        recordBytes("absorbwall_prod_bucketed_outbytes", m, outBytes)
+        recordBytes("absorbwall_prod_bucketed_rows", m, rows)
+        outBytes
+      },
+      "absorbwall_prod_flatstore" -> { m =>
+        val root = s"$stageRoot/prodabsf/m$m"
+        if (!prodAbsorbBuilt(-m)) {
+          val base = corpus(m)
+          // a pre-bucketing FLAT labels store: build bucketed to a
+          // scratch path, rewrite the rows as one plain parquet dir
+          // (no meta) — absorb then takes the legacy corpus-sized
+          // staged-swap path over byte-identical content
+          Dedup.buildCanonicalLabels(base, "doc_id", "text",
+            s"$root/lbuck", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          val flat = Dedup.readLabels(spark, s"$root/lbuck")
+            .localCheckpoint()
+          flat.write.mode("overwrite").parquet(s"$root/labels")
+          Dedup.buildLshIndex(base, "doc_id", "text", s"$root/idx",
+            shingleSize = 3, numHashes = 16, bands = 4,
+            numBucketParts = 64)
+          prodAbsorbBuilt += -m
+        }
+        val (_, _, rows, outBytes) =
+          InputBytesMeter.measureRW(spark.sparkContext) {
+            Dedup.absorbIntoLabels(
+              absorbBytesBatch(7000 + absorbBytesSlice.getAndIncrement()),
+              "doc_id", "text", s"$root/labels", s"$root/idx",
+              shingleSize = 3, numHashes = 16, bands = 4,
+              threshold = 0.5)
+          }
+        recordBytes("absorbwall_prod_flatstore_outbytes", m, outBytes)
+        recordBytes("absorbwall_prod_flatstore_rows", m, rows)
+        outBytes
       },
       "rebuildlabels_corpus" -> { m =>
         val out = s"$stageRoot/abs/rebuild_m$m"
@@ -1476,12 +1559,16 @@ object ScaleProbe {
         }.mkString(",")
         println(s"""{"metric":"$metric","ops":{$bJson}}""")
       }
-    val (readSide, writeBytes) = bytesSeen.toSeq.partition(e =>
-      e._1._1.startsWith("readbytes_") || e._1._1.startsWith("probebytes_"))
     // rows-read is the exact local-FS scale proxy (see InputBytesMeter:
     // the vectorized reader's bytesRead misses column-chunk payload on
-    // file://); both series are emitted so either axis can be judged
-    val (readRows, readBytes) = readSide.partition(_._1._1.endsWith("_rows"))
+    // file://); both series are emitted so either axis can be judged.
+    // `_rows` series route to the rows line whatever their family;
+    // retractbytes_ measures the takedown's READ side.
+    val (readRows, bytesAll) = bytesSeen.toSeq
+      .partition(_._1._1.endsWith("_rows"))
+    val (readBytes, writeBytes) = bytesAll.partition(e =>
+      Seq("readbytes_", "probebytes_", "retractbytes_")
+        .exists(e._1._1.startsWith))
     printBytesLine("absorb_bytes_written", writeBytes)
     printBytesLine("probe_bytes_read", readBytes)
     printBytesLine("probe_rows_read", readRows)

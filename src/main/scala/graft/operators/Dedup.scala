@@ -1298,33 +1298,38 @@ object Dedup {
         .select(col("doc").as("__old"), col("canonical_id").as("__new")),
       "absorb_relabel", "__old", cb)
     val relabelH = hintIfSmall(relabel, nRelabel, DefaultBroadcastRowLimit)
-    val batchIds = batch.select(col(idCol).as("doc")).distinct()
-      .localCheckpoint()
+    val (batchIds, nBatch) = checkpointWithCount(
+      batch.select(col(idCol).as("doc")).distinct(), "absorb_batch")
     val batchRows = newLabels
       .join(broadcast(batchIds), Seq("doc"))
       .select(col("doc"), col("canonical_id"))
-    // O(touched) upsert set for the bucketed store: the batch's rows
-    // plus ONLY the old rows whose canonical changed — and those
-    // RELABELED MEMBERS are looked up in the canonical-keyed twin
-    // geometry (membersOfCanonicals), the secondary index that exists
-    // precisely because a doc-hash layout scatters a component's
-    // members across buckets. The anti-join against the batch ids is
-    // the partial-replay guard: a crashed mutation that committed some
-    // buckets leaves batch docs in the store, and a retry must not emit
-    // them twice.
-    // materialized (with its row count, one action) before any store
-    // mutation below: every read of the stored labels/index the upsert
-    // set needs is complete here
-    lazy val (touchedUpserts, nUpserts) = checkpointWithCount(
+    // the batch's final label rows — PURE INSERTS under the ids-disjoint
+    // contract (no stored row carries a batch doc), which is what the
+    // insert-append fast path below rides
+    lazy val batchInsert = batchRows
+      .select(col("doc"), col("canonical_id"),
+        (col("doc") === col("canonical_id")).as("is_keeper"))
+    // MOVED rows: ONLY the old rows whose canonical changed — looked up
+    // in the canonical-keyed twin geometry (membersOfCanonicals), the
+    // secondary index that exists precisely because a doc-hash layout
+    // scatters a component's members across buckets. Usually EMPTY
+    // (absorbing novel docs moves nothing) and always
+    // relabel-component-bounded. materialized (with its row count, one
+    // action) before any store mutation below.
+    lazy val (movedUpserts, nMoved) = checkpointWithCount(
       membersOfCanonicals(spark, labelsPath,
           relabel.select(col("__old")), relBk)
         .join(relabelH, col("canonical_id") === col("__old"))
         .select(col("doc"), col("__new").as("canonical_id"))
         .join(broadcast(batchIds), Seq("doc"), "left_anti")
-        .unionByName(batchRows)
         .select(col("doc"), col("canonical_id"),
           (col("doc") === col("canonical_id")).as("is_keeper")),
-      "absorb_upserts")
+      "absorb_moved")
+    // full upsert set (moved ∪ batch) — only the crash-replay fallback
+    // mutation consumes it; both legs derive from checkpoints, so the
+    // staging job that re-reads it never touches the store it mutates
+    lazy val touchedUpserts = movedUpserts.unionByName(batchInsert)
+    lazy val nUpserts = nMoved + nBatch
     // full merged table — only the flat-store and out-of-place paths
     // pay this corpus-sized materialization
     lazy val merged = labels
@@ -1505,22 +1510,78 @@ object Dedup {
     }
     nb match {
       case Some(n) if outLabels == labelsPath =>
-        // O(touched) path: rewrite only the buckets holding a batch row
-        // or a relabeled old row (two-phase commit-marker mutation —
-        // crash recovery is ArtifactStore.repairStore + re-run).
-        // touchedDocs derives from the CHECKPOINTED upserts — absorb
-        // never deletes, so the touched keys ARE the upsert keys. Both
-        // geometries mutate under ONE marker: the canonical-keyed
-        // twin's touched buckets are the upserts' new canonicals plus
-        // the relabeled OLD canonicals (where moved rows leave from).
-        val touchedDocs = touchedUpserts.select("doc")
-        val geoms = ArtifactStore.BucketGeom("b", "doc", n, touchedDocs) +:
-          cb.map(m => ArtifactStore.BucketGeom("c", "canonical_id", m,
-            touchedUpserts.select(col("canonical_id")).unionByName(
-              relabel.select(col("__old").as("canonical_id"))))).toSeq
-        ArtifactStore.mutateBucketsMulti(spark, outLabels, "doc", geoms,
-          hintIfSmall(touchedDocs, nUpserts, DefaultBroadcastRowLimit),
-          touchedUpserts)
+        // REPLAY PROBE (pruned, id-keyed — content-independent): has a
+        // crashed prior attempt already committed batch rows into the
+        // doc-keyed geometry? Normally empty; its emptiness is what
+        // licenses the insert-append fast path below.
+        val pObs = org.apache.spark.sql.Observation(
+          "absorb_present_" + java.util.UUID.randomUUID().toString.take(8))
+        val presentB = readLabelsForDocs(spark, labelsPath, batchIds, nlBk)
+          .join(broadcast(batchIds), Seq("doc"), "left_semi")
+          .select("doc").distinct()
+          .observe(pObs, count(lit(1)).as("__n"))
+          .localCheckpoint()
+        val nPresentB = Option(pObs.get("__n"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        // plain partitioned append of label rows into both geometries'
+        // live bucket dirs — new part-files only, no bucket content is
+        // read or rewritten
+        def appendGeometries(rows: DataFrame): Unit = {
+          rows.withColumn("b", pmod(hash(col("doc")), lit(n)))
+            .repartition(col("b")).write.mode("append")
+            .partitionBy("b").parquet(outLabels)
+          cb.foreach { m =>
+            rows.withColumn("c", pmod(hash(col("canonical_id")), lit(m)))
+              .repartition(col("c")).write.mode("append")
+              .partitionBy("c").parquet(outLabels)
+          }
+        }
+        if (nPresentB == 0L) {
+          // INSERT-APPEND fast path (round-13 verdict #1): under the
+          // ids-disjoint contract the batch's rows are pure inserts in
+          // BOTH geometries, so they append as new files — the
+          // two-phase bucket rewrite is needed only for the MOVED rows
+          // (old members whose canonical changed), whose buckets it
+          // rewrites and nothing else. An absorb of all-novel docs
+          // (the production crawl shape) therefore writes
+          // O(batch) bytes and reads no bucket content at all, where
+          // the old path re-staged every touched bucket of both
+          // geometries. Crash recovery stays re-run: the mutation is
+          // marker-protected as before; a crash between the two
+          // geometry appends leaves committed batch rows in b= that
+          // the replay probe sees, routing the retry down the full
+          // fallback mutation below, which drops-and-reinserts them
+          // exactly once and completes the missing twin rows.
+          if (nRelabel > 0L) {
+            val movedDocs = movedUpserts.select("doc")
+            val geoms =
+              ArtifactStore.BucketGeom("b", "doc", n, movedDocs) +:
+              cb.map(m => ArtifactStore.BucketGeom("c", "canonical_id", m,
+                relabel.select(col("__old").as("canonical_id"))
+                  .unionByName(
+                    relabel.select(col("__new").as("canonical_id"))))).toSeq
+            ArtifactStore.mutateBucketsMulti(spark, outLabels, "doc",
+              geoms,
+              hintIfSmall(movedDocs, nMoved, DefaultBroadcastRowLimit),
+              movedUpserts)
+            ()
+          }
+          appendGeometries(batchInsert)
+        } else {
+          // crash-replay fallback: rewrite every bucket holding a batch
+          // row or a moved row (the pre-round-14 shape) — drops the
+          // partially-committed batch rows and re-inserts everything
+          // exactly once, converging both geometries
+          val touchedDocs = touchedUpserts.select("doc")
+          val geoms = ArtifactStore.BucketGeom("b", "doc", n, touchedDocs) +:
+            cb.map(m => ArtifactStore.BucketGeom("c", "canonical_id", m,
+              touchedUpserts.select(col("canonical_id")).unionByName(
+                relabel.select(col("__old").as("canonical_id"))))).toSeq
+          ArtifactStore.mutateBucketsMulti(spark, outLabels, "doc", geoms,
+            hintIfSmall(touchedDocs, nUpserts, DefaultBroadcastRowLimit),
+            touchedUpserts)
+          ()
+        }
         // AUTO-REBALANCE hook (round-12 verdict #5): bucket bytes grow
         // with the corpus at fixed N, so the absorb that pushed the avg
         // live-bucket bytes ~4x past the build's recorded target

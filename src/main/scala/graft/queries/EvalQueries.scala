@@ -152,6 +152,33 @@ object EvalQueries {
     (lbl, idx)
   }
 
+  /** x152b base artifacts — the PRODUCTION-geometry generation: batch ≈
+    * corpus/512 and the labels store bucketed at N = 512 so a batch
+    * touches ≪ N buckets (the regime the twin-geometry mutation design
+    * targets — round-13 verdict: the bench graded the maintenance
+    * family only at the adversarial batch ≈ corpus/4 geometry where
+    * every bucket of both geometries is touched). Built once per
+    * (JVM, sf-dir); each evaluation file-copies it and absorbs IN
+    * PLACE, so re-evaluation is idempotent and the timed work is the
+    * absorb itself. */
+  private def absorbProdBaseFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = absorbBase.synchronized {
+    val tag = Integer.toHexString(d.hashCode)
+    val lbl = s"${ExtensionQueries.idxScratch}/prodlabels_$tag"
+    val idx = s"${ExtensionQueries.idxScratch}/prodidx_$tag"
+    if (!absorbBase(lbl)) {
+      val corpusDocs = tbl(s, d, "documents")
+        .filter(col("doc_id") % 512 =!= 0)
+      Dedup.buildCanonicalLabels(corpusDocs, "doc_id", "text", lbl,
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        numBuckets = 512)
+      Dedup.buildLshIndex(corpusDocs, "doc_id", "text", idx,
+        shingleSize = 3, numHashes = 16, bands = 4)
+      absorbBase += lbl
+    }
+    (lbl, idx)
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Source-overlap matrix (x114): pairwise shingle-set Jaccard between
@@ -977,6 +1004,30 @@ object EvalQueries {
               Some(s"${ExtensionQueries.idxScratch}/x152_labels_out"),
             outIndexPath =
               Some(s"${ExtensionQueries.idxScratch}/x152_idx_out"))
+          .orderBy("doc")
+      },
+      Some(fullLabelsOracle)),
+
+    // PRODUCTION-geometry in-place absorb (x152b, round-13 verdict #1):
+    // the same exactness contract as x152/x153 — absorb equals the full
+    // rebuild over corpus + batch — but at the geometry the maintenance
+    // design actually targets: batch ≈ corpus/512 into an N = 512
+    // bucketed store, so touched buckets ≪ N and the insert-append fast
+    // path writes O(batch) new files instead of re-staging every
+    // touched bucket of both geometries. x152/x153/x158 grade the
+    // machinery where batch ≈ corpus/4 touches everything (its
+    // worst case); this is the headliner that grades it in-regime.
+    QueryDef("x152b_label_absorb_prod",
+      (s, d) => {
+        val (lbl, idx) = absorbProdBaseFor(s, d)
+        val root = s"${ExtensionQueries.idxScratch}/x152b_prod"
+        rmTree(root)
+        copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+        val batch = tbl(s, d, "documents")
+          .filter(col("doc_id") % 512 === 0)
+        Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+            s"$root/idx", shingleSize = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
           .orderBy("doc")
       },
       Some(fullLabelsOracle)),

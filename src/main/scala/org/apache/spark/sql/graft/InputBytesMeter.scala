@@ -30,14 +30,27 @@ object InputBytesMeter {
     * on local runs; on HDFS/object stores bytesRead is the real number.
     */
   def measureIO[T](sc: SparkContext)(body: => T): (T, Long, Long) = {
+    val (r, ib, irows, _) = measureRW(sc)(body)
+    (r, ib, irows)
+  }
+
+  /** Input AND output: (result, bytesRead, recordsRead, bytesWritten).
+    * `outputMetrics.bytesWritten` counts the datasource files tasks
+    * commit — unlike the read side, it IS the payload on local FS, so
+    * it is the honest "bytes this mutation wrote" axis for the
+    * write-path probes (staged rewrites and appends alike, whichever
+    * path the operator takes). */
+  def measureRW[T](sc: SparkContext)(body: => T): (T, Long, Long, Long) = {
     val bytes = new AtomicLong(0L)
     val records = new AtomicLong(0L)
+    val outBytes = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
         val m = e.taskMetrics
         if (m != null) {
           bytes.addAndGet(m.inputMetrics.bytesRead)
           records.addAndGet(m.inputMetrics.recordsRead)
+          outBytes.addAndGet(m.outputMetrics.bytesWritten)
           ()
         }
       }
@@ -46,7 +59,7 @@ object InputBytesMeter {
     try {
       val result = body
       sc.listenerBus.waitUntilEmpty()
-      (result, bytes.get(), records.get())
+      (result, bytes.get(), records.get(), outBytes.get())
     } finally sc.removeSparkListener(listener)
   }
 }

@@ -108,6 +108,81 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
       .toSet shouldBe origSigs
   }
 
+  test("insert-append fast path: all-novel absorb appends new files only; untouched bucket content never rewritten") {
+    val root = freshRoot("bfast")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val before = bucketFiles(s"$root/labels")
+    // two novel singletons: no edges, no relabels → pure inserts
+    val batch = docs(90L -> blk("q", 15), 91L -> blk("w", 15))
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    val after = bucketFiles(s"$root/labels")
+    // every pre-existing file is still there byte-for-name — the absorb
+    // only ADDED files (the bucket rewrite would have replaced them)
+    before.foreach { case (dir, files) =>
+      files.subsetOf(after.getOrElse(dir, Set.empty)) shouldBe true
+    }
+    Dedup.buildCanonicalLabels(spreadCorpus.unionByName(batch), "doc_id",
+      "text", s"$root/labelsFull", shingleSize = 3, numHashes = 16,
+      bands = 8, threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+  }
+
+  test("crash between the two geometry appends: the replay probe routes the retry down the full mutation and both geometries converge") {
+    val root = freshRoot("bhalf")
+    Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+      s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5, numBuckets = 16)
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8)
+    val batch = docs(90L -> blk("q", 15), 91L -> blk("w", 15))
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    // simulate the crash window: delete the batch's rows from the
+    // canonical-keyed twin only (b= keeps them — exactly the state a
+    // kill between the two appends leaves)
+    import org.apache.spark.sql.functions.{col => c}
+    (0 until 16).foreach { k =>
+      val dir = new java.io.File(s"$root/labels/c=$k")
+      if (dir.exists()) {
+        val rows = spark.read.parquet(dir.toString)
+          .filter(!c("doc").isin(90L, 91L)).localCheckpoint()
+        Option(dir.listFiles()).getOrElse(Array.empty).foreach(_.delete())
+        if (rows.isEmpty) { dir.delete(); () }
+        else rows.write.mode("overwrite").parquet(dir.toString)
+      }
+    }
+    // the twin is now MISSING the batch; a by-canonical member read
+    // proves it
+    spark.read.parquet(
+        ArtifactStore.listBucketDirs(spark, s"$root/labels", "c"): _*)
+      .filter(c("doc").isin(90L, 91L)).count() shouldBe 0L
+    // re-running the SAME absorb must converge: the replay probe sees
+    // the committed b= rows and takes the full drop-and-reinsert path
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+      s"$root/idx", shingleSize = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+    Dedup.buildCanonicalLabels(spreadCorpus.unionByName(batch), "doc_id",
+      "text", s"$root/labelsFull", shingleSize = 3, numHashes = 16,
+      bands = 8, threshold = 0.5)
+    labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull")
+    // BOTH geometries hold the batch exactly once
+    val twin = spark.read.parquet(
+        ArtifactStore.listBucketDirs(spark, s"$root/labels", "c"): _*)
+      .filter(c("doc").isin(90L, 91L))
+    twin.count() shouldBe 2L
+    val main = spark.read.parquet(
+        ArtifactStore.listBucketDirs(spark, s"$root/labels", "b"): _*)
+      .filter(c("doc").isin(90L, 91L))
+    main.count() shouldBe 2L
+  }
+
   test("crash after commit marker: store untouched until repair; re-running the absorb converges") {
     val root = freshRoot("bcrash1")
     Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
