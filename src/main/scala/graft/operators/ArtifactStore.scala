@@ -627,6 +627,15 @@ private[graft] object ArtifactStore {
       fs.delete(bstaging, true)
       changed = true
     }
+    // a crashed insert-append's one-job staging (Dedup.appendGeometries):
+    // inert by construction (the live dirs gained nothing until the
+    // post-write renames), so debris is simply deleted — the gated
+    // replay probe covers a crash mid-rename
+    val appstage = new Path(s"$root/.__appstage")
+    if (fs.exists(appstage)) {
+      fs.delete(appstage, true)
+      changed = true
+    }
     val rootP = new Path(root)
     val rootStaging = new Path(s"$root.__staging")
     val rootOld = new Path(s"$root.__old")
@@ -703,6 +712,7 @@ private[graft] object ArtifactStore {
         else Seq.empty
       val names = children.map(_.getPath.getName)
       val leftovers = (names.count(n => n == ".__bstaging" ||
+          n == ".__appstage" ||
           n.endsWith(".__staging") || n.endsWith(".__old")) +
         Seq(s"$root.__staging", s"$root.__old")
           .count(p => fs.exists(new Path(p)))).toLong

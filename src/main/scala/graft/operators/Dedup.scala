@@ -1367,6 +1367,13 @@ object Dedup {
     // a failure between the writes left labels CONTAINING the batch, so
     // a retry found nothing to do and the index silently missed the
     // batch's near-dup edges forever (round-10 advisory).
+    // the index-side present count doubles as the labels-side REPLAY
+    // detector (zero extra jobs): the index is written FIRST, so a
+    // crashed prior attempt that reached the labels appends necessarily
+    // committed the batch's index rows — Some(0) therefore certifies no
+    // batch row can exist in the labels store and the insert-append
+    // fast path below skips its probe read entirely
+    val indexPresent: Option[Long] =
     if (outIndex == indexPath) {
       // idempotent append: drop batch rows each store already holds
       // (ArtifactStore.appendMissing — the store scan checkpoints
@@ -1458,6 +1465,7 @@ object Dedup {
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
             batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
             partitionCols = Seq("h"), presentKeys = Some(bucketsPresent))
+          Some(nPresentDocs)
         case _ =>
           // legacy layouts (flat, or single-substore partitioning from
           // interim generations): the default full-substore key checks
@@ -1486,6 +1494,7 @@ object Dedup {
               ArtifactStore.appendMissing(spark, outIndex, "buckets",
                 "doc", batchDocs, bBuckets)
           }
+          None
       }
     } else {
       // the audit copies are written FLAT (f/h are physical layouts of
@@ -1507,34 +1516,76 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$outIndex/meta")
         invalidateIndexMeta(spark, outIndex)
       }
+      None
     }
     nb match {
       case Some(n) if outLabels == labelsPath =>
         // REPLAY PROBE (pruned, id-keyed — content-independent): has a
         // crashed prior attempt already committed batch rows into the
-        // doc-keyed geometry? Normally empty; its emptiness is what
-        // licenses the insert-append fast path below.
-        val pObs = org.apache.spark.sql.Observation(
-          "absorb_present_" + java.util.UUID.randomUUID().toString.take(8))
-        val presentB = readLabelsForDocs(spark, labelsPath, batchIds, nlBk)
-          .join(broadcast(batchIds), Seq("doc"), "left_semi")
-          .select("doc").distinct()
-          .observe(pObs, count(lit(1)).as("__n"))
-          .localCheckpoint()
-        val nPresentB = Option(pObs.get("__n"))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        // doc-keyed geometry? Its emptiness is what licenses the
+        // insert-append fast path below. The probe read itself is
+        // GATED on the index-side present count (zero extra jobs on
+        // the normal path): the index commits before the labels, so a
+        // batch the index has never seen cannot have label rows — only
+        // when the index says "seen before" (crash retry or the
+        // out-of-contract case) does the probe actually scan the batch
+        // ids' buckets.
+        val nPresentB: Long =
+          if (indexPresent.contains(0L)) 0L
+          else {
+            val pObs = org.apache.spark.sql.Observation(
+              "absorb_present_" + java.util.UUID.randomUUID().toString.take(8))
+            readLabelsForDocs(spark, labelsPath, batchIds, nlBk)
+              .join(broadcast(batchIds), Seq("doc"), "left_semi")
+              .select("doc").distinct()
+              .observe(pObs, count(lit(1)).as("__n"))
+              .localCheckpoint()
+            Option(pObs.get("__n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+          }
         // plain partitioned append of label rows into both geometries'
         // live bucket dirs — new part-files only, no bucket content is
-        // read or rewritten
+        // read or rewritten. ONE Spark job for both geometries (the
+        // mutateBucketsMulti g/k staging trick): rows land tagged under
+        // `.__appstage/g=<p>/k=<k>`, then driver-side renames move each
+        // part-file into its live `<p>=<k>` dir — file moves, no second
+        // shuffle. Crash anywhere leaves either inert `.__appstage`
+        // debris (deleted on the next entry repair) or a partial move,
+        // which the gated replay probe catches on retry exactly like
+        // the old two-append window (per-doc atomicity holds: a doc's
+        // row lives in exactly one staged file).
         def appendGeometries(rows: DataFrame): Unit = {
-          rows.withColumn("b", pmod(hash(col("doc")), lit(n)))
-            .repartition(col("b")).write.mode("append")
-            .partitionBy("b").parquet(outLabels)
-          cb.foreach { m =>
-            rows.withColumn("c", pmod(hash(col("canonical_id")), lit(m)))
-              .repartition(col("c")).write.mode("append")
-              .partitionBy("c").parquet(outLabels)
+          import org.apache.hadoop.fs.Path
+          val fsys = new Path(outLabels)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val stage = s"$outLabels/.__appstage"
+          ArtifactStore.deletePath(spark, stage)
+          val parts =
+            Seq(("b", pmod(hash(col("doc")), lit(n)))) ++
+              cb.map(m => ("c", pmod(hash(col("canonical_id")), lit(m))))
+          parts.map { case (g, k) =>
+              rows.select(lit(g).as("g"), k.as("k"), col("doc"),
+                col("canonical_id"), col("is_keeper"))
+            }.reduce(_ unionByName _)
+            .repartition(col("g"), col("k"))
+            .write.mode("overwrite").partitionBy("g", "k").parquet(stage)
+          parts.foreach { case (g, _) =>
+            val gDir = new Path(s"$stage/g=$g")
+            if (fsys.exists(gDir)) fsys.listStatus(gDir).foreach { kSt =>
+              val kName = kSt.getPath.getName // k=<id>
+              if (kName.startsWith("k=")) {
+                val target = new Path(
+                  s"$outLabels/$g=${kName.stripPrefix("k=")}")
+                fsys.mkdirs(target)
+                fsys.listStatus(kSt.getPath).foreach { f =>
+                  if (f.getPath.getName.startsWith("part-"))
+                    require(fsys.rename(f.getPath,
+                      new Path(target, f.getPath.getName)),
+                      s"appendGeometries: could not move ${f.getPath}")
+                }
+              }
+            }
           }
+          ArtifactStore.deletePath(spark, stage)
         }
         if (nPresentB == 0L) {
           // INSERT-APPEND fast path (round-13 verdict #1): under the
@@ -1795,6 +1846,7 @@ object Dedup {
           .write.mode("overwrite").parquet(s"$outIndex/meta")
         invalidateIndexMeta(spark, outIndex)
       }
+      None
     }
     nb match {
       case Some(n) if outLabels == labelsPath =>
