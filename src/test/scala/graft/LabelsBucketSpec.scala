@@ -465,6 +465,57 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
       full.collect { case (d, (c, _)) if c == 50L => d }.toSet
   }
 
+  test("rebalanceLshIndex: probes exact and inputFiles-pruned on the NEW geometry; tombstones folded; meta target re-measured") {
+    import spark.implicits._
+    val root = freshRoot("blshreb")
+    Dedup.buildLshIndex(spreadCorpus, "doc_id", "text", s"$root/idx",
+      shingleSize = 3, numHashes = 16, bands = 8,
+      bucketTargetBytes = 1L) // plant 4x drift so the advisor trips
+    // retract one doc first: the rebalance must FOLD the tombstone
+    Dedup.retractFromLabels(docs(12L -> "").select("doc_id"), "doc_id",
+      {
+        // retractFromLabels needs a labels store; build a small one
+        Dedup.buildCanonicalLabels(spreadCorpus, "doc_id", "text",
+          s"$root/labels", shingleSize = 3, numHashes = 16, bands = 8,
+          threshold = 0.5, numBuckets = 4)
+        s"$root/labels"
+      }, s"$root/idx", threshold = 0.5)
+    new java.io.File(s"$root/idx/tombstones").exists() shouldBe true
+    // the advisor sees the planted byte drift and orders rebalance
+    val advice = ArtifactStore.maintenanceAdvice(
+      ArtifactStore.census(spark, Seq(("idx", s"$root/idx"))))
+    advice.head().getAs[String]("action") shouldBe "rebalance"
+    Dedup.rebalanceLshIndex(spark, s"$root/idx", numBucketParts = 64)
+    // tombstones folded; target re-measured off the planted 1 byte
+    new java.io.File(s"$root/idx/tombstones").exists() shouldBe false
+    Dedup.invalidateIndexMeta(spark, s"$root/idx")
+    val meta = ArtifactStore.cachedMeta(spark, s"$root/idx").get
+    meta.getAs[Int]("bucket_parts") shouldBe 64
+    meta.getAs[Long]("bucket_target_bytes") should be > 1L
+    // probe answers exact vs the in-plan reference over the live corpus
+    // (doc 12 retracted), and the candidate read touches only the
+    // batch's own h dirs of the NEW 64-part geometry
+    val live = spreadCorpus.filter(col("doc_id") =!= 12L)
+    val batch = docs(90L -> blk("z", 20).replace("z3 ", "z3q "))
+    val res = Dedup.probeLshIndex(batch, s"$root/idx", "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    val ref = Dedup.incrementalNearDup(batch, live, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 8, threshold = 0.5)
+    res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      ref.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hDirs = res.inputFiles.filter(_.contains("/buckets/h="))
+      .map(f => f.substring(0, f.lastIndexOf('/'))).distinct
+    val allH = ArtifactStore.listBucketDirs(spark, s"$root/idx/buckets",
+      "h").size
+    allH should be > 8
+    hDirs.length should be <= 8 // one doc x 8 bands
+    hDirs.length should be < allH
+    // post-rebalance the advisor is satisfied
+    ArtifactStore.maintenanceAdvice(
+        ArtifactStore.census(spark, Seq(("idx", s"$root/idx"))))
+      .head().getAs[String]("action") shouldBe "ok"
+  }
+
   test("absorb auto-rebalances when avg bucket bytes drift past 4x the build target") {
     val root = freshRoot("bauto")
     // pass 1: measure the store's natural size at N=2
