@@ -83,8 +83,13 @@ object Bench {
     // pair consumer over the tombstoned index is excluded like other
     // consumers. x158 is the STREAMING absorb drain — three real
     // micro-batches through foreachBatch, so its number is mostly the
-    // fixed micro-batch machinery on top of x153's absorb cost.)
+    // fixed micro-batch machinery on top of x153's absorb cost; x158b
+    // is its PRODUCTION-geometry twin (round-14 verdict #4): chunk ≈
+    // corpus/96 into an N = 512 store, so its per-micro-batch cost is
+    // the in-regime trend line for the drain class — flat in corpus
+    // size, where x158's adversarial geometry touches every bucket.)
     "x157_label_retract", "x158_stream_label_absorb",
+    "x158b_stream_label_absorb_prod",
     // (x164 is the vector family's lifecycle — per-run build + absorb +
     // probe over the embeddings table; x165's retraction adds only a
     // tombstone append on top and is excluded. x120b pairs with x120 —
@@ -148,13 +153,32 @@ object Bench {
     * Not in SparkEntry.queries: sketch values have no cross-engine oracle.
     */
   private[graft] val benchOnly: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("x23b_sketch_only" -> { (s, dd) =>
-      import org.apache.spark.sql.functions._
-      queries.QueryDef.events(s, dd)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("apcts"))
-    })
+    Map(
+      "x23b_sketch_only" -> { (s, dd) =>
+        import org.apache.spark.sql.functions._
+        queries.QueryDef.events(s, dd)
+          .groupBy("event_type")
+          .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+            expr("approx_percentile(value, array(0.5, 0.99), 1000)").as("apcts"))
+      },
+      // x152b's bench twin (round-14 verdict #1): the strict-gate query
+      // file-copies the N = 512 two-geometry base per evaluation, so its
+      // wall number measured mostly copyTree + per-file constants, not
+      // the absorb it exists to grade. Here the copy runs UNTIMED via
+      // benchSetup before every execution and the timed body is the
+      // absorb alone — same artifact key, so the cross-round trend line
+      // now tracks the production-geometry absorb. The correctness gate
+      // keeps running the full self-contained query from SparkEntry.
+      "x152b_label_absorb_prod" -> ((s, dd) =>
+        queries.EvalQueries.prodAbsorbOnScratch(s, dd)))
+
+  /** Per-query UNTIMED staging run before every timed execution (the
+    * timing-split hook): `once` runs it outside its clock, so per-eval
+    * scratch copies stop polluting the number the query exists to
+    * grade. */
+  private[graft] val benchSetup: Map[String, (SparkSession, String) => Unit] =
+    Map("x152b_label_absorb_prod" -> ((s, dd) =>
+      queries.EvalQueries.stageProdAbsorbScratch(s, dd)))
 
   /** Location of the full bench artifact (per-query map + iteration
     * samples). The stdout summary line carries only totals + a pointer here:
@@ -259,6 +283,13 @@ object Bench {
     // via same-round reproductions.
     val qlist = headline.filter(qs.contains)
     def once(name: String): Double = {
+      // per-query staging (scratch-copy setup) runs OUTSIDE the clock —
+      // the timed region is the work the query grades
+      benchSetup.get(name).foreach(f =>
+        try f(spark, sfDir) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name setup failed: ${e.getMessage}")
+        })
       val t0 = System.nanoTime()
       try { qs(name)(spark, sfDir).count() } catch {
         case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -291,10 +322,12 @@ object Bench {
       // JIT curve (observed on the IVF query: cold 1.03 vs 0.98 flipped
       // inner and manufactured a 25% artifact-to-artifact difference).
       val inner = if (warm(name) < 1.0) 3 else 1
-      val t0 = System.nanoTime()
+      // sum of once()'s own timed regions, NOT one clock around the
+      // loop — once() runs any benchSetup staging untimed inside it
+      var acc = 0.0
       var i = 0
-      while (i < inner) { once(name); i += 1 }
-      (System.nanoTime() - t0) / 1e9 / inner
+      while (i < inner) { acc += once(name); i += 1 }
+      acc / inner
     }
     val samples = scala.collection.mutable.Map(
       qlist.map(_ -> Vector.empty[Double]): _*)

@@ -22,14 +22,31 @@ import org.apache.spark.sql.functions._
   *    per (JVM, qualified path) (`cachedMeta`; builds seed the cache) —
   *    a per-batch driver job here is exactly the per-batch overhead a
   *    many-small-batches maintenance loop must not pay.
+  *
+  * RENAME CONTRACT (applies to every staged swap here — `swapRootStaged`,
+  * `stageRootSwap`, `mutateBucketsMulti`'s per-bucket applies — and to
+  * the one-job insert append's post-write renames in
+  * `Dedup.appendGeometries`): crash safety and the O(touched) cost
+  * claims assume `FileSystem.rename` is a CHEAP ATOMIC METADATA
+  * operation — HDFS semantics, which local FS also provides. On raw
+  * object stores (S3A) a "rename" is a non-atomic server-side
+  * copy+delete: the swap window can expose a partially renamed store
+  * AND each swap silently pays a data copy, turning the O(touched)
+  * mutations back into O(store) I/O. Deploy object-store-backed
+  * artifacts behind a layer that restores rename semantics — HDFS, a
+  * table format's commit protocol (Delta/Iceberg), or an
+  * HDFS-compatible store (e.g. S3-backed HDFS tiers) — never a raw
+  * `s3a://` root.
   */
 private[graft] object ArtifactStore {
 
-  /** Test-only crash injection for the two-phase bucket mutation: 0 =
-    * off; 1 = die right after the `__COMMIT` marker lands (staging
-    * complete, nothing applied); 2 = die after the first bucket
-    * applies (mixed live state). Specs use it to drive `repairStore`
-    * through every crash window. */
+  /** Test-only crash injection for the staged mutations: 0 = off; 1 =
+    * die right after the bucket mutation's `__COMMIT` marker lands
+    * (staging complete, nothing applied); 2 = die after the first
+    * bucket applies (mixed live state); 3 = die in `stageRootSwap`
+    * right after the root `_SUCCESS` marker lands, before the swap
+    * renames (complete marked staging parked beside the live root).
+    * Specs use it to drive `repairStore` through every crash window. */
   @volatile private[graft] var testCrashPoint: Int = 0
 
   /** Count of actual meta-store read JOBS, for specs pinning "at most
@@ -194,8 +211,12 @@ private[graft] object ArtifactStore {
     * keys roll-forward on) is driver-written LAST, then the two-rename
     * swap runs. Crash anywhere: before the marker the live root is
     * untouched (debris cleared on the next entry/repair); after it,
-    * `repairStore` rolls the complete staging forward. Callers refresh
-    * the meta cache themselves (`invalidateMeta`/`seedMeta`).
+    * `repairStore` rolls the complete staging forward — INCLUDING the
+    * marker→first-rename window where the live root is still present
+    * (round-14 advisory: the repair used to delete the marked staging
+    * there, silently losing a completed mutation such as a histogram
+    * retraction). Callers refresh the meta cache themselves
+    * (`invalidateMeta`/`seedMeta`).
     */
   def stageRootSwap(spark: SparkSession, root: String)(
       write: String => Unit): Unit = {
@@ -210,6 +231,9 @@ private[graft] object ArtifactStore {
     // the root-level marker means "every substore landed" and must be
     // the last write before the swap
     fs.create(new Path(s"$root.__staging/_SUCCESS"), true).close()
+    if (testCrashPoint == 3)
+      throw new IllegalStateException(
+        "testCrashPoint=3: crash after root marker, before the swap")
     swapRootStaged(fs, root)
   }
 
@@ -613,8 +637,12 @@ private[graft] object ArtifactStore {
     *    died; the live store was never touched. Delete the debris.
     *  - root missing but `<root>.__staging` complete (`_SUCCESS`) →
     *    roll the root swap forward; with only `<root>.__old` present →
-    *    roll it back. Leftover staging/old beside a LIVE root is
-    *    debris from a completed swap — deleted.
+    *    roll it back. A MARKED `<root>.__staging` beside a LIVE root is
+    *    the marker→first-rename crash window of `stageRootSwap` — the
+    *    staging is complete and the mutation committed, so the swap is
+    *    FINISHED here (round-14 advisory: deleting it silently lost the
+    *    mutation). Unmarked staging/old beside a live root is debris
+    *    from a completed swap — deleted.
     */
   def repairStore(spark: SparkSession, root: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -649,6 +677,14 @@ private[graft] object ArtifactStore {
           s"repairStore: could not roll $rootOld back")
         changed = true
       }
+    } else if (fs.exists(new Path(s"$root.__staging/_SUCCESS"))) {
+      // marker landed but the swap never ran (stageRootSwap's
+      // marker→first-rename crash window): the staging is complete and
+      // the mutation committed — finish the swap instead of discarding
+      // it (round-14 advisory: deleting the marked staging here
+      // silently lost e.g. a completed histogram retraction)
+      swapRootStaged(fs, root)
+      changed = true
     }
     if (fs.exists(rootStaging)) { fs.delete(rootStaging, true); () }
     if (fs.exists(rootOld)) { fs.delete(rootOld, true); () }
@@ -695,16 +731,35 @@ private[graft] object ArtifactStore {
     * readers are still anti-joining — compact when it grows) and its
     * crash evidence (staging/`.__old` leftovers a killed mutation
     * parked — `repairStore` clears them). Bucketed stores collapse
-    * their `b=<k>` dirs into one `b=*` substore. Row counts are
-    * column-pruned parquet count scans; everything else is directory
-    * listings.
+    * their `b=<k>` dirs into one `b=*` substore.
+    *
+    * COST (round-14 verdict #6): every row count — all substores of all
+    * artifacts, plus every tombstone set — runs as ONE Spark job (the
+    * zero-column scans are tagged with (artifact, substore) literals,
+    * unioned, and counted in one group-by), so a nightly fleet census
+    * costs one job + per-artifact directory listings, not
+    * fleet × substores jobs. The vectorized parquet reader answers a
+    * zero-column scan from row-group counts, exactly like `count()`.
+    *
+    * The build-time bucket-byte sizing target rides ONLY the substore
+    * row of the geometry it was measured on (labels `b=*`, LSH
+    * `buckets`, IVF `vectors` — round-14 advisory: attaching the labels
+    * /LSH target to every partitioned substore made the LSH `features`
+    * row trip the drift rule whenever feature bytes outgrow bucket
+    * bytes — plausible on real text — and the advisor then ordered
+    * rebalance forever without converging).
     */
   def census(spark: SparkSession,
       artifacts: Seq[(String, String)]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val PartDir = "^[a-z]+=\\d+$".r
-    val out = artifacts.flatMap { case (alias, root) =>
+    // pass 1 — FS listings only: row skeletons + the (artifact,
+    // substore) → paths groups whose rows the single count job fills in
+    case class Pending(alias: String, sub: String, paths: Seq[String],
+        tombPath: Option[String], leftovers: Long, bytes: Long,
+        dirs: Long, target: Long)
+    val pend: Seq[Pending] = artifacts.flatMap { case (alias, root) =>
       val fs = fileSystem(spark, root)
       val rootP = new Path(root)
       val children =
@@ -716,15 +771,22 @@ private[graft] object ArtifactStore {
           n.endsWith(".__staging") || n.endsWith(".__old")) +
         Seq(s"$root.__staging", s"$root.__old")
           .count(p => fs.exists(new Path(p)))).toLong
-      val tombRows =
-        if (names.contains("tombstones"))
-          spark.read.parquet(s"$root/tombstones").count()
-        else 0L
-      // the artifact's recorded bucket-byte sizing target (labels and
-      // LSH builds record one) — the advisor's rebalance reference
-      val target = cachedMeta(spark, root)
-        .filter(_.schema.fieldNames.contains("bucket_target_bytes"))
-        .map(_.getAs[Long]("bucket_target_bytes")).getOrElse(0L)
+      val tombPath =
+        if (names.contains("tombstones")) Some(s"$root/tombstones")
+        else None
+      // the artifact's recorded sizing target and WHICH geometry it was
+      // measured on, inferred from the meta's build-contract shape
+      val metaFields = cachedMeta(spark, root)
+        .map(_.schema.fieldNames.toSet).getOrElse(Set.empty[String])
+      val (target, targetSub) =
+        if (metaFields.contains("bucket_target_bytes")) {
+          val t = cachedMeta(spark, root).get
+            .getAs[Long]("bucket_target_bytes")
+          (t, if (metaFields.contains("num_buckets")) "b=*" else "buckets")
+        } else if (metaFields.contains("cell_target_bytes"))
+          (cachedMeta(spark, root).get.getAs[Long]("cell_target_bytes"),
+            "vectors")
+        else (0L, "")
       val live = children.filter { st =>
         val n = st.getPath.getName
         !n.startsWith(".") && !n.startsWith("_") && n != "tombstones" &&
@@ -735,7 +797,6 @@ private[graft] object ArtifactStore {
         case AnyBucketDir(p, _) => s"$p=*"
         case n => n
       }).toSeq.map { case (sub, sts) =>
-        val rows = spark.read.parquet(sts.map(_.getPath.toString): _*).count()
         // geometry observables (FS listings only): total data bytes of
         // the group's dirs, and the bucket-dir count — root-level
         // `x=*` groups count their own dirs; a substore child holding
@@ -749,16 +810,38 @@ private[graft] object ArtifactStore {
               c.isDirectory && PartDir.findFirstIn(c.getPath.getName)
                 .isDefined).toLong
           else 0L
-        (alias, sub, rows, tombRows, leftovers, bytes, dirs, target)
+        Pending(alias, sub, sts.map(_.getPath.toString), tombPath,
+          leftovers, bytes, dirs, if (sub == targetSub) target else 0L)
       }
       // an artifact whose root holds ONLY crash debris or tombstones
       // (a mutation died before any live substore landed) must still
       // surface — it is the exact state the repair advice exists for;
       // with zero live substores the groupBy above would emit nothing
       // and the advisor would stay silent (round-13 advisory)
-      if (liveRows.isEmpty && (leftovers > 0 || tombRows > 0))
-        Seq((alias, "(none)", 0L, tombRows, leftovers, 0L, 0L, target))
+      if (liveRows.isEmpty && (leftovers > 0 || tombPath.isDefined))
+        Seq(Pending(alias, "(none)", Seq.empty, tombPath, leftovers, 0L,
+          0L, 0L))
       else liveRows
+    }
+    // pass 2 — ONE job for every row count: each group scans zero real
+    // columns (two literals), the union groups by them
+    val tombGroups = pend.flatMap(p => p.tombPath.map(t => (p.alias, t)))
+      .distinct.map { case (a, t) => (a, "__tombstones", Seq(t)) }
+    val groups = pend.filter(_.paths.nonEmpty)
+      .map(p => (p.alias, p.sub, p.paths)) ++ tombGroups
+    val counts: Map[(String, String), Long] =
+      if (groups.isEmpty) Map.empty
+      else groups.map { case (a, sName, paths) =>
+        spark.read.parquet(paths: _*)
+          .select(lit(a).as("__a"), lit(sName).as("__s"))
+      }.reduce(_ unionByName _)
+        .groupBy("__a", "__s").agg(count(lit(1)).as("__n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out = pend.map { p =>
+      (p.alias, p.sub, counts.getOrElse((p.alias, p.sub), 0L),
+        counts.getOrElse((p.alias, "__tombstones"), 0L), p.leftovers,
+        p.bytes, p.dirs, p.target)
     }
     out.toDF("artifact", "substore", "rows", "tombstone_rows",
         "crash_leftovers", "live_bytes", "bucket_dirs",
@@ -782,6 +865,13 @@ private[graft] object ArtifactStore {
     *                4× the build-time target recorded in the meta
     *                (labels `b=*`, LSH `buckets`): mutations rewrite
     *                ever-fatter buckets and probe pruning's win decays.
+    *  - `retrain` — the SAME 4× drift on the IVF `vectors` geometry
+    *                (round-14 verdict #2): its cells are
+    *                codebook-derived, not hash-assigned, so the remedy
+    *                is `VectorIndex.retrainIvfIndex` — corpus growth or
+    *                a shifted ingest distribution fattens cells exactly
+    *                the way it fattens label buckets, and re-hashing
+    *                cannot fix a stale codebook.
     *  - `ok`      — none of the above.
     *
     * Pure transformation over the (artifact, substore, rows,
@@ -791,19 +881,25 @@ private[graft] object ArtifactStore {
   def maintenanceAdvice(census: DataFrame,
       debtX10000: Long = 1000L): DataFrame = {
     require(debtX10000 >= 0, "maintenanceAdvice: debtX10000 must be >= 0")
-    // geometry drift: some substore's avg bucket-dir bytes exceed 4× the
-    // artifact's recorded sizing target (the labels/LSH auto-rebalance
-    // rule, decided centrally). Exact integers: bytes > 4·target·dirs.
-    // Census frames from before the geometry columns (hand-built spec
-    // fixtures) simply never advise rebalance.
+    // geometry drift: the measured substore's avg bucket-dir bytes
+    // exceed 4× the artifact's recorded sizing target (the labels/LSH
+    // auto-rebalance rule, decided centrally). Exact integers:
+    // bytes > 4·target·dirs. The census attaches the target ONLY to the
+    // geometry row it was measured on (round-14 advisory), so substores
+    // with a different bytes-per-row shape (LSH `features`) can never
+    // trip the rule; the remedy depends on the tripping geometry —
+    // hash-bucketed stores re-partition, the codebook-derived `vectors`
+    // geometry retrains. Census frames from before the geometry columns
+    // (hand-built spec fixtures) simply never advise either.
     val hasGeom = census.columns.contains("live_bytes")
     val overgrown =
       if (hasGeom)
         max(when(col("bucket_dirs") > 0 && col("target_bucket_bytes") > 0 &&
           col("live_bytes") >
             lit(4L) * col("target_bucket_bytes") * col("bucket_dirs"),
-          lit(1L)).otherwise(lit(0L)))
-      else max(lit(0L))
+          when(col("substore") === "vectors", lit("retrain"))
+            .otherwise(lit("rebalance"))))
+      else max(lit(null).cast("string"))
     census.groupBy("artifact")
       .agg(sum(col("rows")).as("total_rows"),
         // per-artifact constants repeated on every substore row
@@ -814,7 +910,7 @@ private[graft] object ArtifactStore {
         when(col("crash_leftovers") > 0, "repair")
           .when(col("tombstone_rows") * 10000 >
             lit(debtX10000) * col("total_rows"), "compact")
-          .when(col("__overgrown") > 0, "rebalance")
+          .when(col("__overgrown").isNotNull, col("__overgrown"))
           .otherwise("ok"))
       .drop("__overgrown")
       .orderBy("artifact")

@@ -369,20 +369,40 @@ object Eval {
   def preferencePairs(df: DataFrame, groupCols: Seq[String], idCol: String,
       score: Column, minMargin: Long = 1L): DataFrame = {
     require(groupCols.nonEmpty, "preferencePairs: groupCols must be non-empty")
-    // fail loud on non-numeric ids/scores (round-13 advisory): the long
-    // casts below turn a string id into NULL silently, and a null id
-    // corrupts the chosen/rejected selection instead of erroring
-    require(df.schema(idCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"preferencePairs: id column '$idCol' must be numeric " +
-        s"(got ${df.schema(idCol).dataType.catalogString}) — a non-numeric " +
-        "id would cast to NULL and silently corrupt the pair selection")
-    require(df.select(score.as("__s")).schema("__s").dataType
-        .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      "preferencePairs: score must be numeric — a non-numeric score " +
-        "would cast to NULL and silently corrupt the pair selection")
-    df.select(groupCols.map(col) :+ col(idCol).cast("long").as("__id")
-        :+ score.cast("long").as("__s"): _*)
+    // fail loud on non-numeric ids/scores (round-13 advisory, relaxed
+    // per the round-14 one): the long casts below turn a non-numeric
+    // value into NULL silently, and a null id corrupts the chosen/
+    // rejected selection instead of erroring. Numeric columns pass;
+    // STRING columns are accepted (numeric text like "123" casts
+    // cleanly and real feeds carry it) but guarded VALUE-wise — a
+    // string that fails the cast raises in-plan at execution, zero
+    // extra jobs. Any other type is rejected at plan time.
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    def checkedLong(c: Column, dt: org.apache.spark.sql.types.DataType,
+        what: String): Column = dt match {
+      case _: NumericType => c.cast("long")
+      case StringType =>
+        // try_cast, not cast: under ANSI the plain cast throws its own
+        // (row-context-free) error, without ANSI it NULLs silently —
+        // try_cast nulls in BOTH modes, so the guard below owns the
+        // failure with the offending value in the message
+        val casted = c.try_cast("long")
+        when(c.isNotNull && casted.isNull,
+          raise_error(concat(lit(s"preferencePairs: $what value '"), c,
+            lit("' is not numeric — it would cast to NULL and silently " +
+              "corrupt the pair selection"))))
+          .otherwise(casted)
+      case other => throw new IllegalArgumentException(
+        s"preferencePairs: $what must be numeric or numeric text " +
+          s"(got ${other.catalogString}) — a non-numeric $what would " +
+          "cast to NULL and silently corrupt the pair selection")
+    }
+    val idCast = checkedLong(col(idCol), df.schema(idCol).dataType,
+      s"id column '$idCol'")
+    val scoreCast = checkedLong(score,
+      df.select(score.as("__s")).schema("__s").dataType, "score")
+    df.select(groupCols.map(col) :+ idCast.as("__id")
+        :+ scoreCast.as("__s"): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(
         max_by(col("__id"), struct(col("__s"), -col("__id"))).as("chosen_id"),

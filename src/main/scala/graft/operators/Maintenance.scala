@@ -20,6 +20,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *                  store (`num_buckets` meta) via `Dedup
   *                  .rebalanceLabels` at N = ceil(bytes / target), an
   *                  LSH index via `Dedup.rebalanceLshIndex` (auto-sized)
+  *  - `retrain`   → the IVF family's geometry maintenance (round-14
+  *                  verdict #2): `VectorIndex.retrainIvfIndex` — its
+  *                  cells are codebook-derived, so drift is fixed by
+  *                  retraining the quantizer, never by re-hashing
   *  - `ok`        → nothing.
   *
   * An advice row whose action has no registered operation for the
@@ -40,6 +44,16 @@ object Maintenance {
       artifacts: Seq[(String, String)], debtX10000: Long = 1000L,
       dryRun: Boolean = false): DataFrame = {
     import spark.implicits._
+    // a duplicate alias would silently keep only the LAST root in the
+    // dispatch map while the census/advice rows keep both — one store's
+    // advice would then run against the other's root (round-14 verdict
+    // #5): refuse loud
+    val dup = artifacts.groupBy(_._1).collect {
+      case (a, rs) if rs.size > 1 => a
+    }
+    require(dup.isEmpty, "executeMaintenance: duplicate artifact " +
+      s"alias(es) ${dup.mkString(", ")} — aliases must be distinct or " +
+      "advice would mis-route to the wrong root")
     val advice = ArtifactStore.maintenanceAdvice(
       ArtifactStore.census(spark, artifacts), debtX10000)
     val rootOf = artifacts.toMap
@@ -55,6 +69,7 @@ object Maintenance {
           (true, "repairStore")
         case "compact" => compactFor(spark, root)
         case "rebalance" => rebalanceFor(spark, root)
+        case "retrain" => retrainFor(spark, root)
         case other => (false, s"unknown action '$other'")
       }
       (alias, action, executed, detail)
@@ -97,4 +112,12 @@ object Maintenance {
     } else
       (false, "no rebalancer for this store shape")
   }
+
+  private def retrainFor(spark: SparkSession,
+      root: String): (Boolean, String) =
+    if (has(spark, root, "vectors") && has(spark, root, "centroids")) {
+      VectorIndex.retrainIvfIndex(spark, root)
+      (true, "retrainIvfIndex")
+    } else
+      (false, "no retrainer for this store shape")
 }

@@ -162,9 +162,18 @@ object Profile {
     * Layout under `path`:
     *   `shards`   (shard, bucket, cnt) — the folded histograms; after a
     *              compact, merged rows carry a NULL shard
-    *   `absorbed` (shard)              — the shard-id ledger; absorb
-    *              idempotency survives compaction because the ledger
-    *              keeps the identities the merged rows lose
+    *   `absorbed` (shard, fp_rows, fp_sum) — the shard-id ledger;
+    *              absorb idempotency survives compaction because the
+    *              ledger keeps the identities the merged rows lose.
+    *              fp_rows/fp_sum fingerprint the shard's folded
+    *              histogram at absorb time (round-14 verdict #3):
+    *              `retractFromHistogram` re-folds the CALLER's rows,
+    *              and for a compacted-away shard only those rows can
+    *              say what to subtract — a drifted presentation would
+    *              silently corrupt the merged histogram, so the
+    *              retract fails loud on fingerprint mismatch instead.
+    *              Exact integers, computed in the same fold the absorb
+    *              already runs — zero extra jobs.
     *   `meta`    (width_cents)         — the bucket-width contract
     *
     * WRITE ORDER in `absorbIntoHistogram`: shard rows first (idempotent
@@ -174,6 +183,18 @@ object Profile {
     * standard maintenance-window contract all the artifact compactions
     * share).
     */
+  /** Order-independent exact-integer fingerprint of each shard's FOLDED
+    * histogram: its total row count and a modular sum of per-(bucket,
+    * cnt) hashes — both invariant under partitioning and fold order, so
+    * a faithful re-presentation of the shard's raw rows re-folds to
+    * exactly these values on any engine state. */
+  private val FpMod = 1000000007L
+  private def ledgerFingerprints(h: DataFrame): DataFrame =
+    h.groupBy("shard").agg(
+      sum(col("cnt")).as("fp_rows"),
+      pmod(sum(pmod(xxhash64(col("bucket"), col("cnt")), lit(FpMod))),
+        lit(FpMod)).as("fp_sum"))
+
   def buildHistogramArtifact(df: DataFrame, shardCol: String,
       cents: Column, widthCents: Long, path: String): Unit = {
     import org.apache.spark.sql.SparkSession
@@ -183,7 +204,7 @@ object Profile {
     val shards = histogramShard(df, shardCol, cents, widthCents)
       .localCheckpoint()
     shards.write.mode("overwrite").parquet(s"$path/shards")
-    shards.select("shard").distinct()
+    ledgerFingerprints(shards)
       .write.mode("overwrite").parquet(s"$path/absorbed")
     val meta = Seq(widthCents).toDF("width_cents")
     meta.write.mode("overwrite").parquet(s"$path/meta")
@@ -205,13 +226,22 @@ object Profile {
           "the stored bucket width"))
     val h = histogramShard(df, shardCol, cents, width).localCheckpoint()
     val fresh = h.select("shard").distinct()
-      .join(broadcast(spark.read.parquet(s"$path/absorbed")),
-        Seq("shard"), "left_anti")
+      .join(broadcast(spark.read.parquet(s"$path/absorbed")
+        .select("shard")), Seq("shard"), "left_anti")
       .localCheckpoint()
     ArtifactStore.appendMissing(spark, path, "shards", "shard", fresh,
       h.join(broadcast(fresh), Seq("shard"), "left_semi"))
+    // ledger rows carry the fingerprint (same fold as `h` — zero extra
+    // jobs); stores written before the fingerprint column keep the
+    // shard-only shape so their parquet schema stays consistent
+    val ledgerRows =
+      if (spark.read.parquet(s"$path/absorbed").schema.fieldNames
+          .contains("fp_rows"))
+        ledgerFingerprints(h.join(broadcast(fresh), Seq("shard"),
+          "left_semi"))
+      else fresh
     ArtifactStore.appendMissing(spark, path, "absorbed", "shard", fresh,
-      fresh)
+      ledgerRows)
   }
 
   /** RETRACT shards from the histogram artifact (round-13 verdict #6 —
@@ -236,6 +266,17 @@ object Profile {
     * double-subtract window on retry). The store is bucket-domain-sized
     * by design, so the root rewrite is the family's cheapest operation,
     * not a corpus scan.
+    *
+    * CONTENT TRUST (round-14 verdict #3): the labels/IVF retracts are
+    * id-keyed and immune to a drifted caller by construction; this
+    * family's compaction destroys shard identity, so only the caller's
+    * rows can say what to subtract — and rows that drifted since absorb
+    * (same schema, different content) would subtract the WRONG
+    * histogram silently. Every retracted shard's re-folded rows are
+    * therefore verified against the (fp_rows, fp_sum) fingerprint the
+    * ledger recorded at absorb time; a mismatch fails loud. Ledger rows
+    * from before the fingerprint column stay retractable unverified
+    * (nothing recorded to check against).
     */
   def retractFromHistogram(df: DataFrame, shardCol: String,
       cents: Column, path: String): Unit = {
@@ -249,9 +290,31 @@ object Profile {
     val h = histogramShard(df, shardCol, cents, width).localCheckpoint()
     val ledger = spark.read.parquet(s"$path/absorbed")
     val inLedger = h.select("shard").distinct()
-      .join(broadcast(ledger), Seq("shard"), "left_semi")
+      .join(broadcast(ledger.select("shard")), Seq("shard"), "left_semi")
       .localCheckpoint()
     if (inLedger.isEmpty) return
+    // fail loud on drifted presentations: the retracted shards' rows
+    // must re-fold to the fingerprint recorded at absorb (fp-less
+    // ledger rows — pre-fingerprint stores — skip the check)
+    if (ledger.schema.fieldNames.contains("fp_rows")) {
+      val recorded = ledger
+        .join(broadcast(inLedger), Seq("shard"), "left_semi")
+        .filter(col("fp_rows").isNotNull)
+        .select("shard", "fp_rows", "fp_sum")
+      val refolded = ledgerFingerprints(
+          h.join(broadcast(inLedger), Seq("shard"), "left_semi"))
+        .withColumnRenamed("fp_rows", "r_rows")
+        .withColumnRenamed("fp_sum", "r_sum")
+      val drifted = recorded.join(refolded, Seq("shard"))
+        .filter(col("fp_rows") =!= col("r_rows") ||
+          col("fp_sum") =!= col("r_sum"))
+        .select("shard").limit(5).collect().map(_.get(0))
+      require(drifted.isEmpty,
+        s"retractFromHistogram: presented rows for shard(s) " +
+          s"${drifted.mkString(", ")} do not re-fold to the ledger " +
+          "fingerprint recorded at absorb — retracting drifted rows " +
+          "would silently corrupt the merged histogram")
+    }
     val stored = spark.read.parquet(s"$path/shards")
     // shards whose rows still sit under their own id → drop the rows;
     // shards compacted into the NULL-shard histogram → append exact

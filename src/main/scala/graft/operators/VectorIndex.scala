@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,10 +70,19 @@ object VectorIndex {
     * sample quantizer, optionally Lloyd-refined) + cell-assigned corpus
     * vectors + the parameter meta row. Zero-norm vectors are dropped
     * (their cosine is undefined), as in `ivfTopK`.
+    *
+    * The build also records its avg cell-dir bytes in the meta
+    * (`cell_target_bytes`, one FS listing — no Spark job): the census
+    * attaches it to the `vectors` geometry row and the advisor orders
+    * `retrain` when live cell bytes drift past 4× it (round-14 verdict
+    * #2 — the labels/LSH rebalance rule, with the IVF family's own
+    * remedy: its cells are codebook-derived, so geometry maintenance is
+    * `retrainIvfIndex`, never a re-hash). `cellTargetBytes` overrides
+    * the measurement (tests plant 1 to trip the rule deterministically).
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
       path: String, nlist: Int = 16, trainIterations: Int = 0,
-      numIdParts: Int = 0): Unit = {
+      numIdParts: Int = 0, cellTargetBytes: Long = 0L): Unit = {
     require(nlist >= 1, "buildIvfIndex: nlist must be >= 1")
     val spark = corpus.sparkSession
     import spark.implicits._
@@ -132,10 +141,21 @@ object VectorIndex {
         .select(col("vec_id"), col("cell").cast(cidType).as("cell")), mi,
       overwrite = true)
     Seq(0).toDF("epoch").write.mode("overwrite").parquet(s"$path/epochs")
-    val meta = Seq((nlist, trainIterations, mi))
-      .toDF("nlist", "train_iterations", "id_parts")
+    val target =
+      if (cellTargetBytes > 0L) cellTargetBytes
+      else cellTarget(spark, s"$path/vectors")
+    val meta = Seq((nlist, trainIterations, mi, target))
+      .toDF("nlist", "train_iterations", "id_parts", "cell_target_bytes")
     meta.write.mode("overwrite").parquet(s"$path/meta")
     ArtifactStore.seedMeta(spark, path, meta.head())
+  }
+
+  /** Avg data bytes per `cell=<k>` dir — the build/retrain-time sizing
+    * reference the advisor's drift rule compares the live geometry
+    * against. FS listings only. */
+  private def cellTarget(spark: SparkSession, vectorsDir: String): Long = {
+    val bs = ArtifactStore.bucketDirBytes(spark, vectorsDir, "cell")
+    if (bs.isEmpty) 0L else bs.sum / bs.size
   }
 
   /** The sidecar's partition key. */
@@ -570,12 +590,18 @@ object VectorIndex {
     * geometry the build chose (consumers see identical probe answers at
     * nprobe = nlist — spec-pinned), while a drifted corpus pulls
     * centroids toward its new mass and mean quantization error drops
-    * (x175's strict pin). Crash recovery is RE-RUN: the stored vectors
-    * are checkpointed before any write, each store swaps via
-    * `writeParquetStaged` (complete under some path at every instant),
-    * and the one inconsistent window — new centroids live, old cell
-    * assignments still in vectors — is closed by re-running the retrain,
-    * exactly `buildIvfIndex`'s own discipline.
+    * (x175's strict pin). The WHOLE retrain lands in ONE root swap
+    * (`stageRootSwap`, round-14 advisory): per-substore swaps left a
+    * crash window where the new `vectors` cells were live while the
+    * `ids` sidecar still mapped committed ids to PRE-retrain cells — a
+    * later absorb containing a committed id would then compute its
+    * present set from the stale cells, miss the committed row, and
+    * append a duplicate vec_id. Codebook, vectors, sidecar, epoch
+    * clock, and meta commit together or not at all; tombstones are
+    * folded by omission (the swap replaces the root — same post-state
+    * as compact, so retracted ids may be re-ingested afterwards). A
+    * crash before the root marker rolls back (retrain re-runs); after
+    * it, `repairStore` finishes the swap.
     */
   def retrainIvfIndex(spark: SparkSession, indexPath: String,
       trainIterations: Int = 4): Unit = {
@@ -588,38 +614,51 @@ object VectorIndex {
           "the build-parameter contract (nlist)"))
     import spark.implicits._
     // live vectors only (tombstone-filtered), materialized BEFORE the
-    // swaps delete the files this plan reads
+    // swap unlinks the files this plan reads
     val stored = ArtifactStore.readStore(spark, indexPath, "vectors",
         "vec_id")
       .select(col("vec_id"), col("vec")).localCheckpoint()
     val codebook = Similarity.trainCodebook(stored, "vec_id", "vec",
       nlist, trainIterations)
-    ArtifactStore.writeParquetStaged(spark, codebook,
-      s"$indexPath/centroids")
-    ArtifactStore.writeParquetStaged(spark,
-      assign(stored, spark.read.parquet(s"$indexPath/centroids"))
-        .withColumn("epoch", lit(0)),
-      s"$indexPath/vectors", partitionCols = Seq("cell"))
-    // the (vec_id, cell) sidecar is rebuilt from the reassigned store —
-    // a retrain moves cells, and a stale sidecar would route the absorb
-    // present-check and retract scoping at the OLD geometry. Mi resizes
-    // to the live (post-tombstone-fold) corpus.
-    val nLive = spark.read.parquet(s"$indexPath/vectors").count()
-    val mi = math.max(8L, (nLive + 65535L) / 65536L).toInt
-    val cidType = spark.read.parquet(s"$indexPath/centroids")
-      .schema("cid").dataType
-    ArtifactStore.writeParquetStaged(spark,
-      spark.read.parquet(s"$indexPath/vectors")
+    var metaRow: Row = null
+    ArtifactStore.stageRootSwap(spark, indexPath) { staging =>
+      codebook.write.mode("overwrite").parquet(s"$staging/centroids")
+      // the row count rides the write action as an Observation (no
+      // separate count job) — it sizes the rebuilt sidecar below
+      val obs = org.apache.spark.sql.Observation(
+        "ivf_retrain_" + java.util.UUID.randomUUID().toString.take(8))
+      assign(stored, spark.read.parquet(s"$staging/centroids"))
+        .withColumn("epoch", lit(0))
+        .observe(obs, count(lit(1)).as("__n"))
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/vectors")
+      // the (vec_id, cell) sidecar is rebuilt from the reassigned store
+      // — a retrain moves cells, and a stale sidecar would route the
+      // absorb present-check and retract scoping at the OLD geometry.
+      // Mi resizes to the live (post-tombstone-fold) corpus.
+      val nLive = Option(obs.get("__n")).map(_.asInstanceOf[Long])
+        .getOrElse(0L)
+      val mi = math.max(8L, (nLive + 65535L) / 65536L).toInt
+      val cidType = spark.read.parquet(s"$staging/centroids")
+        .schema("cid").dataType
+      spark.read.parquet(s"$staging/vectors")
         .select(col("vec_id"), col("cell").cast(cidType).as("cell"))
-        .withColumn("i", idPartOf(mi)),
-      s"$indexPath/ids", partitionCols = Seq("i"))
-    ArtifactStore.writeParquetStaged(spark, Seq(0).toDF("epoch"),
-      s"$indexPath/epochs")
-    if (ArtifactStore.hasTombstones(spark, indexPath))
-      ArtifactStore.deletePath(spark, s"$indexPath/tombstones")
-    val meta = Seq((nlist, trainIterations, mi))
-      .toDF("nlist", "train_iterations", "id_parts")
-    ArtifactStore.writeParquetStaged(spark, meta, s"$indexPath/meta")
-    ArtifactStore.seedMeta(spark, indexPath, meta.head())
+        .withColumn("i", idPartOf(mi))
+        .repartition(col("i"))
+        .write.mode("overwrite").partitionBy("i").parquet(s"$staging/ids")
+      Seq(0).toDF("epoch").write.mode("overwrite")
+        .parquet(s"$staging/epochs")
+      // the sizing target re-measures on the RETRAINED geometry — the
+      // advisor's drift clock resets, exactly like rebalanceLshIndex
+      val meta = Seq((nlist, trainIterations, mi,
+          cellTarget(spark, s"$staging/vectors")))
+        .toDF("nlist", "train_iterations", "id_parts",
+          "cell_target_bytes")
+      meta.write.mode("overwrite").parquet(s"$staging/meta")
+      metaRow = meta.head()
+    }
+    ArtifactStore.invalidateMeta(spark, indexPath)
+    ArtifactStore.seedMeta(spark, indexPath, metaRow)
   }
 }

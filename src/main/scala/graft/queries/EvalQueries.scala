@@ -179,6 +179,58 @@ object EvalQueries {
     (lbl, idx)
   }
 
+  /** x158b base artifacts — the drain's production-geometry generation
+    * (round-14 verdict #4): N = 512 bucketed labels over the
+    * doc_id % 32 != 0 slice, so each of the drain's three micro-batches
+    * (~1/96 of the corpus) touches ≪ N buckets per geometry. A separate
+    * base from x152b's because the streamed slice must split into three
+    * non-empty chunk files even at the 500-doc spec scale — % 512 == 0
+    * is a single doc there. */
+  private def drainProdBaseFor(s: org.apache.spark.sql.SparkSession,
+      d: String): (String, String) = absorbBase.synchronized {
+    val tag = Integer.toHexString(d.hashCode)
+    val lbl = s"${ExtensionQueries.idxScratch}/drainprodlabels_$tag"
+    val idx = s"${ExtensionQueries.idxScratch}/drainprodidx_$tag"
+    if (!absorbBase(lbl)) {
+      val corpusDocs = tbl(s, d, "documents")
+        .filter(col("doc_id") % 32 =!= 0)
+      Dedup.buildCanonicalLabels(corpusDocs, "doc_id", "text", lbl,
+        shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5,
+        numBuckets = 512)
+      Dedup.buildLshIndex(corpusDocs, "doc_id", "text", idx,
+        shingleSize = 3, numHashes = 16, bands = 4)
+      absorbBase += lbl
+    }
+    (lbl, idx)
+  }
+
+  /** Bench-only timing split for x152b (round-14 verdict #1): the
+    * strict-gate query file-copies the N = 512 two-geometry base per
+    * evaluation, so its wall number measured mostly `copyTree` +
+    * per-file constants, not the absorb the query exists to grade.
+    * `Bench` stages the copy UNTIMED through its per-run setup hook
+    * ([[stageProdAbsorbScratch]]) and times [[prodAbsorbOnScratch]] —
+    * the absorb itself — under the same artifact key. The strict
+    * correctness gate keeps running the full self-contained query. */
+  private[graft] def stageProdAbsorbScratch(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val (lbl, idx) = absorbProdBaseFor(s, d)
+    val root = s"${ExtensionQueries.idxScratch}/x152b_bench"
+    rmTree(root)
+    copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+  }
+
+  private[graft] def prodAbsorbOnScratch(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val root = s"${ExtensionQueries.idxScratch}/x152b_bench"
+    val batch = tbl(s, d, "documents").filter(col("doc_id") % 512 === 0)
+    Dedup.absorbIntoLabels(batch, "doc_id", "text", s"$root/labels",
+        s"$root/idx", shingleSize = 3, numHashes = 16, bands = 4,
+        threshold = 0.5)
+      .orderBy("doc")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Source-overlap matrix (x114): pairwise shingle-set Jaccard between
@@ -1259,6 +1311,36 @@ object EvalQueries {
         val streamDir = graft.streaming.StreamOps.stageStreamDirChunksDf(s,
           tbl(s, d, "documents").filter(col("doc_id") % 4 === 0),
           "graft-x158", chunks = 3)
+        graft.streaming.StreamOps.labelAbsorbDrain(s, streamDir,
+          s"$root/ckpt", s"$root/labels", s"$root/idx", "doc_id", "text",
+          shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        Dedup.readLabels(s, s"$root/labels").orderBy("doc")
+      },
+      Some(fullLabelsOracle)),
+
+    // STREAMING absorb at PRODUCTION geometry (x158b, round-14 verdict
+    // #4): x158 grades the drain only at the adversarial batch ≈
+    // corpus/4 geometry where every bucket of both label geometries is
+    // touched per micro-batch; this is the x152b precedent applied to
+    // the DRAIN — the labels store is bucketed at N = 512 and each
+    // micro-batch carries ~1/96 of the corpus, so the per-micro-batch
+    // replay guard reads O(touched buckets) ≪ N and the absorb rides
+    // the insert-append fast path with O(chunk) bytes written: the
+    // engine's most expensive headliner class, graded in the regime the
+    // maintenance design targets (per-micro-batch cost flat in corpus
+    // size). The % 32 == 0 slice drains as THREE micro-batch files into
+    // a scratch copy of the % 32 != 0 base; final labels must equal the
+    // full rebuild over corpus + batch — the same oracle as
+    // x152/x153/x158.
+    QueryDef("x158b_stream_label_absorb_prod",
+      (s, d) => {
+        val (lbl, idx) = drainProdBaseFor(s, d)
+        val root = s"${ExtensionQueries.idxScratch}/x158b_stream"
+        rmTree(root)
+        copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+        val streamDir = graft.streaming.StreamOps.stageStreamDirChunksDf(s,
+          tbl(s, d, "documents").filter(col("doc_id") % 32 === 0),
+          "graft-x158b", chunks = 3)
         graft.streaming.StreamOps.labelAbsorbDrain(s, streamDir,
           s"$root/ckpt", s"$root/labels", s"$root/idx", "doc_id", "text",
           shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
@@ -2584,7 +2666,79 @@ object EvalQueries {
                  candCond = "l.doc % 5 = 0 AND r.doc % 5 <> 0")}
              |SELECT doc_a, doc_b, common, size_a, size_b,
              |  floor(jac*1000000)::BIGINT AS jaccard_x1m
-             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin))
+             |FROM res WHERE jac >= 0.5 ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // ADVISOR-DRIVEN IVF RETRAIN (x190, round-14 verdict #2): the
+    // vector family gets the geometry-maintenance loop x189 gave the
+    // LSH index — the build records its avg cell-dir bytes in the meta
+    // (cell_target_bytes), the census attaches the target to the
+    // `vectors` row ONLY (the geometry it was measured on — round-14
+    // advisory), the advisor emits `retrain` on 4× drift (cells are
+    // codebook-derived, so the remedy is retrainIvfIndex, never a
+    // re-hash), and the executor dispatches it in one atomic root swap.
+    // The build plants a 1-byte target so the rule trips
+    // deterministically; the absorbed +0.5-shifted odd half (x175's
+    // planted drift) is the ingest shift a real trip looks like. The
+    // query require()s the executed retrain and the post-retrain all-ok
+    // advice (the retrain re-measures its target — the drift clock
+    // resets); the strict pin is the CONSUMER contract: a probe at
+    // nprobe = nlist over the RETRAINED store must answer the exact
+    // brute-force cosine top-k — retraining moved every cell assignment
+    // and the pruned read path must still find all of them. (At
+    // nprobe = nlist the answer is codebook-independent, so the
+    // Lloyd-trained centroids need no oracle replay.)
+    QueryDef("x190_ivf_retrain_advice",
+      (s, d) => {
+        val root = s"${ExtensionQueries.idxScratch}/x190_ivf"
+        rmTree(root)
+        val emb = tbl(s, d, "embeddings")
+        val even = emb.filter(col("vec_id") % 2 === 0)
+        val drifted = emb.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") + 100000L).as("vec_id"),
+            transform(col("embedding"),
+              x => x.cast("double") + lit(0.5)).as("embedding"))
+        VectorIndex.buildIvfIndex(even, "vec_id", "embedding",
+          s"$root/idx", nlist = 4, cellTargetBytes = 1L)
+        VectorIndex.absorbIntoIvfIndex(drifted, "vec_id", "embedding",
+          s"$root/idx")
+        val arts = Seq(("idx", s"$root/idx"))
+        val exec = Maintenance.executeMaintenance(s, arts).head()
+        require(exec.getAs[String]("action") == "retrain" &&
+          exec.getAs[Boolean]("executed") &&
+          exec.getAs[String]("detail") == "retrainIvfIndex",
+          s"x190: expected an executed retrain, got $exec")
+        val post = ArtifactStore.maintenanceAdvice(
+          ArtifactStore.census(s, arts)).head().getAs[String]("action")
+        require(post == "ok",
+          s"x190: post-retrain advice must be ok, got $post")
+        VectorIndex.probeIvfIndex(emb.filter(col("vec_id") < 10),
+            s"$root/idx", "vec_id", "embedding", k = 10, nprobe = 4)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            floor(col("cosine") * 1000000).cast("long").as("cosine_x1m"))
+          .orderBy("query_id", "rank")
+      },
+      Some(s"""WITH v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> x::DOUBLE) AS vec
+             |  FROM embeddings),
+             |allv AS (
+             |  SELECT vec_id, vec FROM v WHERE vec_id % 2 = 0
+             |  UNION ALL
+             |  SELECT vec_id + 100000,
+             |    list_transform(vec, x -> x + 0.5)
+             |  FROM v WHERE vec_id % 2 = 1),
+             |q AS (SELECT vec_id AS query_id, vec AS qv FROM v
+             |  WHERE vec_id < 10)
+             |SELECT query_id, rank, neighbor_id, cosine_x1m FROM (
+             |  SELECT q.query_id, a.vec_id AS neighbor_id,
+             |    floor(${dkCosine("q.qv", "a.vec")} * 1000000)::BIGINT
+             |      AS cosine_x1m,
+             |    row_number() OVER (PARTITION BY q.query_id
+             |      ORDER BY ${dkCosine("q.qv", "a.vec")} DESC, a.vec_id)
+             |      AS rank
+             |  FROM q CROSS JOIN allv a
+             |  WHERE q.query_id <> a.vec_id) r
+             |WHERE rank <= 10
+             |ORDER BY query_id, rank""".stripMargin))
   )
 
   /** x164/x165 shared oracle: the full IVF lifecycle recomputed

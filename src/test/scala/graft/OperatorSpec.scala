@@ -2212,6 +2212,120 @@ class OperatorSpec extends SparkSpec with Matchers {
       "d" -> "ok")
   }
 
+  test("maintenanceAdvice: drift on the IVF vectors geometry advises retrain, not rebalance (round-14 verdict #2)") {
+    import spark.implicits._
+    val census = Seq(
+      // the measured vectors row drifted past 4x → retrain
+      ("a", "vectors", 100L, 0L, 0L, 81L, 4L, 5L),
+      ("a", "ids", 100L, 0L, 0L, 999L, 4L, 0L),
+      // a non-measured row (no target) can never trip the rule, no
+      // matter its bytes — the round-14 ADVICE features-row scenario
+      ("b", "features", 100L, 0L, 0L, 999999L, 4L, 0L),
+      ("b", "buckets", 400L, 0L, 0L, 80L, 4L, 5L)
+    ).toDF("artifact", "substore", "rows", "tombstone_rows",
+      "crash_leftovers", "live_bytes", "bucket_dirs",
+      "target_bucket_bytes")
+    val out = graft.operators.ArtifactStore
+      .maintenanceAdvice(census, debtX10000 = 1000L)
+      .collect().map(r => r.getString(0) -> r.getAs[String]("action"))
+      .toMap
+    out shouldBe Map("a" -> "retrain", "b" -> "ok")
+  }
+
+  test("executeMaintenance: duplicate aliases fail loud instead of mis-routing advice (round-14 verdict #5)") {
+    intercept[IllegalArgumentException] {
+      graft.operators.Maintenance.executeMaintenance(spark,
+        Seq(("a", "/tmp/graft-dup-x"), ("a", "/tmp/graft-dup-y")))
+    }
+  }
+
+  test("executeMaintenance: advisor-ordered IVF retrain dispatches to retrainIvfIndex and resets the drift clock") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-retrain-exec").toString
+    // a planted 1-byte target trips the 4x drift rule deterministically
+    graft.operators.VectorIndex.buildIvfIndex(emb, "vec_id", "embedding",
+      s"$root/ivf", nlist = 4, cellTargetBytes = 1L)
+    val arts = Seq(("ivf", s"$root/ivf"))
+    val wet = graft.operators.Maintenance
+      .executeMaintenance(spark, arts).head()
+    wet.getAs[String]("action") shouldBe "retrain"
+    wet.getAs[Boolean]("executed") shouldBe true
+    wet.getAs[String]("detail") shouldBe "retrainIvfIndex"
+    // the retrain re-measured cell_target_bytes on the retrained
+    // geometry, so a fresh census reads ok
+    graft.operators.Maintenance.executeMaintenance(spark, arts)
+      .head().getAs[String]("action") shouldBe "ok"
+  }
+
+  test("retractFromHistogram: drifted presented rows fail loud against the ledger fingerprint (round-14 verdict #3)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-histfp").toString
+    val rows = Seq((0L, 100L), (0L, 2100L), (1L, 150L), (1L, 3100L))
+      .toDF("shard", "c")
+    Profile.buildHistogramArtifact(rows, "shard", col("c"), 1000L,
+      s"$root/h")
+    // compact first — the retraction must subtract via negatives, where
+    // drifted rows would corrupt silently without the fingerprint
+    Profile.compactHistogram(spark, s"$root/h")
+    val drifted = Seq((1L, 150L), (1L, 9999L)).toDF("shard", "c")
+    val e = intercept[IllegalArgumentException] {
+      Profile.retractFromHistogram(drifted, "shard", col("c"), s"$root/h")
+    }
+    e.getMessage should include("fingerprint")
+    // the exact replay still retracts: quantiles equal a shard-0 build
+    Profile.retractFromHistogram(rows.filter(col("shard") === 1L),
+      "shard", col("c"), s"$root/h")
+    val got = Profile.quantilesFromHistogramArtifact(spark, s"$root/h",
+        qsX10000 = Seq(5000, 10000))
+      .orderBy("q_x10000").collect()
+      .map(r => (r.getAs[Int]("q_x10000"), r.getAs[Long]("upper_cents")))
+    val want = {
+      val r2 = java.nio.file.Files
+        .createTempDirectory("graft-histfp2").toString
+      Profile.buildHistogramArtifact(rows.filter(col("shard") === 0L),
+        "shard", col("c"), 1000L, s"$r2/h")
+      Profile.quantilesFromHistogramArtifact(spark, s"$r2/h",
+          qsX10000 = Seq(5000, 10000))
+        .orderBy("q_x10000").collect()
+        .map(r => (r.getAs[Int]("q_x10000"),
+          r.getAs[Long]("upper_cents")))
+    }
+    got shouldBe want
+  }
+
+  test("stageRootSwap: a crash in the marker-to-rename window rolls FORWARD on repair — the mutation is not lost (round-14 advisory)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-rootswap").toString
+    val rows = Seq((0L, 100L), (1L, 150L)).toDF("shard", "c")
+    Profile.buildHistogramArtifact(rows, "shard", col("c"), 1000L,
+      s"$root/h")
+    graft.operators.ArtifactStore.testCrashPoint = 3
+    try {
+      intercept[IllegalStateException] {
+        Profile.retractFromHistogram(rows.filter(col("shard") === 1L),
+          "shard", col("c"), s"$root/h")
+      }
+    } finally graft.operators.ArtifactStore.testCrashPoint = 0
+    // live root still pre-retraction; the complete MARKED staging is
+    // parked beside it — repair must finish the swap, not delete it
+    new java.io.File(s"$root/h.__staging/_SUCCESS").exists() shouldBe true
+    graft.operators.ArtifactStore.repairStore(spark, s"$root/h")
+    new java.io.File(s"$root/h.__staging").exists() shouldBe false
+    // the retraction applied: only shard 0 remains, and its id is freed
+    spark.read.parquet(s"$root/h/absorbed").select("shard")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(0L)
+    spark.read.parquet(s"$root/h/shards")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) shouldBe 1L
+    // and the replayed retraction is a no-op
+    Profile.retractFromHistogram(rows.filter(col("shard") === 1L),
+      "shard", col("c"), s"$root/h")
+    spark.read.parquet(s"$root/h/shards")
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) shouldBe 1L
+  }
+
   test("executeMaintenance: dry-run plans but never acts; acted stores read back clean") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -2286,15 +2400,32 @@ class OperatorSpec extends SparkSpec with Matchers {
     out(1) shouldBe ((2L, "a", "a", 2L))
   }
 
-  test("preferencePairs: non-numeric id or score fails loud instead of silently nulling the selection") {
+  test("preferencePairs: non-numeric VALUES fail loud; numeric text in string columns works (round-14 advisory)") {
     import spark.implicits._
+    // string columns holding numeric text cast cleanly and work — the
+    // round-13 fail-loud guard was stricter than the bug it fixed
+    val ok = Seq(("g", "1", "5"), ("g", "2", "1"))
+      .toDF("grp", "id", "s")
+    val pairs = Eval.preferencePairs(ok, Seq("grp"), "id", col("s"))
+      .collect()
+    pairs.length shouldBe 1
+    pairs.head.getAs[Long]("chosen_id") shouldBe 1L
+    pairs.head.getAs[Long]("rejected_id") shouldBe 2L
+    // a string VALUE that does not parse raises in-plan at execution
     val df = Seq(("g", "x1", 5L), ("g", "x2", 1L)).toDF("grp", "id", "s")
-    intercept[IllegalArgumentException] {
-      Eval.preferencePairs(df, Seq("grp"), "id", col("s"))
+    val e = intercept[Exception] {
+      Eval.preferencePairs(df, Seq("grp"), "id", col("s")).collect()
     }
+    e.getMessage should include("is not numeric")
     val df2 = Seq(("g", 1L, "hi"), ("g", 2L, "lo")).toDF("grp", "id", "s")
+    val e2 = intercept[Exception] {
+      Eval.preferencePairs(df2, Seq("grp"), "id", col("s")).collect()
+    }
+    e2.getMessage should include("is not numeric")
+    // non-numeric, non-string types still refuse at plan time
+    val df3 = Seq(("g", Array(1), 5L)).toDF("grp", "id", "s")
     intercept[IllegalArgumentException] {
-      Eval.preferencePairs(df2, Seq("grp"), "id", col("s"))
+      Eval.preferencePairs(df3, Seq("grp"), "id", col("s"))
     }
   }
 
