@@ -170,15 +170,22 @@ object Bench {
       // now tracks the production-geometry absorb. The correctness gate
       // keeps running the full self-contained query from SparkEntry.
       "x152b_label_absorb_prod" -> ((s, dd) =>
-        queries.EvalQueries.prodAbsorbOnScratch(s, dd)))
+        queries.EvalQueries.prodAbsorbOnScratch(s, dd)),
+      // same split for the drain headliner: copy + chunk staging are
+      // ingest setup; the timed body is the three-micro-batch drain
+      "x158b_stream_label_absorb_prod" -> ((s, dd) =>
+        queries.EvalQueries.prodDrainOnScratch(s, dd)))
 
   /** Per-query UNTIMED staging run before every timed execution (the
     * timing-split hook): `once` runs it outside its clock, so per-eval
     * scratch copies stop polluting the number the query exists to
     * grade. */
   private[graft] val benchSetup: Map[String, (SparkSession, String) => Unit] =
-    Map("x152b_label_absorb_prod" -> ((s, dd) =>
-      queries.EvalQueries.stageProdAbsorbScratch(s, dd)))
+    Map(
+      "x152b_label_absorb_prod" -> ((s, dd) =>
+        queries.EvalQueries.stageProdAbsorbScratch(s, dd)),
+      "x158b_stream_label_absorb_prod" -> ((s, dd) =>
+        queries.EvalQueries.stageProdDrainScratch(s, dd)))
 
   /** Location of the full bench artifact (per-query map + iteration
     * samples). The stdout summary line carries only totals + a pointer here:

@@ -231,6 +231,33 @@ object EvalQueries {
       .orderBy("doc")
   }
 
+  /** x158b's bench twin gets the same timing split as x152b's: the
+    * scratch copy of the ~1k-file N = 512 two-geometry base AND the
+    * chunk-file staging are ingest setup, not the drain — staged
+    * untimed here; [[prodDrainOnScratch]] times the three-micro-batch
+    * drain alone. */
+  @volatile private var prodDrainStreamDir: String = null
+  private[graft] def stageProdDrainScratch(
+      s: org.apache.spark.sql.SparkSession, d: String): Unit = {
+    val (lbl, idx) = drainProdBaseFor(s, d)
+    val root = s"${ExtensionQueries.idxScratch}/x158b_bench"
+    rmTree(root)
+    copyTree(lbl, s"$root/labels"); copyTree(idx, s"$root/idx")
+    prodDrainStreamDir = graft.streaming.StreamOps.stageStreamDirChunksDf(
+      s, tbl(s, d, "documents").filter(col("doc_id") % 32 === 0),
+      "graft-x158b-bench", chunks = 3)
+  }
+
+  private[graft] def prodDrainOnScratch(
+      s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val root = s"${ExtensionQueries.idxScratch}/x158b_bench"
+    graft.streaming.StreamOps.labelAbsorbDrain(s, prodDrainStreamDir,
+      s"$root/ckpt", s"$root/labels", s"$root/idx", "doc_id", "text",
+      shingleSize = 3, numHashes = 16, bands = 4, threshold = 0.5)
+    Dedup.readLabels(s, s"$root/labels").orderBy("doc")
+  }
+
   val all: Seq[QueryDef] = Seq(
 
     // Source-overlap matrix (x114): pairwise shingle-set Jaccard between

@@ -2429,6 +2429,41 @@ class OperatorSpec extends SparkSpec with Matchers {
     }
   }
 
+  test("census: every row count — all substores AND tombstones — rides ONE Spark job (round-14 verdict #6)") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-censusjobs").toString
+    graft.operators.VectorIndex.buildIvfIndex(emb, "vec_id", "embedding",
+      s"$root/ivf", nlist = 4)
+    graft.operators.VectorIndex.retractFromIvfIndex(
+      emb.filter(col("vec_id") % 8 === 1).select("vec_id"), "vec_id",
+      s"$root/ivf")
+    // no `meta` substore on purpose: a meta store would cost census one
+    // cachedMeta read job on a root this JVM never built (builds seed
+    // the cache), which is the meta-cache discipline, not the count path
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$root/tiny/rows")
+    Seq(1L).toDF("w").write.parquet(s"$root/tiny/aux")
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft-census-jobs", "census job-count pin")
+    val census = try graft.operators.ArtifactStore.census(spark,
+      Seq(("ivf", s"$root/ivf"), ("tiny", s"$root/tiny")))
+    finally sc.clearJobGroup()
+    // 8 count scans (5 ivf substores + tombstones, 2 tiny substores)
+    // union into ONE count query — two jobs under AQE (partial-count
+    // shuffle + final fold) — instead of a schema-inference job PLUS a
+    // count job per substore (the returned frame itself is a local
+    // relation; no further jobs until the caller acts on it)
+    sc.statusTracker.getJobIdsForGroup("graft-census-jobs")
+      .length should be <= 2
+    census.filter(col("substore") === "vectors")
+      .head().getAs[Long]("rows") shouldBe emb.count()
+    census.filter(col("artifact") === "ivf" &&
+        col("substore") === "ids")
+      .head().getAs[Long]("tombstone_rows") shouldBe
+      emb.filter(col("vec_id") % 8 === 1).count()
+  }
+
   test("census: a root holding ONLY crash debris still surfaces (synthetic substore row) and the advisor orders repair") {
     val root = java.nio.file.Files
       .createTempDirectory("graft-debris").toString + "/store"
