@@ -65,6 +65,42 @@ private[graft] object ArtifactStore {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Option[Row]]()
 
+  /** Substore SCHEMA cache — the read twin of the meta cache: a
+    * schema-less `read.parquet` call launches a footer-inference Spark
+    * JOB (measured on this Spark version — the census paid one per
+    * substore before batching), and the absorb/probe paths re-read
+    * pruned substore subsets several times PER BATCH, so a maintenance
+    * loop was paying ~10 inference jobs per absorb (measured on one
+    * N = 512 label absorb: 64 jobs → 58 with a cold cache — 3 of which
+    * are the first-read seeds — → 55 warm; on an object store each was
+    * also footer GET round trips). A substore's schema is part of the same
+    * build contract the meta row records, so it is cached per (JVM,
+    * qualified key) and invalidated together with the meta
+    * (`invalidateMeta` clears every key under the root). Root reads and
+    * leaf-dir reads cache under DIFFERENT keys — a root read's schema
+    * carries the discovered partition columns, a leaf read's does not.
+    */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  /** Read parquet `paths` with the schema cached under
+    * `keyPath` + `keySuffix` — the first read per (JVM, key) pays the
+    * inference job and seeds the cache; every later read skips it.
+    * `keyPath` must live UNDER the artifact root (or be the root
+    * itself) so `invalidateMeta` drops it on rebuild/repair/rebalance.
+    */
+  def readParquetCached(spark: SparkSession, keyPath: String,
+      paths: Seq[String], keySuffix: String = ""): DataFrame = {
+    val key = qualifiedPath(spark, keyPath) + keySuffix
+    val cached = schemaCache.get(key)
+    if (cached != null) spark.read.schema(cached).parquet(paths: _*)
+    else {
+      val df = spark.read.parquet(paths: _*)
+      schemaCache.put(key, df.schema)
+      df
+    }
+  }
+
   def qualifiedPath(spark: SparkSession, path: String): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -83,7 +119,18 @@ private[graft] object ArtifactStore {
   }
 
   def invalidateMeta(spark: SparkSession, root: String): Unit = {
-    metaCache.remove(qualifiedPath(spark, root)); ()
+    val q = qualifiedPath(spark, root)
+    metaCache.remove(q)
+    // the schema cache shares the meta's lifecycle: layout-changing
+    // maintenance (rebuild, rebalance, retrain, repair) always
+    // invalidates the meta, and substore schemas are part of the same
+    // build contract — drop every cached schema under this root
+    val it = schemaCache.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k == q || k.startsWith(q + "/") || k.startsWith(q + "#"))
+        it.remove()
+    }
   }
 
   /** Entry discipline for every artifact REBUILD (round-11 advisory): a
@@ -243,7 +290,7 @@ private[graft] object ArtifactStore {
   def readStore(spark: SparkSession, root: String, sub: String,
       keyCol: String): DataFrame =
     tombstoneFiltered(spark, root, keyCol,
-      spark.read.parquet(s"$root/$sub"))
+      readParquetCached(spark, s"$root/$sub", Seq(s"$root/$sub")))
 
   /** Apply the root's deletion vector to an arbitrary frame — what the
     * PRUNED readers (partition-filtered scans that bypass `readStore`)
@@ -251,8 +298,9 @@ private[graft] object ArtifactStore {
   def tombstoneFiltered(spark: SparkSession, root: String,
       keyCol: String, df: DataFrame): DataFrame =
     if (exists(spark, s"$root/tombstones"))
-      df.join(broadcast(spark.read.parquet(s"$root/tombstones")
-        .select(keyCol)), Seq(keyCol), "left_anti")
+      df.join(broadcast(readParquetCached(spark, s"$root/tombstones",
+        Seq(s"$root/tombstones")).select(keyCol)), Seq(keyCol),
+        "left_anti")
     else df
 
   def hasTombstones(spark: SparkSession, root: String): Boolean =
@@ -260,7 +308,8 @@ private[graft] object ArtifactStore {
 
   def tombstoneKeys(spark: SparkSession, root: String,
       keyCol: String): DataFrame =
-    spark.read.parquet(s"$root/tombstones").select(keyCol)
+    readParquetCached(spark, s"$root/tombstones",
+      Seq(s"$root/tombstones")).select(keyCol)
 
   /** Idempotent append to one row store: rows whose key the store
     * already holds are dropped first (keys-side scan with the batch
@@ -301,7 +350,8 @@ private[graft] object ArtifactStore {
     // materialized present key set from a content-INDEPENDENT read)
     // instead, which closes that hole (round-13 advisory).
     val present = presentKeys.getOrElse {
-      val store = presentSource.getOrElse(spark.read.parquet(s"$root/$sub"))
+      val store = presentSource.getOrElse(
+        readParquetCached(spark, s"$root/$sub", Seq(s"$root/$sub")))
       store.select(keyCol)
         .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
         .distinct().localCheckpoint()
@@ -528,7 +578,10 @@ private[graft] object ArtifactStore {
         val livePaths = touched.flatMap(live.get)
         val remaining =
           if (livePaths.isEmpty) upserts.limit(0)
-          else spark.read.parquet(livePaths: _*)
+          // leaf-dir read: all geometries of one store share a row
+          // schema (the staging write unions them), cached once per
+          // root under the #leaf key
+          else readParquetCached(spark, root, livePaths, "#leaf")
             .join(dropHint, Seq(keyCol), "left_anti")
         Some(remaining.unionByName(upserts)
           .withColumn("g", lit(g.prefix))

@@ -677,7 +677,8 @@ object Dedup {
         val hs = bBuckets.select(lshPartOf(m).as("h")).distinct()
           .collect().map(_.getInt(0)).toIndexedSeq
         ArtifactStore.tombstoneFiltered(spark, indexPath, "doc",
-          spark.read.parquet(s"$indexPath/buckets")
+          ArtifactStore.readParquetCached(spark, s"$indexPath/buckets",
+              Seq(s"$indexPath/buckets"))
             .filter(col("h").isin(hs: _*)))
       case None => indexStore(spark, indexPath, "buckets")
     }
@@ -690,7 +691,8 @@ object Dedup {
       fIds: Option[Seq[Int]]): DataFrame =
     fIds match {
       case Some(ids) =>
-        val base = spark.read.parquet(s"$indexPath/features")
+        val base = ArtifactStore.readParquetCached(spark,
+          s"$indexPath/features", Seq(s"$indexPath/features"))
         val pruned =
           if (ids.isEmpty) base.limit(0)
           else base.filter(col("f").isin(ids.toIndexedSeq: _*))
@@ -991,7 +993,10 @@ object Dedup {
   private def readLabelDirs(spark: org.apache.spark.sql.SparkSession,
       path: String, dirs: Seq[String]): DataFrame =
     if (dirs.nonEmpty)
-      spark.read.parquet(dirs: _*)
+      // leaf-dir read (both geometries share the row schema); the
+      // cached schema kills the per-read footer-inference job — the
+      // point lookups run several times per absorbed batch
+      ArtifactStore.readParquetCached(spark, path, dirs, "#leaf")
         .select("doc", "canonical_id", "is_keeper")
     else {
       val docType = ArtifactStore.cachedMeta(spark, path)
@@ -1427,7 +1432,8 @@ object Dedup {
           // store isn't read at all.
           val pObs = org.apache.spark.sql.Observation(
             "lsh_present_" + java.util.UUID.randomUUID().toString.take(8))
-          val presentDocs = spark.read.parquet(s"$outIndex/features")
+          val presentDocs = ArtifactStore.readParquetCached(spark,
+              s"$outIndex/features", Seq(s"$outIndex/features"))
             .filter(col("f").isin(fIds: _*)).select("doc")
             .join(broadcast(batchDocs), Seq("doc"), "left_semi")
             .distinct()
@@ -1448,7 +1454,8 @@ object Dedup {
               // sized) so the h pruning covers the committed dirs even
               // when the batch's own text changed
               val committedSigs = bandBuckets(
-                spark.read.parquet(s"$outIndex/features")
+                ArtifactStore.readParquetCached(spark,
+                    s"$outIndex/features", Seq(s"$outIndex/features"))
                   .filter(col("f").isin(fIds: _*))
                   .join(broadcast(presentDocs), Seq("doc"), "left_semi")
                   .select("doc", "features"),
@@ -1457,7 +1464,8 @@ object Dedup {
                 .select(lshPartOf(m).as("h")).distinct()
                 .collect().map(_.getInt(0))
               val hsAll = (hIds ++ committedH).distinct.toIndexedSeq
-              spark.read.parquet(s"$outIndex/buckets")
+              ArtifactStore.readParquetCached(spark,
+                  s"$outIndex/buckets", Seq(s"$outIndex/buckets"))
                 .filter(col("h").isin(hsAll: _*)).select("doc")
                 .join(broadcast(presentDocs), Seq("doc"), "left_semi")
                 .distinct().localCheckpoint()
@@ -1476,7 +1484,8 @@ object Dedup {
                 "doc", batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
                 partitionCols = Seq("f"),
                 presentSource = Some(
-                  spark.read.parquet(s"$outIndex/features")
+                  ArtifactStore.readParquetCached(spark,
+                      s"$outIndex/features", Seq(s"$outIndex/features"))
                     .filter(col("f").isin(fIds: _*))))
             case None =>
               ArtifactStore.appendMissing(spark, outIndex, "features",
@@ -1488,7 +1497,8 @@ object Dedup {
                 "doc", batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
                 partitionCols = Seq("h"),
                 presentSource = Some(
-                  spark.read.parquet(s"$outIndex/buckets")
+                  ArtifactStore.readParquetCached(spark,
+                      s"$outIndex/buckets", Seq(s"$outIndex/buckets"))
                     .filter(col("h").isin(hIds: _*))))
             case None =>
               ArtifactStore.appendMissing(spark, outIndex, "buckets",

@@ -190,7 +190,8 @@ object VectorIndex {
       mi: Int, ids: DataFrame): DataFrame = {
     val iSet = ids.select(idPartOf(mi).as("__i")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
-    val base = spark.read.parquet(s"$indexPath/ids")
+    val base = ArtifactStore.readParquetCached(spark,
+      s"$indexPath/ids", Seq(s"$indexPath/ids"))
     if (iSet.isEmpty) base.limit(0)
     else base.filter(col("i").isin(iSet: _*))
   }
@@ -250,7 +251,8 @@ object VectorIndex {
         s"probeIvfIndex: nprobe=$nprobe exceeds the stored nlist=" +
           s"${m.getAs[Int]("nlist")} at $indexPath")
     }
-    val codebook = spark.read.parquet(s"$indexPath/centroids")
+    val codebook = ArtifactStore.readParquetCached(spark,
+      s"$indexPath/centroids", Seq(s"$indexPath/centroids"))
     val q = nonZero(queries, vecCol).select(col(idCol).as("query_id"),
       col(vecCol).cast("array<double>").as("qv"))
     val probeW = Window.partitionBy("query_id")
@@ -273,7 +275,8 @@ object VectorIndex {
         val p = probes0.localCheckpoint()
         val cells = p.select("cell").distinct().collect().map(_.get(0))
         val cellType = codebook.schema("cid").dataType
-        val pruned = spark.read.parquet(s"$indexPath/vectors")
+        val pruned = ArtifactStore.readParquetCached(spark,
+            s"$indexPath/vectors", Seq(s"$indexPath/vectors"))
           .filter(col("cell").isin(cells.toIndexedSeq: _*))
           .withColumn("cell", col("cell").cast(cellType))
         (p, ArtifactStore.tombstoneFiltered(spark, indexPath, "vec_id",
@@ -341,10 +344,12 @@ object VectorIndex {
     val stored =
       if (cellPartitioned(spark, indexPath)) {
         val cells = assign(vecs,
-            spark.read.parquet(s"$indexPath/centroids"))
+            ArtifactStore.readParquetCached(spark,
+              s"$indexPath/centroids", Seq(s"$indexPath/centroids")))
           .select("cell").distinct().collect().map(_.get(0)).toIndexedSeq
         ArtifactStore.tombstoneFiltered(spark, indexPath, "vec_id",
-          spark.read.parquet(s"$indexPath/vectors")
+          ArtifactStore.readParquetCached(spark,
+              s"$indexPath/vectors", Seq(s"$indexPath/vectors"))
             .filter(col("cell").isin(cells: _*)))
       } else ArtifactStore.readStore(spark, indexPath, "vectors",
         "vec_id")
@@ -384,10 +389,12 @@ object VectorIndex {
     // written before the epoch machinery stay absorbable (no stamp —
     // the audit folds them into epoch 0).
     val assigned0 = assign(vecs,
-      spark.read.parquet(s"$indexPath/centroids"))
+      ArtifactStore.readParquetCached(spark, s"$indexPath/centroids",
+        Seq(s"$indexPath/centroids")))
     val nextEpoch =
       if (ArtifactStore.exists(spark, s"$indexPath/epochs"))
-        Some(spark.read.parquet(s"$indexPath/epochs")
+        Some(ArtifactStore.readParquetCached(spark,
+          s"$indexPath/epochs", Seq(s"$indexPath/epochs"))
           .agg(coalesce(max("epoch"), lit(0)).cast("int"))
           .head().getInt(0) + 1)
       else None
@@ -452,7 +459,8 @@ object VectorIndex {
           else {
             val pCells = presentRows.select("cell").distinct()
               .collect().map(_.get(0)).toIndexedSeq
-            spark.read.parquet(s"$indexPath/vectors")
+            ArtifactStore.readParquetCached(spark,
+                s"$indexPath/vectors", Seq(s"$indexPath/vectors"))
               .filter(col("cell").isin(pCells: _*))
               .select("vec_id")
               .join(broadcast(present), Seq("vec_id"), "left_semi")
@@ -475,7 +483,8 @@ object VectorIndex {
             assigned.select("vec_id"), assigned,
             partitionCols = Seq("cell"),
             presentSource = Some(
-              spark.read.parquet(s"$indexPath/vectors")
+              ArtifactStore.readParquetCached(spark,
+                  s"$indexPath/vectors", Seq(s"$indexPath/vectors"))
                 .filter(col("cell").isin(cells: _*))))
         } else
           ArtifactStore.appendMissing(spark, indexPath, "vectors", "vec_id",
@@ -506,7 +515,8 @@ object VectorIndex {
   def auditIvfDrift(spark: SparkSession, indexPath: String): DataFrame = {
     val vectors = ArtifactStore.readStore(spark, indexPath, "vectors",
       "vec_id")
-    val centroids = spark.read.parquet(s"$indexPath/centroids")
+    val centroids = ArtifactStore.readParquetCached(spark,
+      s"$indexPath/centroids", Seq(s"$indexPath/centroids"))
     val withEpoch =
       if (vectors.schema.fieldNames.contains("epoch")) vectors
       else vectors.withColumn("epoch", lit(0))
@@ -550,7 +560,8 @@ object VectorIndex {
     val held = idParts(spark, indexPath)
       .filter(_ => ArtifactStore.exists(spark, s"$indexPath/ids"))
       .map(mi => sidecarForIds(spark, indexPath, mi, rids))
-      .getOrElse(spark.read.parquet(s"$indexPath/vectors"))
+      .getOrElse(ArtifactStore.readParquetCached(spark,
+        s"$indexPath/vectors", Seq(s"$indexPath/vectors")))
     val indexed = held
       .select("vec_id").join(broadcast(rids), Seq("vec_id"), "left_semi")
       .distinct().localCheckpoint()
