@@ -443,6 +443,35 @@ private[graft] object ArtifactStore {
       .map(p => dirBytes(fs, new org.apache.hadoop.fs.Path(p)))
   }
 
+  /** Avg data bytes over a bounded DETERMINISTIC sample of one
+    * geometry's bucket dirs (the `maxDirs` smallest bucket ids), plus
+    * the live-dir count — the O(1)-in-N drift estimate the PER-ABSORB
+    * auto-rebalance hook reads (round-15): recursively listing ALL N
+    * bucket dirs per absorb is an O(N) FS-metadata term, and at
+    * production N ∝ corpus that is an O(corpus) LIST storm per batch
+    * on an object store. Hash bucketing keeps dir sizes ~uniform, so a
+    * fixed sample estimates the average unbiasedly; the rebalance
+    * itself (rare) still measures the full geometry exactly. */
+  def bucketDirBytesSampledAvg(spark: SparkSession, root: String,
+      prefix: String, maxDirs: Int = 32): (Long, Int) = {
+    import org.apache.hadoop.fs.Path
+    val re = bucketDirRe(prefix)
+    val dirs = listBucketDirs(spark, root, prefix)
+    if (dirs.isEmpty) (0L, 0)
+    else {
+      val sample = dirs.flatMap { p =>
+        new Path(p).getName match {
+          case re(k) => Some(k.toInt -> p)
+          case _ => None
+        }
+      }.sortBy(_._1).take(maxDirs)
+      val fs = fileSystem(spark, root)
+      val avg = sample.map(e => dirBytes(fs, new Path(e._2))).sum /
+        sample.size
+      (avg, dirs.size)
+    }
+  }
+
   /** One bucket geometry of a multi-geometry mutation: rows bucket by
     * `pmod(hash(bucketCol), numBuckets)` into `<prefix>=<k>` dirs;
     * `bucketKeys` carries the bucketCol VALUES whose buckets this

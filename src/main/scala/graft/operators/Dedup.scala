@@ -1647,15 +1647,19 @@ object Dedup {
         // with the corpus at fixed N, so the absorb that pushed the avg
         // live-bucket bytes ~4x past the build's recorded target
         // triggers the re-bucketing the operator would otherwise wait
-        // for a human to schedule. Pure FS listings — no Spark job on
-        // the no-trigger path.
+        // for a human to schedule. The drift estimate is a BOUNDED
+        // deterministic sample (round-15): listing all N dirs per
+        // absorb was an O(N) FS-metadata term — at production
+        // N ∝ corpus, an O(corpus) LIST storm per batch on an object
+        // store. No Spark job on the no-trigger path.
         labelsTargetBytes(spark, labelsPath).foreach { target =>
           if (target > 0L) {
-            val total = ArtifactStore.bucketDirBytes(spark, outLabels,
-              "b").sum
-            if (total / n > 4L * target)
+            val (avg, live) = ArtifactStore.bucketDirBytesSampledAvg(
+              spark, outLabels, "b")
+            if (avg > 4L * target)
               rebalanceLabels(spark, outLabels,
-                math.max(n + 1, math.ceil(total.toDouble / target).toInt))
+                math.max(n + 1,
+                  math.ceil(avg.toDouble * live / target).toInt))
           }
         }
       case Some(n) =>
