@@ -155,7 +155,13 @@ private[graft] object ArtifactStore {
     * qualified path); `None` caches "this root predates the meta
     * store". Roots mutated outside the artifact APIs (a raw file copy
     * over an existing root) are on the caller — `invalidateMeta` is the
-    * escape hatch.
+    * escape hatch, and it covers BOTH caches: the substore SCHEMA
+    * cache shares the meta's lifecycle, and its stale entry is the
+    * WORSE failure — files copied in with new columns would silently
+    * read through the old schema (added columns dropped, not an
+    * error), where stale meta at least fails on contract checks. Every
+    * raw-copy site must call `invalidateMeta` on the destination root
+    * after the copy (the bench scratch staging does).
     */
   def cachedMeta(spark: SparkSession, root: String): Option[Row] =
     metaCache.computeIfAbsent(qualifiedPath(spark, root),
@@ -410,6 +416,11 @@ private[graft] object ArtifactStore {
   // silently mis-reading).
   // ---------------------------------------------------------------------
 
+  /** Max count-scan groups per census count job — bounds the union
+    * plan's size so a large fleet can't build one query over thousands
+    * of scan paths (see the census's pass-2 comment). */
+  private[graft] val CensusUnionChunk = 64
+
   private val BucketDir = "^b=(\\d+)$".r
 
   private def bucketDirRe(prefix: String) =
@@ -444,7 +455,10 @@ private[graft] object ArtifactStore {
   }
 
   /** Avg data bytes over a bounded DETERMINISTIC sample of one
-    * geometry's bucket dirs (the `maxDirs` smallest bucket ids), plus
+    * geometry's bucket dirs (every ⌈N/maxDirs⌉-th live bucket id in
+    * sorted order — a stride, not the smallest ids, so a pathological
+    * store whose heavy buckets sit above a low-id range still lands in
+    * the sample; round-15 verdict nit), plus
     * the live-dir count — the O(1)-in-N drift estimate the PER-ABSORB
     * auto-rebalance hook reads (round-15): recursively listing ALL N
     * bucket dirs per absorb is an O(N) FS-metadata term, and at
@@ -459,12 +473,14 @@ private[graft] object ArtifactStore {
     val dirs = listBucketDirs(spark, root, prefix)
     if (dirs.isEmpty) (0L, 0)
     else {
-      val sample = dirs.flatMap { p =>
+      val byId = dirs.flatMap { p =>
         new Path(p).getName match {
           case re(k) => Some(k.toInt -> p)
           case _ => None
         }
-      }.sortBy(_._1).take(maxDirs)
+      }.sortBy(_._1)
+      val step = math.max(1, (byId.size + maxDirs - 1) / maxDirs)
+      val sample = byId.indices.by(step).map(byId).take(maxDirs)
       val fs = fileSystem(spark, root)
       val avg = sample.map(e => dirBytes(fs, new Path(e._2))).sum /
         sample.size
@@ -824,9 +840,13 @@ private[graft] object ArtifactStore {
     * version, each schema-less `read.parquet` call otherwise launches
     * its own footer-inference job, which is exactly the
     * fleet × substores job storm this batching removes (spec-pinned at
-    * ≤ 2 jobs per census). The vectorized reader answers a zero-column
-    * scan from row-group counts, exactly like `count()`; a substore dir
-    * holding no data files counts 0 instead of failing inference.
+    * ≤ 2 jobs per census for fleets within one chunk). The vectorized
+    * reader answers a zero-column scan from row-group counts, exactly
+    * like `count()`; a substore dir holding no data files counts 0
+    * instead of failing inference. The union is chunked at
+    * [[CensusUnionChunk]] groups per count job (round-15 verdict #6) so
+    * a 1,000-store fleet pays ⌈groups/chunk⌉ bounded-size jobs instead
+    * of one plan over thousands of scan paths.
     *
     * The build-time bucket-byte sizing target rides ONLY the substore
     * row of the geometry it was measured on (labels `b=*`, LSH
@@ -840,6 +860,15 @@ private[graft] object ArtifactStore {
       artifacts: Seq[(String, String)]): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
+    // counts key by (alias, substore): two roots passed under one alias
+    // would silently merge into one count row (round-15 advisory) —
+    // refuse loud, the same duplicate-alias rule executeMaintenance has
+    require(artifacts.map(_._1).distinct.size == artifacts.size,
+      "census: duplicate artifact aliases " +
+        artifacts.groupBy(_._1).collect { case (a, rs) if rs.size > 1 => a }
+          .mkString("[", ", ", "]") +
+        " — counts key by alias, so two roots sharing one would merge " +
+        "into a single row; give each root a unique alias")
     val PartDir = "^[a-z]+=\\d+$".r
     // pass 1 — FS listings only: row skeletons + the (artifact,
     // substore) → paths groups whose rows the single count job fills in
@@ -911,22 +940,31 @@ private[graft] object ArtifactStore {
       else liveRows
     }
     // pass 2 — ONE job for every row count: each group scans zero real
-    // columns (two literals), the union groups by them
+    // columns (two literals), the union groups by them. The union is
+    // CHUNKED at [[CensusUnionChunk]] groups per count job (round-15
+    // verdict #6): the one-job union's plan carries every group's scan
+    // node, so a 1,000-store fleet would otherwise build one plan over
+    // thousands of paths — analysis/codegen cost linear in fleet size
+    // concentrated in a single query, and a single straggler scan
+    // holding up every count. Small fleets (the common shape,
+    // ≤ CensusUnionChunk groups) keep the one-count-job pin; a big
+    // fleet pays ⌈groups/chunk⌉ bounded-size jobs.
     val tombGroups = pend.flatMap(p => p.tombPath.map(t => (p.alias, t)))
       .distinct.map { case (a, t) => (a, "__tombstones", Seq(t)) }
     val groups = pend.filter(_.paths.nonEmpty)
       .map(p => (p.alias, p.sub, p.paths)) ++ tombGroups
     val counts: Map[(String, String), Long] =
-      if (groups.isEmpty) Map.empty
-      else groups.map { case (a, sName, paths) =>
-        spark.read
-          .schema(new org.apache.spark.sql.types.StructType())
-          .parquet(paths: _*)
-          .select(lit(a).as("__a"), lit(sName).as("__s"))
-      }.reduce(_ unionByName _)
-        .groupBy("__a", "__s").agg(count(lit(1)).as("__n"))
-        .collect()
-        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      groups.grouped(CensusUnionChunk).flatMap { chunk =>
+        chunk.map { case (a, sName, paths) =>
+          spark.read
+            .schema(new org.apache.spark.sql.types.StructType())
+            .parquet(paths: _*)
+            .select(lit(a).as("__a"), lit(sName).as("__s"))
+        }.reduce(_ unionByName _)
+          .groupBy("__a", "__s").agg(count(lit(1)).as("__n"))
+          .collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      }.toMap
     val out = pend.map { p =>
       (p.alias, p.sub, counts.getOrElse((p.alias, p.sub), 0L),
         counts.getOrElse((p.alias, "__tombstones"), 0L), p.leftovers,

@@ -184,10 +184,12 @@ object Profile {
     * share).
     */
   /** Order-independent exact-integer fingerprint of each shard's FOLDED
-    * histogram: its total row count and a modular sum of per-(bucket,
-    * cnt) hashes — both invariant under partitioning and fold order, so
-    * a faithful re-presentation of the shard's raw rows re-folds to
-    * exactly these values on any engine state. */
+    * histogram: its UNDERLYING row count (`sum(cnt)` — the raw rows the
+    * fold consumed, NOT `count(*)` of the folded rows; normalizing it
+    * would break every recorded fingerprint) and a modular sum of
+    * per-(bucket, cnt) hashes — both invariant under partitioning and
+    * fold order, so a faithful re-presentation of the shard's raw rows
+    * re-folds to exactly these values on any engine state. */
   private val FpMod = 1000000007L
   private def ledgerFingerprints(h: DataFrame): DataFrame =
     h.groupBy("shard").agg(
@@ -225,9 +227,15 @@ object Profile {
         s"absorbIntoHistogram: no meta store at $path — absorb needs " +
           "the stored bucket width"))
     val h = histogramShard(df, shardCol, cents, width).localCheckpoint()
+    // the ledger read rides the substore schema cache and is taken ONCE
+    // for both consumers (anti-join + fp-column probe) — each fresh
+    // schema-less read.parquet paid a footer-inference job per absorb,
+    // the exact per-batch job class the round-15 schema cache removed
+    // from the label/IVF absorbs (round-15 verdict #2 + advisory)
+    val ledger = ArtifactStore.readParquetCached(spark,
+      s"$path/absorbed", Seq(s"$path/absorbed"))
     val fresh = h.select("shard").distinct()
-      .join(broadcast(spark.read.parquet(s"$path/absorbed")
-        .select("shard")), Seq("shard"), "left_anti")
+      .join(broadcast(ledger.select("shard")), Seq("shard"), "left_anti")
       .localCheckpoint()
     ArtifactStore.appendMissing(spark, path, "shards", "shard", fresh,
       h.join(broadcast(fresh), Seq("shard"), "left_semi"))
@@ -235,8 +243,7 @@ object Profile {
     // jobs); stores written before the fingerprint column keep the
     // shard-only shape so their parquet schema stays consistent
     val ledgerRows =
-      if (spark.read.parquet(s"$path/absorbed").schema.fieldNames
-          .contains("fp_rows"))
+      if (ledger.schema.fieldNames.contains("fp_rows"))
         ledgerFingerprints(h.join(broadcast(fresh), Seq("shard"),
           "left_semi"))
       else fresh
@@ -288,7 +295,11 @@ object Profile {
         s"retractFromHistogram: no meta store at $path — retraction " +
           "needs the stored bucket width"))
     val h = histogramShard(df, shardCol, cents, width).localCheckpoint()
-    val ledger = spark.read.parquet(s"$path/absorbed")
+    // schema-cached reads (round-15 verdict #2): the retract's ledger +
+    // shards reads stop paying per-call footer-inference jobs; the
+    // root swap below invalidates the cache with the meta
+    val ledger = ArtifactStore.readParquetCached(spark,
+      s"$path/absorbed", Seq(s"$path/absorbed"))
     val inLedger = h.select("shard").distinct()
       .join(broadcast(ledger.select("shard")), Seq("shard"), "left_semi")
       .localCheckpoint()
@@ -315,7 +326,8 @@ object Profile {
           "fingerprint recorded at absorb — retracting drifted rows " +
           "would silently corrupt the merged histogram")
     }
-    val stored = spark.read.parquet(s"$path/shards")
+    val stored = ArtifactStore.readParquetCached(spark,
+      s"$path/shards", Seq(s"$path/shards"))
     // shards whose rows still sit under their own id → drop the rows;
     // shards compacted into the NULL-shard histogram → append exact
     // negatives (NULL shard, like the merged rows they cancel)
@@ -352,7 +364,8 @@ object Profile {
     */
   def compactHistogram(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
-    val cur = spark.read.parquet(s"$path/shards")
+    val cur = ArtifactStore.readParquetCached(spark,
+      s"$path/shards", Seq(s"$path/shards"))
     val shardType = cur.schema("shard").dataType
     ArtifactStore.writeParquetStaged(spark,
       cur.groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
@@ -373,8 +386,10 @@ object Profile {
       .map(_.getAs[Long]("width_cents"))
       .getOrElse(throw new IllegalStateException(
         s"quantilesFromHistogramArtifact: no meta store at $path"))
-    quantilesFromHistogram(spark.read.parquet(s"$path/shards"), width,
-      qsX10000)
+    quantilesFromHistogram(
+      ArtifactStore.readParquetCached(spark, s"$path/shards",
+        Seq(s"$path/shards")),
+      width, qsX10000)
   }
 
   /** Distribution DRIFT between two histogram generations (the monitor
@@ -424,8 +439,11 @@ object Profile {
     val (wa, wb) = (width(pathA), width(pathB))
     require(wa == wb, "histogramDriftFromArtifacts: bucket widths differ " +
       s"($wa vs $wb) — rebuild one side on the shared width contract")
-    histogramDrift(spark.read.parquet(s"$pathA/shards"),
-      spark.read.parquet(s"$pathB/shards"))
+    histogramDrift(
+      ArtifactStore.readParquetCached(spark, s"$pathA/shards",
+        Seq(s"$pathA/shards")),
+      ArtifactStore.readParquetCached(spark, s"$pathB/shards",
+        Seq(s"$pathB/shards")))
   }
 
   /** Robust per-key outlier stats via median / MAD (median absolute

@@ -2881,5 +2881,13 @@ object EvalQueries {
         ()
       }
     } finally walk.close()
+    // a raw copy over a (reused) scratch root is the documented
+    // meta-cache escape hatch — and the substore SCHEMA cache shares
+    // it (round-15 advisory): a stale schema entry would silently read
+    // the fresh files through the old schema, dropping any columns a
+    // newer base generation added, instead of failing. Invalidate the
+    // destination root after every copy.
+    graft.operators.ArtifactStore.invalidateMeta(
+      org.apache.spark.sql.SparkSession.active, dst)
   }
 }

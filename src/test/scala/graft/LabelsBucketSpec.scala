@@ -553,6 +553,30 @@ class LabelsBucketSpec extends SparkSpec with Matchers {
     labelMap(s"$root/labels") shouldBe labelMap(s"$root/labelsFull2")
   }
 
+  test("bucketDirBytesSampledAvg strides the id range — heavy high-id buckets land in the sample (round-15 verdict)") {
+    val root = freshRoot("bstride")
+    // 64 live buckets: ids 0-31 hold 1-byte files, 32-63 hold 101-byte
+    // files — the old smallest-32-ids sample read avg = 1 and missed
+    // the heavy half entirely; the ⌈64/32⌉ = 2 stride samples the even
+    // ids: 16 light + 16 heavy
+    for (k <- 0 until 64) {
+      val dir = new java.io.File(s"$root/b=$k")
+      require(dir.mkdirs(), s"could not create $dir")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$root/b=$k/part-0"),
+        Array.fill[Byte](if (k < 32) 1 else 101)(0))
+    }
+    val (avg, live) = ArtifactStore.bucketDirBytesSampledAvg(
+      spark, root, "b", maxDirs = 32)
+    live shouldBe 64
+    avg shouldBe (16L * 1 + 16L * 101) / 32
+    // N <= maxDirs: every dir sampled, exact average
+    val (avgAll, liveAll) = ArtifactStore.bucketDirBytesSampledAvg(
+      spark, root, "b", maxDirs = 64)
+    liveAll shouldBe 64
+    avgAll shouldBe (32L * 1 + 32L * 101) / 64
+  }
+
   test("urlPolicyGateShuffle prunes impossible prefix lengths; result unchanged") {
     import spark.implicits._
     val rules = Seq(

@@ -2481,4 +2481,34 @@ class OperatorSpec extends SparkSpec with Matchers {
     advice.length shouldBe 1
     advice.head.getAs[String]("action") shouldBe "repair"
   }
+
+  test("census: a 3-artifact fleet keeps the count-job pin; duplicate aliases refuse loud (round-15 verdict #6 + advisory)") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-censusfleet").toString
+    // three flat artifacts, two substores each — 6 count groups, well
+    // inside one CensusUnionChunk, so the whole fleet still counts in
+    // ≤ 2 jobs (one chunked union under AQE)
+    for (a <- Seq("a1", "a2", "a3")) {
+      Seq((1L, a)).toDF("id", "v").write.parquet(s"$root/$a/rows")
+      Seq(1L, 2L).toDF("w").write.parquet(s"$root/$a/aux")
+    }
+    val sc = spark.sparkContext
+    sc.setJobGroup("graft-census-fleet", "census fleet job pin")
+    val census = try graft.operators.ArtifactStore.census(spark,
+      Seq(("a1", s"$root/a1"), ("a2", s"$root/a2"), ("a3", s"$root/a3")))
+    finally sc.clearJobGroup()
+    sc.statusTracker.getJobIdsForGroup("graft-census-fleet")
+      .length should be <= 2
+    census.count() shouldBe 6
+    census.filter(col("artifact") === "a2" && col("substore") === "aux")
+      .head().getAs[Long]("rows") shouldBe 2L
+    // counts key by alias: two roots under one alias would silently
+    // merge into one row — the census refuses instead
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.ArtifactStore.census(spark,
+        Seq(("dup", s"$root/a1"), ("dup", s"$root/a2")))
+    }
+    e.getMessage should include("duplicate artifact aliases")
+  }
 }
