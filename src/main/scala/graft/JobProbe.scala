@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
 /** Per-mutation Spark-JOB profiler (round-15 verdict #2): the
@@ -33,16 +33,27 @@ object JobProbe {
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val jobs = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     @volatile var capture = false
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit =
         if (capture) {
-          val site = Option(e.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short")))
+          // prefer the g:<phase> labels ArtifactStore.labeled sets —
+          // callSite under foreachBatch always points at the streaming
+          // start() and cannot attribute operator-internal jobs
+          val p = Option(e.properties)
+          val site = p.flatMap(x =>
+              Option(x.getProperty("spark.job.description"))
+                .filter(_.startsWith("g:")))
+            .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
             .getOrElse("?")
-          jobs.add(site); ()
+          starts.put(e.jobId, (site, System.nanoTime())); ()
         }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        val st = starts.remove(e.jobId)
+        if (st != null) { jobs.add((st._1, System.nanoTime() - st._2)); () }
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     // warm run first (schema caches seed, JIT) — mirrors the bench's
@@ -58,23 +69,30 @@ object JobProbe {
         ()
     }
     body() // warm (uncaptured)
-    mode match {
+    val tBody0 = mode match {
       case "drain" =>
         queries.EvalQueries.stageProdDrainScratch(spark, sfDir)
         capture = true
+        val t = System.nanoTime()
         queries.EvalQueries.prodDrainOnScratch(spark, sfDir).count()
+        t
       case _ =>
         queries.EvalQueries.stageProdAbsorbScratch(spark, sfDir)
         capture = true
+        val t = System.nanoTime()
         queries.EvalQueries.prodAbsorbOnScratch(spark, sfDir).count()
+        t
     }
+    val bodySec = (System.nanoTime() - tBody0) / 1e9
     capture = false
     Thread.sleep(500) // let trailing listener events drain
     import scala.jdk.CollectionConverters._
-    val bySite = jobs.asScala.toSeq.groupBy(identity)
-      .map { case (k, v) => (k, v.size) }.toSeq.sortBy(-_._2)
-    bySite.foreach { case (site, n) => println(f"$n%4d  $site") }
-    println(s"""{"mode":"$mode","total_jobs":${jobs.size}}""")
+    val bySite = jobs.asScala.toSeq.groupBy(_._1)
+      .map { case (k, v) => (k, v.size, v.map(_._2).sum / 1e9) }
+      .toSeq.sortBy(-_._3)
+    bySite.foreach { case (site, n, sec) =>
+      println(f"$n%4d  $sec%7.3f s  $site") }
+    println(f"""{"mode":"$mode","total_jobs":${jobs.size},"body_sec":$bodySec%.3f,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -53,6 +53,19 @@ private[graft] object ArtifactStore {
     * one per (JVM, path)". */
   val metaReads = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Run `f` with a thread-local Spark job description (guide §1.5):
+    * every job launched inside — actions, eager file listings, broadcast
+    * builds — carries `g:<name>` in the UI and in JobProbe's per-site
+    * counts, which is what makes the mutation family's fixed per-batch
+    * job overhead attributable (callSite under foreachBatch always
+    * points at the streaming start). Nesting restores the outer label. */
+  private[graft] def labeled[T](spark: SparkSession, name: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("g:" + name)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** Bytes written through the STAGED store writers (`writeParquetStaged`,
     * `writeBucketedStore`, `mutateBuckets`) — the store-rewrite I/O a
     * mutation pays, exposed so the scale probe can measure "bytes
@@ -171,6 +184,21 @@ private[graft] object ArtifactStore {
         Some(spark.read.parquet(s"$root/meta").head())
       })
 
+  /** Keyed repartition with a PINNED partition count, for use directly
+    * before a partitionBy write (round 16). The keyless
+    * `repartition(cols)` keeps the one-file-per-dir discipline but AQE
+    * coalesces a small shuffle to ONE partition, serializing every
+    * per-dir parquet file's open/footer/close onto a single task — at
+    * artifact-store geometry (hundreds of small bucket dirs) the file
+    * overhead, not the rows, is the write's wall cost (measured 1.6 s
+    * of a 7 s absorb micro-batch). Pinning the session's configured
+    * shuffle partition count restores parallel file writes and is
+    * exactly what the keyless form did before AQE; file counts are
+    * unchanged (a dir's group hashes to one task either way). */
+  def writeRepartition(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    df.repartition(
+      df.sparkSession.sessionState.conf.numShufflePartitions, cols: _*)
+
   /** Swap-style parquet rewrite: the new data lands complete at
     * `<path>.__staging` first, then two renames swap it in (old store
     * parked at `<path>.__old` until the swap commits). At every instant
@@ -199,7 +227,7 @@ private[graft] object ArtifactStore {
       // repartition on the partition key first, or the write fans out
       // tasks × partitions small files (consumers pay the listing on
       // every read)
-      df.repartition(partitionCols.map(col): _*).write.mode("overwrite")
+      writeRepartition(df, partitionCols.map(col)).write.mode("overwrite")
         .partitionBy(partitionCols: _*).parquet(staging.toString)
     stagedBytesWritten.addAndGet(dirBytes(fs, staging))
     swapRootStaged(fs, path)
@@ -339,7 +367,8 @@ private[graft] object ArtifactStore {
       keyCol: String, batchKeys: DataFrame, rows: DataFrame,
       partitionCols: Seq[String] = Nil,
       presentSource: Option[DataFrame] = None,
-      presentKeys: Option[DataFrame] = None): Unit = {
+      presentKeys: Option[DataFrame] = None,
+      presentKeysCount: Option[Long] = None): Unit = {
     // present-check source: by default the whole substore (key column
     // only), which is a corpus-sized read PER ABSORB — the readbytes
     // probe measured it at exponent 0.67 across a ×16 corpus. Callers
@@ -355,19 +384,39 @@ private[graft] object ArtifactStore {
     // callers with an id-keyed sidecar pass `presentKeys` (the already-
     // materialized present key set from a content-INDEPENDENT read)
     // instead, which closes that hole (round-13 advisory).
-    val present = presentKeys.getOrElse {
-      val store = presentSource.getOrElse(
-        readParquetCached(spark, s"$root/$sub", Seq(s"$root/$sub")))
-      store.select(keyCol)
-        .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
-        .distinct().localCheckpoint()
+    lazy val present = presentKeys.getOrElse {
+      labeled(spark, s"append_present_$sub") {
+        val store = presentSource.getOrElse(
+          readParquetCached(spark, s"$root/$sub", Seq(s"$root/$sub")))
+        store.select(keyCol)
+          .join(broadcast(batchKeys), Seq(keyCol), "left_semi")
+          .distinct().localCheckpoint()
+      }
     }
-    val fresh = rows.join(broadcast(present), Seq(keyCol), "left_anti")
-    if (partitionCols.isEmpty)
-      fresh.write.mode("append").parquet(s"$root/$sub")
-    else
-      fresh.repartition(partitionCols.map(col): _*).write.mode("append")
-        .partitionBy(partitionCols: _*).parquet(s"$root/$sub")
+    labeled(spark, s"append_write_$sub") {
+      // presentKeysCount == Some(0) (caller observed the present set's
+      // count on its checkpoint) certifies the anti-join is the
+      // identity — skip it and its broadcast-build job (round 16; the
+      // normal all-novel absorb path paid one per substore append)
+      val fresh =
+        if (presentKeysCount.contains(0L)) rows
+        else rows.join(broadcast(present), Seq(keyCol), "left_anti")
+      if (partitionCols.isEmpty)
+        fresh.write.mode("append").parquet(s"$root/$sub")
+      else
+        // EXPLICIT-COUNT repartition (round 16): the keyless
+        // repartition(cols) kept the one-file-per-dir discipline but
+        // AQE coalesces a batch-sized shuffle to ONE partition (64 KB
+        // floor), serializing every per-dir parquet file write onto a
+        // single task — the file-open/footer overhead, not the rows,
+        // is the phase's wall cost. Pinning the count spreads the
+        // groups across real tasks; file count is unchanged (a group
+        // hashes to exactly one task either way).
+        fresh.repartition(spark.sessionState.conf.numShufflePartitions,
+            partitionCols.map(col): _*)
+          .write.mode("append")
+          .partitionBy(partitionCols: _*).parquet(s"$root/$sub")
+    }
   }
 
   /** Idempotent tombstone append (keys already tombstoned are skipped —
@@ -516,7 +565,7 @@ private[graft] object ArtifactStore {
     fs.delete(new Path(path + ".__old"), true)
     meta.write.mode("overwrite").parquet(s"$path.__staging/meta")
     parts.foreach { case (df, c) =>
-      df.repartition(col(c)).write.mode("append").partitionBy(c)
+      writeRepartition(df, Seq(col(c))).write.mode("append").partitionBy(c)
         .parquet(path + ".__staging")
       fs.delete(new Path(s"$path.__staging/_SUCCESS"), false)
     }
@@ -598,11 +647,13 @@ private[graft] object ArtifactStore {
     fs.delete(new Path(staging), true)
     // touched buckets of EVERY geometry in one driver job (bounded by
     // Σ numBuckets)
-    val touchedAll = geoms.map(g =>
-        g.bucketKeys.select(lit(g.prefix).as("g"),
-          pmod(hash(col(g.bucketCol)), lit(g.numBuckets)).as("k")))
-      .reduce(_ unionByName _).distinct().collect()
-      .map(r => (r.getString(0), r.getInt(1)))
+    val touchedAll = labeled(spark, "mutate_touched") {
+      geoms.map(g =>
+          g.bucketKeys.select(lit(g.prefix).as("g"),
+            pmod(hash(col(g.bucketCol)), lit(g.numBuckets)).as("k")))
+        .reduce(_ unionByName _).distinct().collect()
+        .map(r => (r.getString(0), r.getInt(1)))
+    }
     val touchedBy = touchedAll.groupBy(_._1).map { case (p, ks) =>
       p -> ks.map(_._2).sorted.toSeq
     }
@@ -634,9 +685,11 @@ private[graft] object ArtifactStore {
             lit(g.numBuckets))))
       }
     }
-    stagedFrames.reduce(_ unionByName _)
-      .repartition(col("g"), col("k"))
-      .write.mode("overwrite").partitionBy("g", "k").parquet(staging)
+    labeled(spark, "mutate_stage_write") {
+      writeRepartition(stagedFrames.reduce(_ unionByName _),
+          Seq(col("g"), col("k")))
+        .write.mode("overwrite").partitionBy("g", "k").parquet(staging)
+    }
     // which (geometry, bucket) combos actually produced rows → kept
     val staged = geoms.flatMap { g =>
       val gDir = new Path(s"$staging/g=${g.prefix}")

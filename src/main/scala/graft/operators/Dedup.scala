@@ -540,10 +540,10 @@ object Dedup {
       if (numBucketParts > 0) numBucketParts
       else math.max(8L, (nDocs + 65535L) / 65536L).toInt
     feats.withColumn("f", lshFeatPartOf(mf))
-      .repartition(col("f"))
+      .transform(df => ArtifactStore.writeRepartition(df, Seq(col("f"))))
       .write.mode("overwrite").partitionBy("f").parquet(s"$path/features")
     bandBuckets(feats, numHashes, bands).withColumn("h", lshPartOf(m))
-      .repartition(col("h"))
+      .transform(df => ArtifactStore.writeRepartition(df, Seq(col("h"))))
       .write.mode("overwrite").partitionBy("h").parquet(s"$path/buckets")
     // persist the build parameters beside the data: a probe computed
     // with DIFFERENT parameters doesn't fail — its signatures just never
@@ -612,11 +612,11 @@ object Dedup {
     import spark.implicits._
     ArtifactStore.stageRootSwap(spark, path) { staging =>
       featsCk.withColumn("f", lshFeatPartOf(mf))
-        .repartition(col("f"))
+        .transform(df => ArtifactStore.writeRepartition(df, Seq(col("f"))))
         .write.mode("overwrite").partitionBy("f")
         .parquet(s"$staging/features")
       buckets.withColumn("h", lshPartOf(m))
-        .repartition(col("h"))
+        .transform(df => ArtifactStore.writeRepartition(df, Seq(col("h"))))
         .write.mode("overwrite").partitionBy("h")
         .parquet(s"$staging/buckets")
       // measure the NEW geometry's bucket-byte target on the staged
@@ -707,7 +707,8 @@ object Dedup {
     * once). */
   private def checkpointWithBucketSets(df: DataFrame, tag: String,
       sets: Seq[(String, org.apache.spark.sql.Column)])
-      : (DataFrame, Long, Map[String, Seq[Int]]) = {
+      : (DataFrame, Long, Map[String, Seq[Int]]) =
+    ArtifactStore.labeled(df.sparkSession, tag) {
     val obs = org.apache.spark.sql.Observation(
       tag + "_" + java.util.UUID.randomUUID().toString.take(8))
     val metrics = count(lit(1)).as("__n") +:
@@ -722,7 +723,7 @@ object Dedup {
         .getOrElse(Seq.empty)
     }.toMap
     (ck, n, out)
-  }
+    }
 
   /** The full stored-index probe (candidates from the batch's bucket
     * partitions, exact-Jaccard verify against the candidates' feature
@@ -831,13 +832,14 @@ object Dedup {
     * rides the checkpoint job (the `canonicalize` convergence-counter
     * pattern). */
   private def checkpointWithCount(df: DataFrame,
-      tag: String): (DataFrame, Long) = {
-    val obs = org.apache.spark.sql.Observation(
-      tag + "_" + java.util.UUID.randomUUID().toString.take(8))
-    val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
-    val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
-    (ck, n)
-  }
+      tag: String): (DataFrame, Long) =
+    ArtifactStore.labeled(df.sparkSession, tag) {
+      val obs = org.apache.spark.sql.Observation(
+        tag + "_" + java.util.UUID.randomUUID().toString.take(8))
+      val ck = df.observe(obs, count(lit(1)).as("n")).localCheckpoint()
+      val n = Option(obs.get("n")).map(_.asInstanceOf[Long]).getOrElse(0L)
+      (ck, n)
+    }
 
   /** `checkpointWithCount` plus the keys' BUCKET-ID set, all riding the
     * one checkpoint action (round-13): the pruned point-readers need
@@ -853,7 +855,7 @@ object Dedup {
       case None =>
         val (ck, n) = checkpointWithCount(df, tag)
         (ck, n, None)
-      case Some(nb) =>
+      case Some(nb) => ArtifactStore.labeled(df.sparkSession, tag) {
         val obs = org.apache.spark.sql.Observation(
           tag + "_" + java.util.UUID.randomUUID().toString.take(8))
         val ck = df.observe(obs, count(lit(1)).as("n"),
@@ -865,7 +867,22 @@ object Dedup {
             .map(_.asInstanceOf[Int]).toSeq)
           .getOrElse(Seq.empty)
         (ck, n, Some(bk))
+      }
     }
+
+  /** Distinct id set of a batch, checkpointed with its count AND its
+    * label-bucket ids in ONE observed job — the drain's replay guard
+    * needs all three (the pruned present read, the fresh test, the
+    * absorb's batch-id set), and computing them separately was three
+    * Spark jobs per micro-batch. Column is named `doc` (the
+    * `batchIdsPre` contract of [[absorbIntoLabelsNoRead]]). */
+  private[graft] def batchIdsForLabels(
+      spark: org.apache.spark.sql.SparkSession, labelsPath: String,
+      keys: DataFrame, keyCol: String)
+      : (DataFrame, Long, Option[Seq[Int]]) =
+    checkpointWithCountAndBuckets(
+      keys.select(col(keyCol).as("doc")).distinct(), "drain_ids", "doc",
+      labelsNumBuckets(spark, labelsPath))
 
   /** Hint broadcast only below a row bound — graceful degradation for
     * sets that are *typically* takedown-sized but unbounded when an
@@ -1214,6 +1231,31 @@ object Dedup {
       threshold: Double = 0.5,
       outLabelsPath: Option[String] = None,
       outIndexPath: Option[String] = None): DataFrame = {
+    absorbIntoLabelsNoRead(batch, idCol, textCol, labelsPath, indexPath,
+      shingleSize, numHashes, bands, threshold, outLabelsPath, outIndexPath)
+    val spark = batch.sparkSession
+    ArtifactStore.labeled(spark, "absorb_final_read") {
+      readLabels(spark, outLabelsPath.getOrElse(labelsPath))
+    }
+  }
+
+  /** `absorbIntoLabels` without the final store read-back: the streaming
+    * drain absorbs a micro-batch and DISCARDS the merged-labels handle,
+    * but constructing it eagerly lists every live bucket dir of the
+    * store — one distributed listing job per micro-batch (measured: a
+    * 319-dir N = 512 store pays a "Listing leaf files for 319 paths"
+    * job per absorbed file) for a frame nobody reads. `batchIdsPre`
+    * optionally supplies the batch's DISTINCT id set — already
+    * localCheckpointed, single `doc` column — with its row count, so a
+    * caller that materialized the ids anyway (the drain's replay guard)
+    * saves the absorb's own distinct-shuffle checkpoint job. */
+  private[graft] def absorbIntoLabelsNoRead(batch: DataFrame, idCol: String,
+      textCol: String, labelsPath: String, indexPath: String,
+      shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5,
+      outLabelsPath: Option[String] = None,
+      outIndexPath: Option[String] = None,
+      batchIdsPre: Option[(DataFrame, Long)] = None): Unit = {
     val spark = batch.sparkSession
     checkIndexParams(spark, indexPath, shingleSize, numHashes, bands)
     val outLabels = outLabelsPath.getOrElse(labelsPath)
@@ -1224,9 +1266,53 @@ object Dedup {
     ArtifactStore.repairStore(spark, labelsPath)
 
     // batch front end, shared by three consumers (bb pairs, bi probe,
-    // index append) — checkpoint the per-doc feature sets once
-    val bFeats = shingleFeatureSets(batch, idCol, textCol, shingleSize)
-      .localCheckpoint()
+    // index append) — checkpoint the per-doc feature sets once. The
+    // index appends' partition-pruning sets (the batch docs' f dirs and
+    // band-sig h dirs) RIDE THIS CHECKPOINT as an Observation (round 16):
+    // they are per-row expressions of (doc, features), and the separate
+    // bBuckets aggregation that used to derive them was a fixed 2-job
+    // term per absorbed batch (absorb_partsets in the JobProbe counts).
+    val mfPre = lshFeatureParts(spark, indexPath)
+    val mPre = lshBucketParts(spark, indexPath)
+    val rowsPerBand = numHashes / bands
+    val partsObs =
+      if (mfPre.isEmpty && mPre.isEmpty) None
+      else Some(org.apache.spark.sql.Observation(
+        "absorb_parts_" + java.util.UUID.randomUUID().toString.take(8)))
+    val bFeats = ArtifactStore.labeled(spark, "absorb_bfeats") {
+      val base = shingleFeatureSets(batch, idCol, textCol, shingleSize)
+      partsObs.map { o =>
+        // per-row band h-ids: same sig derivation as bandBuckets, kept
+        // in lockstep (concat_ws of the band's minhash slots, hashed
+        // with the band id) — collect_list + flatten + array_distinct
+        // because collect_set over array values is not guaranteed
+        val withSigs = base.withColumn("__sigs",
+          graft.functions.MinHashSignature.ofCol(col("features"), numHashes))
+        val aggs =
+          mfPre.map(mf => array_distinct(collect_list(
+            pmod(hash(col("doc")), lit(mf)))).as("__f")).toSeq ++
+          mPre.map { m =>
+            val hs = (0 until bands).map { b =>
+              val parts = (0 until rowsPerBand).map(r =>
+                col("__sigs").getItem(b * rowsPerBand + r))
+              pmod(hash(lit(b), concat_ws("_", parts: _*)), lit(m))
+            }
+            array_distinct(flatten(collect_list(array(hs: _*)))).as("__h")
+          }
+        withSigs.observe(o, aggs.head, aggs.tail: _*).drop("__sigs")
+      }.getOrElse(base)
+        .localCheckpoint()
+    }
+    // (guarded per metric: Observation.get throws on a key that was
+    // never aggregated — "__h" exists only when the buckets substore is
+    // partitioned, "__f" only when the features substore is)
+    def observedParts(name: String, included: Boolean): Seq[Int] =
+      if (!included) Seq.empty
+      else partsObs
+        .flatMap(o => Option(o.get(name)))
+        .map(_.asInstanceOf[scala.collection.Seq[Any]]
+          .map(_.asInstanceOf[Int]).toSeq)
+        .getOrElse(Seq.empty)
     val bBuckets = bandBuckets(bFeats, numHashes, bands)
 
     // a batch id colliding with a TOMBSTONED id would resurrect rows the
@@ -1234,9 +1320,11 @@ object Dedup {
     // retracted id (re-crawl supersede) requires compactLshIndex first,
     // or a fresh id — fail loud, not silently inconsistent
     if (ArtifactStore.hasTombstones(spark, indexPath)) {
-      val clash = ArtifactStore.tombstoneKeys(spark, indexPath, "doc")
-        .join(broadcast(bFeats.select("doc")), Seq("doc"), "left_semi")
-        .limit(1).count()
+      val clash = ArtifactStore.labeled(spark, "absorb_tombstone_guard") {
+        ArtifactStore.tombstoneKeys(spark, indexPath, "doc")
+          .join(broadcast(bFeats.select("doc")), Seq("doc"), "left_semi")
+          .limit(1).count()
+      }
       require(clash == 0L,
         s"absorbIntoLabels: batch contains ids tombstoned in $indexPath — " +
           "run compactLshIndex before re-ingesting a retracted id")
@@ -1264,23 +1352,31 @@ object Dedup {
     // those dirs) and their label-bucket set (the canonical contraction
     // below reads only the label buckets holding a hit doc) — one
     // action, zero corpus-wide scans (round-12 verdict #2/#7)
-    val (biRaw0, biBk) = probeStored(spark, indexPath, bFeats, bBuckets,
-      threshold, labelBucketsN = nb)
+    val (biRaw0, biBk) = ArtifactStore.labeled(spark, "absorb_probe") {
+      probeStored(spark, indexPath, bFeats, bBuckets,
+        threshold, labelBucketsN = nb)
+    }
     val biRaw = biRaw0.select(col("doc_a"), col("doc_b"))
     // batch-index near-dup edges, index endpoint CONTRACTED to its
     // stored canonical (labels are total over the indexed corpus)
-    val biPairs = biRaw
-      .join(readLabelsForDocs(spark, labelsPath,
-          biRaw.select(col("doc_b").as("doc")), biBk)
-        .select(col("doc").as("doc_b"), col("canonical_id").as("__bc")),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("__bc").as("doc_b"))
+    val biPairs = ArtifactStore.labeled(spark, "absorb_bi_contract") {
+      biRaw
+        .join(readLabelsForDocs(spark, labelsPath,
+            biRaw.select(col("doc_b").as("doc")), biBk)
+          .select(col("doc").as("doc_b"), col("canonical_id").as("__bc")),
+          Seq("doc_b"))
+        .select(col("doc_a"), col("__bc").as("doc_b"))
+    }
 
     // contracted graph: batch ids + touched old canonicals
-    val edges = bbPairs.unionByName(biPairs).localCheckpoint()
+    val edges = ArtifactStore.labeled(spark, "absorb_edges") {
+      bbPairs.unionByName(biPairs).localCheckpoint()
+    }
+    // no distinct() (round 16): canonicalize's first groupBy(doc) round
+    // dedups nodes anyway (min-agg is duplicate-insensitive), so the
+    // distinct was a redundant shuffle inside the merge checkpoint
     val nodes = batch.select(col(idCol).as("doc"))
       .unionByName(edges.select(col("doc_b").as("doc")))
-      .distinct()
     // the merge checkpoint also carries the nodes' label-bucket ids —
     // the is-old-canonical lookup below prunes on them (zero extra jobs)
     val (newLabels, _, nlBk) = checkpointWithCountAndBuckets(
@@ -1291,9 +1387,11 @@ object Dedup {
     // both mutators preserve the invariant), so a doc-keyed pruned read
     // answers "is this doc an old canonical" from the nodes' own
     // buckets, never a corpus-wide distinct over canonical_id
-    val oldCanon = readLabelsForDocs(spark, labelsPath,
-        newLabels.select("doc"), nlBk)
-      .filter(col("doc") === col("canonical_id")).select("doc")
+    val oldCanon = ArtifactStore.labeled(spark, "absorb_oldcanon_read") {
+      readLabelsForDocs(spark, labelsPath,
+          newLabels.select("doc"), nlBk)
+        .filter(col("doc") === col("canonical_id")).select("doc")
+    }
     // relabel map: old canonicals whose component minimum changed —
     // checkpointed with its __old bucket ids under the CANONICAL-keyed
     // twin geometry (the member lookup below prunes on them)
@@ -1303,8 +1401,8 @@ object Dedup {
         .select(col("doc").as("__old"), col("canonical_id").as("__new")),
       "absorb_relabel", "__old", cb)
     val relabelH = hintIfSmall(relabel, nRelabel, DefaultBroadcastRowLimit)
-    val (batchIds, nBatch) = checkpointWithCount(
-      batch.select(col(idCol).as("doc")).distinct(), "absorb_batch")
+    val (batchIds, nBatch) = batchIdsPre.getOrElse(checkpointWithCount(
+      batch.select(col(idCol).as("doc")).distinct(), "absorb_batch"))
     val batchRows = newLabels
       .join(broadcast(batchIds), Seq("doc"))
       .select(col("doc"), col("canonical_id"))
@@ -1400,19 +1498,10 @@ object Dedup {
       // sig)) — so the pruned present-checks cannot miss a committed
       // key (round-13: appendMissing's full-substore key scan was the
       // drain path's last corpus-sized read)
-      val (fIds, hIds) = (mfOpt, mOpt) match {
-        case (None, None) => (Seq.empty[Int], Seq.empty[Int])
-        case _ =>
-          val aggs = Seq(
-            mfOpt.map(mf => collect_set(lshFeatPartOf(mf)).as("__f")),
-            mOpt.map(m => collect_set(lshPartOf(m)).as("__h"))).flatten
-          val row = bBuckets.agg(aggs.head, aggs.drop(1): _*).head()
-          // collect_set materializes as mutable.ArraySeq — convert, don't cast
-          def seqOf(n: String): Seq[Int] =
-            row.getAs[scala.collection.Seq[Int]](n).toSeq
-          (mfOpt.map(_ => seqOf("__f")).getOrElse(Seq.empty),
-            mOpt.map(_ => seqOf("__h")).getOrElse(Seq.empty))
-      }
+      // pruning sets observed on the bFeats checkpoint above — zero
+      // extra jobs (round 16; was a separate 2-job bBuckets aggregation)
+      val (fIds, hIds) = (observedParts("__f", mfOpt.isDefined),
+        observedParts("__h", mOpt.isDefined))
       (mfOpt, mOpt) match {
         case (Some(mf), Some(m)) =>
           // CONTENT-INDEPENDENT present check (round-13 advisory): the
@@ -1432,18 +1521,21 @@ object Dedup {
           // store isn't read at all.
           val pObs = org.apache.spark.sql.Observation(
             "lsh_present_" + java.util.UUID.randomUUID().toString.take(8))
-          val presentDocs = ArtifactStore.readParquetCached(spark,
-              s"$outIndex/features", Seq(s"$outIndex/features"))
-            .filter(col("f").isin(fIds: _*)).select("doc")
-            .join(broadcast(batchDocs), Seq("doc"), "left_semi")
-            .distinct()
-            .observe(pObs, count(lit(1)).as("__n"))
-            .localCheckpoint()
+          val presentDocs = ArtifactStore.labeled(spark, "absorb_lsh_present") {
+            ArtifactStore.readParquetCached(spark,
+                s"$outIndex/features", Seq(s"$outIndex/features"))
+              .filter(col("f").isin(fIds: _*)).select("doc")
+              .join(broadcast(batchDocs), Seq("doc"), "left_semi")
+              .distinct()
+              .observe(pObs, count(lit(1)).as("__n"))
+              .localCheckpoint()
+          }
           val nPresentDocs = Option(pObs.get("__n"))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
           ArtifactStore.appendMissing(spark, outIndex, "features", "doc",
             batchDocs, bFeats.withColumn("f", lshFeatPartOf(mf)),
-            partitionCols = Seq("f"), presentKeys = Some(presentDocs))
+            partitionCols = Seq("f"), presentKeys = Some(presentDocs),
+            presentKeysCount = Some(nPresentDocs))
           val bucketsPresent =
             if (nPresentDocs == 0L) presentDocs // empty, typed (doc)
             else {
@@ -1472,7 +1564,8 @@ object Dedup {
             }
           ArtifactStore.appendMissing(spark, outIndex, "buckets", "doc",
             batchDocs, bBuckets.withColumn("h", lshPartOf(m)),
-            partitionCols = Seq("h"), presentKeys = Some(bucketsPresent))
+            partitionCols = Seq("h"), presentKeys = Some(bucketsPresent),
+            presentKeysCount = if (nPresentDocs == 0L) Some(0L) else None)
           Some(nPresentDocs)
         case _ =>
           // legacy layouts (flat, or single-substore partitioning from
@@ -1542,7 +1635,7 @@ object Dedup {
         // ids' buckets.
         val nPresentB: Long =
           if (indexPresent.contains(0L)) 0L
-          else {
+          else ArtifactStore.labeled(spark, "absorb_replay_probe") {
             val pObs = org.apache.spark.sql.Observation(
               "absorb_present_" + java.util.UUID.randomUUID().toString.take(8))
             readLabelsForDocs(spark, labelsPath, batchIds, nlBk)
@@ -1563,7 +1656,8 @@ object Dedup {
         // which the gated replay probe catches on retry exactly like
         // the old two-append window (per-doc atomicity holds: a doc's
         // row lives in exactly one staged file).
-        def appendGeometries(rows: DataFrame): Unit = {
+        def appendGeometries(rows: DataFrame): Unit =
+          ArtifactStore.labeled(spark, "absorb_append_geoms") {
           import org.apache.hadoop.fs.Path
           val fsys = new Path(outLabels)
             .getFileSystem(spark.sessionState.newHadoopConf())
@@ -1572,11 +1666,25 @@ object Dedup {
           val parts =
             Seq(("b", pmod(hash(col("doc")), lit(n)))) ++
               cb.map(m => ("c", pmod(hash(col("canonical_id")), lit(m))))
-          parts.map { case (g, k) =>
+          val staged = parts.map { case (g, k) =>
               rows.select(lit(g).as("g"), k.as("k"), col("doc"),
                 col("canonical_id"), col("is_keeper"))
             }.reduce(_ unionByName _)
-            .repartition(col("g"), col("k"))
+          // EXPLICIT-COUNT repartition (round 16): a two-geometry
+          // append of B docs writes ~2·min(B, N) bucket files, and the
+          // FILE-WRITE overhead — open/footer/close per tiny parquet
+          // file — is the phase's real wall cost, so it must run
+          // parallel. Both the keyless repartition(g, k) (AQE coalesces
+          // the tiny shuffle to ONE partition under the bench's 64 KB
+          // floor) and coalesce(1) serialize ~190 file writes onto a
+          // single task — measured 1.6 s per micro-batch, the largest
+          // single site in the drain. Pinning the partition count keeps
+          // AQE's hands off; file count is unchanged (one file per
+          // (g, k) group either way — a group never splits without a
+          // same-key collision, and groups per task only concatenate).
+          staged.repartition(
+              spark.sessionState.conf.numShufflePartitions,
+              col("g"), col("k"))
             .write.mode("overwrite").partitionBy("g", "k").parquet(stage)
           parts.foreach { case (g, _) =>
             val gDir = new Path(s"$stage/g=$g")
@@ -1596,7 +1704,7 @@ object Dedup {
             }
           }
           ArtifactStore.deletePath(spark, stage)
-        }
+          }
         if (nPresentB == 0L) {
           // INSERT-APPEND fast path (round-13 verdict #1): under the
           // ids-disjoint contract the batch's rows are pure inserts in
@@ -1668,7 +1776,6 @@ object Dedup {
       case None =>
         ArtifactStore.writeParquetStaged(spark, merged, outLabels)
     }
-    readLabels(spark, outLabels)
   }
 
   /** RETRACTION — the deletion dual of `absorbIntoLabels`, and the last
@@ -2196,12 +2303,24 @@ object Dedup {
     */
   def canonicalize(docs: DataFrame, idCol: String, pairs: DataFrame,
       maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = docs.select(col(idCol).as("doc"), col(idCol).as("canonical"))
-      .localCheckpoint()
+    val spark = docs.sparkSession
+    // NO distinct() on the flipped edge union (round 16): min/max
+    // aggregation is duplicate-insensitive, callers pass already-unique
+    // pairs (LSH verify output, probe edges), and the flip cannot
+    // manufacture a duplicate from unique (a, b) pairs with a < b — so
+    // the distinct bought nothing and cost a full shuffle inside every
+    // absorb's contracted-graph merge (measured: canon_edges 3 jobs →
+    // 1 narrow checkpoint per micro-batch). A caller passing duplicate
+    // pairs only duplicates join work, never changes the fixpoint.
+    val edges = ArtifactStore.labeled(spark, "canon_edges") {
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint()
+    }
+    var labels = ArtifactStore.labeled(spark, "canon_init") {
+      docs.select(col(idCol).as("doc"), col(idCol).as("canonical"))
+        .localCheckpoint()
+    }
     val idType = labels.schema("canonical").dataType
     var converged = false
     var iter = 0
@@ -2216,13 +2335,15 @@ object Dedup {
         .select(edges("dst").as("doc"), col("canonical"),
           lit(null).cast(idType).as("old"))
       val obs = org.apache.spark.sql.Observation(s"canonicalize_round_$iter")
-      val next = labels.select(col("doc"), col("canonical"), col("canonical").as("old"))
-        .union(viaEdges)
-        .groupBy("doc").agg(min("canonical").as("canonical"), max("old").as("old"))
-        .observe(obs, sum(when(col("canonical") =!= col("old"), 1L).otherwise(0L))
-          .as("changed"))
-        .drop("old")
-        .localCheckpoint()
+      val next = ArtifactStore.labeled(spark, "canon_round") {
+        labels.select(col("doc"), col("canonical"), col("canonical").as("old"))
+          .union(viaEdges)
+          .groupBy("doc").agg(min("canonical").as("canonical"), max("old").as("old"))
+          .observe(obs, sum(when(col("canonical") =!= col("old"), 1L).otherwise(0L))
+            .as("changed"))
+          .drop("old")
+          .localCheckpoint()
+      }
       converged = Option(obs.get("changed")).forall(_.asInstanceOf[Long] == 0L)
       labels = next
       iter += 1

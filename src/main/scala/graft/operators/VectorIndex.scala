@@ -118,7 +118,7 @@ object VectorIndex {
     assign(vecs, spark.read.parquet(s"$path/centroids"))
       .withColumn("epoch", lit(0))
       .observe(bObs, count(lit(1)).as("__n"))
-      .repartition(col("cell"))
+      .transform(df => ArtifactStore.writeRepartition(df, Seq(col("cell"))))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
     // the (vec_id, cell) sidecar — id-hash partitioned so every by-id
@@ -175,7 +175,7 @@ object VectorIndex {
       rows: DataFrame, mi: Int, overwrite: Boolean): Unit = {
     val w = rows.select(col("vec_id"), col("cell"))
       .withColumn("i", idPartOf(mi))
-      .repartition(col("i"))
+      .transform(df => ArtifactStore.writeRepartition(df, Seq(col("i"))))
       .write.mode(if (overwrite) "overwrite" else "append")
       .partitionBy("i")
     w.parquet(s"$path/ids")
@@ -641,7 +641,7 @@ object VectorIndex {
       assign(stored, spark.read.parquet(s"$staging/centroids"))
         .withColumn("epoch", lit(0))
         .observe(obs, count(lit(1)).as("__n"))
-        .repartition(col("cell"))
+        .transform(df => ArtifactStore.writeRepartition(df, Seq(col("cell"))))
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$staging/vectors")
       // the (vec_id, cell) sidecar is rebuilt from the reassigned store
@@ -656,7 +656,7 @@ object VectorIndex {
       spark.read.parquet(s"$staging/vectors")
         .select(col("vec_id"), col("cell").cast(cidType).as("cell"))
         .withColumn("i", idPartOf(mi))
-        .repartition(col("i"))
+        .transform(df => ArtifactStore.writeRepartition(df, Seq(col("i"))))
         .write.mode("overwrite").partitionBy("i").parquet(s"$staging/ids")
       Seq(0).toDF("epoch").write.mode("overwrite")
         .parquet(s"$staging/epochs")

@@ -908,23 +908,51 @@ object StreamOps {
       shingleSize: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): Unit = {
     val s = batch.sparkSession
-    val ids = batch.select(col(idCol)).distinct()
+    // ONE observed job (round 16): the batch's distinct ids checkpoint
+    // with their count and label-bucket ids riding the action —
+    // previously the guard paid a separate distinct-collect for the
+    // bucket ids, a broadcast build, and a limit(1).count() fresh test
+    // per micro-batch (drain_replay_guard 6 jobs + drain_fresh_check 3
+    // measured at N = 512).
+    val (ids, nIds, bk) = graft.operators.Dedup.batchIdsForLabels(
+      s, labelsPath, batch, idCol)
     // BUCKET-PRUNED point lookup (round-12 verdict #2): the replay
     // guard reads only the label buckets the batch ids hash into —
     // O(touched buckets) bytes per micro-batch instead of a full labels
     // scan per drained file. The (tiny) present set broadcasts back;
     // the checkpoint materializes the read BEFORE the absorb mutates
-    // the labels store it came from.
-    val present = graft.operators.Dedup.readLabelsForDocs(s, labelsPath,
-        ids.select(col(idCol).as("doc")))
-      .select(col("doc").as(idCol))
-      .join(broadcast(ids), Seq(idCol), "left_semi")
-      .localCheckpoint()
-    val fresh = batch.join(broadcast(present), Seq(idCol), "left_anti")
-    if (fresh.limit(1).count() > 0) {
-      graft.operators.Dedup.absorbIntoLabels(fresh, idCol, textCol,
-        labelsPath, indexPath, shingleSize, numHashes, bands, threshold)
-      ()
+    // the labels store it came from. Its observed count doubles as the
+    // fresh test: the anti-join is non-empty iff nIds > nPresent
+    // (labels hold one row per doc, so the count is per-doc exact).
+    val pObs = org.apache.spark.sql.Observation(
+      "drain_present_" + java.util.UUID.randomUUID().toString.take(8))
+    val present = graft.operators.ArtifactStore.labeled(s, "drain_replay_guard") {
+      graft.operators.Dedup.readLabelsForDocs(s, labelsPath, ids, bk)
+        .join(broadcast(ids), Seq("doc"), "left_semi")
+        .select("doc")
+        .observe(pObs, count(lit(1)).as("__n"))
+        .localCheckpoint()
+    }
+    val nPresent = Option(pObs.get("__n"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    if (nIds > nPresent) {
+      if (nPresent == 0L)
+        // all-novel micro-batch (the production path): the batch IS the
+        // fresh set, and the ids checkpoint stands in for the absorb's
+        // own batch-id distinct (batchIdsPre) — no anti-join, no second
+        // distinct, no final store read (the drain discards the handle)
+        graft.operators.Dedup.absorbIntoLabelsNoRead(batch, idCol,
+          textCol, labelsPath, indexPath, shingleSize, numHashes, bands,
+          threshold, batchIdsPre = Some((ids, nIds)))
+      else {
+        // replayed/partial micro-batch: drop the committed docs first
+        val fresh = batch.join(
+          broadcast(present.select(col("doc").as(idCol))), Seq(idCol),
+          "left_anti")
+        graft.operators.Dedup.absorbIntoLabelsNoRead(fresh, idCol,
+          textCol, labelsPath, indexPath, shingleSize, numHashes, bands,
+          threshold)
+      }
     }
   }
 
