@@ -1372,11 +1372,15 @@ object Dedup {
     val edges = ArtifactStore.labeled(spark, "absorb_edges") {
       bbPairs.unionByName(biPairs).localCheckpoint()
     }
-    // no distinct() (round 16): canonicalize's first groupBy(doc) round
-    // dedups nodes anyway (min-agg is duplicate-insensitive), so the
-    // distinct was a redundant shuffle inside the merge checkpoint
+    // the distinct is LOAD-BEARING here (round-16 A/B): canonicalize's
+    // round-0 labels are these nodes verbatim, and a doc appearing once
+    // per incident edge would multiply the first edges⋈labels join by
+    // its degree — x110's edge-heavy batches measured +2.4 s warm with
+    // the distinct dropped (the min-agg itself is duplicate-insensitive,
+    // but the join inflation is paid before the agg dedups)
     val nodes = batch.select(col(idCol).as("doc"))
       .unionByName(edges.select(col("doc_b").as("doc")))
+      .distinct()
     // the merge checkpoint also carries the nodes' label-bucket ids —
     // the is-old-canonical lookup below prunes on them (zero extra jobs)
     val (newLabels, _, nlBk) = checkpointWithCountAndBuckets(
