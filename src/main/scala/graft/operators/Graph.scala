@@ -204,8 +204,14 @@ object Graph {
     * three equi-joins — all shuffle-partitionable, never all-pairs.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol)
-    triangleCountOriented(e, degrees(e))
+    // materialize the edge set and degree table ONCE (round 16): the
+    // orientation consumes e twice and deg twice, and fully-lazy sharing
+    // re-ran the upstream edge construction (scan + lag window + dedup
+    // shuffle) once per consumer — x155's pre-fix plan was 601 nodes /
+    // 110 exchanges of repeated subtrees. Same discipline
+    // clusteringCoefficient already documents for its three readers.
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint()
+    triangleCountOriented(e, degrees(e).localCheckpoint())
   }
 
   /** Undirected edge canonicalization shared by the graph operators:
@@ -233,7 +239,11 @@ object Graph {
     * distinct() scan and degree aggregate ran twice per x156).
     */
   private def triangleCountOriented(e: DataFrame, deg: DataFrame): DataFrame = {
-    // oriented edge (s → t) with t's order key carried for the wedge cut
+    // oriented edge (s → t) with t's order key carried for the wedge cut.
+    // NOT materialized: its three readers re-run only the two degree
+    // joins over the caller's already-materialized e/deg — measured
+    // cheaper at bench scale than an extra eager checkpoint job
+    // (x156 0.79 → 0.95 s with o checkpointed, back to ~0.8 without).
     val o = e
       .join(deg.select(col("node").as("u"), col("dg").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("dg").as("dv")), Seq("v"))
@@ -251,9 +261,11 @@ object Graph {
       .select(col("e1.s").as("a"), col("e1.t").as("b"), col("e2.t").as("c"))
     val tri = wedges.join(o.as("e3"),
         col("b") === col("e3.s") && col("c") === col("e3.t"), "left_semi")
-    tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("b")))
-      .unionAll(tri.select(col("c")))
+    // ONE pass over the wedge-join output: each triangle credits its
+    // three corners via explode — the previous 3-way unionAll re-ran the
+    // whole wedge+closure join per corner column (the plan's dominant
+    // repeated subtree)
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("triangles"))
   }
 
