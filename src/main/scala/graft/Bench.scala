@@ -169,11 +169,17 @@ object Bench {
     * absorb/drain machinery as the x152b/x158b headliners, graded at
     * the batch ≈ corpus/4 geometry where every bucket of both label
     * geometries is touched — the machinery's worst case, not its
-    * regime. They cost 40+ s of suite wall between them for a number
-    * that moves with the headliners', so they run only in the
-    * occasional deep audit (SPARK_GRAFT_BENCH_DEEP=1), keeping the
-    * per-round suite inside the driver's wall cap. The strict
-    * correctness gate still runs all three every round. */
+    * regime. Their full min-of-N treatment cost 40+ s of suite wall
+    * for numbers that move with the headliners', so they take the
+    * MINIMAL sampling class instead: cold run + ONE timed sample, no
+    * convergence warm-up loop (their wall is fixed-job-count-bound,
+    * not JIT-depth-bound, so one post-cold sample is representative).
+    * This keeps every cross-round key present in the artifact's
+    * queries map (the driver contract: entries are never removed)
+    * while the suite stays inside its wall budget.
+    * SPARK_GRAFT_BENCH_DEEP=1 upgrades them to the normal sampling
+    * phases for an occasional deep audit. The strict correctness gate
+    * still runs all three every round. */
   private[graft] val deepAudit = Seq(
     "x152_label_absorb", "x153_label_absorb_chain",
     "x158_stream_label_absorb")
@@ -339,8 +345,11 @@ object Bench {
     // ~20% between rounds are cross-session machine variance; compare
     // via same-round reproductions.
     val deep = sys.env.get("SPARK_GRAFT_BENCH_DEEP").contains("1")
-    val qlist = (headline ++ (if (deep) deepAudit else Seq.empty))
-      .filter(qs.contains)
+    // the adversarial twins ALWAYS run (cross-round artifact keys are
+    // never removed); without the deep flag they take the minimal
+    // sampling class (no convergence warms, one timed sample)
+    val minimal: Set[String] = if (deep) Set.empty else deepAudit.toSet
+    val qlist = (headline ++ deepAudit).filter(qs.contains)
     val colds = scala.collection.mutable.Map.empty[String, Double]
     val warm = scala.collection.mutable.Map.empty[String, Double]
     val samples = scala.collection.mutable.Map(
@@ -448,7 +457,7 @@ object Bench {
     // invocation at the same steady state before timing starts, which is
     // what makes two consecutive artifacts comparable. Budget gate: past
     // 60% of budget the convergence loop stops early (warm = last run).
-    for (name <- qlist) {
+    for (name <- qlist if !minimal(name)) {
       var prev = colds(name)
       var cur = if (over(0.6)) prev else once(name)
       var n = 1
@@ -495,9 +504,11 @@ object Bench {
     // object already provides). Later phases are shed first as the
     // budget fills: the gates run per QUERY, so one slow query can
     // overshoot a gate by at most its own duration.
-    for (_ <- 1 to 2; name <- qlist if !over(1.0)) timed(name)
+    for (c <- 1 to 2; name <- qlist
+      if !over(1.0) && (c == 1 || !minimal(name))) timed(name)
     for (name <- qlist if {
-      val w = warmOf(name); !w.isNaN && w <= 5.0 && !over(0.8)
+      val w = warmOf(name)
+      !minimal(name) && !w.isNaN && w <= 5.0 && !over(0.8)
     }) timed(name)
     // Extra cycles for small queries (overhead-bound, noise-prone):
     // +2 for sub-2s, +1 more for sub-0.5s — each cycle interleaved and

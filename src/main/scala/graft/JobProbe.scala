@@ -47,6 +47,10 @@ object JobProbe {
               Option(x.getProperty("spark.job.description"))
                 .filter(_.startsWith("g:")))
             .orElse(p.flatMap(x => Option(x.getProperty("callSite.short"))))
+            // result-stage name carries the action's call site (e.g.
+            // "parquet at Dedup.scala:544") — the attribution for jobs
+            // launched outside any labeled phase
+            .orElse(e.stageInfos.lastOption.map(_.name))
             .getOrElse("?")
           starts.put(e.jobId, (site, System.nanoTime())); ()
         }
@@ -57,12 +61,19 @@ object JobProbe {
     }
     spark.sparkContext.addSparkListener(listener)
     // warm run first (schema caches seed, JIT) — mirrors the bench's
-    // converged-warm regime, where the fixed job count is what remains
+    // converged-warm regime, where the fixed job count is what remains.
+    // "query:<name>" generalizes the probe to ANY declared query: the
+    // timed body is one noop-sink execution of the query's frame (the
+    // eager mutation queries run their body during construction, which
+    // is exactly what the bench times for them too).
     def body(): Unit = mode match {
       case "drain" =>
         queries.EvalQueries.stageProdDrainScratch(spark, sfDir)
         queries.EvalQueries.prodDrainOnScratch(spark, sfDir).count()
         ()
+      case q if q.startsWith("query:") =>
+        SparkEntry.queries(q.stripPrefix("query:"))(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
       case _ =>
         queries.EvalQueries.stageProdAbsorbScratch(spark, sfDir)
         queries.EvalQueries.prodAbsorbOnScratch(spark, sfDir).count()
@@ -75,6 +86,12 @@ object JobProbe {
         capture = true
         val t = System.nanoTime()
         queries.EvalQueries.prodDrainOnScratch(spark, sfDir).count()
+        t
+      case q if q.startsWith("query:") =>
+        capture = true
+        val t = System.nanoTime()
+        SparkEntry.queries(q.stripPrefix("query:"))(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         t
       case _ =>
         queries.EvalQueries.stageProdAbsorbScratch(spark, sfDir)
