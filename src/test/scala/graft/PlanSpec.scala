@@ -511,6 +511,16 @@ class PlanSpec extends SparkSpec with Matchers {
     (plan should not).include("BroadcastNestedLoopJoin")
     // the wedge-closing existence check stays a semi join
     plan should include("LeftSemi")
+    // round 16: the canonical edge set and degree table are materialized
+    // ONCE and consumed as RDD scans — the edge construction (scan + lag
+    // window + dedup) is outside this plan entirely, so it cannot run
+    // once per consumer (the pre-fix plan repeated it into 601 nodes)
+    plan should include("Scan ExistingRDD")
+    (plan should not).include("Window")
+    // one pass credits all three triangle corners (explode, not a 3-way
+    // union that re-runs the wedge join per corner)
+    plan should include("explode")
+    (plan should not).include("Union")
   }
 
   test("x150c shuffle URL gate: equi-joins only — no nested loop reaches the rule table") {
